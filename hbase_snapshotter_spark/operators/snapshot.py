@@ -1,0 +1,170 @@
+"""Point-in-time snapshot of a versioned change-log table.
+
+The flagship pipeline — the reference's whole reason to exist
+(``HBaseSnapshotter.scala:108-138``) re-expressed as one Catalyst-planned
+DataFrame DAG:
+
+    read change log → filter(cell_ts <= ts)          # S2, Parquet-pushed
+      → latest version per CELL                      # HBase VERSIONS semantics
+      → pivot qualifiers into columns                # row materialization
+      → typed decode with NULL sentinel              # S7/S8
+      → k_hbase_row_key / k_replicator_row_status    # S9/S10
+
+Change-log input model (``FIXTURES.md`` B1, mirroring the HBase cell
+layout of ``HBaseSnapshotter.scala:39-41``)::
+
+    row_key: string, family: string, qualifier: string,
+    value: string, cell_ts: long (epoch millis)
+
+Scale design (100 TB):
+
+- The time-range predicate is a plain ``cell_ts <= ts`` filter that
+  Catalyst pushes into the Parquet scan (min/max pruning; partition
+  pruning when the log is date-partitioned) — same effect as the
+  reference's server-side ``Scan.setTimeRange`` (HBaseSnapshotter.scala:124).
+- Latest-per-cell + pivot is ONE hash aggregation (``groupBy(row_key)
+  .pivot(...).agg(max(struct(cell_ts, value)))``): partial aggregation
+  runs map-side before the single shuffle by ``row_key``, so shuffle
+  volume is ~one row per key per partition, not the raw change volume.
+  No window sort is needed anywhere on this path.
+- All decode logic is column expressions → whole-stage codegen; there is
+  no Python on the data path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DataType, DateType, StructType, TimestampType
+
+from hbase_snapshotter_spark.plans.schema import (
+    DEFAULT_FAMILY,
+    KEY_COLUMN,
+    STATUS_COLUMN,
+)
+
+
+def decode_expr(col: Column, dtype: DataType) -> Column:
+    """Stringified cell value → typed column (``transformMapToRow``,
+    ``HBaseSnapshotter.scala:58-106``):
+
+    - literal ``"NULL"`` (any case) → SQL NULL (HBaseSnapshotter.scala:75-76);
+    - timestamps are epoch-millis strings (HBaseSnapshotter.scala:82);
+    - dates are ``yyyy-MM-dd`` strings (HBaseSnapshotter.scala:87-90);
+    - everything else is a plain cast (int/long/double/string).
+    """
+    non_null = F.when(F.upper(col) == F.lit("NULL"), F.lit(None)).otherwise(col)
+    if isinstance(dtype, TimestampType):
+        return F.timestamp_millis(non_null.cast("long"))
+    if isinstance(dtype, DateType):
+        return F.to_date(non_null, "yyyy-MM-dd")
+    return non_null.cast(dtype)
+
+
+def as_of(changelog: DataFrame, ts: int | None, *, ts_col: str = "cell_ts") -> DataFrame:
+    """Time-range predicate ``[0, ts]``; ``ts`` < 0 / ``None`` = "now"
+    (``Scan.setTimeRange`` gate, ``HBaseSnapshotter.scala:123-124``)."""
+    if ts is None or ts < 0:
+        return changelog
+    return changelog.filter(F.col(ts_col) <= F.lit(ts))
+
+
+def latest_cells(
+    changelog: DataFrame,
+    ts: int | None = None,
+    *,
+    key_cols: tuple[str, ...] = ("row_key", "family", "qualifier"),
+    ts_col: str = "cell_ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Latest version ≤ ts of every cell — HBase per-CELL visibility
+    (a reconstructed row may mix cell versions; pinned by fixtures).
+
+    Hash aggregation, not a window: ``max(struct(cell_ts, value))`` gives
+    the latest value with a deterministic tie-break on value, with
+    map-side partial aggregation before the one shuffle.
+    """
+    agg = F.max(F.struct(F.col(ts_col), F.col(value_col))).alias("__latest")
+    return (
+        as_of(changelog, ts, ts_col=ts_col)
+        .groupBy(*key_cols)
+        .agg(agg)
+        .select(
+            *key_cols,
+            F.col(f"__latest.{value_col}").alias(value_col),
+            F.col(f"__latest.{ts_col}").alias(ts_col),
+        )
+    )
+
+
+def latest_per_key(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    *,
+    tie_break: list[str] | None = None,
+) -> DataFrame:
+    """Latest-row-per-key dedup (S18) — the documented downstream contract
+    of ``k_hbase_row_key`` ("group by k_hbase_row_key and select the
+    latest", ``Schema.scala:123-127``), as a first-class operator.
+
+    Window + ``row_number`` keeps whole rows; deterministic via explicit
+    tie-break columns.  For very hot keys prefer aggregating
+    ``max(struct(order, *row))`` instead; this variant is the general one.
+    """
+    order = [F.desc(order_col)] + [F.desc(c) for c in (tie_break or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def snapshot_as_of(
+    changelog: DataFrame,
+    schema: StructType,
+    ts: int | None = None,
+    *,
+    row_key_col: str = "row_key",
+    family_col: str = "family",
+    qualifier_col: str = "qualifier",
+    value_col: str = "value",
+    ts_col: str = "cell_ts",
+) -> DataFrame:
+    """Materialize the typed table as it existed at ``ts``.
+
+    ``schema`` is the snapshot ``StructType`` with per-field cell bindings
+    in metadata (from ``plans.schema``).  Columns present in the schema
+    but absent from the log resolve to NULL; cells in the log but not in
+    the schema (columns added after ts) are simply not pivoted — schema
+    drift both ways is handled.
+
+    One shuffle total: ``groupBy(row_key).pivot(cell).agg(max(struct))``
+    fuses latest-per-cell and row materialization (pivot values are the
+    explicit schema-declared cells, so no extra pass to discover them).
+    """
+    data_fields = [f for f in schema.fields if f.metadata.get("qualifier")]
+    cells = [f"{f.metadata.get('family', DEFAULT_FAMILY)}:{f.metadata['qualifier']}"
+             for f in data_fields]
+
+    pivoted = (
+        as_of(changelog, ts, ts_col=ts_col)
+        .withColumn("__cell", F.concat_ws(":", F.col(family_col), F.col(qualifier_col)))
+        .groupBy(F.col(row_key_col))
+        .pivot("__cell", list(dict.fromkeys(cells)))
+        .agg(F.max(F.struct(F.col(ts_col), F.col(value_col))))
+    )
+
+    out: list[Column] = []
+    for f in schema.fields:
+        if f.metadata.get("key"):
+            out.append(F.col(row_key_col).alias(KEY_COLUMN))
+            continue
+        cell = f"{f.metadata.get('family', DEFAULT_FAMILY)}:{f.metadata['qualifier']}"
+        raw = F.col(f"`{cell}`.{value_col}")
+        if f.metadata.get("status"):
+            out.append(raw.alias(STATUS_COLUMN))
+        else:
+            out.append(decode_expr(raw, f.dataType).alias(f.name))
+    return pivoted.select(*out)

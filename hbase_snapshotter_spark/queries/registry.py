@@ -1,0 +1,34 @@
+"""Query registry — the single source for ``__spark_entry__.py``.
+
+Every implemented operator from ``SURVEY.md`` §2 appears here as a
+``(name, spark_fn, oracle_sql)`` triple; ``oracle_sql`` is ``None`` only
+for genuinely non-SQL-expressible ops (the driver then records a weaker
+rows-only check).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hbase_snapshotter_spark.queries import snapshot_q
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, fn: QueryFn, oracle: str | None) -> None:
+    QUERIES[name] = fn
+    if oracle is not None:
+        ORACLES[name] = oracle
+
+
+register("snapshot_events_wide", snapshot_q.q_snapshot_events_wide,
+         snapshot_q.oracle_snapshot_events_wide())
+register("snapshot_latest_cells", snapshot_q.q_latest_cells,
+         snapshot_q.oracle_latest_cells())
+register("snapshot_diff", snapshot_q.q_snapshot_diff,
+         snapshot_q.oracle_snapshot_diff())

@@ -1,0 +1,112 @@
+"""Snapshot queries over the driver-provided ``events`` fixture.
+
+``events`` is replayed as a versioned change log (user → row, event
+type → qualifier/column, event time → cell version), so the reference's
+point-in-time semantics are exercised on real driver data and are fully
+replayable by the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hbase_snapshotter_spark.operators.snapshot import latest_cells, snapshot_as_of
+from hbase_snapshotter_spark.plans.schema import explicit_schema
+from hbase_snapshotter_spark.sources.changelog import events_as_changelog, read_table
+
+#: Snapshot boundary used by the flagship query: 2024-01-15T00:00:00Z,
+#: mid-range of the events fixture (2024-01-01 … 2024-01-30) so the
+#: time-travel filter actually cuts history.
+SNAPSHOT_TS_MS = 1_705_276_800_000
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_snapshot_schema():
+    return explicit_schema([f"d:{q}:double" for q in EVENT_TYPES])
+
+
+def q_snapshot_events_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: point-in-time snapshot of the events change log as a
+    typed wide table — one row per user, one column per event type
+    holding the latest value at the snapshot timestamp."""
+    log = events_as_changelog(read_table(spark, sf_dir, "events"))
+    return snapshot_as_of(log, events_snapshot_schema(), SNAPSHOT_TS_MS)
+
+
+def oracle_snapshot_events_wide() -> str:
+    cols = ",\n      ".join(
+        f"CASE WHEN upper(MAX(CASE WHEN qualifier = '{q}' THEN value END)) = 'NULL' "
+        f"THEN NULL ELSE CAST(MAX(CASE WHEN qualifier = '{q}' THEN value END) AS DOUBLE) "
+        f"END AS {q}"
+        for q in EVENT_TYPES
+    )
+    return f"""
+    WITH log AS (
+      SELECT CAST(user_id AS VARCHAR) AS row_key,
+             event_type AS qualifier,
+             CAST(value AS VARCHAR) AS value,
+             epoch_ms(ts) AS cell_ts
+      FROM events
+    ),
+    latest AS (
+      SELECT row_key, qualifier, value,
+             ROW_NUMBER() OVER (PARTITION BY row_key, qualifier
+                                ORDER BY cell_ts DESC, value DESC) AS rn
+      FROM log WHERE cell_ts <= {SNAPSHOT_TS_MS}
+    )
+    SELECT row_key AS k_hbase_row_key,
+      {cols}
+    FROM latest WHERE rn = 1
+    GROUP BY row_key
+    """
+
+
+def q_latest_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tall form: latest version ≤ ts of every (row_key, qualifier) cell
+    — the HBase ``Scan.setTimeRange`` read (S1+S2) before pivoting."""
+    log = events_as_changelog(read_table(spark, sf_dir, "events"))
+    return latest_cells(log, SNAPSHOT_TS_MS).select(
+        "row_key", "qualifier", "value", "cell_ts"
+    )
+
+
+def oracle_latest_cells() -> str:
+    return f"""
+    WITH log AS (
+      SELECT CAST(user_id AS VARCHAR) AS row_key,
+             event_type AS qualifier,
+             CAST(value AS VARCHAR) AS value,
+             epoch_ms(ts) AS cell_ts
+      FROM events
+    )
+    SELECT row_key, qualifier, value, cell_ts FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY row_key, qualifier
+                                   ORDER BY cell_ts DESC, value DESC) AS rn
+      FROM log WHERE cell_ts <= {SNAPSHOT_TS_MS}
+    ) WHERE rn = 1
+    """
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-diff via set ops (N10): cells whose latest value changed
+    between the mid-month snapshot and "now"."""
+    log = events_as_changelog(read_table(spark, sf_dir, "events"))
+    t1 = latest_cells(log, SNAPSHOT_TS_MS).select("row_key", "qualifier", "value")
+    t2 = latest_cells(log, None).select("row_key", "qualifier", "value")
+    return t2.exceptAll(t1).select("row_key", "qualifier", "value")
+
+
+def oracle_snapshot_diff() -> str:
+    def latest(pred: str) -> str:
+        return f"""
+        SELECT row_key, qualifier, value FROM (
+          SELECT CAST(user_id AS VARCHAR) AS row_key,
+                 event_type AS qualifier,
+                 CAST(value AS VARCHAR) AS value,
+                 ROW_NUMBER() OVER (PARTITION BY CAST(user_id AS VARCHAR), event_type
+                                    ORDER BY epoch_ms(ts) DESC, CAST(value AS VARCHAR) DESC) AS rn
+          FROM events WHERE {pred}
+        ) WHERE rn = 1
+        """
+    return f"({latest(f'epoch_ms(ts) <= 9223372036854775807')}) EXCEPT ALL ({latest(f'epoch_ms(ts) <= {SNAPSHOT_TS_MS}')})"

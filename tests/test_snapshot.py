@@ -1,0 +1,119 @@
+"""Snapshot-semantics goldens (FIXTURES.md §B4): point-in-time reads at
+T0 < T1 < T2 over the synthesized change log + schema history, pinning
+per-CELL as-of semantics, the NULL sentinel, the "initial-snapshot" key
+ordering, unsigned promotion, and schema drift in both directions.
+"""
+
+import pytest
+
+from pyspark.sql.types import LongType, StringType, TimestampType
+
+from hbase_snapshotter_spark.operators.snapshot import (
+    latest_cells,
+    latest_per_key,
+    snapshot_as_of,
+)
+from hbase_snapshotter_spark.plans.schema import KEY_COLUMN, STATUS_COLUMN, schema_as_of
+from tests.conftest import T0, T1, T2
+
+
+def snap(changelog, schema_history, ts, **kw):
+    schema = schema_as_of(schema_history, ts, **kw)
+    return snapshot_as_of(changelog, schema, ts)
+
+
+def by_key(df):
+    return {r[KEY_COLUMN]: r.asDict() for r in df.collect()}
+
+
+def test_schema_as_of_initial_snapshot_ordering(schema_history):
+    # at T0 only the "initial-snapshot" row qualifies → sorts as 0, found
+    s = schema_as_of(schema_history, T0)
+    assert [f.name for f in s.fields] == [
+        KEY_COLUMN, STATUS_COLUMN, "name", "amount", "big_id"]
+
+
+def test_schema_as_of_picks_latest_not_first(schema_history):
+    s = schema_as_of(schema_history, T1)  # v1 (key "1800") beats initial-snapshot
+    assert [f.name for f in s.fields] == [
+        KEY_COLUMN, STATUS_COLUMN, "name", "amount", "big_id", "created"]
+
+
+def test_schema_as_of_now(schema_history):
+    s = schema_as_of(schema_history, -1)  # -1 = "now" → latest version
+    assert "note" in [f.name for f in s.fields]
+
+
+def test_schema_as_of_missing(spark, schema_history):
+    with pytest.raises(LookupError):
+        schema_as_of(schema_history, 100)
+
+
+def test_unsigned_promotion_and_types(schema_history):
+    s = schema_as_of(schema_history, T0)
+    assert s["big_id"].dataType == LongType()
+    assert s["name"].dataType == StringType()
+
+
+def test_snapshot_t0(changelog, schema_history):
+    rows = by_key(snap(changelog, schema_history, T0))
+    assert set(rows) == {"r1", "r2"}
+    r1 = rows["r1"]
+    assert r1["name"] == "alpha" and r1["amount"] == 10.5
+    assert r1["big_id"] == 3_000_000_000          # > int32: needs Long
+    assert r1[STATUS_COLUMN] == "I"
+    assert rows["r2"]["name"] is None             # "NULL" sentinel → SQL NULL
+    assert "created" not in r1                    # column not in T0 schema
+
+
+def test_snapshot_t1_mixes_cell_versions(changelog, schema_history):
+    rows = by_key(snap(changelog, schema_history, T1))
+    r1 = rows["r1"]
+    # name was updated at 1500 but amount not until 2500: per-CELL as-of
+    assert r1["name"] == "alpha2" and r1["amount"] == 10.5
+    assert r1["created"] is not None              # T1 schema has `created`
+    assert isinstance(type(r1["created"]), type)  # decoded from epoch-millis string
+
+
+def test_snapshot_t2(changelog, schema_history):
+    rows = by_key(snap(changelog, schema_history, T2))
+    r1, r2, r3 = rows["r1"], rows["r2"], rows["r3"]
+    assert r1["amount"] == 99.25 and r1[STATUS_COLUMN] == "U"
+    assert r1["note"] == "added-late"             # column added by SCHEMA_V2
+    assert r2["name"] == "beta" and r2["amount"] is None  # lowercase sentinel
+    assert r3[STATUS_COLUMN] == "D"               # deletion visible via status
+    assert r3["big_id"] is None                   # never written → NULL
+
+
+def test_timestamp_decode_epoch_millis(changelog, schema_history):
+    s = schema_as_of(schema_history, T2)
+    assert s["created"].dataType == TimestampType()
+    rows = by_key(snapshot_as_of(changelog, s, T2))
+    assert rows["r1"]["created"].timestamp() * 1000 == 1000
+
+
+def test_strict_mode_types(changelog, schema_history):
+    s = schema_as_of(schema_history, -1, mode="strict")
+    assert s["amount"].dataType.typeName() == "decimal"
+    assert s["big_id"].dataType.typeName() == "decimal"  # unsigned bigint
+
+
+def test_latest_cells(changelog):
+    out = latest_cells(changelog, T1)
+    cells = {(r.row_key, r.qualifier): r.value for r in out.collect()}
+    assert cells[("r1", "name")] == "alpha2"
+    assert cells[("r1", "amount")] == "10.5"
+
+
+def test_latest_per_key(spark):
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 2, "y"), ("b", 1, "z")], "k string, v long, p string"
+    )
+    out = {r.k: r.p for r in latest_per_key(df, ["k"], "v").collect()}
+    assert out == {"a": "y", "b": "z"}
+
+
+def test_snapshot_plan_is_single_shuffle(changelog, schema_history):
+    schema = schema_as_of(schema_history, T2)
+    plan = snapshot_as_of(changelog, schema, T2)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1            # one shuffle: groupBy(row_key)
