@@ -1,0 +1,466 @@
+"""Relational query surface over warehouse tables (SURVEY §2.3 N6-N11).
+
+Each query exists as a (Spark DataFrame fn, DuckDB oracle SQL) pair.
+Conventions that keep the cross-engine value hash stable:
+
+- every computed column is explicitly aliased, identically on both sides;
+- double aggregates are rounded (2 dp) on both sides, so accumulation-
+  order float fuzz can't flip the hash;
+- BIGINT-able aggregates are cast to BIGINT in DuckDB (its SUM(int)
+  returns HUGEINT);
+- every ORDER BY ... LIMIT has a total tie-break.
+
+Scale notes are on each query: what shuffles, what broadcasts, what
+pushes down.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hbase_snapshotter_spark.operators.asof import asof_join
+from hbase_snapshotter_spark.operators.snapshot import latest_per_key
+from hbase_snapshotter_spark.sources.changelog import read_table
+
+
+def _t(spark, sf_dir, name):
+    return read_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------- q1: agg
+# Scan → partial agg → final agg on 6 groups; filter + 7-column projection
+# push to Parquet. Whole-stage codegen end-to-end; shuffle carries ≤ #groups
+# × #map-partitions rows.
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 2) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 2) AS avg_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ------------------------------------------------------- q3: join + top-k
+# customer (filtered, small) broadcasts into orders, the result shuffles
+# only for the groupBy on orderkey; LIMIT plans as TakeOrderedAndProject —
+# no global sort materialization.
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-01-01"))
+    return (
+        li.join(F.broadcast(cust.join(orders, cust.c_custkey == orders.o_custkey)
+                            .select("o_orderkey", "o_orderdate", "o_orderpriority")),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_Q3 = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate ASC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+# ------------------------------------------- q5: multi-join star schema
+# Dim chain region→nation broadcasts (tiny); supplier broadcasts; the two
+# fact joins (orders⋈customer, lineitem⋈orders) are the only shuffles and
+# AQE picks broadcast for the filtered small sides at low SF.
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sup), (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+ORACLE_Q5 = """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+# ------------------------------------------------------ semi / anti joins
+def join_semi_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with at least one URGENT order — left_semi: probe side
+    streams, no duplication, build side is the filtered orders keys."""
+    cust = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+ORACLE_SEMI = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+def join_anti_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders at all — left_anti."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+ORACLE_ANTI = """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def join_outer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join + agg: order count per customer including zeros."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("order_count"),
+             F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"))
+    )
+
+
+ORACLE_OUTER = """
+SELECT c_custkey, c_name,
+       COUNT(o_orderkey) AS order_count,
+       ROUND(COALESCE(SUM(o_totalprice), 0.0), 2) AS total_spent
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+"""
+
+
+# ------------------------------------------------- window functions (N8)
+def window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by value — ranking window. One shuffle
+    by custkey; rank pruning happens before any downstream join."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rank_in_cust", F.row_number().over(w))
+        .filter(F.col("rank_in_cust") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank_in_cust")
+    )
+
+
+ORACLE_WINDOW_TOP = """
+SELECT o_custkey, o_orderkey, o_totalprice, rank_in_cust FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank_in_cust
+  FROM orders
+) WHERE rank_in_cust <= 3
+"""
+
+
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running spend per customer over order history — frame-based
+    analytic window + lag."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        F.round(F.sum("o_totalprice").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2
+        ).alias("running_spend"),
+        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+    )
+
+
+ORACLE_WINDOW_RUN = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS running_spend,
+       LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS prev_price
+FROM orders
+"""
+
+
+# ------------------------------------------- grouping sets / rollup / cube
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+             F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+    )
+
+
+ORACLE_CUBE = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) — expands to a two-stage aggregation; partial
+    distinct runs map-side so the shuffle carries distinct pairs only."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n_customers"),
+             F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+ORACLE_DISTINCT = """
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# ----------------------------------------------------------- pivot (N7)
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def pivot_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts per market segment × priority, priorities as columns.
+    Explicit pivot values → single-pass aggregation, no discovery scan."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .pivot("o_orderpriority", PRIORITIES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, PRIORITIES)
+    )
+
+
+ORACLE_PIVOT = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS "1-URGENT",
+       CAST(COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT) AS "2-HIGH",
+       CAST(COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT) AS "3-MEDIUM",
+       CAST(COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS "4-NOT SPECIFIED",
+       CAST(COUNT(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT) AS "5-LOW"
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# ------------------------------------------------------------ set ops (N10)
+def setop_active_both_eras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers ordering both before 1996 and after 2000 — INTERSECT."""
+    orders = _t(spark, sf_dir, "orders")
+    early = orders.filter(F.col("o_orderdate") < F.lit("1996-01-01")).select("o_custkey")
+    late = orders.filter(F.col("o_orderdate") >= F.lit("2000-01-01")).select("o_custkey")
+    return early.intersect(late)
+
+
+ORACLE_SETOP = """
+SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+"""
+
+
+# -------------------------------------------- scalar function suite (N11)
+def scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String / date / math / JSON scalar coverage on events — all
+    JVM-side expressions inside one codegen stage; JSON path extraction
+    maps to get_json_object."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        F.upper("event_type").alias("etype_upper"),
+        F.length("event_type").alias("etype_len"),
+        F.substring("event_type", 1, 2).alias("etype_pre"),
+        F.concat_ws("-", "event_type", F.col("user_id").cast("string")).alias("tag"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.year("ts").alias("yr"),
+        F.month("ts").alias("mo"),
+        F.dayofmonth("ts").alias("dom"),
+        F.hour("ts").alias("hr"),
+        F.round(F.abs(F.col("value") - 50.0), 2).alias("dist50"),
+        F.round(F.sqrt(F.abs("value")), 4).alias("sqrt_v"),
+        F.when(F.col("value") > 50, "hi").otherwise("lo").alias("band"),
+    )
+
+
+ORACLE_SCALAR = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+       UPPER(event_type) AS etype_upper,
+       CAST(LENGTH(event_type) AS INTEGER) AS etype_len,
+       SUBSTRING(event_type, 1, 2) AS etype_pre,
+       event_type || '-' || CAST(user_id AS VARCHAR) AS tag,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(year(ts) AS INTEGER) AS yr,
+       CAST(month(ts) AS INTEGER) AS mo,
+       CAST(day(ts) AS INTEGER) AS dom,
+       CAST(hour(ts) AS INTEGER) AS hr,
+       ROUND(ABS(value - 50.0), 2) AS dist50,
+       ROUND(SQRT(ABS(value)), 4) AS sqrt_v,
+       CASE WHEN value > 50 THEN 'hi' ELSE 'lo' END AS band
+FROM events
+"""
+
+
+# ---------------------------------------------------- as-of join (N6)
+def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every event, the user's most recent order at event time —
+    the composed as-of join (union-tag + window, see operators.asof)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+        .withColumnRenamed("o_custkey", "user_id")
+    )
+    # dedup right to one order per (user, date) for a deterministic match
+    orders1 = latest_per_key(orders, ["user_id", "o_orderdate"], "o_orderkey")
+    return asof_join(
+        ev, orders1, "user_id", left_ts="ts", right_ts="o_orderdate"
+    ).select("event_id", "user_id", "o_orderkey", "o_totalprice")
+
+
+ORACLE_ASOF = """
+WITH orders1 AS (
+  SELECT * FROM (
+    SELECT o_custkey AS user_id, o_orderdate, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                              ORDER BY o_orderkey DESC) AS rn
+    FROM orders
+  ) WHERE rn = 1
+)
+SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
+FROM events e
+ASOF LEFT JOIN orders1 o
+  ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+"""
+
+
+# ----------------------------------------- equi join + range predicate
+def range_join_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi join on partkey with a range predicate on price — the range
+    residual evaluates during the join, no second pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), (F.col("l_partkey") == F.col("p_partkey"))
+                & (F.col("l_extendedprice") >= F.col("p_retailprice") * 10)
+                & (F.col("l_extendedprice") <= F.col("p_retailprice") * 30))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_lines"),
+             F.round(F.sum("l_extendedprice"), 2).alias("sum_price"))
+    )
+
+
+ORACLE_RANGE = """
+SELECT p_brand,
+       COUNT(*) AS n_lines,
+       ROUND(SUM(l_extendedprice), 2) AS sum_price
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_extendedprice >= p_retailprice * 10
+  AND l_extendedprice <= p_retailprice * 30
+GROUP BY p_brand
+"""
+
+
+PAIRS = {
+    "q1_pricing_summary": (q1_pricing_summary, ORACLE_Q1),
+    "q3_shipping_priority": (q3_shipping_priority, ORACLE_Q3),
+    "q5_local_supplier": (q5_local_supplier, ORACLE_Q5),
+    "join_semi_urgent": (join_semi_urgent, ORACLE_SEMI),
+    "join_anti_no_orders": (join_anti_no_orders, ORACLE_ANTI),
+    "join_outer_order_counts": (join_outer_order_counts, ORACLE_OUTER),
+    "window_top_orders": (window_top_orders, ORACLE_WINDOW_TOP),
+    "window_running_total": (window_running_total, ORACLE_WINDOW_RUN),
+    "agg_rollup": (agg_rollup, ORACLE_ROLLUP),
+    "agg_cube": (agg_cube, ORACLE_CUBE),
+    "agg_distinct": (agg_distinct, ORACLE_DISTINCT),
+    "pivot_segment_priority": (pivot_segment_priority, ORACLE_PIVOT),
+    "setop_active_both_eras": (setop_active_both_eras, ORACLE_SETOP),
+    "scalar_suite": (scalar_suite, ORACLE_SCALAR),
+    "asof_latest_order": (asof_latest_order, ORACLE_ASOF),
+    "range_join_price_band": (range_join_price_band, ORACLE_RANGE),
+}
