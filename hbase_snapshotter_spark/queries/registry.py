@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from hbase_snapshotter_spark.queries import llm, relational, snapshot_q
+from hbase_snapshotter_spark.queries import llm, relational, snapshot_q, streaming_q
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -37,4 +37,7 @@ for _name, (_fn, _oracle) in relational.PAIRS.items():
     register(_name, _fn, _oracle)
 
 for _name, (_fn, _oracle) in llm.PAIRS.items():
+    register(_name, _fn, _oracle)
+
+for _name, (_fn, _oracle) in streaming_q.PAIRS.items():
     register(_name, _fn, _oracle)

@@ -1,0 +1,130 @@
+"""Structured Streaming operators (SURVEY §2.3 N17).
+
+The reference declared a spark-streaming dependency but never used it
+(``build.sbt:19``, no imports); this module supplies the streaming
+surface a continuous snapshot pipeline needs.  Every operator below is
+written against a plain DataFrame, so the SAME function serves batch
+(oracle-checkable by DuckDB) and streaming (``readStream`` input) —
+batch-equivalence is the test strategy for windowed semantics.
+
+Scale notes: streaming state lives in the state store keyed by
+(group, window); watermarks bound it — without one, session/dedup state
+grows forever.  ``dropDuplicatesWithinWatermark`` keys state by the
+dedup columns only (not event time), the right choice when duplicate
+arrival spread is bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+
+def replay_stream(spark, path: str, schema, *, max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source replay of a parquet directory as a stream — the
+    standard backfill/replay harness (one file per micro-batch)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def _flatten_window(df: DataFrame) -> DataFrame:
+    """window struct → flat window_start / window_end columns (stable,
+    oracle-comparable output shape)."""
+    rest = [c for c in df.columns if c not in ("window", "session_window")]
+    struct = "session_window" if "session_window" in df.columns else "window"
+    return df.select(
+        F.col(f"{struct}.start").alias("window_start"),
+        F.col(f"{struct}.end").alias("window_end"),
+        *rest,
+    )
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    group_cols: list[str],
+    aggs: list[Column],
+    *,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Fixed windows: groupBy(window(ts, d), keys).agg(...).  With a
+    watermark (streaming), late rows beyond it are dropped and windows
+    finalize; in batch the same expression is exact."""
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    out = df.groupBy(F.window(F.col(ts_col), duration), *group_cols).agg(*aggs)
+    return _flatten_window(out)
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    group_cols: list[str],
+    aggs: list[Column],
+    *,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Overlapping windows — each row lands in duration/slide windows."""
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    out = df.groupBy(F.window(F.col(ts_col), duration, slide), *group_cols).agg(*aggs)
+    return _flatten_window(out)
+
+
+def session_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    group_cols: list[str],
+    aggs: list[Column],
+    *,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Gap-based sessions: a session ends after ``gap`` of inactivity;
+    window end = last event + gap (Spark session_window semantics)."""
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    out = df.groupBy(F.session_window(F.col(ts_col), gap), *group_cols).agg(*aggs)
+    return _flatten_window(out)
+
+
+def streaming_dedup(
+    df: DataFrame, dedup_cols: list[str], ts_col: str, watermark: str
+) -> DataFrame:
+    """Stateful exact dedup for streams: keeps the first arrival per key,
+    with state expiring ``watermark`` after arrival."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(dedup_cols)
+
+
+def running_max_per_key(df: DataFrame, key_col: str, value_col: str, ts_col: str,
+                        watermark: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: emits, per
+    micro-batch and key, the running max seen so far — the shape of any
+    per-key accumulator (counters, HLL sketches, model state)."""
+    import pandas as pd
+
+    out_schema = f"{key_col} long, running_max double"
+    state_schema = "m double"
+
+    def update(key, pdfs, state):
+        m = state.get[0] if state.exists else float("-inf")
+        for pdf in pdfs:
+            if len(pdf):
+                m = max(m, float(pdf[value_col].max()))
+        state.update((m,))
+        yield pd.DataFrame({key_col: [key[0]], "running_max": [m]})
+
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "Update", GroupStateTimeout.NoTimeout
+        )
+    )
