@@ -60,8 +60,15 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + parquet footers so per-query times measure the queries
-    QUERIES["q1_pricing_summary"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    # Warm-up pass at the smallest SF: compiles the generated code for
+    # every headline plan (wide hash/agg expressions take seconds in
+    # Janino on first use) so the timed pass measures steady-state
+    # execution, not JIT compilation.
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for name in HEADLINE:
+        QUERIES[name](spark, warm_dir).write.mode("overwrite").format("noop").save()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -7,14 +7,14 @@ Four strategies, all deterministic and all shuffle-frugal:
   self-join (pairs sharing ≥1 shingle), the verification primitive.
 - :func:`minhash_lsh_pairs` — MinHash signatures + banded LSH: only
   band-collision candidates get exact verification.  Hashing is
-  ``min(md5(seed || shingle))`` — no RNG state, so signatures are
+  ``min(md5(seed || md5(shingle)))`` — no RNG state, so signatures are
   reproducible anywhere (including the SQL oracle).  This is the same
   banding scheme as ``ml.feature.MinHashLSH.approxSimilarityJoin`` but
   with content-derived hashes instead of model-seeded ones.
-- :func:`simhash` / :func:`simhash_pairs` — 32-bit SimHash from
-  per-token md5 bit parities; near-dup candidates bucket on equal bytes
-  (pigeonhole: hamming ≤ 6 ⇒ ≥1 of 4 bytes equal... not guaranteed, but
-  ≤3 byte-flips ⇒ guaranteed; standard SimHash banding trade-off).
+- :func:`simhash` / :func:`simhash_pairs` — 48-bit SimHash from
+  per-token md5 nibble bits; near-dup candidates bucket on equal bytes
+  (pigeonhole over 6 bands: ≤5 byte-flips guarantee a shared band, so
+  recall is exact for the default hamming ≤ 3).
 
 Scale: every strategy is (explode → hash-agg → equi-join) — no
 cross-join anywhere.  The inverted-index joins shuffle by shingle/band/
@@ -31,6 +31,17 @@ from pyspark.sql import functions as F
 from hbase_snapshotter_spark.operators.text import doc_shingles
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the session's default parallelism when the input
+    arrives in fewer splits (e.g. one small parquet file) — hashing/
+    shingling is CPU-bound narrow work and should use every core.  On a
+    real cluster reading many splits this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
     """Keep exactly one row per key — the one with the smallest
     ``order_col`` (deterministic, unlike ``dropDuplicates``).  Aggregate
@@ -44,7 +55,7 @@ def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame
 
 def _shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int,
                   max_df: int | None) -> DataFrame:
-    s = doc_shingles(df, id_col, text_col, n)
+    s = doc_shingles(spread(df), id_col, text_col, n)
     if max_df is not None:
         hot = (s.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
                .filter(F.col("df") > max_df).select("shingle"))
@@ -60,22 +71,38 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.2,
     max_df: int | None = None,
+    candidates: DataFrame | None = None,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact token-n-gram Jaccard over all pairs sharing ≥1 shingle.
-
-    Inverted-index join: explode distinct shingles, self-join on the
-    shingle, count shared per pair, then ``|A∩B| / (|A|+|B|-|A∩B|)``.
+    """Exact token-n-gram Jaccard: ``|A∩B| / (|A|+|B|-|A∩B|)``.
     Output: (id_a, id_b, jaccard) with id_a < id_b.
+
+    Without ``candidates``: inverted-index self-join — every pair sharing
+    ≥1 shingle is scored (the exact baseline; O(Σ df²) join rows, cap hot
+    shingles with ``max_df`` at scale).
+    With ``candidates`` (id_a, id_b): shared-shingle counting runs ONLY
+    over candidate pairs — |cand|·|doc| join rows, the LSH-verification
+    fast path.
     """
-    s = _shingle_sets(df, id_col, text_col, n, max_df)
+    s = shingles_df if shingles_df is not None else _shingle_sets(df, id_col, text_col, n, max_df)
     sizes = s.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
-    a, b = s.alias("a"), s.alias("b")
-    shared = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("__shared"))
-    )
+    if candidates is None:
+        a, b = s.alias("a"), s.alias("b")
+        shared = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("__shared"))
+        )
+    else:
+        sa = s.select(F.col(id_col).alias("id_a"), "shingle")
+        sb = s.select(F.col(id_col).alias("id_b"), "shingle")
+        shared = (
+            candidates.join(sa, "id_a")
+            .join(sb, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("__shared"))
+        )
     na = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
     nb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
     return (
@@ -90,21 +117,20 @@ def jaccard_pairs(
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str = "text", *, n: int = 3, num_hashes: int = 12
 ) -> DataFrame:
-    """(id, seed, minhash) — one row per hash function.  The i-th hash of
-    a shingle is ``md5(i || '|' || shingle)``; the signature entry is the
-    lexicographic min over the document's shingles (a valid min-wise
-    permutation family over the md5 codomain)."""
-    s = doc_shingles(df, id_col, text_col, n)
-    seeded = s.select(
-        id_col,
-        F.explode(F.array(*[F.lit(i) for i in range(num_hashes)])).alias("seed"),
-        "shingle",
-    )
-    return (
-        seeded.withColumn("h", F.md5(F.concat_ws("|", F.col("seed"), F.col("shingle"))))
-        .groupBy(id_col, "seed")
-        .agg(F.min("h").alias("minhash"))
-    )
+    """Wide signature (id, mh0..mh{k-1}) in ONE hash aggregation.
+
+    The i-th hash of a shingle is ``md5(i || '|' || md5(shingle))`` —
+    the inner md5 is computed once per shingle, the k outer hashes run
+    over a fixed 32-char string.  All k mins are aggregate expressions of
+    a single groupBy(id), so the shuffle carries one row per document
+    and there is no per-seed row explosion (k× fewer shuffled rows than
+    the tall layout)."""
+    s = doc_shingles(spread(df), id_col, text_col, n).withColumn("__h0", F.md5("shingle"))
+    aggs = [
+        F.min(F.md5(F.concat_ws("|", F.lit(i), F.col("__h0")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return s.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -118,19 +144,25 @@ def minhash_lsh_pairs(
     threshold: float = 0.7,
     max_df: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs via banded MinHash LSH + exact verification.
-
-    ``num_hashes/bands`` rows per band; docs colliding on any band's
-    concatenated signature slice become candidates; candidates get exact
-    Jaccard and the threshold filter.  Output: (id_a, id_b, jaccard).
-    """
+    """Near-dup pairs via banded MinHash LSH + candidate-only exact
+    verification.  Docs colliding on any band's signature slice become
+    candidates; ONLY candidates get exact Jaccard (the sub-quadratic
+    property that makes LSH work at 100 TB).
+    Output: (id_a, id_b, jaccard)."""
     rows = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n=n, num_hashes=num_hashes)
-    band_keys = (
-        sig.withColumn("band", (F.col("seed") / rows).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(F.concat_ws(",", F.array_sort(F.collect_list(
-            F.concat_ws(":", F.col("seed"), F.col("minhash"))))).alias("band_key"))
+    # one shingle pass feeds both the signatures and the exact
+    # verification — persisted so tokenization/hashing runs once
+    s = _shingle_sets(df, id_col, text_col, n, max_df).persist()
+    sig = s.withColumn("__h0", F.md5("shingle")).groupBy(id_col).agg(
+        *[F.min(F.md5(F.concat_ws("|", F.lit(i), F.col("__h0")))).alias(f"mh{i}")
+          for i in range(num_hashes)]
+    )
+    band_cols = [
+        F.concat_ws(",", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
+        for b in range(bands)
+    ]
+    band_keys = sig.select(
+        id_col, F.posexplode(F.array(*band_cols)).alias("band", "band_key")
     )
     a, b = band_keys.alias("a"), band_keys.alias("b")
     candidates = (
@@ -140,31 +172,32 @@ def minhash_lsh_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    exact = jaccard_pairs(df, id_col, text_col, n=n, threshold=threshold, max_df=max_df)
-    return candidates.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+    return jaccard_pairs(df, id_col, text_col, n=n, threshold=threshold,
+                         candidates=candidates, shingles_df=s)
 
 
 SIMHASH_BITS = 48
-SIMHASH_BANDS = 6
+SIMHASH_BANDS = 3
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+SIMHASH_BAND_MASK = (1 << SIMHASH_BAND_BITS) - 1
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
-    """(id, simhash) — 48-bit SimHash.  Bit b of a token comes from md5
-    hex nibble b//4 (bit b%4); the document bit is the majority vote over
-    distinct tokens.  One explode + one hash-agg, no shuffle beyond the
-    groupBy."""
-    toks = df.select(
+    """(id, simhash) — 48-bit SimHash.  A token's 48 bits are the first
+    12 hex chars of md5(token) (one conv per token, not per bit); the
+    document bit is the majority vote over distinct tokens.  One explode
+    + one hash-agg, no shuffle beyond the groupBy."""
+    toks = spread(df).select(
         F.col(id_col),
         F.explode(F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))).alias("tok"),
-    ).withColumn("h", F.md5("tok"))
-    nibs = toks.select(
+    ).select(
         id_col,
-        *[F.conv(F.substring("h", j + 1, 1), 16, 10).cast("int").alias(f"n{j}")
-          for j in range(SIMHASH_BITS // 4)],
+        F.conv(F.substring(F.md5("tok"), 1, SIMHASH_BITS // 4), 16, 10)
+        .cast("long").alias("hv"),
     )
-    bit_sums = nibs.groupBy(id_col).agg(
+    bit_sums = toks.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n"),
-        *[F.sum(F.shiftright(F.col(f"n{b // 4}"), b % 4).bitwiseAND(F.lit(1))).alias(f"b{b}")
+        *[F.sum(F.shiftright(F.col("hv"), b).bitwiseAND(F.lit(1))).alias(f"b{b}")
           for b in range(SIMHASH_BITS)],
     )
     value = None
@@ -175,17 +208,19 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str = "text", *, max_hamming: int = 3
+    df: DataFrame, id_col: str, text_col: str = "text", *, max_hamming: int = 2
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``,
-    candidate-bucketed on equal bytes (6 bands of 8 bits; ≤ 5 byte-flips
-    guarantees a shared band, so recall is exact for max_hamming ≤ 5).
+    candidate-bucketed on 3 bands of 16 bits (pigeonhole: ≤ 2 bit flips
+    leave ≥ 1 band intact, so recall is exact for max_hamming ≤ 2; wide
+    bands keep collision buckets small on homogeneous corpora).
     Output: (id_a, id_b, hamming)."""
     sh = simhash(df, id_col, text_col)
     banded = sh.select(
         id_col, "simhash",
         F.posexplode(F.array(*[
-            F.shiftright(F.col("simhash"), 8 * j).bitwiseAND(F.lit(255))
+            F.shiftright(F.col("simhash"), SIMHASH_BAND_BITS * j)
+            .bitwiseAND(F.lit(SIMHASH_BAND_MASK))
             for j in range(SIMHASH_BANDS)
         ])).alias("band", "byte"),
     )
@@ -195,6 +230,6 @@ def simhash_pairs(
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"),
                 F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"))
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
+        .filter(F.col("hamming") <= max_hamming)  # before distinct: prunes
+        .distinct()                               # the multi-band dup blowup
     )

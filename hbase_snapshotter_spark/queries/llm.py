@@ -100,18 +100,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-ORACLE_MINHASH = f"""
+def _oracle_minhash() -> str:
+    rows = MINHASH_K // MINHASH_BANDS
+    mins = ",\n         ".join(
+        f"MIN(md5('{i}|' || md5(shingle))) AS mh{i}" for i in range(MINHASH_K)
+    )
+    band_rows = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS band_key FROM sig".format(
+            b=b, key=" || ',' || ".join(f"mh{b * rows + r}" for r in range(rows)))
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
 WITH {SQL_SHINGLES},
 sig AS (
-  SELECT doc_id, s.seed AS seed,
-         MIN(md5(CAST(s.seed AS VARCHAR) || '|' || shingle)) AS mh
-  FROM sh, UNNEST(range(0, {MINHASH_K})) AS s(seed)
-  GROUP BY 1, 2),
+  SELECT doc_id,
+         {mins}
+  FROM sh GROUP BY doc_id),
 bands AS (
-  SELECT doc_id, seed // {MINHASH_K // MINHASH_BANDS} AS band,
-         STRING_AGG(CAST(seed AS VARCHAR) || ':' || mh, ','
-                    ORDER BY CAST(seed AS VARCHAR) || ':' || mh) AS band_key
-  FROM sig GROUP BY 1, 2),
+  {band_rows}),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b
@@ -124,7 +130,7 @@ ORDER BY c.id_a, c.id_b
 
 
 # ----------------------------------------------------- N13: SimHash dedup
-SIMHASH_MAX_HAMMING = 3
+SIMHASH_MAX_HAMMING = 2
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -135,30 +141,31 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_simhash() -> str:
-    from hbase_snapshotter_spark.operators.dedup import SIMHASH_BANDS, SIMHASH_BITS
-
-    nibs = ",\n       ".join(
-        f"strpos('0123456789abcdef', substr(hx, {j + 1}, 1)) - 1 AS n{j}"
-        for j in range(SIMHASH_BITS // 4)
+    from hbase_snapshotter_spark.operators.dedup import (
+        SIMHASH_BAND_BITS,
+        SIMHASH_BAND_MASK,
+        SIMHASH_BANDS,
+        SIMHASH_BITS,
     )
+
     bit_sums = ",\n         ".join(
-        f"SUM((n{b // 4} >> {b % 4}) & 1) AS b{b}" for b in range(SIMHASH_BITS)
+        f"SUM((hv >> {b}) & 1) AS b{b}" for b in range(SIMHASH_BITS)
     )
     value = " + ".join(
         f"(CASE WHEN b{b} * 2 >= n THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS)
     )
+    SIMHASH_BITS_DIV4 = SIMHASH_BITS // 4  # noqa: N806 - f-string substitution
     return f"""
 WITH dt AS (SELECT doc_id, UNNEST(list_distinct(string_split(trim(text), ' '))) AS tok
             FROM documents),
-h AS (SELECT doc_id, md5(tok) AS hx FROM dt),
-nib AS (SELECT doc_id,
-       {nibs}
-       FROM h),
+h AS (SELECT doc_id,
+      CAST('0x' || substr(md5(tok), 1, {SIMHASH_BITS_DIV4}) AS BIGINT) AS hv FROM dt),
 bits AS (SELECT doc_id, COUNT(*) AS n,
          {bit_sums}
-         FROM nib GROUP BY doc_id),
+         FROM h GROUP BY doc_id),
 sh AS (SELECT doc_id, CAST({value} AS BIGINT) AS simhash FROM bits),
-bandt AS (SELECT doc_id, simhash, j.j AS band, (simhash >> (8 * j.j)) & 255 AS byte
+bandt AS (SELECT doc_id, simhash, j.j AS band,
+                 (simhash >> ({SIMHASH_BAND_BITS} * j.j)) & {SIMHASH_BAND_MASK} AS byte
           FROM sh, UNNEST(range(0, {SIMHASH_BANDS})) AS j(j))
 SELECT DISTINCT id_a, id_b, hamming FROM (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -386,7 +393,7 @@ FROM toks, UNNEST(range(1, len(t) + 1)) AS i(r)
 PAIRS = {
     "dedup_exact_documents": (dedup_exact_documents, ORACLE_DEDUP_EXACT),
     "dedup_jaccard_pairs": (dedup_jaccard_pairs, ORACLE_JACCARD),
-    "dedup_minhash_lsh": (dedup_minhash_lsh, ORACLE_MINHASH),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, _oracle_minhash()),
     "dedup_simhash": (dedup_simhash, _oracle_simhash()),
     "text_analysis": (text_analysis, _oracle_text()),
     "similarity_topk_brute": (similarity_topk_brute, ORACLE_TOPK_BRUTE),
