@@ -53,6 +53,34 @@ DEFAULT_FAMILY = "d"
 INITIAL_SNAPSHOT_KEY = "initial-snapshot"
 
 
+def _type_from_name(name: str) -> DataType:
+    """Spark DataType from its JSON/DDL name ("integer", "double",
+    "decimal(10,2)", …) — pure Python, no live SparkContext needed
+    (schema resolution runs on the driver before any job).  Mirrors the
+    reference's ``DataType.fromJson`` usage (``Schema.scala:37``)."""
+    import re
+
+    from pyspark.sql import types as T
+
+    simple = {
+        "string": T.StringType(), "integer": T.IntegerType(), "int": T.IntegerType(),
+        "long": T.LongType(), "bigint": T.LongType(), "short": T.ShortType(),
+        "byte": T.ByteType(), "double": T.DoubleType(), "float": T.FloatType(),
+        "boolean": T.BooleanType(), "timestamp": T.TimestampType(),
+        "timestamp_ntz": T.TimestampNTZType(), "date": T.DateType(),
+        "binary": T.BinaryType(),
+    }
+    key = name.strip().lower()
+    if key in simple:
+        return simple[key]
+    m = re.fullmatch(r"decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", key)
+    if m:
+        from pyspark.sql.types import DecimalType
+
+        return DecimalType(int(m.group(1)), int(m.group(2)))
+    raise ValueError(f"unknown Spark type name {name!r}")
+
+
 def _synthetic_fields() -> list[StructField]:
     return [
         StructField(KEY_COLUMN, StringType(), nullable=False, metadata={"key": True}),
@@ -77,9 +105,7 @@ def explicit_schema(fields: list[str]) -> StructType:
         parts = entry.split(":")
         if len(parts) == 3:
             family, qualifier, type_name = parts
-            # type names are Spark DataType names ("integer"/"string"/
-            # "double"/…, Schema.scala:37); DDL parsing accepts them all
-            dtype = StructType.fromDDL(f"x {type_name}")[0].dataType
+            dtype = _type_from_name(type_name)
         elif len(parts) == 2:
             family, qualifier = parts
             dtype = StringType()

@@ -30,7 +30,8 @@ def q_snapshot_events_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: point-in-time snapshot of the events change log as a
     typed wide table — one row per user, one column per event type
     holding the latest value at the snapshot timestamp."""
-    log = events_as_changelog(read_table(spark, sf_dir, "events"))
+    log = events_as_changelog(
+        read_table(spark, sf_dir, "events", events_as_of_ms=SNAPSHOT_TS_MS))
     return snapshot_as_of(log, events_snapshot_schema(), SNAPSHOT_TS_MS)
 
 
@@ -65,7 +66,8 @@ def oracle_snapshot_events_wide() -> str:
 def q_latest_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tall form: latest version ≤ ts of every (row_key, qualifier) cell
     — the HBase ``Scan.setTimeRange`` read (S1+S2) before pivoting."""
-    log = events_as_changelog(read_table(spark, sf_dir, "events"))
+    log = events_as_changelog(
+        read_table(spark, sf_dir, "events", events_as_of_ms=SNAPSHOT_TS_MS))
     return latest_cells(log, SNAPSHOT_TS_MS).select(
         "row_key", "qualifier", "value", "cell_ts"
     )

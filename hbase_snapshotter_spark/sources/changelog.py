@@ -23,7 +23,9 @@ from pyspark.sql import functions as F
 CHANGELOG_COLUMNS = ("row_key", "family", "qualifier", "value", "cell_ts")
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def read_table(
+    spark: SparkSession, sf_dir: str, name: str, *, events_as_of_ms: int | None = None
+) -> DataFrame:
     """Read one fixture table (``TESTDATA.md``).
 
     ``events.ts`` is Parquet TIMESTAMP(NANOS), which Spark only reads
@@ -31,14 +33,25 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (microsecond) TimestampType so downstream code sees the documented
     schema.  Nanosecond fractions are zero in the fixtures, so the
     ns→µs floor division is lossless.
+
+    ``events_as_of_ms`` applies a snapshot time bound on the RAW int64
+    nanos column *before* the timestamp conversion — a predicate on the
+    converted column is an expression and cannot reach the Parquet scan,
+    while the raw-column comparison pushes down and prunes row groups.
+    Bound is ``cell_ts <= T`` under millis-floor semantics, i.e.
+    ``ts_ns < (T+1)·10⁶``.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes)["ts"] == "bigint":
+            if events_as_of_ms is not None and events_as_of_ms >= 0:
+                df = df.filter(F.col("ts") < F.lit((events_as_of_ms + 1) * 1_000_000))
             # integer division — `/` would round-trip through double and
             # lose sub-µs exactness (ns epoch values exceed 2^53)
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif events_as_of_ms is not None and events_as_of_ms >= 0:
+            df = df.filter(F.col("ts") < F.timestamp_millis(F.lit(events_as_of_ms + 1)))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -52,7 +65,7 @@ def read_changelog(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
-def events_as_changelog(events: DataFrame) -> DataFrame:
+def events_as_changelog(events: DataFrame, *, as_of_ms: int | None = None) -> DataFrame:
     """Project the ``events`` fixture into change-log shape.
 
     Treats each event as a cell write: the user is the row key, the event
@@ -60,7 +73,17 @@ def events_as_changelog(events: DataFrame) -> DataFrame:
     value, and the event time (epoch millis) is the cell timestamp.  This
     gives a real, driver-provided dataset with genuine multi-version
     cells for snapshot queries that the DuckDB oracle can replay.
+
+    ``as_of_ms`` applies the snapshot time bound on the RAW ``ts`` column
+    — ``cell_ts`` is a derived expression, so a filter on it cannot reach
+    the Parquet scan; the equivalent raw-column predicate pushes down and
+    prunes row groups (and, on a date-partitioned log, whole partitions).
+    The downstream ``snapshot_as_of`` filter on ``cell_ts`` is then a
+    no-op re-check, keeping operator semantics source-independent.
     """
+    if as_of_ms is not None and as_of_ms >= 0:
+        # cell_ts floors ts to millis: cell_ts <= T  ⟺  ts < T+1ms
+        events = events.filter(F.col("ts") < F.timestamp_millis(F.lit(as_of_ms + 1)))
     return events.select(
         F.col("user_id").cast("string").alias("row_key"),
         F.lit("d").alias("family"),

@@ -1,0 +1,80 @@
+"""Physical-plan assertions — the 100 TB design contract.
+
+These tests pin the plan shapes that matter at scale: predicate pushdown
+reaching the Parquet scan, broadcast joins for dimension tables, shuffle
+counts, and whole-stage codegen coverage.  A refactor that silently
+turns a broadcast into a sort-merge join or un-pushes a filter fails
+here long before it would show up as a 100× regression on a cluster.
+"""
+
+import re
+
+import pytest
+
+from hbase_snapshotter_spark.queries.registry import QUERIES
+
+
+def explain(spark, name, sf_dir):
+    df = QUERIES[name](spark, sf_dir)
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def pushed_filters(plan: str) -> str:
+    return " ".join(re.findall(r"PushedFilters: \[[^\]]*\]", plan))
+
+
+def test_q1_filter_pushdown_and_column_pruning(spark, sf_dir):
+    plan = explain(spark, "q1_pricing_summary", sf_dir)
+    assert "LessThanOrEqual(l_shipdate" in pushed_filters(plan)
+    # 7-column projection reaches the scan (no full-row read)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "l_orderkey" not in m.group(1)
+
+
+def test_q3_broadcasts_dimensions(spark, sf_dir):
+    plan = explain(spark, "q3_shipping_priority", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in pushed_filters(plan)
+    assert "TakeOrderedAndProject" in plan          # limit without global sort
+
+
+def test_q5_all_dim_joins_broadcast(spark, sf_dir):
+    plan = explain(spark, "q5_local_supplier", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_snapshot_time_range_pushed_to_scan(spark, sf_dir):
+    """The rebuild's equivalent of Scan.setTimeRange (reference:
+    HBaseSnapshotter.scala:124) must prune at the Parquet scan."""
+    plan = explain(spark, "snapshot_events_wide", sf_dir)
+    assert re.search(r"LessThan\(ts,\d+\)", pushed_filters(plan))
+
+
+def test_snapshot_is_single_shuffle(spark, sf_dir):
+    """Latest-per-cell + pivot fuse into ONE hash aggregation."""
+    plan = explain(spark, "snapshot_events_wide", sf_dir)
+    # one logical exchange (AQE prints the exchange + its read)
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchange == 1
+
+
+def test_semi_anti_join_strategies(spark, sf_dir):
+    semi = explain(spark, "join_semi_urgent", sf_dir)
+    anti = explain(spark, "join_anti_no_orders", sf_dir)
+    assert "LeftSemi" in semi and "LeftAnti" in anti
+
+
+def test_agg_partial_pushdown(spark, sf_dir):
+    """Partial aggregation must run map-side before the shuffle."""
+    plan = explain(spark, "agg_distinct", sf_dir)
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert plan.index("HashAggregate") < plan.index("Exchange")
+
+
+def test_topk_plans_as_take_ordered(spark, sf_dir):
+    plan = explain(spark, "q3_shipping_priority", sf_dir)
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
