@@ -1,0 +1,62 @@
+"""Skew-handling aggregation (100 TB toolbox).
+
+AQE's skew-join splitting handles joins; for *aggregations* with a few
+white-hot keys (a handful of group values receiving most rows — exactly
+the shape of ``l_returnflag`` or a status column), a salted two-stage
+aggregation spreads each hot key over N reducers:
+
+    stage 1: groupBy(keys…, salt = pmod(hash(cols…), N))  → partial aggs
+    stage 2: groupBy(keys…)                               → combine
+
+Both stages are hash aggregations with map-side partials, so the extra
+stage costs one narrow pass over ``#groups × N`` rows — noise — while the
+hottest reducer's load drops by ~N×.
+
+Only algebraic aggregates compose across stages; this operator supports
+sum / count / min / max (avg = sum/count, derived in stage 2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_STAGE1 = {
+    "sum": F.sum, "count": lambda c: F.count(F.lit(1)) if c is None else F.count(c),
+    "min": F.min, "max": F.max,
+}
+_STAGE2 = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: list[tuple[str | None, str, str]],
+    *,
+    salt_buckets: int = 16,
+    salt_cols: list[str] | None = None,
+) -> DataFrame:
+    """Two-stage salted aggregation.
+
+    ``aggs`` is a list of ``(column, fn, alias)`` with fn ∈ sum / count /
+    min / max / avg (column ``None`` for count(*)).  ``salt_cols``
+    defaults to all non-key columns, giving a uniform pseudo-random salt.
+    Result is row-for-row identical to ``df.groupBy(keys).agg(...)``.
+    """
+    salt_src = salt_cols or [c for c in df.columns if c not in keys]
+    salt = F.pmod(F.hash(*[F.col(c) for c in salt_src]), F.lit(salt_buckets))
+
+    stage1_cols: list[Column] = []
+    stage2_cols: list[Column] = []
+    for i, (col, fn, alias) in enumerate(aggs):
+        if fn == "avg":
+            stage1_cols += [F.sum(col).alias(f"__s{i}"), F.count(col).alias(f"__c{i}")]
+            stage2_cols.append((F.sum(f"__s{i}") / F.sum(f"__c{i}")).alias(alias))
+        elif fn in _STAGE1:
+            stage1_cols.append(_STAGE1[fn](col).alias(f"__a{i}"))
+            stage2_cols.append(_STAGE2[fn](f"__a{i}").alias(alias))
+        else:
+            raise ValueError(f"non-algebraic aggregate {fn!r} cannot be salted")
+
+    partial = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(*stage1_cols)
+    return partial.groupBy(*keys).agg(*stage2_cols)

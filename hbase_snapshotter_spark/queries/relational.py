@@ -208,7 +208,8 @@ def window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_WINDOW_TOP = """
-SELECT o_custkey, o_orderkey, o_totalprice, rank_in_cust FROM (
+SELECT o_custkey, o_orderkey, o_totalprice,
+       CAST(rank_in_cust AS INTEGER) AS rank_in_cust FROM (
   SELECT o_custkey, o_orderkey, o_totalprice,
          ROW_NUMBER() OVER (PARTITION BY o_custkey
                             ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank_in_cust
@@ -464,3 +465,225 @@ PAIRS = {
     "asof_latest_order": (asof_latest_order, ORACLE_ASOF),
     "range_join_price_band": (range_join_price_band, ORACLE_RANGE),
 }
+
+
+# ---------------------------------------------- skew-salted aggregation
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation over a 6-value group key (the
+    hot-key shape) — result identical to a plain groupBy; see
+    operators.skew for the load-spreading rationale."""
+    from hbase_snapshotter_spark.operators.skew import salted_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li, ["l_returnflag", "l_linestatus"],
+        [(None, "count", "n_rows"), ("l_quantity", "sum", "sum_qty0"),
+         ("l_discount", "avg", "avg_disc0"), ("l_extendedprice", "max", "max_price")],
+        salt_buckets=16,
+    )
+    return out.select(
+        "l_returnflag", "l_linestatus", "n_rows",
+        F.round("sum_qty0", 2).alias("sum_qty"),
+        F.round("avg_disc0", 6).alias("avg_disc"),
+        "max_price",
+    )
+
+
+ORACLE_SALTED = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       MAX(l_extendedprice) AS max_price
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ------------------------------------------------------ full outer join
+def join_full_outer_eras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join of per-customer spend in two eras — customers
+    active in only one era keep NULLs on the other side."""
+    orders = _t(spark, sf_dir, "orders")
+    early = (orders.filter(F.col("o_orderdate") < F.lit("1997-01-01"))
+             .groupBy("o_custkey")
+             .agg(F.round(F.sum("o_totalprice"), 2).alias("early_spend")))
+    late = (orders.filter(F.col("o_orderdate") >= F.lit("2000-01-01"))
+            .groupBy("o_custkey")
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("late_spend")))
+    return (
+        early.withColumnRenamed("o_custkey", "custkey_e")
+        .join(late.withColumnRenamed("o_custkey", "custkey_l"),
+              F.col("custkey_e") == F.col("custkey_l"), "full_outer")
+        .select(
+            F.coalesce("custkey_e", "custkey_l").alias("custkey"),
+            "early_spend", "late_spend",
+        )
+    )
+
+
+ORACLE_FULL_OUTER = """
+WITH early AS (
+  SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS early_spend
+  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01' GROUP BY o_custkey),
+late AS (
+  SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS late_spend
+  FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01' GROUP BY o_custkey)
+SELECT COALESCE(early.o_custkey, late.o_custkey) AS custkey,
+       early_spend, late_spend
+FROM early FULL OUTER JOIN late ON early.o_custkey = late.o_custkey
+"""
+
+
+# ------------------------------------------------------------ cross join
+def join_cross_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return nation.crossJoin(region).select("n_name", "r_name")
+
+
+ORACLE_CROSS = "SELECT n_name, r_name FROM nation CROSS JOIN region"
+
+
+# -------------------------------------------- array function suite (N11)
+def scalar_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array functions over array<float> embeddings — size, indexing,
+    slicing with a fold, min/max — all JVM-side."""
+    emb = _t(spark, sf_dir, "embeddings")
+    head = F.slice("embedding", 1, 8)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("x0"),
+        F.round(F.aggregate(head, F.lit(0.0), lambda a, x: a + x.cast("double")), 6)
+        .alias("head_sum"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("amax"),
+        F.round(F.array_min("embedding").cast("double"), 6).alias("amin"),
+    )
+
+
+ORACLE_ARRAY = """
+SELECT vec_id,
+       CAST(len(embedding) AS INTEGER) AS dim,
+       ROUND(CAST(embedding[1] AS DOUBLE), 6) AS x0,
+       ROUND(list_sum(CAST(embedding[1:8] AS DOUBLE[])), 6) AS head_sum,
+       ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS amax,
+       ROUND(CAST(list_min(embedding) AS DOUBLE), 6) AS amin
+FROM embeddings
+"""
+
+
+# --------------------------------------------- JSON function suite (N11)
+def scalar_json_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction both ways Spark offers it: path extraction
+    (get_json_object) and typed parsing (from_json with a schema)."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k INT")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        parsed["k"].alias("k_typed"),
+        F.col("props").contains('"k"').alias("has_k"),
+        F.length("props").alias("props_len"),
+    )
+
+
+ORACLE_JSON = """
+SELECT event_id,
+       json_extract_string(props, '$.k') AS k_str,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_typed,
+       contains(props, '"k"') AS has_k,
+       CAST(length(props) AS INTEGER) AS props_len
+FROM events
+"""
+
+
+PAIRS.update({
+    "skew_salted_agg": (skew_salted_agg, ORACLE_SALTED),
+    "join_full_outer_eras": (join_full_outer_eras, ORACLE_FULL_OUTER),
+    "join_cross_nation_region": (join_cross_nation_region, ORACLE_CROSS),
+    "scalar_array_suite": (scalar_array_suite, ORACLE_ARRAY),
+    "scalar_json_suite": (scalar_json_suite, ORACLE_JSON),
+})
+
+
+# --------------------------------------------- grouping sets (SQL surface)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the SQL front end (rollup/cube are
+    the DataFrame-side variants) — plans as a single expand + aggregate."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__orders_gs")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS sum_price
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+    """)
+
+
+ORACLE_GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                        (o_orderstatus, o_orderpriority))
+"""
+
+
+# ------------------------------------- approximate distinct (rows-only)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct counts (approx_count_distinct) next to the
+    exact count.  No SQL oracle: DuckDB's approx sketch differs by
+    construction — correctness is bounded-relative-error, asserted in
+    tests against the exact value."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+    )
+
+
+PAIRS.update({
+    "agg_grouping_sets": (agg_grouping_sets, ORACLE_GROUPING_SETS),
+    "agg_approx_distinct": (agg_approx_distinct, None),
+})
+
+
+# ------------------------------------- ranking-function suite (N8 breadth)
+def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All ranking/analytic window shapes in one pass: row_number, rank,
+    dense_rank, ntile, lead — one shuffle by the partition key."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return orders.select(
+        "o_custkey", "o_orderkey", "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rk"),
+        F.dense_rank().over(w).alias("drk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lead("o_totalprice", 1).over(w).alias("next_price"),
+    ).filter(F.col("rn") <= 5)
+
+
+ORACLE_RANK_SUITE = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       CAST(rn AS INTEGER) AS rn, CAST(rk AS INTEGER) AS rk,
+       CAST(drk AS INTEGER) AS drk, CAST(quartile AS INTEGER) AS quartile,
+       next_price
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER w AS rn,
+         RANK() OVER w AS rk,
+         DENSE_RANK() OVER w AS drk,
+         NTILE(4) OVER w AS quartile,
+         LEAD(o_totalprice, 1) OVER w AS next_price
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+) WHERE rn <= 5
+"""
+
+
+PAIRS.update({
+    "window_rank_suite": (window_rank_suite, ORACLE_RANK_SUITE),
+})

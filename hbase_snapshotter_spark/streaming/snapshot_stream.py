@@ -1,0 +1,83 @@
+"""Continuous snapshot maintenance over a streaming change log.
+
+The reference snapshots on demand (one batch job per timestamp); its
+documented follow-up — "delta imports containing row updates … group by
+k_hbase_row_key and select the latest" (``Schema.scala:123-127``) — is
+exactly incremental snapshot maintenance.  This module automates it:
+
+    readStream(change log) → foreachBatch:
+        merge the batch's latest cells into a tall cell-state table
+        (latest version per (row_key, family, qualifier))
+
+The maintained state IS a change-log prefix reduced to one row per cell,
+so materializing the typed snapshot at any moment is the ordinary
+``snapshot_as_of(state, schema, ts)`` — same operator, zero special
+cases.  State versions are written to ``state_dir/v{batch}`` with a
+marker file advanced atomically (os.replace), so a crash mid-batch never
+corrupts the previous version; stale versions are pruned.
+
+Scale: the merge is latest-cells over (previous state ∪ new batch) —
+one hash aggregation keyed by cell; state size is bounded by the live
+cell count, not by history.  On a cluster the state table would be a
+partitioned/bucketed warehouse table (bucket by row_key) so the merge
+and the final pivot co-locate.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hbase_snapshotter_spark.operators.snapshot import latest_cells
+
+_MARKER = "CURRENT"
+
+
+class SnapshotMaintainer:
+    """foreachBatch sink maintaining latest-cell state under ``state_dir``."""
+
+    def __init__(self, state_dir: str):
+        self.state_dir = state_dir
+        os.makedirs(state_dir, exist_ok=True)
+
+    def _current_path(self) -> str | None:
+        marker = os.path.join(self.state_dir, _MARKER)
+        if not os.path.exists(marker):
+            return None
+        with open(marker) as f:
+            version = f.read().strip()
+        return os.path.join(self.state_dir, version) if version else None
+
+    def current_cells(self, spark: SparkSession) -> DataFrame | None:
+        path = self._current_path()
+        return spark.read.parquet(path) if path else None
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        cells = latest_cells(batch, None)
+        prev = self.current_cells(spark)
+        if prev is not None:
+            cells = latest_cells(prev.unionByName(cells), None)
+        out = os.path.join(self.state_dir, f"v{batch_id}")
+        cells.write.mode("overwrite").parquet(out)
+        tmp = os.path.join(self.state_dir, f".{_MARKER}.tmp")
+        with open(tmp, "w") as f:
+            f.write(f"v{batch_id}")
+        os.replace(tmp, os.path.join(self.state_dir, _MARKER))
+        for name in os.listdir(self.state_dir):
+            if name.startswith("v") and name != f"v{batch_id}":
+                shutil.rmtree(os.path.join(self.state_dir, name), ignore_errors=True)
+
+
+def maintain_snapshot(stream_changelog: DataFrame, state_dir: str, **start_kwargs):
+    """Start the maintenance query (availableNow/trigger via kwargs).
+    Returns (StreamingQuery, SnapshotMaintainer)."""
+    maintainer = SnapshotMaintainer(state_dir)
+    query = (
+        stream_changelog.writeStream.foreachBatch(maintainer.process_batch)
+        .outputMode("update")
+        .start(**start_kwargs)
+    )
+    return query, maintainer

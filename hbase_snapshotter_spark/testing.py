@@ -53,6 +53,36 @@ def register_duckdb_views(con, sf_dir: str) -> None:
         )
 
 
+def duck_type_to_spark(t: str) -> str:
+    """Normalize a DuckDB column type to Spark dtype vocabulary."""
+    t = str(t).upper()
+    if t.startswith("DECIMAL"):
+        return t.lower()
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    return {
+        "BIGINT": "bigint", "INTEGER": "int", "SMALLINT": "smallint",
+        "TINYINT": "tinyint", "HUGEINT": "hugeint", "DOUBLE": "double",
+        "FLOAT": "float", "VARCHAR": "string", "BOOLEAN": "boolean",
+        "DATE": "date", "BLOB": "binary",
+    }.get(t, t.lower())
+
+
+def compare_types(spark_dtypes, duck_names, duck_types) -> list[str]:
+    """Cross-engine dtype mismatches (after name alignment); Spark
+    timestamp_ntz vs timestamp is tolerated (session-TZ artifact)."""
+    sp = dict(spark_dtypes)
+    issues = []
+    for name, dt in zip(duck_names, duck_types):
+        s = sp.get(name)
+        if s is None:
+            continue
+        d = duck_type_to_spark(dt)
+        if s.replace("_ntz", "") != d.replace("_ntz", ""):
+            issues.append(f"{name}: spark={s} duckdb={d}")
+    return issues
+
+
 def compare(scols, srows, ocols, orows) -> tuple[bool, str]:
     if sorted(scols) != sorted(ocols):
         return False, f"columns differ: {sorted(scols)} vs {sorted(ocols)}"

@@ -145,3 +145,10 @@ def test_asof_join_forward_and_tolerance(spark):
            asof_join(left, right, "k", left_ts="t", right_ts="rt",
                      tolerance_ms=20).collect()}
     assert tol[(1, 0.1)] == "a" and tol[(1, 0.2)] is None  # 200-150 > 20
+
+
+def test_approx_distinct_within_error(spark, sf_dir):
+    from hbase_snapshotter_spark.queries.relational import agg_approx_distinct
+
+    for r in agg_approx_distinct(spark, sf_dir).collect():
+        assert abs(r.approx_customers - r.exact_customers) <= 0.1 * r.exact_customers

@@ -1,0 +1,90 @@
+"""Scale-pattern operators: salted aggregation equivalence, bucketed
+warehouse co-located joins, and continuous snapshot maintenance."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbase_snapshotter_spark.operators.skew import salted_agg
+from hbase_snapshotter_spark.operators.snapshot import snapshot_as_of
+from hbase_snapshotter_spark.queries.snapshot_q import events_snapshot_schema
+from hbase_snapshotter_spark.sources.changelog import events_as_changelog, read_table
+from hbase_snapshotter_spark.sources.warehouse import write_snapshot
+from hbase_snapshotter_spark.streaming.snapshot_stream import maintain_snapshot
+from hbase_snapshotter_spark.streaming.windows import replay_stream
+
+
+def test_salted_agg_equals_plain_agg(spark, sf_dir):
+    li = read_table(spark, sf_dir, "lineitem")
+    plain = {
+        tuple(r)
+        for r in li.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sq"),
+            F.min("l_extendedprice").alias("mn"),
+            F.round(F.avg("l_discount"), 6).alias("av"),
+        ).collect()
+    }
+    salted = {
+        tuple(r)
+        for r in salted_agg(
+            li, ["l_returnflag"],
+            [(None, "count", "n"), ("l_quantity", "sum", "sq0"),
+             ("l_extendedprice", "min", "mn"), ("l_discount", "avg", "av0")],
+            salt_buckets=8,
+        ).select(
+            "l_returnflag", "n", F.round("sq0", 2).alias("sq"), "mn",
+            F.round("av0", 6).alias("av"),
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_agg_two_shuffles(spark, sf_dir):
+    li = read_table(spark, sf_dir, "lineitem")
+    out = salted_agg(li, ["l_returnflag"], [(None, "count", "n")])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 2      # salt stage + combine stage
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
+    """bucketBy co-locates repeated snapshot⋈snapshot joins: the join
+    reads both sides pre-partitioned and plans no Exchange."""
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    write_snapshot(orders, "b_orders", bucket_by=(8, ["o_custkey"]))
+    write_snapshot(cust.withColumnRenamed("c_custkey", "o_custkey"),
+                   "b_cust", bucket_by=(8, ["o_custkey"]))
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_orders").join(spark.table("b_cust"), "o_custkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE b_orders")
+        spark.sql("DROP TABLE b_cust")
+
+
+def test_streaming_snapshot_maintenance(spark, sf_dir, tmp_path):
+    """Replay the change log as a stream, maintain latest-cell state via
+    foreachBatch, and check the materialized snapshot equals the batch
+    snapshot of the full log — continuous snapshotting, same operator."""
+    log_dir = str(tmp_path / "log")
+    events_as_changelog(read_table(spark, sf_dir, "events")) \
+        .repartition(4).write.parquet(log_dir)
+    batch_log = spark.read.parquet(log_dir)
+
+    stream = replay_stream(spark, log_dir, batch_log.schema, max_files_per_trigger=1)
+    q, maintainer = maintain_snapshot(
+        stream, str(tmp_path / "state"),
+        checkpointLocation=str(tmp_path / "ckpt"), availableNow=True,
+    )
+    q.awaitTermination(120)
+
+    schema = events_snapshot_schema()
+    got = {tuple(r) for r in
+           snapshot_as_of(maintainer.current_cells(spark), schema, None).collect()}
+    want = {tuple(r) for r in snapshot_as_of(batch_log, schema, None).collect()}
+    assert got == want and len(got) > 0

@@ -24,7 +24,11 @@ def main() -> int:
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
-    from hbase_snapshotter_spark.testing import compare, register_duckdb_views
+    from hbase_snapshotter_spark.testing import (
+        compare,
+        compare_types,
+        register_duckdb_views,
+    )
 
     spark = (
         SparkSession.builder.master("local[8]")
@@ -54,11 +58,14 @@ def main() -> int:
             print(f"[rows-only] {name}: rows={len(srows)} ({spark_s:.1f}s)")
             continue
         t0 = time.time()
-        res = con.execute(oracles[name])
-        ocols = [d[0] for d in res.description]
-        orows = res.fetchall()
+        rel = con.sql(oracles[name])
+        ocols, otypes = list(rel.columns), list(rel.types)
+        orows = rel.fetchall()
         duck_s = time.time() - t0
         ok, msg = compare(sdf.columns, srows, ocols, orows)
+        type_issues = compare_types(sdf.dtypes, ocols, otypes)
+        if ok and type_issues:
+            ok, msg = False, f"dtype mismatch: {type_issues}"
         status = "OK" if ok else "FAIL"
         print(f"[{status}] {name}: rows {len(srows)}/{len(orows)} "
               f"(spark {spark_s:.1f}s, duckdb {duck_s:.1f}s)" + ("" if ok else f"\n    {msg}"))
