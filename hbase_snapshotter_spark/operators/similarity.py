@@ -25,6 +25,9 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -71,14 +74,21 @@ def projection_dot(vec: Column, plane: list[float]) -> Column:
 
 
 def srp_bucket(vec: Column, projections: list[list[float]] = PROJECTIONS) -> Column:
-    """Sign-random-projection bucket id, e.g. ``'10110010'``.  Dots are
-    rounded (6 dp) before the sign so cross-engine 1-ulp fuzz can't flip
-    a bit."""
-    bits = [
-        F.when(F.round(projection_dot(vec, p), 6) >= 0, F.lit("1")).otherwise(F.lit("0"))
-        for p in projections
-    ]
-    return F.concat(*bits)
+    """Sign-random-projection bucket id, e.g. ``'10110010'``, via an
+    Arrow-batched Pandas UDF (one numpy matmul per batch — the
+    expression form is a 512-term interpreted tree, ~100× slower).
+    Dots are rounded (6 dp) before the sign so cross-engine float fuzz
+    can't flip a bit."""
+    plane_matrix = np.array(projections, dtype=np.float64)
+
+    @F.pandas_udf("string")
+    def bucket_udf(emb: pd.Series) -> pd.Series:
+        v = np.array(emb.tolist(), dtype=np.float64)
+        signs = np.round(v @ plane_matrix.T, 6) >= 0
+        digits = signs.astype(np.uint8).astype("U1")
+        return pd.Series(["".join(row) for row in digits])
+
+    return bucket_udf(vec)
 
 
 def brute_force_topk(
@@ -138,27 +148,59 @@ def ann_lsh_topk(
     )
 
 
+def pairwise_dot_udf() -> Column:
+    """Arrow-batched pairwise dot product — one numpy einsum per batch.
+    The per-pair expression form (zip_with + aggregate) is interpreted
+    and ~50× slower on quadratic pair sets."""
+    @F.pandas_udf("double")
+    def dot_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        x = np.array(a.tolist(), dtype=np.float64)
+        y = np.array(b.tolist(), dtype=np.float64)
+        return pd.Series(np.einsum("ij,ij->i", x, y))
+
+    return dot_udf
+
+
 def cosine_pairs(
     emb: DataFrame,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.45,
-    block_col: str | None = None,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold — embedding near-dup (N13's
-    cosine variant).  Exact all-pairs inside an optional blocking column
-    (label, LSH bucket, IVF cell…); unblocked all-pairs is quadratic and
-    only for verification corpora — production near-dup should pass an
-    LSH bucket as ``block_col``."""
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
-                   *([F.col(block_col)] if block_col else []))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
-                   *([F.col(block_col)] if block_col else []))
-    joined = a.join(b, ([block_col] if block_col else [])) if block_col else a.crossJoin(b)
-    return (
-        joined.filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b",
-                F.round(cosine_expr(F.col("__va"), F.col("__vb")), 4).alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
+    cosine variant), as a block-matrix similarity join: the corpus is
+    broadcast once as a dense float64 matrix, each partition of rows
+    multiplies against it in a single numpy matmul, and only pairs
+    clearing the threshold are emitted.
+
+    Data movement is O(n·d) (one broadcast + one streamed pass), not
+    O(n²·d) — no pair rows ever exist outside numpy.  This holds to
+    ~10⁵-10⁶ vectors (a 100k×64 float32 corpus is 25 MB broadcast);
+    beyond that, shard the corpus into column blocks or pre-bucket with
+    :func:`srp_bucket` / IVF cells and run this join per bucket."""
+    import pandas as pd  # noqa: F811 - explicit for mapInPandas closure
+
+    corpus = emb.select(F.col(id_col), F.col(vec_col)).toPandas()
+    ids = corpus[id_col].to_numpy()
+    B = np.array(corpus[vec_col].tolist(), dtype=np.float64)
+    b_norm = np.sqrt(np.einsum("ij,ij->i", B, B))
+    bc = emb.sparkSession.sparkContext.broadcast((ids, B, b_norm))
+
+    def block_join(batches):
+        b_ids, b_mat, b_norms = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a_ids = pdf[id_col].to_numpy()
+            A = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            a_norms = np.sqrt(np.einsum("ij,ij->i", A, A))
+            C = np.round((A @ b_mat.T) / np.outer(a_norms, b_norms), 4)
+            ai, bi = np.nonzero((C >= threshold) & (a_ids[:, None] < b_ids[None, :]))
+            yield pd.DataFrame({
+                "id_a": a_ids[ai], "id_b": b_ids[bi], "cosine": C[ai, bi],
+            })
+
+    return emb.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        block_join, "id_a long, id_b long, cosine double"
     )

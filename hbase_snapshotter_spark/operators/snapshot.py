@@ -44,7 +44,7 @@ from hbase_snapshotter_spark.plans.schema import (
 )
 
 
-def decode_expr(col: Column, dtype: DataType) -> Column:
+def decode_expr(col: Column, dtype: DataType, *, strict: bool = False) -> Column:
     """Stringified cell value → typed column (``transformMapToRow``,
     ``HBaseSnapshotter.scala:58-106``):
 
@@ -52,13 +52,29 @@ def decode_expr(col: Column, dtype: DataType) -> Column:
     - timestamps are epoch-millis strings (HBaseSnapshotter.scala:82);
     - dates are ``yyyy-MM-dd`` strings (HBaseSnapshotter.scala:87-90);
     - everything else is a plain cast (int/long/double/string).
+
+    ``strict=True`` reproduces the reference's error mode — a malformed
+    value FAILS the job (decode errors are logged and rethrown,
+    ``HBaseSnapshotter.scala:95-102``) instead of Spark's silent
+    cast-to-NULL.
     """
     non_null = F.when(F.upper(col) == F.lit("NULL"), F.lit(None)).otherwise(col)
+    # Spark 4 runs ANSI mode by default, where a plain cast throws on
+    # malformed input — exactly the reference's strict behavior.  The
+    # lenient (Spark-idiomatic) default therefore uses try_cast.
+    cast = (lambda c, t: c.cast(t)) if strict else (lambda c, t: c.try_cast(t))
     if isinstance(dtype, TimestampType):
-        return F.timestamp_millis(non_null.cast("long"))
-    if isinstance(dtype, DateType):
-        return F.to_date(non_null, "yyyy-MM-dd")
-    return non_null.cast(dtype)
+        decoded = F.timestamp_millis(cast(non_null, "long"))
+    elif isinstance(dtype, DateType):
+        decoded = F.try_to_date(non_null, F.lit("yyyy-MM-dd")) if not strict \
+            else F.to_date(non_null, "yyyy-MM-dd")
+    else:
+        decoded = cast(non_null, dtype)
+    if strict:
+        err = F.concat(F.lit(f"cannot decode value to {dtype.simpleString()}: "), col)
+        return F.when(non_null.isNotNull() & decoded.isNull(), F.raise_error(err)) \
+            .otherwise(decoded)
+    return decoded
 
 
 def as_of(changelog: DataFrame, ts: int | None, *, ts_col: str = "cell_ts") -> DataFrame:
@@ -131,6 +147,7 @@ def snapshot_as_of(
     qualifier_col: str = "qualifier",
     value_col: str = "value",
     ts_col: str = "cell_ts",
+    strict_decode: bool = False,
 ) -> DataFrame:
     """Materialize the typed table as it existed at ``ts``.
 
@@ -166,5 +183,5 @@ def snapshot_as_of(
         if f.metadata.get("status"):
             out.append(raw.alias(STATUS_COLUMN))
         else:
-            out.append(decode_expr(raw, f.dataType).alias(f.name))
+            out.append(decode_expr(raw, f.dataType, strict=strict_decode).alias(f.name))
     return pivoted.select(*out)

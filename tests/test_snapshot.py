@@ -117,3 +117,20 @@ def test_snapshot_plan_is_single_shuffle(changelog, schema_history):
     schema = schema_as_of(schema_history, T2)
     plan = snapshot_as_of(changelog, schema, T2)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1            # one shuffle: groupBy(row_key)
+
+
+def test_strict_decode_fails_on_malformed(spark, schema_history):
+    import pytest
+    from pyspark.sql.utils import PythonException
+
+    bad = spark.createDataFrame(
+        [("r9", "d", "amount", "not-a-number", 900),
+         ("r9", "d", "row_status", "I", 900)],
+        "row_key string, family string, qualifier string, value string, cell_ts long",
+    )
+    schema = schema_as_of(schema_history, T0)
+    # default (Spark-idiomatic): malformed value → NULL
+    assert by_key(snapshot_as_of(bad, schema, T0))["r9"]["amount"] is None
+    # strict (reference parity, HBaseSnapshotter.scala:95-102): job fails
+    with pytest.raises(Exception, match="cannot decode|USER_RAISED|CAST_INVALID"):
+        snapshot_as_of(bad, schema, T0, strict_decode=True).collect()
