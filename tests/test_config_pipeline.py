@@ -67,3 +67,25 @@ def test_run_snapshot_end_to_end(spark, changelog, schema_history, tmp_path):
     assert [f.name for f in persisted.schema.fields][:2] == \
         [KEY_COLUMN, "k_replicator_row_status"]
     spark.sql("DROP TABLE snap_t2")
+
+
+def test_cli_main_end_to_end(spark, changelog, schema_history, tmp_path):
+    """python -m hbase_snapshotter_spark <config.json> — the reference's
+    launcher path (bin/hbase-snapshotter) driven through main()."""
+    from hbase_snapshotter_spark.__main__ import main
+
+    log_path = str(tmp_path / "changelog")
+    hist_path = str(tmp_path / "history")
+    changelog.write.parquet(log_path)
+    schema_history.write.parquet(hist_path)
+    cfg = tmp_path / "app.json"
+    cfg.write_text(json.dumps({
+        "hbase": {"table": log_path, "timestamp": T2},
+        "mysql": {"table": hist_path},
+        "hive": {"table": "cli_snap"},
+    }))
+    try:
+        assert main([str(cfg)]) == 0
+        assert spark.table("cli_snap").count() == 3
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cli_snap")
