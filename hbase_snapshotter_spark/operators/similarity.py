@@ -161,6 +161,60 @@ def pairwise_dot_udf() -> Column:
     return dot_udf
 
 
+PROJECTIONS16 = random_projections(n=16)
+LSH_TABLES, LSH_BITS_PER_TABLE = 4, 4
+
+
+def cosine_pairs_bucketed(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    projections: list[list[float]] = PROJECTIONS16,
+    tables: int = LSH_TABLES,
+) -> DataFrame:
+    """Embedding near-dup, the 100 TB path: multi-table SRP-LSH — the
+    16-bit signature splits into ``tables`` keys; pairs colliding in ANY
+    table become candidates (equi-joins only, cost Σ bucket²·L, never
+    n²), then exact cosine + threshold.  Collision probability for a
+    pair at angle θ is 1-(1-(1-θ/π)^m)^L (m bits per table) — recall is
+    tunable and measured against the exact :func:`cosine_pairs`.
+    Output: (id_a, id_b, cosine) with id_a < id_b."""
+    bits = len(projections) // tables
+    with_b = emb.select(
+        F.col(id_col), F.col(vec_col),
+        norm_expr(F.col(vec_col)).alias("__norm"),
+        srp_bucket(F.col(vec_col), projections).alias("__sig"),
+    )
+    keyed = with_b.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[
+            F.substring("__sig", t * bits + 1, bits) for t in range(tables)
+        ])).alias("__tbl", "__key"),
+    )
+    a = keyed.select(F.col(id_col).alias("id_a"), "__tbl", "__key")
+    b = keyed.select(F.col(id_col).alias("id_b"), "__tbl", "__key")
+    candidates = (
+        a.join(b, ["__tbl", "__key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    dot = pairwise_dot_udf()
+    va = with_b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
+                       F.col("__norm").alias("__na"))
+    vb = with_b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
+                       F.col("__norm").alias("__nb"))
+    return (
+        candidates.join(va, "id_a").join(vb, "id_b")
+        .select("id_a", "id_b",
+                F.round(dot(F.col("__va"), F.col("__vb"))
+                        / (F.col("__na") * F.col("__nb")), 4).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def cosine_pairs(
     emb: DataFrame,
     *,

@@ -404,3 +404,51 @@ PAIRS = {
     "udf_trimmed_mean": (udf_trimmed_mean, ORACLE_TRIMMED),
     "udtf_explode_tokens": (udtf_explode_tokens, ORACLE_UDTF),
 }
+
+
+# ------------------------- N13/N14: bucketed embedding near-dup (scale path)
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table SRP-LSH near-dup — the sub-quadratic production path,
+    oracle-replayed bucket-for-bucket."""
+    from hbase_snapshotter_spark.operators.similarity import cosine_pairs_bucketed
+
+    return cosine_pairs_bucketed(_emb(spark, sf_dir),
+                                 threshold=EMB_PAIR_THRESHOLD).orderBy("id_a", "id_b")
+
+
+def _oracle_emb_lsh() -> str:
+    from hbase_snapshotter_spark.operators.similarity import (
+        LSH_BITS_PER_TABLE,
+        LSH_TABLES,
+        PROJECTIONS16,
+    )
+
+    planes = ", ".join(
+        "CASE WHEN ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"{list(p)}::DOUBLE[]), 6) >= 0 THEN '1' ELSE '0' END"
+        for p in PROJECTIONS16
+    )
+    return f"""
+WITH b AS (SELECT vec_id, CONCAT({planes}) AS sig FROM embeddings),
+t AS (SELECT vec_id, k.k AS tbl,
+             substr(sig, k.k * {LSH_BITS_PER_TABLE} + 1, {LSH_BITS_PER_TABLE}) AS key
+      FROM b, UNNEST(range(0, {LSH_TABLES})) AS k(k)),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM t a JOIN t b ON a.tbl = b.tbl AND a.key = b.key
+                          AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, cosine FROM (
+  SELECT cnd.id_a, cnd.id_b,
+         ROUND(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))),
+               4) AS cosine
+  FROM cand cnd JOIN embeddings q ON q.vec_id = cnd.id_a
+                JOIN embeddings c ON c.vec_id = cnd.id_b
+) WHERE cosine >= {EMB_PAIR_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+PAIRS.update({
+    "embedding_near_dup_lsh": (embedding_near_dup_lsh, _oracle_emb_lsh()),
+})

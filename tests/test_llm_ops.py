@@ -152,3 +152,21 @@ def test_approx_distinct_within_error(spark, sf_dir):
 
     for r in agg_approx_distinct(spark, sf_dir).collect():
         assert abs(r.approx_customers - r.exact_customers) <= 0.1 * r.exact_customers
+
+
+def test_bucketed_near_dup_sound_and_recalls(spark, sf_dir):
+    """Bucketed LSH near-dup: sound (⊆ exact pairs, identical scores)
+    with nontrivial recall on the fixture corpus."""
+    from hbase_snapshotter_spark.operators.similarity import (
+        cosine_pairs,
+        cosine_pairs_bucketed,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {(r.id_a, r.id_b): r.cosine for r in cosine_pairs(emb, threshold=0.4).collect()}
+    lsh = {(r.id_a, r.id_b): r.cosine for r in
+           cosine_pairs_bucketed(emb, threshold=0.4).collect()}
+    assert set(lsh) <= set(exact)
+    assert all(exact[p] == lsh[p] for p in lsh)      # same scores on hits
+    if exact:
+        assert len(lsh) / len(exact) > 0.2           # nontrivial recall
