@@ -32,6 +32,8 @@ register("snapshot_latest_cells", snapshot_q.q_latest_cells,
          snapshot_q.oracle_latest_cells())
 register("snapshot_diff", snapshot_q.q_snapshot_diff,
          snapshot_q.oracle_snapshot_diff())
+register("snapshot_multi_ts", snapshot_q.q_snapshot_multi_ts,
+         snapshot_q.oracle_snapshot_multi_ts())
 
 for _name, (_fn, _oracle) in relational.PAIRS.items():
     register(_name, _fn, _oracle)

@@ -687,3 +687,61 @@ FROM (
 PAIRS.update({
     "window_rank_suite": (window_rank_suite, ORACLE_RANK_SUITE),
 })
+
+
+# -------------------------------------------- percentile aggregates (N7)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) per group; the approx
+    sketch variant is in agg_approx_distinct's family (rows-only)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("median_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+ORACLE_PERCENTILES = """
+SELECT o_orderpriority,
+       ROUND(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+       ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90_price,
+       ROUND(MIN(o_totalprice), 2) AS min_price,
+       ROUND(MAX(o_totalprice), 2) AS max_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# ------------------------------------------- string function suite (N11)
+def scalar_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded_key"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.instr("p_type", "a").alias("a_pos"),
+        F.repeat(F.lit("*"), F.col("p_size") % 5).alias("stars"),
+        F.translate("p_brand", "#", "-").alias("brand_dash"),
+        F.concat(F.upper(F.substring("p_type", 1, 1)),
+                 F.lower(F.substring("p_type", 2, 1000))).alias("type_title"),
+    )
+
+
+ORACLE_STRING = """
+SELECT p_partkey,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+       lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded_key,
+       reverse(p_brand) AS brand_rev,
+       CAST(strpos(p_type, 'a') AS INTEGER) AS a_pos,
+       repeat('*', p_size % 5) AS stars,
+       replace(p_brand, '#', '-') AS brand_dash,
+       upper(substr(p_type, 1, 1)) || lower(substr(p_type, 2)) AS type_title
+FROM part
+"""
+
+
+PAIRS.update({
+    "agg_percentiles": (agg_percentiles, ORACLE_PERCENTILES),
+    "scalar_string_suite": (scalar_string_suite, ORACLE_STRING),
+})

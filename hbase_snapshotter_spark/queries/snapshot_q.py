@@ -112,3 +112,31 @@ def oracle_snapshot_diff() -> str:
         ) WHERE rn = 1
         """
     return f"({latest(f'epoch_ms(ts) <= 9223372036854775807')}) EXCEPT ALL ({latest(f'epoch_ms(ts) <= {SNAPSHOT_TS_MS}')})"
+
+
+TS_LIST = (1_704_672_000_000, 1_705_276_800_000, 1_705_881_600_000)  # Jan 8/15/22
+
+
+def q_snapshot_multi_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch time travel: latest cell state at three snapshot timestamps
+    from ONE scan + ONE shuffle (operators.snapshot.latest_cells_multi)."""
+    from hbase_snapshotter_spark.operators.snapshot import latest_cells_multi
+
+    log = events_as_changelog(read_table(spark, sf_dir, "events"))
+    return latest_cells_multi(log, list(TS_LIST)).select(
+        "snapshot_ts", "row_key", "qualifier", "value", "cell_ts"
+    )
+
+
+def oracle_snapshot_multi_ts() -> str:
+    def one(ts: int) -> str:
+        return f"""
+        SELECT {ts} AS snapshot_ts, row_key, qualifier, value, cell_ts FROM (
+          SELECT CAST(user_id AS VARCHAR) AS row_key, event_type AS qualifier,
+                 CAST(value AS VARCHAR) AS value, epoch_ms(ts) AS cell_ts,
+                 ROW_NUMBER() OVER (PARTITION BY CAST(user_id AS VARCHAR), event_type
+                                    ORDER BY epoch_ms(ts) DESC, CAST(value AS VARCHAR) DESC) AS rn
+          FROM events WHERE epoch_ms(ts) <= {ts}
+        ) WHERE rn = 1
+        """
+    return " UNION ALL ".join(f"({one(t)})" for t in TS_LIST)

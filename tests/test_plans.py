@@ -78,3 +78,10 @@ def test_agg_partial_pushdown(spark, sf_dir):
 def test_topk_plans_as_take_ordered(spark, sf_dir):
     plan = explain(spark, "q3_shipping_priority", sf_dir)
     assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_multi_ts_snapshot_single_shuffle(spark, sf_dir):
+    """N snapshots from one scan: the fan-out explode stays narrow; only
+    the per-(ts, cell) aggregation shuffles."""
+    plan = explain(spark, "snapshot_multi_ts", sf_dir)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
