@@ -170,3 +170,23 @@ def test_bucketed_near_dup_sound_and_recalls(spark, sf_dir):
     assert all(exact[p] == lsh[p] for p in lsh)      # same scores on hits
     if exact:
         assert len(lsh) / len(exact) > 0.2           # nontrivial recall
+
+
+def test_map_functions_surface(spark):
+    """N11 map-function coverage (unit-level: MapType values don't
+    cross-engine-compare cleanly, so no oracle query)."""
+    df = spark.createDataFrame([(1, "a", 10.0), (2, "b", 20.0)], "id long, k string, v double")
+    out = df.select(
+        "id",
+        F.create_map(F.col("k"), F.col("v")).alias("m"),
+    ).select(
+        "id",
+        F.map_keys("m").alias("keys"),
+        F.map_values("m").alias("vals"),
+        F.element_at("m", F.lit("a")).alias("a_val"),
+        F.map_concat("m", F.create_map(F.lit("x"), F.lit(0.0))).alias("m2"),
+    )
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].keys == ["a"] and rows[1].vals == [10.0]
+    assert rows[1].a_val == 10.0 and rows[2].a_val is None
+    assert set(rows[1].m2) == {"a", "x"}
