@@ -23,7 +23,6 @@ from hbase_snapshotter_spark.operators.similarity import (
     ann_lsh_topk,
     brute_force_topk,
     cosine_pairs,
-    norm_expr,
 )
 from hbase_snapshotter_spark.operators.text import (
     LANG_MARKERS,

@@ -103,13 +103,19 @@ def test_brute_force_topk_selfmatch_excluded(spark):
     assert all(abs(r.cosine) < 1e-9 for r in out)  # orthogonal basis
 
 
-def test_ann_subset_of_brute(spark, sf_dir):
+def test_ann_scores_match_brute_force(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter("vec_id < 5")
-    brute = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, q, k=50).collect()}
+    brute = {(r.query_id, r.neighbor_id): r.cosine
+             for r in brute_force_topk(emb, q, k=600).collect()}
     ann = ann_lsh_topk(emb, q, k=5).collect()
-    # every ANN hit is a real vector pair scored identically to brute force
-    assert all((r.query_id, r.neighbor_id) in brute or r.rank <= 5 for r in ann)
+    # every ANN hit is scored identically to the exact computation,
+    # and per-query results come out rank-ordered
+    assert all(brute[(r.query_id, r.neighbor_id)] == r.cosine for r in ann)
+    by_q = {}
+    for r in sorted(ann, key=lambda r: (r.query_id, r.rank)):
+        by_q.setdefault(r.query_id, []).append(r.cosine)
+    assert all(c == sorted(c, reverse=True) for c in by_q.values())
 
 
 def test_multimodal_payload_roundtrip(docs):

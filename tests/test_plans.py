@@ -9,8 +9,6 @@ here long before it would show up as a 100× regression on a cluster.
 
 import re
 
-import pytest
-
 from hbase_snapshotter_spark.queries.registry import QUERIES
 
 

@@ -1,7 +1,6 @@
 """Scale-pattern operators: salted aggregation equivalence, bucketed
 warehouse co-located joins, and continuous snapshot maintenance."""
 
-import pytest
 from pyspark.sql import functions as F
 
 from hbase_snapshotter_spark.operators.skew import salted_agg

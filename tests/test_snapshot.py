@@ -120,9 +120,6 @@ def test_snapshot_plan_is_single_shuffle(changelog, schema_history):
 
 
 def test_strict_decode_fails_on_malformed(spark, schema_history):
-    import pytest
-    from pyspark.sql.utils import PythonException
-
     bad = spark.createDataFrame(
         [("r9", "d", "amount", "not-a-number", 900),
          ("r9", "d", "row_status", "I", 900)],
