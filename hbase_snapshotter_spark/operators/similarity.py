@@ -258,3 +258,86 @@ def cosine_pairs(
     return emb.select(F.col(id_col), F.col(vec_col)).mapInPandas(
         block_join, "id_a long, id_b long, cosine double"
     )
+
+
+IVF_CENTROID_STRIDE = 31  # centroids = vectors with vec_id % stride == 0
+
+
+def ivf_assignments(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_stride: int = IVF_CENTROID_STRIDE,
+) -> DataFrame:
+    """(id, cell) — IVF coarse quantization: every vector is assigned to
+    its nearest (max-cosine) centroid.
+
+    Centroids here are a deterministic sample (``id % stride == 0``,
+    giving ~n/stride cells ≈ √n at fixture sizes) so the SQL oracle can
+    replay the assignment; swap in k-means centroids for production —
+    the plan (broadcast centroids → vectorized scores → argmax) is
+    identical.  Scores are rounded (6 dp) before the argmax so float
+    fuzz can't flip an assignment."""
+    dot = pairwise_dot_udf()
+    cents = emb.filter((F.col(id_col) % centroid_stride) == 0).select(
+        F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv"),
+        norm_expr(F.col(vec_col)).alias("__cn"),
+    )
+    scored = (
+        emb.select(F.col(id_col), F.col(vec_col),
+                   norm_expr(F.col(vec_col)).alias("__n"))
+        .crossJoin(F.broadcast(cents))
+        .select(id_col,
+                F.col("__cid"),
+                F.round(dot(F.col(vec_col), F.col("__cv"))
+                        / (F.col("__n") * F.col("__cn")), 6).alias("__score"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__score"), F.asc("__cid"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col(id_col), F.col("__cid").alias("cell"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    centroid_stride: int = IVF_CENTROID_STRIDE,
+) -> DataFrame:
+    """Approximate top-k via IVF (nprobe=1): candidates share the query's
+    cell, re-ranked by exact cosine.  Output shape matches
+    :func:`brute_force_topk`; recall depends on cell granularity and is
+    measured against it."""
+    assign = ivf_assignments(corpus, id_col=id_col, vec_col=vec_col,
+                             centroid_stride=centroid_stride)
+    dot = pairwise_dot_udf()
+    with_cell = corpus.join(assign, id_col).select(
+        F.col(id_col), F.col(vec_col), F.col("cell"),
+        norm_expr(F.col(vec_col)).alias("__n"),
+    )
+    q = queries.select(F.col(id_col).alias("query_id")) \
+        .join(with_cell.withColumnRenamed(id_col, "query_id"), "query_id") \
+        .select("query_id", F.col(vec_col).alias("__qv"), "cell",
+                F.col("__n").alias("__qn"))
+    c = with_cell.select(F.col(id_col).alias("neighbor_id"),
+                         F.col(vec_col).alias("__cv"), "cell",
+                         F.col("__n").alias("__cn"))
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id",
+                F.round(dot(F.col("__qv"), F.col("__cv"))
+                        / (F.col("__qn") * F.col("__cn")), 4).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -451,3 +451,53 @@ ORDER BY id_a, id_b
 PAIRS.update({
     "embedding_near_dup_lsh": (embedding_near_dup_lsh, _oracle_emb_lsh()),
 })
+
+
+# --------------------------------- N14: IVF ANN (coarse-quantized search)
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k (nprobe=1): deterministic sampled centroids so the
+    oracle replays assignment + search exactly; production swaps in
+    k-means centroids with an identical plan."""
+    from hbase_snapshotter_spark.operators.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < TOPK_QUERY_PRED), k=TOPK_K)
+
+
+def _oracle_ivf() -> str:
+    from hbase_snapshotter_spark.operators.similarity import IVF_CENTROID_STRIDE
+
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+  WHERE vec_id % {IVF_CENTROID_STRIDE} = 0),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.cv AS DOUBLE[]))
+                  / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                     * sqrt(list_dot_product(CAST(c.cv AS DOUBLE[]), CAST(c.cv AS DOUBLE[])))), 6) DESC,
+               c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1),
+scored AS (
+  SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id,
+         {SQL_COSINE} AS cosine
+  FROM assign qa
+  JOIN embeddings q ON q.vec_id = qa.vec_id
+  JOIN assign ca ON ca.cell = qa.cell AND ca.vec_id <> qa.vec_id
+  JOIN embeddings c ON c.vec_id = ca.vec_id
+  WHERE qa.vec_id < {TOPK_QUERY_PRED})
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOPK_K}
+"""
+
+
+PAIRS.update({
+    "similarity_topk_ivf": (similarity_topk_ivf, _oracle_ivf()),
+})

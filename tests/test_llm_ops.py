@@ -196,3 +196,15 @@ def test_map_functions_surface(spark):
     assert rows[1].keys == ["a"] and rows[1].vals == [10.0]
     assert rows[1].a_val == 10.0 and rows[2].a_val is None
     assert set(rows[1].m2) == {"a", "x"}
+
+
+def test_ivf_scores_match_brute_force(spark, sf_dir):
+    from hbase_snapshotter_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter("vec_id < 5")
+    brute = {(r.query_id, r.neighbor_id): r.cosine
+             for r in brute_force_topk(emb, q, k=600).collect()}
+    ivf = ivf_topk(emb, q, k=5).collect()
+    assert len(ivf) > 0
+    assert all(brute[(r.query_id, r.neighbor_id)] == r.cosine for r in ivf)
