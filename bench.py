@@ -31,6 +31,8 @@ HEADLINE = [
     "dedup_simhash",
     "text_analysis",
     "similarity_topk_brute",
+    "similarity_topk_ann",
+    "embedding_near_dup_lsh",
     "multimodal_payload_stats",
     # windowed/streaming semantics in batch form
     "stream_session_windows",

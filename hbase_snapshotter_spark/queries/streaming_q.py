@@ -123,3 +123,70 @@ PAIRS = {
     "stream_session_windows": (stream_session_windows, ORACLE_SESSION),
     "stream_dedup_first_arrival": (stream_dedup_first_arrival, ORACLE_DEDUP_FIRST),
 }
+
+
+# ------------------------------------------ event analytics: funnel
+def funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel: per user, first signup and first purchase
+    AFTER that signup; conversion flag — min-aggregates + one join,
+    no window sort."""
+    ev = read_table(spark, sf_dir, "events")
+    signup = (ev.filter(F.col("event_type") == "signup")
+              .groupBy("user_id").agg(F.min("ts").alias("signup_ts")))
+    purchase = ev.filter(F.col("event_type") == "purchase") \
+        .select("user_id", F.col("ts").alias("p_ts"))
+    first_purchase = (
+        signup.join(purchase, "user_id", "left")
+        .filter(F.col("p_ts").isNull() | (F.col("p_ts") >= F.col("signup_ts")))
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("p_ts").alias("first_purchase_ts"))
+    )
+    return first_purchase.select(
+        "user_id", "signup_ts", "first_purchase_ts",
+        F.col("first_purchase_ts").isNotNull().alias("converted"),
+    )
+
+
+ORACLE_FUNNEL = """
+WITH s AS (SELECT user_id, MIN(ts) AS signup_ts FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+fp AS (SELECT s.user_id, s.signup_ts, MIN(e.ts) AS first_purchase_ts
+       FROM s LEFT JOIN events e
+         ON e.user_id = s.user_id AND e.event_type = 'purchase'
+        AND e.ts >= s.signup_ts
+       GROUP BY s.user_id, s.signup_ts)
+SELECT user_id, signup_ts, first_purchase_ts,
+       first_purchase_ts IS NOT NULL AS converted
+FROM fp
+"""
+
+
+# ------------------------------------- event analytics: cohort retention
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week, counted
+    per subsequent active week — two aggregations + a broadcast join."""
+    ev = read_table(spark, sf_dir, "events")
+    weeks = ev.select("user_id", F.date_trunc("week", F.col("ts")).alias("week"))
+    cohort = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        weeks.distinct()
+        .join(F.broadcast(cohort), "user_id")
+        .groupBy("cohort_week", "week")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+ORACLE_RETENTION = """
+WITH weeks AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+               FROM events),
+cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY user_id)
+SELECT cohort_week, week, COUNT(DISTINCT w.user_id) AS active_users
+FROM weeks w JOIN cohort c ON w.user_id = c.user_id
+GROUP BY cohort_week, week
+"""
+
+
+PAIRS.update({
+    "funnel_signup_purchase": (funnel_signup_purchase, ORACLE_FUNNEL),
+    "cohort_retention": (cohort_retention, ORACLE_RETENTION),
+})
