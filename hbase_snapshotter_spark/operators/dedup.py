@@ -233,3 +233,59 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)  # before distinct: prunes
         .distinct()                               # the multi-band dup blowup
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    id_col: str = "id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation — the
+    canonical way to turn near-dup PAIRS into dedup CLUSTERS (keep one
+    doc per component).
+
+    Each round joins current labels across edges and keeps the minimum
+    seen; convergence when no label changes (checked with a count — the
+    one driver-side action an iterative algorithm genuinely needs).
+    Rounds needed = graph diameter, which for near-dup clusters is tiny;
+    each round is two hash joins + a hash agg, all equi-joins.  Labels
+    are persisted per round and the lineage is cut so the plan doesn't
+    grow with iterations.
+
+    Output: (id, component) where component = min node id reachable.
+    """
+    sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).unionByName(
+        edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+    ).distinct().persist()
+
+    labels = nodes.select(F.col(id_col).alias("node"),
+                          F.col(id_col).alias("component")).persist()
+    labels.count()
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym.d == labels.node)
+            .groupBy(F.col("s").alias("node"))
+            .agg(F.min("component").alias("n_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "node", "left")
+            .select("node",
+                    F.least(F.col("component"),
+                            F.coalesce("n_min", F.col("component"))).alias("component"),
+                    (F.coalesce("n_min", F.col("component"))
+                     < F.col("component")).alias("__changed"))
+        ).persist()
+        changed = updated.filter(F.col("__changed")).count()
+        old = labels
+        labels = updated.select("node", "component").persist()
+        labels.count()
+        old.unpersist()
+        updated.unpersist()
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("node").alias(id_col), "component")

@@ -501,3 +501,68 @@ SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine FROM (
 PAIRS.update({
     "similarity_topk_ivf": (similarity_topk_ivf, _oracle_ivf()),
 })
+
+
+# ----------------------- N13: near-dup pairs -> dedup clusters (iterative)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: MinHash-LSH pairs as edges, connected
+    components by iterative min-label propagation; every doc gets its
+    canonical (minimum) representative.  The oracle replays the
+    transitive closure with a recursive CTE."""
+    from hbase_snapshotter_spark.operators.dedup import connected_components
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_pairs(docs, "doc_id", num_hashes=MINHASH_K,
+                              bands=MINHASH_BANDS, threshold=MINHASH_THRESHOLD)
+    return connected_components(
+        pairs, docs.select("doc_id"), id_col="doc_id"
+    ).withColumnRenamed("component", "cluster_id").orderBy("doc_id")
+
+
+def _oracle_clusters() -> str:
+    minhash = _oracle_minhash()
+    # strip the trailing ORDER BY of the pair oracle before embedding
+    pair_sql = minhash.rsplit("ORDER BY", 1)[0]
+    return f"""
+WITH RECURSIVE pairs AS ({pair_sql}),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s)
+SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+ORDER BY doc_id
+"""
+
+
+PAIRS.update({
+    "dedup_clusters": (dedup_clusters, _oracle_clusters()),
+})
+
+
+# ------------------- N15: end-to-end training-data quality filter
+def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data shape: score every document, keep the ones that
+    clear the quality bar and language filter — one narrow pass."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = text_features(docs, "text", id_cols=["doc_id", "lang"])
+    return feats.filter(
+        (F.col("quality_score") >= 0.7) & (F.col("n_tokens") >= 20)
+        & (F.col("lang_guess") == "en")
+    ).select("doc_id", "lang", "n_tokens", "quality_score")
+
+
+def _oracle_quality_filter() -> str:
+    text_sql = _oracle_text()
+    return f"""
+WITH feats AS ({text_sql.replace("SELECT doc_id,", "SELECT doc_id, lang,")})
+SELECT doc_id, lang, n_tokens, quality_score FROM feats
+WHERE quality_score >= 0.7 AND n_tokens >= 20 AND lang_guess = 'en'
+"""
+
+
+PAIRS.update({
+    "pipeline_quality_filter": (pipeline_quality_filter, _oracle_quality_filter()),
+})

@@ -208,3 +208,16 @@ def test_ivf_scores_match_brute_force(spark, sf_dir):
     ivf = ivf_topk(emb, q, k=5).collect()
     assert len(ivf) > 0
     assert all(brute[(r.query_id, r.neighbor_id)] == r.cosine for r in ivf)
+
+
+def test_connected_components_clusters(spark):
+    from hbase_snapshotter_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "id long")
+    cc = {r.id: r.component for r in
+          connected_components(edges, nodes).collect()}
+    assert cc[1] == cc[2] == cc[3] == 1     # chain merges to min id
+    assert cc[5] == cc[6] == 5
+    assert cc[4] == 4 and cc[7] == 7        # singletons keep themselves
