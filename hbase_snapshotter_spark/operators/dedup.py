@@ -12,9 +12,11 @@ Four strategies, all deterministic and all shuffle-frugal:
   banding scheme as ``ml.feature.MinHashLSH.approxSimilarityJoin`` but
   with content-derived hashes instead of model-seeded ones.
 - :func:`simhash` / :func:`simhash_pairs` — 48-bit SimHash from
-  per-token md5 nibble bits; near-dup candidates bucket on equal bytes
-  (pigeonhole over 6 bands: ≤5 byte-flips guarantee a shared band, so
-  recall is exact for the default hamming ≤ 3).
+  per-token md5 bits; near-dup candidates bucket on 3 bands of 16 bits
+  (pigeonhole: ≤2 bit flips leave ≥1 band intact, so recall is exact
+  for the default hamming ≤ 2).
+- :func:`connected_components` — near-dup pairs → canonical clusters by
+  iterative min-label propagation.
 
 Scale: every strategy is (explode → hash-agg → equi-join) — no
 cross-join anywhere.  The inverted-index joins shuffle by shingle/band/
@@ -49,8 +51,10 @@ def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame
     others = [c for c in df.columns if c not in key_cols]
     packed = F.min(F.struct(F.col(order_col), *[F.col(c) for c in others if c != order_col]))
     out = df.groupBy(*key_cols).agg(packed.alias("__row"))
-    return out.select(*key_cols, *[F.col(f"__row.{c}").alias(c) for c in
-                                   [order_col] + [c for c in others if c != order_col]])
+    # restore the input's column order
+    cols = [F.col(c) if c in key_cols else F.col(f"__row.{c}").alias(c)
+            for c in df.columns]
+    return out.select(*cols)
 
 
 def _shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int,
