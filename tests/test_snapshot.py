@@ -113,10 +113,12 @@ def test_latest_per_key(spark):
     assert out == {"a": "y", "b": "z"}
 
 
-def test_snapshot_plan_is_single_shuffle(changelog, schema_history):
+def test_snapshot_plan_is_two_light_shuffles(changelog, schema_history):
     schema = schema_as_of(schema_history, T2)
     plan = snapshot_as_of(changelog, schema, T2)._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange") == 1            # one shuffle: groupBy(row_key)
+    # stage 1 shuffles by (key, family, qualifier), stage 2 pivots the
+    # reduced cells by key — both live-cell-sized (see operator docstring)
+    assert plan.count("Exchange") == 2
 
 
 def test_strict_decode_fails_on_malformed(spark, schema_history):
