@@ -566,3 +566,52 @@ WHERE quality_score >= 0.7 AND n_tokens >= 20 AND lang_guess = 'en'
 PAIRS.update({
     "pipeline_quality_filter": (pipeline_quality_filter, _oracle_quality_filter()),
 })
+
+
+# ---------------------- training-data sampling / splitting (hash-mod)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~20% reproducible sample of documents by doc_id hash — the
+    coordination-free sampling pattern (see operators.sampling)."""
+    from hbase_snapshotter_spark.operators.sampling import deterministic_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return deterministic_sample(docs, "doc_id", 200).select("doc_id", "lang", "source")
+
+
+ORACLE_SAMPLE = """
+SELECT doc_id, lang, source FROM documents
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000 < 200
+"""
+
+
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable train/val/test assignment (80/10/10 by key hash), counted
+    per language — membership never flips across runs or engines."""
+    from hbase_snapshotter_spark.operators.sampling import train_val_test_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        train_val_test_split(docs, "doc_id")
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+ORACLE_SPLIT = """
+WITH b AS (
+  SELECT lang,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000 AS bk
+  FROM documents)
+SELECT lang,
+       CASE WHEN bk < 800 THEN 'train'
+            WHEN bk < 900 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs
+FROM b GROUP BY 1, 2
+"""
+
+
+PAIRS.update({
+    "sample_deterministic": (sample_deterministic, ORACLE_SAMPLE),
+    "split_train_val_test": (split_train_val_test, ORACLE_SPLIT),
+})

@@ -221,3 +221,25 @@ def test_connected_components_clusters(spark):
     assert cc[1] == cc[2] == cc[3] == 1     # chain merges to min id
     assert cc[5] == cc[6] == 5
     assert cc[4] == 4 and cc[7] == 7        # singletons keep themselves
+
+
+def test_deterministic_sampling_is_stable(spark, sf_dir):
+    from hbase_snapshotter_spark.operators.sampling import (
+        deterministic_sample,
+        train_val_test_split,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s1 = {r.doc_id for r in deterministic_sample(docs, "doc_id", 200).collect()}
+    s2 = {r.doc_id for r in
+          deterministic_sample(docs.repartition(7), "doc_id", 200).collect()}
+    assert s1 == s2                                  # partitioning-independent
+    n = docs.count()
+    assert 0.1 * n < len(s1) < 0.3 * n               # ~20%
+
+    # split labels are stable under subsetting (no train/test leakage
+    # when data grows or is reprocessed incrementally)
+    full = {r.doc_id: r.split for r in train_val_test_split(docs, "doc_id").collect()}
+    half = {r.doc_id: r.split for r in
+            train_val_test_split(docs.filter("doc_id % 2 = 0"), "doc_id").collect()}
+    assert all(full[k] == v for k, v in half.items())
