@@ -99,3 +99,22 @@ def doc_shingles(df: DataFrame, id_col: str, text_col: str = "text", n: int = 3)
     return df.select(
         F.col(id_col), F.explode(shingles(tokens(F.col(text_col)), n)).alias("shingle")
     )
+
+
+#: Redaction patterns for training-data scrubbing: (regex, replacement).
+#: Simple character-class patterns only — they behave identically in
+#: Java regex (Spark) and RE2 (DuckDB oracle).
+SCRUB_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9_.#-]+@[A-Za-z0-9.-]+", "[EMAIL]"),
+    (r"[0-9][0-9][0-9]+", "[NUM]"),       # runs of 3+ digits
+]
+
+
+def scrub_text(col: Column | str, patterns: list[tuple[str, str]] = SCRUB_PATTERNS) -> Column:
+    """Redact sensitive-looking spans (emails, long digit runs) — the
+    standard pre-training scrub, as chained regexp_replace expressions
+    (JVM-side, zero shuffle)."""
+    out = F.col(col) if isinstance(col, str) else col
+    for pattern, replacement in patterns:
+        out = F.regexp_replace(out, pattern, replacement)
+    return out

@@ -615,3 +615,42 @@ PAIRS.update({
     "sample_deterministic": (sample_deterministic, ORACLE_SAMPLE),
     "split_train_val_test": (split_train_val_test, ORACLE_SPLIT),
 })
+
+
+# ----------------------------- N15: PII-style scrubbing (redaction)
+def text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redaction pass over synthesized contact strings (the fixture text
+    has no PII, so build one from real columns): emails and digit runs
+    are masked — chained regexp_replace, zero shuffle."""
+    from hbase_snapshotter_spark.operators.text import scrub_text
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    contact = F.concat_ws(
+        " ", F.col("c_name"), F.lit("reachable at"),
+        F.concat(F.regexp_replace("c_name", " ", "."), F.lit("@example.com")),
+        F.lit("account"), F.col("c_custkey").cast("string"),
+    )
+    return cust.select(
+        "c_custkey",
+        contact.alias("contact"),
+        scrub_text(contact).alias("scrubbed"),
+    )
+
+
+ORACLE_SCRUB = """
+WITH c AS (
+  SELECT c_custkey,
+         c_name || ' reachable at ' || regexp_replace(c_name, ' ', '.', 'g')
+           || '@example.com account ' || CAST(c_custkey AS VARCHAR) AS contact
+  FROM customer)
+SELECT c_custkey, contact,
+       regexp_replace(
+         regexp_replace(contact, '[A-Za-z0-9_.#-]+@[A-Za-z0-9.-]+', '[EMAIL]', 'g'),
+         '[0-9][0-9][0-9]+', '[NUM]', 'g') AS scrubbed
+FROM c
+"""
+
+
+PAIRS.update({
+    "text_scrub": (text_scrub, ORACLE_SCRUB),
+})
