@@ -23,9 +23,9 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
-    "window_top_orders",
+    "window_rank_suite",
     "asof_latest_order",
-    "agg_rollup",
+    "agg_rollup_cube",
     # LLM pipeline
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -24,9 +24,15 @@ BUCKETS = 1000
 
 def hash_bucket(col: Column | str) -> Column:
     """Stable bucket in [0, BUCKETS): first 8 md5 hex digits mod 1000.
-    (conv is the Spark twin of the oracle's CAST('0x…' AS BIGINT).)"""
+    (conv is the Spark twin of the oracle's CAST('0x…' AS BIGINT).)
+
+    NULL keys hash as the sentinel ``"\\x00NULL"`` rather than md5(NULL)
+    = NULL, so bucket assignment is total: NULL-key rows land in a
+    deterministic bucket instead of silently vanishing from samples and
+    all routing to 'test' in splits."""
     c = F.col(col) if isinstance(col, str) else col
-    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+    key = F.coalesce(c.cast("string"), F.lit("\x00NULL"))
+    h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
     return (h % BUCKETS).cast("int")
 
 

@@ -320,50 +320,38 @@ FROM documents
 
 
 # ---------------------------------------------------- N18: UDF surface
-def udf_zscore_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label z-score of the first embedding component via
-    applyInPandas (grouped map).  The value is extracted JVM-side and
-    rounded before grouping so the oracle replays it exactly.  (Vector
-    norms are degenerate here — the fixture embeddings are
-    unit-normalized.)"""
+def udf_zscore_trimmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both Pandas-UDF surfaces in one pipeline: per-label z-score via
+    applyInPandas (grouped map) joined with the label's 10%-trimmed mean
+    via a grouped-agg Pandas UDF (UDAF surface, broadcast back onto the
+    rows).  The value is extracted JVM-side and rounded before grouping
+    so the oracle replays it exactly."""
     emb = _emb(spark, sf_dir).select(
         "vec_id", "label",
         F.round(F.element_at("embedding", 1).cast("double"), 6).alias("x0"),
     )
-    return zscore_by_group(emb, "label", "x0")
+    z = zscore_by_group(emb, "label", "x0")
+    tm = emb.groupBy("label").agg(
+        F.round(trimmed_mean("x0"), 4).alias("trimmed_mean_x0"))
+    return z.join(F.broadcast(tm), "label").select(
+        "vec_id", "label", "x0", "zscore", "trimmed_mean_x0")
 
 
-ORACLE_ZSCORE = """
+ORACLE_ZSCORE_TRIMMED = """
 WITH n AS (
   SELECT vec_id, label, ROUND(CAST(embedding[1] AS DOUBLE), 6) AS x0
-  FROM embeddings)
-SELECT vec_id, label, x0,
-       ROUND((x0 - AVG(x0) OVER (PARTITION BY label))
-             / STDDEV_SAMP(x0) OVER (PARTITION BY label), 4) AS zscore
-FROM n
-"""
-
-
-def udf_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """10%-trimmed mean of the first embedding component per label —
-    grouped-agg Pandas UDF (UDAF surface)."""
-    emb = _emb(spark, sf_dir).select(
-        "label", F.round(F.element_at("embedding", 1).cast("double"), 6).alias("x0")
-    )
-    return emb.groupBy("label").agg(
-        F.round(trimmed_mean("x0"), 4).alias("trimmed_mean_x0")
-    )
-
-
-ORACLE_TRIMMED = """
-WITH n AS (
-  SELECT label, ROUND(CAST(embedding[1] AS DOUBLE), 6) AS x0 FROM embeddings),
+  FROM embeddings),
 q AS (SELECT label, quantile_cont(x0, 0.1) AS lo, quantile_cont(x0, 0.9) AS hi
-      FROM n GROUP BY label)
-SELECT n.label, ROUND(AVG(x0), 4) AS trimmed_mean_x0
-FROM n JOIN q ON n.label = q.label
-WHERE x0 >= lo AND x0 <= hi
-GROUP BY n.label
+      FROM n GROUP BY label),
+tm AS (SELECT n.label, ROUND(AVG(x0), 4) AS trimmed_mean_x0
+       FROM n JOIN q ON n.label = q.label
+       WHERE x0 >= lo AND x0 <= hi
+       GROUP BY n.label)
+SELECT vec_id, n.label, x0,
+       ROUND((x0 - AVG(x0) OVER (PARTITION BY n.label))
+             / STDDEV_SAMP(x0) OVER (PARTITION BY n.label), 4) AS zscore,
+       trimmed_mean_x0
+FROM n JOIN tm ON n.label = tm.label
 """
 
 
@@ -399,8 +387,7 @@ PAIRS = {
     "similarity_topk_ann": (similarity_topk_ann, _oracle_ann()),
     "embedding_near_dup_pairs": (embedding_near_dup_pairs, ORACLE_EMB_PAIRS),
     "multimodal_payload_stats": (multimodal_payload_stats, ORACLE_MULTIMODAL),
-    "udf_zscore_norm": (udf_zscore_norm, ORACLE_ZSCORE),
-    "udf_trimmed_mean": (udf_trimmed_mean, ORACLE_TRIMMED),
+    "udf_zscore_trimmed": (udf_zscore_trimmed, ORACLE_ZSCORE_TRIMMED),
     "udtf_explode_tokens": (udtf_explode_tokens, ORACLE_UDTF),
 }
 
@@ -569,35 +556,27 @@ PAIRS.update({
 
 
 # ---------------------- training-data sampling / splitting (hash-mod)
-def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """~20% reproducible sample of documents by doc_id hash — the
-    coordination-free sampling pattern (see operators.sampling)."""
-    from hbase_snapshotter_spark.operators.sampling import deterministic_sample
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return deterministic_sample(docs, "doc_id", 200).select("doc_id", "lang", "source")
-
-
-ORACLE_SAMPLE = """
-SELECT doc_id, lang, source FROM documents
-WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000 < 200
-"""
-
-
-def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stable train/val/test assignment (80/10/10 by key hash), counted
-    per language — membership never flips across runs or engines."""
-    from hbase_snapshotter_spark.operators.sampling import train_val_test_split
+def sample_split_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sampling AND stable train/val/test splitting in one
+    query: every document gets an 80/10/10 split label plus a ~20%
+    sample-membership flag, both by key hash (coordination-free, no
+    shuffle until the final count; see operators.sampling).  Membership
+    never flips across runs, engines, or data growth."""
+    from hbase_snapshotter_spark.operators.sampling import (
+        hash_bucket,
+        train_val_test_split,
+    )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return (
         train_val_test_split(docs, "doc_id")
-        .groupBy("lang", "split")
+        .withColumn("in_sample", hash_bucket("doc_id") < 200)
+        .groupBy("lang", "split", "in_sample")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
 
 
-ORACLE_SPLIT = """
+ORACLE_SAMPLE_SPLIT = """
 WITH b AS (
   SELECT lang,
          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000 AS bk
@@ -606,14 +585,14 @@ SELECT lang,
        CASE WHEN bk < 800 THEN 'train'
             WHEN bk < 900 THEN 'val'
             ELSE 'test' END AS split,
+       bk < 200 AS in_sample,
        COUNT(*) AS n_docs
-FROM b GROUP BY 1, 2
+FROM b GROUP BY 1, 2, 3
 """
 
 
 PAIRS.update({
-    "sample_deterministic": (sample_deterministic, ORACLE_SAMPLE),
-    "split_train_val_test": (split_train_val_test, ORACLE_SPLIT),
+    "sample_split_assignments": (sample_split_assignments, ORACLE_SAMPLE_SPLIT),
 })
 
 

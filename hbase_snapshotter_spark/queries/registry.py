@@ -34,6 +34,8 @@ register("snapshot_diff", snapshot_q.q_snapshot_diff,
          snapshot_q.oracle_snapshot_diff())
 register("snapshot_multi_ts", snapshot_q.q_snapshot_multi_ts,
          snapshot_q.oracle_snapshot_multi_ts())
+register("schema_history_snapshot", snapshot_q.q_schema_history_snapshot,
+         snapshot_q.oracle_schema_history_snapshot())
 
 for _name, (_fn, _oracle) in relational.PAIRS.items():
     register(_name, _fn, _oracle)

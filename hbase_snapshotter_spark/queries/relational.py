@@ -139,36 +139,31 @@ GROUP BY n_name
 
 
 # ------------------------------------------------------ semi / anti joins
-def join_semi_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers with at least one URGENT order — left_semi: probe side
-    streams, no duplication, build side is the filtered orders keys."""
-    cust = _t(spark, sf_dir, "customer")
-    urgent = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
-    return (
-        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
-        .select("c_custkey", "c_name", "c_mktsegment")
-    )
-
-
-ORACLE_SEMI = """
-SELECT c_custkey, c_name, c_mktsegment FROM customer
-WHERE EXISTS (SELECT 1 FROM orders
-              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
-"""
-
-
-def join_anti_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers with no orders at all — left_anti."""
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi + anti join in one tagged union: customers with at least one
+    URGENT order (left_semi — probe side streams, no duplication, build
+    side is the filtered orders keys) unioned with customers having no
+    orders at all (left_anti)."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
-    return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
-        .select("c_custkey", "c_name", "c_acctbal")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    semi = (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", F.lit("has_urgent").alias("tag"))
     )
+    anti = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", F.lit("no_orders").alias("tag"))
+    )
+    return semi.unionAll(anti)
 
 
-ORACLE_ANTI = """
-SELECT c_custkey, c_name, c_acctbal FROM customer
+ORACLE_SEMI_ANTI = """
+SELECT c_custkey, c_name, 'has_urgent' AS tag FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+UNION ALL
+SELECT c_custkey, c_name, 'no_orders' AS tag FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 """
 
@@ -195,29 +190,8 @@ GROUP BY c_custkey, c_name
 
 
 # ------------------------------------------------- window functions (N8)
-def window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 orders per customer by value — ranking window. One shuffle
-    by custkey; rank pruning happens before any downstream join."""
-    orders = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    return (
-        orders.withColumn("rank_in_cust", F.row_number().over(w))
-        .filter(F.col("rank_in_cust") <= 3)
-        .select("o_custkey", "o_orderkey", "o_totalprice", "rank_in_cust")
-    )
-
-
-ORACLE_WINDOW_TOP = """
-SELECT o_custkey, o_orderkey, o_totalprice,
-       CAST(rank_in_cust AS INTEGER) AS rank_in_cust FROM (
-  SELECT o_custkey, o_orderkey, o_totalprice,
-         ROW_NUMBER() OVER (PARTITION BY o_custkey
-                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank_in_cust
-  FROM orders
-) WHERE rank_in_cust <= 3
-"""
-
-
+# (Top-k-per-group via row_number + filter is covered by
+# window_rank_suite, which additionally pins rank/dense_rank/ntile/lead.)
 def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running spend per customer over order history — frame-based
     analytic window + lag."""
@@ -245,36 +219,38 @@ FROM orders
 
 
 # ------------------------------------------- grouping sets / rollup / cube
-def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def agg_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over lineitem and CUBE over orders in one tagged union —
+    both plan as a single Expand + hash aggregate per branch (map-side
+    partials before the one shuffle each)."""
     li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-             F.count(F.lit(1)).alias("n_rows"))
-    )
-
-
-ORACLE_ROLLUP = """
-SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity), 2) AS sum_qty,
-       COUNT(*) AS n_rows
-FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-"""
-
-
-def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
-    return (
-        orders.cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n_orders"),
-             F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+    rollup = (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.round(F.sum("l_quantity"), 2).alias("sum_val"))
+        .select(F.lit("rollup_lineitem").alias("src"),
+                F.col("l_returnflag").alias("grp_a"),
+                F.col("l_linestatus").alias("grp_b"), "n_rows", "sum_val")
     )
+    cube = (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.round(F.sum("o_totalprice"), 2).alias("sum_val"))
+        .select(F.lit("cube_orders").alias("src"),
+                F.col("o_orderstatus").alias("grp_a"),
+                F.col("o_orderpriority").alias("grp_b"), "n_rows", "sum_val")
+    )
+    return rollup.unionAll(cube)
 
 
-ORACLE_CUBE = """
-SELECT o_orderstatus, o_orderpriority,
-       COUNT(*) AS n_orders,
-       ROUND(SUM(o_totalprice), 2) AS sum_price
+ORACLE_ROLLUP_CUBE = """
+SELECT 'rollup_lineitem' AS src, l_returnflag AS grp_a, l_linestatus AS grp_b,
+       COUNT(*) AS n_rows, ROUND(SUM(l_quantity), 2) AS sum_val
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+UNION ALL
+SELECT 'cube_orders' AS src, o_orderstatus AS grp_a, o_orderpriority AS grp_b,
+       COUNT(*) AS n_rows, ROUND(SUM(o_totalprice), 2) AS sum_val
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
@@ -451,13 +427,10 @@ PAIRS = {
     "q1_pricing_summary": (q1_pricing_summary, ORACLE_Q1),
     "q3_shipping_priority": (q3_shipping_priority, ORACLE_Q3),
     "q5_local_supplier": (q5_local_supplier, ORACLE_Q5),
-    "join_semi_urgent": (join_semi_urgent, ORACLE_SEMI),
-    "join_anti_no_orders": (join_anti_no_orders, ORACLE_ANTI),
+    "join_semi_anti": (join_semi_anti, ORACLE_SEMI_ANTI),
     "join_outer_order_counts": (join_outer_order_counts, ORACLE_OUTER),
-    "window_top_orders": (window_top_orders, ORACLE_WINDOW_TOP),
     "window_running_total": (window_running_total, ORACLE_WINDOW_RUN),
-    "agg_rollup": (agg_rollup, ORACLE_ROLLUP),
-    "agg_cube": (agg_cube, ORACLE_CUBE),
+    "agg_rollup_cube": (agg_rollup_cube, ORACLE_ROLLUP_CUBE),
     "agg_distinct": (agg_distinct, ORACLE_DISTINCT),
     "pivot_segment_priority": (pivot_segment_priority, ORACLE_PIVOT),
     "setop_active_both_eras": (setop_active_both_eras, ORACLE_SETOP),
@@ -741,7 +714,53 @@ FROM part
 """
 
 
+# ---------------------------------------------- map function suite (N11)
+def scalar_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: create_map, map_concat, element_at, size,
+    map_keys/map_values, map_filter (higher-order), map_from_entries —
+    canonicalized through ``to_json`` so the DuckDB oracle can replay the
+    values exactly (raw MapType cells don't hash cleanly cross-engine)."""
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    j = nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    m1 = F.create_map(F.lit("nation"), F.col("n_name"),
+                      F.lit("nkey"), F.col("n_nationkey").cast("string"))
+    m2 = F.create_map(F.lit("region"), F.col("r_name"))
+    merged = F.map_concat(m1, m2)
+    entries = F.map_from_entries(F.array(
+        F.struct(F.lit("r").alias("key"), F.col("r_name").alias("value"))))
+    return j.select(
+        "n_nationkey",
+        F.to_json(m1).alias("m1_json"),
+        F.to_json(merged).alias("merged_json"),
+        F.element_at(merged, F.lit("region")).alias("region_name"),
+        F.size(merged).alias("n_entries"),
+        F.array_join(F.map_keys(merged), ",").alias("keys_csv"),
+        F.array_join(F.map_values(m1), ",").alias("vals_csv"),
+        F.to_json(F.map_filter(merged, lambda k, _: k != F.lit("nkey")))
+        .alias("filtered_json"),
+        F.to_json(entries).alias("entries_json"),
+    )
+
+
+ORACLE_MAP = """
+SELECT n_nationkey,
+  CAST(json_object('nation', n_name, 'nkey', CAST(n_nationkey AS VARCHAR))
+       AS VARCHAR) AS m1_json,
+  CAST(json_object('nation', n_name, 'nkey', CAST(n_nationkey AS VARCHAR),
+                   'region', r_name) AS VARCHAR) AS merged_json,
+  r_name AS region_name,
+  CAST(3 AS INTEGER) AS n_entries,
+  'nation,nkey,region' AS keys_csv,
+  n_name || ',' || CAST(n_nationkey AS VARCHAR) AS vals_csv,
+  CAST(json_object('nation', n_name, 'region', r_name) AS VARCHAR) AS filtered_json,
+  CAST(json_object('r', r_name) AS VARCHAR) AS entries_json
+FROM nation JOIN region ON n_regionkey = r_regionkey
+"""
+
+
 PAIRS.update({
     "agg_percentiles": (agg_percentiles, ORACLE_PERCENTILES),
     "scalar_string_suite": (scalar_string_suite, ORACLE_STRING),
+    "scalar_map_suite": (scalar_map_suite, ORACLE_MAP),
 })

@@ -11,7 +11,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from hbase_snapshotter_spark.operators.snapshot import latest_cells, snapshot_as_of
-from hbase_snapshotter_spark.plans.schema import explicit_schema
+from hbase_snapshotter_spark.plans.schema import (
+    INITIAL_SNAPSHOT_KEY,
+    explicit_schema,
+    schema_as_of,
+)
 from hbase_snapshotter_spark.sources.changelog import events_as_changelog, read_table
 
 #: Snapshot boundary used by the flagship query: 2024-01-15T00:00:00Z,
@@ -126,6 +130,81 @@ def q_snapshot_multi_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest_cells_multi(log, list(TS_LIST)).select(
         "snapshot_ts", "row_key", "qualifier", "value", "cell_ts"
     )
+
+
+# ------------------------- schema-as-of + strict (Decimal) decode (N2/S5/S13-S15)
+JAN10_MS = 1_704_844_800_000
+JAN20_MS = 1_705_708_800_000
+
+
+def q_schema_history_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end MySQL-schema pipeline at a point in time: a 3-version
+    schema-history change log (``initial-snapshot`` + two timestamped
+    revisions, replaying ``Schema.scala:162-218``) is resolved as-of the
+    snapshot ts — exercising the ``initial-snapshot``→0 ordering (S5),
+    the MySQL DDL parser (S13), strict-mode type mapping incl. the
+    ``int unsigned``→Long promotion (S14) and ``decimal(p,s)``→
+    DecimalType, and the schema-JSON→StructType IR (S15) — then applied
+    to the events change log with strict (fail-on-malformed) decode.
+
+    The as-of pick must select revision 2 of 3: the Jan-20 revision is
+    in history but after the snapshot ts, so its (varchar) schema must
+    NOT win.  ``signup_total`` is in the schema but absent from the log
+    — schema drift surfaces as an all-NULL typed column."""
+    import json as _json
+
+    v0 = _json.dumps({"events": {
+        "columnIndexToNameMap": {"0": "click", "1": "view"},
+        "columnsSchema": {"click": {"columnType": "double"},
+                          "view": {"columnType": "double"}}}})
+    v1 = _json.dumps({"events": {
+        "columnIndexToNameMap": {"0": "click", "1": "purchase", "2": "signup_total"},
+        "columnsSchema": {"click": {"columnType": "decimal(14,4)"},
+                          "purchase": {"columnType": "double"},
+                          "signup_total": {"columnType": "int(10) unsigned"}}}})
+    v2 = _json.dumps({"events": {
+        "columnIndexToNameMap": {"0": "click"},
+        "columnsSchema": {"click": {"columnType": "varchar(255)"}}}})
+    history = spark.createDataFrame(
+        [(INITIAL_SNAPSHOT_KEY, 0, v0),
+         (str(JAN10_MS), JAN10_MS, v1),
+         (str(JAN20_MS), JAN20_MS, v2)],
+        "change_key string, cell_ts long, schema_json string",
+    )
+    schema = schema_as_of(history, SNAPSHOT_TS_MS, mode="strict")
+    log = events_as_changelog(
+        read_table(spark, sf_dir, "events", events_as_of_ms=SNAPSHOT_TS_MS))
+    return snapshot_as_of(log, schema, SNAPSHOT_TS_MS, strict_decode=True)
+
+
+def oracle_schema_history_snapshot() -> str:
+    return f"""
+    WITH log AS (
+      SELECT CAST(user_id AS VARCHAR) AS row_key,
+             event_type AS qualifier,
+             CAST(value AS VARCHAR) AS value,
+             epoch_ms(ts) AS cell_ts
+      FROM events
+    ),
+    latest AS (
+      SELECT row_key, qualifier, value,
+             ROW_NUMBER() OVER (PARTITION BY row_key, qualifier
+                                ORDER BY cell_ts DESC, value DESC) AS rn
+      FROM log
+      WHERE cell_ts <= {SNAPSHOT_TS_MS} AND qualifier IN ('click', 'purchase')
+    )
+    SELECT row_key AS k_hbase_row_key,
+      CAST(NULL AS VARCHAR) AS k_replicator_row_status,
+      CAST(CASE WHEN upper(MAX(CASE WHEN qualifier = 'click' THEN value END)) = 'NULL'
+                THEN NULL ELSE MAX(CASE WHEN qualifier = 'click' THEN value END)
+           END AS DECIMAL(14,4)) AS click,
+      CAST(CASE WHEN upper(MAX(CASE WHEN qualifier = 'purchase' THEN value END)) = 'NULL'
+                THEN NULL ELSE MAX(CASE WHEN qualifier = 'purchase' THEN value END)
+           END AS DOUBLE) AS purchase,
+      CAST(NULL AS BIGINT) AS signup_total
+    FROM latest WHERE rn = 1
+    GROUP BY row_key
+    """
 
 
 def oracle_snapshot_multi_ts() -> str:

@@ -41,18 +41,34 @@ GROUP BY 1, 2, 3
 """
 
 
-def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_dedup_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-arrival dedup (the batch shadow of
+    dropDuplicatesWithinWatermark: first event per (user, event_type)
+    within each 1-hour bucket) feeding a 2h/1h sliding-window count —
+    the dedup-then-window streaming pipeline as one query."""
     ev = read_table(spark, sf_dir, "events")
+    first = (
+        ev.groupBy(F.window("ts", "1 hour"), "user_id", "event_type")
+        .agg(F.min(F.struct("ts", "event_id")).alias("first"))
+        .select(F.col("first.ts").alias("ts"))
+    )
     return sliding_window_agg(
-        ev, "ts", "2 hours", "1 hour", [],
+        first, "ts", "2 hours", "1 hour", [],
         [F.count(F.lit(1)).alias("n_events")],
     )
 
 
-ORACLE_SLIDING = """
-WITH w AS (
+ORACLE_DEDUP_SLIDING = """
+WITH d AS (
+  SELECT ts FROM (
+    SELECT ts,
+           ROW_NUMBER() OVER (PARTITION BY time_bucket(INTERVAL '1 hour', ts),
+                                           user_id, event_type
+                              ORDER BY ts, event_id) AS rn
+    FROM events) WHERE rn = 1),
+w AS (
   SELECT time_bucket(INTERVAL '1 hour', ts) - k.k * INTERVAL '1 hour' AS window_start
-  FROM events, UNNEST(range(0, 2)) AS k(k))
+  FROM d, UNNEST(range(0, 2)) AS k(k))
 SELECT window_start, window_start + INTERVAL '2 hours' AS window_end,
        COUNT(*) AS n_events
 FROM w GROUP BY 1, 2
@@ -90,103 +106,88 @@ FROM s GROUP BY user_id, sid
 """
 
 
-def stream_dedup_first_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch shadow of dropDuplicatesWithinWatermark: first arrival per
-    (user, event_type) within each 1-hour bucket."""
-    ev = read_table(spark, sf_dir, "events")
+PAIRS = {
+    "stream_tumbling_counts": (stream_tumbling_counts, ORACLE_TUMBLING),
+    "stream_dedup_sliding_counts": (stream_dedup_sliding_counts, ORACLE_DEDUP_SLIDING),
+    "stream_session_windows": (stream_session_windows, ORACLE_SESSION),
+}
+
+
+# --------------------------- event analytics: funnel + cohort retention
+def signup_purchase_funnel(ev: DataFrame) -> DataFrame:
+    """Per-user funnel: first signup and first purchase at-or-after it.
+
+    Min-aggregates + ONE left join with the ``p_ts >= signup_ts``
+    predicate inside the join condition — a post-join filter would drop
+    users whose purchases all precede their first signup (their left
+    join emits only non-null early-purchase rows, which the filter then
+    removes); they must instead surface as ``converted = false``.
+    No window sort anywhere."""
+    signup = (ev.filter(F.col("event_type") == "signup")
+              .groupBy("user_id").agg(F.min("ts").alias("signup_ts")))
+    purchase = ev.filter(F.col("event_type") == "purchase") \
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
     return (
-        ev.groupBy(F.window("ts", "1 hour"), "user_id", "event_type")
-        .agg(F.min(F.struct("ts", "event_id")).alias("first"))
+        signup.join(
+            purchase,
+            (signup.user_id == purchase.p_user) & (purchase.p_ts >= signup.signup_ts),
+            "left")
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("p_ts").alias("first_purchase_ts"))
         .select(
-            F.col("window.start").alias("window_start"),
-            "user_id", "event_type",
-            F.col("first.event_id").alias("event_id"),
+            "user_id", "signup_ts", "first_purchase_ts",
+            F.col("first_purchase_ts").isNotNull().alias("converted"),
         )
     )
 
 
-ORACLE_DEDUP_FIRST = """
-SELECT window_start, user_id, event_type, event_id FROM (
-  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
-         user_id, event_type, event_id,
-         ROW_NUMBER() OVER (PARTITION BY time_bucket(INTERVAL '1 hour', ts),
-                                         user_id, event_type
-                            ORDER BY ts, event_id) AS rn
-  FROM events
-) WHERE rn = 1
-"""
-
-
-PAIRS = {
-    "stream_tumbling_counts": (stream_tumbling_counts, ORACLE_TUMBLING),
-    "stream_sliding_counts": (stream_sliding_counts, ORACLE_SLIDING),
-    "stream_session_windows": (stream_session_windows, ORACLE_SESSION),
-    "stream_dedup_first_arrival": (stream_dedup_first_arrival, ORACLE_DEDUP_FIRST),
-}
-
-
-# ------------------------------------------ event analytics: funnel
-def funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Conversion funnel: per user, first signup and first purchase
-    AFTER that signup; conversion flag — min-aggregates + one join,
-    no window sort."""
+def funnel_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup-cohort retention with funnel conversion: users cohorted by
+    first-signup week, their active weeks counted, split by whether they
+    ever purchased at-or-after that signup (:func:`signup_purchase_funnel`).
+    The cohort stage is distinct-weeks + a broadcast join + one hash
+    aggregation."""
     ev = read_table(spark, sf_dir, "events")
-    signup = (ev.filter(F.col("event_type") == "signup")
-              .groupBy("user_id").agg(F.min("ts").alias("signup_ts")))
-    purchase = ev.filter(F.col("event_type") == "purchase") \
-        .select("user_id", F.col("ts").alias("p_ts"))
-    first_purchase = (
-        signup.join(purchase, "user_id", "left")
-        .filter(F.col("p_ts").isNull() | (F.col("p_ts") >= F.col("signup_ts")))
-        .groupBy("user_id", "signup_ts")
-        .agg(F.min("p_ts").alias("first_purchase_ts"))
+    funnel = signup_purchase_funnel(ev).select(
+        "user_id",
+        F.date_trunc("week", F.col("signup_ts")).alias("cohort_week"),
+        "converted",
     )
-    return first_purchase.select(
-        "user_id", "signup_ts", "first_purchase_ts",
-        F.col("first_purchase_ts").isNotNull().alias("converted"),
+    weeks = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")).distinct()
+    return (
+        weeks.join(F.broadcast(funnel), "user_id")
+        .groupBy("cohort_week", "week")
+        .agg(
+            F.countDistinct("user_id").alias("active_users"),
+            F.countDistinct(F.when(F.col("converted"), F.col("user_id")))
+            .alias("converted_active"),
+        )
     )
 
 
-ORACLE_FUNNEL = """
+ORACLE_FUNNEL_COHORT = """
 WITH s AS (SELECT user_id, MIN(ts) AS signup_ts FROM events
            WHERE event_type = 'signup' GROUP BY user_id),
 fp AS (SELECT s.user_id, s.signup_ts, MIN(e.ts) AS first_purchase_ts
        FROM s LEFT JOIN events e
          ON e.user_id = s.user_id AND e.event_type = 'purchase'
         AND e.ts >= s.signup_ts
-       GROUP BY s.user_id, s.signup_ts)
-SELECT user_id, signup_ts, first_purchase_ts,
-       first_purchase_ts IS NOT NULL AS converted
-FROM fp
-"""
-
-
-# ------------------------------------- event analytics: cohort retention
-def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weekly cohort retention: users grouped by first-seen week, counted
-    per subsequent active week — two aggregations + a broadcast join."""
-    ev = read_table(spark, sf_dir, "events")
-    weeks = ev.select("user_id", F.date_trunc("week", F.col("ts")).alias("week"))
-    cohort = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
-    return (
-        weeks.distinct()
-        .join(F.broadcast(cohort), "user_id")
-        .groupBy("cohort_week", "week")
-        .agg(F.countDistinct("user_id").alias("active_users"))
-    )
-
-
-ORACLE_RETENTION = """
-WITH weeks AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
-               FROM events),
-cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY user_id)
-SELECT cohort_week, week, COUNT(DISTINCT w.user_id) AS active_users
-FROM weeks w JOIN cohort c ON w.user_id = c.user_id
+       GROUP BY s.user_id, s.signup_ts),
+f AS (SELECT user_id,
+             CAST(date_trunc('week', signup_ts) AS TIMESTAMP) AS cohort_week,
+             first_purchase_ts IS NOT NULL AS converted
+      FROM fp),
+w AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+      FROM events)
+SELECT cohort_week, week,
+       COUNT(DISTINCT w.user_id) AS active_users,
+       COUNT(DISTINCT CASE WHEN converted THEN w.user_id END) AS converted_active
+FROM w JOIN f ON w.user_id = f.user_id
 GROUP BY cohort_week, week
 """
 
 
 PAIRS.update({
-    "funnel_signup_purchase": (funnel_signup_purchase, ORACLE_FUNNEL),
-    "cohort_retention": (cohort_retention, ORACLE_RETENTION),
+    "funnel_cohort_retention": (funnel_cohort_retention, ORACLE_FUNNEL_COHORT),
 })

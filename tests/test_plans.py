@@ -62,9 +62,8 @@ def test_snapshot_is_two_light_shuffles(spark, sf_dir):
 
 
 def test_semi_anti_join_strategies(spark, sf_dir):
-    semi = explain(spark, "join_semi_urgent", sf_dir)
-    anti = explain(spark, "join_anti_no_orders", sf_dir)
-    assert "LeftSemi" in semi and "LeftAnti" in anti
+    plan = explain(spark, "join_semi_anti", sf_dir)
+    assert "LeftSemi" in plan and "LeftAnti" in plan
 
 
 def test_agg_partial_pushdown(spark, sf_dir):

@@ -89,3 +89,28 @@ def test_streaming_running_max_state(spark, event_stream_dir):
     want = {r.user_id: r.mx for r in
             src.groupBy("user_id").agg(F.max("value").alias("mx")).collect()}
     assert got == want
+
+
+def test_funnel_keeps_user_with_only_pre_signup_purchases(spark):
+    """A user whose purchases all precede their first signup must appear
+    with converted = false / NULL first_purchase_ts — the predicate
+    belongs in the join condition, not a post-join filter (which would
+    drop the user entirely)."""
+    from hbase_snapshotter_spark.queries.streaming_q import signup_purchase_funnel
+
+    ev = spark.createDataFrame(
+        [
+            ("u1", "purchase", "2024-01-01 10:00:00"),   # before signup
+            ("u1", "signup",   "2024-01-02 10:00:00"),
+            ("u2", "signup",   "2024-01-01 09:00:00"),
+            ("u2", "purchase", "2024-01-03 09:00:00"),   # after signup
+            ("u3", "signup",   "2024-01-01 08:00:00"),   # never purchases
+        ],
+        "user_id string, event_type string, ts_s string",
+    ).select("user_id", "event_type", F.col("ts_s").cast("timestamp").alias("ts"))
+
+    rows = {r.user_id: r for r in signup_purchase_funnel(ev).collect()}
+    assert set(rows) == {"u1", "u2", "u3"}
+    assert rows["u1"].converted is False and rows["u1"].first_purchase_ts is None
+    assert rows["u2"].converted is True
+    assert rows["u3"].converted is False
