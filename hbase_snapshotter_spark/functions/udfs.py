@@ -21,8 +21,13 @@ from pyspark.sql.types import DoubleType
 
 @F.pandas_udf(DoubleType())
 def vector_norm(emb: pd.Series) -> pd.Series:
-    """L2 norm of an array<float> column, one Arrow batch at a time."""
-    return emb.map(lambda v: float((pd.Series(v, dtype="float64") ** 2).sum() ** 0.5))
+    """L2 norm of an array<float> column — one numpy einsum over the
+    whole stacked Arrow batch (a per-row .map would re-enter Python for
+    every row, defeating the vectorization this module exists for)."""
+    import numpy as np
+
+    m = np.array(emb.tolist(), dtype=np.float64)
+    return pd.Series(np.sqrt(np.einsum("ij,ij->i", m, m)))
 
 
 # ---- grouped-agg Pandas UDF

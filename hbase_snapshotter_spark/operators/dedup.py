@@ -291,5 +291,18 @@ def connected_components(
         updated.unpersist()
         if changed == 0:
             break
+    else:
+        # loop exhausted without converging: labels are min-so-far, not
+        # final components — surface it instead of silently returning
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge in {max_iterations} "
+            f"iterations ({changed} labels still changing); graph diameter "
+            "exceeds max_iterations — raise it (or use pointer doubling "
+            "for O(log d) rounds)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     sym.unpersist()
     return labels.select(F.col("node").alias(id_col), "component")

@@ -229,10 +229,13 @@ def cosine_pairs(
     clearing the threshold are emitted.
 
     Data movement is O(n·d) (one broadcast + one streamed pass), not
-    O(n²·d) — no pair rows ever exist outside numpy.  This holds to
-    ~10⁵-10⁶ vectors (a 100k×64 float32 corpus is 25 MB broadcast);
-    beyond that, shard the corpus into column blocks or pre-bucket with
-    :func:`srp_bucket` / IVF cells and run this join per bucket."""
+    O(n²·d) — no pair rows ever exist outside numpy.  But the corpus is
+    collected on the DRIVER first, which caps it at ~10⁵-10⁶ vectors —
+    this function is therefore the small-scale exact baseline / recall
+    verifier (tests only).  The production exact path is
+    :func:`cosine_pairs_blocked` (distributed block-matrix, no driver
+    collect); the sub-quadratic approximate path is
+    :func:`cosine_pairs_bucketed`."""
     import pandas as pd  # noqa: F811 - explicit for mapInPandas closure
 
     corpus = emb.select(F.col(id_col), F.col(vec_col)).toPandas()
@@ -260,30 +263,114 @@ def cosine_pairs(
     )
 
 
+def cosine_pairs_blocked(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold as a DISTRIBUTED block-matrix
+    self-join — no driver collect, no broadcast of the corpus.
+
+    Vectors are hashed into ``n_blocks`` row-blocks; every unordered
+    block pair (i ≤ j) becomes one task.  A row in block b fans out to
+    its tasks (as the left side of (b, j≥b) and the right side of
+    (i<b, b)), one shuffle groups each task's two blocks together, and
+    ``applyInPandas`` runs a single numpy matmul per task — pair rows
+    never exist outside numpy.  Data movement is O(n·n_blocks) rows;
+    compute is the unavoidable exact n²·d/2, split into n_blocks²/2
+    independent tasks.  Size ``n_blocks`` ≈ n·d·8 / executor-memory so
+    two blocks fit comfortably per task; LSH (:func:`cosine_pairs_
+    bucketed`) remains the sub-quadratic path when approximate recall
+    is acceptable.
+
+    Output: (id_a, id_b, cosine), id_a < id_b, cosine rounded to 4 dp.
+    """
+    import pandas as pd  # noqa: F811 - explicit for applyInPandas closure
+
+    b_col = F.pmod(F.col(id_col), F.lit(n_blocks))
+    left = F.transform(
+        F.sequence(b_col, F.lit(n_blocks - 1)),
+        lambda j: F.struct(b_col.alias("bi"), j.alias("bj"), F.lit("L").alias("role")))
+    right = F.transform(
+        F.sequence(F.lit(0), b_col),
+        lambda i: F.struct(i.alias("bi"), b_col.alias("bj"), F.lit("R").alias("role")))
+    # the diagonal task (b, b) needs each row once — drop its R copy
+    tasks = F.filter(F.concat(left, right),
+                     lambda t: ~((t["bi"] == t["bj"]) & (t["role"] == F.lit("R"))))
+    fanned = emb.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
+        F.explode(tasks).alias("__t"),
+    ).select("__id", "__v", F.col("__t.bi").alias("bi"),
+             F.col("__t.bj").alias("bj"), F.col("__t.role").alias("role"))
+
+    def block_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])
+        lpdf = pdf[pdf["role"] == "L"]
+        rpdf = lpdf if bi == bj else pdf[pdf["role"] == "R"]
+        if not len(lpdf) or not len(rpdf):
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"})
+        a_ids = lpdf["__id"].to_numpy()
+        b_ids = rpdf["__id"].to_numpy()
+        A = np.array(lpdf["__v"].tolist(), dtype=np.float64)
+        B = np.array(rpdf["__v"].tolist(), dtype=np.float64)
+        an = np.sqrt(np.einsum("ij,ij->i", A, A))
+        bn = np.sqrt(np.einsum("ij,ij->i", B, B))
+        C = np.round((A @ B.T) / np.outer(an, bn), 4)
+        mask = C >= threshold
+        if bi == bj:
+            mask &= a_ids[:, None] < b_ids[None, :]
+        else:
+            mask &= a_ids[:, None] != b_ids[None, :]
+        ai, ci = np.nonzero(mask)
+        ia, ib = a_ids[ai], b_ids[ci]
+        return pd.DataFrame({
+            "id_a": np.minimum(ia, ib), "id_b": np.maximum(ia, ib),
+            "cosine": C[ai, ci],
+        })
+
+    return fanned.groupBy("bi", "bj").applyInPandas(
+        block_fn, "id_a long, id_b long, cosine double")
+
+
 IVF_CENTROID_STRIDE = 31  # centroids = vectors with vec_id % stride == 0
 
 
-def ivf_assignments(
+def sampled_centroids(
     emb: DataFrame,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_stride: int = IVF_CENTROID_STRIDE,
 ) -> DataFrame:
-    """(id, cell) — IVF coarse quantization: every vector is assigned to
-    its nearest (max-cosine) centroid.
+    """Deterministic-sample centroids ``(__cid, __cv)``: vectors with
+    ``id % stride == 0`` (~n/stride cells ≈ √n at fixture sizes) — fully
+    replayable by the SQL oracle, no RNG."""
+    return emb.filter((F.col(id_col) % centroid_stride) == 0).select(
+        F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv"))
 
-    Centroids here are a deterministic sample (``id % stride == 0``,
-    giving ~n/stride cells ≈ √n at fixture sizes) so the SQL oracle can
-    replay the assignment; swap in k-means centroids for production —
-    the plan (broadcast centroids → vectorized scores → argmax) is
-    identical.  Scores are rounded (6 dp) before the argmax so float
-    fuzz can't flip an assignment."""
+
+def assign_to_centroids(
+    emb: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell) — nearest (max-cosine) centroid per vector.
+
+    The argmax is a hash aggregation (``max(struct(score, -cid))`` with
+    map-side partials), NOT a window: the broadcast-crossJoin scores n×c
+    rows, but the shuffle after partial aggregation carries ~one row per
+    vector per partition — no sort of the n×c set anywhere.  Scores are
+    rounded (6 dp) before the argmax so float fuzz can't flip an
+    assignment; ties break toward the smallest centroid id."""
     dot = pairwise_dot_udf()
-    cents = emb.filter((F.col(id_col) % centroid_stride) == 0).select(
-        F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv"),
-        norm_expr(F.col(vec_col)).alias("__cn"),
-    )
+    cents = centroids.select(
+        "__cid", "__cv", norm_expr(F.col("__cv")).alias("__cn"))
     scored = (
         emb.select(F.col(id_col), F.col(vec_col),
                    norm_expr(F.col(vec_col)).alias("__n"))
@@ -293,11 +380,105 @@ def ivf_assignments(
                 F.round(dot(F.col(vec_col), F.col("__cv"))
                         / (F.col("__n") * F.col("__cn")), 6).alias("__score"))
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("__score"), F.asc("__cid"))
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(F.col(id_col), F.col("__cid").alias("cell"))
+        scored.groupBy(id_col)
+        .agg(F.max(F.struct(F.col("__score"),
+                            (-F.col("__cid")).alias("__neg_cid"))).alias("__best"))
+        .select(F.col(id_col), (-F.col("__best.__neg_cid")).alias("cell"))
+    )
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_stride: int = IVF_CENTROID_STRIDE,
+    iterations: int = 2,
+) -> DataFrame:
+    """Lloyd's k-means refinement of the sampled centroids — the
+    production IVF path.  Each iteration is the SAME broadcast-score-
+    argmax plan as :func:`assign_to_centroids` followed by an
+    elementwise mean (posexplode → per-(cell, dim) avg → re-assembled
+    array); no driver-side math, centroids stay a DataFrame end-to-end.
+    Deterministic: seeded by the deterministic sample, no RNG.
+
+    At 100 TB, run the training loop on a :mod:`~.sampling` hash-mod
+    sample (a few million vectors bounds centroid drift) and apply the
+    final centroids to the full corpus with one more assignment pass."""
+    cents = sampled_centroids(emb, id_col=id_col, vec_col=vec_col,
+                              centroid_stride=centroid_stride)
+    for _ in range(iterations):
+        assign = assign_to_centroids(emb, cents, id_col=id_col, vec_col=vec_col)
+        cents = (
+            emb.join(assign, id_col)
+            .select(F.col("cell"), F.posexplode(F.col(vec_col)).alias("__pos", "__x"))
+            .groupBy("cell", "__pos")
+            .agg(F.avg(F.col("__x").cast("double")).alias("__m"))
+            .groupBy("cell")
+            .agg(F.transform(
+                F.sort_array(F.collect_list(F.struct(F.col("__pos"), F.col("__m")))),
+                lambda s: s["__m"]).alias("__cv"))
+            .select(F.col("cell").alias("__cid"), "__cv")
+        )
+    return cents
+
+
+def ivf_assignments(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_stride: int = IVF_CENTROID_STRIDE,
+    use_kmeans: bool = False,
+    kmeans_iterations: int = 2,
+) -> DataFrame:
+    """(id, cell) — IVF coarse quantization: every vector is assigned to
+    its nearest (max-cosine) centroid via :func:`assign_to_centroids`
+    (hash-agg argmax, no window sort).
+
+    Default centroids are the oracle-replayable deterministic sample;
+    ``use_kmeans=True`` swaps in Lloyd's-refined centroids
+    (:func:`kmeans_centroids`) — the plan is identical, only the
+    broadcast side changes."""
+    if use_kmeans:
+        cents = kmeans_centroids(emb, id_col=id_col, vec_col=vec_col,
+                                 centroid_stride=centroid_stride,
+                                 iterations=kmeans_iterations)
+    else:
+        cents = sampled_centroids(emb, id_col=id_col, vec_col=vec_col,
+                                  centroid_stride=centroid_stride)
+    return assign_to_centroids(emb, cents, id_col=id_col, vec_col=vec_col)
+
+
+def topk_by_group(
+    scored: DataFrame,
+    k: int,
+    *,
+    group_col: str = "query_id",
+    score_col: str = "cosine",
+    id_col: str = "neighbor_id",
+) -> DataFrame:
+    """Per-group top-k WITHOUT a window sort: one hash aggregation
+    collects ``struct(score, -id)`` per group (map-side partials), then
+    ``sort_array`` + ``slice`` rank the in-memory per-group list and
+    ``posexplode`` emits ranks.  Correct whenever per-group candidate
+    sets are bounded (bucket/cell-sized) — exactly the ANN re-rank case;
+    ties break toward the smaller id."""
+    agg = scored.groupBy(group_col).agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(score_col),
+                                        (-F.col(id_col)).alias("__neg_id"))),
+                asc=False),
+            1, k).alias("__top"))
+    return agg.select(
+        group_col, F.posexplode("__top").alias("__pos", "__t")
+    ).select(
+        F.col(group_col),
+        (-F.col("__t.__neg_id")).alias(id_col),
+        (F.col("__pos") + 1).cast("int").alias("rank"),
+        F.col(f"__t.{score_col}").alias(score_col),
     )
 
 
@@ -309,13 +490,16 @@ def ivf_topk(
     vec_col: str = "embedding",
     k: int = 5,
     centroid_stride: int = IVF_CENTROID_STRIDE,
+    use_kmeans: bool = False,
 ) -> DataFrame:
     """Approximate top-k via IVF (nprobe=1): candidates share the query's
     cell, re-ranked by exact cosine.  Output shape matches
     :func:`brute_force_topk`; recall depends on cell granularity and is
-    measured against it."""
+    measured against it.  The whole plan is window-free: assignment is a
+    hash-agg argmax, the re-rank is :func:`topk_by_group`."""
     assign = ivf_assignments(corpus, id_col=id_col, vec_col=vec_col,
-                             centroid_stride=centroid_stride)
+                             centroid_stride=centroid_stride,
+                             use_kmeans=use_kmeans)
     dot = pairwise_dot_udf()
     with_cell = corpus.join(assign, id_col).select(
         F.col(id_col), F.col(vec_col), F.col("cell"),
@@ -335,9 +519,4 @@ def ivf_topk(
                 F.round(dot(F.col("__qv"), F.col("__cv"))
                         / (F.col("__qn") * F.col("__cn")), 4).alias("cosine"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cosine")
-    )
+    return topk_by_group(scored, k).select("query_id", "neighbor_id", "rank", "cosine")

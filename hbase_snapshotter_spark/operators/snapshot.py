@@ -78,8 +78,15 @@ def decode_expr(col: Column, dtype: DataType, *, strict: bool = False) -> Column
 
 
 def as_of(changelog: DataFrame, ts: int | None, *, ts_col: str = "cell_ts") -> DataFrame:
-    """Time-range predicate ``[0, ts]``; ``ts`` < 0 / ``None`` = "now"
-    (``Scan.setTimeRange`` gate, ``HBaseSnapshotter.scala:123-124``)."""
+    """Time-range predicate ``[0, ts]``; ``ts`` < 0 / ``None`` = "now".
+
+    Deliberate divergence from the reference: HBase's
+    ``Scan.setTimeRange(0, ts)`` (``HBaseSnapshotter.scala:123-124``)
+    has an EXCLUSIVE ``maxStamp``, so a cell written exactly at ``ts``
+    is invisible there but visible here.  SURVEY.md pins the inclusive
+    bound ("state at time ts" reads naturally as ≤ ts, matching SQL
+    ``BETWEEN``/time-travel conventions); callers needing HBase-exact
+    semantics pass ``ts - 1``."""
     if ts is None or ts < 0:
         return changelog
     return changelog.filter(F.col(ts_col) <= F.lit(ts))
@@ -218,6 +225,11 @@ def snapshot_as_of(
     for fam, quals in fam_quals.items():
         cond = (F.col(family_col) == fam) & F.col(qualifier_col).isin(quals)
         keep = cond if keep is None else (keep | cond)
+    if keep is None:
+        raise ValueError(
+            "schema binds no cells: no field carries a family/qualifier "
+            "binding (explicit_schema([]) or a schema of synthetic columns "
+            "only) — nothing to snapshot")
 
     latest = (
         as_of(changelog, ts, ts_col=ts_col)

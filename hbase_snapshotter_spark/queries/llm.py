@@ -22,7 +22,7 @@ from hbase_snapshotter_spark.operators.similarity import (
     PROJECTIONS,
     ann_lsh_topk,
     brute_force_topk,
-    cosine_pairs,
+    cosine_pairs_blocked,
 )
 from hbase_snapshotter_spark.operators.text import (
     LANG_MARKERS,
@@ -277,7 +277,10 @@ EMB_PAIR_THRESHOLD = 0.45
 
 
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return cosine_pairs(_emb(spark, sf_dir), threshold=EMB_PAIR_THRESHOLD) \
+    """Exact embedding near-dup via the DISTRIBUTED block-matrix join —
+    no driver collect anywhere on this path (the broadcast variant,
+    cosine_pairs, is the test-only recall verifier)."""
+    return cosine_pairs_blocked(_emb(spark, sf_dir), threshold=EMB_PAIR_THRESHOLD) \
         .orderBy("id_a", "id_b")
 
 

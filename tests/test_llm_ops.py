@@ -210,6 +210,57 @@ def test_ivf_scores_match_brute_force(spark, sf_dir):
     assert all(brute[(r.query_id, r.neighbor_id)] == r.cosine for r in ivf)
 
 
+def test_blocked_pairs_equal_broadcast_exact(spark, sf_dir):
+    """The distributed block-matrix pair join (no driver collect) must
+    reproduce the broadcast exact baseline pair-for-pair, including at
+    n_blocks larger than the data spread."""
+    from hbase_snapshotter_spark.operators.similarity import (
+        cosine_pairs,
+        cosine_pairs_blocked,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {(r.id_a, r.id_b): r.cosine
+             for r in cosine_pairs(emb, threshold=0.4).collect()}
+    for n_blocks in (1, 4):
+        blocked = {(r.id_a, r.id_b): r.cosine
+                   for r in cosine_pairs_blocked(
+                       emb, threshold=0.4, n_blocks=n_blocks).collect()}
+        assert blocked == exact
+
+
+def test_kmeans_ivf_assignment_valid_and_deterministic(spark, sf_dir):
+    """Lloyd's-refined centroids: every vector gets exactly one cell,
+    the refinement is deterministic (no RNG), and mean squared cosine
+    distance to the assigned centroid does not get worse than the
+    sampled-centroid init."""
+    from hbase_snapshotter_spark.operators.similarity import (
+        assign_to_centroids,
+        cosine_expr,
+        kmeans_centroids,
+        sampled_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter("vec_id < 200")
+
+    def mean_cos(cents):
+        a = assign_to_centroids(emb, cents)
+        joined = (emb.join(a, "vec_id")
+                  .join(cents.withColumnRenamed("__cid", "cell"), "cell"))
+        return joined.agg(F.avg(cosine_expr(F.col("embedding"), F.col("__cv")))
+                          .alias("m")).head().m
+
+    init = sampled_centroids(emb, centroid_stride=31)
+    km = kmeans_centroids(emb, centroid_stride=31, iterations=2)
+    assign1 = sorted((r.vec_id, r.cell)
+                     for r in assign_to_centroids(emb, km).collect())
+    assign2 = sorted((r.vec_id, r.cell)
+                     for r in assign_to_centroids(emb, km).collect())
+    assert assign1 == assign2                       # deterministic
+    assert len(assign1) == emb.count()              # total assignment
+    assert mean_cos(km) >= mean_cos(init) - 1e-9    # refinement helps
+
+
 def test_connected_components_clusters(spark):
     from hbase_snapshotter_spark.operators.dedup import connected_components
 
@@ -243,3 +294,51 @@ def test_deterministic_sampling_is_stable(spark, sf_dir):
     half = {r.doc_id: r.split for r in
             train_val_test_split(docs.filter("doc_id % 2 = 0"), "doc_id").collect()}
     assert all(full[k] == v for k, v in half.items())
+
+
+def test_max_df_caps_hot_shingles(spark):
+    """SCALE.md's skew story, exercised: a boilerplate n-gram shared by
+    every doc makes the inverted-index join O(n^2); max_df drops it,
+    collapsing the candidate/pair blowup while genuine near-dups still
+    verify with unchanged Jaccard."""
+    from hbase_snapshotter_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_pairs,
+    )
+
+    boiler = "subscribe to our newsletter today"
+    docs = [(i, f"{boiler} unique words number {i} alpha{i} beta{i} gamma{i}")
+            for i in range(20)]
+    docs += [(100, "the quick brown fox jumps over the lazy dog tonight"),
+             (101, "the quick brown fox jumps over the lazy dog today")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    uncapped = jaccard_pairs(df, "doc_id", threshold=0.0).count()
+    capped_pairs = {(r.id_a, r.id_b): r.jaccard
+                    for r in jaccard_pairs(df, "doc_id", threshold=0.0,
+                                           max_df=5).collect()}
+    assert uncapped >= 20 * 19 / 2          # boilerplate joins every pair
+    assert len(capped_pairs) < uncapped / 10  # cap kills the blowup
+    # the genuine near-dup survives: 7 shared of 9 distinct trigrams
+    assert capped_pairs[(100, 101)] == round(7 / 9, 4)
+
+    lsh = {(r.id_a, r.id_b) for r in
+           minhash_lsh_pairs(df, "doc_id", threshold=0.3, max_df=5).collect()}
+    assert (100, 101) in lsh
+
+
+def test_sampling_is_total_over_null_keys(spark):
+    """NULL keys must get a deterministic bucket (sentinel hash), not
+    md5(NULL)=NULL: splits stay total and samples don't silently drop
+    NULL-key rows."""
+    from hbase_snapshotter_spark.operators.sampling import (
+        hash_bucket,
+        train_val_test_split,
+    )
+
+    df = spark.createDataFrame(
+        [(1,), (2,), (None,)], "k int")
+    split = train_val_test_split(df, "k").collect()
+    assert len(split) == 3 and all(r.split in ("train", "val", "test") for r in split)
+    buckets = df.select(hash_bucket("k").alias("b")).collect()
+    assert all(r.b is not None and 0 <= r.b < 1000 for r in buckets)

@@ -78,6 +78,26 @@ def test_topk_plans_as_take_ordered(spark, sf_dir):
     assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
 
 
+def test_ivf_plan_is_window_free(spark, sf_dir):
+    """IVF assignment argmax must be a hash aggregation (max_by-style
+    struct max with map-side partials) and the top-k re-rank a
+    collect_list/sort_array aggregation — no Window sort of the n x c
+    scored set anywhere in the plan."""
+    plan = explain(spark, "similarity_topk_ivf", sf_dir)
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_embedding_pairs_have_no_driver_collect(spark, sf_dir):
+    """The registered exact near-dup path is the distributed block-
+    matrix join: its plan contains the fan-out + grouped-map stages and
+    planning it must not trigger a driver-side collect (building the
+    plan of a collect-based implementation would scan the corpus at
+    plan time; FlatMapGroupsInPandas proves the distributed shape)."""
+    plan = explain(spark, "embedding_near_dup_pairs", sf_dir)
+    assert "FlatMapGroupsInPandas" in plan
+
+
 def test_multi_ts_snapshot_single_shuffle(spark, sf_dir):
     """N snapshots from one scan: the fan-out explode stays narrow; only
     the per-(ts, cell) aggregation shuffles."""

@@ -133,3 +133,15 @@ def test_strict_decode_fails_on_malformed(spark, schema_history):
     # strict (reference parity, HBaseSnapshotter.scala:95-102): job fails
     with pytest.raises(Exception, match="cannot decode|USER_RAISED|CAST_INVALID"):
         snapshot_as_of(bad, schema, T0, strict_decode=True).collect()
+
+
+def test_empty_schema_raises_clear_error(spark, changelog):
+    """A schema binding no cells must fail with a meaningful message,
+    not a TypeError from filter(None)."""
+    import pytest
+
+    from hbase_snapshotter_spark.operators.snapshot import snapshot_as_of
+    from hbase_snapshotter_spark.plans.schema import explicit_schema
+
+    with pytest.raises(ValueError, match="binds no cells"):
+        snapshot_as_of(changelog, explicit_schema([]), None)

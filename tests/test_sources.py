@@ -44,3 +44,100 @@ def test_partitioned_snapshot_write(spark, log, tmp_path):
         assert "PartitionFilters: [" in plan
     finally:
         spark.sql("DROP TABLE snap_part")
+
+
+# ------------------- Python Data Source: region-split change-log (S1)
+@pytest.fixture(scope="module")
+def region_dir(spark, log, tmp_path_factory):
+    """The change log written as 4 'region' files split by row-key hash
+    — the layout of an HBase table's regions."""
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path_factory.mktemp("regions"))
+    for r in range(4):
+        (log.filter(F.crc32(F.col("row_key")) % 4 == r)
+         .coalesce(1).write.mode("overwrite").parquet(f"{path}/region={r}.parquet"))
+    # flatten: move the single part file up as region file
+    import glob
+    import os
+    import shutil
+    final = str(tmp_path_factory.mktemp("regions_flat"))
+    for r in range(4):
+        part = glob.glob(f"{path}/region={r}.parquet/part-*.parquet")[0]
+        shutil.copy(part, os.path.join(final, f"region-{r}.parquet"))
+    return final
+
+
+def test_pyds_serves_identical_changelog(spark, log, region_dir):
+    from hbase_snapshotter_spark.sources import pyds
+
+    pyds.register(spark)
+    got = spark.read.format("changelog").option("path", region_dir).load()
+    assert [f.simpleString() for f in got.schema.fields] == \
+           [f.simpleString() for f in log.schema.fields]
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in log.collect()}
+
+
+def test_pyds_snapshot_runs_unchanged_with_pushdown(spark, log, region_dir):
+    """snapshot_as_of over the custom source == over the parquet log,
+    and the time-range predicate reaches the source (Scan.setTimeRange
+    analogue) instead of being applied post-scan: the comparison
+    predicates disappear from the Spark-side Filter because pushFilters
+    consumed them (a control run with pushdown disabled shows them)."""
+    from hbase_snapshotter_spark.queries.snapshot_q import SNAPSHOT_TS_MS
+    from hbase_snapshotter_spark.sources import pyds
+
+    pyds.register(spark)
+    src = spark.read.format("changelog").option("path", region_dir).load()
+    want = {tuple(r) for r in
+            snapshot_as_of(log, events_snapshot_schema(), SNAPSHOT_TS_MS).collect()}
+    got_df = snapshot_as_of(src, events_snapshot_schema(), SNAPSHOT_TS_MS)
+    got = {tuple(r) for r in got_df.collect()}
+    assert got == want
+
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchScan changelog" in plan
+    assert " <= " not in plan           # time range consumed by the source
+    # control: with pushdown off, the same comparison stays Spark-side
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+    try:
+        ctl = snapshot_as_of(src, events_snapshot_schema(), SNAPSHOT_TS_MS)
+        assert " <= " in ctl._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+
+
+def test_pyds_prunes_disjoint_regions(spark, log, tmp_path_factory):
+    """Regions whose cell_ts range lies entirely after the snapshot
+    bound are never scanned — partition-level time pruning."""
+    import glob
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from hbase_snapshotter_spark.sources import pyds
+
+    cut = log.agg(F.expr("percentile(cell_ts, 0.5)")).head()[0]
+    tmp = str(tmp_path_factory.mktemp("time_regions_raw"))
+    final = str(tmp_path_factory.mktemp("time_regions"))
+    log.filter(F.col("cell_ts") <= cut).coalesce(1) \
+        .write.mode("overwrite").parquet(f"{tmp}/early")
+    log.filter(F.col("cell_ts") > cut).coalesce(1) \
+        .write.mode("overwrite").parquet(f"{tmp}/late")
+    for name in ("early", "late"):
+        part = glob.glob(f"{tmp}/{name}/part-*.parquet")[0]
+        shutil.copy(part, os.path.join(final, f"{name}.parquet"))
+
+    import json
+
+    pyds.register(spark)
+    scan_log = os.path.join(str(tmp_path_factory.mktemp("scanlog")), "scan.json")
+    src = (spark.read.format("changelog")
+           .option("path", final).option("debugScanLog", scan_log).load())
+    n = src.filter(F.col("cell_ts") <= int(cut)).count()
+    assert n == log.filter(F.col("cell_ts") <= cut).count()
+    with open(scan_log) as fh:
+        scan = json.load(fh)
+    assert any("cell_ts" in p for p in scan["pushed"])
+    assert scan["regions_total"] == 2 and scan["regions_read"] == 1
