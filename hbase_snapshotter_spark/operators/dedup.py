@@ -89,8 +89,8 @@ def jaccard_pairs(
     fast path.
     """
     s = shingles_df if shingles_df is not None else _shingle_sets(df, id_col, text_col, n, max_df)
-    sizes = s.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
     if candidates is None:
+        sizes = s.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
         a, b = s.alias("a"), s.alias("b")
         shared = (
             a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
@@ -99,6 +99,18 @@ def jaccard_pairs(
             .agg(F.count(F.lit(1)).alias("__shared"))
         )
     else:
+        # shrink the shingle table to candidate docs FIRST (semi-join —
+        # AQE broadcasts the candidate-id side while it's small): the
+        # shared-shingle join and size agg then run over |cand docs|
+        # rows, not the whole corpus's shingles.  The candidate set is
+        # consumed 3x (pair join + both id projections), so persist it —
+        # its producing DAG (signatures + band join) must not re-run.
+        candidates = candidates.persist()
+        cand_docs = (candidates.select(F.col("id_a").alias(id_col))
+                     .unionAll(candidates.select(F.col("id_b").alias(id_col)))
+                     .distinct())
+        s = s.join(cand_docs, id_col, "left_semi")
+        sizes = s.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
         sa = s.select(F.col(id_col).alias("id_a"), "shingle")
         sb = s.select(F.col(id_col).alias("id_b"), "shingle")
         shared = (
@@ -118,23 +130,48 @@ def jaccard_pairs(
     )
 
 
+def minhash_digests(num_hashes: int) -> list:
+    """Projection columns ``__d0..`` holding the ⌈k/4⌉ md5 digests the
+    signature needs: ``__d0 = md5(shingle)`` and ``__dN = md5(N || '|'
+    || __d0)``.  Computed in the PROJECTION (once per shingle row —
+    aggregate expressions get no cross-expression CSE, so computing
+    digests inside the min-aggs re-evaluates each md5 four times)."""
+    first = F.md5("shingle").alias("__d0")
+    rest = [
+        F.md5(F.concat_ws("|", F.lit(d), F.md5("shingle"))).alias(f"__d{d}")
+        for d in range(1, (num_hashes + 3) // 4)
+    ]
+    return [first, *rest]
+
+
+def minhash_aggs(num_hashes: int) -> list:
+    """The k min-hash aggregates over :func:`minhash_digests` columns:
+    each 128-bit digest yields four independent 32-bit slices (8
+    lowercase-hex chars, so lexicographic min == numeric min).  md5
+    evaluations per shingle drop from k+1 to ⌈k/4⌉ — md5 throughput IS
+    the measured cost of the whole MinHash pipeline.  Cross-engine
+    replayable: DuckDB computes identical slices with
+    ``substr(md5(...), off, 8)``."""
+    out = []
+    for i in range(num_hashes):
+        d, slot = divmod(i, 4)
+        out.append(F.min(F.substring(F.col(f"__d{d}"), slot * 8 + 1, 8))
+                   .alias(f"mh{i}"))
+    return out
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str = "text", *, n: int = 3, num_hashes: int = 12
 ) -> DataFrame:
     """Wide signature (id, mh0..mh{k-1}) in ONE hash aggregation.
 
-    The i-th hash of a shingle is ``md5(i || '|' || md5(shingle))`` —
-    the inner md5 is computed once per shingle, the k outer hashes run
-    over a fixed 32-char string.  All k mins are aggregate expressions of
-    a single groupBy(id), so the shuffle carries one row per document
+    All k mins are aggregate expressions of a single groupBy(id)
+    (:func:`minhash_aggs`), so the shuffle carries one row per document
     and there is no per-seed row explosion (k× fewer shuffled rows than
     the tall layout)."""
-    s = doc_shingles(spread(df), id_col, text_col, n).withColumn("__h0", F.md5("shingle"))
-    aggs = [
-        F.min(F.md5(F.concat_ws("|", F.lit(i), F.col("__h0")))).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
-    return s.groupBy(id_col).agg(*aggs)
+    s = doc_shingles(spread(df), id_col, text_col, n) \
+        .select(F.col(id_col), *minhash_digests(num_hashes))
+    return s.groupBy(id_col).agg(*minhash_aggs(num_hashes))
 
 
 def minhash_lsh_pairs(
@@ -157,10 +194,8 @@ def minhash_lsh_pairs(
     # one shingle pass feeds both the signatures and the exact
     # verification — persisted so tokenization/hashing runs once
     s = _shingle_sets(df, id_col, text_col, n, max_df).persist()
-    sig = s.withColumn("__h0", F.md5("shingle")).groupBy(id_col).agg(
-        *[F.min(F.md5(F.concat_ws("|", F.lit(i), F.col("__h0")))).alias(f"mh{i}")
-          for i in range(num_hashes)]
-    )
+    sig = s.select(F.col(id_col), *minhash_digests(num_hashes)) \
+        .groupBy(id_col).agg(*minhash_aggs(num_hashes))
     band_cols = [
         F.concat_ws(",", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
         for b in range(bands)
@@ -268,7 +303,7 @@ def connected_components(
 
     labels = nodes.select(F.col(id_col).alias("node"),
                           F.col(id_col).alias("component")).persist()
-    labels.count()
+    prev = labels
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.d == labels.node)
@@ -283,12 +318,11 @@ def connected_components(
                     (F.coalesce("n_min", F.col("component"))
                      < F.col("component")).alias("__changed"))
         ).persist()
+        # ONE action per round: the count materializes `updated` into the
+        # cache, cutting lineage; next round's labels read the cached rows
         changed = updated.filter(F.col("__changed")).count()
-        old = labels
-        labels = updated.select("node", "component").persist()
-        labels.count()
-        old.unpersist()
-        updated.unpersist()
+        prev.unpersist()
+        prev, labels = updated, updated.select("node", "component")
         if changed == 0:
             break
     else:

@@ -186,7 +186,8 @@ def cosine_pairs_bucketed(
         F.col(id_col), F.col(vec_col),
         norm_expr(F.col(vec_col)).alias("__norm"),
         srp_bucket(F.col(vec_col), projections).alias("__sig"),
-    )
+    ).persist()  # consumed 3x (band keys + both candidate sides): without
+    # this the Arrow-batched signature/norm pass re-runs per consumer
     keyed = with_b.select(
         F.col(id_col),
         F.posexplode(F.array(*[

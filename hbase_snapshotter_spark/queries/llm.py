@@ -99,10 +99,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _minhash_sql(i: int) -> str:
+    """DuckDB twin of operators.dedup.minhash_aggs: slice ``slot`` of
+    digest ``d`` (four 8-hex-char slices per md5)."""
+    d, slot = divmod(i, 4)
+    digest = "md5(shingle)" if d == 0 else f"md5('{d}|' || md5(shingle))"
+    return f"MIN(substr({digest}, {slot * 8 + 1}, 8))"
+
+
 def _oracle_minhash() -> str:
     rows = MINHASH_K // MINHASH_BANDS
     mins = ",\n         ".join(
-        f"MIN(md5('{i}|' || md5(shingle))) AS mh{i}" for i in range(MINHASH_K)
+        f"{_minhash_sql(i)} AS mh{i}" for i in range(MINHASH_K)
     )
     band_rows = "\n  UNION ALL ".join(
         "SELECT doc_id, {b} AS band, {key} AS band_key FROM sig".format(
