@@ -87,3 +87,30 @@ def test_streaming_snapshot_maintenance(spark, sf_dir, tmp_path):
            snapshot_as_of(maintainer.current_cells(spark), schema, None).collect()}
     want = {tuple(r) for r in snapshot_as_of(batch_log, schema, None).collect()}
     assert got == want and len(got) > 0
+
+
+def test_range_bin_join_equals_nested_loop_and_avoids_it(spark, sf_dir):
+    """Pure interval join (no equi key): the binned form must produce
+    exactly the nested-loop result while planning as a hash join — the
+    naive form is BroadcastNestedLoopJoin, the 100 TB cliff."""
+    from hbase_snapshotter_spark.operators.rangejoin import range_bin_join
+
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet") \
+        .select("s_suppkey", "s_acctbal")
+    bands = spark.createDataFrame(
+        [(i, -1000.0 + 2000.0 * i, -1000.0 + 2000.0 * (i + 1)) for i in range(6)],
+        "band_id int, lo double, hi double")
+
+    naive = sup.join(
+        bands, (sup.s_acctbal >= bands.lo) & (sup.s_acctbal < bands.hi))
+    binned = range_bin_join(sup, bands, "s_acctbal", bin_width=500.0)
+
+    naive_plan = naive._jdf.queryExecution().executedPlan().toString()
+    binned_plan = binned._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" in naive_plan            # what we're avoiding
+    assert "NestedLoop" not in binned_plan       # equi join after binning
+
+    key = lambda r: (r.s_suppkey, r.band_id)
+    assert sorted(map(key, binned.collect())) == sorted(map(key, naive.collect()))
+    # totality: every supplier lands in exactly one band
+    assert binned.count() == sup.count()

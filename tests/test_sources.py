@@ -141,3 +141,50 @@ def test_pyds_prunes_disjoint_regions(spark, log, tmp_path_factory):
         scan = json.load(fh)
     assert any("cell_ts" in p for p in scan["pushed"])
     assert scan["regions_total"] == 2 and scan["regions_read"] == 1
+
+
+def test_pyds_streaming_tails_new_region_files(spark, log, tmp_path_factory):
+    """readStream over the changelog source: first run consumes the
+    existing region files; a file appearing later is delivered exactly
+    once on the next run from the same checkpoint (offset = consumed
+    file set)."""
+    import glob
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from hbase_snapshotter_spark.sources import pyds
+
+    pyds.register(spark)
+    tmp = str(tmp_path_factory.mktemp("stream_raw"))
+    regions = str(tmp_path_factory.mktemp("stream_regions"))
+    ckpt = str(tmp_path_factory.mktemp("stream_ckpt"))
+
+    early = log.filter(F.col("qualifier") == "click").limit(100)
+    late = log.filter(F.col("qualifier") == "purchase").limit(50)
+    for name, df in (("r0", early), ("r1", late)):
+        df.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/{name}")
+
+    def add_region(name):
+        part = glob.glob(f"{tmp}/{name}/part-*.parquet")[0]
+        shutil.copy(part, os.path.join(regions, f"{name}.parquet"))
+
+    out = str(tmp_path_factory.mktemp("stream_out"))
+
+    def run_batch():
+        q = (spark.readStream.format("changelog").option("path", regions).load()
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    add_region("r0")
+    run_batch()
+    assert spark.read.parquet(out).count() == early.count()
+
+    add_region("r1")
+    run_batch()
+    got = spark.read.parquet(out)
+    assert got.count() == early.count() + late.count()   # exactly once
+    assert got.filter("qualifier = 'purchase'").count() == late.count()
