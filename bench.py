@@ -19,6 +19,8 @@ HEADLINE = [
     # the reference's pipeline at its heaviest: full snapshot materialization
     "snapshot_events_wide",
     "snapshot_latest_cells",
+    # end-to-end schema pipeline: history as-of -> DDL parse -> strict decode
+    "schema_history_snapshot",
     # relational core
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -33,6 +35,7 @@ HEADLINE = [
     "similarity_topk_brute",
     "similarity_topk_ann",
     "embedding_near_dup_lsh",
+    "embedding_near_dup_pairs",
     "multimodal_payload_stats",
     # windowed/streaming semantics in batch form
     "stream_session_windows",

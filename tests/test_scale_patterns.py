@@ -114,3 +114,34 @@ def test_range_bin_join_equals_nested_loop_and_avoids_it(spark, sf_dir):
     assert sorted(map(key, binned.collect())) == sorted(map(key, naive.collect()))
     # totality: every supplier lands in exactly one band
     assert binned.count() == sup.count()
+
+
+def test_range_bin_join_property(spark):
+    """Property: for random bands and values, the binned join equals a
+    pure-Python interval model at several bin widths (boundary values,
+    overlapping bands, negative domains)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hbase_snapshotter_spark.operators.rangejoin import range_bin_join
+
+    bands_st = st.lists(
+        st.tuples(st.integers(-50, 50), st.integers(0, 40)),
+        min_size=1, max_size=6,
+    )
+    vals_st = st.lists(st.integers(-60, 60), min_size=1, max_size=20)
+
+    @given(bands_st, vals_st, st.sampled_from([1.0, 3.0, 7.5, 100.0]))
+    @settings(max_examples=15, deadline=None)
+    def check(raw_bands, vals, width):
+        bands = [(i, float(lo), float(lo + span)) for i, (lo, span) in enumerate(raw_bands)]
+        fact = spark.createDataFrame(
+            [(i, float(v)) for i, v in enumerate(vals)], "fid int, v double")
+        bdf = spark.createDataFrame(bands, "band_id int, lo double, hi double")
+        got = sorted((r.fid, r.band_id) for r in
+                     range_bin_join(fact, bdf, "v", bin_width=width).collect())
+        want = sorted((fi, bi) for fi, v in enumerate(vals)
+                      for bi, lo, hi in bands if lo <= v < hi)
+        assert got == want
+
+    check()
