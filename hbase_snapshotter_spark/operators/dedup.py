@@ -202,7 +202,9 @@ def minhash_lsh_pairs(
     ]
     band_keys = sig.select(
         id_col, F.posexplode(F.array(*band_cols)).alias("band", "band_key")
-    )
+    ).persist()  # self-joined below: without the persist each side
+    # recomputes the whole signature aggregation (no cross-side
+    # exchange reuse under AQE — verified in the physical plan)
     a, b = band_keys.alias("a"), band_keys.alias("b")
     candidates = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -262,7 +264,8 @@ def simhash_pairs(
             .bitwiseAND(F.lit(SIMHASH_BAND_MASK))
             for j in range(SIMHASH_BANDS)
         ])).alias("band", "byte"),
-    )
+    ).persist()  # self-joined: without the persist each side recomputes
+    # the 48-aggregate signature pass (no cross-side exchange reuse)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.byte") == F.col("b.byte"))
