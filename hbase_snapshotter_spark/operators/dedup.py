@@ -90,6 +90,9 @@ def jaccard_pairs(
     """
     s = shingles_df if shingles_df is not None else _shingle_sets(df, id_col, text_col, n, max_df)
     if candidates is None:
+        # consumed 3x below (self-join sides + size agg) with no
+        # cross-consumer exchange reuse — shingle once, not thrice
+        s = s.persist()
         sizes = s.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
         a, b = s.alias("a"), s.alias("b")
         shared = (
