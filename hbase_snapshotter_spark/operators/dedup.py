@@ -303,6 +303,8 @@ def connected_components(
 
     Output: (id, component) where component = min node id reachable.
     """
+    edges = edges.persist()  # symmetrization reads it twice; without
+    # this the whole edge-producing DAG (e.g. LSH) runs once per side
     sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).unionByName(
         edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
     ).distinct().persist()

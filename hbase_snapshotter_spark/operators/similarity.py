@@ -505,7 +505,8 @@ def ivf_topk(
     with_cell = corpus.join(assign, id_col).select(
         F.col(id_col), F.col(vec_col), F.col("cell"),
         norm_expr(F.col(vec_col)).alias("__n"),
-    )
+    ).persist()  # both join sides (queries + corpus) consume it; the
+    # assignment crossJoin+argmax must not run twice
     q = queries.select(F.col(id_col).alias("query_id")) \
         .join(with_cell.withColumnRenamed(id_col, "query_id"), "query_id") \
         .select("query_id", F.col(vec_col).alias("__qv"), "cell",
