@@ -12,6 +12,12 @@ Scale notes: streaming state lives in the state store keyed by
 grows forever.  ``dropDuplicatesWithinWatermark`` keys state by the
 dedup columns only (not event time), the right choice when duplicate
 arrival spread is bounded.
+
+``applyInPandasWithState`` is the custom-stateful surface here; Spark
+4's newer ``transformWithStateInPandas`` needs the protobuf package for
+its state-server protocol, which this environment does not ship — the
+operator shape (per-key state + Arrow batches) is identical, so
+migrating is a signature change, not a redesign.
 """
 
 from __future__ import annotations
