@@ -342,3 +342,54 @@ def test_sampling_is_total_over_null_keys(spark):
     assert len(split) == 3 and all(r.split in ("train", "val", "test") for r in split)
     buckets = df.select(hash_bucket("k").alias("b")).collect()
     assert all(r.b is not None and 0 <= r.b < 1000 for r in buckets)
+
+
+def test_winnow_fingerprints_match_python_model(spark):
+    """Winnowing vs an independent Python model (positional k-gram md5,
+    sliding-window min, dedupe), incl. the shared-run guarantee and
+    short-document fallbacks."""
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hbase_snapshotter_spark.operators.text import tokens, winnow_fingerprints
+
+    K, W = 3, 4
+
+    def model(words):
+        grams = [" ".join(words[i:i + K]) for i in range(len(words) - K + 1)]
+        hashes = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+        if not hashes:
+            return []
+        if len(hashes) < W:
+            return [min(hashes)]
+        seen, out = set(), []
+        for i in range(len(hashes) - W + 1):
+            m = min(hashes[i:i + W])
+            if m not in seen:
+                seen.add(m)
+                out.append(m)
+        return out
+
+    @given(st.lists(st.sampled_from("a b c d e f g h i j".split()),
+                    min_size=0, max_size=24))
+    @settings(max_examples=20, deadline=None)
+    def check(words):
+        df = spark.createDataFrame([(" ".join(words),)], "text string")
+        got = df.select(
+            winnow_fingerprints(tokens(F.col("text")), k=K, window=W).alias("fp")
+        ).head().fp
+        assert got == model(words)
+
+    check()
+
+    # shared-run guarantee: docs sharing a run of >= W+K-1 tokens
+    # share a fingerprint
+    a = "x1 x2 common run of six tokens here y1 y2"
+    b = "z9 common run of six tokens here z8 z7 z6"
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    fps = {r.doc_id: set(r.fp) for r in df.select(
+        "doc_id", winnow_fingerprints(tokens(F.col("text")), k=K, window=W).alias("fp")
+    ).collect()}
+    assert fps[1] & fps[2]
