@@ -604,16 +604,22 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
 """
 
 
-# ------------------------------------- approximate distinct (rows-only)
+# ------------------------------------- approximate sketches (rows-only)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct counts (approx_count_distinct) next to the
-    exact count.  No SQL oracle: DuckDB's approx sketch differs by
-    construction — correctness is bounded-relative-error, asserted in
-    tests against the exact value."""
+    """Sketch aggregates next to their exact twins: HyperLogLog++
+    distinct counts (approx_count_distinct) and the quantile sketch
+    (approx_percentile) — both single-pass, mergeable, bounded-memory
+    (the 100 TB shape for cardinality/quantiles).  No SQL oracle:
+    DuckDB's sketches differ by construction — correctness is
+    bounded-error against the exact values, asserted in tests."""
     orders = _t(spark, sf_dir, "orders")
     return orders.groupBy("o_orderstatus").agg(
         F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
         F.countDistinct("o_custkey").alias("exact_customers"),
+        F.round(F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(1000)), 2)
+        .alias("approx_median_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 2)
+        .alias("exact_median_price"),
     )
 
 

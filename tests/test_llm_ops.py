@@ -158,6 +158,10 @@ def test_approx_distinct_within_error(spark, sf_dir):
 
     for r in agg_approx_distinct(spark, sf_dir).collect():
         assert abs(r.approx_customers - r.exact_customers) <= 0.1 * r.exact_customers
+        # KLL-style quantile sketch at accuracy=1000 on small groups is
+        # near-exact; allow 5% drift
+        assert abs(r.approx_median_price - r.exact_median_price) \
+            <= 0.05 * r.exact_median_price
 
 
 def test_bucketed_near_dup_sound_and_recalls(spark, sf_dir):
