@@ -103,3 +103,38 @@ def test_multi_ts_snapshot_single_shuffle(spark, sf_dir):
     the per-(ts, cell) aggregation shuffles."""
     plan = explain(spark, "snapshot_multi_ts", sf_dir)
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_funnel_cohort_all_joins_broadcast_no_window(spark, sf_dir):
+    """The merged funnel+cohort plan: every join broadcasts (funnel
+    aggregates and the cohort dimension are small relative to events),
+    and there is no window sort anywhere — min-aggregates only."""
+    plan = explain(spark, "funnel_cohort_retention", sf_dir)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
+def test_rollup_cube_plan_is_expand_aggregate(spark, sf_dir):
+    """ROLLUP and CUBE each plan as Expand + hash aggregate with
+    map-side partials — exactly one shuffle per branch."""
+    plan = explain(spark, "agg_rollup_cube", sf_dir)
+    assert plan.count("Expand") >= 2
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    assert "SortMergeJoin" not in plan and "Window" not in plan
+
+
+def test_sample_split_single_shuffle(spark, sf_dir):
+    """Hash-mod sampling/splitting is narrow per-row work: the only
+    exchange is the final count aggregation's."""
+    plan = explain(spark, "sample_split_assignments", sf_dir)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_schema_history_snapshot_two_light_shuffles(spark, sf_dir):
+    """The full schema pipeline keeps the flagship's two-exchange shape:
+    schema resolution is driver-side (one tiny TakeOrdered job), the
+    data path is latest-per-cell agg + pivot over reduced cells."""
+    plan = explain(spark, "schema_history_snapshot", sf_dir)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    assert "Window" not in plan
