@@ -421,6 +421,10 @@ def kmeans_centroids(
                 F.sort_array(F.collect_list(F.struct(F.col("__pos"), F.col("__m")))),
                 lambda s: s["__m"]).alias("__cv"))
             .select(F.col("cell").alias("__cid"), "__cv")
+            # persist each level: centroids feed the NEXT assignment and
+            # the final return — without the cache cut, each iteration's
+            # DAG nests the previous one's twice (exponential recompute)
+            .persist()
         )
     return cents
 
