@@ -232,9 +232,10 @@ class ChangelogStreamReader(SimpleDataSourceStreamReader):
         return sorted(glob.glob(self.path))
 
     @staticmethod
-    def _rows(files: list[str]) -> list[tuple]:
-        # a concrete list, not a generator: the runner pickles the
-        # returned batch for replay bookkeeping
+    def _rows(files: list[str]):
+        # a LIST ITERATOR, not a generator: the runner both pickles the
+        # batch (generators can't pickle) and advances it with next()
+        # (a bare list fails); CPython list iterators do both
         import pyarrow.parquet as pq
 
         cols = ["row_key", "family", "qualifier", "value", "cell_ts"]
@@ -242,7 +243,7 @@ class ChangelogStreamReader(SimpleDataSourceStreamReader):
         for path in files:
             table = pq.read_table(path, columns=cols)
             out.extend(zip(*(table.column(c).to_pylist() for c in cols)))
-        return out
+        return iter(out)
 
     def read(self, start: dict):
         seen = set(start.get("seen", []))
@@ -250,7 +251,7 @@ class ChangelogStreamReader(SimpleDataSourceStreamReader):
         new = [f for f in files if f not in seen]
         return self._rows(new), {"seen": files}
 
-    def readBetweenOffsets(self, start: dict, end: dict) -> list[tuple]:
+    def readBetweenOffsets(self, start: dict, end: dict):
         seen = set(start.get("seen", []))
         return self._rows([f for f in end.get("seen", []) if f not in seen])
 

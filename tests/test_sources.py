@@ -188,3 +188,26 @@ def test_pyds_streaming_tails_new_region_files(spark, log, tmp_path_factory):
     got = spark.read.parquet(out)
     assert got.count() == early.count() + late.count()   # exactly once
     assert got.filter("qualifier = 'purchase'").count() == late.count()
+
+
+def test_pyds_stream_feeds_snapshot_maintenance(spark, log, region_dir, tmp_path):
+    """The reference's production loop, end-to-end on the rebuilt stack:
+    region-split source (custom DataSource) streamed into continuous
+    latest-cell state, then the ordinary typed snapshot over the
+    maintained state — equal to the one-shot batch snapshot."""
+    from hbase_snapshotter_spark.sources import pyds
+    from hbase_snapshotter_spark.streaming.snapshot_stream import maintain_snapshot
+
+    pyds.register(spark)
+    stream = spark.readStream.format("changelog").option("path", region_dir).load()
+    q, maintainer = maintain_snapshot(
+        stream, str(tmp_path / "state"),
+        checkpointLocation=str(tmp_path / "ckpt"), availableNow=True,
+    )
+    q.awaitTermination(120)
+
+    cells = maintainer.current_cells(spark)
+    schema = events_snapshot_schema()
+    got = {tuple(r) for r in snapshot_as_of(cells, schema, None).collect()}
+    want = {tuple(r) for r in snapshot_as_of(log, schema, None).collect()}
+    assert got == want
