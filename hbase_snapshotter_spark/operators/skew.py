@@ -60,3 +60,35 @@ def salted_agg(
 
     partial = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(*stage1_cols)
     return partial.groupBy(*keys).agg(*stage2_cols)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    *,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: salt the big (skewed) side, replicate the
+    small side once per salt bucket, join on (keys…, salt).
+
+    A hot join key that would land on one reducer spreads over
+    ``salt_buckets`` of them; the cost is a ``salt_buckets``× blowup of
+    the SMALL side only (explode of a literal range — narrow, no
+    shuffle added).  Result is row-identical to ``big.join(small, on,
+    how)`` for inner and left joins.
+
+    This is the manual form of AQE's skew-join splitting — needed when
+    AQE can't see the skew (first run, no stats), when the skew is in a
+    bucketed/pre-shuffled table AQE won't re-split, or on engines
+    without runtime re-planning.  Keep AQE on regardless; the two
+    compose.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salt = F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(salt_buckets))
+    b = big.withColumn("__salt", salt)
+    s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))))
+    return b.join(s, [*on, "__salt"], how).drop("__salt")

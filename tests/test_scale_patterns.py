@@ -145,3 +145,21 @@ def test_range_bin_join_property(spark):
         assert got == want
 
     check()
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """Salted join == plain join row-for-row (inner and left, incl.
+    unmatched left rows), with the small side replicated per salt."""
+    from hbase_snapshotter_spark.operators.skew import salted_join
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment").withColumnRenamed("c_custkey", "o_custkey")
+
+    for how in ("inner", "left"):
+        plain = sorted(tuple(r) for r in orders.join(cust, ["o_custkey"], how).collect())
+        salted = sorted(tuple(r) for r in
+                        salted_join(orders, cust, ["o_custkey"], how=how,
+                                    salt_buckets=8).collect())
+        assert salted == plain
