@@ -75,13 +75,14 @@ def main() -> int:
     for name in HEADLINE:
         QUERIES[name](spark, warm_dir).write.mode("overwrite").format("noop").save()
 
-    # two timed executions per query, keep the min — steady-state cost
-    # without scheduler/GC noise spikes
+    # three timed executions per query, keep the min — steady-state cost
+    # without scheduler/GC noise or transient host-load spikes (a busy
+    # co-tenant was measured doubling every query's wall time)
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             best = min(best, time.time() - t0)
