@@ -101,6 +101,37 @@ def session_window_agg(
     return _flatten_window(out)
 
 
+def interval_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    *,
+    left_ts: str,
+    right_ts: str,
+    watermark: str,
+    within: str,
+) -> DataFrame:
+    """Stream-stream inner join: match right rows to left rows with the
+    same key whose event time falls in ``[left_ts, left_ts + within]``.
+
+    The time-interval condition is what makes a stream-stream join
+    feasible: it tells the engine exactly how long each side's rows can
+    still match, so join state is purged as the watermark advances —
+    without it, both sides' state grows forever.  In batch the same
+    expression is an ordinary equi-join with a range residual (the
+    binned form in :mod:`~.operators.rangejoin` is its skew-proof
+    cousin); batch-vs-streaming equivalence is the test.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] <= F.expr(f"{left_ts} + INTERVAL {within}"))
+    )
+    return lw.join(rw, cond)
+
+
 def streaming_dedup(
     df: DataFrame, dedup_cols: list[str], ts_col: str, watermark: str
 ) -> DataFrame:

@@ -114,3 +114,40 @@ def test_funnel_keeps_user_with_only_pre_signup_purchases(spark):
     assert rows["u1"].converted is False and rows["u1"].first_purchase_ts is None
     assert rows["u2"].converted is True
     assert rows["u3"].converted is False
+
+
+def test_stream_stream_interval_join_equals_batch(spark, event_stream_dir):
+    """Stream-stream inner join (clicks -> purchases by the same user
+    within 2 hours) over a multi-batch file replay equals the batch join
+    of the same condition — state bridging across micro-batches works
+    and nothing is dropped under a generous watermark."""
+    from hbase_snapshotter_spark.streaming.windows import interval_stream_join
+
+    src = spark.read.parquet(event_stream_dir)
+    clicks_b = src.filter("event_type = 'click'") \
+        .select("user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("c_id"))
+    buys_b = src.filter("event_type = 'purchase'") \
+        .select(F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts"),
+                F.col("event_id").alias("b_id"))
+
+    want = sorted(
+        (r.c_id, r.b_id) for r in clicks_b.join(
+            buys_b, (clicks_b.user_id == buys_b.b_user)
+            & (buys_b.b_ts >= clicks_b.c_ts)
+            & (buys_b.b_ts <= F.expr("c_ts + INTERVAL 2 HOURS"))).collect())
+
+    stream = replay_stream(spark, event_stream_dir, src.schema, max_files_per_trigger=1)
+    clicks_s = stream.filter("event_type = 'click'") \
+        .select("user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("c_id"))
+    buys_s = stream.filter("event_type = 'purchase'") \
+        .select(F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts"),
+                F.col("event_id").alias("b_id"))
+    joined = interval_stream_join(
+        clicks_s.withColumnRenamed("user_id", "key"),
+        buys_s.withColumnRenamed("b_user", "key"),
+        "key", left_ts="c_ts", right_ts="b_ts",
+        watermark="30 days", within="2 HOURS",
+    )
+    run_to_memory(joined.select("c_id", "b_id"), "ssj_out", "append")
+    got = sorted((r.c_id, r.b_id) for r in spark.table("ssj_out").collect())
+    assert got == want and len(got) > 0
