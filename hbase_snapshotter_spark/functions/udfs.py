@@ -67,20 +67,30 @@ def zscore_by_group(df: DataFrame, group_col: str, value_col: str,
 # ---- Python UDTF (table function)
 
 
-try:
+class _ExplodeTokensImpl:
+    """Tokenize a string into (token, position) rows — a UDTF-shaped
+    transform (built-in posexplode(split(...)) does this natively;
+    the class demonstrates the registration surface)."""
+
+    def eval(self, text: str):  # noqa: D102
+        for i, tok in enumerate((text or "").split()):
+            yield tok, i
+
+
+def make_explode_tokens():
+    """Build the UDTF AT CALL TIME, not import time: ``udtf()`` snapshots
+    ``spark.sql.execution.pythonUDTF.arrow.enabled`` when it wraps the
+    class, so a module-import-time decorator permanently pins the
+    row-at-a-time BatchEvalPython path no matter what the session sets
+    later.  Callers set the conf, then build."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="token: string, pos: int")
-    class ExplodeTokens:
-        """Tokenize a string into (token, position) rows — a UDTF-shaped
-        transform (built-in posexplode(split(...)) does this natively;
-        the class demonstrates the registration surface)."""
+    return udtf(_ExplodeTokensImpl, returnType="token: string, pos: int")
 
-        def eval(self, text: str):  # noqa: D102
-            for i, tok in enumerate((text or "").split()):
-                yield tok, i
+
+try:  # import-time probe only; the usable object comes from the factory
+    from pyspark.sql.functions import udtf as _udtf_probe  # noqa: F401
 
     HAS_UDTF = True
 except ImportError:  # pragma: no cover - pyspark < 3.5
-    ExplodeTokens = None
     HAS_UDTF = False

@@ -368,10 +368,15 @@ FROM n JOIN tm ON n.label = tm.label
 
 def udtf_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF surface: tokenize docs into (token, pos) rows via a
-    lateral join (equivalent plan to posexplode(split(...)))."""
-    from hbase_snapshotter_spark.functions.udfs import ExplodeTokens
+    lateral join (equivalent plan to posexplode(split(...))).
 
-    spark.udtf.register("explode_tokens", ExplodeTokens)
+    Arrow-optimized UDTF execution is opt-in in Spark 4 — without the
+    conf the lateral join runs row-at-a-time BatchEvalPython, the one
+    Python execution mode this repo bans from data paths."""
+    from hbase_snapshotter_spark.functions.udfs import make_explode_tokens
+
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+    spark.udtf.register("explode_tokens", make_explode_tokens())
     spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("__docs")
     return spark.sql("""
         SELECT d.doc_id, t.token, t.pos

@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Physical-plan audit across the whole query registry.
+
+Prints one line per registered query with the plan features that matter
+at 100 TB — exchange count, join strategies, window sorts, Python
+(Arrow) stages, pushed filters — and flags the red-flag combinations
+(BroadcastNestedLoopJoin anywhere; CartesianProduct without an explicit
+broadcast intent).  `tests/test_plans.py` pins the important shapes;
+this tool is the quick whole-surface sweep when something changes.
+
+Usage: python tools/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+    from pyspark.sql import SparkSession
+
+    sys.path.insert(0, "/root/repo")
+    from hbase_snapshotter_spark.queries.registry import QUERIES
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName("plan-audit")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # queries whose nested-loop join is the POINT: an explicit Cartesian
+    # (cross-join demo) or a deliberate broadcast-side cross (scoring a
+    # streamed corpus against a broadcast query set / centroid table —
+    # linear, not quadratic, because the broadcast side is tiny)
+    INTENDED_CROSS = {
+        "join_cross_nation_region",
+        "similarity_topk_brute",
+        "similarity_topk_ivf",
+    }
+
+    flags_total = 0
+    header = f"{'query':34s} {'exch':>4} {'bhj':>3} {'smj':>3} {'win':>3} {'py':>3} {'push':>4}  flags"
+    print(header)
+    print("-" * len(header))
+    for name, fn in QUERIES.items():
+        try:
+            df = fn(spark, sf_dir)
+            plan = spark._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted")
+        except Exception as exc:  # noqa: BLE001 - audit must not die mid-sweep
+            print(f"{name:34s} PLAN ERROR: {exc}")
+            flags_total += 1
+            continue
+        n_exch = len(re.findall(r"\(\d+\) Exchange", plan))
+        n_bhj = plan.count("BroadcastHashJoin")
+        n_smj = plan.count("SortMergeJoin")
+        n_win = len(re.findall(r"\(\d+\) Window", plan))
+        n_py = (plan.count("ArrowEvalPython") + plan.count("FlatMapGroupsInPandas")
+                + plan.count("MapInPandas") + plan.count("BatchEvalPython"))
+        n_push = len(re.findall(r"PushedFilters: \[[^\]]", plan))
+        flags = []
+        if "BroadcastNestedLoopJoin" in plan and name not in INTENDED_CROSS:
+            flags.append("BNLJ")
+        if "CartesianProduct" in plan and name not in INTENDED_CROSS:
+            flags.append("CARTESIAN")
+        if "BatchEvalPython" in plan:
+            flags.append("ROW_PYTHON_UDF")
+        flags_total += len(flags)
+        print(f"{name:34s} {n_exch:>4} {n_bhj:>3} {n_smj:>3} {n_win:>3} "
+              f"{n_py:>3} {n_push:>4}  {','.join(flags)}")
+    print(f"\nred flags: {flags_total}")
+    return 1 if flags_total else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
