@@ -20,7 +20,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hbase_snapshotter_spark.operators.asof import asof_join
-from hbase_snapshotter_spark.operators.snapshot import latest_per_key
 from hbase_snapshotter_spark.sources.changelog import read_table
 
 
@@ -374,7 +373,16 @@ def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("o_custkey", "user_id")
     )
     # dedup right to one order per (user, date) for a deterministic match
-    orders1 = latest_per_key(orders, ["user_id", "o_orderdate"], "o_orderkey")
+    # — aggregate form (max-struct): hash agg with map-side partials
+    # instead of a window sort, so the only Window left in the plan is
+    # the as-of carry-forward itself
+    orders1 = (
+        orders.groupBy("user_id", "o_orderdate")
+        .agg(F.max(F.struct("o_orderkey", "o_totalprice")).alias("__x"))
+        .select("user_id", "o_orderdate",
+                F.col("__x.o_orderkey").alias("o_orderkey"),
+                F.col("__x.o_totalprice").alias("o_totalprice"))
+    )
     return asof_join(
         ev, orders1, "user_id", left_ts="ts", right_ts="o_orderdate"
     ).select("event_id", "user_id", "o_orderkey", "o_totalprice")
