@@ -397,3 +397,41 @@ def test_winnow_fingerprints_match_python_model(spark):
         "doc_id", winnow_fingerprints(tokens(F.col("text")), k=K, window=W).alias("fp")
     ).collect()}
     assert fps[1] & fps[2]
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Property: the union-tag+window as-of join reproduces pandas
+    merge_asof for random per-key event/quote times — backward and
+    forward, inclusive matches, unmatched rows, multiple keys."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hbase_snapshotter_spark.operators.asof import asof_join
+
+    times = st.lists(st.integers(0, 50), min_size=1, max_size=8)
+    keyset = st.sampled_from([("a",), ("a", "b")])
+
+    @given(keyset, times, times, st.sampled_from(["backward", "forward"]))
+    @settings(max_examples=20, deadline=None)
+    def check(keys, lts, rts, direction):
+        left_rows = [(k, t, f"L{k}{i}") for k in keys for i, t in enumerate(lts)]
+        right_rows = [(k, t, f"R{k}{t}") for k in keys for t in sorted(set(rts))]
+        left = spark.createDataFrame(left_rows, "k string, t long, lid string") \
+            .select("k", F.timestamp_millis("t").alias("t"), "lid")
+        right = spark.createDataFrame(right_rows, "k string, rt long, v string") \
+            .select("k", F.timestamp_millis("rt").alias("rt"), "v")
+
+        got = {(r.k, r.lid): r.v for r in
+               asof_join(left, right, "k", left_ts="t", right_ts="rt",
+                         direction=direction).collect()}
+
+        lp = pd.DataFrame(left_rows, columns=["k", "t", "lid"]).sort_values("t")
+        rp = pd.DataFrame(right_rows, columns=["k", "rt", "v"]).sort_values("rt")
+        merged = pd.merge_asof(lp, rp, left_on="t", right_on="rt",
+                               by="k", direction=direction)
+        want = {(r.k, r.lid): (None if pd.isna(r.v) else r.v)
+                for r in merged.itertuples()}
+        assert got == want
+
+    check()
