@@ -38,6 +38,8 @@ class SnapshotSettings:
     mysql_schema_history: str | None = None  # schema-history table (mysql.table path)
     hbase_schema: list[str] = field(default_factory=list)
     type_mode: str = "compat"              # 'compat' | 'strict' (see functions.mysql_types)
+    source_format: str = "parquet"         # 'parquet' | 'changelog' (region-split
+    #                                        Python data source, the HBase-scan shape)
 
     def __post_init__(self) -> None:
         if bool(self.mysql_schema_history) == bool(self.hbase_schema):
@@ -46,6 +48,8 @@ class SnapshotSettings:
             )
         if self.type_mode not in ("compat", "strict"):
             raise ConfigError(f"unknown type_mode {self.type_mode!r}")
+        if self.source_format not in ("parquet", "changelog"):
+            raise ConfigError(f"unknown source_format {self.source_format!r}")
 
     @classmethod
     def from_json(cls, path_or_str: str | Path) -> "SnapshotSettings":
@@ -72,6 +76,7 @@ class SnapshotSettings:
             mysql_schema_history=doc.get("mysql", {}).get("table"),
             hbase_schema=list(hbase.get("schema", [])),
             type_mode=doc.get("type_mode", "compat"),
+            source_format=hbase.get("format", "parquet"),
         )
 
     def resolve_schema(self, history: DataFrame | None = None) -> StructType:

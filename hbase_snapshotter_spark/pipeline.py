@@ -41,7 +41,16 @@ def run_snapshot(
     directly to source from any connector.
     """
     if changelog is None:
-        changelog = read_changelog(spark, settings.source_table)
+        if settings.source_format == "changelog":
+            # region-split Python data source — the HBase-scan-shaped
+            # input (partition per region, pushdown, region pruning)
+            from hbase_snapshotter_spark.sources import pyds
+
+            pyds.register(spark)
+            changelog = (spark.read.format("changelog")
+                         .option("path", settings.source_table).load())
+        else:
+            changelog = read_changelog(spark, settings.source_table)
     if history is None and settings.mysql_schema_history:
         history = spark.read.parquet(settings.mysql_schema_history)
 

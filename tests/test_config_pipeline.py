@@ -89,3 +89,45 @@ def test_cli_main_end_to_end(spark, changelog, schema_history, tmp_path):
         assert spark.table("cli_snap").count() == 3
     finally:
         spark.sql("DROP TABLE IF EXISTS cli_snap")
+
+
+def test_run_snapshot_via_changelog_source(spark, changelog, schema_history, tmp_path):
+    """format='changelog' in the config routes the pipeline through the
+    region-split Python data source; the written table matches the
+    parquet-path run exactly."""
+    import glob
+    import os
+    import shutil
+
+    raw = str(tmp_path / "raw")
+    regions = str(tmp_path / "regions")
+    os.makedirs(regions)
+    changelog.repartition(2).write.parquet(raw)
+    for i, part in enumerate(sorted(glob.glob(f"{raw}/part-*.parquet"))):
+        shutil.copy(part, os.path.join(regions, f"region-{i}.parquet"))
+
+    settings = SnapshotSettings(
+        source_table=regions, sink_table="snap_pyds", timestamp=T2,
+        mysql_schema_history="inline", source_format="changelog",
+    )
+    try:
+        out = run_snapshot(spark, settings, history=schema_history)
+        want = {tuple(r) for r in run_snapshot(
+            spark, SnapshotSettings(
+                source_table="unused", sink_table="snap_plain", timestamp=T2,
+                mysql_schema_history="inline"),
+            changelog=changelog, history=schema_history).collect()}
+        assert {tuple(r) for r in out.collect()} == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS snap_pyds")
+        spark.sql("DROP TABLE IF EXISTS snap_plain")
+
+
+def test_config_rejects_unknown_source_format():
+    import pytest as _pytest
+
+    from hbase_snapshotter_spark.config import ConfigError
+
+    with _pytest.raises(ConfigError, match="source_format"):
+        SnapshotSettings(source_table="x", sink_table="y",
+                         hbase_schema=["d:a:string"], source_format="kafka")
