@@ -145,8 +145,9 @@ def funnel_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signup-cohort retention with funnel conversion: users cohorted by
     first-signup week, their active weeks counted, split by whether they
     ever purchased at-or-after that signup (:func:`signup_purchase_funnel`).
-    The cohort stage is distinct-weeks + a broadcast join + one hash
-    aggregation."""
+    The cohort stage is distinct-weeks + a size-driven join (broadcast
+    while the per-user funnel fits, co-partitioned shuffle beyond) +
+    one hash aggregation."""
     ev = read_table(spark, sf_dir, "events")
     funnel = signup_purchase_funnel(ev).select(
         "user_id",
@@ -155,8 +156,11 @@ def funnel_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     weeks = ev.select(
         "user_id", F.date_trunc("week", F.col("ts")).alias("week")).distinct()
+    # NO broadcast hint on the funnel side: it is a per-USER table, so
+    # its size is unbounded at scale — Catalyst/AQE broadcast it while
+    # it fits and fall back to a co-partitioned shuffle join when not
     return (
-        weeks.join(F.broadcast(funnel), "user_id")
+        weeks.join(funnel, "user_id")
         .groupBy("cohort_week", "week")
         .agg(
             F.countDistinct("user_id").alias("active_users"),

@@ -106,9 +106,10 @@ def test_multi_ts_snapshot_single_shuffle(spark, sf_dir):
 
 
 def test_funnel_cohort_all_joins_broadcast_no_window(spark, sf_dir):
-    """The merged funnel+cohort plan: every join broadcasts (funnel
-    aggregates and the cohort dimension are small relative to events),
-    and there is no window sort anywhere — min-aggregates only."""
+    """The merged funnel+cohort plan: joins broadcast at fixture sizes
+    by the planner's OWN size estimates (no hint — the funnel side is
+    per-user, so a forced broadcast would be a scale hazard), and there
+    is no window sort anywhere — min-aggregates only."""
     plan = explain(spark, "funnel_cohort_retention", sf_dir)
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
