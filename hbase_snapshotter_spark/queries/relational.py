@@ -73,9 +73,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01"))
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-01-01"))
+    # no broadcast hints: the filtered cust⋈orders side grows with data
+    # volume, so forcing a broadcast is a scale hazard — the planner
+    # broadcasts it while its size estimate fits and shuffle-joins beyond
     return (
-        li.join(F.broadcast(cust.join(orders, cust.c_custkey == orders.o_custkey)
-                            .select("o_orderkey", "o_orderdate", "o_orderpriority")),
+        li.join(cust.join(orders, cust.c_custkey == orders.o_custkey)
+                .select("o_orderkey", "o_orderdate", "o_orderpriority"),
                 F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
@@ -111,10 +114,13 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1998-01-01"))
     )
     li = _t(spark, sf_dir, "lineitem")
+    # hints only on the FIXED-cardinality dims (nation 25 / region 5):
+    # customer/supplier scale with data volume, so their join strategy
+    # is left to size estimates (broadcast while small, shuffle beyond)
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(sup), (F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(sup, (F.col("l_suppkey") == F.col("s_suppkey"))
               & (F.col("c_nationkey") == F.col("s_nationkey")))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
@@ -283,7 +289,7 @@ def pivot_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     return (
-        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_mktsegment")
         .pivot("o_orderpriority", PRIORITIES)
         .agg(F.count(F.lit(1)))
@@ -411,7 +417,7 @@ def range_join_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     return (
-        li.join(F.broadcast(part), (F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, (F.col("l_partkey") == F.col("p_partkey"))
                 & (F.col("l_extendedprice") >= F.col("p_retailprice") * 10)
                 & (F.col("l_extendedprice") <= F.col("p_retailprice") * 30))
         .groupBy("p_brand")
