@@ -435,3 +435,61 @@ def test_asof_join_matches_pandas_merge_asof(spark):
         assert got == want
 
     check()
+
+
+def test_connected_components_matches_union_find(spark):
+    """Property: on random graphs (chains, stars, isolated nodes), the
+    pointer-jumping label propagation equals a pure-Python union-find,
+    with and without shortcutting — and a 40-node chain converges well
+    inside the O(log d) round budget."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hbase_snapshotter_spark.operators.dedup import connected_components
+
+    def union_find(n_nodes, edge_list):
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edge_list:
+            ra, rb = find(a), find(b)
+            parent[max(ra, rb)] = min(ra, rb)
+        # canonical: min node id in each component
+        comp = {}
+        for v in range(n_nodes):
+            comp.setdefault(find(v), []).append(v)
+        return {v: min(members) for members in comp.values() for v in members}
+
+    @given(st.integers(2, 14),
+           st.lists(st.tuples(st.integers(0, 13), st.integers(0, 13)),
+                    min_size=0, max_size=20),
+           st.booleans())
+    @settings(max_examples=12, deadline=None)
+    def check(n_nodes, raw_edges, shortcut):
+        edge_list = [(a % n_nodes, b % n_nodes) for a, b in raw_edges
+                     if a % n_nodes != b % n_nodes]
+        nodes = spark.createDataFrame([(i,) for i in range(n_nodes)], "id long")
+        edges = spark.createDataFrame(edge_list or [(0, 0)],
+                                      "id_a long, id_b long")
+        if not edge_list:
+            edges = edges.filter("id_a <> id_b")  # empty edge set
+        got = {r.id: r.component for r in connected_components(
+            edges, nodes, id_col="id", shortcut=shortcut).collect()}
+        assert got == union_find(n_nodes, edge_list)
+
+    check()
+
+    # chain of 40 nodes: diameter 39; pointer jumping must finish in
+    # far fewer rounds than the diameter (budget 30 >> log2(39))
+    n = 40
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    chain = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                                  "id_a long, id_b long")
+    got = {r.id: r.component for r in connected_components(
+        chain, nodes, id_col="id", max_iterations=12).collect()}
+    assert got == {i: 0 for i in range(n)}
