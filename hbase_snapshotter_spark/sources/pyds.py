@@ -44,9 +44,11 @@ import os
 from dataclasses import dataclass
 from typing import Iterable, Iterator
 
+from pyspark.errors import PySparkNotImplementedError
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -212,9 +214,11 @@ class ChangelogStreamReader(SimpleDataSourceStreamReader):
     same change-log schema).
 
     A ``SimpleDataSourceStreamReader`` reads on the driver — right for
-    tailing metadata-sized batches; a high-volume production feed would
-    implement the partition-planning ``DataSourceStreamReader`` with the
-    same offset model and one partition per new region file.
+    tailing metadata-sized batches.  The default streaming path is
+    :class:`ChangelogPartitionedStreamReader` (executor-side reads);
+    this driver-side variant stays selectable with
+    ``.option("streamReader", "simple")`` for tiny control-plane feeds
+    where a per-file Spark task costs more than the rows are worth.
     """
 
     def __init__(self, options: dict) -> None:
@@ -256,10 +260,76 @@ class ChangelogStreamReader(SimpleDataSourceStreamReader):
         return self._rows([f for f in end.get("seen", []) if f not in seen])
 
 
+class ChangelogPartitionedStreamReader(DataSourceStreamReader):
+    """Partition-planning streaming tail of the region directory — the
+    scale path (and default): the driver only *lists* files
+    (``latestOffset``); every new region file becomes one
+    ``InputPartition`` whose rows are read **on an executor**, so a
+    micro-batch of R new regions scans with R-way parallelism and the
+    driver never holds row data.  This mirrors the batch reader's
+    partition-per-region contract (and the reference's one-Spark-
+    partition-per-HBase-region scan, ``HBaseSnapshotter.scala:126-129``)
+    on the streaming side.
+
+    Offset model is identical to the simple reader — the offset is the
+    sorted list of consumed region files (immutable once written), so a
+    committed range replays deterministically from the checkpoint and
+    delivery is exactly-once into any idempotent sink.
+    """
+
+    def __init__(self, options: dict) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("changelog stream requires option 'path'")
+        self.path = path
+        # test/debug side-channel: read() runs in an executor's python
+        # worker (invisible to driver module state), so it drops one
+        # marker file per region scanned into this directory instead
+        self.debug_dir = options.get("debugstreamdir")
+
+    def initialOffset(self) -> dict:
+        return {"seen": []}
+
+    def _files(self) -> list[str]:
+        if os.path.isdir(self.path):
+            return sorted(glob.glob(os.path.join(self.path, "*.parquet")))
+        return sorted(glob.glob(self.path))
+
+    def latestOffset(self) -> dict:
+        # metadata-only listing; equal start/end offsets (same sorted
+        # file list) make Spark skip planning an empty micro-batch
+        return {"seen": self._files()}
+
+    def partitions(self, start: dict, end: dict) -> list[RegionPartition]:
+        seen = set(start.get("seen", []))
+        return [RegionPartition(f) for f in end.get("seen", []) if f not in seen]
+
+    def read(self, partition: RegionPartition) -> Iterator:
+        """Executor-side scan of one new region file; yields Arrow
+        batches straight into Spark's vectorized reader."""
+        import pyarrow.parquet as pq
+
+        if self.debug_dir:
+            marker = os.path.basename(partition.path) + ".read"
+            with open(os.path.join(self.debug_dir, marker), "a") as fh:
+                fh.write(str(os.getpid()) + "\n")
+        table = pq.read_table(
+            partition.path,
+            columns=["row_key", "family", "qualifier", "value", "cell_ts"],
+        )
+        yield from table.to_batches()
+
+    def commit(self, end: dict) -> None:
+        # region files are immutable and retained; nothing to clean up
+        pass
+
+
 class ChangelogDataSource(DataSource):
     """``spark.read.format("changelog").option("path", dir).load()`` —
     batch scan with region partitions/pushdown, or
-    ``spark.readStream.format("changelog")`` to tail new region files."""
+    ``spark.readStream.format("changelog")`` to tail new region files
+    (executor-side partitioned reads by default; pass
+    ``.option("streamReader", "simple")`` for the driver-side reader)."""
 
     @classmethod
     def name(cls) -> str:
@@ -270,6 +340,16 @@ class ChangelogDataSource(DataSource):
 
     def reader(self, schema) -> ChangelogReader:
         return ChangelogReader(dict(self.options))
+
+    def streamReader(self, schema) -> ChangelogPartitionedStreamReader:
+        # raising NOT_IMPLEMENTED makes Spark fall back to
+        # simpleStreamReader() — the documented dispatch contract
+        if dict(self.options).get("streamreader", "").lower() == "simple":
+            raise PySparkNotImplementedError(
+                errorClass="NOT_IMPLEMENTED",
+                messageParameters={"feature": "streamReader (simple requested)"},
+            )
+        return ChangelogPartitionedStreamReader(dict(self.options))
 
     def simpleStreamReader(self, schema) -> ChangelogStreamReader:
         return ChangelogStreamReader(dict(self.options))

@@ -143,11 +143,15 @@ def test_pyds_prunes_disjoint_regions(spark, log, tmp_path_factory):
     assert scan["regions_total"] == 2 and scan["regions_read"] == 1
 
 
-def test_pyds_streaming_tails_new_region_files(spark, log, tmp_path_factory):
+@pytest.mark.parametrize("mode", ["partitioned", "simple"])
+def test_pyds_streaming_tails_new_region_files(spark, log, tmp_path_factory, mode):
     """readStream over the changelog source: first run consumes the
     existing region files; a file appearing later is delivered exactly
     once on the next run from the same checkpoint (offset = consumed
-    file set)."""
+    file set).  Runs against both stream readers — the default
+    partitioned one (executor-side reads, proven by per-region marker
+    files dropped from the executor python worker) and the driver-side
+    simple one selected via .option("streamReader", "simple")."""
     import glob
     import os
     import shutil
@@ -160,6 +164,7 @@ def test_pyds_streaming_tails_new_region_files(spark, log, tmp_path_factory):
     tmp = str(tmp_path_factory.mktemp("stream_raw"))
     regions = str(tmp_path_factory.mktemp("stream_regions"))
     ckpt = str(tmp_path_factory.mktemp("stream_ckpt"))
+    dbg = str(tmp_path_factory.mktemp("stream_dbg"))
 
     early = log.filter(F.col("qualifier") == "click").limit(100)
     late = log.filter(F.col("qualifier") == "purchase").limit(50)
@@ -173,7 +178,11 @@ def test_pyds_streaming_tails_new_region_files(spark, log, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("stream_out"))
 
     def run_batch():
-        q = (spark.readStream.format("changelog").option("path", regions).load()
+        reader = (spark.readStream.format("changelog").option("path", regions)
+                  .option("debugStreamDir", dbg))
+        if mode == "simple":
+            reader = reader.option("streamReader", "simple")
+        q = (reader.load()
              .writeStream.format("parquet").option("path", out)
              .option("checkpointLocation", ckpt)
              .trigger(availableNow=True).start())
@@ -188,6 +197,16 @@ def test_pyds_streaming_tails_new_region_files(spark, log, tmp_path_factory):
     got = spark.read.parquet(out)
     assert got.count() == early.count() + late.count()   # exactly once
     assert got.filter("qualifier = 'purchase'").count() == late.count()
+
+    markers = sorted(os.path.basename(p) for p in glob.glob(f"{dbg}/*.read"))
+    if mode == "partitioned":
+        # one executor-side read per region file, none re-scanned
+        assert markers == ["r0.parquet.read", "r1.parquet.read"]
+        for m in markers:
+            with open(os.path.join(dbg, m)) as fh:
+                assert len(fh.read().splitlines()) == 1
+    else:
+        assert markers == []  # simple reader reads on the driver
 
 
 def test_pyds_stream_feeds_snapshot_maintenance(spark, log, region_dir, tmp_path):
