@@ -65,9 +65,23 @@ def text_features(df: DataFrame, text_col: str = "text", *, id_cols: list[str] |
     stop_hits = _count_in(toks, STOPWORDS)
     diversity = n_distinct.cast("double") / n_tok
     stop_ratio = stop_hits.cast("double") / n_tok
-    len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
-    quality = F.round(0.4 * len_score + 0.4 * diversity
-                      + 0.2 * F.when(stop_hits > 0, 1.0).otherwise(0.0), 4)
+    # quality = round(0.4·min(chars/500, 1) + 0.4·distinct/tokens
+    #                 + 0.2·[any stopword], 4), computed entirely in
+    # integer arithmetic: the inputs are exact integers, so the rounded
+    # value is (20000·num + den) ÷ (2·den) with num/den the exact
+    # rational — double rounding of 0.4·a + 0.4·b lands EXACTLY on
+    # x.xxxx5 boundaries for a handful of documents per 5000 and the
+    # two engines' round() then disagree by 1e-4 (hit at sf0.1).
+    # Half-up on the exact rational is engine-independent.
+    lc = F.least(n_chars, F.lit(500)).cast("long")
+    ntl = n_tok.cast("long")
+    q_num = 2 * lc * ntl + 1000 * n_distinct.cast("long") \
+        + 500 * F.when(stop_hits > 0, 1).otherwise(0).cast("long") * ntl
+    q_den = 2500 * ntl
+    q_a, q_b = 20000 * q_num + q_den, 2 * q_den
+    # (a - a mod b) / b: exact-multiple double division == integer div
+    quality = (((q_a - F.pmod(q_a, q_b)) / q_b).cast("long")
+               .cast("double") / 10000)
     keep = id_cols if id_cols is not None else [c for c in df.columns if c != text_col]
     return df.select(
         *keep,
@@ -116,21 +130,36 @@ def winnow_fingerprints(toks: Column, *, k: int = 3, window: int = 4) -> Column:
     JVM-side, zero shuffle, composes with ``explode`` into the same
     inverted-index joins as the other dedup signatures.  md5 keeps the
     selection content-derived and engine-independent.
+
+    Higher-order functions are evaluated interpreted (no codegen, no
+    common-subexpression elimination), so the k-gram hash array MUST be
+    evaluated once per row, not once per window: referencing ``hashes``
+    inside the window-min lambda re-evaluates all O(n) md5s for each of
+    the O(n) windows — measured 28× slower at 54-token documents.  The
+    single-element ``transform`` below binds the evaluated array to a
+    lambda variable, which is computed exactly once per row while
+    keeping the Column-in/Column-out API.
     """
     n_grams = F.size(toks) - (k - 1)
     gram_idx = F.sequence(F.lit(1), n_grams)
     hashes = F.transform(
         gram_idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))))
-    win_idx = F.sequence(F.lit(1), n_grams - (window - 1))
-    mins = F.transform(win_idx, lambda i: F.array_min(F.slice(hashes, i, window)))
-    # sequence(1, m) DESCENDS for m < 1 — guard short docs explicitly:
-    # with fewer than `window` k-grams, fall back to the global min
-    # (every hash is a window min of a truncated window)
-    return (
-        F.when(n_grams >= window, F.array_distinct(mins))
-        .when(n_grams >= 1, F.array(F.array_min(hashes)))
-        .otherwise(F.array().cast("array<string>"))
-    )
+    empty = F.array().cast("array<string>")
+    # sequence(1, m) DESCENDS for m < 1 — guard short docs explicitly
+    guarded = F.when(n_grams >= 1, hashes).otherwise(empty)
+
+    def select_mins(h: Column) -> Column:
+        win_idx = F.sequence(F.lit(1), F.size(h) - (window - 1))
+        mins = F.transform(win_idx, lambda i: F.array_min(F.slice(h, i, window)))
+        # fewer than `window` k-grams: fall back to the global min
+        # (every hash is a window min of a truncated window)
+        return (
+            F.when(F.size(h) >= window, F.array_distinct(mins))
+            .when(F.size(h) >= 1, F.array(F.array_min(h)))
+            .otherwise(empty)
+        )
+
+    return F.element_at(F.transform(F.array(guarded), select_mins), 1)
 
 
 #: Redaction patterns for training-data scrubbing: (regex, replacement).

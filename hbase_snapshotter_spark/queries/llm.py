@@ -29,6 +29,8 @@ from hbase_snapshotter_spark.operators.text import (
     STOPWORDS,
     TOKEN_REGEX,
     text_features,
+    tokens,
+    winnow_fingerprints,
 )
 
 # ---------------------------------------------------------------- helpers
@@ -185,9 +187,24 @@ ORDER BY id_a, id_b
 
 
 # ------------------------------------------------------ N15: text features
+WINNOW_K = 3
+WINNOW_WINDOW = 4
+
+
 def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document feature set plus winnowing fingerprints (MOSS
+    selection, Schleimer et al. SIGMOD'03): the fingerprint SET is
+    pinned end-to-end by an md5 digest of the sorted fingerprints, so
+    the oracle checks every selected window minimum, not just a count."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return text_features(docs, "text", id_cols=["doc_id"])
+    fps = winnow_fingerprints(tokens(F.col("text")), k=WINNOW_K, window=WINNOW_WINDOW)
+    docs = docs.select(
+        "doc_id", "text",
+        F.size(fps).alias("n_winnow_fp"),
+        F.md5(F.concat_ws(",", F.array_sort(fps))).alias("winnow_digest"),
+    )
+    return text_features(docs, "text",
+                         id_cols=["doc_id", "n_winnow_fp", "winnow_digest"])
 
 
 def _oracle_text() -> str:
@@ -202,22 +219,37 @@ def _oracle_text() -> str:
       WHEN {hits['fr']} > 0 THEN 'fr'
       ELSE 'unknown' END"""
     stop_hits = f"len(list_filter(t, x -> list_contains({_sql_list(STOPWORDS)}, x)))"
+    k, w = WINNOW_K, WINNOW_WINDOW
     return f"""
-WITH toks AS (SELECT doc_id, text, string_split(trim(text), ' ') AS t FROM documents)
-SELECT doc_id,
+WITH toks AS (SELECT doc_id, text, string_split(trim(text), ' ') AS t FROM documents),
+wh AS (SELECT doc_id,
+  [md5(array_to_string(list_slice(t, i, i + {k - 1}), ' '))
+   for i in range(1, len(t) - {k} + 2)] AS hs
+  FROM toks),
+wfp AS (SELECT doc_id,
+  CASE WHEN len(hs) >= {w} THEN
+    list_distinct([list_aggregate(list_slice(hs, i, i + {w - 1}), 'min')
+                   for i in range(1, len(hs) - {w} + 2)])
+  WHEN len(hs) >= 1 THEN [list_aggregate(hs, 'min')]
+  ELSE []::VARCHAR[] END AS fps
+  FROM wh)
+SELECT toks.doc_id,
+       CAST(len(fps) AS INTEGER) AS n_winnow_fp,
+       md5(array_to_string(list_sort(fps), ',')) AS winnow_digest,
        CAST(len(t) AS INTEGER) AS n_tokens,
        CAST(len(list_distinct(t)) AS INTEGER) AS n_distinct_tokens,
        CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS INTEGER) AS n_bpe_tokens,
        ROUND(length(text) / len(t), 4) AS avg_token_len,
        ROUND({stop_hits} / len(t), 4) AS stopword_ratio,
        ROUND(len(list_distinct(t)) / len(t), 4) AS type_token_ratio,
-       ROUND(0.4 * least(length(text) / 500.0, 1.0)
-             + 0.4 * (len(list_distinct(t)) / len(t))
-             + 0.2 * (CASE WHEN {stop_hits} > 0 THEN 1.0 ELSE 0.0 END), 4)
+       CAST((20000 * (2 * least(length(text), 500) * len(t)
+                      + 1000 * len(list_distinct(t))
+                      + 500 * (CASE WHEN {stop_hits} > 0 THEN 1 ELSE 0 END) * len(t))
+             + 2500 * len(t)) // (2 * 2500 * len(t)) AS DOUBLE) / 10000
          AS quality_score,
        {lang_case} AS lang_guess,
        md5(text) AS fingerprint
-FROM toks
+FROM toks JOIN wfp ON toks.doc_id = wfp.doc_id
 """
 
 
@@ -559,8 +591,13 @@ def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_quality_filter() -> str:
     text_sql = _oracle_text()
+    # thread `lang` through the toks CTE and the outer projection
+    assert "SELECT doc_id, text," in text_sql and "SELECT toks.doc_id," in text_sql
+    text_sql = (text_sql
+                .replace("SELECT doc_id, text,", "SELECT doc_id, lang, text,")
+                .replace("SELECT toks.doc_id,", "SELECT toks.doc_id, lang,"))
     return f"""
-WITH feats AS ({text_sql.replace("SELECT doc_id,", "SELECT doc_id, lang,")})
+WITH feats AS ({text_sql})
 SELECT doc_id, lang, n_tokens, quality_score FROM feats
 WHERE quality_score >= 0.7 AND n_tokens >= 20 AND lang_guess = 'en'
 """
