@@ -36,6 +36,21 @@ def tokens(col: Column | str) -> Column:
     return F.split(F.trim(col), r"\s+")
 
 
+def bind_once(col: Column, fn) -> Column:
+    """Evaluate ``col`` once per row and hand it to ``fn`` as a
+    lambda-bound variable.
+
+    Higher-order functions are evaluated interpreted, with no common-
+    subexpression elimination: an expression referenced inside a
+    ``transform``/``filter`` lambda is RE-EVALUATED for every array
+    element.  Any O(n) expression (a split, a hash array) used inside
+    an O(n) lambda silently turns quadratic per row.  Wrapping it as
+    the element of a one-element array makes it a lambda variable —
+    computed exactly once — while staying a pure column expression.
+    """
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
 def _count_in(toks: Column, words: list[str]) -> Column:
     arr = F.array(*[F.lit(w) for w in words])
     return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
@@ -99,12 +114,17 @@ def text_features(df: DataFrame, text_col: str = "text", *, id_cols: list[str] |
 
 def shingles(toks: Column, n: int = 3) -> Column:
     """Distinct contiguous token n-grams → array<string>.  Expressed
-    with sequence+transform so it stays JVM-side."""
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    # sequence(1, k) DESCENDS for k < 1 — guard short documents explicitly
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)) \
-        .otherwise(F.array().cast("array<string>"))
+    with sequence+transform so it stays JVM-side; the token array is
+    :func:`bind_once`-bound so tokenization runs once per row, not once
+    per gram."""
+    def from_t(t: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(t) - (n - 1))
+        grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, n)))
+        # sequence(1, k) DESCENDS for k < 1 — guard short docs explicitly
+        return F.when(F.size(t) >= n, F.array_distinct(grams)) \
+            .otherwise(F.array().cast("array<string>"))
+
+    return bind_once(toks, from_t)
 
 
 def doc_shingles(df: DataFrame, id_col: str, text_col: str = "text", n: int = 3) -> DataFrame:
@@ -131,22 +151,14 @@ def winnow_fingerprints(toks: Column, *, k: int = 3, window: int = 4) -> Column:
     inverted-index joins as the other dedup signatures.  md5 keeps the
     selection content-derived and engine-independent.
 
-    Higher-order functions are evaluated interpreted (no codegen, no
-    common-subexpression elimination), so the k-gram hash array MUST be
-    evaluated once per row, not once per window: referencing ``hashes``
-    inside the window-min lambda re-evaluates all O(n) md5s for each of
-    the O(n) windows — measured 28× slower at 54-token documents.  The
-    single-element ``transform`` below binds the evaluated array to a
-    lambda variable, which is computed exactly once per row while
-    keeping the Column-in/Column-out API.
+    Both the token array and the k-gram hash array are
+    :func:`bind_once`-bound: referencing ``hashes`` inside the
+    window-min lambda would re-evaluate all O(n) md5s for each of the
+    O(n) windows — measured 28× slower at 54-token documents — and
+    referencing the split inside the gram lambda would re-tokenize per
+    gram.
     """
-    n_grams = F.size(toks) - (k - 1)
-    gram_idx = F.sequence(F.lit(1), n_grams)
-    hashes = F.transform(
-        gram_idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))))
     empty = F.array().cast("array<string>")
-    # sequence(1, m) DESCENDS for m < 1 — guard short docs explicitly
-    guarded = F.when(n_grams >= 1, hashes).otherwise(empty)
 
     def select_mins(h: Column) -> Column:
         win_idx = F.sequence(F.lit(1), F.size(h) - (window - 1))
@@ -159,7 +171,16 @@ def winnow_fingerprints(toks: Column, *, k: int = 3, window: int = 4) -> Column:
             .otherwise(empty)
         )
 
-    return F.element_at(F.transform(F.array(guarded), select_mins), 1)
+    def from_t(t: Column) -> Column:
+        n_grams = F.size(t) - (k - 1)
+        hashes = F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(t, i, k))))
+        # sequence(1, m) DESCENDS for m < 1 — guard short docs explicitly
+        guarded = F.when(n_grams >= 1, hashes).otherwise(empty)
+        return bind_once(guarded, select_mins)
+
+    return bind_once(toks, from_t)
 
 
 #: Redaction patterns for training-data scrubbing: (regex, replacement).
