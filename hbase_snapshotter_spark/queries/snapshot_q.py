@@ -174,7 +174,16 @@ def q_schema_history_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = schema_as_of(history, SNAPSHOT_TS_MS, mode="strict")
     log = events_as_changelog(
         read_table(spark, sf_dir, "events", events_as_of_ms=SNAPSHOT_TS_MS))
-    return snapshot_as_of(log, schema, SNAPSHOT_TS_MS, strict_decode=True)
+    snap = snapshot_as_of(log, schema, SNAPSHOT_TS_MS, strict_decode=True)
+    # The snapshot's `click` column is DecimalType(14,4) (the strict S14
+    # mapping) — pinned as such in tests/test_schema.py.  DECIMAL crosses
+    # the Python seam differently per engine (Spark collect → fixed-scale
+    # Decimal, DuckDB→pandas → float64), so for the driver's value hash we
+    # serialize it in the one form both engines render identically:
+    # decimal→string keeps fixed scale ('3.7000') in Spark AND DuckDB.
+    from pyspark.sql import functions as F
+
+    return snap.withColumn("click", F.col("click").cast("string"))
 
 
 def oracle_schema_history_snapshot() -> str:
@@ -195,9 +204,9 @@ def oracle_schema_history_snapshot() -> str:
     )
     SELECT row_key AS k_hbase_row_key,
       CAST(NULL AS VARCHAR) AS k_replicator_row_status,
-      CAST(CASE WHEN upper(MAX(CASE WHEN qualifier = 'click' THEN value END)) = 'NULL'
+      CAST(CAST(CASE WHEN upper(MAX(CASE WHEN qualifier = 'click' THEN value END)) = 'NULL'
                 THEN NULL ELSE MAX(CASE WHEN qualifier = 'click' THEN value END)
-           END AS DECIMAL(14,4)) AS click,
+           END AS DECIMAL(14,4)) AS VARCHAR) AS click,
       CAST(CASE WHEN upper(MAX(CASE WHEN qualifier = 'purchase' THEN value END)) = 'NULL'
                 THEN NULL ELSE MAX(CASE WHEN qualifier = 'purchase' THEN value END)
            END AS DOUBLE) AS purchase,

@@ -139,3 +139,16 @@ def test_schema_history_snapshot_two_light_shuffles(spark, sf_dir):
     plan = explain(spark, "schema_history_snapshot", sf_dir)
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
     assert "Window" not in plan
+
+
+def test_schema_history_snapshot_decimal_internal_string_external(spark, sf_dir):
+    """The strict S14 mapping keeps `click` as DecimalType(14,4)
+    internally; only the final driver-facing serialization is STRING
+    (the one form Spark and DuckDB render identically — fixed-scale
+    '3.7000' — so the cross-engine value hash is stable)."""
+    from hbase_snapshotter_spark.queries.registry import QUERIES
+
+    df = QUERIES["schema_history_snapshot"](spark, sf_dir)
+    assert dict(df.dtypes)["click"] == "string"
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "decimal(14,4)" in analyzed  # pre-cast type survives inside the plan
