@@ -618,28 +618,47 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
 """
 
 
-# ------------------------------------- approximate sketches (rows-only)
+# ----------------------------- approximate sketches (oracle-checkable)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates next to their exact twins: HyperLogLog++
     distinct counts (approx_count_distinct) and the quantile sketch
     (approx_percentile) — both single-pass, mergeable, bounded-memory
-    (the 100 TB shape for cardinality/quantiles).  No SQL oracle:
-    DuckDB's sketches differ by construction — correctness is
-    bounded-error against the exact values, asserted in tests."""
+    (the 100 TB shape for cardinality/quantiles).
+
+    The raw sketch estimates are engine-specific (DuckDB's HLL differs
+    by construction), so the query emits the EXACT values plus
+    ``*_within_tolerance`` booleans computed in-query from the sketch
+    (|approx − exact| ≤ 10% / 5%, the same bounds the pytest asserts);
+    the oracle replays the exact values and expects ``true`` — making
+    the sketch's error contract itself hash-checkable."""
     orders = _t(spark, sf_dir, "orders")
+    approx_cnt = F.approx_count_distinct("o_custkey", 0.02)
+    exact_cnt = F.countDistinct("o_custkey")
+    approx_med = F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(1000))
+    exact_med = F.percentile("o_totalprice", F.lit(0.5))
     return orders.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
-        F.countDistinct("o_custkey").alias("exact_customers"),
-        F.round(F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(1000)), 2)
-        .alias("approx_median_price"),
-        F.round(F.percentile("o_totalprice", F.lit(0.5)), 2)
-        .alias("exact_median_price"),
+        exact_cnt.alias("exact_customers"),
+        F.round(exact_med, 2).alias("exact_median_price"),
+        (F.abs(approx_cnt - exact_cnt) <= 0.10 * exact_cnt)
+        .alias("count_within_tolerance"),
+        (F.abs(approx_med - exact_med) <= 0.05 * exact_med)
+        .alias("median_within_tolerance"),
     )
+
+
+ORACLE_APPROX_DISTINCT = """
+SELECT o_orderstatus,
+       COUNT(DISTINCT o_custkey) AS exact_customers,
+       ROUND(quantile_cont(o_totalprice, 0.5), 2) AS exact_median_price,
+       TRUE AS count_within_tolerance,
+       TRUE AS median_within_tolerance
+FROM orders GROUP BY o_orderstatus
+"""
 
 
 PAIRS.update({
     "agg_grouping_sets": (agg_grouping_sets, ORACLE_GROUPING_SETS),
-    "agg_approx_distinct": (agg_approx_distinct, None),
+    "agg_approx_distinct": (agg_approx_distinct, ORACLE_APPROX_DISTINCT),
 })
 
 

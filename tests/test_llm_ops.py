@@ -156,12 +156,15 @@ def test_asof_join_forward_and_tolerance(spark):
 def test_approx_distinct_within_error(spark, sf_dir):
     from hbase_snapshotter_spark.queries.relational import agg_approx_distinct
 
-    for r in agg_approx_distinct(spark, sf_dir).collect():
-        assert abs(r.approx_customers - r.exact_customers) <= 0.1 * r.exact_customers
+    rows = agg_approx_distinct(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # the 10% / 5% sketch-error contract is computed in-query so the
+        # DuckDB oracle can hash-check it (oracle expects TRUE)
+        assert r.count_within_tolerance
         # KLL-style quantile sketch at accuracy=1000 on small groups is
-        # near-exact; allow 5% drift
-        assert abs(r.approx_median_price - r.exact_median_price) \
-            <= 0.05 * r.exact_median_price
+        # near-exact; 5% drift allowed
+        assert r.median_within_tolerance
 
 
 def test_bucketed_near_dup_sound_and_recalls(spark, sf_dir):
