@@ -28,7 +28,7 @@ import random
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 EMBEDDING_DIM = 64
@@ -100,7 +100,9 @@ def brute_force_topk(
     k: int = 5,
 ) -> DataFrame:
     """Exact cosine top-k per query: (query_id, neighbor_id, rank, cosine).
-    ``queries`` is broadcast; self-matches are excluded."""
+    ``queries`` is broadcast; self-matches are excluded.  Ranking is the
+    window-free :func:`topk_by_group` hash-agg (no sort of the full
+    candidate set by query_id)."""
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
     scored = (
@@ -109,12 +111,7 @@ def brute_force_topk(
         .select("query_id", "neighbor_id",
                 F.round(cosine_expr(F.col("__qv"), F.col("__cv")), 4).alias("cosine"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cosine")
-    )
+    return topk_by_group(scored, k).select("query_id", "neighbor_id", "rank", "cosine")
 
 
 def ann_lsh_topk(
@@ -129,7 +126,8 @@ def ann_lsh_topk(
     """Approximate top-k: candidates = SRP-bucket collisions, re-ranked
     by exact cosine.  Same output shape as :func:`brute_force_topk`;
     queries whose bucket holds no other vector produce no rows (that's
-    the recall trade-off, measured against the brute-force baseline)."""
+    the recall trade-off, measured against the brute-force baseline).
+    Ranking is the window-free :func:`topk_by_group` hash-agg."""
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"),
                        srp_bucket(F.col(vec_col), projections).alias("__bucket"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"),
@@ -140,12 +138,7 @@ def ann_lsh_topk(
         .select("query_id", "neighbor_id",
                 F.round(cosine_expr(F.col("__qv"), F.col("__cv")), 4).alias("cosine"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cosine")
-    )
+    return topk_by_group(scored, k).select("query_id", "neighbor_id", "rank", "cosine")
 
 
 def pairwise_dot_udf() -> Column:

@@ -9,6 +9,8 @@ here long before it would show up as a 100× regression on a cluster.
 
 import re
 
+import pytest
+
 from hbase_snapshotter_spark.queries.registry import QUERIES
 
 
@@ -78,12 +80,15 @@ def test_topk_plans_as_take_ordered(spark, sf_dir):
     assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
 
 
-def test_ivf_plan_is_window_free(spark, sf_dir):
-    """IVF assignment argmax must be a hash aggregation (max_by-style
-    struct max with map-side partials) and the top-k re-rank a
-    collect_list/sort_array aggregation — no Window sort of the n x c
-    scored set anywhere in the plan."""
-    plan = explain(spark, "similarity_topk_ivf", sf_dir)
+@pytest.mark.parametrize(
+    "name", ["similarity_topk_ivf", "similarity_topk_brute", "similarity_topk_ann"]
+)
+def test_topk_plans_are_window_free(spark, sf_dir, name):
+    """All three top-k variants rank via the topk_by_group hash
+    aggregation (collect_list/sort_array with map-side partials, and for
+    IVF a max_by-style struct-max assignment argmax) — no Window sort of
+    the scored candidate set anywhere in any plan."""
+    plan = explain(spark, name, sf_dir)
     assert "Window" not in plan
     assert "HashAggregate" in plan
 
