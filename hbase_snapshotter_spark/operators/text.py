@@ -69,11 +69,23 @@ def lang_guess_expr(toks: Column) -> Column:
     )
 
 
-def text_features(df: DataFrame, text_col: str = "text", *, id_cols: list[str] | None = None) -> DataFrame:
+def text_features(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    id_cols: list[str] | None = None,
+    toks_col: Column | None = None,
+) -> DataFrame:
     """Per-document feature set: token counts, diversity, stopword ratio,
     a BPE-ish token estimate, a 0-1 quality score, language guess, and a
-    content fingerprint (md5)."""
-    toks = tokens(F.col(text_col))
+    content fingerprint (md5).
+
+    ``toks_col`` optionally names an already-materialized token-array
+    column (a cheap reference): the features reference the token array
+    ~9 times and higher-order filters get no CSE, so callers that
+    pre-tokenize in a prior projection avoid re-splitting per feature.
+    """
+    toks = toks_col if toks_col is not None else tokens(F.col(text_col))
     n_tok = F.size(toks)
     n_distinct = F.size(F.array_distinct(toks))
     n_chars = F.length(text_col)

@@ -197,14 +197,23 @@ def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned end-to-end by an md5 digest of the sorted fingerprints, so
     the oracle checks every selected window minimum, not just a count."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    fps = winnow_fingerprints(tokens(F.col("text")), k=WINNOW_K, window=WINNOW_WINDOW)
-    docs = docs.select(
-        "doc_id", "text",
-        F.size(fps).alias("n_winnow_fp"),
-        F.md5(F.concat_ws(",", F.array_sort(fps))).alias("winnow_digest"),
+    # Staged projections so each expensive array is materialized ONCE:
+    # higher-order functions are interpreted with no CSE, and
+    # CollapseProject keeps multi-consumer non-cheap aliases staged —
+    # the token array feeds winnowing + ~9 feature expressions, the
+    # fingerprint array feeds both the count and the digest (was 2×
+    # winnowing + repeated re-tokenization when inlined).
+    toked = docs.select("doc_id", "text", tokens(F.col("text")).alias("__toks"))
+    fps = winnow_fingerprints(F.col("__toks"), k=WINNOW_K, window=WINNOW_WINDOW)
+    staged = toked.select("doc_id", "text", "__toks", fps.alias("__fps"))
+    docs = staged.select(
+        "doc_id", "text", "__toks",
+        F.size("__fps").alias("n_winnow_fp"),
+        F.md5(F.concat_ws(",", F.array_sort("__fps"))).alias("winnow_digest"),
     )
     return text_features(docs, "text",
-                         id_cols=["doc_id", "n_winnow_fp", "winnow_digest"])
+                         id_cols=["doc_id", "n_winnow_fp", "winnow_digest"],
+                         toks_col=F.col("__toks"))
 
 
 def _oracle_text() -> str:
