@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hbase_snapshotter_spark.cache import scoped_persist
 from hbase_snapshotter_spark.operators.text import doc_shingles
 
 
@@ -92,7 +93,7 @@ def jaccard_pairs(
     if candidates is None:
         # consumed 3x below (self-join sides + size agg) with no
         # cross-consumer exchange reuse — shingle once, not thrice
-        s = s.persist()
+        s = scoped_persist(s)
         sizes = s.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
         a, b = s.alias("a"), s.alias("b")
         shared = (
@@ -108,7 +109,7 @@ def jaccard_pairs(
         # rows, not the whole corpus's shingles.  The candidate set is
         # consumed 3x (pair join + both id projections), so persist it —
         # its producing DAG (signatures + band join) must not re-run.
-        candidates = candidates.persist()
+        candidates = scoped_persist(candidates)
         cand_docs = (candidates.select(F.col("id_a").alias(id_col))
                      .unionAll(candidates.select(F.col("id_b").alias(id_col)))
                      .distinct())
@@ -196,16 +197,16 @@ def minhash_lsh_pairs(
     rows = num_hashes // bands
     # one shingle pass feeds both the signatures and the exact
     # verification — persisted so tokenization/hashing runs once
-    s = _shingle_sets(df, id_col, text_col, n, max_df).persist()
+    s = scoped_persist(_shingle_sets(df, id_col, text_col, n, max_df))
     sig = s.select(F.col(id_col), *minhash_digests(num_hashes)) \
         .groupBy(id_col).agg(*minhash_aggs(num_hashes))
     band_cols = [
         F.concat_ws(",", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
         for b in range(bands)
     ]
-    band_keys = sig.select(
+    band_keys = scoped_persist(sig.select(
         id_col, F.posexplode(F.array(*band_cols)).alias("band", "band_key")
-    ).persist()  # self-joined below: without the persist each side
+    ))  # self-joined below: without the persist each side
     # recomputes the whole signature aggregation (no cross-side
     # exchange reuse under AQE — verified in the physical plan)
     a, b = band_keys.alias("a"), band_keys.alias("b")
@@ -267,7 +268,8 @@ def simhash_pairs(
             .bitwiseAND(F.lit(SIMHASH_BAND_MASK))
             for j in range(SIMHASH_BANDS)
         ])).alias("band", "byte"),
-    ).persist()  # self-joined: without the persist each side recomputes
+    )
+    banded = scoped_persist(banded)  # self-joined: without the persist each side recomputes
     # the 48-aggregate signature pass (no cross-side exchange reuse)
     a, b = banded.alias("a"), banded.alias("b")
     return (
@@ -320,6 +322,10 @@ def connected_components(
 
     Output: (id, component) where component = min node id reachable.
     """
+    if max_iterations < 1:
+        raise ValueError(
+            f"max_iterations must be >= 1, got {max_iterations} (with "
+            "shortcut=True rounds are O(log diameter); 30 covers 2^30-hop chains)")
     edges = edges.persist()  # symmetrization reads it twice; without
     # this the whole edge-producing DAG (e.g. LSH) runs once per side
     sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).unionByName(
@@ -384,5 +390,6 @@ def connected_components(
             RuntimeWarning,
             stacklevel=2,
         )
+    edges.unpersist()
     sym.unpersist()
     return labels.select(F.col("node").alias(id_col), "component")

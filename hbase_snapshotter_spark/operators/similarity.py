@@ -31,6 +31,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from hbase_snapshotter_spark.cache import scoped_persist
+
 EMBEDDING_DIM = 64
 NUM_PROJECTIONS = 8
 _PROJECTION_SEED = 42
@@ -179,7 +181,8 @@ def cosine_pairs_bucketed(
         F.col(id_col), F.col(vec_col),
         norm_expr(F.col(vec_col)).alias("__norm"),
         srp_bucket(F.col(vec_col), projections).alias("__sig"),
-    ).persist()  # consumed 3x (band keys + both candidate sides): without
+    )
+    with_b = scoped_persist(with_b)  # consumed 3x (band keys + both candidate sides): without
     # this the Arrow-batched signature/norm pass re-runs per consumer
     keyed = with_b.select(
         F.col(id_col),
@@ -414,11 +417,12 @@ def kmeans_centroids(
                 F.sort_array(F.collect_list(F.struct(F.col("__pos"), F.col("__m")))),
                 lambda s: s["__m"]).alias("__cv"))
             .select(F.col("cell").alias("__cid"), "__cv")
-            # persist each level: centroids feed the NEXT assignment and
-            # the final return — without the cache cut, each iteration's
-            # DAG nests the previous one's twice (exponential recompute)
-            .persist()
         )
+        # persist each level: centroids feed the NEXT assignment and
+        # the final return — without the cache cut, each iteration's
+        # DAG nests the previous one's twice (exponential recompute);
+        # released by the caller's release_caches() after its action
+        cents = scoped_persist(cents)
     return cents
 
 
@@ -502,8 +506,9 @@ def ivf_topk(
     with_cell = corpus.join(assign, id_col).select(
         F.col(id_col), F.col(vec_col), F.col("cell"),
         norm_expr(F.col(vec_col)).alias("__n"),
-    ).persist()  # both join sides (queries + corpus) consume it; the
-    # assignment crossJoin+argmax must not run twice
+    )
+    with_cell = scoped_persist(with_cell)  # both join sides (queries +
+    # corpus) consume it; the assignment crossJoin+argmax must not run twice
     q = queries.select(F.col(id_col).alias("query_id")) \
         .join(with_cell.withColumnRenamed(id_col, "query_id"), "query_id") \
         .select("query_id", F.col(vec_col).alias("__qv"), "cell",

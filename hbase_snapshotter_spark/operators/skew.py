@@ -39,12 +39,20 @@ def salted_agg(
     """Two-stage salted aggregation.
 
     ``aggs`` is a list of ``(column, fn, alias)`` with fn ∈ sum / count /
-    min / max / avg (column ``None`` for count(*)).  ``salt_cols``
-    defaults to all non-key columns, giving a uniform pseudo-random salt.
+    min / max / avg (column ``None`` for count(*)).  ``salt_cols``, when
+    given, derives the salt from those columns' content; the default is a
+    per-row round-robin (``monotonically_increasing_id() mod buckets``) —
+    content-independent, so fully-duplicate hot rows (a common cause of
+    key skew) still spread across buckets, and no column type restriction
+    (``F.hash`` rejects MapType).  The salt value never affects the
+    result — any assignment combines to the same totals — so the
+    non-deterministic id is safe here.
     Result is row-for-row identical to ``df.groupBy(keys).agg(...)``.
     """
-    salt_src = salt_cols or [c for c in df.columns if c not in keys]
-    salt = F.pmod(F.hash(*[F.col(c) for c in salt_src]), F.lit(salt_buckets))
+    if salt_cols:
+        salt = F.pmod(F.hash(*[F.col(c) for c in salt_cols]), F.lit(salt_buckets))
+    else:
+        salt = F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
 
     stage1_cols: list[Column] = []
     stage2_cols: list[Column] = []
@@ -87,7 +95,13 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
-    salt = F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(salt_buckets))
+    # Round-robin salt, independent of row content: hashing the row's
+    # columns would send byte-identical hot rows (a common real skew
+    # shape) to ONE bucket, defeating the salting — and F.hash rejects
+    # MapType columns.  The salt never affects the join result (the
+    # small side carries every salt value), so the non-deterministic
+    # per-row id is safe.
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
     b = big.withColumn("__salt", salt)
     s = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))))

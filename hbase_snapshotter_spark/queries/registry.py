@@ -8,10 +8,12 @@ rows-only check).
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from hbase_snapshotter_spark.cache import release_caches
 from hbase_snapshotter_spark.queries import llm, relational, snapshot_q, streaming_q
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -21,7 +23,18 @@ ORACLES: dict[str, str] = {}
 
 
 def register(name: str, fn: QueryFn, oracle: str | None) -> None:
-    QUERIES[name] = fn
+    # Building a query first releases the previous query's scoped caches
+    # (operators persist multi-consumer intermediates — see cache.py), so
+    # a sequential build→run driver loop holds at most ONE query's
+    # working set instead of accumulating cache blocks for the session's
+    # lifetime.  Releasing is always safe: at worst a still-pending plan
+    # recomputes its lineage.
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        release_caches()
+        return fn(spark, sf_dir)
+
+    QUERIES[name] = wrapped
     if oracle is not None:
         ORACLES[name] = oracle
 

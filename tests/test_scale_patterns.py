@@ -163,3 +163,28 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
                         salted_join(orders, cust, ["o_custkey"], how=how,
                                     salt_buckets=8).collect())
         assert salted == plain
+
+
+def test_salted_ops_spread_fully_duplicate_rows(spark):
+    """The salt is content-independent (round-robin on the per-row id):
+    byte-identical hot rows — a common real skew shape that a
+    hash-of-columns salt sends to ONE bucket — must still spread, and
+    unhashable column types (MapType) must not error."""
+    import pyspark.sql.functions as F
+
+    from hbase_snapshotter_spark.operators.skew import salted_agg, salted_join
+
+    hot = spark.range(400).select(
+        F.lit("k").alias("k"), F.lit(1).alias("v"),
+        F.create_map(F.lit("a"), F.lit(1)).alias("m"))  # F.hash would reject m
+    # correctness: identical to the plain agg/join
+    out = salted_agg(hot, ["k"], [("v", "sum", "s")], salt_buckets=8).collect()
+    assert [(r.k, r.s) for r in out] == [("k", 400)]
+    small = spark.createDataFrame([("k", "x")], "k string, label string")
+    joined = salted_join(hot.drop("m"), small, ["k"], salt_buckets=8)
+    assert joined.count() == 400
+    # spread: the 400 duplicate rows land in every salt bucket, so the
+    # stage-1 partial aggregation has ~8 groups for the one hot key
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(8))
+    n_buckets = hot.withColumn("__salt", salt).select("__salt").distinct().count()
+    assert n_buckets == 8
