@@ -17,6 +17,17 @@ the lifetime of the SparkSession:
   sequential build-run-build-run driver loop holds at most one query's
   working set; ``bench.py`` and the pytest sweep release explicitly).
 
+LIFECYCLE CONTRACT — single-threaded build-then-act: the registry's
+scope is the whole module-global list, so building ANY registered query
+releases EVERY scoped handle, including those of a query built earlier
+but not yet executed.  Interleaving builds (build A, build B, act on A)
+is therefore CORRECT but loses A's cache: A's action transparently
+recomputes the persisted lineage, paying the duplicate-DAG cost the
+persist existed to avoid (AQE gives multi-consumer plans zero exchange
+reuse).  Execute each registered query before building the next one —
+pinned by ``tests/test_queries_oracle.py::test_cache_scope_interleaved_
+builds_recompute_correctly``.
+
 Releasing is always SAFE, never wrong: unpersisting a DataFrame changes
 no results — at worst a later action recomputes the lineage.
 """
@@ -29,7 +40,11 @@ _ACTIVE: list[DataFrame] = []
 
 
 def scoped_persist(df: DataFrame) -> DataFrame:
-    """``df.persist()`` + register the handle for :func:`release_caches`."""
+    """``df.persist()`` + register the handle for :func:`release_caches`.
+
+    The handle stays cached until the NEXT :func:`release_caches` call —
+    with the query registry, until the next registered query is built
+    (see the module-level lifecycle contract)."""
     out = df.persist()
     _ACTIVE.append(out)
     return out
@@ -44,12 +59,14 @@ def track(df: DataFrame) -> DataFrame:
 def release_caches() -> int:
     """Unpersist every scoped handle; returns how many were released.
 
-    Idempotent and safe at any time (double-unpersist is a no-op)."""
+    Idempotent and safe at any time (double-unpersist is a no-op).
+    Handles whose owning SparkContext has been stopped are skipped —
+    their blocks died with the context; any other unpersist failure is
+    a real error and propagates."""
     n = len(_ACTIVE)
     while _ACTIVE:
         df = _ACTIVE.pop()
-        try:
-            df.unpersist()
-        except Exception:  # session already stopped — nothing to free
-            pass
+        if getattr(df.sparkSession._sc, "_jsc", None) is None:
+            continue  # context stopped: blocks already freed with it
+        df.unpersist()
     return n

@@ -28,6 +28,39 @@ _STAGE1 = {
 _STAGE2 = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
 
 
+def _salt_expr(salt_cols: list[str] | None, salt_buckets: int) -> Column:
+    """Per-row salt in ``[0, salt_buckets)``.
+
+    With ``salt_cols`` the salt is a CONTENT HASH of those columns —
+    fully deterministic, so a recomputed map task re-emits every row
+    under the same salt and shuffle-retry is safe.  Pass a unique id
+    column (or the key of a unique composite) here whenever the input
+    has one: that is both retry-deterministic AND spread-preserving
+    even when the non-key payload of hot rows is byte-identical.
+
+    Without ``salt_cols`` the salt is a round-robin on
+    ``monotonically_increasing_id()`` (+ partition id, so small
+    partitions don't all start their residues at 0 — the raw id is
+    ``pid << 33 | row_index`` and ``2^33 ≡ 0 (mod 2^k)``).  This spreads
+    even byte-identical duplicate rows and accepts any column types
+    (``F.hash`` rejects MapType), BUT the id depends on row order
+    within the partition, which is not stable for a recomputed shuffle
+    output: on a shuffle-fetch-failure retry (the SPARK-23207 shape) a
+    re-run map task can re-emit rows under different salts while some
+    reducers already fetched the old output — rows double-counted or
+    dropped unless Spark rolls the whole stage back, which its
+    indeterminate-stage handling does not guarantee for this
+    expression.  Totals are only guaranteed when no partial stage
+    recompute occurs; prefer ``salt_cols`` on any input that has a
+    unique key.
+    """
+    if salt_cols:
+        return F.pmod(F.hash(*[F.col(c) for c in salt_cols]), F.lit(salt_buckets))
+    return F.pmod(
+        F.monotonically_increasing_id() + F.spark_partition_id(),
+        F.lit(salt_buckets))
+
+
 def salted_agg(
     df: DataFrame,
     keys: list[str],
@@ -40,19 +73,17 @@ def salted_agg(
 
     ``aggs`` is a list of ``(column, fn, alias)`` with fn ∈ sum / count /
     min / max / avg (column ``None`` for count(*)).  ``salt_cols``, when
-    given, derives the salt from those columns' content; the default is a
-    per-row round-robin (``monotonically_increasing_id() mod buckets``) —
-    content-independent, so fully-duplicate hot rows (a common cause of
-    key skew) still spread across buckets, and no column type restriction
-    (``F.hash`` rejects MapType).  The salt value never affects the
-    result — any assignment combines to the same totals — so the
-    non-deterministic id is safe here.
-    Result is row-for-row identical to ``df.groupBy(keys).agg(...)``.
+    given, derives the salt from those columns' content — deterministic,
+    hence shuffle-retry-safe; pass a unique id column to keep the spread
+    even for duplicate payload rows.  The default is a per-row
+    round-robin — content-independent (fully-duplicate hot rows still
+    spread, MapType columns accepted) but indeterminate under partial
+    stage retry; see :func:`_salt_expr` for the full trade-off.
+    The salt value never affects the result — any assignment combines
+    to the same totals — so the output is row-for-row identical to
+    ``df.groupBy(keys).agg(...)`` whichever salt is used.
     """
-    if salt_cols:
-        salt = F.pmod(F.hash(*[F.col(c) for c in salt_cols]), F.lit(salt_buckets))
-    else:
-        salt = F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
+    salt = _salt_expr(salt_cols, salt_buckets)
 
     stage1_cols: list[Column] = []
     stage2_cols: list[Column] = []
@@ -77,6 +108,7 @@ def salted_join(
     *,
     salt_buckets: int = 16,
     how: str = "inner",
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Skew-proof equi-join: salt the big (skewed) side, replicate the
     small side once per salt bucket, join on (keys…, salt).
@@ -95,13 +127,12 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
-    # Round-robin salt, independent of row content: hashing the row's
-    # columns would send byte-identical hot rows (a common real skew
-    # shape) to ONE bucket, defeating the salting — and F.hash rejects
-    # MapType columns.  The salt never affects the join result (the
-    # small side carries every salt value), so the non-deterministic
-    # per-row id is safe.
-    salt = F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
+    # The salt never affects the join RESULT (the small side carries
+    # every salt value), but the default round-robin salt is
+    # indeterminate under partial stage retry — pass ``salt_cols``
+    # (a unique id of the big side) for the retry-safe deterministic
+    # form; see _salt_expr for the full trade-off.
+    salt = _salt_expr(salt_cols, salt_buckets)
     b = big.withColumn("__salt", salt)
     s = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))))

@@ -28,7 +28,11 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
     # a sequential build→run driver loop holds at most ONE query's
     # working set instead of accumulating cache blocks for the session's
     # lifetime.  Releasing is always safe: at worst a still-pending plan
-    # recomputes its lineage.
+    # recomputes its lineage.  CONTRACT (single-threaded build-then-act):
+    # execute each built query before building the next — interleaved
+    # builds stay correct but the earlier query's action silently
+    # recomputes its released intermediates (see cache.py docstring;
+    # pinned by test_cache_scope_interleaved_builds_recompute_correctly).
     @functools.wraps(fn)
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         release_caches()

@@ -454,22 +454,33 @@ PAIRS = {
 }
 
 
-# ---------------------------------------------- skew-salted aggregation
+# ------------------------------------- skew-salted join + aggregation
 def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-stage salted aggregation over a 6-value group key (the
-    hot-key shape) — result identical to a plain groupBy; see
-    operators.skew for the load-spreading rationale."""
-    from hbase_snapshotter_spark.operators.skew import salted_agg
+    """Both skew tools on the archetypal hot-key shape: lineitem joined
+    to a 3-row dimension on ``l_returnflag`` (3 distinct values — every
+    key is hot) via the SALTED JOIN (big side salted, small side
+    replicated per salt), then the two-stage SALTED AGGREGATION over the
+    6-value group key.  Results are row-identical to the plain
+    join+groupBy; the salt is the deterministic content hash of
+    lineitem's unique key (``l_orderkey, l_linenumber``) so a shuffle-
+    retry re-emits identical salts (see operators.skew._salt_expr)."""
+    from hbase_snapshotter_spark.operators.skew import salted_agg, salted_join
 
     li = _t(spark, sf_dir, "lineitem")
+    flag_dim = spark.createDataFrame(
+        [("A", "returned"), ("N", "in-flight"), ("R", "refunded")],
+        "l_returnflag string, flag_label string")
+    unique_key = ["l_orderkey", "l_linenumber"]
+    joined = salted_join(li, flag_dim, ["l_returnflag"],
+                         salt_buckets=8, salt_cols=unique_key)
     out = salted_agg(
-        li, ["l_returnflag", "l_linestatus"],
+        joined, ["l_returnflag", "flag_label", "l_linestatus"],
         [(None, "count", "n_rows"), ("l_quantity", "sum", "sum_qty0"),
          ("l_discount", "avg", "avg_disc0"), ("l_extendedprice", "max", "max_price")],
-        salt_buckets=16,
+        salt_buckets=16, salt_cols=unique_key,
     )
     return out.select(
-        "l_returnflag", "l_linestatus", "n_rows",
+        "l_returnflag", "flag_label", "l_linestatus", "n_rows",
         F.round("sum_qty0", 2).alias("sum_qty"),
         F.round("avg_disc0", 6).alias("avg_disc"),
         "max_price",
@@ -477,12 +488,15 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SALTED = """
-SELECT l_returnflag, l_linestatus,
+SELECT l_returnflag, flag_label, l_linestatus,
        COUNT(*) AS n_rows,
        ROUND(SUM(l_quantity), 2) AS sum_qty,
        ROUND(AVG(l_discount), 6) AS avg_disc,
        MAX(l_extendedprice) AS max_price
-FROM lineitem GROUP BY l_returnflag, l_linestatus
+FROM lineitem
+JOIN (VALUES ('A', 'returned'), ('N', 'in-flight'), ('R', 'refunded'))
+     AS d(l_returnflag, flag_label) USING (l_returnflag)
+GROUP BY l_returnflag, flag_label, l_linestatus
 """
 
 

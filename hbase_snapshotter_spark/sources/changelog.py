@@ -28,29 +28,41 @@ def read_table(
 ) -> DataFrame:
     """Read one fixture table (``TESTDATA.md``).
 
-    ``events.ts`` is Parquet TIMESTAMP(NANOS), which Spark only reads
-    via the nanos-as-long legacy conf; normalize it back to a proper
-    (microsecond) TimestampType so downstream code sees the documented
-    schema.  Nanosecond fractions are zero in the fixtures, so the
-    ns→µs floor division is lossless.
+    ``events.ts`` arrives in whatever physical Parquet form the fixture
+    generator used — TIMESTAMP(NANOS) (readable only via the
+    nanos-as-long legacy conf) or TIMESTAMP(MICROS) without timezone
+    (read as TIMESTAMP_NTZ) — and is normalized to a proper
+    session-timezone TimestampType so downstream code always sees the
+    documented schema.  Both normalizations are lossless: nanosecond
+    fractions are zero in the fixtures, and the NTZ→TZ cast under the
+    UTC session maps wall-clock to the identical instant DuckDB's naive
+    read produces.
 
-    ``events_as_of_ms`` applies a snapshot time bound on the RAW int64
-    nanos column *before* the timestamp conversion — a predicate on the
-    converted column is an expression and cannot reach the Parquet scan,
-    while the raw-column comparison pushes down and prunes row groups.
-    Bound is ``cell_ts <= T`` under millis-floor semantics, i.e.
-    ``ts_ns < (T+1)·10⁶``.
+    ``events_as_of_ms`` applies a snapshot time bound on the RAW column
+    *before* the conversion — a predicate on the converted column is an
+    expression and cannot reach the Parquet scan, while the raw-column
+    comparison (against a constant-folded literal of the raw type)
+    pushes down and prunes row groups.  Bound is ``cell_ts <= T`` under
+    millis-floor semantics, i.e. ``ts < T+1ms``.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes)["ts"] == "bigint":
-            if events_as_of_ms is not None and events_as_of_ms >= 0:
+        ts_type = dict(df.dtypes)["ts"]
+        want_bound = events_as_of_ms is not None and events_as_of_ms >= 0
+        if ts_type == "bigint":  # TIMESTAMP(NANOS) via the legacy conf
+            if want_bound:
                 df = df.filter(F.col("ts") < F.lit((events_as_of_ms + 1) * 1_000_000))
             # integer division — `/` would round-trip through double and
             # lose sub-µs exactness (ns epoch values exceed 2^53)
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif events_as_of_ms is not None and events_as_of_ms >= 0:
+        elif ts_type == "timestamp_ntz":
+            if want_bound:
+                bound = F.timestamp_millis(
+                    F.lit(events_as_of_ms + 1)).cast("timestamp_ntz")
+                df = df.filter(F.col("ts") < bound)
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        elif want_bound:
             df = df.filter(F.col("ts") < F.timestamp_millis(F.lit(events_as_of_ms + 1)))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -40,3 +40,30 @@ def test_query_matches_oracle(name, spark, sf_dir, con):
     ocols = [d[0] for d in res.description]
     ok, msg = compare(sdf.columns, srows, ocols, res.fetchall())
     assert ok, f"{name}: {msg}"
+
+
+def test_cache_scope_interleaved_builds_recompute_correctly(spark, sf_dir):
+    """The documented build-then-act contract (cache.py): building a
+    second registered query releases the first query's scoped caches —
+    the first query's later action must still be CORRECT (it recomputes
+    the released lineage), and the release must actually have happened
+    (the recompute cost is the documented trade-off, not a leak)."""
+    from hbase_snapshotter_spark import cache
+
+    a = QUERIES["dedup_minhash_lsh"](spark, sf_dir)
+    handles = list(cache._ACTIVE)
+    assert handles, "expected dedup_minhash_lsh to register scoped persists"
+
+    b = QUERIES["similarity_topk_ivf"](spark, sf_dir)
+    # building B released A's scoped caches (global-scope contract)
+    assert all(not h.storageLevel.useMemory for h in handles)
+
+    got = sorted(tuple(r) for r in a.collect())       # A acts post-release
+    b.write.format("noop").mode("overwrite").save()   # B acts normally
+    release_caches()
+
+    fresh = sorted(tuple(r) for r in
+                   QUERIES["dedup_minhash_lsh"](spark, sf_dir).collect())
+    release_caches()
+    assert got == fresh and len(got) > 0
+    assert _leftover_persists(spark) == []

@@ -166,15 +166,22 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
 
 
 def test_salted_ops_spread_fully_duplicate_rows(spark):
-    """The salt is content-independent (round-robin on the per-row id):
-    byte-identical hot rows — a common real skew shape that a
-    hash-of-columns salt sends to ONE bucket — must still spread, and
+    """The default salt is content-independent (round-robin on the
+    per-row id): byte-identical hot rows — a common real skew shape that
+    a hash-of-columns salt sends to ONE bucket — must still spread, and
     unhashable column types (MapType) must not error."""
     import pyspark.sql.functions as F
 
-    from hbase_snapshotter_spark.operators.skew import salted_agg, salted_join
+    from hbase_snapshotter_spark.operators.skew import (
+        _salt_expr,
+        salted_agg,
+        salted_join,
+    )
 
-    hot = spark.range(400).select(
+    # fixed partition count: each partition holds 200 rows >> 8 salts,
+    # so every residue appears regardless of the host's default
+    # parallelism (monotonically_increasing_id restarts per partition)
+    hot = spark.range(400).repartition(2).select(
         F.lit("k").alias("k"), F.lit(1).alias("v"),
         F.create_map(F.lit("a"), F.lit(1)).alias("m"))  # F.hash would reject m
     # correctness: identical to the plain agg/join
@@ -185,6 +192,44 @@ def test_salted_ops_spread_fully_duplicate_rows(spark):
     assert joined.count() == 400
     # spread: the 400 duplicate rows land in every salt bucket, so the
     # stage-1 partial aggregation has ~8 groups for the one hot key
-    salt = F.pmod(F.monotonically_increasing_id(), F.lit(8))
-    n_buckets = hot.withColumn("__salt", salt).select("__salt").distinct().count()
+    n_buckets = hot.withColumn("__salt", _salt_expr(None, 8)) \
+        .select("__salt").distinct().count()
     assert n_buckets == 8
+
+
+def test_content_salt_deterministic_across_runs(spark, sf_dir):
+    """salt_cols (content-hash) salting: the salt assignment — not just
+    the combined totals — is identical across two executions of the same
+    plan, the property that makes it shuffle-retry-safe; and the salted
+    agg/join results equal the plain forms."""
+    from hbase_snapshotter_spark.operators.skew import (
+        _salt_expr,
+        salted_agg,
+        salted_join,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    key = ["l_orderkey", "l_linenumber"]
+    salted = li.select(*key, _salt_expr(key, 16).alias("s"))
+    run1 = {(r.l_orderkey, r.l_linenumber): r.s for r in salted.collect()}
+    run2 = {(r.l_orderkey, r.l_linenumber): r.s for r in salted.collect()}
+    assert run1 == run2
+    assert len(set(run1.values())) == 16  # and it actually spreads
+
+    plain = sorted(
+        tuple(r) for r in li.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n")).collect())
+    got = sorted(
+        tuple(r) for r in salted_agg(
+            li, ["l_returnflag"], [(None, "count", "n")],
+            salt_buckets=8, salt_cols=key).collect())
+    assert got == plain
+
+    small = spark.createDataFrame(
+        [("A", 1), ("N", 2), ("R", 3)], "l_returnflag string, fid int")
+    pj = sorted((r.l_orderkey, r.l_linenumber, r.fid) for r in
+                li.join(small, ["l_returnflag"]).collect())
+    sj = sorted((r.l_orderkey, r.l_linenumber, r.fid) for r in
+                salted_join(li, small, ["l_returnflag"],
+                            salt_buckets=8, salt_cols=key).collect())
+    assert sj == pj
