@@ -123,22 +123,47 @@ def ann_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    projections: list[list[float]] = PROJECTIONS,
+    projections: list[list[float]] | None = None,
+    tables: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k: candidates = SRP-bucket collisions, re-ranked
-    by exact cosine.  Same output shape as :func:`brute_force_topk`;
-    queries whose bucket holds no other vector produce no rows (that's
-    the recall trade-off, measured against the brute-force baseline).
-    Ranking is the window-free :func:`topk_by_group` hash-agg."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"),
-                       srp_bucket(F.col(vec_col), projections).alias("__bucket"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"),
-                      srp_bucket(F.col(vec_col), projections).alias("__bucket"))
+    """Approximate top-k via MULTI-TABLE SRP-LSH: the signature splits
+    into ``tables`` band keys; a corpus vector is a candidate for a
+    query if they collide in ANY table (collision probability for angle
+    θ is 1-(1-(1-θ/π)^m)^L, m bits per table — multi-table trades
+    candidate volume for recall, the same scheme as
+    :func:`cosine_pairs_bucketed`).  Candidates are deduped across
+    tables after scoring (same pair ⇒ same rounded cosine, so
+    ``distinct`` is exact), then re-ranked by exact cosine via the
+    window-free :func:`topk_by_group` hash-agg.
+
+    The corpus side is never shuffled before scoring: the (small) query
+    band table is broadcast, so per-executor work is
+    |corpus_partition| × collisions.  Queries sharing no bucket with
+    any other vector produce no rows — the recall trade-off, measured
+    against :func:`brute_force_topk` (pytest pins score identity; the
+    registered query pins a recall floor the driver hash-checks).
+    Same output shape as :func:`brute_force_topk`."""
+    if projections is None:
+        projections = PROJECTIONS16
+    if tables is None:
+        tables = LSH_TABLES
+    bits = len(projections) // tables
+    band = lambda sig: F.posexplode(F.array(*[  # noqa: E731
+        F.substring(sig, t * bits + 1, bits) for t in range(tables)]))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"),
+        srp_bucket(F.col(vec_col), projections).alias("__sig"),
+    ).select("query_id", "__qv", band(F.col("__sig")).alias("__tbl", "__key"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"),
+        srp_bucket(F.col(vec_col), projections).alias("__sig"),
+    ).select("neighbor_id", "__cv", band(F.col("__sig")).alias("__tbl", "__key"))
     scored = (
-        c.join(F.broadcast(q), "__bucket")
+        c.join(F.broadcast(q), ["__tbl", "__key"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id",
                 F.round(cosine_expr(F.col("__qv"), F.col("__cv")), 4).alias("cosine"))
+        .distinct()  # a pair colliding in several tables scores once
     )
     return topk_by_group(scored, k).select("query_id", "neighbor_id", "rank", "cosine")
 

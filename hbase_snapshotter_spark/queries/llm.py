@@ -19,7 +19,6 @@ from hbase_snapshotter_spark.operators.dedup import (
 )
 from hbase_snapshotter_spark.operators.multimodal import attach_payload, decode_payload
 from hbase_snapshotter_spark.operators.similarity import (
-    PROJECTIONS,
     ann_lsh_topk,
     brute_force_topk,
     cosine_pairs_blocked,
@@ -296,25 +295,70 @@ SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine FROM (
 """
 
 
+#: Driver-visible recall floor for the ANN query: measured multi-table
+#: SRP recall vs brute-force top-k on the fixture corpora (0.59 / 0.35 /
+#: 0.47 at sf0.001 / 0.01 / 0.1 — deterministic, content-derived
+#: hashing, no RNG), minus margin.
+ANN_RECALL_BOUND = 0.3
+
+
 def similarity_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table SRP-LSH top-k, with the approximation's recall made
+    driver-visible: ``recall_within_tolerance`` is computed IN-QUERY
+    against the brute-force baseline (|ANN ∩ brute| / |brute| over all
+    query top-k pairs) and the oracle expects literal TRUE — so a
+    recall regression below :data:`ANN_RECALL_BOUND` turns this row red
+    in CORRECTNESS, the same trick as ``agg_approx_distinct``."""
+    from hbase_snapshotter_spark.cache import scoped_persist
+
     emb = _emb(spark, sf_dir)
-    return ann_lsh_topk(emb, emb.filter(F.col("vec_id") < TOPK_QUERY_PRED), k=TOPK_K)
+    q = emb.filter(F.col("vec_id") < TOPK_QUERY_PRED)
+    ann = scoped_persist(ann_lsh_topk(emb, q, k=TOPK_K))  # output + recall probe
+    brute = brute_force_topk(emb, q, k=TOPK_K)
+    # the ANN result is fixed-cardinality (|queries| × k), so the probe
+    # side broadcasts safely at any corpus scale
+    marked = brute.select("query_id", "neighbor_id").join(
+        F.broadcast(ann.select("query_id", "neighbor_id")
+                    .withColumn("__hit", F.lit(1))),
+        ["query_id", "neighbor_id"], "left")
+    flag = marked.agg(
+        (F.sum(F.coalesce(F.col("__hit"), F.lit(0))) / F.count(F.lit(1)))
+        .alias("__recall")
+    ).select((F.col("__recall") >= ANN_RECALL_BOUND)
+             .alias("recall_within_tolerance"))
+    # scalar attach: deliberate broadcast cross of a ONE-row flag —
+    # linear in the output, the intended-cross shape (a constant-key
+    # equi-join folds back to the same nested loop, so say it plainly)
+    return ann.crossJoin(F.broadcast(flag))
 
 
 def _oracle_ann() -> str:
+    from hbase_snapshotter_spark.operators.similarity import (
+        LSH_BITS_PER_TABLE,
+        LSH_TABLES,
+        PROJECTIONS16,
+    )
+
     planes = ", ".join(
         "CASE WHEN ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), "
         f"{list(p)}::DOUBLE[]), 6) >= 0 THEN '1' ELSE '0' END"
-        for p in PROJECTIONS
+        for p in PROJECTIONS16
     )
+    # recall_within_tolerance is literal TRUE on purpose: the Spark side
+    # computes genuine recall vs brute force, so the hash check FAILS
+    # exactly when recall drops below the pinned bound.
     return f"""
-WITH b AS (SELECT vec_id, embedding, CONCAT({planes}) AS bucket FROM embeddings),
+WITH b AS (SELECT vec_id, embedding, CONCAT({planes}) AS sig FROM embeddings),
+t AS (SELECT vec_id, embedding, k.k AS tbl,
+             substr(sig, k.k * {LSH_BITS_PER_TABLE} + 1, {LSH_BITS_PER_TABLE}) AS key
+      FROM b, UNNEST(range(0, {LSH_TABLES})) AS k(k)),
 scored AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          {SQL_COSINE} AS cosine
-  FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+  FROM t q JOIN t c ON q.tbl = c.tbl AND q.key = c.key AND c.vec_id <> q.vec_id
   WHERE q.vec_id < {TOPK_QUERY_PRED})
-SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine FROM (
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine,
+       TRUE AS recall_within_tolerance FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                ORDER BY cosine DESC, neighbor_id ASC) AS rank
   FROM scored
@@ -450,13 +494,38 @@ PAIRS = {
 
 
 # ------------------------- N13/N14: bucketed embedding near-dup (scale path)
+#: Driver-visible recall floor for the LSH near-dup pairs: measured
+#: |LSH pairs| / |exact pairs| on the fixture corpus, minus margin.
+EMB_LSH_RECALL_BOUND = 0.3
+
+
 def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table SRP-LSH near-dup — the sub-quadratic production path,
-    oracle-replayed bucket-for-bucket."""
+    oracle-replayed bucket-for-bucket — with its recall made driver-
+    visible: LSH pairs are a SUBSET of the exact pairs with identical
+    scores (pytest-pinned soundness), so |LSH| / |exact| is the recall;
+    ``recall_within_tolerance`` compares it to
+    :data:`EMB_LSH_RECALL_BOUND` in-query (exact side via the
+    distributed block-matrix join) and the oracle expects TRUE — a
+    recall regression turns this row red in CORRECTNESS."""
+    from hbase_snapshotter_spark.cache import scoped_persist
     from hbase_snapshotter_spark.operators.similarity import cosine_pairs_bucketed
 
-    return cosine_pairs_bucketed(_emb(spark, sf_dir),
-                                 threshold=EMB_PAIR_THRESHOLD).orderBy("id_a", "id_b")
+    emb = _emb(spark, sf_dir)
+    lsh = scoped_persist(  # consumed twice: output rows + the recall count
+        cosine_pairs_bucketed(emb, threshold=EMB_PAIR_THRESHOLD))
+    n_exact = cosine_pairs_blocked(emb, threshold=EMB_PAIR_THRESHOLD) \
+        .agg(F.count(F.lit(1)).alias("__n_exact"))
+    flag = lsh.agg(F.count(F.lit(1)).alias("__n_lsh")) \
+        .crossJoin(n_exact) \
+        .select(
+            F.when(F.col("__n_exact") == 0, F.lit(True))  # vacuous recall
+            .otherwise(F.col("__n_lsh") / F.col("__n_exact")
+                       >= EMB_LSH_RECALL_BOUND)
+            .alias("recall_within_tolerance"))
+    # scalar attach: deliberate broadcast cross of a ONE-row flag —
+    # linear in the output, the intended-cross shape
+    return lsh.crossJoin(F.broadcast(flag)).orderBy("id_a", "id_b")
 
 
 def _oracle_emb_lsh() -> str:
@@ -492,8 +561,18 @@ ORDER BY id_a, id_b
 """
 
 
+def _oracle_emb_lsh_with_recall() -> str:
+    # TRUE is literal on purpose: the Spark side computes genuine recall
+    # vs the exact block-matrix pairs, so the hash check fails exactly
+    # when recall drops below the pinned bound.
+    sql = _oracle_emb_lsh()
+    return sql.replace(
+        "SELECT id_a, id_b, cosine FROM (",
+        "SELECT id_a, id_b, cosine, TRUE AS recall_within_tolerance FROM (")
+
+
 PAIRS.update({
-    "embedding_near_dup_lsh": (embedding_near_dup_lsh, _oracle_emb_lsh()),
+    "embedding_near_dup_lsh": (embedding_near_dup_lsh, _oracle_emb_lsh_with_recall()),
 })
 
 

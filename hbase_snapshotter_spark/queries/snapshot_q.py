@@ -121,14 +121,58 @@ def oracle_snapshot_diff() -> str:
 TS_LIST = (1_704_672_000_000, 1_705_276_800_000, 1_705_881_600_000)  # Jan 8/15/22
 
 
+#: Deterministic malformed-cell injection: rows of users with
+#: ``user_id % 23 == 7`` get a non-numeric prefix, so the permissive
+#: decode fails on exactly that replayable subset.
+CORRUPT_MOD, CORRUPT_RESIDUE = 23, 7
+
+
 def q_snapshot_multi_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch time travel: latest cell state at three snapshot timestamps
-    from ONE scan + ONE shuffle (operators.snapshot.latest_cells_multi)."""
-    from hbase_snapshotter_spark.operators.snapshot import latest_cells_multi
+    """Batch time travel + decode-error accounting.
+
+    Latest cell state at three snapshot timestamps from ONE scan + ONE
+    shuffle (operators.snapshot.latest_cells_multi), over a change log
+    with deterministically injected malformed cells.  Each surviving
+    cell carries its permissive typed decode (``decoded_value``) and
+    every snapshot carries its ``decode_error_count`` — the errors-as-
+    data form of the reference's fail-the-job contract on malformed
+    cells (``HBaseSnapshotter.scala:95-102``): at 100 TB you count and
+    quarantine bad cells in the same pass instead of killing the job;
+    the raising ``strict_decode=True`` mode stays pinned by pytest
+    (``test_strict_decode_fails_on_malformed``).  The count is one
+    broadcast-joined 3-row aggregate — no second scan."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DoubleType
+
+    from hbase_snapshotter_spark.cache import scoped_persist
+    from hbase_snapshotter_spark.operators.snapshot import (
+        decode_expr,
+        latest_cells_multi,
+    )
 
     log = events_as_changelog(read_table(spark, sf_dir, "events"))
-    return latest_cells_multi(log, list(TS_LIST)).select(
-        "snapshot_ts", "row_key", "qualifier", "value", "cell_ts"
+    corrupted = log.withColumn(
+        "value",
+        F.when(
+            F.col("row_key").cast("long") % CORRUPT_MOD == CORRUPT_RESIDUE,
+            F.concat(F.lit("x"), F.col("value")),
+        ).otherwise(F.col("value")),
+    )
+    # persisted: consumed by the output AND the error aggregate — without
+    # the cache cut the scan + latest-cell shuffle would run twice
+    cells = scoped_persist(latest_cells_multi(corrupted, list(TS_LIST)).select(
+        "snapshot_ts", "row_key", "qualifier", "value", "cell_ts",
+        decode_expr(F.col("value"), DoubleType()).alias("decoded_value"),
+    ))
+    errs = cells.groupBy("snapshot_ts").agg(
+        F.sum(
+            (F.col("value").isNotNull()
+             & (F.upper("value") != "NULL")
+             & F.col("decoded_value").isNull()).cast("int")
+        ).alias("decode_error_count"))
+    return cells.join(F.broadcast(errs), "snapshot_ts").select(
+        "snapshot_ts", "row_key", "qualifier", "value", "cell_ts",
+        "decoded_value", "decode_error_count",
     )
 
 
@@ -221,10 +265,30 @@ def oracle_snapshot_multi_ts() -> str:
         return f"""
         SELECT {ts} AS snapshot_ts, row_key, qualifier, value, cell_ts FROM (
           SELECT CAST(user_id AS VARCHAR) AS row_key, event_type AS qualifier,
-                 CAST(value AS VARCHAR) AS value, epoch_ms(ts) AS cell_ts,
+                 CASE WHEN user_id % {CORRUPT_MOD} = {CORRUPT_RESIDUE}
+                      THEN 'x' || CAST(value AS VARCHAR)
+                      ELSE CAST(value AS VARCHAR) END AS value,
+                 epoch_ms(ts) AS cell_ts,
                  ROW_NUMBER() OVER (PARTITION BY CAST(user_id AS VARCHAR), event_type
-                                    ORDER BY epoch_ms(ts) DESC, CAST(value AS VARCHAR) DESC) AS rn
+                                    ORDER BY epoch_ms(ts) DESC,
+                                             CASE WHEN user_id % {CORRUPT_MOD} = {CORRUPT_RESIDUE}
+                                                  THEN 'x' || CAST(value AS VARCHAR)
+                                                  ELSE CAST(value AS VARCHAR) END DESC) AS rn
           FROM events WHERE epoch_ms(ts) <= {ts}
         ) WHERE rn = 1
         """
-    return " UNION ALL ".join(f"({one(t)})" for t in TS_LIST)
+    multi = " UNION ALL ".join(f"({one(t)})" for t in TS_LIST)
+    return f"""
+    WITH cells AS (
+      SELECT *, CASE WHEN upper(value) = 'NULL' THEN NULL
+                     ELSE TRY_CAST(value AS DOUBLE) END AS decoded_value
+      FROM ({multi})),
+    errs AS (
+      SELECT snapshot_ts,
+             COUNT(*) FILTER (WHERE value IS NOT NULL AND upper(value) <> 'NULL'
+                              AND decoded_value IS NULL) AS decode_error_count
+      FROM cells GROUP BY snapshot_ts)
+    SELECT snapshot_ts, row_key, qualifier, value, cell_ts,
+           decoded_value, decode_error_count
+    FROM cells JOIN errs USING (snapshot_ts)
+    """

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from hbase_snapshotter_spark.sources.changelog import read_table
 from hbase_snapshotter_spark.streaming.windows import (
+    interval_stream_join,
     session_window_agg,
     sliding_window_agg,
     tumbling_window_agg,
@@ -22,22 +23,44 @@ from hbase_snapshotter_spark.streaming.windows import (
 
 
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-stream-join-then-window pipeline in batch form: click
+    events joined to the same user's purchases within the following
+    hour via :func:`interval_stream_join` (the time-interval condition
+    that bounds join state in streaming; a no-op watermark in batch),
+    then a tumbling hourly count/sum of the conversion pairs.  The
+    interval condition in the plan is pinned by
+    ``tests/test_plans.py``; true readStream equivalence of the same
+    operator is pinned by ``tests/test_streaming.py``."""
     ev = read_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts"), "value")
+    pairs = interval_stream_join(
+        clicks, purchases, "user_id",
+        left_ts="click_ts", right_ts="purchase_ts",
+        watermark="1 hour", within="1 HOUR",
+    ).select("click_ts", "purchase_ts", "value")
     return tumbling_window_agg(
-        ev, "ts", "1 hour", ["event_type"],
-        [F.count(F.lit(1)).alias("n_events"),
-         F.round(F.sum("value"), 2).alias("sum_value")],
+        pairs, "click_ts", "1 hour", [],
+        [F.count(F.lit(1)).alias("n_conversions"),
+         F.round(F.sum("value"), 2).alias("sum_purchase_value")],
     )
 
 
 ORACLE_TUMBLING = """
-SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
-       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
-       event_type,
-       COUNT(*) AS n_events,
-       ROUND(SUM(value), 2) AS sum_value
-FROM events
-GROUP BY 1, 2, 3
+WITH c AS (SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts AS purchase_ts, value FROM events
+      WHERE event_type = 'purchase'),
+j AS (SELECT c.click_ts, p.value
+      FROM c JOIN p ON c.user_id = p.user_id
+       AND p.purchase_ts >= c.click_ts
+       AND p.purchase_ts <= c.click_ts + INTERVAL '1 hour')
+SELECT time_bucket(INTERVAL '1 hour', click_ts) AS window_start,
+       time_bucket(INTERVAL '1 hour', click_ts) + INTERVAL '1 hour' AS window_end,
+       COUNT(*) AS n_conversions,
+       ROUND(SUM(value), 2) AS sum_purchase_value
+FROM j GROUP BY 1, 2
 """
 
 

@@ -51,7 +51,9 @@ def test_snapshot_time_range_pushed_to_scan(spark, sf_dir):
     """The rebuild's equivalent of Scan.setTimeRange (reference:
     HBaseSnapshotter.scala:124) must prune at the Parquet scan."""
     plan = explain(spark, "snapshot_events_wide", sf_dir)
-    assert re.search(r"LessThan\(ts,\d+\)", pushed_filters(plan))
+    # the pushed literal's physical form tracks the fixture's ts type:
+    # raw int64 nanos (legacy NANOS files) or a timestamp (MICROS files)
+    assert re.search(r"LessThan\(ts,(\d+|[\d:T.\-]+)\)", pushed_filters(plan))
 
 
 def test_snapshot_is_two_light_shuffles(spark, sf_dir):
@@ -104,10 +106,14 @@ def test_embedding_pairs_have_no_driver_collect(spark, sf_dir):
 
 
 def test_multi_ts_snapshot_single_shuffle(spark, sf_dir):
-    """N snapshots from one scan: the fan-out explode stays narrow; only
-    the per-(ts, cell) aggregation shuffles."""
+    """N snapshots from one scan: the fan-out explode stays narrow; the
+    per-(ts, cell) aggregation is the only data-sized shuffle and runs
+    ONCE (the cells are persisted for the decode-error probe — both
+    consumers read the InMemoryRelation); the error count adds only a
+    3-row aggregate exchange."""
     plan = explain(spark, "snapshot_multi_ts", sf_dir)
-    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "InMemoryRelation" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
 
 
 def test_funnel_cohort_all_joins_broadcast_no_window(spark, sf_dir):
@@ -157,3 +163,42 @@ def test_schema_history_snapshot_decimal_internal_string_external(spark, sf_dir)
     assert dict(df.dtypes)["click"] == "string"
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert "decimal(14,4)" in analyzed  # pre-cast type survives inside the plan
+
+
+def test_skew_salted_agg_plan_has_salted_join_and_agg(spark, sf_dir):
+    """The registered skew query exercises BOTH skew tools: the plan
+    joins on (key, __salt) — the salted join — and aggregates through
+    the two-stage salt (salt stage + combine stage)."""
+    plan = explain(spark, "skew_salted_agg", sf_dir)
+    assert "HashJoin" in plan                    # equi-join, not BNLJ
+    # the join's key lists include the salt column
+    assert re.search(r"keys \[\d+\]: \[[^\]]*__salt", plan)
+    # combine stage re-aggregates without the salt key — two hash-agg
+    # layers beyond the join
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_stream_tumbling_plan_has_interval_join_condition(spark, sf_dir):
+    """The batch form of the stream-stream interval join: an equi-join
+    on the key with the time-interval range as residual condition —
+    NOT a nested-loop — feeding the tumbling-window aggregation."""
+    plan = explain(spark, "stream_tumbling_counts", sf_dir)
+    assert "NestedLoop" not in plan
+    assert re.search(r"purchase_ts.*>=.*click_ts|click_ts.*<=.*purchase_ts", plan)
+    assert "+ INTERVAL '01' HOUR" in plan or "INTERVAL" in plan
+
+
+def test_ann_topk_no_corpus_shuffle_before_scoring(spark, sf_dir):
+    """Multi-table ANN: the corpus side reaches scoring via a broadcast
+    join on the band keys — no sort-merge join, no window sort; the
+    only nested loop allowed is the ONE-row recall-flag attach."""
+    plan = explain(spark, "similarity_topk_ann", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    # nested loops in this plan are only the intended broadcast crosses
+    # (brute-force baseline scoring + the 1-row recall-flag attach) —
+    # every one must be a Cross over a broadcast side, never an SMJ/BNLJ
+    # fallback of an equi-join
+    assert plan.count("BroadcastNestedLoopJoin Cross") == \
+        len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan))

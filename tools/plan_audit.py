@@ -36,13 +36,17 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     # queries whose nested-loop join is the POINT: an explicit Cartesian
-    # (cross-join demo) or a deliberate broadcast-side cross (scoring a
+    # (cross-join demo), a deliberate broadcast-side cross (scoring a
     # streamed corpus against a broadcast query set / centroid table —
-    # linear, not quadratic, because the broadcast side is tiny)
+    # linear, not quadratic, because the broadcast side is tiny), or a
+    # ONE-row broadcast scalar attach (the in-query recall flags — a
+    # constant-key equi-join constant-folds back to the same shape)
     INTENDED_CROSS = {
         "join_cross_nation_region",
         "similarity_topk_brute",
         "similarity_topk_ivf",
+        "similarity_topk_ann",        # 1-row recall_within_tolerance attach
+        "embedding_near_dup_lsh",     # 1-row recall_within_tolerance attach
     }
 
     flags_total = 0
