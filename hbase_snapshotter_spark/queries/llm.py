@@ -16,6 +16,7 @@ from hbase_snapshotter_spark.operators.dedup import (
     jaccard_pairs,
     minhash_lsh_pairs,
     simhash_pairs,
+    spread,
 )
 from hbase_snapshotter_spark.operators.multimodal import attach_payload, decode_payload
 from hbase_snapshotter_spark.operators.similarity import (
@@ -195,7 +196,7 @@ def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection, Schleimer et al. SIGMOD'03): the fingerprint SET is
     pinned end-to-end by an md5 digest of the sorted fingerprints, so
     the oracle checks every selected window minimum, not just a count."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     # Staged projections so each expensive array is materialized ONCE:
     # higher-order functions are interpreted with no CSE, and
     # CollapseProject keeps multi-consumer non-cheap aliases staged —
@@ -267,7 +268,10 @@ TOPK_K = 5
 
 
 def _emb(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # spread: the scoring / SRP-bucketing stages are narrow CPU-bound
+    # work; a single-split parquet file would pin them to one core (a
+    # no-op on any well-split input — see operators.dedup.spread)
+    return spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def similarity_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -390,7 +394,7 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload ingestion + metadata, then the mapInPandas decode
     stub — Spark-side plumbing for image/audio columns (decode itself is
     a deterministic fake; see operators.multimodal)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     with_payload = attach_payload(docs, "text")
     decoded = decode_payload(with_payload)
     meta = with_payload.select(
@@ -669,7 +673,7 @@ PAIRS.update({
 def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-data shape: score every document, keep the ones that
     clear the quality bar and language filter — one narrow pass."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     feats = text_features(docs, "text", id_cols=["doc_id", "lang"])
     return feats.filter(
         (F.col("quality_score") >= 0.7) & (F.col("n_tokens") >= 20)
