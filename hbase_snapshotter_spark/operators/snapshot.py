@@ -103,9 +103,14 @@ def latest_cells(
     """Latest version ≤ ts of every cell — HBase per-CELL visibility
     (a reconstructed row may mix cell versions; pinned by fixtures).
 
-    Hash aggregation, not a window: ``max(struct(cell_ts, value))`` gives
-    the latest value with a deterministic tie-break on value, with
-    map-side partial aggregation before the one shuffle.
+    A single aggregation, not a window: ``max(struct(cell_ts, value))``
+    gives the latest value with a deterministic tie-break on value, with
+    map-side PARTIAL aggregation before the one shuffle — so shuffle
+    volume is ~one row per live cell per map partition, not the raw
+    change volume.  (Physically Spark plans a SortAggregate — struct
+    buffers aren't hash-aggregable — but the partial/final split and the
+    shuffle-volume bound are identical to the hash form; no sort of the
+    FULL history by any window key ever happens.)
     """
     agg = F.max(F.struct(F.col(ts_col), F.col(value_col))).alias("__latest")
     return (

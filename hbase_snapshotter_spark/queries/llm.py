@@ -772,10 +772,11 @@ PAIRS.update({
 def text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Redaction pass over synthesized contact strings (the fixture text
     has no PII, so build one from real columns): emails and digit runs
-    are masked — chained regexp_replace, zero shuffle."""
+    are masked — chained regexp_replace, zero shuffle (the spread is a
+    no-op on well-split inputs)."""
     from hbase_snapshotter_spark.operators.text import scrub_text
 
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cust = spread(spark.read.parquet(f"{sf_dir}/customer.parquet"))
     contact = F.concat_ws(
         " ", F.col("c_name"), F.lit("reachable at"),
         F.concat(F.regexp_replace("c_name", " ", "."), F.lit("@example.com")),
