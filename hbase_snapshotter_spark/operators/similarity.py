@@ -451,6 +451,26 @@ def kmeans_centroids(
     return cents
 
 
+def _ivf_centroids(
+    emb: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    centroid_stride: int,
+    use_kmeans: bool,
+    kmeans_iterations: int = 2,
+) -> DataFrame:
+    """The IVF centroid table: the oracle-replayable deterministic
+    sample by default, Lloyd's-refined centroids behind ``use_kmeans``
+    — downstream plans are identical, only the broadcast side changes."""
+    if use_kmeans:
+        return kmeans_centroids(emb, id_col=id_col, vec_col=vec_col,
+                                centroid_stride=centroid_stride,
+                                iterations=kmeans_iterations)
+    return sampled_centroids(emb, id_col=id_col, vec_col=vec_col,
+                             centroid_stride=centroid_stride)
+
+
 def ivf_assignments(
     emb: DataFrame,
     *,
@@ -462,19 +482,11 @@ def ivf_assignments(
 ) -> DataFrame:
     """(id, cell) — IVF coarse quantization: every vector is assigned to
     its nearest (max-cosine) centroid via :func:`assign_to_centroids`
-    (hash-agg argmax, no window sort).
-
-    Default centroids are the oracle-replayable deterministic sample;
-    ``use_kmeans=True`` swaps in Lloyd's-refined centroids
-    (:func:`kmeans_centroids`) — the plan is identical, only the
-    broadcast side changes."""
-    if use_kmeans:
-        cents = kmeans_centroids(emb, id_col=id_col, vec_col=vec_col,
-                                 centroid_stride=centroid_stride,
-                                 iterations=kmeans_iterations)
-    else:
-        cents = sampled_centroids(emb, id_col=id_col, vec_col=vec_col,
-                                  centroid_stride=centroid_stride)
+    (hash-agg argmax, no window sort)."""
+    cents = _ivf_centroids(emb, id_col=id_col, vec_col=vec_col,
+                           centroid_stride=centroid_stride,
+                           use_kmeans=use_kmeans,
+                           kmeans_iterations=kmeans_iterations)
     return assign_to_centroids(emb, cents, id_col=id_col, vec_col=vec_col)
 
 
@@ -548,6 +560,7 @@ def ivf_topk(
     k: int = 5,
     centroid_stride: int = IVF_CENTROID_STRIDE,
     use_kmeans: bool = False,
+    kmeans_iterations: int = 2,
     nprobe: int = IVF_NPROBE,
 ) -> DataFrame:
     """Approximate top-k via IVF with MULTI-PROBE: candidates live in any
@@ -559,12 +572,10 @@ def ivf_topk(
     0.25-0.43 at nprobe=3 on the fixtures) and is driver-checked by the
     registered query.  The whole plan is window-free: assignment is a
     hash-agg argmax, probing and the re-rank are :func:`topk_by_group`."""
-    if use_kmeans:
-        cents = kmeans_centroids(corpus, id_col=id_col, vec_col=vec_col,
-                                 centroid_stride=centroid_stride)
-    else:
-        cents = sampled_centroids(corpus, id_col=id_col, vec_col=vec_col,
-                                  centroid_stride=centroid_stride)
+    cents = _ivf_centroids(corpus, id_col=id_col, vec_col=vec_col,
+                           centroid_stride=centroid_stride,
+                           use_kmeans=use_kmeans,
+                           kmeans_iterations=kmeans_iterations)
     assign = assign_to_centroids(corpus, cents, id_col=id_col, vec_col=vec_col)
     dot = pairwise_dot_udf()
     with_cell = corpus.join(assign, id_col).select(

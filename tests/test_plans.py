@@ -184,8 +184,11 @@ def test_stream_tumbling_plan_has_interval_join_condition(spark, sf_dir):
     NOT a nested-loop — feeding the tumbling-window aggregation."""
     plan = explain(spark, "stream_tumbling_counts", sf_dir)
     assert "NestedLoop" not in plan
+    # lower bound: purchase at-or-after the click
     assert re.search(r"purchase_ts.*>=.*click_ts|click_ts.*<=.*purchase_ts", plan)
-    assert "+ INTERVAL '01' HOUR" in plan or "INTERVAL" in plan
+    # upper bound: within click_ts + 1 hour — the state-bounding half of
+    # the interval condition must survive into the join
+    assert re.search(r"click_ts[^\n]*\+ INTERVAL '01' HOUR", plan)
 
 
 def test_ann_topk_no_corpus_shuffle_before_scoring(spark, sf_dir):
