@@ -1,5 +1,7 @@
-"""Scale-pattern operators: salted aggregation equivalence, bucketed
-warehouse co-located joins, and continuous snapshot maintenance."""
+"""Scale-pattern pins: salted agg/join equivalence + determinism,
+bucketed warehouse co-located joins, binned range joins vs the
+nested-loop cliff, runtime Bloom-filter join pruning, and continuous
+snapshot maintenance."""
 
 from pyspark.sql import functions as F
 
