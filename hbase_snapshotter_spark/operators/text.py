@@ -69,6 +69,36 @@ def lang_guess_expr(toks: Column) -> Column:
     )
 
 
+def dup_2gram_ratio(toks: Column) -> Column:
+    """Fraction of POSITIONAL token 2-grams that are repeats of an
+    earlier 2-gram — the Gopher/C4-style repetition signal (high values
+    flag boilerplate, keyword stuffing, and template spam).  0.0 for
+    documents with fewer than two tokens.  Pure column expressions; the
+    token array is :func:`bind_once`-bound so callers passing a raw
+    split don't re-tokenize per gram."""
+    def from_t(t: Column) -> Column:
+        n = F.size(t) - 1
+        grams = F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat_ws(" ", F.slice(t, i, 2)))
+        ratio = 1.0 - F.size(F.array_distinct(grams)).cast("double") / n
+        # sequence(1, k) DESCENDS for k < 1 — guard short docs explicitly
+        return F.when(n >= 1, F.round(ratio, 4)).otherwise(F.lit(0.0))
+
+    return bind_once(toks, from_t)
+
+
+def digit_char_ratio(text: Column | str) -> Column:
+    """Fraction of characters that are digits — the numeric-noise signal
+    (high values flag tables, serial dumps, and machine logs)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.when(
+        F.length(col) > 0,
+        F.round(F.regexp_count(col, F.lit("[0-9]")).cast("double")
+                / F.length(col), 4),
+    ).otherwise(F.lit(0.0))
+
+
 def text_features(
     df: DataFrame,
     text_col: str = "text",
@@ -118,6 +148,8 @@ def text_features(
         F.round(n_chars.cast("double") / n_tok, 4).alias("avg_token_len"),
         F.round(stop_ratio, 4).alias("stopword_ratio"),
         F.round(diversity, 4).alias("type_token_ratio"),
+        dup_2gram_ratio(toks).alias("dup_2gram_ratio"),
+        digit_char_ratio(F.col(text_col)).alias("digit_char_ratio"),
         quality.alias("quality_score"),
         lang_guess_expr(toks).alias("lang_guess"),
         F.md5(F.col(text_col)).alias("fingerprint"),

@@ -277,6 +277,14 @@ SELECT toks.doc_id,
        ROUND(length(text) / len(t), 4) AS avg_token_len,
        ROUND({stop_hits} / len(t), 4) AS stopword_ratio,
        ROUND(len(list_distinct(t)) / len(t), 4) AS type_token_ratio,
+       CASE WHEN len(t) >= 2 THEN
+         ROUND(1.0 - len(list_distinct([array_to_string(t[i:i+1], ' ')
+                                        for i in range(1, len(t))]))
+                     / (len(t) - 1), 4)
+       ELSE 0.0 END AS dup_2gram_ratio,
+       CASE WHEN length(text) > 0 THEN
+         ROUND(len(regexp_extract_all(text, '[0-9]')) / length(text), 4)
+       ELSE 0.0 END AS digit_char_ratio,
        CAST((20000 * (2 * least(length(text), 500) * len(t)
                       + 1000 * len(list_distinct(t))
                       + 500 * (CASE WHEN {stop_hits} > 0 THEN 1 ELSE 0 END) * len(t))
@@ -709,13 +717,16 @@ PAIRS.update({
 # ------------------- N15: end-to-end training-data quality filter
 def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-data shape: score every document, keep the ones that
-    clear the quality bar and language filter — one narrow pass."""
+    clear the quality bar, the language filter, and the Gopher/C4-style
+    repetition + digit-noise cuts — one narrow pass."""
     docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     feats = text_features(docs, "text", id_cols=["doc_id", "lang"])
     return feats.filter(
         (F.col("quality_score") >= 0.7) & (F.col("n_tokens") >= 20)
         & (F.col("lang_guess") == "en")
-    ).select("doc_id", "lang", "n_tokens", "quality_score")
+        & (F.col("dup_2gram_ratio") <= 0.1)     # boilerplate/template cut
+        & (F.col("digit_char_ratio") <= 0.2)    # numeric-noise cut
+    ).select("doc_id", "lang", "n_tokens", "quality_score", "dup_2gram_ratio")
 
 
 def _oracle_quality_filter() -> str:
@@ -727,8 +738,9 @@ def _oracle_quality_filter() -> str:
                 .replace("SELECT toks.doc_id,", "SELECT toks.doc_id, lang,"))
     return f"""
 WITH feats AS ({text_sql})
-SELECT doc_id, lang, n_tokens, quality_score FROM feats
+SELECT doc_id, lang, n_tokens, quality_score, dup_2gram_ratio FROM feats
 WHERE quality_score >= 0.7 AND n_tokens >= 20 AND lang_guess = 'en'
+  AND dup_2gram_ratio <= 0.1 AND digit_char_ratio <= 0.2
 """
 
 

@@ -496,3 +496,19 @@ def test_connected_components_matches_union_find(spark):
     got = {r.id: r.component for r in connected_components(
         chain, nodes, id_col="id", max_iterations=12).collect()}
     assert got == {i: 0 for i in range(n)}
+
+
+def test_repetition_and_digit_signals(spark):
+    """Gopher/C4-style quality signals: positional 2-gram repetition and
+    digit-character noise, against hand-computed values."""
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"),          # grams: ab ba ab ba ab -> 2/5 distinct
+         (2, "one"),                  # <2 tokens -> vacuously 0.0
+         (3, "room 404 on floor 9")], # 4 digit chars / 19 chars
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           text_features(df, "text", id_cols=["doc_id"]).collect()}
+    assert out[1].dup_2gram_ratio == 0.6
+    assert out[2].dup_2gram_ratio == 0.0
+    assert out[1].digit_char_ratio == 0.0
+    assert out[3].digit_char_ratio == round(4 / 19, 4)
