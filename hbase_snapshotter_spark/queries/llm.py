@@ -340,6 +340,19 @@ SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine FROM (
 ANN_RECALL_BOUND = 0.3
 
 
+def _probe_enabled() -> bool:
+    """In-query recall probes (approximate vs exact baseline) default ON
+    — the CORRECTNESS gate depends on them.  ``SPARK_GRAFT_RECALL_PROBE=0``
+    disables them so BENCH timings reflect the approximate path's real
+    cost instead of being dominated by the inline exact baseline (the
+    probe made each approximate query strictly more expensive than its
+    exact counterpart).  With the probe off the flag column is attached
+    as literal TRUE, keeping the schema identical."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_RECALL_PROBE", "1") != "0"
+
+
 def similarity_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table SRP-LSH top-k, with the approximation's recall made
     driver-visible: ``recall_within_tolerance`` is computed IN-QUERY
@@ -351,6 +364,9 @@ def similarity_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < TOPK_QUERY_PRED)
+    if not _probe_enabled():  # bench mode: approximate path alone
+        return ann_lsh_topk(emb, q, k=TOPK_K) \
+            .withColumn("recall_within_tolerance", F.lit(True))
     ann = scoped_persist(ann_lsh_topk(emb, q, k=TOPK_K))  # output + recall probe
     flag = _recall_flag(ann, brute_force_topk(emb, q, k=TOPK_K),
                         ANN_RECALL_BOUND)
@@ -483,12 +499,12 @@ def udtf_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF surface: tokenize docs into (token, pos) rows via a
     lateral join (equivalent plan to posexplode(split(...))).
 
-    Arrow-optimized UDTF execution is opt-in in Spark 4 — without the
-    conf the lateral join runs row-at-a-time BatchEvalPython, the one
-    Python execution mode this repo bans from data paths."""
+    Arrow-optimized UDTF execution is opt-in in Spark 4; the conf lives
+    in ``registry.SESSION_DEFAULTS`` (applied by the registry wrapper)
+    and in every direct consumer's session builder — query fns don't
+    mutate session state a concurrent caller could observe."""
     from hbase_snapshotter_spark.functions.udfs import make_explode_tokens
 
-    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
     spark.udtf.register("explode_tokens", make_explode_tokens())
     spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("__docs")
     return spark.sql("""
@@ -540,6 +556,10 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbase_snapshotter_spark.operators.similarity import cosine_pairs_bucketed
 
     emb = _emb(spark, sf_dir)
+    if not _probe_enabled():  # bench mode: approximate path alone
+        return cosine_pairs_bucketed(emb, threshold=EMB_PAIR_THRESHOLD) \
+            .withColumn("recall_within_tolerance", F.lit(True)) \
+            .orderBy("id_a", "id_b")
     lsh = scoped_persist(  # consumed twice: output rows + the recall count
         cosine_pairs_bucketed(emb, threshold=EMB_PAIR_THRESHOLD))
     n_exact = cosine_pairs_blocked(emb, threshold=EMB_PAIR_THRESHOLD) \
@@ -626,6 +646,9 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < TOPK_QUERY_PRED)
+    if not _probe_enabled():  # bench mode: approximate path alone
+        return ivf_topk(emb, q, k=TOPK_K) \
+            .withColumn("recall_within_tolerance", F.lit(True))
     ivf = scoped_persist(ivf_topk(emb, q, k=TOPK_K))  # output + recall probe
     flag = _recall_flag(ivf, brute_force_topk(emb, q, k=TOPK_K),
                         IVF_RECALL_BOUND)

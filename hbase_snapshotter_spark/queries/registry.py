@@ -21,6 +21,17 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+#: Session confs every query consumer needs, applied by the registry
+#: wrapper (harness-level session prep — query fns themselves never
+#: mutate session state).  Arrow UDTF execution is opt-in in Spark 4;
+#: without it a lateral UDTF join runs row-at-a-time BatchEvalPython,
+#: the one Python execution mode this repo bans from data paths.
+#: Direct callers of the unwrapped fns (bench.py, conftest) set the
+#: same confs in their session builders.
+SESSION_DEFAULTS = {
+    "spark.sql.execution.pythonUDTF.arrow.enabled": "true",
+}
+
 
 def register(name: str, fn: QueryFn, oracle: str | None) -> None:
     # Building a query first releases the previous query's scoped caches
@@ -36,6 +47,8 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
     @functools.wraps(fn)
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         release_caches()
+        for key, value in SESSION_DEFAULTS.items():
+            spark.conf.set(key, value)
         return fn(spark, sf_dir)
 
     QUERIES[name] = wrapped

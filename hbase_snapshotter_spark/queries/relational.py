@@ -12,6 +12,19 @@ Conventions that keep the cross-engine value hash stable:
 
 Scale notes are on each query: what shuffles, what broadcasts, what
 pushes down.
+
+Why these entries deliberately do NOT use ``operators.dedup.spread``
+(round-5 A/B, local[32], sf0.1, min-of-3 interleaved, quiet-adjacent):
+q1 0.29s plain vs 0.72s spread; asof_latest_order 1.17s vs 2.1s;
+schema_history_snapshot 0.91s vs 1.5-1.8s.  The relational/snapshot
+queries do trivial per-row work (decode + a few arithmetic ops), so the
+round-robin repartition's full-row shuffle costs more than the extra
+scan-side parallelism buys — the opposite of the text/similarity
+entries, whose per-row regex/shingle CPU dominates and where spread was
+measured a 2x win (queries/llm.py).  The r4 bench regressions on these
+six queries did not reproduce under controlled A/B; they were co-tenant
+noise (bench.py records single-pass AND cross-pass minima so this is
+visible in the artifact).
 """
 
 from __future__ import annotations

@@ -16,6 +16,9 @@ def spark():
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "4g")
         .config("spark.sql.session.timeZone", "UTC")
+        # same session prep the registry wrapper applies — tests that
+        # call unwrapped query fns still get Arrow UDTF execution
+        .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         .getOrCreate()
     )
     yield s
