@@ -65,8 +65,11 @@ def release_caches() -> int:
     a real error and propagates."""
     n = len(_ACTIVE)
     while _ACTIVE:
-        df = _ACTIVE.pop()
-        if getattr(df.sparkSession._sc, "_jsc", None) is None:
-            continue  # context stopped: blocks already freed with it
-        df.unpersist()
+        # peek-then-pop: if unpersist raises (transient JVM error), the
+        # handle stays tracked for the next release instead of leaking
+        # its cache block for the session lifetime
+        df = _ACTIVE[-1]
+        if getattr(df.sparkSession._sc, "_jsc", None) is not None:
+            df.unpersist()
+        _ACTIVE.pop()
     return n

@@ -144,9 +144,13 @@ def ann_lsh_topk(
     registered query pins a recall floor the driver hash-checks).
     Same output shape as :func:`brute_force_topk`."""
     if projections is None:
-        projections = PROJECTIONS16
+        projections = ANN_PROJECTIONS
     if tables is None:
-        tables = LSH_TABLES
+        tables = ANN_TABLES
+    if len(projections) % tables:
+        raise ValueError(
+            f"len(projections)={len(projections)} not divisible by "
+            f"tables={tables}: trailing signature bits would silently drop")
     bits = len(projections) // tables
     band = lambda sig: F.posexplode(F.array(*[  # noqa: E731
         F.substring(sig, t * bits + 1, bits) for t in range(tables)]))
@@ -181,8 +185,25 @@ def pairwise_dot_udf() -> Column:
     return dot_udf
 
 
-PROJECTIONS16 = random_projections(n=16)
-LSH_TABLES, LSH_BITS_PER_TABLE = 4, 4
+# OR-construction geometry, sized on MEASURED recall of the fixture
+# corpora — which are near-isotropic (true top-5 cosines ≈ 0.3, near-dup
+# pairs ≈ 3σ outliers), the worst case for any space-partitioning index:
+# real embedding corpora cluster, reaching the same recall at far lower
+# candidate fractions.  Collision probability for angle θ with m bits ×
+# L tables is 1-(1-(1-θ/π)^m)^L.
+#
+# - ANN top-k search: 12 tables × 4 bits (48 planes) — measured top-5
+#   recall vs brute force 0.81 / 0.81 / 0.89 at sf0.001/0.01/0.1,
+#   candidate fraction ≈ 0.54 (isotropic worst case).
+# - near-dup pairs (threshold 0.45): 8 tables × 3 bits (24 planes) —
+#   measured pair recall vs the exact block-matrix join 1.00 / 0.79 /
+#   0.90, candidate fraction ≈ 0.65.
+#
+# Both registered queries hash-check a ≥0.7 recall floor in-query.
+ANN_TABLES, ANN_BITS_PER_TABLE = 12, 4
+ANN_PROJECTIONS = random_projections(n=ANN_TABLES * ANN_BITS_PER_TABLE)
+NEARDUP_TABLES, NEARDUP_BITS_PER_TABLE = 8, 3
+NEARDUP_PROJECTIONS = random_projections(n=NEARDUP_TABLES * NEARDUP_BITS_PER_TABLE)
 
 
 def cosine_pairs_bucketed(
@@ -191,8 +212,8 @@ def cosine_pairs_bucketed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.45,
-    projections: list[list[float]] = PROJECTIONS16,
-    tables: int = LSH_TABLES,
+    projections: list[list[float]] = NEARDUP_PROJECTIONS,
+    tables: int = NEARDUP_TABLES,
 ) -> DataFrame:
     """Embedding near-dup, the 100 TB path: multi-table SRP-LSH — the
     16-bit signature splits into ``tables`` keys; pairs colliding in ANY
@@ -201,6 +222,10 @@ def cosine_pairs_bucketed(
     pair at angle θ is 1-(1-(1-θ/π)^m)^L (m bits per table) — recall is
     tunable and measured against the exact :func:`cosine_pairs`.
     Output: (id_a, id_b, cosine) with id_a < id_b."""
+    if len(projections) % tables:
+        raise ValueError(
+            f"len(projections)={len(projections)} not divisible by "
+            f"tables={tables}: trailing signature bits would silently drop")
     bits = len(projections) // tables
     with_b = emb.select(
         F.col(id_col), F.col(vec_col),
@@ -521,21 +546,39 @@ def topk_by_group(
     )
 
 
-IVF_NPROBE = 3
+#: Adaptive multi-probe: each query probes
+#: ``min(CAP, max(MIN, ceil(FRAC × n_cells)))`` of its nearest centroid
+#: cells.  A FIXED nprobe is not scale-correct — cells grow with the
+#: corpus (n/stride), so a constant probe count covers a vanishing
+#: fraction of the space and recall decays with n; probing a constant
+#: FRACTION of cells keeps recall stable (measured 0.88 / 0.84 / 0.78
+#: at sf0.001/0.01/0.1, where fixed nprobe=3 gave 0.39 / 0.43 / 0.25).
+#: FRAC=0.375 is sized for the near-isotropic fixture vectors — the
+#: worst case; clustered production corpora reach the same recall at a
+#: far smaller fraction (the standard IVF knob).  CAP bounds the
+#: per-query probe list (and the collect_list slice) at any scale.
+IVF_PROBE_MIN = 12
+IVF_PROBE_FRAC = 0.375
+IVF_PROBE_CAP = 64
 
 
 def probe_centroids(
     queries: DataFrame,
     centroids: DataFrame,
-    nprobe: int,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe_min: int = IVF_PROBE_MIN,
+    probe_frac: float = IVF_PROBE_FRAC,
+    probe_cap: int = IVF_PROBE_CAP,
 ) -> DataFrame:
-    """(query_id, cell) — each query's ``nprobe`` nearest (max-cosine)
-    centroid cells, via the window-free :func:`topk_by_group` hash-agg
-    (ties toward the smaller centroid id, matching
-    :func:`assign_to_centroids` at nprobe=1)."""
+    """(query_id, cell) — each query's adaptive-count nearest
+    (max-cosine) centroid cells, via the window-free
+    :func:`topk_by_group` hash-agg (ties toward the smaller centroid id,
+    matching :func:`assign_to_centroids` at one probe).  The probe count
+    is ``min(probe_cap, max(probe_min, ceil(probe_frac × n_cells)))``;
+    the cell count arrives as a ONE-row broadcast aggregate (the scalar-
+    attach shape), so nothing is collected on the driver."""
     dot = pairwise_dot_udf()
     cents = centroids.select("__cid", "__cv", norm_expr(F.col("__cv")).alias("__cn"))
     scored = (
@@ -546,9 +589,16 @@ def probe_centroids(
                 F.round(dot(F.col(vec_col), F.col("__cv"))
                         / (F.col("__n") * F.col("__cn")), 6).alias("__score"))
     )
-    return topk_by_group(
-        scored, nprobe, group_col="query_id", score_col="__score", id_col="__cid"
-    ).select("query_id", F.col("__cid").alias("cell"))
+    ranked = topk_by_group(
+        scored, probe_cap, group_col="query_id", score_col="__score", id_col="__cid")
+    n_cells = centroids.agg(F.count(F.lit(1)).alias("__ncells"))
+    return (
+        ranked.crossJoin(F.broadcast(n_cells))
+        .filter(F.col("rank") <= F.greatest(
+            F.lit(probe_min),
+            F.ceil(F.lit(probe_frac) * F.col("__ncells"))))
+        .select("query_id", F.col("__cid").alias("cell"))
+    )
 
 
 def ivf_topk(
@@ -561,29 +611,35 @@ def ivf_topk(
     centroid_stride: int = IVF_CENTROID_STRIDE,
     use_kmeans: bool = False,
     kmeans_iterations: int = 2,
-    nprobe: int = IVF_NPROBE,
+    probe_min: int = IVF_PROBE_MIN,
+    probe_frac: float = IVF_PROBE_FRAC,
+    probe_cap: int = IVF_PROBE_CAP,
 ) -> DataFrame:
-    """Approximate top-k via IVF with MULTI-PROBE: candidates live in any
-    of the query's ``nprobe`` nearest centroid cells, re-ranked by exact
-    cosine.  Every corpus vector belongs to exactly one cell, so probing
-    several cells never duplicates a (query, neighbor) pair — no dedup
-    needed.  Output shape matches :func:`brute_force_topk`; recall grows
-    with ``nprobe`` (the IVF knob: measured 0.10-0.20 at nprobe=1 →
-    0.25-0.43 at nprobe=3 on the fixtures) and is driver-checked by the
-    registered query.  The whole plan is window-free: assignment is a
-    hash-agg argmax, probing and the re-rank are :func:`topk_by_group`."""
-    cents = _ivf_centroids(corpus, id_col=id_col, vec_col=vec_col,
-                           centroid_stride=centroid_stride,
-                           use_kmeans=use_kmeans,
-                           kmeans_iterations=kmeans_iterations)
+    """Approximate top-k via IVF with ADAPTIVE MULTI-PROBE: candidates
+    live in any of the query's nearest centroid cells (probe count a
+    fraction of the cell count — see :data:`IVF_PROBE_FRAC` for why a
+    fixed nprobe is not scale-correct), re-ranked by exact cosine.
+    Every corpus vector belongs to exactly one cell, so probing several
+    cells never duplicates a (query, neighbor) pair — no dedup needed.
+    Output shape matches :func:`brute_force_topk`; measured top-5
+    recall vs brute force is 0.88 / 0.84 / 0.78 at sf0.001/0.01/0.1,
+    driver-checked by the registered query (bound 0.7).  The whole plan
+    is window-free: assignment is a hash-agg argmax, probing and the
+    re-rank are :func:`topk_by_group`."""
+    cents = scoped_persist(  # consumed 3x: assignment, probing, cell count
+        _ivf_centroids(corpus, id_col=id_col, vec_col=vec_col,
+                       centroid_stride=centroid_stride,
+                       use_kmeans=use_kmeans,
+                       kmeans_iterations=kmeans_iterations))
     assign = assign_to_centroids(corpus, cents, id_col=id_col, vec_col=vec_col)
     dot = pairwise_dot_udf()
     with_cell = corpus.join(assign, id_col).select(
         F.col(id_col), F.col(vec_col), F.col("cell"),
         norm_expr(F.col(vec_col)).alias("__n"),
     )
-    probes = probe_centroids(queries, cents, nprobe,
-                             id_col=id_col, vec_col=vec_col)
+    probes = probe_centroids(queries, cents, id_col=id_col, vec_col=vec_col,
+                             probe_min=probe_min, probe_frac=probe_frac,
+                             probe_cap=probe_cap)
     q = (
         queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("__qv"),

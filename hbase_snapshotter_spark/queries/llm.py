@@ -334,10 +334,13 @@ SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine FROM (
 
 
 #: Driver-visible recall floor for the ANN query: measured multi-table
-#: SRP recall vs brute-force top-k on the fixture corpora (0.59 / 0.35 /
-#: 0.47 at sf0.001 / 0.01 / 0.1 — deterministic, content-derived
-#: hashing, no RNG), minus margin.
-ANN_RECALL_BOUND = 0.3
+#: SRP recall vs brute-force top-k on the fixture corpora (12 tables ×
+#: 4 bits: 0.81 / 0.81 / 0.89 at sf0.001 / 0.01 / 0.1 — deterministic,
+#: content-derived hashing, no RNG), minus margin.  The fixture vectors
+#: are near-isotropic (true top-5 cosines ≈ 0.3), the hardest regime
+#: for LSH — clustered production embeddings clear the bound with a
+#: narrower OR-construction.
+ANN_RECALL_BOUND = 0.7
 
 
 def _probe_enabled() -> bool:
@@ -378,15 +381,15 @@ def similarity_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_ann() -> str:
     from hbase_snapshotter_spark.operators.similarity import (
-        LSH_BITS_PER_TABLE,
-        LSH_TABLES,
-        PROJECTIONS16,
+        ANN_BITS_PER_TABLE,
+        ANN_PROJECTIONS,
+        ANN_TABLES,
     )
 
     planes = ", ".join(
         "CASE WHEN ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), "
         f"{list(p)}::DOUBLE[]), 6) >= 0 THEN '1' ELSE '0' END"
-        for p in PROJECTIONS16
+        for p in ANN_PROJECTIONS
     )
     # recall_within_tolerance is literal TRUE on purpose: the Spark side
     # computes genuine recall vs brute force, so the hash check FAILS
@@ -394,8 +397,8 @@ def _oracle_ann() -> str:
     return f"""
 WITH b AS (SELECT vec_id, embedding, CONCAT({planes}) AS sig FROM embeddings),
 t AS (SELECT vec_id, embedding, k.k AS tbl,
-             substr(sig, k.k * {LSH_BITS_PER_TABLE} + 1, {LSH_BITS_PER_TABLE}) AS key
-      FROM b, UNNEST(range(0, {LSH_TABLES})) AS k(k)),
+             substr(sig, k.k * {ANN_BITS_PER_TABLE} + 1, {ANN_BITS_PER_TABLE}) AS key
+      FROM b, UNNEST(range(0, {ANN_TABLES})) AS k(k)),
 scored AS (
   SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          {SQL_COSINE} AS cosine
@@ -539,8 +542,10 @@ PAIRS = {
 
 # ------------------------- N13/N14: bucketed embedding near-dup (scale path)
 #: Driver-visible recall floor for the LSH near-dup pairs: measured
-#: |LSH pairs| / |exact pairs| on the fixture corpus, minus margin.
-EMB_LSH_RECALL_BOUND = 0.3
+#: |LSH pairs| / |exact pairs| on the fixture corpora (8 tables ×
+#: 3 bits: 1.00 / 0.79 / 0.90 at sf0.001 / 0.01 / 0.1 over 7 / 14 /
+#: 144 exact pairs — deterministic, no RNG), minus margin.
+EMB_LSH_RECALL_BOUND = 0.7
 
 
 def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -578,21 +583,21 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_emb_lsh() -> str:
     from hbase_snapshotter_spark.operators.similarity import (
-        LSH_BITS_PER_TABLE,
-        LSH_TABLES,
-        PROJECTIONS16,
+        NEARDUP_BITS_PER_TABLE,
+        NEARDUP_PROJECTIONS,
+        NEARDUP_TABLES,
     )
 
     planes = ", ".join(
         "CASE WHEN ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), "
         f"{list(p)}::DOUBLE[]), 6) >= 0 THEN '1' ELSE '0' END"
-        for p in PROJECTIONS16
+        for p in NEARDUP_PROJECTIONS
     )
     return f"""
 WITH b AS (SELECT vec_id, CONCAT({planes}) AS sig FROM embeddings),
 t AS (SELECT vec_id, k.k AS tbl,
-             substr(sig, k.k * {LSH_BITS_PER_TABLE} + 1, {LSH_BITS_PER_TABLE}) AS key
-      FROM b, UNNEST(range(0, {LSH_TABLES})) AS k(k)),
+             substr(sig, k.k * {NEARDUP_BITS_PER_TABLE} + 1, {NEARDUP_BITS_PER_TABLE}) AS key
+      FROM b, UNNEST(range(0, {NEARDUP_TABLES})) AS k(k)),
 cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          FROM t a JOIN t b ON a.tbl = b.tbl AND a.key = b.key
                           AND a.vec_id < b.vec_id)
@@ -627,16 +632,18 @@ PAIRS.update({
 
 
 # --------------------------------- N14: IVF ANN (coarse-quantized search)
-#: Driver-visible recall floor for the IVF query (nprobe=3): measured
-#: vs brute-force top-k on the fixture corpora (0.39 / 0.43 / 0.25 at
+#: Driver-visible recall floor for the IVF query (adaptive multi-probe,
+#: max(12, ceil(0.375 × n_cells)) cells per query): measured vs
+#: brute-force top-k on the fixture corpora (0.88 / 0.84 / 0.78 at
 #: sf0.001 / 0.01 / 0.1 — deterministic, no RNG), minus margin; the
 #: bound holds at every fixture SF so the flag is true wherever the
-#: query runs.
-IVF_RECALL_BOUND = 0.2
+#: query runs (the probe count scaling with the cell count is what
+#: keeps recall flat as the corpus grows — see operators.similarity).
+IVF_RECALL_BOUND = 0.7
 
 
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-probe IVF top-k (nprobe=3): deterministic sampled centroids
+    """Adaptive multi-probe IVF top-k: deterministic sampled centroids
     so the oracle replays assignment + probing + search exactly;
     production swaps in k-means centroids with an identical plan.  Like
     the SRP query, recall vs the brute-force baseline is computed
@@ -658,7 +665,9 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_ivf() -> str:
     from hbase_snapshotter_spark.operators.similarity import (
         IVF_CENTROID_STRIDE,
-        IVF_NPROBE,
+        IVF_PROBE_CAP,
+        IVF_PROBE_FRAC,
+        IVF_PROBE_MIN,
     )
 
     return f"""
@@ -676,7 +685,10 @@ ranked AS (
   FROM embeddings e CROSS JOIN cent c),
 assign AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1),
 probe AS (SELECT vec_id AS query_id, cid AS cell FROM ranked
-          WHERE rn <= {IVF_NPROBE} AND vec_id < {TOPK_QUERY_PRED}),
+          WHERE rn <= LEAST({IVF_PROBE_CAP},
+                            GREATEST({IVF_PROBE_MIN},
+                                     CEIL({IVF_PROBE_FRAC} * (SELECT COUNT(*) FROM cent))))
+            AND vec_id < {TOPK_QUERY_PRED}),
 scored AS (
   SELECT p.query_id, ca.vec_id AS neighbor_id,
          {SQL_COSINE} AS cosine

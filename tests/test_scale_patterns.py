@@ -237,7 +237,7 @@ def test_content_salt_deterministic_across_runs(spark, sf_dir):
     assert sj == pj
 
 
-def test_runtime_bloom_filter_prunes_shuffle_join(spark):
+def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
     """Runtime Bloom-filter join pruning — the 100 TB lever for a
     selective-dimension shuffle join: Catalyst builds a Bloom filter on
     the filtered (small) side and injects `might_contain` on the big
@@ -246,16 +246,19 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark):
     injection actually fires on our fixtures and changes no results."""
     confs = {
         "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
-        # fixture scans are MBs, not the 10GB production default
-        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1MB",
+        # fixture scans are KBs-MBs, not the 10GB production default
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "10KB",
+        # toggled mid-test; saved with the rest so the prior state (not
+        # an assumed literal) is restored
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     }
     saved = {k: spark.conf.get(k) for k in confs}
     try:
         for k, v in confs.items():
             spark.conf.set(k, v)
-        li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet") \
+        li = read_table(spark, sf_dir, "lineitem") \
             .select("l_orderkey", "l_quantity")
-        orders = spark.read.parquet("/root/testdata/sf0.1/orders.parquet") \
+        orders = read_table(spark, sf_dir, "orders") \
             .filter(F.col("o_orderpriority") == "1-URGENT") \
             .select("o_orderkey")
         joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
@@ -267,6 +270,5 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark):
         n_plain = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
         assert n_bloom == n_plain > 0  # pruning is performance-only
     finally:
-        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         for k, v in saved.items():
             spark.conf.set(k, v)
