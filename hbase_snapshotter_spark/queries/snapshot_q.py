@@ -194,7 +194,16 @@ def q_schema_history_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     The as-of pick must select revision 2 of 3: the Jan-20 revision is
     in history but after the snapshot ts, so its (varchar) schema must
     NOT win.  ``signup_total`` is in the schema but absent from the log
-    — schema drift surfaces as an all-NULL typed column."""
+    — schema drift surfaces as an all-NULL typed column.
+
+    The v1 schema exercises EVERY strict-mode S14 mapping end-to-end
+    with real cell values: ``decimal(p,s)``→DecimalType (``click``),
+    ``int unsigned``→Long (``signup_total``), ``bigint unsigned``→
+    DecimalType(20,0) (``signup`` — 64-bit-unsigned range exceeds Long,
+    ``functions/mysql_types.py``), and ``date``→DateType (``last_seen``
+    — a derived cell carrying the date of the user's latest event,
+    produced by a per-row explode so the change log is still read in
+    ONE scan)."""
     import json as _json
 
     v0 = _json.dumps({"events": {
@@ -202,10 +211,13 @@ def q_schema_history_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "columnsSchema": {"click": {"columnType": "double"},
                           "view": {"columnType": "double"}}}})
     v1 = _json.dumps({"events": {
-        "columnIndexToNameMap": {"0": "click", "1": "purchase", "2": "signup_total"},
+        "columnIndexToNameMap": {"0": "click", "1": "purchase", "2": "signup_total",
+                                 "3": "signup", "4": "last_seen"},
         "columnsSchema": {"click": {"columnType": "decimal(14,4)"},
                           "purchase": {"columnType": "double"},
-                          "signup_total": {"columnType": "int(10) unsigned"}}}})
+                          "signup_total": {"columnType": "int(10) unsigned"},
+                          "signup": {"columnType": "bigint(20) unsigned"},
+                          "last_seen": {"columnType": "date"}}}})
     v2 = _json.dumps({"events": {
         "columnIndexToNameMap": {"0": "click"},
         "columnsSchema": {"click": {"columnType": "varchar(255)"}}}})
@@ -216,45 +228,74 @@ def q_schema_history_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "change_key string, cell_ts long, schema_json string",
     )
     schema = schema_as_of(history, SNAPSHOT_TS_MS, mode="strict")
-    log = events_as_changelog(
-        read_table(spark, sf_dir, "events", events_as_of_ms=SNAPSHOT_TS_MS))
-    snap = snapshot_as_of(log, schema, SNAPSHOT_TS_MS, strict_decode=True)
-    # The snapshot's `click` column is DecimalType(14,4) (the strict S14
-    # mapping) — pinned as such in tests/test_schema.py.  DECIMAL crosses
-    # the Python seam differently per engine (Spark collect → fixed-scale
-    # Decimal, DuckDB→pandas → float64), so for the driver's value hash we
-    # serialize it in the one form both engines render identically:
-    # decimal→string keeps fixed scale ('3.7000') in Spark AND DuckDB.
     from pyspark.sql import functions as F
 
-    return snap.withColumn("click", F.col("click").cast("string"))
+    log = events_as_changelog(
+        read_table(spark, sf_dir, "events", events_as_of_ms=SNAPSHOT_TS_MS))
+    # derive the `last_seen` date cell per change row via explode —
+    # still ONE scan of the log (no self-union, which would scan twice)
+    cells = F.array(
+        F.struct(F.col("qualifier"), F.col("value")),
+        F.struct(
+            F.lit("last_seen").alias("qualifier"),
+            F.date_format(F.timestamp_millis("cell_ts"), "yyyy-MM-dd").alias("value")),
+    )
+    log = log.select(
+        "row_key", "family", F.explode(cells).alias("__c"), "cell_ts"
+    ).select("row_key", "family",
+             F.col("__c.qualifier").alias("qualifier"),
+             F.col("__c.value").alias("value"), "cell_ts")
+    snap = snapshot_as_of(log, schema, SNAPSHOT_TS_MS, strict_decode=True)
+    # The snapshot's `click`/`signup`/`last_seen` columns are
+    # DecimalType(14,4) / DecimalType(20,0) / DateType internally (the
+    # strict S14 mappings) — pinned in tests.  DECIMAL and DATE cross
+    # the Python seam differently per engine (Spark collect →
+    # fixed-scale Decimal / datetime.date, DuckDB→pandas → float64 /
+    # datetime64), so for the driver's value hash each is serialized in
+    # the one form both engines render identically: →string keeps fixed
+    # scale ('3.7000', '22', '2024-01-12') in Spark AND DuckDB.
+    return (snap.withColumn("click", F.col("click").cast("string"))
+            .withColumn("signup", F.col("signup").cast("string"))
+            .withColumn("last_seen", F.col("last_seen").cast("string")))
 
 
 def oracle_schema_history_snapshot() -> str:
+    def typed(qual: str, rendering: str) -> str:
+        raw = (f"CASE WHEN upper(MAX(CASE WHEN qualifier = '{qual}' THEN value END)) = 'NULL' "
+               f"THEN NULL ELSE MAX(CASE WHEN qualifier = '{qual}' THEN value END) END")
+        return rendering.format(raw=raw)
+
     return f"""
-    WITH log AS (
+    WITH base AS (
       SELECT CAST(user_id AS VARCHAR) AS row_key,
              event_type AS qualifier,
              CAST(value AS VARCHAR) AS value,
              epoch_ms(ts) AS cell_ts
       FROM events
     ),
+    log AS (
+      SELECT row_key, qualifier, value, cell_ts FROM base
+      UNION ALL
+      SELECT row_key, 'last_seen' AS qualifier,
+             strftime(make_timestamp(cell_ts * 1000), '%Y-%m-%d') AS value,
+             cell_ts
+      FROM base
+    ),
     latest AS (
       SELECT row_key, qualifier, value,
              ROW_NUMBER() OVER (PARTITION BY row_key, qualifier
                                 ORDER BY cell_ts DESC, value DESC) AS rn
       FROM log
-      WHERE cell_ts <= {SNAPSHOT_TS_MS} AND qualifier IN ('click', 'purchase')
+      WHERE cell_ts <= {SNAPSHOT_TS_MS}
+        AND qualifier IN ('click', 'purchase', 'signup', 'last_seen')
     )
     SELECT row_key AS k_hbase_row_key,
       CAST(NULL AS VARCHAR) AS k_replicator_row_status,
-      CAST(CAST(CASE WHEN upper(MAX(CASE WHEN qualifier = 'click' THEN value END)) = 'NULL'
-                THEN NULL ELSE MAX(CASE WHEN qualifier = 'click' THEN value END)
-           END AS DECIMAL(14,4)) AS VARCHAR) AS click,
-      CAST(CASE WHEN upper(MAX(CASE WHEN qualifier = 'purchase' THEN value END)) = 'NULL'
-                THEN NULL ELSE MAX(CASE WHEN qualifier = 'purchase' THEN value END)
-           END AS DOUBLE) AS purchase,
-      CAST(NULL AS BIGINT) AS signup_total
+      {typed('click', "CAST(CAST({raw} AS DECIMAL(14,4)) AS VARCHAR)")} AS click,
+      {typed('purchase', "CAST({raw} AS DOUBLE)")} AS purchase,
+      CAST(NULL AS BIGINT) AS signup_total,
+      {typed('signup', "CAST(CAST({raw} AS DECIMAL(20,0)) AS VARCHAR)")} AS signup,
+      {typed('last_seen', "CAST(CAST({raw} AS DATE) AS VARCHAR)")} AS last_seen
     FROM latest WHERE rn = 1
     GROUP BY row_key
     """

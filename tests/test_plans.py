@@ -153,16 +153,22 @@ def test_schema_history_snapshot_two_light_shuffles(spark, sf_dir):
 
 
 def test_schema_history_snapshot_decimal_internal_string_external(spark, sf_dir):
-    """The strict S14 mapping keeps `click` as DecimalType(14,4)
-    internally; only the final driver-facing serialization is STRING
-    (the one form Spark and DuckDB render identically — fixed-scale
-    '3.7000' — so the cross-engine value hash is stable)."""
+    """The strict S14 mappings keep `click` as DecimalType(14,4),
+    `signup` (bigint unsigned) as DecimalType(20,0) and `last_seen` as
+    DateType internally; only the final driver-facing serialization is
+    STRING (the one form Spark and DuckDB render identically —
+    '3.7000' / '22' / '2024-01-12' — so the cross-engine value hash is
+    stable)."""
     from hbase_snapshotter_spark.queries.registry import QUERIES
 
     df = QUERIES["schema_history_snapshot"](spark, sf_dir)
-    assert dict(df.dtypes)["click"] == "string"
+    dtypes = dict(df.dtypes)
+    assert dtypes["click"] == dtypes["signup"] == dtypes["last_seen"] == "string"
     analyzed = df._jdf.queryExecution().analyzed().toString()
-    assert "decimal(14,4)" in analyzed  # pre-cast type survives inside the plan
+    # pre-cast types survive inside the plan
+    assert "decimal(14,4)" in analyzed
+    assert "decimal(20,0)" in analyzed
+    assert "to_date" in analyzed or "cast(last_seen" in analyzed
 
 
 def test_skew_salted_agg_plan_has_salted_join_and_agg(spark, sf_dir):
