@@ -99,6 +99,76 @@ def digit_char_ratio(text: Column | str) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+def doc_lines(text: Column | str) -> Column:
+    """Physical lines of a document → array<string> (split on ``\\n``,
+    blank lines kept — the Gopher line-level signals count them)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.split(col, "\n")
+
+
+def token_lines(toks: Column, per_line: int) -> Column:
+    """Deterministic line view of a token array: consecutive
+    ``per_line``-token chunks joined with spaces → array<string>.
+
+    For corpora whose text carries no newlines (the fixture documents),
+    this gives the line-level quality signals a non-degenerate, engine-
+    replayable input; corpora with real newlines use :func:`doc_lines`
+    instead.  Pure column expressions; the token array is
+    :func:`bind_once`-bound so it isn't re-split per chunk.
+    """
+
+    def from_t(t: Column) -> Column:
+        n_lines = F.ceil(F.size(t) / F.lit(float(per_line))).cast("int")
+        idx = F.sequence(F.lit(1), n_lines)
+        return F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", F.slice(t, (i - F.lit(1)) * per_line + 1, per_line)))
+
+    return bind_once(toks, from_t)
+
+
+def line_signals(lines: Column) -> Column:
+    """Gopher-style line-level quality signals over an array of lines →
+    struct(frac_dup_lines, frac_ellipsis_lines, mean_line_len).
+
+    - ``frac_dup_lines``: fraction of lines that repeat an earlier line
+      (1 − distinct/total; 0.0 for single-line documents) — flags
+      navigation chrome, footers, and template spam.
+    - ``frac_ellipsis_lines``: fraction of lines ending in ``...`` or
+      ``…`` — flags truncated teaser/listing pages.
+    - ``mean_line_len``: mean characters per line — very low means
+      menu/tag-soup pages.
+
+    Pure column expressions (zero shuffle, per-document work only); the
+    lines array is :func:`bind_once`-bound so callers can pass a raw
+    :func:`doc_lines`/:func:`token_lines` expression without it being
+    re-evaluated per signal.  ``split`` never yields an empty array
+    (empty text → one empty line), so the ``size >= 1`` denominators are
+    total; NULL text propagates NULL.
+    """
+
+    def from_l(l: Column) -> Column:
+        n = F.size(l)
+        dup = F.when(
+            n >= 2,
+            F.round(1.0 - F.size(F.array_distinct(l)).cast("double") / n, 4),
+        ).otherwise(F.lit(0.0))
+        ell_hits = F.size(F.filter(
+            l, lambda x: x.endswith("...") | x.endswith("…")))
+        ell = F.round(ell_hits.cast("double") / n, 4)
+        total_chars = F.aggregate(
+            F.transform(l, F.length), F.lit(0), lambda acc, x: acc + x)
+        mean_len = F.round(total_chars.cast("double") / n, 4)
+        return F.struct(
+            dup.alias("frac_dup_lines"),
+            ell.alias("frac_ellipsis_lines"),
+            mean_len.alias("mean_line_len"),
+        )
+
+    return bind_once(lines, from_l)
+
+
 def text_features(
     df: DataFrame,
     text_col: str = "text",

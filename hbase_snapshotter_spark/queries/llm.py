@@ -28,7 +28,9 @@ from hbase_snapshotter_spark.operators.text import (
     LANG_MARKERS,
     STOPWORDS,
     TOKEN_REGEX,
+    line_signals,
     text_features,
+    token_lines,
     tokens,
     winnow_fingerprints,
 )
@@ -215,6 +217,14 @@ ORDER BY id_a, id_b
 # ------------------------------------------------------ N15: text features
 WINNOW_K = 3
 WINNOW_WINDOW = 4
+#: Tokens per derived line for the line-level quality signals.  The
+#: fixture text carries no newlines, so the registered queries compute
+#: the Gopher line signals over a deterministic token-chunk line view
+#: (operators.text.token_lines) — 3-token lines are the narrowest view
+#: that produces duplicate lines on the fixture corpus, so the
+#: duplicate-line logic is exercised with non-trivial values end-to-end.
+#: Real newline-bearing corpora use operators.text.doc_lines instead.
+LINE_TOKENS = 3
 
 
 def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -231,15 +241,22 @@ def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     # winnowing + repeated re-tokenization when inlined).
     toked = docs.select("doc_id", "text", tokens(F.col("text")).alias("__toks"))
     fps = winnow_fingerprints(F.col("__toks"), k=WINNOW_K, window=WINNOW_WINDOW)
-    staged = toked.select("doc_id", "text", "__toks", fps.alias("__fps"))
+    lsig = line_signals(token_lines(F.col("__toks"), LINE_TOKENS))
+    staged = toked.select("doc_id", "text", "__toks",
+                          fps.alias("__fps"), lsig.alias("__lsig"))
     docs = staged.select(
         "doc_id", "text", "__toks",
         F.size("__fps").alias("n_winnow_fp"),
         F.md5(F.concat_ws(",", F.array_sort("__fps"))).alias("winnow_digest"),
+        F.col("__lsig.frac_dup_lines").alias("frac_dup_lines"),
+        F.col("__lsig.frac_ellipsis_lines").alias("frac_ellipsis_lines"),
+        F.col("__lsig.mean_line_len").alias("mean_line_len"),
     )
-    return text_features(docs, "text",
-                         id_cols=["doc_id", "n_winnow_fp", "winnow_digest"],
-                         toks_col=F.col("__toks"))
+    return text_features(
+        docs, "text",
+        id_cols=["doc_id", "n_winnow_fp", "winnow_digest", "frac_dup_lines",
+                 "frac_ellipsis_lines", "mean_line_len"],
+        toks_col=F.col("__toks"))
 
 
 def _oracle_text() -> str:
@@ -267,10 +284,21 @@ wfp AS (SELECT doc_id,
                    for i in range(1, len(hs) - {w} + 2)])
   WHEN len(hs) >= 1 THEN [list_aggregate(hs, 'min')]
   ELSE []::VARCHAR[] END AS fps
-  FROM wh)
+  FROM wh),
+ln AS (SELECT doc_id,
+  [array_to_string(list_slice(t, (i-1)*{LINE_TOKENS}+1, (i-1)*{LINE_TOKENS}+{LINE_TOKENS}), ' ')
+   for i in range(1, CAST(ceil(len(t) / {LINE_TOKENS}.0) AS INT) + 1)] AS l
+  FROM toks)
 SELECT toks.doc_id,
        CAST(len(fps) AS INTEGER) AS n_winnow_fp,
        md5(array_to_string(list_sort(fps), ',')) AS winnow_digest,
+       CASE WHEN len(l) >= 2
+            THEN ROUND(1.0 - len(list_distinct(l)) / len(l), 4)
+            ELSE 0.0 END AS frac_dup_lines,
+       ROUND(len(list_filter(l, x -> ends_with(x, '...') OR ends_with(x, '…')))
+             / len(l), 4) AS frac_ellipsis_lines,
+       ROUND(list_aggregate(list_transform(l, x -> length(x)), 'sum')
+             / len(l), 4) AS mean_line_len,
        CAST(len(t) AS INTEGER) AS n_tokens,
        CAST(len(list_distinct(t)) AS INTEGER) AS n_distinct_tokens,
        CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS INTEGER) AS n_bpe_tokens,
@@ -293,6 +321,7 @@ SELECT toks.doc_id,
        {lang_case} AS lang_guess,
        md5(text) AS fingerprint
 FROM toks JOIN wfp ON toks.doc_id = wfp.doc_id
+          JOIN ln ON toks.doc_id = ln.doc_id
 """
 
 
@@ -755,13 +784,29 @@ def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     clear the quality bar, the language filter, and the Gopher/C4-style
     repetition + digit-noise cuts — one narrow pass."""
     docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
-    feats = text_features(docs, "text", id_cols=["doc_id", "lang"])
+    toked = docs.select("doc_id", "lang", "text",
+                        tokens(F.col("text")).alias("__toks"))
+    staged = toked.select(
+        "doc_id", "lang", "text", "__toks",
+        line_signals(token_lines(F.col("__toks"), LINE_TOKENS))
+        .alias("__lsig"))
+    lined = staged.select(
+        "doc_id", "lang", "text", "__toks",
+        F.col("__lsig.frac_dup_lines").alias("frac_dup_lines"))
+    feats = text_features(lined, "text",
+                          id_cols=["doc_id", "lang", "frac_dup_lines"],
+                          toks_col=F.col("__toks"))
     return feats.filter(
         (F.col("quality_score") >= 0.7) & (F.col("n_tokens") >= 20)
         & (F.col("lang_guess") == "en")
         & (F.col("dup_2gram_ratio") <= 0.1)     # boilerplate/template cut
         & (F.col("digit_char_ratio") <= 0.2)    # numeric-noise cut
-    ).select("doc_id", "lang", "n_tokens", "quality_score", "dup_2gram_ratio")
+        # duplicate-line cut (Gopher): the 3-token derived line view is
+        # far narrower than real lines, so the threshold is tight enough
+        # to stay live on the fixture corpus (max observed 0.0556)
+        & (F.col("frac_dup_lines") <= 0.04)
+    ).select("doc_id", "lang", "n_tokens", "quality_score",
+             "dup_2gram_ratio", "frac_dup_lines")
 
 
 def _oracle_quality_filter() -> str:
@@ -773,9 +818,12 @@ def _oracle_quality_filter() -> str:
                 .replace("SELECT toks.doc_id,", "SELECT toks.doc_id, lang,"))
     return f"""
 WITH feats AS ({text_sql})
-SELECT doc_id, lang, n_tokens, quality_score, dup_2gram_ratio FROM feats
+SELECT doc_id, lang, n_tokens, quality_score, dup_2gram_ratio,
+       frac_dup_lines
+FROM feats
 WHERE quality_score >= 0.7 AND n_tokens >= 20 AND lang_guess = 'en'
   AND dup_2gram_ratio <= 0.1 AND digit_char_ratio <= 0.2
+  AND frac_dup_lines <= 0.04
 """
 
 

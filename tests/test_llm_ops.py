@@ -20,7 +20,14 @@ from hbase_snapshotter_spark.operators.similarity import (
     ann_lsh_topk,
     brute_force_topk,
 )
-from hbase_snapshotter_spark.operators.text import text_features, shingles, tokens
+from hbase_snapshotter_spark.operators.text import (
+    doc_lines,
+    line_signals,
+    shingles,
+    text_features,
+    token_lines,
+    tokens,
+)
 from hbase_snapshotter_spark.operators.asof import asof_join
 
 
@@ -512,3 +519,37 @@ def test_repetition_and_digit_signals(spark):
     assert out[2].dup_2gram_ratio == 0.0
     assert out[1].digit_char_ratio == 0.0
     assert out[3].digit_char_ratio == round(4 / 19, 4)
+
+
+def test_line_signals_hand_computed(spark):
+    """Gopher line-level signals over real newline-bearing documents:
+    duplicate-line fraction, ellipsis-terminated fraction, and mean line
+    length against hand-computed values (ASCII '...' and U+2026 both
+    count as ellipses; single-line docs are vacuously non-duplicate;
+    empty text is one empty line)."""
+    df = spark.createDataFrame(
+        [(1, "a b\na b\nc"),       # dup 1-2/3, mean (3+3+1)/3
+         (2, "wait...\ndone"),     # one of two lines ends with ...
+         (3, "x…"),                # single line, unicode ellipsis
+         (4, "")],                 # one empty line
+        "doc_id long, text string")
+    out = {r.doc_id: r.s for r in df.select(
+        "doc_id", line_signals(doc_lines("text")).alias("s")).collect()}
+    assert out[1] == (round(1 - 2 / 3, 4), 0.0, round(7 / 3, 4))
+    assert out[2] == (0.0, 0.5, 5.5)
+    assert out[3] == (0.0, 1.0, 2.0)
+    assert out[4] == (0.0, 0.0, 0.0)
+
+
+def test_token_lines_chunks_and_ragged_tail(spark):
+    """token_lines groups consecutive tokens into fixed-width lines,
+    keeping a ragged final chunk; short and empty docs degrade to a
+    single line."""
+    df = spark.createDataFrame(
+        [(1, "t1 t2 t3 t4 t5 t6 t7"), (2, "solo"), (3, "")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.l for r in df.select(
+        "doc_id", token_lines(tokens(F.col("text")), 3).alias("l")).collect()}
+    assert out[1] == ["t1 t2 t3", "t4 t5 t6", "t7"]
+    assert out[2] == ["solo"]
+    assert out[3] == [""]
