@@ -12,21 +12,22 @@ This module makes that lifecycle explicit instead of leaking handles for
 the lifetime of the SparkSession:
 
 - operators call :func:`scoped_persist` instead of ``DataFrame.persist``;
-- batch drivers call :func:`release_caches` after each action (the query
-  registry does this automatically when the next query is built, so a
-  sequential build-run-build-run driver loop holds at most one query's
-  working set; ``bench.py`` and the pytest sweep release explicitly).
+  each handle is tagged with the ACTIVE SCOPE (the registered query being
+  built — the registry wraps every build in :func:`cache_scope`);
+- batch drivers call :func:`release_caches` after each action (``bench.py``
+  and the pytest sweep do), which drops every scope.
 
-LIFECYCLE CONTRACT — single-threaded build-then-act: the registry's
-scope is the whole module-global list, so building ANY registered query
-releases EVERY scoped handle, including those of a query built earlier
-but not yet executed.  Interleaving builds (build A, build B, act on A)
-is therefore CORRECT but loses A's cache: A's action transparently
-recomputes the persisted lineage, paying the duplicate-DAG cost the
-persist existed to avoid (AQE gives multi-consumer plans zero exchange
-reuse).  Execute each registered query before building the next one —
-pinned by ``tests/test_queries_oracle.py::test_cache_scope_interleaved_
-builds_recompute_correctly``.
+LIFECYCLE CONTRACT — per-query scopes, bounded live set: handles are
+keyed by the query that registered them.  Rebuilding a query releases
+only ITS stale handles, and the registry keeps at most
+``MAX_LIVE_SCOPES`` (2) query scopes cached, evicting the
+least-recently-built beyond that.  Interleaving two queries (build A,
+build B, act on A) therefore keeps A's caches warm — no recompute —
+while a sequential build→act driver loop holds at most two queries'
+working sets.  Interleave depth beyond ``MAX_LIVE_SCOPES`` falls back to
+the recompute behavior (correct, slower) — pinned by
+``tests/test_queries_oracle.py::test_cache_scope_interleaved_builds_no_
+recompute``.
 
 Releasing is always SAFE, never wrong: unpersisting a DataFrame changes
 no results — at worst a later action recomputes the lineage.
@@ -34,42 +35,95 @@ no results — at worst a later action recomputes the lineage.
 
 from __future__ import annotations
 
+from collections import OrderedDict
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 
-_ACTIVE: list[DataFrame] = []
+#: scope name -> handles registered while that scope was active,
+#: in build order (oldest scope first).
+_SCOPES: OrderedDict[str, list[DataFrame]] = OrderedDict()
+
+_GLOBAL = "__global__"
+_current: str = _GLOBAL
+
+#: How many query scopes may hold cache blocks at once.  2 keeps the
+#: common interleave (build A, build B, act on A) recompute-free while
+#: bounding a long sequential driver loop at two working sets.
+MAX_LIVE_SCOPES = 2
 
 
 def scoped_persist(df: DataFrame) -> DataFrame:
-    """``df.persist()`` + register the handle for :func:`release_caches`.
+    """``df.persist()`` + register the handle under the active scope.
 
-    The handle stays cached until the NEXT :func:`release_caches` call —
-    with the query registry, until the next registered query is built
-    (see the module-level lifecycle contract)."""
+    The handle stays cached until its scope is released — by a rebuild
+    of the same query, by eviction when more than ``MAX_LIVE_SCOPES``
+    newer queries were built, or by :func:`release_caches`."""
     out = df.persist()
-    _ACTIVE.append(out)
+    _SCOPES.setdefault(_current, []).append(out)
     return out
 
 
 def track(df: DataFrame) -> DataFrame:
     """Register an already-persisted/checkpointed handle for release."""
-    _ACTIVE.append(df)
+    _SCOPES.setdefault(_current, []).append(df)
     return df
 
 
-def release_caches() -> int:
-    """Unpersist every scoped handle; returns how many were released.
+def release_scope(name: str) -> int:
+    """Unpersist every handle of one scope; returns how many.
 
     Idempotent and safe at any time (double-unpersist is a no-op).
     Handles whose owning SparkContext has been stopped are skipped —
     their blocks died with the context; any other unpersist failure is
-    a real error and propagates."""
-    n = len(_ACTIVE)
-    while _ACTIVE:
+    a real error and propagates, with the failing handle (and the rest
+    of its scope) still tracked for the next release instead of leaking
+    for the session lifetime."""
+    handles = _SCOPES.get(name)
+    if handles is None:
+        return 0
+    n = len(handles)
+    while handles:
         # peek-then-pop: if unpersist raises (transient JVM error), the
-        # handle stays tracked for the next release instead of leaking
-        # its cache block for the session lifetime
-        df = _ACTIVE[-1]
+        # handle stays tracked for the next release
+        df = handles[-1]
         if getattr(df.sparkSession._sc, "_jsc", None) is not None:
             df.unpersist()
-        _ACTIVE.pop()
+        handles.pop()
+    del _SCOPES[name]
     return n
+
+
+def release_caches() -> int:
+    """Unpersist every scoped handle in every scope; returns how many."""
+    n = 0
+    for name in list(_SCOPES):
+        n += release_scope(name)
+    return n
+
+
+@contextmanager
+def cache_scope(name: str):
+    """Make ``name`` the active scope for :func:`scoped_persist` calls.
+
+    Entering releases the scope's OWN stale handles (a rebuild of the
+    same query invalidates its previous build's caches); exiting evicts
+    the least-recently-built scopes beyond ``MAX_LIVE_SCOPES``, never
+    the scope just built or the one re-activated beneath it."""
+    global _current
+    release_scope(name)
+    prev = _current
+    _current = name
+    _SCOPES[name] = []
+    _SCOPES.move_to_end(name)
+    try:
+        yield
+    finally:
+        _current = prev
+        if not _SCOPES.get(name):
+            # nothing persisted: drop the empty entry so scope-less
+            # queries don't count toward (or evict from) the live bound
+            _SCOPES.pop(name, None)
+        evictable = [s for s in _SCOPES if s not in (name, _current)]
+        while len(_SCOPES) > MAX_LIVE_SCOPES and evictable:
+            release_scope(evictable.pop(0))

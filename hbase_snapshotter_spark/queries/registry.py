@@ -13,7 +13,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from hbase_snapshotter_spark.cache import release_caches
+from hbase_snapshotter_spark.cache import cache_scope
 from hbase_snapshotter_spark.queries import llm, relational, snapshot_q, streaming_q
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -34,22 +34,21 @@ SESSION_DEFAULTS = {
 
 
 def register(name: str, fn: QueryFn, oracle: str | None) -> None:
-    # Building a query first releases the previous query's scoped caches
-    # (operators persist multi-consumer intermediates — see cache.py), so
-    # a sequential build→run driver loop holds at most ONE query's
-    # working set instead of accumulating cache blocks for the session's
-    # lifetime.  Releasing is always safe: at worst a still-pending plan
-    # recomputes its lineage.  CONTRACT (single-threaded build-then-act):
-    # execute each built query before building the next — interleaved
-    # builds stay correct but the earlier query's action silently
-    # recomputes its released intermediates (see cache.py docstring;
-    # pinned by test_cache_scope_interleaved_builds_recompute_correctly).
+    # Every build runs inside a per-query cache scope (operators persist
+    # multi-consumer intermediates — see cache.py): rebuilding a query
+    # releases only ITS stale handles, and the registry keeps at most
+    # cache.MAX_LIVE_SCOPES query scopes cached (least-recently-built
+    # evicted), so a sequential build→run driver loop holds a bounded
+    # working set while the common interleave (build A, build B, act on
+    # A) keeps A's caches warm — pinned by
+    # test_cache_scope_interleaved_builds_no_recompute.  Releasing is
+    # always safe: at worst a still-pending plan recomputes its lineage.
     @functools.wraps(fn)
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-        release_caches()
         for key, value in SESSION_DEFAULTS.items():
             spark.conf.set(key, value)
-        return fn(spark, sf_dir)
+        with cache_scope(name):
+            return fn(spark, sf_dir)
 
     QUERIES[name] = wrapped
     if oracle is not None:

@@ -42,28 +42,38 @@ def test_query_matches_oracle(name, spark, sf_dir, con):
     assert ok, f"{name}: {msg}"
 
 
-def test_cache_scope_interleaved_builds_recompute_correctly(spark, sf_dir):
-    """The documented build-then-act contract (cache.py): building a
-    second registered query releases the first query's scoped caches —
-    the first query's later action must still be CORRECT (it recomputes
-    the released lineage), and the release must actually have happened
-    (the recompute cost is the documented trade-off, not a leak)."""
+def test_cache_scope_interleaved_builds_no_recompute(spark, sf_dir):
+    """The per-query cache-scope contract (cache.py): each registered
+    build's persists are keyed by query name and the registry keeps the
+    MAX_LIVE_SCOPES (2) most recently built scopes cached — so the
+    common interleave (build A, build B, act on A) keeps A's caches
+    WARM, while building a third query evicts the least-recently-built
+    scope (bounded working set, recompute-correct beyond the bound)."""
     from hbase_snapshotter_spark import cache
 
     a = QUERIES["dedup_minhash_lsh"](spark, sf_dir)
-    handles = list(cache._ACTIVE)
+    handles = list(cache._SCOPES["dedup_minhash_lsh"])
     assert handles, "expected dedup_minhash_lsh to register scoped persists"
 
     b = QUERIES["similarity_topk_ivf"](spark, sf_dir)
-    # building B released A's scoped caches (global-scope contract)
-    assert all(not h.storageLevel.useMemory for h in handles)
+    # building B keeps A's scoped caches (per-query scopes, live bound 2)
+    assert all(h.storageLevel.useMemory for h in handles)
 
-    got = sorted(tuple(r) for r in a.collect())       # A acts post-release
+    got = sorted(tuple(r) for r in a.collect())       # A acts cache-warm
     b.write.format("noop").mode("overwrite").save()   # B acts normally
+
+    # depth-3 interleave: building C evicts A (least recently built),
+    # keeps B — the bounded-working-set half of the contract
+    b_handles = list(cache._SCOPES["similarity_topk_ivf"])
+    c = QUERIES["embedding_near_dup_lsh"](spark, sf_dir)
+    assert "dedup_minhash_lsh" not in cache._SCOPES
+    assert all(not h.storageLevel.useMemory for h in handles)
+    assert all(h.storageLevel.useMemory for h in b_handles)
+    c.write.format("noop").mode("overwrite").save()
     release_caches()
 
-    fresh = sorted(tuple(r) for r in
-                   QUERIES["dedup_minhash_lsh"](spark, sf_dir).collect())
+    # A's action after eviction recomputes the released lineage correctly
+    fresh = sorted(tuple(r) for r in a.collect())
     release_caches()
     assert got == fresh and len(got) > 0
     assert _leftover_persists(spark) == []
