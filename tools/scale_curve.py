@@ -1,9 +1,11 @@
 #!/usr/bin/env python
-"""Measured scaling curves for the LLM-pipeline operators.
+"""Measured scaling curves for the LLM-pipeline and snapshot operators.
 
 The sub-quadratic claims for MinHash-LSH / SimHash / multi-table SRP
-(Σ bucket²·L, capped by ``max_df`` / band width) are design arguments;
-this tool turns them into MEASURED evidence: each operator runs at
+(Σ bucket²·L, capped by ``max_df`` / band width) and the linear-in-log
+claims for the snapshot pipeline (shuffle ≈ live cells; N-timestamp
+time travel ≈ one scan + one shuffle) are design arguments; this tool
+turns them into MEASURED evidence: each operator runs at
 
 - 1×   = sf0.01  (driver fixture),
 - 10×  = sf0.1   (driver fixture),
@@ -23,7 +25,11 @@ the engine, not the duplicate structure:
 - embeddings: replica r is multiplied elementwise by a deterministic
   ±1 pattern derived from (r, dim).  A diagonal sign matrix S satisfies
   cos(Sa, Sb) = cos(a, b), so WITHIN-replica pairs and top-k structure
-  are preserved exactly while SRP signatures differ across replicas.
+  are preserved exactly while SRP signatures differ across replicas;
+- events: replica r shifts user_id/event_id by a stride, timestamps
+  unchanged — per-key version depth is preserved while live cells (and
+  so the snapshot shuffle) grow linearly with the log, the table-growth
+  mode the driver fixtures themselves follow (users scale with sf).
 
 Timings are min-of-2 on a warm session, action = noop write (full
 computation, no driver collect).
@@ -45,49 +51,72 @@ REPLICAS = 10
 ID_STRIDE = 100_000_000
 
 
+def _needs_build(table_dir: str) -> bool:
+    """True if the replica table is absent or a partial write (no
+    _SUCCESS marker) — partials are removed so the rebuild is clean."""
+    if os.path.isfile(f"{table_dir}/_SUCCESS"):
+        return False
+    if os.path.isdir(table_dir):
+        shutil.rmtree(table_dir)
+    return True
+
+
 def build_10x(spark, src_dir: str, out_dir: str) -> None:
     from pyspark.sql import functions as F
 
-    if os.path.isdir(f"{out_dir}/embeddings.parquet"):
-        return  # reuse a previously built fixture (content is deterministic)
-    if os.path.isdir(out_dir):
-        shutil.rmtree(out_dir)
-    docs = spark.read.parquet(f"{src_dir}/documents.parquet")
-    emb = spark.read.parquet(f"{src_dir}/embeddings.parquet")
+    from hbase_snapshotter_spark.sources.changelog import read_table
 
-    doc_parts = []
-    for r in range(REPLICAS):
-        d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(r * ID_STRIDE))
-        if r > 0:
-            # prefix every token -> replica-disjoint shingle space
-            d = d.withColumn(
-                "text",
-                F.concat(F.lit(f"r{r}·"),
-                         F.regexp_replace("text", " ", f" r{r}·")))
-        doc_parts.append(d)
-    docs10 = doc_parts[0]
-    for p in doc_parts[1:]:
-        docs10 = docs10.unionAll(p)
-    docs10.repartition(32).write.parquet(f"{out_dir}/documents.parquet")
+    def union_replicas(parts):
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        return out
 
-    emb_parts = []
-    for r in range(REPLICAS):
-        e = emb.withColumn("vec_id", F.col("vec_id") + F.lit(r * ID_STRIDE))
-        if r > 0:
-            # deterministic elementwise ±1 per (replica, dim): preserves
-            # all within-replica cosines, decorrelates SRP buckets
-            e = e.withColumn(
-                "embedding",
-                F.transform(
+    if _needs_build(f"{out_dir}/documents.parquet"):
+        docs = spark.read.parquet(f"{src_dir}/documents.parquet")
+        doc_parts = []
+        for r in range(REPLICAS):
+            d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(r * ID_STRIDE))
+            if r > 0:
+                # prefix every token -> replica-disjoint shingle space
+                d = d.withColumn(
+                    "text",
+                    F.concat(F.lit(f"r{r}·"),
+                             F.regexp_replace("text", " ", f" r{r}·")))
+            doc_parts.append(d)
+        union_replicas(doc_parts).repartition(32) \
+            .write.parquet(f"{out_dir}/documents.parquet")
+
+    if _needs_build(f"{out_dir}/embeddings.parquet"):
+        emb = spark.read.parquet(f"{src_dir}/embeddings.parquet")
+        emb_parts = []
+        for r in range(REPLICAS):
+            e = emb.withColumn("vec_id", F.col("vec_id") + F.lit(r * ID_STRIDE))
+            if r > 0:
+                # deterministic elementwise ±1 per (replica, dim): preserves
+                # all within-replica cosines, decorrelates SRP buckets
+                e = e.withColumn(
                     "embedding",
-                    lambda x, i: x * F.when(
-                        F.pmod(F.hash(F.lit(r), i), 2) == 0, F.lit(1.0)
-                    ).otherwise(F.lit(-1.0)).cast("float")))
-        emb_parts.append(e)
-    emb10 = emb_parts[0]
-    for p in emb_parts[1:]:
-        emb10 = emb10.unionAll(p)
-    emb10.repartition(32).write.parquet(f"{out_dir}/embeddings.parquet")
+                    F.transform(
+                        "embedding",
+                        lambda x, i: x * F.when(
+                            F.pmod(F.hash(F.lit(r), i), 2) == 0, F.lit(1.0)
+                        ).otherwise(F.lit(-1.0)).cast("float")))
+            emb_parts.append(e)
+        union_replicas(emb_parts).repartition(32) \
+            .write.parquet(f"{out_dir}/embeddings.parquet")
+
+    if _needs_build(f"{out_dir}/events.parquet"):
+        # read_table normalizes the fixture's ts encoding; the replica is
+        # written as plain TimestampType, which read_table passes through
+        ev = read_table(spark, src_dir, "events")
+        ev_parts = [
+            ev.withColumn("event_id", F.col("event_id") + F.lit(r * ID_STRIDE))
+              .withColumn("user_id", F.col("user_id") + F.lit(r * ID_STRIDE))
+            for r in range(REPLICAS)
+        ]
+        union_replicas(ev_parts).repartition(32) \
+            .write.parquet(f"{out_dir}/events.parquet")
 
 
 def operators():
@@ -119,10 +148,38 @@ def operators():
         emb = spark.read.parquet(f"{d}/embeddings.parquet")
         return cosine_pairs_bucketed(emb, threshold=0.45)
 
+    from hbase_snapshotter_spark.operators.snapshot import latest_cells_multi
+    from hbase_snapshotter_spark.queries.snapshot_q import (
+        SNAPSHOT_TS_MS,
+        TS_LIST,
+        events_snapshot_schema,
+    )
+    from hbase_snapshotter_spark.sources.changelog import (
+        events_as_changelog,
+        read_table,
+    )
+
+    def run_snapshot_wide(spark, d):
+        from hbase_snapshotter_spark.operators.snapshot import snapshot_as_of
+
+        log = events_as_changelog(
+            read_table(spark, d, "events", events_as_of_ms=SNAPSHOT_TS_MS))
+        return snapshot_as_of(log, events_snapshot_schema(), SNAPSHOT_TS_MS)
+
+    def run_latest_multi(spark, d):
+        log = events_as_changelog(read_table(spark, d, "events"))
+        return latest_cells_multi(log, list(TS_LIST))
+
+    # ORDER MATTERS: cheap ops first, heap-heavy LSH ops last.  A
+    # sub-2s measurement taken right after a ~100s candidate-join run
+    # inherits its JVM heap bloat / GC debt — measured 1.35s → 12.5s on
+    # latest_cells_multi when it followed embedding_near_dup_lsh.
     return {
-        "minhash_lsh": run_minhash,
-        "simhash": run_simhash,
+        "snapshot_events_wide": run_snapshot_wide,
+        "latest_cells_multi": run_latest_multi,
         "ann_topk_lsh": run_ann,
+        "simhash": run_simhash,
+        "minhash_lsh": run_minhash,
         "embedding_near_dup_lsh": run_embdup,
     }
 
