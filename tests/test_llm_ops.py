@@ -553,3 +553,10 @@ def test_token_lines_chunks_and_ragged_tail(spark):
     assert out[1] == ["t1 t2 t3", "t4 t5 t6", "t7"]
     assert out[2] == ["solo"]
     assert out[3] == [""]
+
+    # an EMPTY token array (never produced by tokens(), but legal for a
+    # caller-filtered column) must not trip sequence(1, 0)'s descending
+    # behavior into phantom lines — it degrades to one empty line
+    empty = spark.range(1).select(
+        token_lines(F.array().cast("array<string>"), 3).alias("l"))
+    assert empty.collect()[0].l == [""]

@@ -77,3 +77,27 @@ def test_cache_scope_interleaved_builds_no_recompute(spark, sf_dir):
     release_caches()
     assert got == fresh and len(got) > 0
     assert _leftover_persists(spark) == []
+
+
+def test_cache_global_scope_swept_and_excluded_from_bound(spark, sf_dir):
+    """Handles persisted OUTSIDE any query scope (direct operator use)
+    are swept when a registered query is built — the pre-scope hygiene —
+    and never count toward the MAX_LIVE_SCOPES warm-set bound, so stray
+    global handles can't silently evict a query scope."""
+    from hbase_snapshotter_spark import cache
+
+    g = cache.scoped_persist(spark.range(10))
+    g.count()
+    assert cache._SCOPES.get("__global__")
+
+    a = QUERIES["dedup_minhash_lsh"](spark, sf_dir)
+    assert not g.storageLevel.useMemory        # stray handle swept
+    assert "__global__" not in cache._SCOPES
+    a_handles = list(cache._SCOPES["dedup_minhash_lsh"])
+
+    QUERIES["similarity_topk_ivf"](spark, sf_dir)
+    # with the global scope excluded from the bound, A stays warm
+    assert all(h.storageLevel.useMemory for h in a_handles)
+    assert sorted(tuple(r) for r in a.collect())
+    release_caches()
+    assert _leftover_persists(spark) == []
