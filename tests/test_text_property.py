@@ -1,0 +1,62 @@
+"""Property-based checks for the line-level text operators: hypothesis-
+generated documents checked against independent pure-Python models of
+line chunking and the Gopher line signals.  Catches rounding-mode and
+boundary bugs (half-up vs banker's, dyadic ratios like 1/32 whose 5th
+decimal is exactly 5) that hand-written examples can't enumerate."""
+
+from decimal import ROUND_HALF_UP, Decimal
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from hbase_snapshotter_spark.operators.text import (
+    doc_lines,
+    line_signals,
+    token_lines,
+)
+
+
+def r4(x: float) -> float:
+    """Spark's ROUND: half-up on the double's exact decimal expansion
+    (java.math.BigDecimal), NOT python's banker's round()."""
+    return float(Decimal(x).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP))
+
+
+def model_signals(lines: list[str]) -> tuple[float, float, float]:
+    n = len(lines)
+    dup = r4(1.0 - len(set(lines)) / n) if n >= 2 else 0.0
+    ell = r4(sum(1 for l in lines
+                 if l.endswith("...") or l.endswith("…")) / n)
+    mean = r4(sum(len(l) for l in lines) / n)
+    return (dup, ell, mean)
+
+
+# '.' makes natural '...' suffixes; '…' exercises the unicode ellipsis;
+# duplicates are likely at this alphabet size
+line_st = st.text(alphabet="ab .…", max_size=8).filter(lambda s: "\n" not in s)
+
+
+@given(st.lists(line_st, min_size=1, max_size=40))
+@settings(max_examples=25, deadline=None)
+def test_line_signals_match_python_model(spark, lines):
+    text = "\n".join(lines)
+    row = (spark.createDataFrame([(text,)], "text string")
+           .select(line_signals(doc_lines("text")).alias("s"))
+           .collect()[0].s)
+    assert (row.frac_dup_lines, row.frac_ellipsis_lines,
+            row.mean_line_len) == model_signals(lines)
+
+
+tok_st = st.text(alphabet="abc1", min_size=1, max_size=4)
+
+
+@given(st.lists(tok_st, min_size=0, max_size=40),
+       st.sampled_from([1, 2, 3, 5]))
+@settings(max_examples=25, deadline=None)
+def test_token_lines_match_python_model(spark, toks, per_line):
+    expected = ([" ".join(toks[i:i + per_line])
+                 for i in range(0, len(toks), per_line)] or [""])
+    got = (spark.createDataFrame([(toks,)], "toks array<string>")
+           .select(token_lines(F.col("toks"), per_line).alias("l"))
+           .collect()[0].l)
+    assert got == expected

@@ -148,6 +148,23 @@ def operators():
         emb = spark.read.parquet(f"{d}/embeddings.parquet")
         return cosine_pairs_bucketed(emb, threshold=0.45)
 
+    def run_ivf(spark, d):
+        from hbase_snapshotter_spark.operators.similarity import ivf_topk
+
+        emb = spark.read.parquet(f"{d}/embeddings.parquet")
+        return ivf_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+
+    def run_clusters(spark, d):
+        from hbase_snapshotter_spark.operators.dedup import (
+            connected_components,
+        )
+
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        pairs = minhash_lsh_pairs(docs, "doc_id", num_hashes=12, bands=4,
+                                  threshold=0.7)
+        return connected_components(pairs, docs.select("doc_id"),
+                                    id_col="doc_id")
+
     from hbase_snapshotter_spark.operators.snapshot import latest_cells_multi
     from hbase_snapshotter_spark.queries.snapshot_q import (
         SNAPSHOT_TS_MS,
@@ -177,9 +194,11 @@ def operators():
     return {
         "snapshot_events_wide": run_snapshot_wide,
         "latest_cells_multi": run_latest_multi,
+        "ivf_topk": run_ivf,
         "ann_topk_lsh": run_ann,
         "simhash": run_simhash,
         "minhash_lsh": run_minhash,
+        "dedup_clusters": run_clusters,
         "embedding_near_dup_lsh": run_embdup,
     }
 
