@@ -15,7 +15,7 @@ that matter for ML pipelines:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Number of hash buckets; rates are expressed in 1/1000ths.
@@ -58,4 +58,52 @@ def train_val_test_split(
         F.when(b < train_hi, "train")
         .when(b < train_hi + val_permille, "val")
         .otherwise("test"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    id_col: str,
+    token_count_col: str,
+    budget: int,
+    num_shards: int = 64,
+    partition_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """GPT-style "crammed" sequence packing: documents are concatenated
+    in a deterministic order and cut every ``budget`` tokens; each
+    document is assigned the pack where it STARTS, plus its token offset
+    inside that pack (documents may span pack boundaries — the trainer
+    masks cross-document attention; no padding waste by construction).
+
+    A single global running sum would be a one-partition sort, so the
+    100 TB form shards documents by key hash (deterministic,
+    coordination-free — same ``hash_bucket`` as sampling/splitting) and
+    packs within each (partition_cols…, shard) group independently: the
+    cumulative sum window is ``num_shards``-way parallel (size the shard
+    count to the cluster), membership is stable across runs and engines,
+    and the only waste is one partial pack per shard tail.
+    ``partition_cols`` keeps logical datasets separate (e.g. pack train /
+    val / test independently — never mix splits in one sequence).
+
+    Adds columns: ``pack_shard`` (int), ``pack_id`` (string
+    ``<partition…>-<shard>-<bin>``), ``pack_offset`` (long, token offset
+    of the doc's start within its pack).  Arithmetic is exact integer
+    (sum, pmod, exact-multiple division) — no double rounding at any
+    corpus size."""
+    shard = (hash_bucket(id_col) % num_shards).alias("pack_shard")
+    out = df.withColumn("pack_shard", shard)
+    w = (
+        Window.partitionBy(*partition_cols, "pack_shard")
+        .orderBy(id_col)
+    )
+    tc = F.col(token_count_col).cast("long")
+    start = F.sum(tc).over(w) - tc  # exclusive prefix sum
+    bin_ = ((start - F.pmod(start, F.lit(budget))) / F.lit(budget)).cast("long")
+    return (
+        out.withColumn(
+            "pack_id",
+            F.concat_ws("-", *[F.col(c) for c in partition_cols],
+                        F.col("pack_shard"), bin_))
+        .withColumn("pack_offset", F.pmod(start, F.lit(budget)))
     )

@@ -833,38 +833,73 @@ PAIRS.update({
 
 
 # ---------------------- training-data sampling / splitting (hash-mod)
+#: Sequence-packing geometry for the registered query: 512-token packs,
+#: 8 hash shards (parallel cumsum groups — size to the cluster at 100 TB).
+PACK_BUDGET, PACK_SHARDS = 512, 8
+
+
 def sample_split_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic sampling AND stable train/val/test splitting in one
-    query: every document gets an 80/10/10 split label plus a ~20%
-    sample-membership flag, both by key hash (coordination-free, no
-    shuffle until the final count; see operators.sampling).  Membership
-    never flips across runs, engines, or data growth."""
+    """Deterministic sampling, stable train/val/test splitting, AND
+    sequence packing in one query: every document gets an 80/10/10
+    split label, a ~20% sample-membership flag (both by key hash —
+    coordination-free, stable across runs/engines/data growth), and a
+    crammed-packing assignment (pack id + token offset) computed per
+    split over hash-sharded parallel running sums.  The final aggregate
+    folds the packing structure into the hash: distinct packs started
+    and the max in-pack offset per group replay only if every prefix
+    sum matches."""
     from hbase_snapshotter_spark.operators.sampling import (
         hash_bucket,
+        pack_sequences,
         train_val_test_split,
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return (
+    labeled = (
         train_val_test_split(docs, "doc_id")
         .withColumn("in_sample", hash_bucket("doc_id") < 200)
-        .groupBy("lang", "split", "in_sample")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("n_tokens", F.size(tokens(F.col("text"))))
+    )
+    packed = pack_sequences(
+        labeled, id_col="doc_id", token_count_col="n_tokens",
+        budget=PACK_BUDGET, num_shards=PACK_SHARDS,
+        partition_cols=("split",))
+    return (
+        packed.groupBy("lang", "split", "in_sample")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tokens").cast("long").alias("total_tokens"),
+             F.countDistinct("pack_id").alias("n_packs"),
+             F.max("pack_offset").alias("max_pack_offset"))
     )
 
 
-ORACLE_SAMPLE_SPLIT = """
-WITH b AS (
-  SELECT lang,
-         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000 AS bk
-  FROM documents)
-SELECT lang,
-       CASE WHEN bk < 800 THEN 'train'
-            WHEN bk < 900 THEN 'val'
-            ELSE 'test' END AS split,
-       bk < 200 AS in_sample,
-       COUNT(*) AS n_docs
-FROM b GROUP BY 1, 2, 3
+ORACLE_SAMPLE_SPLIT = f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000 AS bk,
+         len(string_split(trim(text), ' ')) AS n_tokens
+  FROM documents),
+s AS (
+  SELECT *,
+         CASE WHEN bk < 800 THEN 'train'
+              WHEN bk < 900 THEN 'val'
+              ELSE 'test' END AS split,
+         bk < 200 AS in_sample,
+         bk % {PACK_SHARDS} AS shard
+  FROM d),
+p AS (
+  SELECT *,
+         SUM(n_tokens) OVER (PARTITION BY split, shard ORDER BY doc_id)
+           - n_tokens AS seq_start
+  FROM s)
+SELECT lang, split, in_sample,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(COUNT(DISTINCT split || '-' || CAST(shard AS VARCHAR) || '-'
+                  || CAST(seq_start // {PACK_BUDGET} AS VARCHAR)) AS BIGINT)
+         AS n_packs,
+       CAST(MAX(seq_start % {PACK_BUDGET}) AS BIGINT) AS max_pack_offset
+FROM p GROUP BY 1, 2, 3
 """
 
 

@@ -358,6 +358,41 @@ def test_sampling_is_total_over_null_keys(spark):
     assert all(r.b is not None and 0 <= r.b < 1000 for r in buckets)
 
 
+def test_pack_sequences_hand_computed_and_partition_independent(spark):
+    """Crammed sequence packing against hand-computed prefix sums: with
+    one shard the docs concatenate in id order and cut every `budget`
+    tokens (docs may span pack boundaries — the assignment is where the
+    doc STARTS); the output is identical under any input partitioning,
+    and multi-shard packing respects the partition_cols isolation."""
+    from hbase_snapshotter_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 3), (2, 4), (3, 2), (4, 5), (5, 1)], "doc_id long, n int")
+    # exclusive prefix sums in id order: 0, 3, 7, 9, 14 -> bins 0,0,1,1,2
+    got = {r.doc_id: (r.pack_id, r.pack_offset) for r in pack_sequences(
+        df, id_col="doc_id", token_count_col="n", budget=5, num_shards=1
+    ).collect()}
+    assert got == {1: ("0-0", 0), 2: ("0-0", 3), 3: ("0-1", 2),
+                   4: ("0-1", 4), 5: ("0-2", 4)}
+
+    # partition-independence: a different physical layout, same packs
+    got2 = {r.doc_id: (r.pack_id, r.pack_offset) for r in pack_sequences(
+        df.repartition(7), id_col="doc_id", token_count_col="n",
+        budget=5, num_shards=1).collect()}
+    assert got2 == got
+
+    # partition_cols isolate logical datasets: each split packs from 0
+    df2 = df.withColumn("split", (F.col("doc_id") % 2 == 0).cast("string"))
+    by_split = pack_sequences(
+        df2, id_col="doc_id", token_count_col="n", budget=5, num_shards=1,
+        partition_cols=("split",)).collect()
+    starts = {r.doc_id: r.pack_offset for r in by_split}
+    # odd ids (3,2,1 tokens -> starts 0,3,5): offsets 0,3,0
+    # even ids (4,5 tokens -> starts 0,4): offsets 0,4
+    assert starts == {1: 0, 3: 3, 5: 0, 2: 0, 4: 4}
+    assert all(r.pack_id.startswith(r.split + "-") for r in by_split)
+
+
 def test_winnow_fingerprints_match_python_model(spark):
     """Winnowing vs an independent Python model (positional k-gram md5,
     sliding-window min, dedupe), incl. the shared-run guarantee and
