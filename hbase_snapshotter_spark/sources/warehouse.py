@@ -10,6 +10,7 @@ co-locate without a shuffle.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_snapshot(
@@ -28,3 +29,30 @@ def write_snapshot(
         n, cols = bucket_by
         writer = writer.bucketBy(n, *cols).sortBy(*cols)
     writer.saveAsTable(table)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    *,
+    shard_key: str,
+    num_shards: int,
+    sort_by: list[str] | None = None,
+    format: str = "parquet",
+) -> None:
+    """Fixed-count, deterministic shard layout for training consumption.
+
+    Data loaders want a known number of shard files with STABLE
+    membership (so resumable / distributed reads see the same shard ↔
+    row mapping on every run): rows route to shards by hash of
+    ``shard_key`` (Spark's HashPartitioning — content-determined, not
+    round-robin, so membership survives reruns, cluster resizes, and
+    input repartitioning), one output file per shard.  ``sort_by``
+    additionally fixes the intra-shard row order (sequential shard
+    streaming is deterministic end-to-end).  At 100 TB pick
+    ``num_shards`` ≈ total_bytes / desired_shard_bytes; the write's
+    only shuffle is the routing exchange."""
+    out = df.repartition(num_shards, F.col(shard_key))
+    if sort_by:
+        out = out.sortWithinPartitions(*sort_by)
+    out.write.mode("overwrite").format(format).save(path)

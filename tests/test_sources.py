@@ -230,3 +230,45 @@ def test_pyds_stream_feeds_snapshot_maintenance(spark, log, region_dir, tmp_path
     got = {tuple(r) for r in snapshot_as_of(cells, schema, None).collect()}
     want = {tuple(r) for r in snapshot_as_of(log, schema, None).collect()}
     assert got == want
+
+
+def test_training_shards_stable_membership_and_order(spark, tmp_path):
+    """write_training_shards: a fixed number of shard files, hash-routed
+    (content-determined) membership that is identical across reruns and
+    input partitionings, and a deterministic intra-shard row order."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hbase_snapshotter_spark.sources.warehouse import write_training_shards
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") * 7 % 13).alias("payload"))
+
+    def shard_map(path, src):
+        write_training_shards(src, path, shard_key="doc_id", num_shards=4,
+                              sort_by=["doc_id"])
+        files = [f for f in os.listdir(path) if f.startswith("part-")]
+        assert len(files) == 4
+        rows = (spark.read.parquet(path)
+                .select("doc_id", F.input_file_name().alias("f")).collect())
+        # part-00003-<uuid>… -> the stable partition ordinal "part-00003"
+        name = {r.doc_id: r.f.rsplit("/", 1)[-1][:10] for r in rows}
+        assert len(name) == 200
+        return name
+
+    a = shard_map(str(tmp_path / "a"), df)
+    b = shard_map(str(tmp_path / "b"), df.repartition(11))
+    # membership is content-determined: same doc -> same shard ordinal
+    assert a == b
+
+    # intra-shard order is the sort key
+    one = spark.read.parquet(str(tmp_path / "a"))
+    got = [r.doc_id for r in one.select(
+        "doc_id", F.input_file_name().alias("f")).collect()]
+    per_file = {}
+    for r in one.select("doc_id", F.input_file_name().alias("f")).collect():
+        per_file.setdefault(r.f, []).append(r.doc_id)
+    assert all(ids == sorted(ids) for ids in per_file.values())
+    assert got  # non-empty read-back
