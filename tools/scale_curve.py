@@ -154,6 +154,14 @@ def operators():
         emb = spark.read.parquet(f"{d}/embeddings.parquet")
         return ivf_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
 
+    def run_exact_blocked(spark, d):
+        from hbase_snapshotter_spark.operators.similarity import (
+            cosine_pairs_blocked,
+        )
+
+        emb = spark.read.parquet(f"{d}/embeddings.parquet")
+        return cosine_pairs_blocked(emb, threshold=0.45)
+
     def run_clusters(spark, d):
         from hbase_snapshotter_spark.operators.dedup import (
             connected_components,
@@ -200,6 +208,7 @@ def operators():
         "minhash_lsh": run_minhash,
         "dedup_clusters": run_clusters,
         "embedding_near_dup_lsh": run_embdup,
+        "embedding_exact_blocked": run_exact_blocked,
     }
 
 
