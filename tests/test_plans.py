@@ -136,11 +136,19 @@ def test_rollup_cube_plan_is_expand_aggregate(spark, sf_dir):
     assert "SortMergeJoin" not in plan and "Window" not in plan
 
 
-def test_sample_split_single_shuffle(spark, sf_dir):
-    """Hash-mod sampling/splitting is narrow per-row work: the only
-    exchange is the final count aggregation's."""
+def test_sample_split_three_shuffles(spark, sf_dir):
+    """Hash-mod sampling/splitting is narrow per-row work; the packing
+    extension adds exactly one data shuffle — the (split, pack_shard)
+    window for the sharded prefix sums — and the countDistinct(pack_id)
+    final aggregate is the standard two-exchange expand-agg.  Total: 3.
+    Crucially the window partitions on the hash shard, never a global
+    one-partition sort (the scale hazard pack_sequences exists to
+    avoid)."""
     plan = explain(spark, "sample_split_assignments", sf_dir)
-    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 3
+    # the packing window is keyed by the hash shard (parallel cumsum),
+    # not a global ORDER BY
+    assert "pack_shard" in plan
 
 
 def test_schema_history_snapshot_two_light_shuffles(spark, sf_dir):
