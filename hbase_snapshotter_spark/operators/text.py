@@ -254,6 +254,52 @@ def doc_shingles(df: DataFrame, id_col: str, text_col: str = "text", n: int = 3)
     )
 
 
+#: GPT-3's decontamination rule: any shared 13-gram marks a training
+#: document contaminated by the eval set (Brown et al. 2020, appendix C).
+CONTAM_NGRAM_N = 13
+
+
+def contamination_hits(
+    train: DataFrame,
+    eval_df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = CONTAM_NGRAM_N,
+) -> DataFrame:
+    """Benchmark decontamination: for each training document, the number
+    of distinct token ``n``-grams it shares with the held-out evaluation
+    corpus.  Any collision (hits ≥ 1) marks the document contaminated
+    under the GPT-3 / PaLM rule; consumers cut those rows before
+    training so eval benchmarks stay honest.
+
+    100 TB shape: the eval side is benchmarks — MBs against a TB-scale
+    train side — so its distinct n-gram set is BROADCAST; the train
+    side's n-gram explode is narrow per-row work, and the broadcast hash
+    join drops non-colliding grams map-side, so the one shuffle (the
+    per-document count aggregate) carries only actual collisions, rare
+    by construction.  No train-side scan is re-keyed and nothing sorts.
+
+    Returns ``(id_col, eval_ngram_hits ≥ 1)`` — non-contaminated
+    documents are absent; consumers left-join and ``coalesce(0)``.
+    """
+    eval_grams = (
+        eval_df.select(F.explode(shingles(tokens(F.col(text_col)), n)).alias("gram"))
+        .distinct()
+    )
+    train_grams = train.select(
+        F.col(id_col),
+        F.explode(shingles(tokens(F.col(text_col)), n)).alias("gram"),
+    )
+    # shingles() is per-document-distinct, so count(*) counts distinct
+    # shared grams
+    return (
+        train_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("int").alias("eval_ngram_hits"))
+    )
+
+
 def winnow_fingerprints(toks: Column, *, k: int = 3, window: int = 4) -> Column:
     """Winnowing (rolling-hash) document fingerprints → array<string>.
 

@@ -28,6 +28,7 @@ from hbase_snapshotter_spark.operators.text import (
     LANG_MARKERS,
     STOPWORDS,
     TOKEN_REGEX,
+    contamination_hits,
     line_signals,
     text_features,
     token_lines,
@@ -226,13 +227,34 @@ WINNOW_WINDOW = 4
 #: Real newline-bearing corpora use operators.text.doc_lines instead.
 LINE_TOKENS = 3
 
+#: Decontamination geometry for the registered queries: the held-out
+#: eval slice is doc_id ≡ 7 (mod 50) — a deterministic 2% of the corpus
+#: standing in for a benchmark suite — and collisions are counted over
+#: GPT-3's 13-gram rule (operators.text.CONTAM_NGRAM_N).
+CONTAM_N = 13
+EVAL_SLICE_MOD, EVAL_SLICE_REM = 50, 7
+
+
+def _is_eval(col: str = "doc_id"):
+    return F.col(col) % EVAL_SLICE_MOD == EVAL_SLICE_REM
+
 
 def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document feature set plus winnowing fingerprints (MOSS
     selection, Schleimer et al. SIGMOD'03): the fingerprint SET is
     pinned end-to-end by an md5 digest of the sorted fingerprints, so
-    the oracle checks every selected window minimum, not just a count."""
+    the oracle checks every selected window minimum, not just a count.
+
+    Also carries the decontamination signal: ``eval_ngram_hits`` counts
+    distinct 13-grams shared with the held-out eval slice (-1 marks the
+    eval documents themselves).  The hits table (broadcast, contaminated
+    docs only) left-joins onto the feature pass without re-keying it;
+    the n-gram branch recomputes scan+tokenize rather than persisting a
+    corpus-sized token-array cache — narrow CPU, the right trade at
+    100 TB."""
     docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    contam = contamination_hits(
+        docs.filter(~_is_eval()), docs.filter(_is_eval()), n=CONTAM_N)
     # Staged projections so each expensive array is materialized ONCE:
     # higher-order functions are interpreted with no CSE, and
     # CollapseProject keeps multi-consumer non-cheap aliases staged —
@@ -252,10 +274,14 @@ def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__lsig.frac_ellipsis_lines").alias("frac_ellipsis_lines"),
         F.col("__lsig.mean_line_len").alias("mean_line_len"),
     )
+    docs = docs.join(F.broadcast(contam), "doc_id", "left").withColumn(
+        "eval_ngram_hits",
+        F.when(_is_eval(), F.lit(-1))
+        .otherwise(F.coalesce("eval_ngram_hits", F.lit(0))).cast("int"))
     return text_features(
         docs, "text",
         id_cols=["doc_id", "n_winnow_fp", "winnow_digest", "frac_dup_lines",
-                 "frac_ellipsis_lines", "mean_line_len"],
+                 "frac_ellipsis_lines", "mean_line_len", "eval_ngram_hits"],
         toks_col=F.col("__toks"))
 
 
@@ -288,8 +314,23 @@ wfp AS (SELECT doc_id,
 ln AS (SELECT doc_id,
   [array_to_string(list_slice(t, (i-1)*{LINE_TOKENS}+1, (i-1)*{LINE_TOKENS}+{LINE_TOKENS}), ' ')
    for i in range(1, CAST(ceil(len(t) / {LINE_TOKENS}.0) AS INT) + 1)] AS l
-  FROM toks)
+  FROM toks),
+egrams AS (SELECT DISTINCT unnest(
+    [array_to_string(list_slice(t, i, i + {CONTAM_N - 1}), ' ')
+     for i in range(1, len(t) - {CONTAM_N} + 2)]) AS gram
+  FROM toks WHERE doc_id % {EVAL_SLICE_MOD} = {EVAL_SLICE_REM}
+    AND len(t) >= {CONTAM_N}),
+tgrams AS (SELECT doc_id, unnest(list_distinct(
+    [array_to_string(list_slice(t, i, i + {CONTAM_N - 1}), ' ')
+     for i in range(1, len(t) - {CONTAM_N} + 2)])) AS gram
+  FROM toks WHERE doc_id % {EVAL_SLICE_MOD} <> {EVAL_SLICE_REM}
+    AND len(t) >= {CONTAM_N}),
+contam AS (SELECT tg.doc_id, CAST(COUNT(*) AS INTEGER) AS hits
+  FROM tgrams tg JOIN egrams eg USING (gram) GROUP BY tg.doc_id)
 SELECT toks.doc_id,
+       CAST(CASE WHEN toks.doc_id % {EVAL_SLICE_MOD} = {EVAL_SLICE_REM}
+                 THEN -1 ELSE COALESCE(contam.hits, 0) END AS INTEGER)
+         AS eval_ngram_hits,
        CAST(len(fps) AS INTEGER) AS n_winnow_fp,
        md5(array_to_string(list_sort(fps), ',')) AS winnow_digest,
        CASE WHEN len(l) >= 2
@@ -322,6 +363,7 @@ SELECT toks.doc_id,
        md5(text) AS fingerprint
 FROM toks JOIN wfp ON toks.doc_id = wfp.doc_id
           JOIN ln ON toks.doc_id = ln.doc_id
+          LEFT JOIN contam ON toks.doc_id = contam.doc_id
 """
 
 
@@ -781,20 +823,30 @@ PAIRS.update({
 # ------------------- N15: end-to-end training-data quality filter
 def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-data shape: score every document, keep the ones that
-    clear the quality bar, the language filter, and the Gopher/C4-style
-    repetition + digit-noise cuts — one narrow pass."""
+    clear the quality bar, the language filter, the Gopher/C4-style
+    repetition + digit-noise cuts, AND the benchmark-decontamination cut
+    — one narrow pass plus a broadcast anti-pattern join.  The held-out
+    eval slice itself is excluded the same way (its sentinel -1 fails
+    the ``= 0`` cut): eval documents must never enter training."""
     docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    contam = contamination_hits(
+        docs.filter(~_is_eval()), docs.filter(_is_eval()), n=CONTAM_N)
     toked = docs.select("doc_id", "lang", "text",
                         tokens(F.col("text")).alias("__toks"))
+    toked = toked.join(F.broadcast(contam), "doc_id", "left").withColumn(
+        "eval_ngram_hits",
+        F.when(_is_eval(), F.lit(-1))
+        .otherwise(F.coalesce("eval_ngram_hits", F.lit(0))).cast("int"))
     staged = toked.select(
-        "doc_id", "lang", "text", "__toks",
+        "doc_id", "lang", "text", "__toks", "eval_ngram_hits",
         line_signals(token_lines(F.col("__toks"), LINE_TOKENS))
         .alias("__lsig"))
     lined = staged.select(
-        "doc_id", "lang", "text", "__toks",
+        "doc_id", "lang", "text", "__toks", "eval_ngram_hits",
         F.col("__lsig.frac_dup_lines").alias("frac_dup_lines"))
     feats = text_features(lined, "text",
-                          id_cols=["doc_id", "lang", "frac_dup_lines"],
+                          id_cols=["doc_id", "lang", "frac_dup_lines",
+                                   "eval_ngram_hits"],
                           toks_col=F.col("__toks"))
     return feats.filter(
         (F.col("quality_score") >= 0.7) & (F.col("n_tokens") >= 20)
@@ -805,8 +857,11 @@ def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         # far narrower than real lines, so the threshold is tight enough
         # to stay live on the fixture corpus (max observed 0.0556)
         & (F.col("frac_dup_lines") <= 0.04)
+        # decontamination: no shared 13-gram with the eval slice, and
+        # the eval slice itself (-1) never enters training
+        & (F.col("eval_ngram_hits") == 0)
     ).select("doc_id", "lang", "n_tokens", "quality_score",
-             "dup_2gram_ratio", "frac_dup_lines")
+             "dup_2gram_ratio", "frac_dup_lines", "eval_ngram_hits")
 
 
 def _oracle_quality_filter() -> str:
@@ -819,11 +874,12 @@ def _oracle_quality_filter() -> str:
     return f"""
 WITH feats AS ({text_sql})
 SELECT doc_id, lang, n_tokens, quality_score, dup_2gram_ratio,
-       frac_dup_lines
+       frac_dup_lines, eval_ngram_hits
 FROM feats
 WHERE quality_score >= 0.7 AND n_tokens >= 20 AND lang_guess = 'en'
   AND dup_2gram_ratio <= 0.1 AND digit_char_ratio <= 0.2
   AND frac_dup_lines <= 0.04
+  AND eval_ngram_hits = 0
 """
 
 

@@ -21,6 +21,7 @@ from hbase_snapshotter_spark.operators.similarity import (
     brute_force_topk,
 )
 from hbase_snapshotter_spark.operators.text import (
+    contamination_hits,
     doc_lines,
     line_signals,
     shingles,
@@ -595,3 +596,28 @@ def test_token_lines_chunks_and_ragged_tail(spark):
     empty = spark.range(1).select(
         token_lines(F.array().cast("array<string>"), 3).alias("l"))
     assert empty.collect()[0].l == [""]
+
+
+def test_contamination_hits_hand_computed(spark):
+    """Benchmark decontamination against hand-computed collisions
+    (n=3 for a readable fixture; the registered queries use 13):
+    distinct shared grams are counted once even when repeated, docs
+    shorter than n can't collide, and clean docs are absent."""
+    train = spark.createDataFrame(
+        [(1, "a b c d e"),       # shares 'a b c' + 'b c d' with eval
+         (2, "b c d b c d x"),   # 'b c d' twice -> counted ONCE
+         (3, "z z z z"),         # no overlap
+         (4, "a b")],            # shorter than n -> no grams
+        "doc_id long, text string")
+    eval_df = spark.createDataFrame(
+        [(100, "a b c d")], "doc_id long, text string")
+    hits = {r.doc_id: r.eval_ngram_hits
+            for r in contamination_hits(
+                train, eval_df, n=3).collect()}
+    assert hits == {1: 2, 2: 1}
+
+    # the eval side is the broadcast build side: the join must plan as
+    # a broadcast hash join (no shuffle of the train-side gram explode)
+    plan = contamination_hits(train, eval_df, n=3) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
