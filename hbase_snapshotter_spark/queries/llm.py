@@ -487,20 +487,85 @@ SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine,
 EMB_PAIR_THRESHOLD = 0.45
 
 
+def _sql_ivf_assign_ctes() -> str:
+    """DuckDB CTEs replaying ``ivf_assignments`` exactly: sampled
+    centroids (``vec_id % stride == 0``), 6-dp-rounded cosine argmax
+    with ties toward the smallest centroid id.  Shared by the IVF top-k
+    and SemDeDup oracles."""
+    from hbase_snapshotter_spark.operators.similarity import IVF_CENTROID_STRIDE
+
+    return f"""
+cent AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+  WHERE vec_id % {IVF_CENTROID_STRIDE} = 0),
+ranked AS (
+  SELECT e.vec_id, c.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.cv AS DOUBLE[]))
+                / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                   * sqrt(list_dot_product(CAST(c.cv AS DOUBLE[]), CAST(c.cv AS DOUBLE[])))), 6) DESC,
+             c.cid ASC) AS rn
+  FROM embeddings e CROSS JOIN cent c),
+assign AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1)"""
+
+
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding near-dup via the DISTRIBUTED block-matrix join —
-    no driver collect anywhere on this path (the broadcast variant,
-    cosine_pairs, is the test-only recall verifier)."""
-    return cosine_pairs_blocked(_emb(spark, sf_dir), threshold=EMB_PAIR_THRESHOLD) \
-        .orderBy("id_a", "id_b")
+    no driver collect anywhere on the pair path (the broadcast variant,
+    cosine_pairs, is the test-only recall verifier) — plus the SemDeDup
+    verdict (Abbas et al. 2023): each pair is tagged with whether both
+    sides share an IVF cell, and whether its higher id would be dropped
+    by cluster-scoped semantic dedup.  The dedup rule is the
+    deterministic non-greedy variant — drop every vector that has ANY
+    same-cell lower-id partner at ≥ threshold, keeping per-cell minimum
+    ids — so the verdict is derivable from the pair set itself, with no
+    iterative kept-set dependency (embarrassingly parallel at 100 TB;
+    pairs crossing cell boundaries surface as same_cell = false, which
+    is exactly SemDeDup's documented recall trade-off, measurable here).
+    """
+    from hbase_snapshotter_spark.cache import scoped_persist
+    from hbase_snapshotter_spark.operators.similarity import ivf_assignments
+
+    emb = _emb(spark, sf_dir)
+    pairs = cosine_pairs_blocked(emb, threshold=EMB_PAIR_THRESHOLD)
+    assign = ivf_assignments(emb)
+    a_cell = assign.select(F.col("vec_id").alias("id_a"),
+                           F.col("cell").alias("cell_a"))
+    b_cell = assign.select(F.col("vec_id").alias("id_b"),
+                           F.col("cell").alias("cell_b"))
+    flagged = scoped_persist(
+        pairs.join(a_cell, "id_a").join(b_cell, "id_b")
+        .withColumn("same_cell", F.col("cell_a") == F.col("cell_b")))
+    dropped = (flagged.filter("same_cell").select("id_b").distinct()
+               .withColumn("b_sem_dropped", F.lit(True)))
+    return (flagged.join(dropped, "id_b", "left")
+            .withColumn("b_sem_dropped",
+                        F.coalesce("b_sem_dropped", F.lit(False)))
+            .select("id_a", "id_b", "cosine", "same_cell", "b_sem_dropped")
+            .orderBy("id_a", "id_b"))
 
 
-ORACLE_EMB_PAIRS = f"""
-SELECT q.vec_id AS id_a, c.vec_id AS id_b, {SQL_COSINE} AS cosine
-FROM embeddings q JOIN embeddings c ON q.vec_id < c.vec_id
-WHERE {SQL_COSINE} >= {EMB_PAIR_THRESHOLD}
-ORDER BY id_a, id_b
+def _oracle_emb_pairs() -> str:
+    return f"""
+WITH {_sql_ivf_assign_ctes()},
+pairs AS (
+  SELECT q.vec_id AS id_a, c.vec_id AS id_b, {SQL_COSINE} AS cosine
+  FROM embeddings q JOIN embeddings c ON q.vec_id < c.vec_id
+  WHERE {SQL_COSINE} >= {EMB_PAIR_THRESHOLD}),
+flagged AS (
+  SELECT p.*, (aa.cell = ab.cell) AS same_cell
+  FROM pairs p JOIN assign aa ON aa.vec_id = p.id_a
+               JOIN assign ab ON ab.vec_id = p.id_b),
+dropped AS (SELECT DISTINCT id_b FROM flagged WHERE same_cell)
+SELECT f.id_a, f.id_b, f.cosine, f.same_cell,
+       (d.id_b IS NOT NULL) AS b_sem_dropped
+FROM flagged f LEFT JOIN dropped d ON d.id_b = f.id_b
+ORDER BY f.id_a, f.id_b
 """
+
+
+ORACLE_EMB_PAIRS = _oracle_emb_pairs()
 
 
 # ------------------------------------------- N16: multimodal payloads
@@ -735,26 +800,13 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_ivf() -> str:
     from hbase_snapshotter_spark.operators.similarity import (
-        IVF_CENTROID_STRIDE,
         IVF_PROBE_CAP,
         IVF_PROBE_FRAC,
         IVF_PROBE_MIN,
     )
 
     return f"""
-WITH cent AS (
-  SELECT vec_id AS cid, embedding AS cv FROM embeddings
-  WHERE vec_id % {IVF_CENTROID_STRIDE} = 0),
-ranked AS (
-  SELECT e.vec_id, c.cid,
-         ROW_NUMBER() OVER (
-           PARTITION BY e.vec_id
-           ORDER BY ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.cv AS DOUBLE[]))
-                / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
-                   * sqrt(list_dot_product(CAST(c.cv AS DOUBLE[]), CAST(c.cv AS DOUBLE[])))), 6) DESC,
-             c.cid ASC) AS rn
-  FROM embeddings e CROSS JOIN cent c),
-assign AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1),
+WITH {_sql_ivf_assign_ctes()},
 probe AS (SELECT vec_id AS query_id, cid AS cell FROM ranked
           WHERE rn <= LEAST({IVF_PROBE_CAP},
                             GREATEST({IVF_PROBE_MIN},

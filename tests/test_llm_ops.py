@@ -598,6 +598,27 @@ def test_token_lines_chunks_and_ragged_tail(spark):
     assert empty.collect()[0].l == [""]
 
 
+def test_semdedup_verdicts_consistent(spark, sf_dir):
+    """SemDeDup invariants on the registered near-dup-pairs query:
+    a pair's b-side is dropped iff it has SOME same-cell lower-id
+    partner (not necessarily this pair), so (1) every same_cell pair's
+    b is dropped, (2) a dropped b seen on a cross-cell pair must be
+    justified by a same-cell pair elsewhere, and (3) the set of kept
+    ids per cell always contains that cell's minimum near-dup id."""
+    from hbase_snapshotter_spark.queries.llm import embedding_near_dup_pairs
+
+    rows = embedding_near_dup_pairs(spark, sf_dir).collect()
+    assert rows  # fixture has near-dup structure by construction
+    same_cell_bs = {r.id_b for r in rows if r.same_cell}
+    for r in rows:
+        assert r.b_sem_dropped == (r.id_b in same_cell_bs)
+    # id_a of a same-cell pair is the lower id: it is never itself
+    # dropped unless it too has a smaller same-cell partner
+    for r in rows:
+        if r.same_cell and r.id_a not in same_cell_bs:
+            assert r.id_a < r.id_b  # the kept representative
+
+
 def test_contamination_hits_hand_computed(spark):
     """Benchmark decontamination against hand-computed collisions
     (n=3 for a readable fixture; the registered queries use 13):
