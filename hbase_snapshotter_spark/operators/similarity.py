@@ -696,3 +696,53 @@ def ivf_topk(
                         / (F.col("__qn") * F.col("__cn")), 4).alias("cosine"))
     )
     return topk_by_group(scored, k).select("query_id", "neighbor_id", "rank", "cosine")
+
+
+def semdedup_verdicts(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    centroid_stride: int = IVF_CENTROID_STRIDE,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) verdicts over the EXACT near-dup
+    pair set: ``(id_a, id_b, cosine, same_cell, b_sem_dropped)``.
+
+    The dedup rule is the deterministic non-greedy keep-min-id variant:
+    a vector is dropped iff it has ANY same-IVF-cell lower-id partner
+    at cosine ≥ ``threshold``; kept vectors are exactly those with no
+    such partner (per-cell minimum ids of the in-cell near-dup graph).
+    Non-greedy means verdicts derive from the pair set alone — no
+    iterative kept-set dependency, embarrassingly parallel.  Pairs
+    whose sides land in different cells surface as ``same_cell =
+    false`` and never trigger a drop: that is SemDeDup's cluster-
+    scoping recall trade-off, measurable directly from this output.
+
+    Scale shape: pairs via the block-matrix self-join (or swap in
+    :func:`cosine_pairs_bucketed` for the sub-quadratic LSH path),
+    assignment via the batched mapInPandas matmul; the verdict joins
+    key the (sparse) pair table against the (id, cell) table — standard
+    shuffle hash joins on scalar ids, AQE broadcasts the pair side when
+    it is small.  The flagged pair table feeds both the dropped-set agg
+    and the output join, so it is scope-persisted — without it the
+    block-matrix pass would run twice."""
+    from hbase_snapshotter_spark.cache import scoped_persist
+
+    pairs = cosine_pairs_blocked(emb, id_col=id_col, vec_col=vec_col,
+                                 threshold=threshold)
+    assign = ivf_assignments(emb, id_col=id_col, vec_col=vec_col,
+                             centroid_stride=centroid_stride)
+    a_cell = assign.select(F.col(id_col).alias("id_a"),
+                           F.col("cell").alias("cell_a"))
+    b_cell = assign.select(F.col(id_col).alias("id_b"),
+                           F.col("cell").alias("cell_b"))
+    flagged = scoped_persist(
+        pairs.join(a_cell, "id_a").join(b_cell, "id_b")
+        .withColumn("same_cell", F.col("cell_a") == F.col("cell_b")))
+    dropped = (flagged.filter("same_cell").select("id_b").distinct()
+               .withColumn("b_sem_dropped", F.lit(True)))
+    return (flagged.join(dropped, "id_b", "left")
+            .withColumn("b_sem_dropped",
+                        F.coalesce("b_sem_dropped", F.lit(False)))
+            .select("id_a", "id_b", "cosine", "same_cell", "b_sem_dropped"))

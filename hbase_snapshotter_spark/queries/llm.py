@@ -524,26 +524,11 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs crossing cell boundaries surface as same_cell = false, which
     is exactly SemDeDup's documented recall trade-off, measurable here).
     """
-    from hbase_snapshotter_spark.cache import scoped_persist
-    from hbase_snapshotter_spark.operators.similarity import ivf_assignments
+    from hbase_snapshotter_spark.operators.similarity import semdedup_verdicts
 
-    emb = _emb(spark, sf_dir)
-    pairs = cosine_pairs_blocked(emb, threshold=EMB_PAIR_THRESHOLD)
-    assign = ivf_assignments(emb)
-    a_cell = assign.select(F.col("vec_id").alias("id_a"),
-                           F.col("cell").alias("cell_a"))
-    b_cell = assign.select(F.col("vec_id").alias("id_b"),
-                           F.col("cell").alias("cell_b"))
-    flagged = scoped_persist(
-        pairs.join(a_cell, "id_a").join(b_cell, "id_b")
-        .withColumn("same_cell", F.col("cell_a") == F.col("cell_b")))
-    dropped = (flagged.filter("same_cell").select("id_b").distinct()
-               .withColumn("b_sem_dropped", F.lit(True)))
-    return (flagged.join(dropped, "id_b", "left")
-            .withColumn("b_sem_dropped",
-                        F.coalesce("b_sem_dropped", F.lit(False)))
-            .select("id_a", "id_b", "cosine", "same_cell", "b_sem_dropped")
-            .orderBy("id_a", "id_b"))
+    return semdedup_verdicts(_emb(spark, sf_dir),
+                             threshold=EMB_PAIR_THRESHOLD) \
+        .orderBy("id_a", "id_b")
 
 
 def _oracle_emb_pairs() -> str:

@@ -148,6 +148,28 @@ def operators():
         emb = spark.read.parquet(f"{d}/embeddings.parquet")
         return cosine_pairs_bucketed(emb, threshold=0.45)
 
+    def run_contamination(spark, d):
+        from pyspark.sql import functions as F
+
+        from hbase_snapshotter_spark.operators.text import contamination_hits
+
+        # NOTE: the replica eval slice grows WITH the corpus (replica id
+        # shifts are multiples of 50), so the broadcast side here scales
+        # linearly — harsher than production, where the eval set is a
+        # fixed benchmark suite
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        is_eval = F.col("doc_id") % 50 == 7
+        return contamination_hits(docs.filter(~is_eval),
+                                  docs.filter(is_eval), n=13)
+
+    def run_semdedup(spark, d):
+        from hbase_snapshotter_spark.operators.similarity import (
+            semdedup_verdicts,
+        )
+
+        emb = spark.read.parquet(f"{d}/embeddings.parquet")
+        return semdedup_verdicts(emb, threshold=0.45)
+
     def run_ivf(spark, d):
         from hbase_snapshotter_spark.operators.similarity import ivf_topk
 
@@ -202,6 +224,7 @@ def operators():
     return {
         "snapshot_events_wide": run_snapshot_wide,
         "latest_cells_multi": run_latest_multi,
+        "contamination": run_contamination,
         "ivf_topk": run_ivf,
         "ann_topk_lsh": run_ann,
         "simhash": run_simhash,
@@ -209,6 +232,7 @@ def operators():
         "dedup_clusters": run_clusters,
         "embedding_near_dup_lsh": run_embdup,
         "embedding_exact_blocked": run_exact_blocked,
+        "semdedup": run_semdedup,
     }
 
 
