@@ -60,3 +60,38 @@ def test_token_lines_match_python_model(spark, toks, per_line):
            .select(token_lines(F.col("toks"), per_line).alias("l"))
            .collect()[0].l)
     assert got == expected
+
+
+doc_st = st.lists(st.text(alphabet="abcd", min_size=1, max_size=2),
+                  min_size=0, max_size=12).map(lambda t: " ".join(t))
+
+
+@given(st.lists(doc_st, min_size=1, max_size=8),
+       st.lists(doc_st, min_size=1, max_size=3),
+       st.sampled_from([2, 3]))
+@settings(max_examples=15, deadline=None)
+def test_contamination_hits_match_python_model(spark, train, eval_docs, n):
+    """contamination_hits vs a pure-Python n-gram set model: distinct
+    shared grams per train doc, docs shorter than n never collide, and
+    clean docs are absent from the output."""
+    from hbase_snapshotter_spark.operators.text import contamination_hits
+
+    def grams(text: str) -> set:
+        t = text.split()
+        return {" ".join(t[i:i + n]) for i in range(len(t) - n + 1)}
+
+    eval_set = set().union(*(grams(d) for d in eval_docs))
+    expected = {}
+    for i, d in enumerate(train):
+        hits = len(grams(d) & eval_set)
+        if hits:
+            expected[i] = hits
+
+    train_df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(train)], "doc_id long, text string")
+    eval_df = spark.createDataFrame(
+        [(1000 + i, d) for i, d in enumerate(eval_docs)],
+        "doc_id long, text string")
+    got = {r.doc_id: r.eval_ngram_hits
+           for r in contamination_hits(train_df, eval_df, n=n).collect()}
+    assert got == expected
