@@ -107,3 +107,41 @@ def pack_sequences(
                         F.col("pack_shard"), bin_))
         .withColumn("pack_offset", F.pmod(start, F.lit(budget)))
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    rates_permille: dict[str, int],
+    *,
+    default_permille: int = 0,
+    out_col: str = "in_mixture",
+) -> DataFrame:
+    """Per-domain hash-mod sampling — the static form of training-
+    mixture reweighting (The Pile / DoReMi-style source weights):
+    domain ``d`` keeps ``rates_permille[d]``‰ of its rows by key hash,
+    unlisted domains keep ``default_permille``‰.  Downsampling only —
+    rates above 1000 (epoch-style upsampling) are rejected, integral
+    duplication belongs to the data loader.
+
+    The bucket key is salted with the purpose tag ``"#mix"`` so mixture
+    membership is INDEPENDENT of the split/sample buckets computed from
+    the bare key (an unsalted reuse would nest every flag inside the
+    same bucket order: a 200‰ sample would then be a subset of the
+    train split, never spanning val/test).
+
+    Same guarantees as :func:`deterministic_sample`: per-row narrow
+    filter, no shuffle, stable across runs / engines / data growth."""
+    for d, r in rates_permille.items():
+        if not 0 <= r <= BUCKETS:
+            raise ValueError(f"mixture_sample: rate for {d!r} must be "
+                             f"in [0, {BUCKETS}], got {r}")
+    if not 0 <= default_permille <= BUCKETS:
+        raise ValueError("mixture_sample: default rate out of range")
+    rate = F.lit(default_permille)
+    for d, r in sorted(rates_permille.items()):
+        rate = F.when(F.col(domain_col) == F.lit(d), F.lit(r)).otherwise(rate)
+    key = F.concat(F.coalesce(F.col(key_col).cast("string"),
+                              F.lit("\x00NULL")), F.lit("#mix"))
+    return df.withColumn(out_col, hash_bucket(key) < rate)

@@ -931,18 +931,29 @@ PAIRS.update({
 PACK_BUDGET, PACK_SHARDS = 512, 8
 
 
+#: Static training-mixture weights (per-source keep rates, ‰): a few
+#: overweighted "curated" sources over a default background rate — the
+#: Pile / DoReMi-style static mixing, implemented as salted hash-mod
+#: sampling so membership is stable and independent of split buckets.
+MIX_RATES = {"src0": 900, "src1": 600, "src2": 300}
+MIX_DEFAULT = 150
+
+
 def sample_split_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic sampling, stable train/val/test splitting, AND
-    sequence packing in one query: every document gets an 80/10/10
-    split label, a ~20% sample-membership flag (both by key hash —
-    coordination-free, stable across runs/engines/data growth), and a
-    crammed-packing assignment (pack id + token offset) computed per
-    split over hash-sharded parallel running sums.  The final aggregate
-    folds the packing structure into the hash: distinct packs started
-    and the max in-pack offset per group replay only if every prefix
-    sum matches."""
+    """Deterministic sampling, stable train/val/test splitting, per-
+    source mixture weighting, AND sequence packing in one query: every
+    document gets an 80/10/10 split label, a ~20% sample-membership
+    flag (both by key hash — coordination-free, stable across runs/
+    engines/data growth), a mixture-membership flag (per-source keep
+    rates over a purpose-salted hash, so domain weights don't correlate
+    with splits), and a crammed-packing assignment (pack id + token
+    offset) computed per split over hash-sharded parallel running sums.
+    The final aggregate folds the packing structure into the hash:
+    distinct packs started and the max in-pack offset per group replay
+    only if every prefix sum matches."""
     from hbase_snapshotter_spark.operators.sampling import (
         hash_bucket,
+        mixture_sample,
         pack_sequences,
         train_val_test_split,
     )
@@ -953,12 +964,14 @@ def sample_split_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("in_sample", hash_bucket("doc_id") < 200)
         .withColumn("n_tokens", F.size(tokens(F.col("text"))))
     )
+    labeled = mixture_sample(labeled, "doc_id", "source", MIX_RATES,
+                             default_permille=MIX_DEFAULT)
     packed = pack_sequences(
         labeled, id_col="doc_id", token_count_col="n_tokens",
         budget=PACK_BUDGET, num_shards=PACK_SHARDS,
         partition_cols=("split",))
     return (
-        packed.groupBy("lang", "split", "in_sample")
+        packed.groupBy("lang", "split", "in_sample", "in_mixture")
         .agg(F.count(F.lit(1)).alias("n_docs"),
              F.sum("n_tokens").cast("long").alias("total_tokens"),
              F.countDistinct("pack_id").alias("n_packs"),
@@ -966,10 +979,15 @@ def sample_split_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_CASE = " ".join(
+    f"WHEN '{d}' THEN {r}" for d, r in sorted(MIX_RATES.items()))
+
 ORACLE_SAMPLE_SPLIT = f"""
 WITH d AS (
   SELECT doc_id, lang,
          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000 AS bk,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#mix'), 1, 8) AS BIGINT) % 1000 AS mbk,
+         CASE source {_MIX_CASE} ELSE {MIX_DEFAULT} END AS mix_rate,
          len(string_split(trim(text), ' ')) AS n_tokens
   FROM documents),
 s AS (
@@ -978,6 +996,7 @@ s AS (
               WHEN bk < 900 THEN 'val'
               ELSE 'test' END AS split,
          bk < 200 AS in_sample,
+         mbk < mix_rate AS in_mixture,
          bk % {PACK_SHARDS} AS shard
   FROM d),
 p AS (
@@ -985,14 +1004,14 @@ p AS (
          SUM(n_tokens) OVER (PARTITION BY split, shard ORDER BY doc_id)
            - n_tokens AS seq_start
   FROM s)
-SELECT lang, split, in_sample,
+SELECT lang, split, in_sample, in_mixture,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        CAST(COUNT(DISTINCT split || '-' || CAST(shard AS VARCHAR) || '-'
                   || CAST(seq_start // {PACK_BUDGET} AS VARCHAR)) AS BIGINT)
          AS n_packs,
        CAST(MAX(seq_start % {PACK_BUDGET}) AS BIGINT) AS max_pack_offset
-FROM p GROUP BY 1, 2, 3
+FROM p GROUP BY 1, 2, 3, 4
 """
 
 

@@ -311,6 +311,51 @@ def test_deterministic_sampling_is_stable(spark, sf_dir):
     assert all(full[k] == v for k, v in half.items())
 
 
+def test_mixture_sample_rates_and_independence(spark, sf_dir):
+    """Per-source mixture weighting: observed keep rates track the
+    configured permille within hash noise, membership is stable under
+    repartitioning, the '#mix' salt decorrelates mixture membership
+    from the split buckets (an unsalted reuse would nest the sample
+    inside 'train'), and out-of-range rates fail loudly."""
+    import pytest as _pytest
+
+    from hbase_snapshotter_spark.operators.sampling import (
+        mixture_sample,
+        train_val_test_split,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rates = {"src0": 900, "src1": 100}
+    out = mixture_sample(docs, "doc_id", "source", rates,
+                         default_permille=500)
+    rows = train_val_test_split(out, "doc_id").collect()
+
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r.source if r.source in rates else "__rest",
+                          []).append(r)
+    for src, expect in [("src0", 0.9), ("src1", 0.1), ("__rest", 0.5)]:
+        grp = by_src[src]
+        frac = sum(r.in_mixture for r in grp) / len(grp)
+        assert abs(frac - expect) < 0.25, (src, frac)
+
+    # salt decorrelation: mixture members must span val/test too, not
+    # collapse into the low-bucket 'train' prefix
+    member_splits = {r.split for r in rows if r.in_mixture}
+    assert member_splits == {"train", "val", "test"}
+
+    # partitioning independence
+    again = {(r.doc_id, r.in_mixture) for r in
+             mixture_sample(docs.repartition(7), "doc_id", "source", rates,
+                            default_permille=500).collect()}
+    assert again == {(r.doc_id, r.in_mixture) for r in rows}
+
+    with _pytest.raises(ValueError):
+        mixture_sample(docs, "doc_id", "source", {"src0": 1500})
+    with _pytest.raises(ValueError):
+        mixture_sample(docs, "doc_id", "source", {}, default_permille=-1)
+
+
 def test_max_df_caps_hot_shingles(spark):
     """SCALE.md's skew story, exercised: a boilerplate n-gram shared by
     every doc makes the inverted-index join O(n^2); max_df drops it,
