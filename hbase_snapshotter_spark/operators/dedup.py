@@ -393,3 +393,47 @@ def connected_components(
     edges.unpersist()
     sym.unpersist()
     return labels.select(F.col("node").alias(id_col), "component")
+
+
+def paragraph_dedup_stats(
+    df: DataFrame,
+    paras,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document EXACT paragraph dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    paragraph instance across the corpus is deduplicated globally — the
+    keeper is the lexicographically smallest ``(id, pos)`` — and each
+    document reports how many of its paragraph instances are duplicates
+    of one kept elsewhere.  Returns ``(id_col, n_paragraphs,
+    n_dup_paragraphs)``; consumers drop or rewrite the duplicate spans.
+
+    ``paras`` is a Column producing ``array<string>`` paragraphs (e.g.
+    :func:`~hbase_snapshotter_spark.operators.text.doc_lines` for real
+    newline corpora, ``token_lines`` for token-chunk views).
+
+    100 TB shape: paragraphs shuffle by md5 CONTENT HASH, not text —
+    shuffle rows stay 16 bytes + ids however long the paragraphs are —
+    and the keeper aggregate is a hash-agg min-struct with map-side
+    partials (in-doc repeats collapse before the wire).  The winner
+    table joins back on the same hash key, so AQE plans both exchanges
+    on one key; no window sort anywhere.  The exploded hash table feeds
+    both the keeper aggregate and the mark join, so it is
+    scope-persisted.  A document whose ``paras`` array is empty emits
+    no rows (posexplode semantics) — line views like ``token_lines``
+    never produce an empty array, so every document appears."""
+    ex = scoped_persist(df.select(
+        F.col(id_col),
+        F.posexplode(paras).alias("pos", "__para"),
+    ).select(id_col, "pos", F.md5("__para").alias("__ph")))
+    winners = ex.groupBy("__ph").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__w"))
+    marked = ex.join(winners, "__ph").withColumn(
+        "__is_dup",
+        ~((F.col(id_col) == F.col(f"__w.{id_col}"))
+          & (F.col("pos") == F.col("__w.pos"))))
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_paragraphs"),
+        F.sum(F.col("__is_dup").cast("int")).cast("int")
+        .alias("n_dup_paragraphs"))

@@ -85,23 +85,64 @@ def _recall_flag(approx: DataFrame, exact: DataFrame, bound: float) -> DataFrame
         .alias("recall_within_tolerance"))
 
 
+#: Tokens per derived line for the line-level quality signals AND the
+#: paragraph-dedup view.  The fixture text carries no newlines, so the
+#: registered queries compute the Gopher line signals over a
+#: deterministic token-chunk line view (operators.text.token_lines) —
+#: 3-token lines are the narrowest view that produces duplicate lines
+#: on the fixture corpus, so the duplicate-line logic is exercised with
+#: non-trivial values end-to-end.  Real newline-bearing corpora use
+#: operators.text.doc_lines instead.
+LINE_TOKENS = 3
+
+
 # ------------------------------------------------------- N12: exact dedup
 def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup with a deterministic keeper (min doc_id per text).
-    Input is documents ∪ documents so the operator provably collapses
-    real duplicates."""
+    """Exact dedup with a deterministic keeper (min doc_id per text),
+    then cross-document paragraph dedup over the survivors (Lee et al.
+    2021): each kept document reports its paragraph-instance count and
+    how many instances duplicate a paragraph kept elsewhere.  Input is
+    documents ∪ documents so the doc-level operator provably collapses
+    real duplicates; paragraphs are the deterministic 3-token line view
+    (fixture text has no newlines — real corpora pass doc_lines)."""
+    from hbase_snapshotter_spark.operators.dedup import paragraph_dedup_stats
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     doubled = docs.unionAll(docs)
-    return exact_dedup(doubled, ["text"], "doc_id").select(
+    kept = exact_dedup(doubled, ["text"], "doc_id").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
+    pstats = paragraph_dedup_stats(
+        kept, token_lines(tokens(F.col("text")), LINE_TOKENS))
+    return kept.join(pstats, "doc_id").select(
+        "doc_id", "text", "lang", "source", "n_chars",
+        "n_paragraphs", "n_dup_paragraphs")
 
 
-ORACLE_DEDUP_EXACT = """
-SELECT doc_id, text, lang, source, n_chars FROM (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
-  FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
-) WHERE rn = 1
+ORACLE_DEDUP_EXACT = f"""
+WITH kept AS (
+  SELECT doc_id, text, lang, source, n_chars FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+  ) WHERE rn = 1),
+toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM kept),
+paras AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(t, (i-1)*{LINE_TOKENS}+1,
+                                    (i-1)*{LINE_TOKENS}+{LINE_TOKENS}), ' ') AS para
+  FROM toks, UNNEST(range(1, CAST(ceil(len(t) / {LINE_TOKENS}.0) AS INT) + 1)) AS i(i)),
+ranked AS (
+  SELECT doc_id, pos, para,
+         ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+  FROM paras),
+pstats AS (
+  SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_paragraphs,
+         CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS INTEGER)
+           AS n_dup_paragraphs
+  FROM ranked GROUP BY doc_id)
+SELECT k.doc_id, k.text, k.lang, k.source, k.n_chars,
+       p.n_paragraphs, p.n_dup_paragraphs
+FROM kept k JOIN pstats p ON p.doc_id = k.doc_id
 """
 
 
@@ -218,14 +259,6 @@ ORDER BY id_a, id_b
 # ------------------------------------------------------ N15: text features
 WINNOW_K = 3
 WINNOW_WINDOW = 4
-#: Tokens per derived line for the line-level quality signals.  The
-#: fixture text carries no newlines, so the registered queries compute
-#: the Gopher line signals over a deterministic token-chunk line view
-#: (operators.text.token_lines) — 3-token lines are the narrowest view
-#: that produces duplicate lines on the fixture corpus, so the
-#: duplicate-line logic is exercised with non-trivial values end-to-end.
-#: Real newline-bearing corpora use operators.text.doc_lines instead.
-LINE_TOKENS = 3
 
 #: Decontamination geometry for the registered queries: the held-out
 #: eval slice is doc_id ≡ 7 (mod 50) — a deterministic 2% of the corpus

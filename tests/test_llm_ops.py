@@ -311,6 +311,23 @@ def test_deterministic_sampling_is_stable(spark, sf_dir):
     assert all(full[k] == v for k, v in half.items())
 
 
+def test_paragraph_dedup_stats_hand_computed(spark):
+    """Cross-doc paragraph dedup: global keeper is the smallest
+    (id, pos) per paragraph text; in-doc repeats count as dups of the
+    first instance; a doc made entirely of paragraphs kept elsewhere
+    reports all-dup."""
+    from hbase_snapshotter_spark.operators.dedup import paragraph_dedup_stats
+
+    df = spark.createDataFrame(
+        [(1, ["p1", "p2", "p1"]),    # p1@{1,0} keeper, p1@{1,2} dup
+         (2, ["p2", "p3"]),          # p2 kept at (1,1) -> dup here
+         (3, ["p1"])],               # dup of (1,0)
+        "doc_id long, paras array<string>")
+    out = {r.doc_id: (r.n_paragraphs, r.n_dup_paragraphs)
+           for r in paragraph_dedup_stats(df, F.col("paras")).collect()}
+    assert out == {1: (3, 1), 2: (2, 1), 3: (1, 1)}
+
+
 def test_mixture_sample_rates_and_independence(spark, sf_dir):
     """Per-source mixture weighting: observed keep rates track the
     configured permille within hash noise, membership is stable under
