@@ -587,32 +587,61 @@ ORACLE_EMB_PAIRS = _oracle_emb_pairs()
 
 
 # ------------------------------------------- N16: multimodal payloads
+#: "Thumbnail" byte view for the registered query: the first 64 text
+#: bytes stand in for a shared binary asset, so payload dedup has live
+#: collisions on the fixture (25 docs share a prefix at sf0.01) the way
+#: re-hosted images collide in a real crawl.
+PAYLOAD_PREFIX_BYTES = 64
+
+
 def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary payload ingestion + metadata, then the mapInPandas decode
-    stub — Spark-side plumbing for image/audio columns (decode itself is
-    a deterministic fake; see operators.multimodal)."""
+    """Binary payload ingestion + metadata, the mapInPandas decode stub
+    (Spark-side plumbing for image/audio columns — decode itself is a
+    deterministic fake; see operators.multimodal), AND binary exact
+    dedup: payloads group by ``content_md5`` — the only sane key for
+    opaque blobs at 100 TB, the bytes themselves never shuffle — and
+    each row reports its copy count and whether it is the keeper
+    (min doc_id)."""
     docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
-    with_payload = attach_payload(docs, "text")
+    docs = docs.withColumn(
+        "thumb", F.substring(F.col("text"), 1, PAYLOAD_PREFIX_BYTES))
+    with_payload = attach_payload(docs, "thumb")
     decoded = decode_payload(with_payload)
     meta = with_payload.select(
         "doc_id",
         F.col("payload_meta.n_bytes").alias("n_bytes"),
         F.col("payload_meta.content_md5").alias("content_md5"),
     )
+    dups = meta.groupBy("content_md5").agg(
+        F.count(F.lit(1)).cast("int").alias("payload_dup_count"),
+        F.min("doc_id").alias("__keeper"))
+    meta = meta.join(dups, "content_md5").withColumn(
+        "is_payload_keeper", F.col("doc_id") == F.col("__keeper"))
     return meta.join(decoded, "doc_id").select(
-        "doc_id", "n_bytes", "content_md5", "width", "height", "n_frames", "feature_hash"
+        "doc_id", "n_bytes", "content_md5", "payload_dup_count",
+        "is_payload_keeper", "width", "height", "n_frames", "feature_hash"
     )
 
 
-ORACLE_MULTIMODAL = """
-SELECT doc_id,
-       CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
-       md5(text) AS content_md5,
-       CAST(16 + CAST('0x' || substr(md5(text), 1, 4) AS INTEGER) % 2048 AS INTEGER) AS width,
-       CAST(16 + CAST('0x' || substr(md5(text), 5, 4) AS INTEGER) % 2048 AS INTEGER) AS height,
-       CAST(1 + CAST('0x' || substr(md5(text), 9, 2) AS INTEGER) % 32 AS INTEGER) AS n_frames,
-       md5(text) AS feature_hash
-FROM documents
+ORACLE_MULTIMODAL = f"""
+WITH p AS (
+  SELECT doc_id, substr(text, 1, {PAYLOAD_PREFIX_BYTES}) AS pay
+  FROM documents),
+d AS (
+  SELECT md5(pay) AS content_md5,
+         CAST(COUNT(*) AS INTEGER) AS payload_dup_count,
+         MIN(doc_id) AS keeper
+  FROM p GROUP BY 1)
+SELECT p.doc_id,
+       CAST(octet_length(CAST(pay AS BLOB)) AS INTEGER) AS n_bytes,
+       md5(pay) AS content_md5,
+       d.payload_dup_count,
+       p.doc_id = d.keeper AS is_payload_keeper,
+       CAST(16 + CAST('0x' || substr(md5(pay), 1, 4) AS INTEGER) % 2048 AS INTEGER) AS width,
+       CAST(16 + CAST('0x' || substr(md5(pay), 5, 4) AS INTEGER) % 2048 AS INTEGER) AS height,
+       CAST(1 + CAST('0x' || substr(md5(pay), 9, 2) AS INTEGER) % 32 AS INTEGER) AS n_frames,
+       md5(pay) AS feature_hash
+FROM p JOIN d ON d.content_md5 = md5(p.pay)
 """
 
 
