@@ -145,3 +145,53 @@ def mixture_sample(
     key = F.concat(F.coalesce(F.col(key_col).cast("string"),
                               F.lit("\x00NULL")), F.lit("#mix"))
     return df.withColumn(out_col, hash_bucket(key) < rate)
+
+
+def dsir_logratio(
+    df: DataFrame,
+    is_target: Column,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance score (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): for each document,
+    the mean per-token log-ratio of target-corpus vs whole-corpus
+    unigram probabilities (add-1 smoothed over the shared vocabulary).
+    Positive = looks more like the target distribution; downstream
+    samplers keep rows proportionally.  Returns ``(id_col,
+    dsir_logratio)`` rounded to 4 dp.
+
+    100 TB shape: the two frequency tables are VOCABULARY-sized (the
+    hashed-feature trick in the paper exists precisely to bound this),
+    so both broadcast; the corpus-size normalizers are one-row
+    aggregates attached by broadcast cross join.  The token explode is
+    narrow, the freq joins are map-side, and the per-doc mean is a
+    hash aggregate with map-side partials — wire cost ≈ documents, not
+    tokens."""
+    from hbase_snapshotter_spark.cache import scoped_persist
+    from hbase_snapshotter_spark.operators.text import tokens
+
+    tk = scoped_persist(df.select(
+        F.col(id_col), is_target.alias("__t"),
+        F.explode(tokens(F.col(text_col))).alias("tok")))
+    corpus_freq = tk.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("__c_all"))
+    target_freq = tk.filter("__t").groupBy("tok").agg(
+        F.count(F.lit(1)).alias("__c_t"))
+    totals = tk.agg(
+        F.count(F.lit(1)).alias("__n_all"),
+        F.sum(F.col("__t").cast("long")).alias("__n_t"),
+        F.countDistinct("tok").alias("__v"))
+    scored = (
+        tk.join(F.broadcast(corpus_freq), "tok")
+        .join(F.broadcast(target_freq), "tok", "left")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "__lr",
+            F.log((F.coalesce("__c_t", F.lit(0)) + 1)
+                  / (F.col("__n_t") + F.col("__v")))
+            - F.log((F.col("__c_all") + 1)
+                    / (F.col("__n_all") + F.col("__v")))))
+    return scored.groupBy(id_col).agg(
+        F.round(F.avg("__lr"), 4).alias("dsir_logratio"))

@@ -1014,6 +1014,7 @@ def sample_split_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct packs started and the max in-pack offset per group replay
     only if every prefix sum matches."""
     from hbase_snapshotter_spark.operators.sampling import (
+        dsir_logratio,
         hash_bucket,
         mixture_sample,
         pack_sequences,
@@ -1028,6 +1029,12 @@ def sample_split_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labeled = mixture_sample(labeled, "doc_id", "source", MIX_RATES,
                              default_permille=MIX_DEFAULT)
+    # DSIR importance vs the curated-source target distribution — the
+    # quantity a production sampler would turn into keep probabilities;
+    # folded into the aggregate as a per-group mean so the oracle
+    # replays every per-doc score
+    scores = dsir_logratio(docs, F.col("source").isin(*MIX_RATES))
+    labeled = labeled.join(scores, "doc_id")
     packed = pack_sequences(
         labeled, id_col="doc_id", token_count_col="n_tokens",
         budget=PACK_BUDGET, num_shards=PACK_SHARDS,
@@ -1037,15 +1044,38 @@ def sample_split_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"),
              F.sum("n_tokens").cast("long").alias("total_tokens"),
              F.countDistinct("pack_id").alias("n_packs"),
-             F.max("pack_offset").alias("max_pack_offset"))
+             F.max("pack_offset").alias("max_pack_offset"),
+             # SUM of 4-dp per-doc scores, not AVG: a sum of 4-dp
+             # decimals is never on a .00005 rounding boundary, while
+             # an average frequently is (engine-dependent half-point
+             # behavior on doubles); the mean is sum/n_docs
+             F.round(F.sum("dsir_logratio"), 4).alias("sum_dsir_logratio"))
     )
 
 
 _MIX_CASE = " ".join(
     f"WHEN '{d}' THEN {r}" for d, r in sorted(MIX_RATES.items()))
+_TARGET_SET = ", ".join(f"'{d}'" for d in sorted(MIX_RATES))
 
 ORACLE_SAMPLE_SPLIT = f"""
-WITH d AS (
+WITH tk AS (
+  SELECT doc_id, source IN ({_TARGET_SET}) AS tgt,
+         unnest(string_split(trim(text), ' ')) AS tok
+  FROM documents),
+cf AS (SELECT tok, COUNT(*) AS c_all FROM tk GROUP BY 1),
+tf AS (SELECT tok, COUNT(*) AS c_t FROM tk WHERE tgt GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n_all,
+               SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS n_t,
+               COUNT(DISTINCT tok) AS v
+        FROM tk),
+sc AS (
+  SELECT tk.doc_id,
+         ROUND(AVG(ln((COALESCE(tf.c_t, 0) + 1.0) / (tot.n_t + tot.v))
+                   - ln((cf.c_all + 1.0) / (tot.n_all + tot.v))), 4)
+           AS dsir_logratio
+  FROM tk JOIN cf USING (tok) LEFT JOIN tf USING (tok) CROSS JOIN tot
+  GROUP BY 1),
+d AS (
   SELECT doc_id, lang,
          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000 AS bk,
          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#mix'), 1, 8) AS BIGINT) % 1000 AS mbk,
@@ -1072,8 +1102,9 @@ SELECT lang, split, in_sample, in_mixture,
        CAST(COUNT(DISTINCT split || '-' || CAST(shard AS VARCHAR) || '-'
                   || CAST(seq_start // {PACK_BUDGET} AS VARCHAR)) AS BIGINT)
          AS n_packs,
-       CAST(MAX(seq_start % {PACK_BUDGET}) AS BIGINT) AS max_pack_offset
-FROM p GROUP BY 1, 2, 3, 4
+       CAST(MAX(seq_start % {PACK_BUDGET}) AS BIGINT) AS max_pack_offset,
+       ROUND(SUM(sc.dsir_logratio), 4) AS sum_dsir_logratio
+FROM p JOIN sc ON sc.doc_id = p.doc_id GROUP BY 1, 2, 3, 4
 """
 
 

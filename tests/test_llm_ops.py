@@ -311,6 +311,27 @@ def test_deterministic_sampling_is_stable(spark, sf_dir):
     assert all(full[k] == v for k, v in half.items())
 
 
+def test_dsir_logratio_hand_computed(spark):
+    """DSIR importance score vs hand-computed add-1-smoothed log
+    ratios: target = doc 1 ('a a b'), corpus adds doc 2 ('b c');
+    V=3, N_t=3, N_all=5."""
+    import math
+
+    from hbase_snapshotter_spark.operators.sampling import dsir_logratio
+
+    df = spark.createDataFrame(
+        [(1, "a a b", True), (2, "b c", False)],
+        "doc_id long, text string, tgt boolean")
+    out = {r.doc_id: r.dsir_logratio
+           for r in dsir_logratio(df, F.col("tgt")).collect()}
+    lr = {"a": math.log(3 / 6) - math.log(3 / 8),   # c_t=2, c_all=2
+          "b": math.log(2 / 6) - math.log(3 / 8),   # c_t=1, c_all=2
+          "c": math.log(1 / 6) - math.log(2 / 8)}   # c_t=0, c_all=1
+    assert out[1] == round((2 * lr["a"] + lr["b"]) / 3, 4)
+    assert out[2] == round((lr["b"] + lr["c"]) / 2, 4)
+    assert out[1] > 0 > out[2]  # target doc scores above, off-target below
+
+
 def test_paragraph_dedup_stats_hand_computed(spark):
     """Cross-doc paragraph dedup: global keeper is the smallest
     (id, pos) per paragraph text; in-doc repeats count as dups of the

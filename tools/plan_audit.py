@@ -47,6 +47,8 @@ def main() -> int:
         "similarity_topk_ivf",
         "similarity_topk_ann",        # 1-row recall_within_tolerance attach
         "embedding_near_dup_lsh",     # 1-row recall_within_tolerance attach
+        "sample_split_assignments",   # 1-row DSIR totals attach (pinned to
+                                      # exactly one BNLJ in test_plans)
     }
 
     flags_total = 0
