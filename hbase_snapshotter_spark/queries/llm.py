@@ -1049,7 +1049,11 @@ def sample_split_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
              # decimals is never on a .00005 rounding boundary, while
              # an average frequently is (engine-dependent half-point
              # behavior on doubles); the mean is sum/n_docs
-             F.round(F.sum("dsir_logratio"), 4).alias("sum_dsir_logratio"))
+             # + 0.0 canonicalizes IEEE negative zero: a group whose
+             # true sum is 0.0000 otherwise renders -0.0 on one engine
+             # and 0.0 on the other
+             (F.round(F.sum("dsir_logratio"), 4) + F.lit(0.0))
+             .alias("sum_dsir_logratio"))
     )
 
 
@@ -1103,7 +1107,7 @@ SELECT lang, split, in_sample, in_mixture,
                   || CAST(seq_start // {PACK_BUDGET} AS VARCHAR)) AS BIGINT)
          AS n_packs,
        CAST(MAX(seq_start % {PACK_BUDGET}) AS BIGINT) AS max_pack_offset,
-       ROUND(SUM(sc.dsir_logratio), 4) AS sum_dsir_logratio
+       ROUND(SUM(sc.dsir_logratio), 4) + 0.0 AS sum_dsir_logratio
 FROM p JOIN sc ON sc.doc_id = p.doc_id GROUP BY 1, 2, 3, 4
 """
 
