@@ -1034,7 +1034,10 @@ def sample_split_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # folded into the aggregate as a per-group mean so the oracle
     # replays every per-doc score
     scores = dsir_logratio(docs, F.col("source").isin(*MIX_RATES))
-    labeled = labeled.join(scores, "doc_id")
+    # left + coalesce(0): a token-less (empty/NULL text) document has
+    # no score row and must not silently vanish from the aggregate
+    labeled = labeled.join(scores, "doc_id", "left").withColumn(
+        "dsir_logratio", F.coalesce("dsir_logratio", F.lit(0.0)))
     packed = pack_sequences(
         labeled, id_col="doc_id", token_count_col="n_tokens",
         budget=PACK_BUDGET, num_shards=PACK_SHARDS,
@@ -1107,8 +1110,8 @@ SELECT lang, split, in_sample, in_mixture,
                   || CAST(seq_start // {PACK_BUDGET} AS VARCHAR)) AS BIGINT)
          AS n_packs,
        CAST(MAX(seq_start % {PACK_BUDGET}) AS BIGINT) AS max_pack_offset,
-       ROUND(SUM(sc.dsir_logratio), 4) + 0.0 AS sum_dsir_logratio
-FROM p JOIN sc ON sc.doc_id = p.doc_id GROUP BY 1, 2, 3, 4
+       ROUND(SUM(COALESCE(sc.dsir_logratio, 0)), 4) + 0.0 AS sum_dsir_logratio
+FROM p LEFT JOIN sc ON sc.doc_id = p.doc_id GROUP BY 1, 2, 3, 4
 """
 
 
