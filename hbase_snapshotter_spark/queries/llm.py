@@ -612,6 +612,11 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("payload_meta.n_bytes").alias("n_bytes"),
         F.col("payload_meta.content_md5").alias("content_md5"),
     )
+    # meta feeds both the dup aggregate and the output join: persist
+    # so the scan + payload md5 run once (measured 1.03 s -> the md5
+    # branch recompute was the whole regression from adding dedup)
+    from hbase_snapshotter_spark.cache import scoped_persist
+    meta = scoped_persist(meta)
     dups = meta.groupBy("content_md5").agg(
         F.count(F.lit(1)).cast("int").alias("payload_dup_count"),
         F.min("doc_id").alias("__keeper"))

@@ -170,6 +170,33 @@ def operators():
         emb = spark.read.parquet(f"{d}/embeddings.parquet")
         return semdedup_verdicts(emb, threshold=0.45)
 
+    def run_paragraph_dedup(spark, d):
+        from pyspark.sql import functions as F
+
+        from hbase_snapshotter_spark.operators.dedup import (
+            paragraph_dedup_stats,
+        )
+        from hbase_snapshotter_spark.operators.text import (
+            token_lines,
+            tokens,
+        )
+
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        return paragraph_dedup_stats(
+            docs, token_lines(tokens(F.col("text")), 3))
+
+    def run_dsir(spark, d):
+        from pyspark.sql import functions as F
+
+        from hbase_snapshotter_spark.operators.sampling import dsir_logratio
+
+        # NOTE: replica token perturbation (r{r}· prefixes) grows the
+        # vocabulary ~linearly with the corpus here, so the broadcast
+        # freq tables scale harder than production, where vocabulary
+        # saturates (the paper's hashed features bound it outright)
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        return dsir_logratio(docs, F.col("source").isin("src0", "src1", "src2"))
+
     def run_ivf(spark, d):
         from hbase_snapshotter_spark.operators.similarity import ivf_topk
 
@@ -225,6 +252,8 @@ def operators():
         "snapshot_events_wide": run_snapshot_wide,
         "latest_cells_multi": run_latest_multi,
         "contamination": run_contamination,
+        "paragraph_dedup": run_paragraph_dedup,
+        "dsir": run_dsir,
         "ivf_topk": run_ivf,
         "ann_topk_lsh": run_ann,
         "simhash": run_simhash,
