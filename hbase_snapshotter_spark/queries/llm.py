@@ -18,7 +18,11 @@ from hbase_snapshotter_spark.operators.dedup import (
     simhash_pairs,
     spread,
 )
-from hbase_snapshotter_spark.operators.multimodal import attach_payload, decode_payload
+from hbase_snapshotter_spark.operators.multimodal import (
+    attach_payload,
+    decode_payload,
+    sample_frames,
+)
 from hbase_snapshotter_spark.operators.similarity import (
     ann_lsh_topk,
     brute_force_topk,
@@ -622,9 +626,17 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("__keeper"))
     meta = meta.join(dups, "content_md5").withColumn(
         "is_payload_keeper", F.col("doc_id") == F.col("__keeper"))
-    return meta.join(decoded, "doc_id").select(
+    # n_sampled_frames counts the REAL 1-to-N frame explode (bounded
+    # fan-out, no shuffle of frame bytes); the oracle replays the count
+    # as LEAST(n_frames, cap) because the sampler's evenly-spaced index
+    # set always has exactly min(n_frames, cap) members
+    frames = sample_frames(with_payload)
+    frame_counts = frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_sampled_frames"))
+    return meta.join(decoded, "doc_id").join(frame_counts, "doc_id").select(
         "doc_id", "n_bytes", "content_md5", "payload_dup_count",
-        "is_payload_keeper", "width", "height", "n_frames", "feature_hash"
+        "is_payload_keeper", "width", "height", "n_frames", "feature_hash",
+        "n_sampled_frames"
     )
 
 
@@ -645,7 +657,9 @@ SELECT p.doc_id,
        CAST(16 + CAST('0x' || substr(md5(pay), 1, 4) AS INTEGER) % 2048 AS INTEGER) AS width,
        CAST(16 + CAST('0x' || substr(md5(pay), 5, 4) AS INTEGER) % 2048 AS INTEGER) AS height,
        CAST(1 + CAST('0x' || substr(md5(pay), 9, 2) AS INTEGER) % 32 AS INTEGER) AS n_frames,
-       md5(pay) AS feature_hash
+       md5(pay) AS feature_hash,
+       CAST(LEAST(1 + CAST('0x' || substr(md5(pay), 9, 2) AS INTEGER) % 32, 8)
+            AS INTEGER) AS n_sampled_frames
 FROM p JOIN d ON d.content_md5 = md5(p.pay)
 """
 

@@ -137,6 +137,62 @@ def test_multimodal_payload_roundtrip(docs):
     assert 16 <= rows[1].width < 2064 and rows[1].n_frames >= 1
 
 
+def test_resize_payload_plumbing(docs):
+    """Resize plumbing: 1 row in -> 1 row out, binary out, metadata
+    recomputed from the NEW bytes, deterministic across repartitioning,
+    output size tracks the REQUESTED dims, not the input."""
+    from hbase_snapshotter_spark.operators.multimodal import (
+        RESIZED_SCHEMA,
+        resize_payload,
+    )
+
+    wp = attach_payload(docs, "text")
+    out = resize_payload(wp, width=64, height=32)
+    assert out.schema == RESIZED_SCHEMA
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == docs.count()
+    import hashlib
+    for r in rows.values():
+        body = bytes(r.payload)
+        assert body.endswith(b"|64x32")
+        assert len(body) == max(16, 64 * 32 // 64) + len(b"|64x32")
+        assert r.content_md5 == hashlib.md5(body).hexdigest()
+        assert (r.width, r.height) == (64, 32)
+    again = {r.doc_id: bytes(r.payload) for r in
+             resize_payload(wp.repartition(5), width=64, height=32).collect()}
+    assert again == {k: bytes(v.payload) for k, v in rows.items()}
+
+
+def test_sample_frames_fanout_and_determinism(docs):
+    """Frame sampling: the 1-to-N mapInPandas shape — each payload
+    yields exactly min(n_frames, cap) rows, evenly-spaced strictly
+    increasing indices starting at frame 0, bytes deterministic."""
+    from hbase_snapshotter_spark.operators.multimodal import (
+        FRAME_SCHEMA,
+        sample_frames,
+    )
+
+    wp = attach_payload(docs, "text")
+    n_frames = {r.doc_id: r.n_frames for r in decode_payload(wp).collect()}
+    frames = sample_frames(wp, max_frames=4)
+    assert frames.schema == FRAME_SCHEMA
+    by_doc: dict = {}
+    for r in frames.collect():
+        by_doc.setdefault(r.doc_id, []).append((r.frame_idx,
+                                                bytes(r.frame_payload)))
+    for doc_id, fs in by_doc.items():
+        fs.sort()
+        idxs = [i for i, _ in fs]
+        assert len(idxs) == min(4, n_frames[doc_id])
+        assert idxs[0] == 0 and idxs == sorted(set(idxs))
+        assert all(i < n_frames[doc_id] for i in idxs)
+    assert set(by_doc) == set(n_frames)
+    again = sample_frames(wp.repartition(3), max_frames=4).collect()
+    assert sorted((r.doc_id, r.frame_idx, bytes(r.frame_payload))
+                  for r in again) \
+        == sorted((d, i, b) for d, fs in by_doc.items() for i, b in fs)
+
+
 def test_asof_join_forward_and_tolerance(spark):
     left = spark.createDataFrame(
         [(1, 100), (1, 200), (2, 50)], "k long, t long"
