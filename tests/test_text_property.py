@@ -95,3 +95,36 @@ def test_contamination_hits_match_python_model(spark, train, eval_docs, n):
     got = {r.doc_id: r.eval_ngram_hits
            for r in contamination_hits(train_df, eval_df, n=n).collect()}
     assert got == expected
+
+
+para_st = st.lists(st.sampled_from(["p1", "p2", "p3", "q"]),
+                   min_size=0, max_size=6)
+
+
+@given(st.lists(para_st, min_size=1, max_size=8))
+@settings(max_examples=15, deadline=None)
+def test_paragraph_dedup_matches_python_model(spark, doc_paras):
+    """paragraph_dedup_stats vs a pure-Python global-keeper model:
+    keeper is the smallest (doc, pos) per paragraph text, every other
+    instance (including in-doc repeats) counts as a duplicate, and
+    empty-paragraph docs emit no rows."""
+    from hbase_snapshotter_spark.operators.dedup import paragraph_dedup_stats
+    from pyspark.sql import functions as F
+
+    seen: set = set()
+    expected = {}
+    for d, paras in enumerate(doc_paras):
+        dups = 0
+        for p in paras:
+            if p in seen:
+                dups += 1
+            seen.add(p)
+        if paras:
+            expected[d] = (len(paras), dups)
+
+    df = spark.createDataFrame(
+        [(d, paras) for d, paras in enumerate(doc_paras)],
+        "doc_id long, paras array<string>")
+    got = {r.doc_id: (r.n_paragraphs, r.n_dup_paragraphs)
+           for r in paragraph_dedup_stats(df, F.col("paras")).collect()}
+    assert got == expected
