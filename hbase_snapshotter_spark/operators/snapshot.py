@@ -149,6 +149,41 @@ def latest_per_key(
     )
 
 
+def advance_latest_cells(
+    prev_cells: DataFrame,
+    delta_log: DataFrame,
+    ts: int | None = None,
+    *,
+    key_cols: tuple[str, ...] = ("row_key", "family", "qualifier"),
+    ts_col: str = "cell_ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Incremental snapshot maintenance — the 100 TB upgrade over the
+    reference's full-rescan pipeline (`HBaseSnapshotter.scala:123-137`
+    rescans `[0, ts]` for every snapshot): advance a MATERIALIZED
+    latest-cells state to a later timestamp from only the delta change
+    log.
+
+    Sound because the latest-cell aggregate ``max(struct(ts, value))``
+    is associative and commutative::
+
+        latest(log ≤ T2)  ==  latest( latest(log ≤ T1) ∪ log(T1, T2] )
+
+    Re-delivered or overlapping delta cells are harmless (idempotent
+    max) — the caller bounds the delta below (``ts > T1``) for
+    efficiency, not correctness; ``ts`` bounds it above.  Work is
+    ∝ live cells + delta, never total history, and with the previous
+    state stored bucketed on ``key_cols`` the union aggregate
+    co-locates so the big side never re-shuffles.  The registered
+    ``snapshot_diff`` query folds the equality above into its driver
+    hash (``incremental_consistent``)."""
+    cols = [*key_cols, value_col, ts_col]
+    delta = as_of(delta_log, ts, ts_col=ts_col).select(*cols)
+    return latest_cells(
+        prev_cells.select(*cols).unionByName(delta), None,
+        key_cols=key_cols, ts_col=ts_col, value_col=value_col)
+
+
 def latest_cells_multi(
     changelog: DataFrame,
     timestamps: list[int],

@@ -96,11 +96,33 @@ def oracle_latest_cells() -> str:
 
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-diff via set ops (N10): cells whose latest value changed
-    between the mid-month snapshot and "now"."""
-    log = events_as_changelog(read_table(spark, sf_dir, "events"))
-    t1 = latest_cells(log, SNAPSHOT_TS_MS).select("row_key", "qualifier", "value")
-    t2 = latest_cells(log, None).select("row_key", "qualifier", "value")
-    return t2.exceptAll(t1).select("row_key", "qualifier", "value")
+    between the mid-month snapshot and "now" — PLUS the incremental-
+    maintenance proof: the T2 state is also rebuilt by advancing the
+    materialized T1 state with only the delta log
+    (operators.snapshot.advance_latest_cells), and the full-vs-
+    incremental equality is folded into the driver hash as a one-row
+    ``incremental_consistent`` flag (the recall-flag pattern — no
+    driver collect).  The oracle expects TRUE: if the associative-merge
+    path ever diverges from the full rescan, this row turns red."""
+    from pyspark.sql import functions as F
+
+    from hbase_snapshotter_spark.cache import scoped_persist
+    from hbase_snapshotter_spark.operators.snapshot import advance_latest_cells
+
+    log = scoped_persist(events_as_changelog(read_table(spark, sf_dir, "events")))
+    grain = ["row_key", "family", "qualifier", "value", "cell_ts"]
+    t1_cells = scoped_persist(latest_cells(log, SNAPSHOT_TS_MS))
+    t2_cells = scoped_persist(latest_cells(log, None))
+    t1 = t1_cells.select("row_key", "qualifier", "value")
+    t2 = t2_cells.select("row_key", "qualifier", "value")
+    diff = t2.exceptAll(t1).select("row_key", "qualifier", "value")
+
+    delta = log.filter(F.col("cell_ts") > SNAPSHOT_TS_MS)
+    t2_inc = advance_latest_cells(t1_cells, delta).select(*grain)
+    full = t2_cells.select(*grain)
+    sym = t2_inc.exceptAll(full).unionByName(full.exceptAll(t2_inc))
+    flag = sym.agg((F.count(F.lit(1)) == 0).alias("incremental_consistent"))
+    return diff.crossJoin(F.broadcast(flag))
 
 
 def oracle_snapshot_diff() -> str:
@@ -115,7 +137,11 @@ def oracle_snapshot_diff() -> str:
           FROM events WHERE {pred}
         ) WHERE rn = 1
         """
-    return f"({latest(f'epoch_ms(ts) <= 9223372036854775807')}) EXCEPT ALL ({latest(f'epoch_ms(ts) <= {SNAPSHOT_TS_MS}')})"
+    return f"""
+SELECT *, TRUE AS incremental_consistent FROM (
+  ({latest('epoch_ms(ts) <= 9223372036854775807')})
+  EXCEPT ALL
+  ({latest(f'epoch_ms(ts) <= {SNAPSHOT_TS_MS}')}))"""
 
 
 TS_LIST = (1_704_672_000_000, 1_705_276_800_000, 1_705_881_600_000)  # Jan 8/15/22

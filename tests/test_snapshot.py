@@ -105,6 +105,31 @@ def test_latest_cells(changelog):
     assert cells[("r1", "amount")] == "10.5"
 
 
+def test_advance_latest_cells_matches_full_rescan(changelog):
+    """Incremental snapshot maintenance: advancing the materialized T1
+    state with only the delta log reproduces the full rescan at any T2,
+    and re-delivered (overlapping) delta cells are idempotent under the
+    associative max-struct merge."""
+    from pyspark.sql import functions as F
+
+    from hbase_snapshotter_spark.operators.snapshot import advance_latest_cells
+
+    ts_list = sorted({r.cell_ts for r in changelog.collect()})
+    t1 = ts_list[len(ts_list) // 2]
+    prev = latest_cells(changelog, t1)
+
+    def cells(df):
+        return sorted((r.row_key, r.family, r.qualifier, r.value, r.cell_ts)
+                      for r in df.collect())
+
+    for t2 in [ts_list[-2], ts_list[-1], None]:
+        full = latest_cells(changelog, t2)
+        delta = changelog.filter(F.col("cell_ts") > t1)
+        assert cells(advance_latest_cells(prev, delta, t2)) == cells(full)
+        # overlapping delta (no lower bound) — idempotent, same answer
+        assert cells(advance_latest_cells(prev, changelog, t2)) == cells(full)
+
+
 def test_latest_per_key(spark):
     df = spark.createDataFrame(
         [("a", 1, "x"), ("a", 2, "y"), ("b", 1, "z")], "k string, v long, p string"

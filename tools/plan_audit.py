@@ -49,6 +49,7 @@ def main() -> int:
         "embedding_near_dup_lsh",     # 1-row recall_within_tolerance attach
         "sample_split_assignments",   # 1-row DSIR totals attach (pinned to
                                       # exactly one BNLJ in test_plans)
+        "snapshot_diff",              # 1-row incremental_consistent attach
     }
 
     flags_total = 0
