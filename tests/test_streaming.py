@@ -151,3 +151,43 @@ def test_stream_stream_interval_join_equals_batch(spark, event_stream_dir):
     run_to_memory(joined.select("c_id", "b_id"), "ssj_out", "append")
     got = sorted((r.c_id, r.b_id) for r in spark.table("ssj_out").collect())
     assert got == want and len(got) > 0
+
+
+def test_continuous_snapshot_maintenance(spark, sf_dir, event_stream_dir,
+                                         tmp_path):
+    """The flagship path, streaming: 4 replayed micro-batches of the
+    change log advance a materialized latest-cells table; the final
+    state equals the batch full-rescan exactly.  Also proves the merge
+    is safe under re-delivery: running the whole stream AGAIN over the
+    existing state (fresh checkpoint → every batch re-delivered)
+    changes nothing."""
+    from hbase_snapshotter_spark.operators.snapshot import latest_cells
+    from hbase_snapshotter_spark.sources.changelog import events_as_changelog
+    from hbase_snapshotter_spark.streaming.maintenance import (
+        maintain_snapshot_stream,
+    )
+
+    batch_src = spark.read.parquet(event_stream_dir)
+    state = str(tmp_path / "snapshot_state")
+
+    def run(checkpoint: str):
+        stream = events_as_changelog(
+            replay_stream(spark, event_stream_dir, batch_src.schema,
+                          max_files_per_trigger=1))
+        q = maintain_snapshot_stream(stream, state,
+                                     str(tmp_path / checkpoint))
+        q.awaitTermination(120)
+
+    run("ckpt1")
+    want = sorted(map(tuple, latest_cells(
+        events_as_changelog(batch_src), None).collect()))
+    got = sorted(map(tuple, spark.read.parquet(state)
+                 .select("row_key", "family", "qualifier",
+                         "value", "cell_ts").collect()))
+    assert got == want and len(got) > 0
+
+    run("ckpt2")  # full re-delivery over existing state: idempotent
+    again = sorted(map(tuple, spark.read.parquet(state)
+                   .select("row_key", "family", "qualifier",
+                           "value", "cell_ts").collect()))
+    assert again == want
