@@ -606,21 +606,23 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     opaque blobs at 100 TB, the bytes themselves never shuffle — and
     each row reports its copy count and whether it is the keeper
     (min doc_id)."""
+    from hbase_snapshotter_spark.cache import scoped_persist
+
     docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     docs = docs.withColumn(
         "thumb", F.substring(F.col("text"), 1, PAYLOAD_PREFIX_BYTES))
-    with_payload = attach_payload(docs, "thumb")
+    # with_payload feeds FOUR consumers (decode, frame sampling, the
+    # dup aggregate, the output join): persist the payload+meta stage
+    # once so the scan, substring, and payload md5 never recompute
+    with_payload = scoped_persist(
+        attach_payload(docs, "thumb").select("doc_id", "payload",
+                                             "payload_meta"))
     decoded = decode_payload(with_payload)
     meta = with_payload.select(
         "doc_id",
         F.col("payload_meta.n_bytes").alias("n_bytes"),
         F.col("payload_meta.content_md5").alias("content_md5"),
     )
-    # meta feeds both the dup aggregate and the output join: persist
-    # so the scan + payload md5 run once (measured 1.03 s -> the md5
-    # branch recompute was the whole regression from adding dedup)
-    from hbase_snapshotter_spark.cache import scoped_persist
-    meta = scoped_persist(meta)
     dups = meta.groupBy("content_md5").agg(
         F.count(F.lit(1)).cast("int").alias("payload_dup_count"),
         F.min("doc_id").alias("__keeper"))
