@@ -1052,7 +1052,7 @@ def sample_split_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
                              default_permille=MIX_DEFAULT)
     # DSIR importance vs the curated-source target distribution — the
     # quantity a production sampler would turn into keep probabilities;
-    # folded into the aggregate as a per-group mean so the oracle
+    # folded into the aggregate as a per-group 4-dp sum so the oracle
     # replays every per-doc score
     scores = dsir_logratio(docs, F.col("source").isin(*MIX_RATES))
     # left + coalesce(0): a token-less (empty/NULL text) document has
