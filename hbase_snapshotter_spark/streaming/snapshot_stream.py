@@ -30,7 +30,10 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
-from hbase_snapshotter_spark.operators.snapshot import latest_cells
+from hbase_snapshotter_spark.operators.snapshot import (
+    advance_latest_cells,
+    latest_cells,
+)
 
 _MARKER = "CURRENT"
 
@@ -56,10 +59,14 @@ class SnapshotMaintainer:
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        cells = latest_cells(batch, None)
+        cells = latest_cells(batch, None)  # pre-reduce the batch
         prev = self.current_cells(spark)
         if prev is not None:
-            cells = latest_cells(prev.unionByName(cells), None)
+            # the one shared incremental-merge implementation (N25):
+            # associative max-struct, idempotent under re-delivered
+            # batches — at-least-once foreachBatch delivery therefore
+            # yields exactly-once STATE (pinned by the re-delivery test)
+            cells = advance_latest_cells(prev, cells)
         out = os.path.join(self.state_dir, f"v{batch_id}")
         cells.write.mode("overwrite").parquet(out)
         tmp = os.path.join(self.state_dir, f".{_MARKER}.tmp")

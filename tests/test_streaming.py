@@ -153,41 +153,43 @@ def test_stream_stream_interval_join_equals_batch(spark, event_stream_dir):
     assert got == want and len(got) > 0
 
 
-def test_continuous_snapshot_maintenance(spark, sf_dir, event_stream_dir,
-                                         tmp_path):
+def test_snapshot_maintenance_idempotent_under_redelivery(
+        spark, sf_dir, event_stream_dir, tmp_path):
     """The flagship path, streaming: 4 replayed micro-batches of the
-    change log advance a materialized latest-cells table; the final
-    state equals the batch full-rescan exactly.  Also proves the merge
-    is safe under re-delivery: running the whole stream AGAIN over the
-    existing state (fresh checkpoint → every batch re-delivered)
-    changes nothing."""
+    change log advance the maintained latest-cells state; the final
+    state equals the batch full-rescan exactly.  Then the exactly-once-
+    state guarantee: running the WHOLE stream again over the existing
+    state (fresh checkpoint → every batch re-delivered) changes
+    nothing, because the advance_latest_cells merge is idempotent."""
     from hbase_snapshotter_spark.operators.snapshot import latest_cells
     from hbase_snapshotter_spark.sources.changelog import events_as_changelog
-    from hbase_snapshotter_spark.streaming.maintenance import (
-        maintain_snapshot_stream,
+    from hbase_snapshotter_spark.streaming.snapshot_stream import (
+        maintain_snapshot,
     )
 
     batch_src = spark.read.parquet(event_stream_dir)
     state = str(tmp_path / "snapshot_state")
+    cols = ["row_key", "family", "qualifier", "value", "cell_ts"]
 
     def run(checkpoint: str):
         stream = events_as_changelog(
             replay_stream(spark, event_stream_dir, batch_src.schema,
                           max_files_per_trigger=1))
-        q = maintain_snapshot_stream(stream, state,
-                                     str(tmp_path / checkpoint))
+        q, maintainer = maintain_snapshot(
+            stream, state,
+            checkpointLocation=str(tmp_path / checkpoint),
+            availableNow=True)
         q.awaitTermination(120)
+        return maintainer
 
-    run("ckpt1")
+    m = run("ckpt1")
     want = sorted(map(tuple, latest_cells(
-        events_as_changelog(batch_src), None).collect()))
-    got = sorted(map(tuple, spark.read.parquet(state)
-                 .select("row_key", "family", "qualifier",
-                         "value", "cell_ts").collect()))
+        events_as_changelog(batch_src), None).select(*cols).collect()))
+    got = sorted(map(tuple,
+                     m.current_cells(spark).select(*cols).collect()))
     assert got == want and len(got) > 0
 
-    run("ckpt2")  # full re-delivery over existing state: idempotent
-    again = sorted(map(tuple, spark.read.parquet(state)
-                   .select("row_key", "family", "qualifier",
-                           "value", "cell_ts").collect()))
+    m2 = run("ckpt2")  # full re-delivery over existing state
+    again = sorted(map(tuple,
+                       m2.current_cells(spark).select(*cols).collect()))
     assert again == want
