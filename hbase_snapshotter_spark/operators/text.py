@@ -365,3 +365,57 @@ def scrub_text(col: Column | str, patterns: list[tuple[str, str]] = SCRUB_PATTER
     for pattern, replacement in patterns:
         out = F.regexp_replace(out, pattern, replacement)
     return out
+
+
+#: Hashed feature-bucket count for the linear classifier stand-in.
+CLS_BUCKETS = 64
+
+
+def classifier_weights(buckets: int = CLS_BUCKETS) -> list[float]:
+    """Deterministic stand-in weight vector for the hashed linear
+    classifier — production replaces this with TRAINED weights (a
+    fastText / logistic-regression quality model exported per hash
+    bucket); everything downstream is unchanged.  Weights are derived
+    from md5 of the bucket index, quantized to 4 dp in [-1, 1]."""
+    import hashlib
+
+    out = []
+    for b in range(buckets):
+        h = int(hashlib.md5(f"w{b}".encode()).hexdigest()[:4], 16)
+        out.append(round(h / 32767.5 - 1.0, 4))
+    return out
+
+
+def hashed_linear_margin(
+    toks: Column,
+    weights: list[float] | None = None,
+) -> Column:
+    """fastText-style model-based scoring path: hash every token into
+    one of ``len(weights)`` buckets (md5 — engine-independent), sum the
+    bucket weights, round to 4 dp.  Positive margin = the classifier's
+    "keep" side; consumers apply sigmoid/threshold.
+
+    A SUM of 4-dp quantized weights (not a mean) so the score is never
+    on a .00005 rounding boundary where engines disagree (the DSIR
+    lesson); a constant never sits inside the token lambda un-bound, so
+    the weight array is built once per row.
+
+    Pure column expressions — whole-stage codegen, zero shuffle, zero
+    Python; swapping in trained weights changes numbers, not the plan.
+    """
+    if weights is None:
+        weights = classifier_weights()
+    arr = F.array(*[F.lit(float(w)) for w in weights])
+    n = len(weights)
+
+    def from_t(t: Column) -> Column:
+        per_tok = F.transform(
+            t,
+            lambda tok: F.element_at(
+                arr,
+                (F.conv(F.substring(F.md5(tok), 1, 4), 16, 10)
+                 .cast("int") % n + 1)))
+        return F.round(
+            F.aggregate(per_tok, F.lit(0.0), lambda acc, x: acc + x), 4)
+
+    return bind_once(toks, from_t)

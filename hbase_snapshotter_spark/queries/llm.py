@@ -32,7 +32,9 @@ from hbase_snapshotter_spark.operators.text import (
     LANG_MARKERS,
     STOPWORDS,
     TOKEN_REGEX,
+    classifier_weights,
     contamination_hits,
+    hashed_linear_margin,
     line_signals,
     text_features,
     token_lines,
@@ -310,6 +312,11 @@ def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__lsig.frac_dup_lines").alias("frac_dup_lines"),
         F.col("__lsig.frac_ellipsis_lines").alias("frac_ellipsis_lines"),
         F.col("__lsig.mean_line_len").alias("mean_line_len"),
+        # fastText-style model-based scoring path: hashed-bucket linear
+        # margin (stand-in weights; trained weights drop in, plan
+        # unchanged); + 0.0 canonicalizes a potential -0.0 sum
+        (hashed_linear_margin(F.col("__toks")) + F.lit(0.0))
+        .alias("cls_margin"),
     )
     docs = docs.join(F.broadcast(contam), "doc_id", "left").withColumn(
         "eval_ngram_hits",
@@ -318,11 +325,17 @@ def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_features(
         docs, "text",
         id_cols=["doc_id", "n_winnow_fp", "winnow_digest", "frac_dup_lines",
-                 "frac_ellipsis_lines", "mean_line_len", "eval_ngram_hits"],
+                 "frac_ellipsis_lines", "mean_line_len", "cls_margin",
+                 "eval_ngram_hits"],
         toks_col=F.col("__toks"))
 
 
+def _sql_weights() -> str:
+    return "[" + ", ".join(str(w) for w in classifier_weights()) + "]"
+
+
 def _oracle_text() -> str:
+    from hbase_snapshotter_spark.operators.text import CLS_BUCKETS
     hits = {k: f"len(list_filter(t, x -> list_contains({_sql_list(v)}, x)))"
             for k, v in LANG_MARKERS.items()}
     lang_case = f"""CASE
@@ -368,6 +381,10 @@ SELECT toks.doc_id,
        CAST(CASE WHEN toks.doc_id % {EVAL_SLICE_MOD} = {EVAL_SLICE_REM}
                  THEN -1 ELSE COALESCE(contam.hits, 0) END AS INTEGER)
          AS eval_ngram_hits,
+       CAST(ROUND(list_aggregate(list_transform(t, tok ->
+           ({_sql_weights()})[CAST('0x' || substr(md5(tok), 1, 4) AS INTEGER)
+                              % {CLS_BUCKETS} + 1]), 'sum'), 4) + 0.0
+         AS DOUBLE) AS cls_margin,
        CAST(len(fps) AS INTEGER) AS n_winnow_fp,
        md5(array_to_string(list_sort(fps), ',')) AS winnow_digest,
        CASE WHEN len(l) >= 2

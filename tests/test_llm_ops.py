@@ -367,6 +367,35 @@ def test_deterministic_sampling_is_stable(spark, sf_dir):
     assert all(full[k] == v for k, v in half.items())
 
 
+def test_hashed_linear_margin_matches_python_model(spark):
+    """fastText-style hashed linear margin vs a pure-Python model:
+    md5-bucket lookup, sum of 4-dp weights, repeated tokens counted
+    per occurrence."""
+    import hashlib
+
+    from hbase_snapshotter_spark.operators.text import (
+        classifier_weights,
+        hashed_linear_margin,
+    )
+
+    w = classifier_weights()
+
+    def model(text: str) -> float:
+        total = 0.0
+        for tok in text.split():
+            b = int(hashlib.md5(tok.encode()).hexdigest()[:4], 16) % len(w)
+            total += w[b]
+        return round(total, 4)
+
+    docs = [(i, t) for i, t in enumerate(
+        ["the quick brown fox", "the the the", "solo", "a b c d e f"])]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.m for r in df.select(
+        "doc_id",
+        hashed_linear_margin(tokens(F.col("text"))).alias("m")).collect()}
+    assert got == {i: model(t) for i, t in docs}
+
+
 def test_dsir_logratio_hand_computed(spark):
     """DSIR importance score vs hand-computed add-1-smoothed log
     ratios: target = doc 1 ('a a b'), corpus adds doc 2 ('b c');
