@@ -17,10 +17,13 @@ marker file advanced atomically (os.replace), so a crash mid-batch never
 corrupts the previous version; stale versions are pruned.
 
 Scale: the merge is latest-cells over (previous state ∪ new batch) —
-one hash aggregation keyed by cell; state size is bounded by the live
-cell count, not by history.  On a cluster the state table would be a
-partitioned/bucketed warehouse table (bucket by row_key) so the merge
-and the final pivot co-locate.
+one aggregation keyed by cell; state size is bounded by the live cell
+count, not by history, so the per-batch shuffle is live-cells + batch.
+(Plain ``bucketBy`` does NOT remove the state side from that shuffle —
+Spark re-partitions the unioned stream regardless, verified in the
+physical plan; eliminating it needs a storage-level transactional MERGE
+with bucketing-aligned join keys, which Delta/Iceberg provide with this
+same merge logic.)
 """
 
 from __future__ import annotations
