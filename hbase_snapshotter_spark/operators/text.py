@@ -419,3 +419,18 @@ def hashed_linear_margin(
             F.aggregate(per_tok, F.lit(0.0), lambda acc, x: acc + x), 4)
 
     return bind_once(toks, from_t)
+
+
+def dedup_lines(lines: Column) -> Column:
+    """Order-preserving removal of repeated lines WITHIN one document
+    (keep the first occurrence) — the rewrite counterpart of the Gopher
+    ``frac_dup_lines`` signal: flags measure boilerplate, this removes
+    it before training.  Zero shuffle, pure column expression.
+
+    Relies on ``array_distinct`` preserving first-occurrence order
+    (Spark's implementation appends on first sighting).  That order is
+    not a documented contract, so the registered query's DuckDB oracle
+    replays first-occurrence order EXPLICITLY (window on position) —
+    if a Spark upgrade ever changed the order, the driver hash turns
+    red rather than silently reordering training text."""
+    return F.array_distinct(lines)

@@ -34,6 +34,7 @@ from hbase_snapshotter_spark.operators.text import (
     TOKEN_REGEX,
     classifier_weights,
     contamination_hits,
+    dedup_lines,
     hashed_linear_margin,
     line_signals,
     text_features,
@@ -120,9 +121,23 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pstats = paragraph_dedup_stats(
         kept, token_lines(tokens(F.col("text")), LINE_TOKENS))
-    return kept.join(pstats, "doc_id").select(
+    # intra-doc repetition REMOVAL (the rewrite counterpart of the
+    # frac_dup_lines signal): keep each line's first occurrence, in
+    # order; zero shuffle, computed in the same pass as the output
+    staged = kept.select(
         "doc_id", "text", "lang", "source", "n_chars",
-        "n_paragraphs", "n_dup_paragraphs")
+        token_lines(tokens(F.col("text")), LINE_TOKENS).alias("__lines"))
+    staged = staged.select(
+        *staged.columns, dedup_lines(F.col("__lines")).alias("__kept_lines"))
+    rewritten = staged.select(
+        "doc_id", "text", "lang", "source", "n_chars",
+        F.concat_ws("\n", F.col("__kept_lines")).alias("text_dedup_lines"),
+        (F.size("__lines") - F.size("__kept_lines")).cast("int")
+        .alias("n_removed_lines"))
+    return rewritten.join(pstats, "doc_id").select(
+        "doc_id", "text", "lang", "source", "n_chars",
+        "n_paragraphs", "n_dup_paragraphs",
+        "text_dedup_lines", "n_removed_lines")
 
 
 ORACLE_DEDUP_EXACT = f"""
@@ -145,10 +160,24 @@ pstats AS (
   SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_paragraphs,
          CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS INTEGER)
            AS n_dup_paragraphs
-  FROM ranked GROUP BY doc_id)
+  FROM ranked GROUP BY doc_id),
+intra AS (
+  SELECT doc_id, pos, para,
+         ROW_NUMBER() OVER (PARTITION BY doc_id, para ORDER BY pos)
+           AS rn_in_doc
+  FROM paras),
+rewritten AS (
+  SELECT doc_id,
+         string_agg(para, chr(10) ORDER BY pos)
+           FILTER (WHERE rn_in_doc = 1) AS text_dedup_lines,
+         CAST(SUM(CASE WHEN rn_in_doc > 1 THEN 1 ELSE 0 END) AS INTEGER)
+           AS n_removed_lines
+  FROM intra GROUP BY doc_id)
 SELECT k.doc_id, k.text, k.lang, k.source, k.n_chars,
-       p.n_paragraphs, p.n_dup_paragraphs
+       p.n_paragraphs, p.n_dup_paragraphs,
+       r.text_dedup_lines, r.n_removed_lines
 FROM kept k JOIN pstats p ON p.doc_id = k.doc_id
+            JOIN rewritten r ON r.doc_id = k.doc_id
 """
 
 

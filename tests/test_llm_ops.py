@@ -367,6 +367,21 @@ def test_deterministic_sampling_is_stable(spark, sf_dir):
     assert all(full[k] == v for k, v in half.items())
 
 
+def test_dedup_lines_keeps_first_occurrence_in_order(spark):
+    """Intra-doc line dedup: first occurrence kept, original order
+    preserved, later repeats dropped (including non-adjacent ones)."""
+    from hbase_snapshotter_spark.operators.text import dedup_lines
+
+    df = spark.createDataFrame(
+        [(1, ["b", "a", "b", "c", "a", "b"]),
+         (2, ["x"]),
+         (3, [])],
+        "doc_id long, lines array<string>")
+    out = {r.doc_id: r.kept for r in df.select(
+        "doc_id", dedup_lines(F.col("lines")).alias("kept")).collect()}
+    assert out == {1: ["b", "a", "c"], 2: ["x"], 3: []}
+
+
 def test_hashed_linear_margin_matches_python_model(spark):
     """fastText-style hashed linear margin vs a pure-Python model:
     md5-bucket lookup, sum of 4-dp weights, repeated tokens counted
