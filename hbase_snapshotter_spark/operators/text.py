@@ -155,10 +155,13 @@ def line_signals(lines: Column) -> Column:
 
     def from_l(l: Column) -> Column:
         n = F.size(l)
+        # second .when (not .otherwise) so a NULL lines array yields
+        # NULL, matching the other two signals — the docstring's
+        # "NULL text propagates NULL" holds for the whole struct
         dup = F.when(
             n >= 2,
             F.round(1.0 - F.size(F.array_distinct(l)).cast("double") / n, 4),
-        ).otherwise(F.lit(0.0))
+        ).when(n.isNotNull(), F.lit(0.0))
         ell_hits = F.size(F.filter(
             l, lambda x: x.endswith("...") | x.endswith("…")))
         ell = F.round(ell_hits.cast("double") / n, 4)

@@ -19,6 +19,7 @@ from hbase_snapshotter_spark.operators.dedup import (
     spread,
 )
 from hbase_snapshotter_spark.operators.multimodal import (
+    FRAME_SAMPLE_CAP,
     attach_payload,
     decode_payload,
     sample_frames,
@@ -114,11 +115,15 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     (fixture text has no newlines — real corpora pass doc_lines)."""
     from hbase_snapshotter_spark.operators.dedup import paragraph_dedup_stats
 
+    from hbase_snapshotter_spark.cache import scoped_persist
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     doubled = docs.unionAll(docs)
-    kept = exact_dedup(doubled, ["text"], "doc_id").select(
+    # kept feeds the paragraph-stats explode AND the line-rewrite branch:
+    # persist so the doubled-corpus scan + dedup aggregate run once
+    kept = scoped_persist(exact_dedup(doubled, ["text"], "doc_id").select(
         "doc_id", "text", "lang", "source", "n_chars"
-    )
+    ))
     pstats = paragraph_dedup_stats(
         kept, token_lines(tokens(F.col("text")), LINE_TOKENS))
     # intra-doc repetition REMOVAL (the rewrite counterpart of the
@@ -706,7 +711,8 @@ SELECT p.doc_id,
        CAST(16 + CAST('0x' || substr(md5(pay), 5, 4) AS INTEGER) % 2048 AS INTEGER) AS height,
        CAST(1 + CAST('0x' || substr(md5(pay), 9, 2) AS INTEGER) % 32 AS INTEGER) AS n_frames,
        md5(pay) AS feature_hash,
-       CAST(LEAST(1 + CAST('0x' || substr(md5(pay), 9, 2) AS INTEGER) % 32, 8)
+       CAST(LEAST(1 + CAST('0x' || substr(md5(pay), 9, 2) AS INTEGER) % 32,
+                  {FRAME_SAMPLE_CAP})
             AS INTEGER) AS n_sampled_frames
 FROM p JOIN d ON d.content_md5 = md5(p.pay)
 """

@@ -42,17 +42,32 @@ def write_training_shards(
 ) -> None:
     """Fixed-count, deterministic shard layout for training consumption.
 
-    Data loaders want a known number of shard files with STABLE
-    membership (so resumable / distributed reads see the same shard ↔
-    row mapping on every run): rows route to shards by hash of
-    ``shard_key`` (Spark's HashPartitioning — content-determined, not
-    round-robin, so membership survives reruns, cluster resizes, and
-    input repartitioning), one output file per shard.  ``sort_by``
+    Data loaders want a known shard count with STABLE membership (so
+    resumable / distributed reads see the same shard ↔ row mapping on
+    every run): rows route to shards by hash of ``shard_key`` (Spark's
+    HashPartitioning — content-determined, not round-robin, so
+    membership survives reruns, cluster resizes, and input
+    repartitioning), at most one output file per shard.  ``sort_by``
     additionally fixes the intra-shard row order (sequential shard
     streaming is deterministic end-to-end).  At 100 TB pick
     ``num_shards`` ≈ total_bytes / desired_shard_bytes; the write's
-    only shuffle is the routing exchange."""
+    only shuffle is the routing exchange.
+
+    Contract detail loaders must honor: an EMPTY shard writes no part
+    file (Spark emits nothing for an empty non-zero partition), so with
+    skewed or low-cardinality keys fewer than ``num_shards`` files can
+    appear.  The intended count is therefore recorded in a
+    ``_SHARDS.json`` manifest next to the data — enumerate shards from
+    the manifest, treat a missing ordinal as empty, never glob and
+    assume density."""
     out = df.repartition(num_shards, F.col(shard_key))
     if sort_by:
         out = out.sortWithinPartitions(*sort_by)
     out.write.mode("overwrite").format(format).save(path)
+    import json
+    import os
+
+    manifest = {"num_shards": num_shards, "shard_key": shard_key,
+                "sort_by": sort_by or [], "format": format}
+    with open(os.path.join(path, "_SHARDS.json"), "w") as f:
+        json.dump(manifest, f)

@@ -5,6 +5,11 @@ from pyspark.sql import SparkSession
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
+# The in-query recall probes are part of the correctness surface under
+# test; a stray SPARK_GRAFT_RECALL_PROBE=0 inherited from a bench shell
+# must not vacuously green the approximate-path assertions.
+os.environ["SPARK_GRAFT_RECALL_PROBE"] = "1"
+
 
 @pytest.fixture(scope="session")
 def spark():

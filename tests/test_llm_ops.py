@@ -759,6 +759,13 @@ def test_line_signals_hand_computed(spark):
     assert out[3] == (0.0, 1.0, 2.0)
     assert out[4] == (0.0, 0.0, 0.0)
 
+    # NULL text -> NULL lines array -> ALL THREE signals NULL (not a
+    # fabricated 0.0 that would read as "measured clean")
+    nrow = (spark.createDataFrame([(None,)], "text string")
+            .select(line_signals(doc_lines("text")).alias("s"))
+            .collect()[0].s)
+    assert nrow == (None, None, None)
+
 
 def test_token_lines_chunks_and_ragged_tail(spark):
     """token_lines groups consecutive tokens into fixed-width lines,

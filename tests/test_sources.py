@@ -272,3 +272,26 @@ def test_training_shards_stable_membership_and_order(spark, tmp_path):
         per_file.setdefault(r.f, []).append(r.doc_id)
     assert all(ids == sorted(ids) for ids in per_file.values())
     assert got  # non-empty read-back
+
+    # the manifest records the INTENDED shard count
+    import json
+    with open(tmp_path / "a" / "_SHARDS.json") as f:
+        manifest = json.load(f)
+    assert manifest["num_shards"] == 4 and manifest["shard_key"] == "doc_id"
+
+    # sparse keys: an empty shard writes NO part file — loaders must
+    # enumerate from the manifest, not glob-and-assume-density (with a
+    # single key value, exactly one shard file appears out of 8)
+    sparse_path = str(tmp_path / "sparse")
+    sparse = spark.range(50).select(F.lit(1).alias("doc_id"),
+                                    F.col("id").alias("payload"))
+    write_training_shards(sparse, sparse_path, shard_key="doc_id",
+                          num_shards=8)
+    sparse_files = [f for f in os.listdir(sparse_path)
+                    if f.startswith("part-")]
+    # the one data-bearing shard, plus Spark's empty part-00000 artifact
+    # (partition 0 always writes a file; other empty partitions don't)
+    assert 1 <= len(sparse_files) <= 2 < 8
+    with open(os.path.join(sparse_path, "_SHARDS.json")) as f:
+        assert json.load(f)["num_shards"] == 8
+    assert spark.read.parquet(sparse_path).count() == 50

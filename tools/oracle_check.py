@@ -11,8 +11,14 @@ Usage: python tools/oracle_check.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+# The recall probes ARE the correctness gate for the approximate
+# queries - a stray SPARK_GRAFT_RECALL_PROBE=0 inherited from a bench
+# shell must not vacuously green them (the oracle expects TRUE).
+os.environ["SPARK_GRAFT_RECALL_PROBE"] = "1"
 
 
 def main() -> int:
