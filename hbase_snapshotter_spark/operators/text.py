@@ -437,3 +437,50 @@ def dedup_lines(lines: Column) -> Column:
     if a Spark upgrade ever changed the order, the driver hash turns
     red rather than silently reordering training text."""
     return F.array_distinct(lines)
+
+
+#: Expected CDC chunk length in tokens (boundary probability 1/mod).
+CDC_BOUNDARY_MOD = 8
+
+
+def cdc_chunks(toks: Column, *, boundary_mod: int = CDC_BOUNDARY_MOD) -> Column:
+    """Content-defined chunking (the rsync/LBFS insight): a chunk
+    boundary falls AFTER every token whose md5 ≡ 0 (mod
+    ``boundary_mod``), so expected chunk length is ``boundary_mod``
+    tokens but boundaries move WITH the content — an insertion reshapes
+    only the chunk it touches, where any fixed-width view (lines,
+    k-token windows) shifts every downstream chunk and defeats
+    downstream exact-chunk dedup.
+
+    Pure column expression: one O(n) ``aggregate`` fold with a
+    (chunks, current) struct accumulator — no Python, no shuffle.
+    Returns array<string>; a trailing partial chunk is kept, empty
+    chunks are never emitted (an empty-text doc yields zero chunks).
+    md5-derived boundaries are engine-independent, so the oracle
+    replays the exact chunking with a window over boundary counts."""
+
+    def from_t(t: Column) -> Column:
+        def step(acc, tok):
+            new_cur = F.when(acc["cur"] == "", tok) \
+                .otherwise(F.concat_ws(" ", acc["cur"], tok))
+            is_b = (F.conv(F.substring(F.md5(tok), 1, 4), 16, 10)
+                    .cast("int") % boundary_mod) == 0
+            keep = new_cur != ""
+            return F.struct(
+                F.when(is_b & keep,
+                       F.array_append(acc["chunks"], new_cur))
+                .otherwise(acc["chunks"]).alias("chunks"),
+                F.when(is_b, F.lit("")).otherwise(new_cur).alias("cur"),
+            )
+
+        init = F.struct(
+            F.array().cast("array<string>").alias("chunks"),
+            F.lit("").alias("cur"))
+        return F.aggregate(
+            t, init, step,
+            lambda acc: F.when(
+                acc["cur"] != "",
+                F.array_append(acc["chunks"], acc["cur"]))
+            .otherwise(acc["chunks"]))
+
+    return bind_once(toks, from_t)

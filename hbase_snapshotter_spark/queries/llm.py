@@ -30,9 +30,11 @@ from hbase_snapshotter_spark.operators.similarity import (
     cosine_pairs_blocked,
 )
 from hbase_snapshotter_spark.operators.text import (
+    CDC_BOUNDARY_MOD,
     LANG_MARKERS,
     STOPWORDS,
     TOKEN_REGEX,
+    cdc_chunks,
     classifier_weights,
     contamination_hits,
     dedup_lines,
@@ -126,6 +128,15 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ))
     pstats = paragraph_dedup_stats(
         kept, token_lines(tokens(F.col("text")), LINE_TOKENS))
+    # the same keeper machinery over CONTENT-DEFINED chunks: boundaries
+    # move with the content (rsync/LBFS), so an insertion reshapes one
+    # chunk instead of shifting every downstream fixed-width line —
+    # the edit-robust dedup granularity; left join + coalesce keeps
+    # chunk-less (empty-text) docs total
+    cstats = (paragraph_dedup_stats(
+        kept, cdc_chunks(tokens(F.col("text"))))
+        .withColumnRenamed("n_paragraphs", "n_cdc_chunks")
+        .withColumnRenamed("n_dup_paragraphs", "n_dup_cdc_chunks"))
     # intra-doc repetition REMOVAL (the rewrite counterpart of the
     # frac_dup_lines signal): keep each line's first occurrence, in
     # order; zero shuffle, computed in the same pass as the output
@@ -139,10 +150,16 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("\n", F.col("__kept_lines")).alias("text_dedup_lines"),
         (F.size("__lines") - F.size("__kept_lines")).cast("int")
         .alias("n_removed_lines"))
-    return rewritten.join(pstats, "doc_id").select(
-        "doc_id", "text", "lang", "source", "n_chars",
-        "n_paragraphs", "n_dup_paragraphs",
-        "text_dedup_lines", "n_removed_lines")
+    return (rewritten.join(pstats, "doc_id")
+            .join(cstats, "doc_id", "left")
+            .withColumn("n_cdc_chunks",
+                        F.coalesce("n_cdc_chunks", F.lit(0)).cast("int"))
+            .withColumn("n_dup_cdc_chunks",
+                        F.coalesce("n_dup_cdc_chunks", F.lit(0)).cast("int"))
+            .select("doc_id", "text", "lang", "source", "n_chars",
+                    "n_paragraphs", "n_dup_paragraphs",
+                    "text_dedup_lines", "n_removed_lines",
+                    "n_cdc_chunks", "n_dup_cdc_chunks"))
 
 
 ORACLE_DEDUP_EXACT = f"""
@@ -177,12 +194,39 @@ rewritten AS (
            FILTER (WHERE rn_in_doc = 1) AS text_dedup_lines,
          CAST(SUM(CASE WHEN rn_in_doc > 1 THEN 1 ELSE 0 END) AS INTEGER)
            AS n_removed_lines
-  FROM intra GROUP BY doc_id)
+  FROM intra GROUP BY doc_id),
+ctk AS (
+  SELECT doc_id, i.i AS pos, t[i.i] AS tok
+  FROM toks, UNNEST(range(1, len(t) + 1)) AS i(i)),
+ccid AS (
+  SELECT doc_id, pos, tok,
+         COALESCE(SUM(CASE WHEN CAST('0x' || substr(md5(tok), 1, 4) AS INTEGER)
+                                % {CDC_BOUNDARY_MOD} = 0 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS cid
+  FROM ctk),
+cchunks AS (
+  SELECT doc_id, cid, string_agg(tok, ' ' ORDER BY pos) AS chunk
+  FROM ccid GROUP BY doc_id, cid
+  HAVING string_agg(tok, ' ' ORDER BY pos) <> ''),
+cranked AS (
+  SELECT doc_id, cid, chunk,
+         ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, cid) AS rn
+  FROM cchunks),
+cstats AS (
+  SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_cdc_chunks,
+         CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS INTEGER)
+           AS n_dup_cdc_chunks
+  FROM cranked GROUP BY doc_id)
 SELECT k.doc_id, k.text, k.lang, k.source, k.n_chars,
        p.n_paragraphs, p.n_dup_paragraphs,
-       r.text_dedup_lines, r.n_removed_lines
+       r.text_dedup_lines, r.n_removed_lines,
+       CAST(COALESCE(c.n_cdc_chunks, 0) AS INTEGER) AS n_cdc_chunks,
+       CAST(COALESCE(c.n_dup_cdc_chunks, 0) AS INTEGER) AS n_dup_cdc_chunks
 FROM kept k JOIN pstats p ON p.doc_id = k.doc_id
             JOIN rewritten r ON r.doc_id = k.doc_id
+            LEFT JOIN cstats c ON c.doc_id = k.doc_id
 """
 
 

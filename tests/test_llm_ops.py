@@ -367,6 +367,52 @@ def test_deterministic_sampling_is_stable(spark, sf_dir):
     assert all(full[k] == v for k, v in half.items())
 
 
+def test_cdc_chunks_edit_robustness(spark):
+    """The property content-defined chunking exists for: inserting a
+    token reshapes only the chunk containing the edit — chunks after
+    the next boundary are IDENTICAL — while the fixed-width token_lines
+    view shifts every downstream chunk.  Also: chunking matches a
+    pure-Python model, empty docs yield no chunks."""
+    import hashlib
+
+    from hbase_snapshotter_spark.operators.text import (
+        CDC_BOUNDARY_MOD,
+        cdc_chunks,
+        token_lines,
+        tokens,
+    )
+
+    def model(text: str) -> list:
+        chunks, cur = [], []
+        for t in text.split():
+            cur.append(t)
+            if int(hashlib.md5(t.encode()).hexdigest()[:4], 16) \
+                    % CDC_BOUNDARY_MOD == 0:
+                chunks.append(" ".join(cur))
+                cur = []
+        if cur:
+            chunks.append(" ".join(cur))
+        return chunks
+
+    base = " ".join(f"w{i}" for i in range(60))
+    edited = " ".join(["w0", "INSERTED"] + [f"w{i}" for i in range(1, 60)])
+    df = spark.createDataFrame(
+        [(1, base), (2, edited), (3, "")], "doc_id long, text string")
+    out = {r.doc_id: r.c for r in df.select(
+        "doc_id", cdc_chunks(tokens(F.col("text"))).alias("c")).collect()}
+    assert out[1] == model(base) and out[2] == model(edited)
+    assert out[3] == []
+
+    # edit robustness: the chunk sets share their entire tail
+    shared = set(out[1]) & set(out[2])
+    assert len(shared) >= len(out[1]) - 2  # only the edited chunk differs
+
+    # contrast: fixed-width lines shift — almost nothing survives
+    lines = {r.doc_id: r.l for r in df.select(
+        "doc_id", token_lines(tokens(F.col("text")), 3).alias("l")).collect()}
+    assert len(set(lines[1]) & set(lines[2])) <= 1
+
+
 def test_dedup_lines_keeps_first_occurrence_in_order(spark):
     """Intra-doc line dedup: first occurrence kept, original order
     preserved, later repeats dropped (including non-adjacent ones)."""
