@@ -422,11 +422,16 @@ def paragraph_dedup_stats(
     both the keeper aggregate and the mark join, so it is
     scope-persisted.  A document whose ``paras`` array is empty emits
     no rows (posexplode semantics) — line views like ``token_lines``
-    never produce an empty array, so every document appears."""
+    never produce an empty array, so every document appears.  NULL
+    elements in ``paras`` hash as a sentinel (md5(NULL) would be NULL,
+    and a NULL join key silently drops the instance from both counts),
+    so a caller-supplied array with NULL entries stays total."""
     ex = scoped_persist(df.select(
         F.col(id_col),
         F.posexplode(paras).alias("pos", "__para"),
-    ).select(id_col, "pos", F.md5("__para").alias("__ph")))
+    ).select(id_col, "pos",
+             F.md5(F.coalesce(F.col("__para"), F.lit("\x00NULL")))
+             .alias("__ph")))
     winners = ex.groupBy("__ph").agg(
         F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__w"))
     marked = ex.join(winners, "__ph").withColumn(

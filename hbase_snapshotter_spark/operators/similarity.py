@@ -709,10 +709,12 @@ def semdedup_verdicts(
     """SemDeDup (Abbas et al. 2023) verdicts over the EXACT near-dup
     pair set: ``(id_a, id_b, cosine, same_cell, b_sem_dropped)``.
 
-    The dedup rule is the deterministic non-greedy keep-min-id variant:
+    The dedup rule is the deterministic non-greedy drop-rule variant:
     a vector is dropped iff it has ANY same-IVF-cell lower-id partner
     at cosine ≥ ``threshold``; kept vectors are exactly those with no
-    such partner (per-cell minimum ids of the in-cell near-dup graph).
+    lower-id same-cell neighbor (a superset of the per-cell component
+    minima — a vector whose same-cell neighbors all have higher ids is
+    kept even when it is not its component's minimum).
     Non-greedy means verdicts derive from the pair set alone — no
     iterative kept-set dependency, embarrassingly parallel.  Pairs
     whose sides land in different cells surface as ``same_cell =

@@ -455,7 +455,10 @@ def cdc_chunks(toks: Column, *, boundary_mod: int = CDC_BOUNDARY_MOD) -> Column:
     Pure column expression: one O(n) ``aggregate`` fold with a
     (chunks, current) struct accumulator — no Python, no shuffle.
     Returns array<string>; a trailing partial chunk is kept, empty
-    chunks are never emitted (an empty-text doc yields zero chunks).
+    chunks are never emitted.  Empty-string text is NOT token-less
+    (``tokens('')`` = [``''``]) — its single '' token folds into an
+    empty chunk which is then suppressed, so it still yields zero
+    chunks; NULL text propagates NULL.
     md5-derived boundaries are engine-independent, so the oracle
     replays the exact chunking with a window over boundary counts."""
 

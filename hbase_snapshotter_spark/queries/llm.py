@@ -650,8 +650,9 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides share an IVF cell, and whether its higher id would be dropped
     by cluster-scoped semantic dedup.  The dedup rule is the
     deterministic non-greedy variant — drop every vector that has ANY
-    same-cell lower-id partner at ≥ threshold, keeping per-cell minimum
-    ids — so the verdict is derivable from the pair set itself, with no
+    same-cell lower-id partner at ≥ threshold, keeping every vector
+    with no lower-id same-cell neighbor — so the verdict is derivable
+    from the pair set itself, with no
     iterative kept-set dependency (embarrassingly parallel at 100 TB;
     pairs crossing cell boundaries surface as same_cell = false, which
     is exactly SemDeDup's documented recall trade-off, measurable here).
@@ -1151,8 +1152,10 @@ def sample_split_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # folded into the aggregate as a per-group 4-dp sum so the oracle
     # replays every per-doc score
     scores = dsir_logratio(docs, F.col("source").isin(*MIX_RATES))
-    # left + coalesce(0): a token-less (empty/NULL text) document has
-    # no score row and must not silently vanish from the aggregate
+    # left + coalesce(0): a NULL-text document has no score row and
+    # must not silently vanish from the aggregate.  (Empty-STRING text
+    # is not token-less: tokens('') = split(trim('')) = [''] — the ''
+    # token is scored and enters the vocabulary, same on both engines.)
     labeled = labeled.join(scores, "doc_id", "left").withColumn(
         "dsir_logratio", F.coalesce("dsir_logratio", F.lit(0.0)))
     packed = pack_sequences(

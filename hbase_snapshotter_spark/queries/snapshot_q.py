@@ -103,7 +103,12 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental equality is folded into the driver hash as a one-row
     ``incremental_consistent`` flag (the recall-flag pattern — no
     driver collect).  The oracle expects TRUE: if the associative-merge
-    path ever diverges from the full rescan, this row turns red."""
+    path ever diverges from the full rescan, this row turns red.
+
+    A NULL-keyed SENTINEL row carrying the flag is unioned
+    unconditionally, so the consistency check survives an EMPTY diff —
+    without it, a divergence would be unobservable exactly when the
+    diff set is empty (zero rows on both sides compare vacuously)."""
     from pyspark.sql import functions as F
 
     from hbase_snapshotter_spark.cache import scoped_persist
@@ -122,7 +127,12 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     full = t2_cells.select(*grain)
     sym = t2_inc.exceptAll(full).unionByName(full.exceptAll(t2_inc))
     flag = sym.agg((F.count(F.lit(1)) == 0).alias("incremental_consistent"))
-    return diff.crossJoin(F.broadcast(flag))
+    sentinel = flag.select(
+        F.lit(None).cast("string").alias("row_key"),
+        F.lit(None).cast("string").alias("qualifier"),
+        F.lit(None).cast("string").alias("value"),
+        "incremental_consistent")
+    return diff.crossJoin(F.broadcast(flag)).unionByName(sentinel)
 
 
 def oracle_snapshot_diff() -> str:
@@ -141,7 +151,10 @@ def oracle_snapshot_diff() -> str:
 SELECT *, TRUE AS incremental_consistent FROM (
   ({latest('epoch_ms(ts) <= 9223372036854775807')})
   EXCEPT ALL
-  ({latest(f'epoch_ms(ts) <= {SNAPSHOT_TS_MS}')}))"""
+  ({latest(f'epoch_ms(ts) <= {SNAPSHOT_TS_MS}')}))
+UNION ALL
+SELECT CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       TRUE AS incremental_consistent"""
 
 
 TS_LIST = (1_704_672_000_000, 1_705_276_800_000, 1_705_881_600_000)  # Jan 8/15/22

@@ -58,16 +58,71 @@ def write_training_shards(
     skewed or low-cardinality keys fewer than ``num_shards`` files can
     appear.  The intended count is therefore recorded in a
     ``_SHARDS.json`` manifest next to the data — enumerate shards from
-    the manifest, treat a missing ordinal as empty, never glob and
-    assume density."""
+    the manifest (:func:`read_training_shards`), treat a missing ordinal
+    as empty, never glob and assume density.
+
+    The manifest goes through the Hadoop FileSystem API, so it lands
+    next to the data on ANY supported scheme (hdfs://, s3a://, file:)
+    — a driver-local ``open()`` would break on every non-local path.
+    It is written after the data and the two are not atomic together: a
+    crash in between leaves data without a manifest, which loaders must
+    treat as an incomplete write (same contract as a missing _SUCCESS)."""
     out = df.repartition(num_shards, F.col(shard_key))
     if sort_by:
         out = out.sortWithinPartitions(*sort_by)
     out.write.mode("overwrite").format(format).save(path)
     import json
-    import os
 
     manifest = {"num_shards": num_shards, "shard_key": shard_key,
                 "sort_by": sort_by or [], "format": format}
-    with open(os.path.join(path, "_SHARDS.json"), "w") as f:
-        json.dump(manifest, f)
+    _write_text_via_hadoop_fs(
+        df.sparkSession, f"{path}/{SHARDS_MANIFEST}", json.dumps(manifest))
+
+
+SHARDS_MANIFEST = "_SHARDS.json"
+
+
+def _write_text_via_hadoop_fs(spark, path: str, text: str) -> None:
+    """Small-file write through the JVM Hadoop FileSystem (scheme-aware:
+    file:, hdfs://, s3a://, …) — the sanctioned way to place sidecar
+    metadata next to Spark output."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    stream = fs.create(p, True)
+    try:
+        stream.write(bytearray(text.encode("utf-8")))
+    finally:
+        stream.close()
+
+
+def _read_text_via_hadoop_fs(spark, path: str) -> str:
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    stream = fs.open(p)
+    try:
+        # py4j passes byte[] by value, so read-into-buffer can't mutate a
+        # Python bytearray — drain the stream JVM-side instead
+        raw = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        return bytes(raw).decode("utf-8")
+    finally:
+        stream.close()
+
+
+def read_training_shards(spark, path: str, *, format: str | None = None):
+    """Loader-side twin of :func:`write_training_shards`: reads the
+    ``_SHARDS.json`` manifest (REQUIRED — its absence means the write
+    never completed) and returns ``(manifest, DataFrame)``.  The
+    manifest is the source of truth for the intended shard count; a
+    missing part-file ordinal is an empty shard, not an error, so
+    loaders size their read plan from ``manifest['num_shards']`` and
+    tolerate sparse files."""
+    import json
+
+    manifest = json.loads(
+        _read_text_via_hadoop_fs(spark, f"{path}/{SHARDS_MANIFEST}"))
+    fmt = format or manifest.get("format", "parquet")
+    return manifest, spark.read.format(fmt).load(path)

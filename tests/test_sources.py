@@ -295,3 +295,51 @@ def test_training_shards_stable_membership_and_order(spark, tmp_path):
     with open(os.path.join(sparse_path, "_SHARDS.json")) as f:
         assert json.load(f)["num_shards"] == 8
     assert spark.read.parquet(sparse_path).count() == 50
+
+
+def test_training_shards_read_back_round_trip(spark, tmp_path):
+    """read_training_shards: the loader enumerates from the manifest and
+    sees a STABLE shard↔row mapping across two writes with different
+    input partitioning, including a skewed key that leaves ordinals
+    empty (missing part files are empty shards, not errors)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hbase_snapshotter_spark.sources.warehouse import (
+        read_training_shards,
+        write_training_shards,
+    )
+
+    # skewed: 3 distinct key values over 8 shards -> most ordinals empty
+    df = spark.range(120).select(
+        (F.col("id") % 3 * 1000).alias("doc_id"),
+        F.col("id").alias("payload"))
+
+    def run(path, src):
+        write_training_shards(src, path, shard_key="doc_id", num_shards=8,
+                              sort_by=["payload"])
+        manifest, back = read_training_shards(spark, path)
+        assert manifest["num_shards"] == 8
+        assert manifest["shard_key"] == "doc_id"
+        assert manifest["sort_by"] == ["payload"]
+        rows = back.select(
+            "doc_id", "payload", F.input_file_name().alias("f")).collect()
+        assert len(rows) == 120
+        return {(r.doc_id, r.payload): r.f.rsplit("/", 1)[-1][:10]
+                for r in rows}
+
+    a = run(str(tmp_path / "a"), df)
+    b = run(str(tmp_path / "b"), df.repartition(17))
+    assert a == b  # shard ordinal is content-determined, not layout-determined
+
+    # fewer part files than shards (skew), loader still reads everything
+    files = [f for f in os.listdir(tmp_path / "a") if f.startswith("part-")]
+    assert len(files) < 8
+
+    # a missing manifest means the write never completed -> loader raises
+    import pytest
+
+    os.remove(tmp_path / "a" / "_SHARDS.json")
+    with pytest.raises(Exception):
+        read_training_shards(spark, str(tmp_path / "a"))
