@@ -180,9 +180,13 @@ def advance_latest_cells(
     table's bucketing (plain ``bucketBy`` does NOT survive the union
     aggregate: Spark re-partitions the unioned stream, verified in the
     physical plan) — which production gets from Delta/Iceberg with the
-    same merge logic.  The registered
-    ``snapshot_diff`` query folds the equality above into its driver
-    hash (``incremental_consistent``)."""
+    same merge logic.  Short of a table format,
+    :mod:`~.snapshot_state` prunes the state-side INPUT instead: a
+    hash-bucket-partitioned state table advanced only in the
+    delta-touched partitions (dynamic partition overwrite), state read
+    ∝ touched buckets — measured proportional in SCALE.md.  The
+    registered ``snapshot_diff`` query folds the equality above into
+    its driver hash (``incremental_consistent``)."""
     cols = [*key_cols, value_col, ts_col]
     delta = as_of(delta_log, ts, ts_col=ts_col).select(*cols)
     return latest_cells(

@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Measure state-side input pruning for partition-pruned incremental
+snapshot maintenance (operators.snapshot_state) — the N25 SCALE.md row.
+
+Methodology mirrors the existing N25 measurement (synthetic change log,
+1x/10x/100x): materialize the bucketed state table, advance it by a
+delta touching a small fraction of the key space, and report
+
+- state rows/bytes READ by the pruned advance (touched partitions only)
+  vs the full state (what the unpruned merge shuffles),
+- touched buckets vs total buckets,
+- wall-clock of pruned vs full advance (expected ~tied at local[32]
+  fixture sizes — the INPUT ratio is the 100 TB claim, as for the
+  original N25 row).
+
+Hash bucketing prunes ∝ the delta's DISTINCT-KEY count (each distinct
+key lands in one bucket, uniformly), not its row count — so the
+interesting regimes are delta_keys << n_buckets (hot-working-set
+replication) and n_buckets >> delta_keys (the 100 TB layout, where
+O(10^4-10^5) buckets dwarf any realistic per-advance key set).
+
+Usage: python tools/pruned_state_io.py [n_rows] [n_keys] [delta_keys] [n_buckets]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+
+def du(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    return total
+
+
+def main() -> int:
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    n_keys = int(sys.argv[2]) if len(sys.argv) > 2 else 25_000
+    delta_keys = int(sys.argv[3]) if len(sys.argv) > 3 else 250  # 1% of keys
+    n_buckets = int(sys.argv[4]) if len(sys.argv) > 4 else 64
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from hbase_snapshotter_spark.operators.snapshot import (
+        advance_latest_cells,
+        latest_cells,
+    )
+    from hbase_snapshotter_spark.operators.snapshot_state import (
+        STATE_BUCKET_COL,
+        advance_state_pruned,
+        init_state,
+        state_bucket,
+    )
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("pruned-state-io")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    path = "/tmp/pruned_state_io/state"
+    import shutil
+
+    shutil.rmtree("/tmp/pruned_state_io", ignore_errors=True)
+
+    log = (
+        spark.range(n_rows)
+        .select(
+            (F.col("id") % n_keys).cast("string").alias("row_key"),
+            F.lit("d").alias("family"),
+            F.concat(F.lit("q"), (F.col("id") % 3).cast("string")).alias("qualifier"),
+            F.concat(F.lit("v"), F.col("id").cast("string")).alias("value"),
+            (1_700_000_000_000 + F.col("id") * 7).alias("cell_ts"),
+        )
+        .repartition(32)
+    )
+    log.write.mode("overwrite").parquet("/tmp/pruned_state_io/log")
+    log = spark.read.parquet("/tmp/pruned_state_io/log")
+
+    t0 = time.time()
+    init_state(log, path, None, n_buckets=n_buckets)
+    init_s = time.time() - t0
+
+    # delta: new versions for a contiguous slice of keys (≈ the hot
+    # working set of a replication stream), 1 cell per (key, qualifier)
+    delta = (
+        spark.range(delta_keys * 3)
+        .select(
+            (F.col("id") % delta_keys).cast("string").alias("row_key"),
+            F.lit("d").alias("family"),
+            F.concat(F.lit("q"), (F.col("id") % 3).cast("string")).alias("qualifier"),
+            F.lit("fresh").alias("value"),
+            F.lit(1_800_000_000_000 + 1).alias("cell_ts"),
+        )
+    )
+    delta.write.mode("overwrite").parquet("/tmp/pruned_state_io/delta")
+    delta = spark.read.parquet("/tmp/pruned_state_io/delta")
+
+    state_rows = spark.read.parquet(path).count()
+    state_bytes = du(path)
+
+    # ---- pruned advance
+    t0 = time.time()
+    touched = advance_state_pruned(spark, path, delta, n_buckets=n_buckets)
+    pruned_s = time.time() - t0
+    touched_rows = (
+        spark.read.parquet(path)
+        .filter(F.col(STATE_BUCKET_COL).isin(touched)).count())
+    touched_bytes = sum(
+        du(os.path.join(path, f"{STATE_BUCKET_COL}={b}")) for b in touched)
+
+    # ---- full (unpruned) advance over the same inputs, for wall-clock
+    full_state = spark.read.parquet(path).drop(STATE_BUCKET_COL)
+    t0 = time.time()
+    advance_latest_cells(full_state, delta).write.mode("overwrite") \
+        .format("noop").save()
+    full_s = time.time() - t0
+
+    # ---- full rescan (the reference's mode), for the historical ratio
+    t0 = time.time()
+    latest_cells(log.unionByName(delta), None).write.mode("overwrite") \
+        .format("noop").save()
+    rescan_s = time.time() - t0
+
+    import json
+
+    delta_rows = delta.count()
+    print(json.dumps({
+        "log_rows": n_rows, "n_keys": n_keys, "delta_rows": delta_rows,
+        "n_buckets": n_buckets, "touched_buckets": len(touched),
+        "state_rows": state_rows, "state_bytes": state_bytes,
+        "touched_state_rows": touched_rows, "touched_state_bytes": touched_bytes,
+        "state_input_ratio": round(state_rows / max(touched_rows, 1), 2),
+        "bucket_fraction": round(len(touched) / n_buckets, 4),
+        "init_s": round(init_s, 2),
+        "pruned_advance_s": round(pruned_s, 2),
+        "full_advance_s": round(full_s, 2),
+        "full_rescan_s": round(rescan_s, 2),
+    }, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
