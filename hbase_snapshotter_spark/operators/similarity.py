@@ -125,6 +125,7 @@ def ann_lsh_topk(
     k: int = 5,
     projections: list[list[float]] | None = None,
     tables: int | None = None,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via MULTI-TABLE SRP-LSH: the signature splits
     into ``tables`` band keys; a corpus vector is a candidate for a
@@ -142,10 +143,21 @@ def ann_lsh_topk(
     any other vector produce no rows — the recall trade-off, measured
     against :func:`brute_force_topk` (pytest pins score identity; the
     registered query pins a recall floor the driver hash-checks).
-    Same output shape as :func:`brute_force_topk`."""
-    if projections is None:
+    Same output shape as :func:`brute_force_topk`.  Pass ``n_vectors``
+    to auto-scale the geometry via :func:`lsh_geometry` (fixture sizes
+    resolve to the measured constants; larger corpora grow bits at
+    fixed occupancy and tables to hold recall)."""
+    if projections is None and tables is None:
+        auto_tables, auto_bits = lsh_geometry(
+            n_vectors or 0, ref_tables=ANN_TABLES, ref_bits=ANN_BITS_PER_TABLE)
+        tables = auto_tables
+        projections = (
+            ANN_PROJECTIONS
+            if (auto_tables, auto_bits) == (ANN_TABLES, ANN_BITS_PER_TABLE)
+            else random_projections(n=auto_tables * auto_bits))
+    elif projections is None:
         projections = ANN_PROJECTIONS
-    if tables is None:
+    elif tables is None:
         tables = ANN_TABLES
     if len(projections) % tables:
         raise ValueError(
@@ -205,6 +217,66 @@ ANN_PROJECTIONS = random_projections(n=ANN_TABLES * ANN_BITS_PER_TABLE)
 NEARDUP_TABLES, NEARDUP_BITS_PER_TABLE = 8, 3
 NEARDUP_PROJECTIONS = random_projections(n=NEARDUP_TABLES * NEARDUP_BITS_PER_TABLE)
 
+#: Reference corpus size for :func:`lsh_geometry` — the largest driver
+#: fixture (sf0.1, 5 000 vectors).  At or below it the measured-recall
+#: constants above apply verbatim (every fixture size resolves to
+#: today's geometry, so driver hashes are unaffected); beyond it bits
+#: grow with log₂(n) to hold bucket occupancy.
+LSH_REF_N = 5_000
+
+#: Assumed per-plane collision probability of a THRESHOLD pair, used to
+#: grow the table count alongside the bits: for SRP, a pair at angle θ
+#: agrees on one plane's sign with probability 1-θ/π; the near-dup
+#: threshold cos θ* = 0.45 gives θ* ≈ 63.3° → p₁ ≈ 0.648.  The
+#: fixture's true near pairs sit right at the threshold (near-isotropic
+#: corpus), so this is the conservative end; clustered production
+#: corpora have p₁ closer to 1 and need fewer tables.
+LSH_P1 = 0.648
+
+
+def lsh_geometry(
+    n_vectors: int,
+    *,
+    ref_tables: int = NEARDUP_TABLES,
+    ref_bits: int = NEARDUP_BITS_PER_TABLE,
+    ref_n: int = LSH_REF_N,
+    p1: float = LSH_P1,
+    max_bits: int = 16,
+) -> tuple[int, int]:
+    """Corpus-size-aware SRP geometry ``(tables, bits_per_table)``.
+
+    FIXED geometry is not scale-correct: per-table bucket occupancy is
+    n/2^bits, so every 10× corpus growth grows the expected bucket —
+    and with it the Σ bucket²·L candidate term and the per-task matmul
+    slab — 10×.  This function holds occupancy ~constant instead:
+
+    - ``bits = ref_bits + floor(log₂(n / ref_n))`` for n > ref_n (each
+      extra bit halves the expected bucket), clamped to ``max_bits``;
+    - ``tables = ceil(ref_tables · (1/p1)^extra_bits)`` — each extra
+      bit multiplies a threshold pair's per-table collision odds by
+      p₁, so the OR-construction needs 1/p₁ more tables per bit to
+      hold pair recall 1-(1-p₁^bits)^tables at its reference level.
+
+    The table growth is the LSH-theoretic price of recall (total work
+    n·L = n^(1+ρ)); what this buys at scale is the OTHER term: bucket
+    width — the per-task memory slab and the quadratic in-bucket flop
+    term — stays constant per core instead of growing with the corpus
+    (measured in ``tools/scale_curve.py --lsh-geometry``).
+
+    ``n_vectors ≤ ref_n`` returns exactly ``(ref_tables, ref_bits)`` —
+    all driver fixtures resolve to the measured-recall constants, so
+    registered-query hashes are unchanged by auto mode.
+    """
+    import math
+
+    if n_vectors <= ref_n:
+        return ref_tables, ref_bits
+    extra = min(max_bits - ref_bits,
+                int(math.floor(math.log2(n_vectors / ref_n))))
+    bits = ref_bits + extra
+    tables = math.ceil(ref_tables * (1.0 / p1) ** extra)
+    return tables, bits
+
 
 def cosine_pairs_bucketed(
     emb: DataFrame,
@@ -212,9 +284,10 @@ def cosine_pairs_bucketed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.45,
-    projections: list[list[float]] = NEARDUP_PROJECTIONS,
-    tables: int = NEARDUP_TABLES,
+    projections: list[list[float]] | None = None,
+    tables: int | None = None,
     chunk_rows: int = 2048,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup, the 100 TB path: multi-table SRP-LSH — the
     signature splits into ``tables`` keys; pairs colliding in ANY table
@@ -235,9 +308,21 @@ def cosine_pairs_bucketed(
     tables is a min-aggregate on the (already rare) passing pairs.
     ``chunk_rows`` bounds each matmul slab (chunk × bucket), so task
     memory is O(bucket·d + chunk·bucket); bucket width is the (m, L)
-    geometry knob — at 1000-executor corpus sizes grow m with log₂(n)
-    to hold bucket occupancy (and with it the per-task slab and the
-    Σ bucket²·L flop term) constant per core."""
+    geometry knob — pass ``n_vectors`` (approximate corpus size, e.g.
+    from table stats) to let :func:`lsh_geometry` grow m with log₂(n)
+    at fixed occupancy, holding the per-task slab and the Σ bucket²·L
+    flop term constant per core.  Default (no ``n_vectors``) keeps the
+    measured-recall fixture constants; explicit ``projections``/
+    ``tables`` override both."""
+    if projections is None and tables is None:
+        auto_tables, auto_bits = lsh_geometry(n_vectors or 0)
+        tables = auto_tables
+        projections = (
+            NEARDUP_PROJECTIONS
+            if (auto_tables, auto_bits) == (NEARDUP_TABLES, NEARDUP_BITS_PER_TABLE)
+            else random_projections(n=auto_tables * auto_bits))
+    elif projections is None or tables is None:
+        raise ValueError("pass both projections and tables, or neither")
     if len(projections) % tables:
         raise ValueError(
             f"len(projections)={len(projections)} not divisible by "

@@ -878,3 +878,72 @@ def test_contamination_hits_hand_computed(spark):
     plan = contamination_hits(train, eval_df, n=3) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_lsh_geometry_scaling():
+    """lsh_geometry: every fixture size resolves to the measured-recall
+    constants (hashes unaffected); beyond ref_n bits grow with log2(n)
+    holding occupancy in one octave, tables grow to hold pair recall."""
+    from hbase_snapshotter_spark.operators.similarity import (
+        ANN_BITS_PER_TABLE,
+        ANN_TABLES,
+        LSH_P1,
+        LSH_REF_N,
+        NEARDUP_BITS_PER_TABLE,
+        NEARDUP_TABLES,
+        lsh_geometry,
+    )
+
+    # fixture sizes (sf0.001 / 0.01 / 0.1 embeddings) -> today's constants
+    for n in (50, 500, 2000, 5000):
+        assert lsh_geometry(n) == (NEARDUP_TABLES, NEARDUP_BITS_PER_TABLE)
+        assert lsh_geometry(
+            n, ref_tables=ANN_TABLES, ref_bits=ANN_BITS_PER_TABLE
+        ) == (ANN_TABLES, ANN_BITS_PER_TABLE)
+
+    # beyond ref_n: occupancy n/2^bits bounded in [base, 2*base)
+    base = LSH_REF_N / 2 ** NEARDUP_BITS_PER_TABLE
+    prev_bits = NEARDUP_BITS_PER_TABLE
+    for n in (10_000, 20_000, 100_000, 1_000_000, 10_000_000):
+        tables, bits = lsh_geometry(n)
+        assert bits >= prev_bits
+        prev_bits = bits
+        assert base <= n / 2 ** bits < 2 * base
+
+        # analytic pair recall at threshold p1: table growth holds
+        # L·p1^bits invariant, so recall can only drift from the
+        # reference 1-(1-p)^L down toward the Poisson limit 1-e^{-Lp}
+        # (the (1-p)^L -> e^{-Lp} monotone limit as p shrinks) — never
+        # below it
+        import math
+
+        lp = NEARDUP_TABLES * LSH_P1 ** NEARDUP_BITS_PER_TABLE
+        poisson_floor = 1 - math.exp(-lp)
+        got_recall = 1 - (1 - LSH_P1 ** bits) ** tables
+        assert got_recall >= poisson_floor - 1e-9
+
+    # bits clamp: absurd n never exceeds max_bits
+    tables, bits = lsh_geometry(2 ** 40, max_bits=16)
+    assert bits == 16
+
+
+def test_cosine_pairs_bucketed_auto_geometry_subset(spark, sf_dir):
+    """Auto geometry (n_vectors beyond ref_n) still emits a SOUND subset
+    of the exact pairs with identical scores."""
+    from hbase_snapshotter_spark.operators.similarity import (
+        cosine_pairs,
+        cosine_pairs_bucketed,
+        lsh_geometry,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {(r.id_a, r.id_b): r.cosine
+             for r in cosine_pairs(emb, threshold=0.4).collect()}
+    # force the auto path to a non-default geometry
+    assert lsh_geometry(40_000) != lsh_geometry(500)
+    lsh = {(r.id_a, r.id_b): r.cosine
+           for r in cosine_pairs_bucketed(
+               emb, threshold=0.4, n_vectors=40_000).collect()}
+    assert set(lsh) <= set(exact)
+    for pair, cos in lsh.items():
+        assert cos == exact[pair]

@@ -265,8 +265,84 @@ def operators():
     }
 
 
+def lsh_geometry_report(spark, sizes) -> dict:
+    """Fixed vs auto (lsh_geometry) SRP near-dup geometry at each size:
+    occupancy (expected n/2^bits + measured mean/max bucket), pair
+    recall of auto vs the exact block-matrix pairs, and wall-clock.
+    The claim under test: fixed geometry grows the bucket (and with it
+    the per-task slab and the Σ bucket²·L flop term) 10× per step;
+    auto geometry holds it ~constant."""
+    from pyspark.sql import functions as F
+
+    from hbase_snapshotter_spark.cache import release_caches
+    from hbase_snapshotter_spark.operators.similarity import (
+        NEARDUP_BITS_PER_TABLE,
+        NEARDUP_PROJECTIONS,
+        NEARDUP_TABLES,
+        cosine_pairs_blocked,
+        cosine_pairs_bucketed,
+        lsh_geometry,
+        random_projections,
+        srp_bucket,
+    )
+
+    def bucket_stats(emb, projections, tables):
+        bits = len(projections) // tables
+        sig = emb.select(srp_bucket(F.col("embedding"), projections).alias("s"))
+        banded = sig.select(F.posexplode(F.array(*[
+            F.substring("s", t * bits + 1, bits) for t in range(tables)
+        ])).alias("tbl", "key"))
+        row = (banded.groupBy("tbl", "key").count()
+               .agg(F.avg("count").alias("mean"), F.max("count").alias("max"))
+               .collect()[0])
+        return round(row["mean"], 1), row["max"]
+
+    report = {}
+    for label, d, _mult in sizes:
+        emb = spark.read.parquet(f"{d}/embeddings.parquet")
+        n = emb.count()
+        auto_tables, auto_bits = lsh_geometry(n)
+        auto_proj = (NEARDUP_PROJECTIONS
+                     if (auto_tables, auto_bits) == (NEARDUP_TABLES,
+                                                     NEARDUP_BITS_PER_TABLE)
+                     else random_projections(n=auto_tables * auto_bits))
+        entry = {"n": n,
+                 "fixed": {"tables": NEARDUP_TABLES,
+                           "bits": NEARDUP_BITS_PER_TABLE,
+                           "expected_occupancy": round(
+                               n / 2 ** NEARDUP_BITS_PER_TABLE, 1)},
+                 "auto": {"tables": auto_tables, "bits": auto_bits,
+                          "expected_occupancy": round(n / 2 ** auto_bits, 1)}}
+        entry["fixed"]["mean_bucket"], entry["fixed"]["max_bucket"] = \
+            bucket_stats(emb, NEARDUP_PROJECTIONS, NEARDUP_TABLES)
+        entry["auto"]["mean_bucket"], entry["auto"]["max_bucket"] = \
+            bucket_stats(emb, auto_proj, auto_tables)
+
+        for mode, kwargs in (("fixed", {}), ("auto", {"n_vectors": n})):
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                pairs = cosine_pairs_bucketed(emb, threshold=0.45, **kwargs)
+                n_pairs = pairs.count()
+                best = min(best, time.time() - t0)
+                release_caches()
+            entry[mode]["sec"] = round(best, 2)
+            entry[mode]["pairs"] = n_pairs
+        exact = cosine_pairs_blocked(emb, threshold=0.45).count()
+        release_caches()
+        entry["exact_pairs"] = exact
+        for mode in ("fixed", "auto"):
+            entry[mode]["recall"] = (
+                round(entry[mode]["pairs"] / exact, 3) if exact else None)
+        report[label] = entry
+        print(f"  {label:>4} n={n} fixed={entry['fixed']} auto={entry['auto']}",
+              file=sys.stderr, flush=True)
+    return report
+
+
 def main() -> int:
     skip_100x = "--skip-100x" in sys.argv
+    lsh_only = "--lsh-geometry" in sys.argv
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from pyspark.sql import SparkSession
 
@@ -291,6 +367,10 @@ def main() -> int:
         print("building synthetic 100x fixture ...", file=sys.stderr, flush=True)
         build_10x(spark, "/root/testdata/sf0.1", out)
         sizes.append(("100x", out, 100.0))
+
+    if lsh_only:
+        print(json.dumps(lsh_geometry_report(spark, sizes), indent=2))
+        return 0
 
     ops = operators()
     # global warmup at the smallest size: Janino codegen + Arrow worker
