@@ -1278,3 +1278,125 @@ FROM c
 PAIRS.update({
     "text_scrub": (text_scrub, ORACLE_SCRUB),
 })
+
+
+# ------------- N15/N23/N27 over REAL newlines: multi-line corpus view
+#: Tokens per injected line for the multi-line view (wider than
+#: LINE_TOKENS so the two registered line views exercise different
+#: geometries).
+ML_LINE_TOKENS = 5
+
+
+def _text_multiline():
+    """Deterministic newline-injected view of the fixture text (the
+    fixture carries no newlines): every ML_LINE_TOKENS tokens become a
+    physical line, and three doc_id-keyed edge cases are grafted on —
+    a LEADING newline (empty first line, doc_id ≡ 0 mod 5), a trailing
+    BLANK line (``\\n\\n`` suffix → two empty tail lines, ≡ 0 mod 3),
+    and a bare trailing newline (one empty tail line, ≡ 0 mod 7) — so
+    ``split(text, '\\n')`` semantics are pinned on exactly the edges
+    real corpora have."""
+    body = F.concat_ws("\n", token_lines(tokens(F.col("text")), ML_LINE_TOKENS))
+    return F.concat(
+        F.when(F.col("doc_id") % 5 == 0, F.lit("\n")).otherwise(F.lit("")),
+        body,
+        F.when(F.col("doc_id") % 3 == 0, F.lit("\n\n")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("\n")).otherwise(F.lit("")),
+    )
+
+
+def line_paragraph_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The line/paragraph operator suite on REAL multi-line text:
+    ``doc_lines`` (split on ``\\n``, blank lines kept) feeds the Gopher
+    line signals, the order-preserving line-dedup rewrite (digest + a
+    removed count), and cross-document paragraph dedup — previously
+    these ran registered only on the ``token_lines`` proxy view.  Blank
+    lines are REAL content here: the leading/trailing empty lines
+    duplicate across documents, so the paragraph keeper and the
+    dup-line signal both exercise the empty-string path end-to-end.
+
+    Plan shape: one narrow projection builds the line array (persisted
+    — it feeds the per-doc signals AND the cross-doc paragraph
+    shuffle); paragraph instances shuffle as 16-byte md5 hashes, never
+    line text (operators.dedup.paragraph_dedup_stats)."""
+    from hbase_snapshotter_spark.cache import scoped_persist
+    from hbase_snapshotter_spark.operators.dedup import paragraph_dedup_stats
+    from hbase_snapshotter_spark.operators.text import doc_lines
+
+    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    staged = scoped_persist(
+        docs.select("doc_id", _text_multiline().alias("__text_ml"))
+        .select("doc_id", doc_lines(F.col("__text_ml")).alias("__lines"))
+        .select("doc_id", "__lines",
+                dedup_lines(F.col("__lines")).alias("__kept")))
+    per_doc = staged.select(
+        "doc_id",
+        F.size("__lines").cast("int").alias("n_lines"),
+        F.size(F.filter(F.col("__lines"), lambda x: x == F.lit("")))
+        .cast("int").alias("n_blank_lines"),
+        line_signals(F.col("__lines")).alias("__lsig"),
+        F.md5(F.concat_ws("\n", F.col("__kept"))).alias("dedup_digest"),
+        (F.size("__lines") - F.size("__kept")).cast("int")
+        .alias("n_removed_lines"),
+    ).select(
+        "doc_id", "n_lines", "n_blank_lines",
+        F.col("__lsig.frac_dup_lines").alias("frac_dup_lines"),
+        F.col("__lsig.frac_ellipsis_lines").alias("frac_ellipsis_lines"),
+        F.col("__lsig.mean_line_len").alias("mean_line_len"),
+        "dedup_digest", "n_removed_lines")
+    pstats = paragraph_dedup_stats(staged, F.col("__lines"))
+    return per_doc.join(pstats, "doc_id")
+
+
+ORACLE_LINE_PARAGRAPH_ML = f"""
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+ml AS (SELECT doc_id,
+  CASE WHEN doc_id % 5 = 0 THEN chr(10) ELSE '' END ||
+  array_to_string([array_to_string(list_slice(t, (i-1)*{ML_LINE_TOKENS}+1,
+                                   (i-1)*{ML_LINE_TOKENS}+{ML_LINE_TOKENS}), ' ')
+                   for i in range(1, CAST(ceil(len(t) / {ML_LINE_TOKENS}.0) AS INT) + 1)],
+                  chr(10)) ||
+  CASE WHEN doc_id % 3 = 0 THEN chr(10) || chr(10) ELSE '' END ||
+  CASE WHEN doc_id % 7 = 0 THEN chr(10) ELSE '' END AS text_ml
+  FROM toks),
+lines AS (SELECT doc_id, string_split(text_ml, chr(10)) AS l FROM ml),
+pos AS (SELECT doc_id, i.i - 1 AS pos, l[i.i] AS line
+        FROM lines, UNNEST(range(1, len(l) + 1)) AS i(i)),
+intra AS (SELECT doc_id, pos, line,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id, line ORDER BY pos)
+                   AS rn_in_doc
+          FROM pos),
+rew AS (SELECT doc_id,
+          md5(COALESCE(string_agg(line, chr(10) ORDER BY pos)
+                       FILTER (WHERE rn_in_doc = 1), '')) AS dedup_digest,
+          CAST(SUM(CASE WHEN rn_in_doc > 1 THEN 1 ELSE 0 END) AS INTEGER)
+            AS n_removed_lines
+        FROM intra GROUP BY doc_id),
+ranked AS (SELECT doc_id, pos, line,
+                  ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+           FROM pos),
+pstats AS (SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_paragraphs,
+                  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS INTEGER)
+                    AS n_dup_paragraphs
+           FROM ranked GROUP BY doc_id)
+SELECT l.doc_id,
+       CAST(len(l.l) AS INTEGER) AS n_lines,
+       CAST(len(list_filter(l.l, x -> x = '')) AS INTEGER) AS n_blank_lines,
+       CASE WHEN len(l.l) >= 2
+            THEN ROUND(1.0 - len(list_distinct(l.l)) / len(l.l), 4)
+            ELSE 0.0 END AS frac_dup_lines,
+       ROUND(len(list_filter(l.l, x -> ends_with(x, '...') OR ends_with(x, '…')))
+             / len(l.l), 4) AS frac_ellipsis_lines,
+       ROUND(list_aggregate(list_transform(l.l, x -> length(x)), 'sum')
+             / len(l.l), 4) AS mean_line_len,
+       r.dedup_digest, r.n_removed_lines,
+       p.n_paragraphs, p.n_dup_paragraphs
+FROM lines l JOIN rew r ON r.doc_id = l.doc_id
+             JOIN pstats p ON p.doc_id = l.doc_id
+"""
+
+
+PAIRS.update({
+    "line_paragraph_multiline": (line_paragraph_multiline,
+                                 ORACLE_LINE_PARAGRAPH_ML),
+})
