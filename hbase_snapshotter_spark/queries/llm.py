@@ -82,17 +82,22 @@ def _recall_flag(approx: DataFrame, exact: DataFrame, bound: float) -> DataFrame
     production audit at petabyte scale would run the same flag over a
     hash-mod sample of queries (operators.sampling) on a schedule
     instead of inline with every search."""
+    return _recall_value(approx, exact).select(
+        # vacuous recall: an empty exact baseline yields NULL ratio
+        F.coalesce(F.col("__recall") >= bound, F.lit(True))
+        .alias("recall_within_tolerance"))
+
+
+def _recall_value(approx: DataFrame, exact: DataFrame) -> DataFrame:
+    """ONE-row ``__recall`` DataFrame: |approx ∩ exact| / |exact| over
+    (query_id, neighbor_id) pairs (NULL when ``exact`` is empty)."""
     marked = exact.select("query_id", "neighbor_id").join(
         F.broadcast(approx.select("query_id", "neighbor_id")
                     .withColumn("__hit", F.lit(1))),
         ["query_id", "neighbor_id"], "left")
     return marked.agg(
         (F.sum(F.coalesce(F.col("__hit"), F.lit(0))) / F.count(F.lit(1)))
-        .alias("__recall")
-    ).select(
-        # vacuous recall: an empty exact baseline yields NULL ratio
-        F.coalesce(F.col("__recall") >= bound, F.lit(True))
-        .alias("recall_within_tolerance"))
+        .alias("__recall"))
 
 
 #: Tokens per derived line for the line-level quality signals AND the
@@ -995,6 +1000,67 @@ SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine,
 
 PAIRS.update({
     "similarity_topk_ivf": (similarity_topk_ivf, _oracle_ivf()),
+})
+
+
+#: Margin for the kmeans-vs-sampled recall comparison: Lloyd's means
+#: are unrounded float aggregates, so assignment near a cell boundary
+#: can wobble a pair in/out across runs; measured headroom is far
+#: larger (kmeans 0.93/0.94/0.83 vs sampled 0.88/0.84/0.78 at
+#: sf0.001/0.01/0.1).
+KMEANS_RECALL_MARGIN = 0.02
+
+
+def similarity_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION IVF path — Lloyd's k-means-refined centroids
+    (``use_kmeans=True``) — in a driver-checked row.  DuckDB cannot
+    replay Lloyd's iterations, so the hash pins Spark-side INVARIANTS
+    instead of values (the equality-flag pattern):
+
+    - ``n_results``: every query returns exactly k neighbors (probing a
+      degenerate clustering would starve some query);
+    - ``recall_within_tolerance``: k-means-path recall vs brute force
+      clears the same floor the sampled path pins
+      (:data:`IVF_RECALL_BOUND`);
+    - ``kmeans_ge_sampled``: k-means recall ≥ sampled-centroid recall −
+      :data:`KMEANS_RECALL_MARGIN` — refinement must not REGRESS the
+      oracle-replayable baseline (measured: it improves it at every
+      fixture size, SCALE.md).
+
+    The oracle expects (k, TRUE, TRUE) per query id — any invariant
+    break turns the row red."""
+    from hbase_snapshotter_spark.cache import scoped_persist
+    from hbase_snapshotter_spark.operators.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < TOPK_QUERY_PRED)
+    km = scoped_persist(ivf_topk(emb, q, k=TOPK_K, use_kmeans=True))
+    brute = scoped_persist(brute_force_topk(emb, q, k=TOPK_K))
+    km_floor = _recall_flag(km, brute, IVF_RECALL_BOUND)
+    r_km = _recall_value(km, brute).withColumnRenamed("__recall", "__r_km")
+    r_sampled = _recall_value(ivf_topk(emb, q, k=TOPK_K), brute) \
+        .withColumnRenamed("__recall", "__r_sampled")
+    cmp_flag = r_km.crossJoin(r_sampled).select(
+        F.coalesce(
+            F.col("__r_km") >= F.col("__r_sampled") - KMEANS_RECALL_MARGIN,
+            F.lit(True)).alias("kmeans_ge_sampled"))
+    per_q = km.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_results"))
+    # scalar attach ×2: ONE-row flags, broadcast cross — linear in output
+    return per_q.crossJoin(F.broadcast(km_floor)) \
+        .crossJoin(F.broadcast(cmp_flag))
+
+
+ORACLE_IVF_KMEANS = f"""
+SELECT vec_id AS query_id, CAST({TOPK_K} AS INTEGER) AS n_results,
+       TRUE AS recall_within_tolerance, TRUE AS kmeans_ge_sampled
+FROM embeddings WHERE vec_id < {TOPK_QUERY_PRED}
+"""
+
+
+PAIRS.update({
+    "similarity_topk_ivf_kmeans": (similarity_topk_ivf_kmeans,
+                                   ORACLE_IVF_KMEANS),
 })
 
 
