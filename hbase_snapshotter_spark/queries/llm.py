@@ -22,6 +22,7 @@ from hbase_snapshotter_spark.operators.multimodal import (
     FRAME_SAMPLE_CAP,
     attach_payload,
     decode_payload,
+    resize_payload,
     sample_frames,
 )
 from hbase_snapshotter_spark.operators.similarity import (
@@ -698,6 +699,11 @@ ORACLE_EMB_PAIRS = _oracle_emb_pairs()
 #: re-hosted images collide in a real crawl.
 PAYLOAD_PREFIX_BYTES = 64
 
+#: Target dims for the registered resize lane — 64×64 makes the stub's
+#: body length exactly two md5-hex repeats (the oracle replays it as
+#: ``substr(repeat(md5(pay), 3), 1, 64) || '|64x64'``).
+RESIZE_W = RESIZE_H = 64
+
 
 def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload ingestion + metadata, the mapInPandas decode stub
@@ -706,7 +712,10 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup: payloads group by ``content_md5`` — the only sane key for
     opaque blobs at 100 TB, the bytes themselves never shuffle — and
     each row reports its copy count and whether it is the keeper
-    (min doc_id)."""
+    (min doc_id).  The 1-in-1-out Arrow RESIZE lane is driver-checked
+    too: each row carries the resized payload's content hash and byte
+    length, which the oracle replays from the deterministic stub's
+    byte construction."""
     from hbase_snapshotter_spark.cache import scoped_persist
 
     docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
@@ -736,11 +745,16 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = sample_frames(with_payload)
     frame_counts = frames.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("int").alias("n_sampled_frames"))
-    return meta.join(decoded, "doc_id").join(frame_counts, "doc_id").select(
-        "doc_id", "n_bytes", "content_md5", "payload_dup_count",
-        "is_payload_keeper", "width", "height", "n_frames", "feature_hash",
-        "n_sampled_frames"
-    )
+    resized = resize_payload(with_payload, width=RESIZE_W, height=RESIZE_H) \
+        .select("doc_id",
+                F.col("content_md5").alias("resized_md5"),
+                F.length("payload").cast("int").alias("resized_n_bytes"))
+    return (meta.join(decoded, "doc_id").join(frame_counts, "doc_id")
+            .join(resized, "doc_id").select(
+                "doc_id", "n_bytes", "content_md5", "payload_dup_count",
+                "is_payload_keeper", "width", "height", "n_frames",
+                "feature_hash", "n_sampled_frames",
+                "resized_md5", "resized_n_bytes"))
 
 
 ORACLE_MULTIMODAL = f"""
@@ -763,7 +777,11 @@ SELECT p.doc_id,
        md5(pay) AS feature_hash,
        CAST(LEAST(1 + CAST('0x' || substr(md5(pay), 9, 2) AS INTEGER) % 32,
                   {FRAME_SAMPLE_CAP})
-            AS INTEGER) AS n_sampled_frames
+            AS INTEGER) AS n_sampled_frames,
+       md5(substr(repeat(md5(pay), 3), 1, {max(16, RESIZE_W * RESIZE_H // 64)})
+           || '|{RESIZE_W}x{RESIZE_H}') AS resized_md5,
+       CAST({max(16, RESIZE_W * RESIZE_H // 64) + len(f"|{RESIZE_W}x{RESIZE_H}")}
+            AS INTEGER) AS resized_n_bytes
 FROM p JOIN d ON d.content_md5 = md5(p.pay)
 """
 

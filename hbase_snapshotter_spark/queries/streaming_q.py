@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from hbase_snapshotter_spark.sources.changelog import read_table
 from hbase_snapshotter_spark.streaming.windows import (
     interval_stream_join,
+    running_max_trace,
     session_window_agg,
     sliding_window_agg,
     tumbling_window_agg,
@@ -129,10 +130,36 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def stream_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STATEFUL lane's driver row: the per-key running-max state
+    trajectory sampled at hour boundaries
+    (:func:`~hbase_snapshotter_spark.streaming.windows.running_max_trace`)
+    — the batch shadow of the ``applyInPandasWithState`` operator
+    ``running_max_per_key``, whose real readStream run is pinned
+    equivalent (final emitted state == this trace's last row per key)
+    by ``tests/test_streaming.py``."""
+    ev = read_table(spark, sf_dir, "events")
+    return running_max_trace(ev, "user_id", "value", "ts", "1 hour")
+
+
+ORACLE_RUNNING_MAX = """
+WITH h AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+         user_id, MAX(value) AS window_max
+  FROM events GROUP BY 1, 2)
+SELECT window_start, window_start + INTERVAL '1 hour' AS window_end,
+       user_id, window_max,
+       MAX(window_max) OVER (PARTITION BY user_id ORDER BY window_start)
+         AS running_max
+FROM h
+"""
+
+
 PAIRS = {
     "stream_tumbling_counts": (stream_tumbling_counts, ORACLE_TUMBLING),
     "stream_dedup_sliding_counts": (stream_dedup_sliding_counts, ORACLE_DEDUP_SLIDING),
     "stream_session_windows": (stream_session_windows, ORACLE_SESSION),
+    "stream_running_max": (stream_running_max, ORACLE_RUNNING_MAX),
 }
 
 

@@ -140,6 +140,38 @@ def streaming_dedup(
     return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(dedup_cols)
 
 
+def running_max_trace(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    ts_col: str,
+    duration: str = "1 hour",
+) -> DataFrame:
+    """BATCH shadow of :func:`running_max_per_key`'s state trajectory,
+    sampled at window boundaries: for each (key, window) the cumulative
+    max of ``value_col`` over all events at-or-before that window —
+    i.e. what the stateful operator's state WOULD read if the stream
+    replayed one window per micro-batch.  Fully SQL-replayable (the
+    driver-checked form; the real ``applyInPandasWithState`` run is
+    pinned equivalent by ``tests/test_streaming.py``: its final emitted
+    state per key equals this trace's last row).
+
+    Two cheap stages: an hourly pre-aggregation (map-side partials —
+    the window function then sorts WINDOWS per key, not events), then a
+    cumulative max over the per-key window sequence."""
+    from pyspark.sql import Window
+
+    hourly = (
+        df.groupBy(F.window(F.col(ts_col), duration), key_col)
+        .agg(F.max(value_col).alias("window_max"))
+    )
+    w = (Window.partitionBy(key_col).orderBy(F.col("window.start"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = hourly.withColumn("running_max", F.max("window_max").over(w))
+    return _flatten_window(out).select(
+        "window_start", "window_end", key_col, "window_max", "running_max")
+
+
 def running_max_per_key(df: DataFrame, key_col: str, value_col: str, ts_col: str,
                         watermark: str) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: emits, per

@@ -90,6 +90,24 @@ def test_streaming_running_max_state(spark, event_stream_dir):
             src.groupBy("user_id").agg(F.max("value").alias("mx")).collect()}
     assert got == want
 
+    # ... and ties the REGISTERED batch shadow (stream_running_max /
+    # running_max_trace) to the stateful operator: the trace's last row
+    # per key IS the final streaming state
+    from pyspark.sql import Window
+
+    from hbase_snapshotter_spark.streaming.windows import running_max_trace
+
+    trace = running_max_trace(src, "user_id", "value", "ts", "1 hour")
+    last = {
+        r.user_id: r.running_max
+        for r in trace.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.desc("window_start")))
+        ).filter("rk = 1").collect()
+    }
+    assert last == got
+
 
 def test_funnel_keeps_user_with_only_pre_signup_purchases(spark):
     """A user whose purchases all precede their first signup must appear
