@@ -147,6 +147,61 @@ def mixture_sample(
     return df.withColumn(out_col, hash_bucket(key) < rate)
 
 
+def domain_cap(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    cap: int,
+    *,
+    out_col: str = "in_domain_cap",
+    count_col: str = "domain_docs",
+) -> DataFrame:
+    """RefinedWeb-style per-domain rebalancing: no domain contributes
+    (in expectation) more than ``cap`` documents — over-represented
+    hosts/sources are down-sampled to the cap, small domains pass
+    untouched.  Adds ``out_col`` (keep flag) and ``count_col`` (the
+    domain's total).
+
+    The 100 TB form is RATE-based, not rank-based: an exact "keep the
+    first cap docs per domain" is a per-domain ORDER (a window sort
+    over the full corpus, with the hottest domain as the slowest
+    partition — precisely the skew being fixed).  Instead each domain
+    keeps rate ``min(1, cap/n_d)`` of its rows by salted key hash:
+
+    - one hash aggregation computes per-domain counts (map-side
+      partials; output is domain-cardinality-sized and broadcasts);
+    - the keep decision is a narrow per-row filter — no shuffle, no
+      sort, no skew (the binomial spread around the cap is √cap-sized,
+      irrelevant at training scale);
+    - the rate is EXACT INTEGER permille (``floor(cap·1000/n_d)``) and
+      the hash is the same md5 bucketing as every sampler here, so
+      membership is stable across runs/engines and the SQL oracle
+      replays it bit-for-bit.
+
+    The bucket key is salted ``"#cap"`` so cap membership is
+    independent of split/sample/mixture buckets (same reasoning as
+    :func:`mixture_sample`).  A NULL domain is ONE domain (coalesced to
+    a sentinel for the count join — a plain equi-join would silently
+    drop NULL-domain rows), mirroring the NULL-total contract of every
+    sampler in this module."""
+    if cap <= 0:
+        raise ValueError(f"domain_cap: cap must be positive, got {cap}")
+    dom = F.coalesce(F.col(domain_col).cast("string"), F.lit("\x00NULL"))
+    counts = (df.groupBy(dom.alias("__dom"))
+              .agg(F.count(F.lit(1)).alias(count_col)))
+    rate = F.least(
+        F.lit(BUCKETS).cast("long"),
+        F.floor(F.lit(cap) * BUCKETS / F.col(count_col)))
+    key = F.concat(F.coalesce(F.col(key_col).cast("string"),
+                              F.lit("\x00NULL")), F.lit("#cap"))
+    return (
+        df.withColumn("__dom", dom)
+        .join(F.broadcast(counts), "__dom")
+        .withColumn(out_col, hash_bucket(key) < rate)
+        .drop("__dom")
+    )
+
+
 def dsir_logratio(
     df: DataFrame,
     is_target: Column,

@@ -1484,3 +1484,142 @@ PAIRS.update({
     "line_paragraph_multiline": (line_paragraph_multiline,
                                  ORACLE_LINE_PARAGRAPH_ML),
 })
+
+
+# --------------------- N29: n-gram LM perplexity filter (CCNet-style)
+#: Keep band for the bigram cross-entropy filter: fixture scores span
+#: ~4.6-5.4 bits with median ≈ 5.01, so 5.0 keeps roughly the fluent
+#: half (CCNet's head+middle).  Production replaces the bigram tables
+#: with a trained KenLM; threshold and plan are unchanged.
+LM_XENT_KEEP_BITS = 5.0
+
+
+def lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under an add-one-smoothed bigram
+    model estimated on the curated-source slice (the same reference
+    slice DSIR targets), plus the CCNet-style keep flag.  Model tables
+    broadcast (vocabulary-bounded); the document side is one narrow
+    bigram explode; per-doc mean is a hash agg with map-side partials.
+    """
+    from hbase_snapshotter_spark.operators.lm import bigram_lm_xent
+
+    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    scored = bigram_lm_xent(docs, F.col("source").isin(*MIX_RATES))
+    return scored.select(
+        "doc_id", "n_bigrams", "lm_xent_bits",
+        (F.col("lm_xent_bits") <= LM_XENT_KEEP_BITS).alias("keep_lm"))
+
+
+ORACLE_LM_PERPLEXITY = f"""
+WITH toks AS (SELECT doc_id, source, string_split(trim(text), ' ') AS t
+              FROM documents),
+bg AS (SELECT doc_id, source IN ({_TARGET_SET}) AS ref,
+              t[i.i] AS w1, t[i.i + 1] AS w2
+       FROM toks, UNNEST(range(1, len(t))) AS i(i)
+       WHERE len(t) >= 2),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg WHERE ref GROUP BY 1, 2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg WHERE ref GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT tok) AS v FROM
+        (SELECT unnest(t) AS tok FROM toks WHERE source IN ({_TARGET_SET}))),
+sc AS (SELECT bg.doc_id, CAST(COUNT(*) AS INTEGER) AS n_bigrams,
+              ROUND(AVG(log2(COALESCE(c1.c1, 0) + v.v)
+                        - log2(COALESCE(c2.c2, 0) + 1)), 4)
+                AS lm_xent_bits
+       FROM bg LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1) CROSS JOIN v
+       GROUP BY bg.doc_id)
+SELECT doc_id, n_bigrams, lm_xent_bits,
+       lm_xent_bits <= {LM_XENT_KEEP_BITS} AS keep_lm
+FROM sc
+"""
+
+
+# ------------------------- N30: per-domain caps (RefinedWeb rebalance)
+#: Cap every source at ~10 documents (in expectation): at sf0.01 each
+#: of the 20 uniform sources holds 25 docs (rate 400‰); at sf0.1, 250
+#: docs (rate 40‰) — the cap is constant while the corpus grows, which
+#: is the point of rebalancing.
+DOMAIN_CAP_DOCS = 10
+
+
+def domain_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style per-domain down-sampling: every source keeps
+    rate min(1, cap/n_d) of its docs by salted key hash — a narrow
+    per-row filter fed by one broadcast count table; no per-domain
+    sort, no skew (see operators.sampling.domain_cap)."""
+    from hbase_snapshotter_spark.operators.sampling import domain_cap
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return domain_cap(docs, "doc_id", "source", DOMAIN_CAP_DOCS).select(
+        "doc_id", "source", "domain_docs", "in_domain_cap")
+
+
+ORACLE_DOMAIN_REBALANCE = f"""
+WITH c AS (SELECT source, COUNT(*) AS domain_docs FROM documents GROUP BY source)
+SELECT d.doc_id, d.source, c.domain_docs,
+       CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#cap'), 1, 8)
+            AS BIGINT) % 1000
+         < LEAST(1000, CAST(floor({DOMAIN_CAP_DOCS} * 1000.0 / c.domain_docs)
+                            AS BIGINT)) AS in_domain_cap
+FROM documents d JOIN c USING (source)
+"""
+
+
+# ----------------- N31: cross-split contamination (leakage) audit
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test leakage audit: MinHash-LSH near-dup pairs joined
+    against the deterministic split assignment — a pair whose sides
+    land in DIFFERENT splits is a leak (the test set contains a
+    near-copy of a training document; its eval numbers are
+    contaminated).  Output: one row per unordered split pair with the
+    pair count and the leak flag — the audit a production pipeline
+    runs after every split re-cut.
+
+    Plan: the pair table is sparse (LSH output), the split table is a
+    narrow per-row hash — two hash joins on doc ids, then a tiny
+    aggregation; nothing here scales with corpus size except the LSH
+    pass itself."""
+    from hbase_snapshotter_spark.operators.sampling import train_val_test_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_pairs(docs, "doc_id", num_hashes=MINHASH_K,
+                              bands=MINHASH_BANDS, threshold=MINHASH_THRESHOLD)
+    sp = train_val_test_split(docs.select("doc_id"), "doc_id")
+    a = sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("__sa"))
+    b = sp.select(F.col("doc_id").alias("id_b"), F.col("split").alias("__sb"))
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .groupBy(F.least("__sa", "__sb").alias("split_a"),
+                 F.greatest("__sa", "__sb").alias("split_b"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .withColumn("leaked", F.col("split_a") != F.col("split_b"))
+    )
+
+
+def _oracle_split_leakage() -> str:
+    minhash = _oracle_minhash()
+    pair_sql = minhash.rsplit("ORDER BY", 1)[0]
+    return f"""
+WITH pairs AS ({pair_sql}),
+sp AS (SELECT doc_id,
+              CASE WHEN bk < 800 THEN 'train'
+                   WHEN bk < 900 THEN 'val'
+                   ELSE 'test' END AS split
+       FROM (SELECT doc_id,
+                    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                         AS BIGINT) % 1000 AS bk
+             FROM documents))
+SELECT LEAST(sa.split, sb.split) AS split_a,
+       GREATEST(sa.split, sb.split) AS split_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       LEAST(sa.split, sb.split) <> GREATEST(sa.split, sb.split) AS leaked
+FROM pairs JOIN sp sa ON sa.doc_id = pairs.id_a
+           JOIN sp sb ON sb.doc_id = pairs.id_b
+GROUP BY 1, 2, 4
+"""
+
+
+PAIRS.update({
+    "lm_perplexity_filter": (lm_perplexity_filter, ORACLE_LM_PERPLEXITY),
+    "domain_rebalance": (domain_rebalance, ORACLE_DOMAIN_REBALANCE),
+    "split_leakage_audit": (split_leakage_audit, _oracle_split_leakage()),
+})

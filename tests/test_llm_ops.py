@@ -947,3 +947,60 @@ def test_cosine_pairs_bucketed_auto_geometry_subset(spark, sf_dir):
     assert set(lsh) <= set(exact)
     for pair, cos in lsh.items():
         assert cos == exact[pair]
+
+
+def test_bigram_lm_xent_hand_computed(spark):
+    """Add-one bigram cross-entropy vs hand arithmetic: ref 'a b a b'
+    gives c2(a,b)=2, c2(b,a)=1, c1(a)=2, c1(b)=1, V=2; scoring 'a b c'
+    -> p(b|a)=3/4, p(c|b)=1/3 -> mean bits = (log2(4/3)+log2(3))/2 = 1.0."""
+    from pyspark.sql import functions as F
+
+    from hbase_snapshotter_spark.operators.lm import bigram_lm_xent
+
+    df = spark.createDataFrame(
+        [(1, "a b a b", True), (2, "a b c", False), (3, "x", False)],
+        "doc_id long, text string, ref boolean")
+    rows = {r.doc_id: r for r in
+            bigram_lm_xent(df, F.col("ref")).collect()}
+    assert rows[2].n_bigrams == 2
+    assert rows[2].lm_xent_bits == 1.0
+    # the reference doc scores itself: p(b|a)=3/4 twice, p(a|b)=2/3 once
+    import math
+
+    want = round((2 * math.log2(4 / 3) + math.log2(3 / 2)) / 3, 4)
+    assert rows[1].lm_xent_bits == want
+    assert 3 not in rows  # single-token doc has no bigrams, no row
+
+
+def test_domain_cap_rates_and_null_domain(spark):
+    """domain_cap: small domains pass whole, big domains keep ~cap by
+    exact-permille hash rate; NULL domains are one domain, not dropped."""
+    from pyspark.sql import functions as F
+
+    from hbase_snapshotter_spark.operators.sampling import domain_cap
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 900, "big")
+        .when(F.col("id") < 940, "small")
+        .otherwise(F.lit(None)).alias("source"))
+    out = domain_cap(df, "doc_id", "source", 50)
+    assert out.count() == 1000  # NULL-domain rows survive
+    by_dom = {r["source"]: r for r in
+              out.groupBy("source").agg(
+                  F.sum(F.col("in_domain_cap").cast("int")).alias("kept"),
+                  F.first("domain_docs").alias("n")).collect()}
+    # under-cap domain (40 < 50): rate caps at 1000 permille, ALL kept
+    assert by_dom["small"].kept == 40 and by_dom["small"].n == 40
+    # NULL domain is one over-cap domain (60 docs): rate 833 permille
+    assert by_dom[None].n == 60 and 35 <= by_dom[None].kept <= 60
+    # big: rate = floor(50*1000/900) = 55 permille; binomial around 49-50
+    assert by_dom["big"].n == 900
+    assert 25 <= by_dom["big"].kept <= 80
+
+    # determinism: same flags under different input partitioning
+    again = {r.doc_id: r.in_domain_cap
+             for r in domain_cap(df.repartition(13), "doc_id", "source", 50)
+             .collect()}
+    first = {r.doc_id: r.in_domain_cap for r in out.collect()}
+    assert first == again

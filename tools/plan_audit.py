@@ -50,6 +50,9 @@ def main() -> int:
         "sample_split_assignments",   # 1-row DSIR totals attach (pinned to
                                       # exactly one BNLJ in test_plans)
         "snapshot_diff",              # 1-row incremental_consistent attach
+        "similarity_topk_ivf_kmeans",  # broadcast query/centroid scoring +
+                                       # 1-row recall/kmeans-vs-sampled flag
+                                       # attaches (the equality-flag row)
     }
 
     flags_total = 0
