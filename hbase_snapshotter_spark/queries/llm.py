@@ -1623,3 +1623,58 @@ PAIRS.update({
     "domain_rebalance": (domain_rebalance, ORACLE_DOMAIN_REBALANCE),
     "split_leakage_audit": (split_leakage_audit, _oracle_split_leakage()),
 })
+
+
+# ------------- N32: MOSS-style overlap detection (winnowing application)
+#: Containment floor for the registered overlap query: 0.3 keeps 53 of
+#: 3374 fingerprint-sharing pairs at sf0.01 — the partial-copy band
+#: (the 25 exact-dup-ish pairs score 0.8+).
+WINNOW_OVERLAP_THRESHOLD = 0.3
+
+
+def winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-overlap pairs by shared winnowing fingerprints scored
+    with CONTAINMENT |A∩B|/min(|A|,|B|) — the MOSS partial-copy
+    detector (a lifted paragraph scores high where Jaccard dilutes).
+    Inverted-index self-join over the winnowed (sparse) fingerprint
+    index; see operators.dedup.winnow_overlap_pairs."""
+    from hbase_snapshotter_spark.operators.dedup import winnow_overlap_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return winnow_overlap_pairs(
+        docs, "doc_id", k=WINNOW_K, window=WINNOW_WINDOW,
+        threshold=WINNOW_OVERLAP_THRESHOLD,
+    ).orderBy("id_a", "id_b")
+
+
+def _oracle_winnow_overlap() -> str:
+    k, w = WINNOW_K, WINNOW_WINDOW
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+wh AS (SELECT doc_id,
+  [md5(array_to_string(list_slice(t, i, i + {k - 1}), ' '))
+   for i in range(1, len(t) - {k} + 2)] AS hs
+  FROM toks),
+wfp AS (SELECT doc_id,
+  CASE WHEN len(hs) >= {w} THEN
+    list_distinct([list_aggregate(list_slice(hs, i, i + {w - 1}), 'min')
+                   for i in range(1, len(hs) - {w} + 2)])
+  WHEN len(hs) >= 1 THEN [list_aggregate(hs, 'min')]
+  ELSE []::VARCHAR[] END AS fps
+  FROM wh),
+f AS (SELECT doc_id, unnest(fps) AS fp FROM wfp),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM f GROUP BY 1),
+shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+           FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+SELECT id_a, id_b, CAST(c AS INTEGER) AS shared_fp,
+       ROUND(c / LEAST(x.n, y.n), 4) AS containment
+FROM shared JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
+WHERE ROUND(c / LEAST(x.n, y.n), 4) >= {WINNOW_OVERLAP_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+PAIRS.update({
+    "winnow_overlap": (winnow_overlap, _oracle_winnow_overlap()),
+})

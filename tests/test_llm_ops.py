@@ -1004,3 +1004,33 @@ def test_domain_cap_rates_and_null_domain(spark):
              .collect()}
     first = {r.doc_id: r.in_domain_cap for r in out.collect()}
     assert first == again
+
+
+def test_winnow_overlap_detects_partial_copy(spark):
+    """The winnowing guarantee (Schleimer et al.): any shared token run
+    of length >= k + window - 1 shares at least one selected
+    fingerprint — so a paragraph lifted into an otherwise-different
+    document MUST surface as an overlap pair, with containment high for
+    the smaller side."""
+    from hbase_snapshotter_spark.operators.dedup import winnow_overlap_pairs
+
+    stolen = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, stolen),                                        # the source
+        (2, "one two three " + stolen + " four five six seven eight nine"),
+        (3, "totally unrelated words with nothing shared at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b): r for r in
+             winnow_overlap_pairs(df, "doc_id", threshold=0.0).collect()}
+    assert (1, 2) in pairs
+    # doc 1 is entirely contained in doc 2 -> containment 1.0 for the
+    # smaller side (every one of doc 1's fingerprints is shared)
+    assert pairs[(1, 2)].containment == 1.0
+    assert not any(3 in p for p in pairs)
+
+    # max_df drops boilerplate fingerprints shared by everything
+    many = [(i, "common boiler plate line everywhere") for i in range(10, 20)]
+    df2 = spark.createDataFrame(rows + many, "doc_id long, text string")
+    capped = winnow_overlap_pairs(df2, "doc_id", threshold=0.0, max_df=5)
+    assert not [r for r in capped.collect() if r.id_a >= 10 or r.id_b >= 10]
