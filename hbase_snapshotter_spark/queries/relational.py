@@ -830,3 +830,57 @@ PAIRS.update({
     "scalar_string_suite": (scalar_string_suite, ORACLE_STRING),
     "scalar_map_suite": (scalar_map_suite, ORACLE_MAP),
 })
+
+
+# ------------------------- N33: one-scan column profiler (data audit)
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality audit of six lineitem columns in ONE
+    scan: completeness, cardinality (exact + HLL with the error
+    contract folded into the hash), range, and central tendency.  All
+    metrics are expressions of a single ``agg`` (map-side partials, a
+    one-row reduce) pivoted to the long audit table by ``F.inline`` —
+    see operators.profile for the 100 TB mode that drops the exact
+    distinct (and its Expand) and keeps only the sketch."""
+    from hbase_snapshotter_spark.operators.profile import profile_columns
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "l_shipdate_s", F.col("l_shipdate").cast("string"))
+    return profile_columns(
+        li,
+        numeric_cols=["l_quantity", "l_extendedprice", "l_discount"],
+        string_cols=["l_returnflag", "l_linestatus", "l_shipdate_s"],
+    ).orderBy("col_name")
+
+
+def _oracle_profile() -> str:
+    num = {"l_quantity", "l_extendedprice", "l_discount"}
+    parts = []
+    for c in ["l_quantity", "l_extendedprice", "l_discount",
+              "l_returnflag", "l_linestatus", "l_shipdate_s"]:
+        src = ("CAST(l_shipdate AS VARCHAR)" if c == "l_shipdate_s" else c)
+        if c in num:
+            stats = f"""CAST({src} AS DOUBLE) AS v"""
+            sel = """MIN(v) AS min_num, MAX(v) AS max_num,
+                     ROUND(AVG(v), 4) AS mean_num,
+                     CAST(NULL AS VARCHAR) AS min_str,
+                     CAST(NULL AS VARCHAR) AS max_str,
+                     CAST(NULL AS DOUBLE) AS avg_len"""
+        else:
+            stats = f"""{src} AS v"""
+            sel = """CAST(NULL AS DOUBLE) AS min_num,
+                     CAST(NULL AS DOUBLE) AS max_num,
+                     CAST(NULL AS DOUBLE) AS mean_num,
+                     MIN(v) AS min_str, MAX(v) AS max_str,
+                     ROUND(AVG(length(v)), 4) AS avg_len"""
+        parts.append(f"""
+SELECT '{c}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT(v) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+       TRUE AS approx_distinct_ok, {sel}
+FROM (SELECT {stats} FROM lineitem)""")
+    return " UNION ALL ".join(parts) + " ORDER BY col_name"
+
+
+PAIRS.update({
+    "profile_lineitem": (profile_lineitem, _oracle_profile()),
+})

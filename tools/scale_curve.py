@@ -233,6 +233,32 @@ def operators():
         read_table,
     )
 
+    def run_domain_cap(spark, d):
+        from hbase_snapshotter_spark.operators.sampling import domain_cap
+
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        return domain_cap(docs, "doc_id", "source", 10)
+
+    def run_lm_xent(spark, d):
+        from pyspark.sql import functions as F
+
+        from hbase_snapshotter_spark.operators.lm import bigram_lm_xent
+
+        # NOTE: like run_dsir, replica token perturbation grows the
+        # reference vocabulary (and so the broadcast count tables)
+        # ~linearly here — harsher than production, where the LM is a
+        # fixed KenLM artifact and the broadcast side is CONSTANT
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        return bigram_lm_xent(docs, F.col("doc_id") % 10 == 3)
+
+    def run_winnow_overlap(spark, d):
+        from hbase_snapshotter_spark.operators.dedup import (
+            winnow_overlap_pairs,
+        )
+
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        return winnow_overlap_pairs(docs, "doc_id", max_df=50)
+
     def run_snapshot_wide(spark, d):
         from hbase_snapshotter_spark.operators.snapshot import snapshot_as_of
 
@@ -251,9 +277,12 @@ def operators():
     return {
         "snapshot_events_wide": run_snapshot_wide,
         "latest_cells_multi": run_latest_multi,
+        "domain_cap": run_domain_cap,
         "contamination": run_contamination,
         "paragraph_dedup": run_paragraph_dedup,
         "dsir": run_dsir,
+        "lm_xent": run_lm_xent,
+        "winnow_overlap": run_winnow_overlap,
         "ivf_topk": run_ivf,
         "ann_topk_lsh": run_ann,
         "simhash": run_simhash,
@@ -343,6 +372,9 @@ def lsh_geometry_report(spark, sizes) -> dict:
 def main() -> int:
     skip_100x = "--skip-100x" in sys.argv
     lsh_only = "--lsh-geometry" in sys.argv
+    only: set[str] | None = None
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from pyspark.sql import SparkSession
 
@@ -373,6 +405,11 @@ def main() -> int:
         return 0
 
     ops = operators()
+    if only is not None:
+        unknown = only - set(ops)
+        if unknown:
+            raise SystemExit(f"--only: unknown ops {sorted(unknown)}")
+        ops = {k: v for k, v in ops.items() if k in only}
     # global warmup at the smallest size: Janino codegen + Arrow worker
     # startup otherwise dominate the 1x timings
     for name, fn in ops.items():
