@@ -1678,3 +1678,52 @@ ORDER BY id_a, id_b
 PAIRS.update({
     "winnow_overlap": (winnow_overlap, _oracle_winnow_overlap()),
 })
+
+
+# ---------- N34: bloom-pruned cross-snapshot novelty (incremental dedup)
+#: Content key = md5 of the first 5 tokens — the URL-ish prefix key an
+#: incremental crawl dedups on (full-text md5 finds zero cross-slice
+#: dups on this fixture; the prefix key finds 11/150, so both branches
+#: of the verify join are live in the driver hash).
+NOVELTY_PREFIX_TOKENS = 5
+
+
+def cross_snapshot_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which documents of the incoming slice (doc_id % 10 >= 7) are NEW
+    against the prior corpus?  EXACT answer via a bloom-pruned
+    anti-join: prior keys build a fixed-size bitmap (one mapInPandas
+    scan, OR-merged partials — the treeAggregate sketch shape); probe
+    misses skip the shuffle entirely (a bloom has no false negatives);
+    only probe hits (true dups + ~1% fp) reach the verify join.  The
+    oracle replays the plain LEFT JOIN — bloom internals never surface,
+    equality IS the soundness check (see operators.bloom)."""
+    from hbase_snapshotter_spark.operators.bloom import novel_keys
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    keyed = docs.select(
+        "doc_id", "source",
+        F.md5(F.concat_ws(
+            " ", F.slice(tokens(F.col("text")), 1, NOVELTY_PREFIX_TOKENS)))
+        .alias("prefix_key"),
+        (F.col("doc_id") % 10 >= 7).alias("__new"))
+    prior = keyed.filter(~F.col("__new"))
+    new = keyed.filter(F.col("__new"))
+    return novel_keys(new, prior, "prefix_key").select(
+        "doc_id", "source", "novel")
+
+
+ORACLE_NOVELTY = f"""
+WITH k AS (SELECT doc_id, source,
+  md5(array_to_string(list_slice(string_split(trim(text), ' '), 1,
+                                 {NOVELTY_PREFIX_TOKENS}), ' ')) AS key,
+  doc_id % 10 >= 7 AS is_new FROM documents),
+p AS (SELECT DISTINCT key FROM k WHERE NOT is_new)
+SELECT d.doc_id, d.source, p.key IS NULL AS novel
+FROM k d LEFT JOIN p ON d.key = p.key
+WHERE d.is_new
+"""
+
+
+PAIRS.update({
+    "cross_snapshot_novelty": (cross_snapshot_novelty, ORACLE_NOVELTY),
+})

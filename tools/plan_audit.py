@@ -53,6 +53,8 @@ def main() -> int:
         "similarity_topk_ivf_kmeans",  # broadcast query/centroid scoring +
                                        # 1-row recall/kmeans-vs-sampled flag
                                        # attaches (the equality-flag row)
+        "lm_perplexity_filter",        # 1-row vocab-size attach (the |V|
+                                       # smoothing constant in bigram_lm_xent)
     }
 
     flags_total = 0
