@@ -1727,3 +1727,42 @@ WHERE d.is_new
 PAIRS.update({
     "cross_snapshot_novelty": (cross_snapshot_novelty, ORACLE_NOVELTY),
 })
+
+
+# --------------- N35: BPE merge mining (tokenizer-training statistics)
+#: Head size for the registered pair-histogram query.
+BPE_TOP_PAIRS = 50
+
+
+def bpe_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top adjacent-symbol pairs of the char+</w> symbolization over
+    the whole corpus — the statistic the first BPE merge maximizes.
+    One corpus pass (word counts) collapses text to a vocabulary-sized
+    table; the pair build is zip_with over shifted slices (pure column
+    exprs); the head is TakeOrderedAndProject under a total order.
+    The merge LOOP itself is vocabulary-local (operators.bpe.bpe_train,
+    pytest-pinned) — see operators.bpe for the split."""
+    from hbase_snapshotter_spark.operators.bpe import bpe_pair_counts
+
+    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return bpe_pair_counts(docs, top_k=BPE_TOP_PAIRS)
+
+
+ORACLE_BPE_PAIRS = f"""
+WITH w AS (SELECT unnest(string_split(trim(text), ' ')) AS word FROM documents),
+wc AS (SELECT word, COUNT(*) AS wc FROM w WHERE word <> '' GROUP BY word),
+sym AS (SELECT wc,
+  list_append([substr(word, CAST(i AS INTEGER), 1)
+               for i in range(1, length(word) + 1)], '</w>') AS s
+  FROM wc),
+p AS (SELECT s[CAST(i AS INTEGER)] AS sym_a, s[CAST(i AS INTEGER) + 1] AS sym_b,
+             SUM(wc) AS c
+      FROM sym, UNNEST(range(1, len(s))) AS t(i) GROUP BY 1, 2)
+SELECT sym_a, sym_b, CAST(c AS BIGINT) AS pair_count
+FROM p ORDER BY pair_count DESC, sym_a, sym_b LIMIT {BPE_TOP_PAIRS}
+"""
+
+
+PAIRS.update({
+    "bpe_pair_mining": (bpe_pair_mining, ORACLE_BPE_PAIRS),
+})
