@@ -250,3 +250,27 @@ def dsir_logratio(
                     / (F.col("__n_all") + F.col("__v")))))
     return scored.groupBy(id_col).agg(
         F.round(F.avg("__lr"), 4).alias("dsir_logratio"))
+
+
+def range_bucket(score_col: Column | str, boundaries_col: Column | str) -> Column:
+    """Curriculum range-bucket assignment: ``#{b in boundaries : score
+    >= b}`` — a pure column fold over the (k−1)-element boundary array,
+    zero shuffle, zero Python.  Monotone in the score by construction,
+    so per-bucket score ranges never overlap whatever the boundaries.
+
+    The 100 TB shape for curriculum ordering (length/quality-sorted
+    training shards, Li et al. 2022 "stability-plasticity" schedules):
+    boundaries come from ONE quantile aggregation (percentile_approx —
+    a mergeable sketch, constant memory; its exact twin replays in the
+    oracle), attach as a one-row broadcast, and the assignment is this
+    narrow expression — no global sort, no range shuffle.  Writing
+    shards then partitions by the bucket column (hive layout), giving
+    globally range-ordered output without ``repartitionByRange``'s
+    sampling pass."""
+    s = F.col(score_col) if isinstance(score_col, str) else score_col
+    b = (F.col(boundaries_col) if isinstance(boundaries_col, str)
+         else boundaries_col)
+    return F.aggregate(
+        b, F.lit(0),
+        lambda acc, x: acc + F.when(s >= x, 1).otherwise(0),
+    ).alias("bucket")

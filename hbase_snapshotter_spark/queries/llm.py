@@ -1766,3 +1766,63 @@ FROM p ORDER BY pair_count DESC, sym_a, sym_b LIMIT {BPE_TOP_PAIRS}
 PAIRS.update({
     "bpe_pair_mining": (bpe_pair_mining, ORACLE_BPE_PAIRS),
 })
+
+
+# ------------- N36: curriculum range-bucketing (quantile length shards)
+#: Number of curriculum buckets (length-ordered training shards).
+CURRICULUM_BUCKETS = 8
+_CURRICULUM_QS = [i / CURRICULUM_BUCKETS for i in range(1, CURRICULUM_BUCKETS)]
+
+
+def curriculum_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-curriculum bucketing without a global sort: ONE quantile
+    aggregation yields the 7 boundaries (both the exact percentile the
+    oracle replays AND its percentile_approx sketch twin — the 100 TB
+    estimator), attached as a one-row broadcast; assignment is the
+    zero-shuffle range_bucket fold.  The exact-vs-sketch agreement is
+    folded into the hash (approx_assign_ok: ≤2% of docs may differ),
+    the agg_approx_distinct contract pattern.  Writing the shards is
+    partitionBy(bucket) — globally range-ordered output with no
+    repartitionByRange sampling pass (pytest-pinned in
+    test_curriculum)."""
+    from hbase_snapshotter_spark.operators.sampling import range_bucket
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars")
+    qarr = F.array(*[F.lit(q) for q in _CURRICULUM_QS])
+    b = docs.agg(
+        F.percentile("n_chars", qarr).alias("bx"),
+        F.percentile_approx("n_chars", qarr, F.lit(10000)).alias("ba"))
+    d2 = docs.crossJoin(F.broadcast(b)).select(
+        "doc_id", "n_chars",
+        range_bucket("n_chars", "bx").alias("bucket"),
+        range_bucket("n_chars", F.col("ba").cast("array<double>"))
+        .alias("bucket_apx"))
+    per = d2.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_len"),
+        F.max("n_chars").alias("max_len"),
+        F.sum(F.when(F.col("bucket") != F.col("bucket_apx"), 1)
+              .otherwise(0)).alias("__mm"))
+    tot = per.agg(
+        (F.sum("__mm") / F.sum("n_docs") <= 0.02).alias("approx_assign_ok"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "bucket", "n_docs", "min_len", "max_len", "approx_assign_ok")
+
+
+ORACLE_CURRICULUM = f"""
+WITH b AS (SELECT quantile_cont(n_chars, {_CURRICULUM_QS}) AS qs
+           FROM documents),
+d AS (SELECT doc_id, n_chars,
+             CAST(len([x for x in b.qs if n_chars >= x]) AS INTEGER) AS bucket
+      FROM documents, b)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(n_chars) AS min_len, MAX(n_chars) AS max_len,
+       TRUE AS approx_assign_ok
+FROM d GROUP BY bucket
+"""
+
+
+PAIRS.update({
+    "curriculum_length_buckets": (curriculum_length_buckets, ORACLE_CURRICULUM),
+})

@@ -55,6 +55,8 @@ def main() -> int:
                                        # attaches (the equality-flag row)
         "lm_perplexity_filter",        # 1-row vocab-size attach (the |V|
                                        # smoothing constant in bigram_lm_xent)
+        "curriculum_length_buckets",   # 1-row boundary attach + 1-row
+                                       # approx_assign_ok flag attach
     }
 
     flags_total = 0
