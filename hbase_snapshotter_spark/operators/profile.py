@@ -55,6 +55,9 @@ def profile_columns(
     emitted as the HLL estimate itself (flag trivially true) and the
     plan loses the Expand duplication that exact multi-column distinct
     requires."""
+    cols = numeric_cols + string_cols
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"profile_columns: duplicate columns in {cols}")
     aggs: list = [F.count(F.lit(1)).alias("__rows")]
     for c in numeric_cols + string_cols:
         aggs.append(F.count(c).alias(f"__cnt_{c}"))

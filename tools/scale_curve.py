@@ -259,6 +259,35 @@ def operators():
         docs = spark.read.parquet(f"{d}/documents.parquet")
         return winnow_overlap_pairs(docs, "doc_id", max_df=50)
 
+    def run_profile(spark, d):
+        from hbase_snapshotter_spark.operators.profile import profile_columns
+
+        # documents (the 100x builder replicates documents/embeddings/
+        # events only); same 2-numeric + 2-string shape as the query
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        return profile_columns(docs, ["doc_id", "n_chars"],
+                               ["lang", "source"])
+
+    def run_bloom_novelty(spark, d):
+        from pyspark.sql import functions as F
+
+        from hbase_snapshotter_spark.operators.bloom import novel_keys
+
+        docs = spark.read.parquet(f"{d}/documents.parquet").select(
+            "doc_id", F.md5(F.col("text")).alias("key"),
+            (F.col("doc_id") % 10 >= 7).alias("__new"))
+        return novel_keys(docs.filter("__new"), docs.filter("NOT __new"),
+                          "key")
+
+    def run_bpe_pairs(spark, d):
+        from hbase_snapshotter_spark.operators.bpe import bpe_pair_counts
+
+        # NOTE: replica token perturbation grows the word vocabulary
+        # ~linearly, so the pair-histogram input (a vocab-sized table)
+        # grows too — production vocabularies saturate
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        return bpe_pair_counts(docs, top_k=50)
+
     def run_snapshot_wide(spark, d):
         from hbase_snapshotter_spark.operators.snapshot import snapshot_as_of
 
@@ -277,7 +306,10 @@ def operators():
     return {
         "snapshot_events_wide": run_snapshot_wide,
         "latest_cells_multi": run_latest_multi,
+        "profile": run_profile,
         "domain_cap": run_domain_cap,
+        "bloom_novelty": run_bloom_novelty,
+        "bpe_pairs": run_bpe_pairs,
         "contamination": run_contamination,
         "paragraph_dedup": run_paragraph_dedup,
         "dsir": run_dsir,
