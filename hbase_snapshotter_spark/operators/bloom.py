@@ -62,9 +62,16 @@ def _positions(key: str, m_bits: int) -> list[int]:
 
 def bloom_bits_for(n_keys: int) -> int:
     """Bitmap size: BITS_PER_KEY·n rounded up to a power of two (so the
-    modulo is well-spread), floor 1024."""
-    return max(1024, 1 << math.ceil(
+    modulo is well-spread), floor 1024, CAP 2^32 (the positions are
+    32-bit digest slices — a larger modulo would silently leave the
+    upper bitmap untouched and halve the effective bits/key).  Beyond
+    ~430 M keys (a 512 MB bitmap) production shards the filter by a key
+    prefix — one bitmap per shard, probed by the same expression — so
+    the cap is where partitioned blooms take over, not a scale limit
+    of the pattern."""
+    bits = max(1024, 1 << math.ceil(
         math.log2(max(1, n_keys) * BLOOM_BITS_PER_KEY)))
+    return min(bits, 1 << 32)
 
 
 def build_bloom(prior: DataFrame, key_col: str, n_keys: int) -> bytes:
@@ -75,12 +82,17 @@ def build_bloom(prior: DataFrame, key_col: str, n_keys: int) -> bytes:
     m_bits = bloom_bits_for(n_keys)
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # ONE bitmap per PARTITION (the generator spans all its Arrow
+        # batches), not per batch: per-batch partials would collect
+        # O(n_rows/batch_size) full-size bitmaps instead of
+        # O(n_partitions) — the difference between sketch-sized and
+        # corpus-sized driver ingress
+        bm = np.zeros(m_bits // 8, dtype=np.uint8)
         for pdf in batches:
-            bm = np.zeros(m_bits // 8, dtype=np.uint8)
             for key in pdf[key_col].dropna():
                 for pos in _positions(str(key), m_bits):
                     bm[pos >> 3] |= 1 << (pos & 7)
-            yield pd.DataFrame({"bm": [bm.tobytes()]})
+        yield pd.DataFrame({"bm": [bm.tobytes()]})
 
     rows = (prior.select(key_col)
             .mapInPandas(partials, schema="bm binary")
@@ -132,11 +144,14 @@ def novel_keys(
         new.withColumn("__hit", might_contain(bitmap, key_col)))
     misses = probed.filter(~F.col("__hit")).withColumn(
         flag_col, F.lit(True))
-    hits = probed.filter(F.col("__hit"))
-    prior_keys = pk.distinct()
-    verified_novel = hits.join(prior_keys, key_col, "left_anti").withColumn(
-        flag_col, F.lit(True))
-    true_dups = hits.join(prior_keys, key_col, "left_semi").withColumn(
-        flag_col, F.lit(False))
-    return misses.unionByName(verified_novel).unionByName(true_dups) \
-        .drop("__hit")
+    # ONE left join derives both flags (an anti + a semi of the same
+    # sides would shuffle hits and prior keys twice); distinct prior
+    # keys guarantee no row multiplication, and a NULL probe key never
+    # matches, staying novel
+    marked = pk.distinct().withColumn("__dup", F.lit(True))
+    verified = (
+        probed.filter(F.col("__hit"))
+        .join(marked, key_col, "left")
+        .withColumn(flag_col, F.col("__dup").isNull())
+        .drop("__dup"))
+    return misses.unionByName(verified).drop("__hit")

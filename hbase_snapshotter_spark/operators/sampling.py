@@ -173,10 +173,16 @@ def domain_cap(
     - the keep decision is a narrow per-row filter — no shuffle, no
       sort, no skew (the binomial spread around the cap is √cap-sized,
       irrelevant at training scale);
-    - the rate is EXACT INTEGER permille (``floor(cap·1000/n_d)``) and
-      the hash is the same md5 bucketing as every sampler here, so
-      membership is stable across runs/engines and the SQL oracle
-      replays it bit-for-bit.
+    - the rate is an exact threshold in the RAW 32-bit hash space
+      (``floor(cap·2³²/n_d)``, IEEE-identical on both engines) — NOT
+      the coarse permille buckets of the samplers: a permille rate
+      floors to 0 for any domain with n_d > 1000·cap, which would
+      DELETE the biggest domains instead of capping them (exactly the
+      hosts rebalancing targets).  At 1/2³² resolution the smallest
+      non-zero rate covers domains up to cap·4·10⁹ docs.  The hash is
+      the same md5 prefix as every sampler here, so membership is
+      stable across runs/engines and the SQL oracle replays it
+      bit-for-bit.
 
     The bucket key is salted ``"#cap"`` so cap membership is
     independent of split/sample/mixture buckets (same reasoning as
@@ -189,15 +195,17 @@ def domain_cap(
     dom = F.coalesce(F.col(domain_col).cast("string"), F.lit("\x00NULL"))
     counts = (df.groupBy(dom.alias("__dom"))
               .agg(F.count(F.lit(1)).alias(count_col)))
+    scale = 1 << 32
     rate = F.least(
-        F.lit(BUCKETS).cast("long"),
-        F.floor(F.lit(cap) * BUCKETS / F.col(count_col)))
+        F.lit(scale).cast("long"),
+        F.floor(F.lit(float(cap * scale)) / F.col(count_col)).cast("long"))
     key = F.concat(F.coalesce(F.col(key_col).cast("string"),
                               F.lit("\x00NULL")), F.lit("#cap"))
+    h32 = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
     return (
         df.withColumn("__dom", dom)
         .join(F.broadcast(counts), "__dom")
-        .withColumn(out_col, hash_bucket(key) < rate)
+        .withColumn(out_col, h32 < rate)
         .drop("__dom")
     )
 

@@ -1557,9 +1557,10 @@ ORACLE_DOMAIN_REBALANCE = f"""
 WITH c AS (SELECT source, COUNT(*) AS domain_docs FROM documents GROUP BY source)
 SELECT d.doc_id, d.source, c.domain_docs,
        CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#cap'), 1, 8)
-            AS BIGINT) % 1000
-         < LEAST(1000, CAST(floor({DOMAIN_CAP_DOCS} * 1000.0 / c.domain_docs)
-                            AS BIGINT)) AS in_domain_cap
+            AS BIGINT)
+         < LEAST(4294967296,
+                 CAST(floor({DOMAIN_CAP_DOCS} * 4294967296.0 / c.domain_docs)
+                      AS BIGINT)) AS in_domain_cap
 FROM documents d JOIN c USING (source)
 """
 
@@ -1700,10 +1701,17 @@ def cross_snapshot_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbase_snapshotter_spark.operators.bloom import novel_keys
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # NULL text must key as NULL (concat_ws would fold it to md5('')):
+    # the bloom probes NULL false and the verify join never matches
+    # NULL, so NULL-text docs stay novel — same as the oracle's
+    # md5(NULL) LEFT JOIN semantics
     keyed = docs.select(
         "doc_id", "source",
-        F.md5(F.concat_ws(
-            " ", F.slice(tokens(F.col("text")), 1, NOVELTY_PREFIX_TOKENS)))
+        F.when(
+            F.col("text").isNotNull(),
+            F.md5(F.concat_ws(
+                " ",
+                F.slice(tokens(F.col("text")), 1, NOVELTY_PREFIX_TOKENS))))
         .alias("prefix_key"),
         (F.col("doc_id") % 10 >= 7).alias("__new"))
     prior = keyed.filter(~F.col("__new"))

@@ -990,11 +990,11 @@ def test_domain_cap_rates_and_null_domain(spark):
               out.groupBy("source").agg(
                   F.sum(F.col("in_domain_cap").cast("int")).alias("kept"),
                   F.first("domain_docs").alias("n")).collect()}
-    # under-cap domain (40 < 50): rate caps at 1000 permille, ALL kept
+    # under-cap domain (40 < 50): rate caps at 2^32, ALL kept
     assert by_dom["small"].kept == 40 and by_dom["small"].n == 40
-    # NULL domain is one over-cap domain (60 docs): rate 833 permille
+    # NULL domain is one over-cap domain (60 docs): rate ~0.83*2^32
     assert by_dom[None].n == 60 and 35 <= by_dom[None].kept <= 60
-    # big: rate = floor(50*1000/900) = 55 permille; binomial around 49-50
+    # big: rate = floor(50*2^32/900) ~ 5.5%; binomial around 49-50
     assert by_dom["big"].n == 900
     assert 25 <= by_dom["big"].kept <= 80
 
@@ -1004,6 +1004,21 @@ def test_domain_cap_rates_and_null_domain(spark):
              .collect()}
     first = {r.doc_id: r.in_domain_cap for r in out.collect()}
     assert first == again
+
+
+def test_domain_cap_giant_domain_keeps_about_cap_not_zero(spark):
+    """Regression: a permille rate floors to 0 for n_d > 1000*cap,
+    DELETING the domain; the 2^32-resolution rate must keep ~cap."""
+    from pyspark.sql import functions as F
+
+    from hbase_snapshotter_spark.operators.sampling import domain_cap
+
+    df = spark.range(15000).select(
+        F.col("id").alias("doc_id"), F.lit("giant").alias("source"))
+    kept = (domain_cap(df, "doc_id", "source", 10)
+            .filter("in_domain_cap").count())
+    # binomial(15000, 10/15000): mean 10, std ~3.2
+    assert 1 <= kept <= 25
 
 
 def test_winnow_overlap_detects_partial_copy(spark):

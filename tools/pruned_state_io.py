@@ -109,15 +109,27 @@ def main() -> int:
     state_rows = spark.read.parquet(path).count()
     state_bytes = du(path)
 
+    # touched buckets are derivable from the delta ALONE, so measure
+    # the touched partitions' rows/bytes BEFORE the advance rewrites
+    # them — measuring after would report the merged OUTPUT (including
+    # delta-added keys) as "state read by the pruned advance"
+    from hbase_snapshotter_spark.operators.snapshot_state import state_bucket
+
+    pre_touched = sorted(
+        r[0] for r in delta.select(
+            state_bucket("row_key", n_buckets).alias("b")).distinct().collect())
+    touched_rows = (
+        spark.read.parquet(path)
+        .filter(F.col(STATE_BUCKET_COL).isin(pre_touched)).count())
+    touched_bytes = sum(
+        du(os.path.join(path, f"{STATE_BUCKET_COL}={b}"))
+        for b in pre_touched)
+
     # ---- pruned advance
     t0 = time.time()
     touched = advance_state_pruned(spark, path, delta, n_buckets=n_buckets)
     pruned_s = time.time() - t0
-    touched_rows = (
-        spark.read.parquet(path)
-        .filter(F.col(STATE_BUCKET_COL).isin(touched)).count())
-    touched_bytes = sum(
-        du(os.path.join(path, f"{STATE_BUCKET_COL}={b}")) for b in touched)
+    assert touched == pre_touched, (touched, pre_touched)
 
     # ---- full (unpruned) advance over the same inputs, for wall-clock
     full_state = spark.read.parquet(path).drop(STATE_BUCKET_COL)
