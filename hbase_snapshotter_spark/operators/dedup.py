@@ -506,3 +506,39 @@ def paragraph_dedup_stats(
         F.count(F.lit(1)).cast("int").alias("n_paragraphs"),
         F.sum(F.col("__is_dup").cast("int")).cast("int")
         .alias("n_dup_paragraphs"))
+
+
+def shingle_dup_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    n: int = 3,
+) -> DataFrame:
+    """Per-document shingle-duplication score: of a doc's DISTINCT
+    token n-grams, how many occur in ≥ 2 corpus documents?  Returns
+    ``(id, n_shingles, n_shared_shingles, dup_shingle_ratio)`` — the
+    corpus-"uniqueness" signal (a RedPajama-style quality feature)
+    that grades HOW duplicated a document is where the pairwise
+    operators decide WHETHER two documents match; docs with < n tokens
+    have no shingles and no row.
+
+    100 TB shape: the shingle table feeds both the document-frequency
+    aggregation and the score join, so it is scope-persisted; both
+    aggregations are hash aggs with map-side partials, and the join
+    keys the shingle itself (the same equi-join the inverted index
+    uses — no pairwise term at all, wire ∝ shingle instances)."""
+    s = scoped_persist(doc_shingles(spread(df), id_col, text_col, n))
+    freq = s.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    return (
+        s.join(freq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_shingles"),
+            F.sum((F.col("__df") >= 2).cast("int")).cast("int")
+            .alias("n_shared_shingles"),
+            F.round(
+                F.sum((F.col("__df") >= 2).cast("int"))
+                / F.count(F.lit(1)), 4).alias("dup_shingle_ratio"),
+        )
+    )

@@ -1834,3 +1834,36 @@ FROM d GROUP BY bucket
 PAIRS.update({
     "curriculum_length_buckets": (curriculum_length_buckets, ORACLE_CURRICULUM),
 })
+
+
+# --------------- N37: per-document shingle-duplication (uniqueness) score
+def shingle_dup_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How duplicated is each document's content across the corpus?
+    Share of its distinct 3-gram shingles occurring in ≥ 2 documents —
+    the graded uniqueness feature next to the binary pairwise dedup
+    verdicts.  One shingle pass feeds the df aggregation and the score
+    join (scope-persisted); no pairwise term anywhere."""
+    from hbase_snapshotter_spark.operators.dedup import shingle_dup_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return shingle_dup_stats(docs, "doc_id")
+
+
+ORACLE_SHINGLE_DUP = """
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(t[i.r:i.r+2], ' ') AS shingle
+       FROM toks, UNNEST(range(1, len(t) - 1)) AS i(r)
+       WHERE len(t) >= 3),
+fr AS (SELECT shingle, COUNT(*) AS dfq FROM sh GROUP BY 1)
+SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_shingles,
+       CAST(SUM(CASE WHEN dfq >= 2 THEN 1 ELSE 0 END) AS INTEGER)
+         AS n_shared_shingles,
+       ROUND(SUM(CASE WHEN dfq >= 2 THEN 1 ELSE 0 END) / COUNT(*), 4)
+         AS dup_shingle_ratio
+FROM sh JOIN fr USING (shingle) GROUP BY doc_id
+"""
+
+
+PAIRS.update({
+    "shingle_dup_scores": (shingle_dup_scores, ORACLE_SHINGLE_DUP),
+})

@@ -1049,3 +1049,21 @@ def test_winnow_overlap_detects_partial_copy(spark):
     df2 = spark.createDataFrame(rows + many, "doc_id long, text string")
     capped = winnow_overlap_pairs(df2, "doc_id", threshold=0.0, max_df=5)
     assert not [r for r in capped.collect() if r.id_a >= 10 or r.id_b >= 10]
+
+
+def test_shingle_dup_stats_hand_computed(spark):
+    """shingle_dup_stats: shared vs unique shingles on a corpus where
+    doc 1 and 2 share one 3-gram and doc 3 is too short for any."""
+    from hbase_snapshotter_spark.operators.dedup import shingle_dup_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"),      # shingles {a b c, b c d}
+         (2, "a b c x"),      # shingles {a b c, b c x}
+         (3, "a b")],         # no shingles (< 3 tokens) -> no row
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in shingle_dup_stats(df, "doc_id").collect()}
+    assert set(out) == {1, 2}
+    for d in (1, 2):
+        assert out[d]["n_shingles"] == 2
+        assert out[d]["n_shared_shingles"] == 1  # only 'a b c'
+        assert out[d]["dup_shingle_ratio"] == 0.5
