@@ -228,3 +228,40 @@ def test_ann_topk_no_corpus_shuffle_before_scoring(spark, sf_dir):
     # fallback of an equi-join
     assert plan.count("BroadcastNestedLoopJoin Cross") == \
         len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan))
+
+
+def test_profile_prunes_scan_to_profiled_columns(spark, sf_dir):
+    """The one-scan profiler must not read lineitem columns it doesn't
+    profile (l_orderkey/l_partkey/l_suppkey stay out of ReadSchema)."""
+    plan = explain(spark, "profile_lineitem", sf_dir)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "l_orderkey" not in m.group(1)
+    assert "l_partkey" not in m.group(1)
+    # exact multi-column distinct → Expand is the documented price
+    assert "Expand" in plan
+
+
+def test_domain_rebalance_counts_join_is_broadcast(spark, sf_dir):
+    """The per-domain count table is domain-cardinality-sized and MUST
+    broadcast — an SMJ here would shuffle the whole corpus by domain
+    (the very skew the operator avoids)."""
+    plan = explain(spark, "domain_rebalance", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_curriculum_no_window_no_range_shuffle(spark, sf_dir):
+    """Curriculum bucketing's point: no global sort — no Window node,
+    no rangepartitioning exchange anywhere in the plan."""
+    plan = explain(spark, "curriculum_length_buckets", sf_dir)
+    assert not re.search(r"\(\d+\) Window", plan)
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_bpe_pairs_single_corpus_scan(spark, sf_dir):
+    """BPE pair mining reads the corpus ONCE (word counting); the pair
+    histogram runs over the vocab-sized word table, and the head is a
+    TakeOrderedAndProject, not a global sort."""
+    plan = explain(spark, "bpe_pair_mining", sf_dir)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "TakeOrderedAndProject" in plan
