@@ -74,12 +74,16 @@ def bloom_bits_for(n_keys: int) -> int:
     return min(bits, 1 << 32)
 
 
-def build_bloom(prior: DataFrame, key_col: str, n_keys: int) -> bytes:
-    """One scan over ``prior``: per-Arrow-batch partial bitmaps
+def build_bloom(prior: DataFrame, key_col: str, n_keys: int = 0,
+                *, m_bits: int | None = None) -> bytes:
+    """One scan over ``prior``: per-partition partial bitmaps
     (np.uint8, m/8 bytes), OR-merged driver-side.  Returns the packed
     bitmap (bytes).  NULL keys are skipped (a NULL is never a member;
-    the caller's verify join has the same semantics)."""
-    m_bits = bloom_bits_for(n_keys)
+    the caller's verify join has the same semantics).  ``m_bits``
+    overrides the size derivation — incremental maintainers must build
+    every increment at the SAME size so bitmaps OR together."""
+    if m_bits is None:
+        m_bits = bloom_bits_for(n_keys)
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # ONE bitmap per PARTITION (the generator spans all its Arrow

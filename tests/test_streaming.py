@@ -211,3 +211,55 @@ def test_snapshot_maintenance_idempotent_under_redelivery(
     again = sorted(map(tuple,
                        m2.current_cells(spark).select(*cols).collect()))
     assert again == want
+
+
+def test_novelty_maintenance_streaming_equals_batch_and_redelivers(
+        spark, tmp_path):
+    """Continuous novelty (N34 streaming form): 4 replayed micro-batches
+    probe the maintained bloom + verify exactly; the union of per-batch
+    novel keys equals the distinct key set, each key is reported novel
+    exactly once (in its first-arrival file), and a full re-delivery
+    run over the existing state changes nothing."""
+    from hbase_snapshotter_spark.streaming.novelty_stream import (
+        maintain_novelty,
+    )
+    from hbase_snapshotter_spark.streaming.windows import replay_stream
+
+    src = str(tmp_path / "doc_stream")
+    # 4 files with overlapping keys: k0..k9 | k5..k14 | k0..k4 | k15..k19
+    slices = [range(0, 10), range(5, 15), range(0, 5), range(15, 20)]
+    for i, keys in enumerate(slices):
+        spark.createDataFrame([(f"k{k}",) for k in keys], "key string") \
+            .coalesce(1).write.mode("overwrite").parquet(f"{src}/f{i}")
+    import glob
+    import shutil
+    for i in range(4):
+        part = glob.glob(f"{src}/f{i}/part-*.parquet")[0]
+        shutil.move(part, f"{src}/file{i}.parquet")
+        shutil.rmtree(f"{src}/f{i}")
+    schema = spark.read.parquet(f"{src}/file0.parquet").schema
+
+    state = str(tmp_path / "novelty_state")
+
+    def run(ckpt):
+        stream = replay_stream(spark, src, schema, max_files_per_trigger=1)
+        q, m = maintain_novelty(
+            stream, state, "key", expected_keys=100,
+            checkpointLocation=str(tmp_path / ckpt), availableNow=True)
+        q.awaitTermination(120)
+        return m
+
+    m = run("ckpt1")
+    seen = {r["key"] for r in m.seen_keys(spark).collect()}
+    assert seen == {f"k{k}" for k in range(20)}
+    # each key novel exactly ONCE across all batch dirs (no dup reports)
+    all_novel = [r["key"] for d in m._batch_dirs()
+                 for r in spark.read.parquet(d).collect()]
+    assert sorted(all_novel) == sorted(seen)
+
+    dirs_before = {d: sorted(r["key"] for r in spark.read.parquet(d).collect())
+                   for d in m._batch_dirs()}
+    m2 = run("ckpt2")  # full re-delivery over existing state
+    dirs_after = {d: sorted(r["key"] for r in spark.read.parquet(d).collect())
+                  for d in m2._batch_dirs()}
+    assert dirs_after == dirs_before
