@@ -1867,3 +1867,77 @@ FROM sh JOIN fr USING (shingle) GROUP BY doc_id
 PAIRS.update({
     "shingle_dup_scores": (shingle_dup_scores, ORACLE_SHINGLE_DUP),
 })
+
+
+# ------- N38: cluster-aware (leakage-free) train/val/test splitting
+def cluster_aware_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-FREE splitting: hash the split key on the near-dup
+    CLUSTER, not the document — every member of a connected near-dup
+    component lands in the same split by construction, so the
+    train↔val leaks the N31 audit finds under per-doc hashing (3 pairs
+    at sf0.01) cannot exist.  The pair table feeds both the component
+    propagation and the in-query leak audit (scope-persisted);
+    ``zero_cross_split_leaks`` replays that audit and folds the
+    guarantee into the driver hash — the oracle recomputes it from the
+    recursive-CTE closure rather than asserting TRUE."""
+    from hbase_snapshotter_spark.operators.dedup import (
+        connected_components,
+        scoped_persist,
+    )
+    from hbase_snapshotter_spark.operators.sampling import (
+        train_val_test_split,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = scoped_persist(
+        minhash_lsh_pairs(docs, "doc_id", num_hashes=MINHASH_K,
+                          bands=MINHASH_BANDS, threshold=MINHASH_THRESHOLD))
+    comp = connected_components(pairs, docs.select("doc_id"),
+                                id_col="doc_id")
+    sp = train_val_test_split(comp, "component").withColumnRenamed(
+        "component", "cluster_id")
+    a = sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("__sa"))
+    b = sp.select(F.col("doc_id").alias("id_b"), F.col("split").alias("__sb"))
+    flag = (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .agg((F.coalesce(
+            F.sum((F.col("__sa") != F.col("__sb")).cast("int")),
+            F.lit(0)) == 0).alias("zero_cross_split_leaks")))
+    return sp.crossJoin(F.broadcast(flag)).select(
+        "doc_id", "cluster_id", "split", "zero_cross_split_leaks")
+
+
+def _oracle_cluster_splits() -> str:
+    pair_sql = _oracle_minhash().rsplit("ORDER BY", 1)[0]
+    return f"""
+WITH RECURSIVE pairs AS ({pair_sql}),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s),
+comp AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+sp AS (SELECT doc_id, cluster_id,
+              CASE WHEN bk < 800 THEN 'train'
+                   WHEN bk < 900 THEN 'val'
+                   ELSE 'test' END AS split
+       FROM (SELECT doc_id, cluster_id,
+                    CAST('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8)
+                         AS BIGINT) % 1000 AS bk
+             FROM comp)),
+leaks AS (SELECT COUNT(*) AS n
+          FROM pairs p
+          JOIN sp x ON x.doc_id = p.id_a
+          JOIN sp y ON y.doc_id = p.id_b
+          WHERE x.split <> y.split)
+SELECT doc_id, cluster_id, split,
+       (SELECT n FROM leaks) = 0 AS zero_cross_split_leaks
+FROM sp
+"""
+
+
+PAIRS.update({
+    "cluster_aware_splits": (cluster_aware_splits, _oracle_cluster_splits()),
+})

@@ -1067,3 +1067,48 @@ def test_shingle_dup_stats_hand_computed(spark):
         assert out[d]["n_shingles"] == 2
         assert out[d]["n_shared_shingles"] == 1  # only 'a b c'
         assert out[d]["dup_shingle_ratio"] == 0.5
+
+
+def test_cluster_aware_splits_are_leak_free_where_doc_splits_leak(
+        spark, sf_dir):
+    """The N38 guarantee, checked directly: same-cluster docs share a
+    split (so no near-dup pair straddles a boundary), on the same
+    fixture where per-doc hashing DOES leak (the N31 audit's 3 pairs)."""
+    from pyspark.sql import functions as F
+
+    from hbase_snapshotter_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+    from hbase_snapshotter_spark.operators.sampling import (
+        train_val_test_split,
+    )
+    from hbase_snapshotter_spark.queries.llm import (
+        MINHASH_BANDS,
+        MINHASH_K,
+        MINHASH_THRESHOLD,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", num_hashes=MINHASH_K, bands=MINHASH_BANDS,
+        threshold=MINHASH_THRESHOLD).collect()
+    comp = connected_components(
+        spark.createDataFrame(pairs, "id_a long, id_b long, jaccard double")
+        .select("id_a", "id_b"),
+        docs.select("doc_id"), id_col="doc_id")
+    by_cluster = train_val_test_split(comp, "component")
+    splits = {r["doc_id"]: r["split"] for r in by_cluster.collect()}
+    assert all(splits[a] == splits[b] for a, b, _ in pairs)
+
+    # clusters collapse: every component has exactly one split value
+    per = (by_cluster.groupBy("component")
+           .agg(F.countDistinct("split").alias("n")).collect())
+    assert all(r["n"] == 1 for r in per)
+
+    # contrast: per-doc hashing leaks on this fixture (N31 found 3)
+    doc_splits = {r["doc_id"]: r["split"] for r in
+                  train_val_test_split(docs.select("doc_id"), "doc_id")
+                  .collect()}
+    leaks = sum(1 for a, b, _ in pairs if doc_splits[a] != doc_splits[b])
+    assert leaks > 0

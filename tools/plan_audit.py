@@ -57,6 +57,7 @@ def main() -> int:
                                        # smoothing constant in bigram_lm_xent)
         "curriculum_length_buckets",   # 1-row boundary attach + 1-row
                                        # approx_assign_ok flag attach
+        "cluster_aware_splits",        # 1-row zero-leaks flag attach
     }
 
     flags_total = 0
