@@ -156,16 +156,30 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("\n", F.col("__kept_lines")).alias("text_dedup_lines"),
         (F.size("__lines") - F.size("__kept_lines")).cast("int")
         .alias("n_removed_lines"))
+    # N37 (r6 extend-in-place; standalone form: `shingle_dup_scores`):
+    # graded corpus-uniqueness of each SURVIVOR — share of its distinct
+    # 3-gram shingles occurring in >= 2 kept documents; left join +
+    # coalesce keeps < 3-token docs total (ratio stays NULL there: 0/0
+    # has no honest value)
+    from hbase_snapshotter_spark.operators.dedup import shingle_dup_stats
+
+    sstats = shingle_dup_stats(kept, "doc_id")
     return (rewritten.join(pstats, "doc_id")
             .join(cstats, "doc_id", "left")
+            .join(sstats, "doc_id", "left")
             .withColumn("n_cdc_chunks",
                         F.coalesce("n_cdc_chunks", F.lit(0)).cast("int"))
             .withColumn("n_dup_cdc_chunks",
                         F.coalesce("n_dup_cdc_chunks", F.lit(0)).cast("int"))
+            .withColumn("n_shingles",
+                        F.coalesce("n_shingles", F.lit(0)).cast("int"))
+            .withColumn("n_shared_shingles",
+                        F.coalesce("n_shared_shingles", F.lit(0)).cast("int"))
             .select("doc_id", "text", "lang", "source", "n_chars",
                     "n_paragraphs", "n_dup_paragraphs",
                     "text_dedup_lines", "n_removed_lines",
-                    "n_cdc_chunks", "n_dup_cdc_chunks"))
+                    "n_cdc_chunks", "n_dup_cdc_chunks",
+                    "n_shingles", "n_shared_shingles", "dup_shingle_ratio"))
 
 
 ORACLE_DEDUP_EXACT = f"""
@@ -224,29 +238,61 @@ cstats AS (
   SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_cdc_chunks,
          CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS INTEGER)
            AS n_dup_cdc_chunks
-  FROM cranked GROUP BY doc_id)
+  FROM cranked GROUP BY doc_id),
+ssh AS (SELECT DISTINCT doc_id, array_to_string(t[i.r:i.r+2], ' ') AS shingle
+        FROM toks, UNNEST(range(1, len(t) - 1)) AS i(r)
+        WHERE len(t) >= 3),
+sfr AS (SELECT shingle, COUNT(*) AS dfq FROM ssh GROUP BY 1),
+sstats AS (
+  SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_shingles,
+         CAST(SUM(CASE WHEN dfq >= 2 THEN 1 ELSE 0 END) AS INTEGER)
+           AS n_shared_shingles,
+         ROUND(SUM(CASE WHEN dfq >= 2 THEN 1 ELSE 0 END) / COUNT(*), 4)
+           AS dup_shingle_ratio
+  FROM ssh JOIN sfr USING (shingle) GROUP BY doc_id)
 SELECT k.doc_id, k.text, k.lang, k.source, k.n_chars,
        p.n_paragraphs, p.n_dup_paragraphs,
        r.text_dedup_lines, r.n_removed_lines,
        CAST(COALESCE(c.n_cdc_chunks, 0) AS INTEGER) AS n_cdc_chunks,
-       CAST(COALESCE(c.n_dup_cdc_chunks, 0) AS INTEGER) AS n_dup_cdc_chunks
+       CAST(COALESCE(c.n_dup_cdc_chunks, 0) AS INTEGER) AS n_dup_cdc_chunks,
+       CAST(COALESCE(s.n_shingles, 0) AS INTEGER) AS n_shingles,
+       CAST(COALESCE(s.n_shared_shingles, 0) AS INTEGER) AS n_shared_shingles,
+       s.dup_shingle_ratio
 FROM kept k JOIN pstats p ON p.doc_id = k.doc_id
             JOIN rewritten r ON r.doc_id = k.doc_id
             LEFT JOIN cstats c ON c.doc_id = k.doc_id
+            LEFT JOIN sstats s ON s.doc_id = k.doc_id
 """
 
 
 # --------------------------------------------- N13: exact n-gram Jaccard
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document Jaccard pairs UNION the winnowing-containment
+    pairs (N32, r6 extend-in-place; standalone form: `winnow_overlap`)
+    as one tagged pair-method table — the two complementary exact
+    similarity detectors: Jaccard for global near-dups, containment
+    for LOCAL partial copies a lifted paragraph produces.  ``score`` is
+    the method's similarity (jaccard / containment); ``support`` is
+    the shared-fingerprint count (winnow only — Jaccard's evidence is
+    the score itself)."""
+    from hbase_snapshotter_spark.operators.dedup import winnow_overlap_pairs
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return jaccard_pairs(docs, "doc_id", threshold=0.2).orderBy("id_a", "id_b")
+    jac = jaccard_pairs(docs, "doc_id", threshold=0.2).select(
+        F.lit("jaccard").alias("method"), "id_a", "id_b",
+        F.col("jaccard").alias("score"),
+        F.lit(None).cast("int").alias("support"))
+    win = winnow_overlap_pairs(
+        docs, "doc_id", k=WINNOW_K, window=WINNOW_WINDOW,
+        threshold=WINNOW_OVERLAP_THRESHOLD).select(
+        F.lit("winnow").alias("method"), "id_a", "id_b",
+        F.col("containment").alias("score"),
+        F.col("shared_fp").alias("support"))
+    return jac.unionByName(win).orderBy("method", "id_a", "id_b")
 
 
-ORACLE_JACCARD = f"""
-WITH {SQL_SHINGLES}
-SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.2
-ORDER BY id_a, id_b
-"""
+# (the jaccard∪winnow oracle references the WINNOW_* constants defined
+# further down; built and registered at module end)
 
 
 # ------------------------------------------------- N13: MinHash LSH dedup
@@ -851,7 +897,6 @@ FROM toks, UNNEST(range(1, len(t) + 1)) AS i(r)
 
 PAIRS = {
     "dedup_exact_documents": (dedup_exact_documents, ORACLE_DEDUP_EXACT),
-    "dedup_jaccard_pairs": (dedup_jaccard_pairs, ORACLE_JACCARD),
     "dedup_minhash_lsh": (dedup_minhash_lsh, _oracle_minhash()),
     "dedup_simhash": (dedup_simhash, _oracle_simhash()),
     "text_analysis": (text_analysis, _oracle_text()),
@@ -971,19 +1016,41 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the oracle replays assignment + probing + search exactly;
     production swaps in k-means centroids with an identical plan.  Like
     the SRP query, recall vs the brute-force baseline is computed
-    in-query and hash-checked (oracle expects TRUE)."""
+    in-query and hash-checked (oracle expects TRUE).
+
+    Round 6 folds the PRODUCTION (k-means) path's invariants into this
+    recorded key (the r4/r5 extend-in-place pattern; the full k-means
+    query also stands alone as ``similarity_topk_ivf_kmeans``):
+    ``kmeans_recall_ok`` = the Lloyd's-centroid path clears the same
+    recall floor, ``kmeans_ge_sampled`` = refinement does not regress
+    the sampled baseline (− the float-wobble margin).  Both are 1-row
+    attaches; bench mode skips all probes."""
     from hbase_snapshotter_spark.cache import scoped_persist
     from hbase_snapshotter_spark.operators.similarity import ivf_topk
 
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < TOPK_QUERY_PRED)
     if not _probe_enabled():  # bench mode: approximate path alone
-        return ivf_topk(emb, q, k=TOPK_K) \
-            .withColumn("recall_within_tolerance", F.lit(True))
+        return (ivf_topk(emb, q, k=TOPK_K)
+                .withColumn("recall_within_tolerance", F.lit(True))
+                .withColumn("kmeans_recall_ok", F.lit(True))
+                .withColumn("kmeans_ge_sampled", F.lit(True)))
     ivf = scoped_persist(ivf_topk(emb, q, k=TOPK_K))  # output + recall probe
-    flag = _recall_flag(ivf, brute_force_topk(emb, q, k=TOPK_K),
-                        IVF_RECALL_BOUND)
-    return ivf.crossJoin(F.broadcast(flag))
+    brute = scoped_persist(brute_force_topk(emb, q, k=TOPK_K))
+    flag = _recall_flag(ivf, brute, IVF_RECALL_BOUND)
+    km = scoped_persist(ivf_topk(emb, q, k=TOPK_K, use_kmeans=True))
+    km_floor = _recall_flag(km, brute, IVF_RECALL_BOUND) \
+        .withColumnRenamed("recall_within_tolerance", "kmeans_recall_ok")
+    r_km = _recall_value(km, brute).withColumnRenamed("__recall", "__r_km")
+    r_sampled = _recall_value(ivf, brute) \
+        .withColumnRenamed("__recall", "__r_sampled")
+    cmp_flag = r_km.crossJoin(r_sampled).select(
+        F.coalesce(
+            F.col("__r_km") >= F.col("__r_sampled") - KMEANS_RECALL_MARGIN,
+            F.lit(True)).alias("kmeans_ge_sampled"))
+    return (ivf.crossJoin(F.broadcast(flag))
+            .crossJoin(F.broadcast(km_floor))
+            .crossJoin(F.broadcast(cmp_flag)))
 
 
 def _oracle_ivf() -> str:
@@ -1008,7 +1075,8 @@ scored AS (
   JOIN assign ca ON ca.cell = p.cell AND ca.vec_id <> p.query_id
   JOIN embeddings c ON c.vec_id = ca.vec_id)
 SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine,
-       TRUE AS recall_within_tolerance FROM (
+       TRUE AS recall_within_tolerance,
+       TRUE AS kmeans_recall_ok, TRUE AS kmeans_ge_sampled FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                ORDER BY cosine DESC, neighbor_id ASC) AS rank
   FROM scored
@@ -1087,15 +1155,53 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: MinHash-LSH pairs as edges, connected
     components by iterative min-label propagation; every doc gets its
     canonical (minimum) representative.  The oracle replays the
-    transitive closure with a recursive CTE."""
-    from hbase_snapshotter_spark.operators.dedup import connected_components
+    transitive closure with a recursive CTE.
+
+    Round 6 extends the recorded key in place (the r4/r5 pattern) with
+    the N31/N38 split-leakage surface: ``doc_split`` (per-doc hash
+    split), ``split`` (CLUSTER-keyed split — every component lands
+    whole in one split), the corpus-wide ``doc_leaked_pairs`` count (3
+    at sf0.01 — the leak the audit exists to catch) and the
+    ``cluster_leak_free`` guarantee, both RECOMPUTED by the oracle from
+    the closure, not asserted."""
+    from hbase_snapshotter_spark.operators.dedup import (
+        connected_components,
+        scoped_persist,
+    )
+    from hbase_snapshotter_spark.operators.sampling import (
+        train_val_test_split,
+    )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    pairs = minhash_lsh_pairs(docs, "doc_id", num_hashes=MINHASH_K,
-                              bands=MINHASH_BANDS, threshold=MINHASH_THRESHOLD)
-    return connected_components(
-        pairs, docs.select("doc_id"), id_col="doc_id"
-    ).withColumnRenamed("component", "cluster_id").orderBy("doc_id")
+    pairs = scoped_persist(
+        minhash_lsh_pairs(docs, "doc_id", num_hashes=MINHASH_K,
+                          bands=MINHASH_BANDS, threshold=MINHASH_THRESHOLD))
+    comp = connected_components(
+        pairs, docs.select("doc_id"), id_col="doc_id")
+    sp = scoped_persist(
+        train_val_test_split(
+            train_val_test_split(comp, "component"),
+            "doc_id", out_col="doc_split")
+        .withColumnRenamed("component", "cluster_id"))
+    a = sp.select(F.col("doc_id").alias("id_a"),
+                  F.col("split").alias("__ca"),
+                  F.col("doc_split").alias("__da"))
+    b = sp.select(F.col("doc_id").alias("id_b"),
+                  F.col("split").alias("__cb"),
+                  F.col("doc_split").alias("__db"))
+    zero = F.lit(0)
+    flags = (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .agg(
+            F.coalesce(F.sum((F.col("__da") != F.col("__db")).cast("int")),
+                       zero).cast("int").alias("doc_leaked_pairs"),
+            (F.coalesce(F.sum((F.col("__ca") != F.col("__cb")).cast("int")),
+                        zero) == 0).alias("cluster_leak_free")))
+    return (
+        sp.crossJoin(F.broadcast(flags))
+        .select("doc_id", "cluster_id", "split", "doc_split",
+                "doc_leaked_pairs", "cluster_leak_free")
+        .orderBy("doc_id"))
 
 
 def _oracle_clusters() -> str:
@@ -1110,8 +1216,31 @@ edges AS (
 reach(a, b) AS (
   SELECT doc_id, doc_id FROM documents
   UNION
-  SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s)
-SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+  SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s),
+comp AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+sp AS (SELECT doc_id, cluster_id,
+              CASE WHEN cbk < 800 THEN 'train'
+                   WHEN cbk < 900 THEN 'val' ELSE 'test' END AS split,
+              CASE WHEN dbk < 800 THEN 'train'
+                   WHEN dbk < 900 THEN 'val' ELSE 'test' END AS doc_split
+       FROM (SELECT doc_id, cluster_id,
+                    CAST('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8)
+                         AS BIGINT) % 1000 AS cbk,
+                    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                         AS BIGINT) % 1000 AS dbk
+             FROM comp)),
+leaks AS (SELECT
+            CAST(COALESCE(SUM(CASE WHEN x.doc_split <> y.doc_split
+                               THEN 1 ELSE 0 END), 0) AS INTEGER) AS dl,
+            COALESCE(SUM(CASE WHEN x.split <> y.split
+                          THEN 1 ELSE 0 END), 0) = 0 AS cf
+          FROM pairs p
+          JOIN sp x ON x.doc_id = p.id_a
+          JOIN sp y ON y.doc_id = p.id_b)
+SELECT doc_id, cluster_id, split, doc_split,
+       (SELECT dl FROM leaks) AS doc_leaked_pairs,
+       (SELECT cf FROM leaks) AS cluster_leak_free
+FROM sp
 ORDER BY doc_id
 """
 
@@ -1128,26 +1257,43 @@ def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     repetition + digit-noise cuts, AND the benchmark-decontamination cut
     — one narrow pass plus a broadcast anti-pattern join.  The held-out
     eval slice itself is excluded the same way (its sentinel -1 fails
-    the ``= 0`` cut): eval documents must never enter training."""
+    the ``= 0`` cut): eval documents must never enter training.
+
+    Round 6 adds the CCNet fluency cut to this recorded key (the
+    extend-in-place pattern; the full per-doc scorer also stands alone
+    as ``lm_perplexity_filter``): every surviving document must score
+    ≤ :data:`LM_XENT_KEEP_BITS` bits under the reference-slice bigram
+    LM — the model tables broadcast, the per-doc score joins on
+    doc_id."""
+    from hbase_snapshotter_spark.operators.lm import bigram_lm_xent
+
     docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     contam = contamination_hits(
         docs.filter(~_is_eval()), docs.filter(_is_eval()), n=CONTAM_N)
+    lm = bigram_lm_xent(docs, F.col("source").isin(*MIX_RATES))
     toked = docs.select("doc_id", "lang", "text",
                         tokens(F.col("text")).alias("__toks"))
     toked = toked.join(F.broadcast(contam), "doc_id", "left").withColumn(
         "eval_ngram_hits",
         F.when(_is_eval(), F.lit(-1))
         .otherwise(F.coalesce("eval_ngram_hits", F.lit(0))).cast("int"))
+    # left + coalesce(0 bits): a doc with < 2 tokens has no LM row and
+    # must not vanish — it is cut by n_tokens >= 20 anyway
+    toked = toked.join(lm.select("doc_id", "lm_xent_bits"),
+                       "doc_id", "left").withColumn(
+        "lm_xent_bits", F.coalesce("lm_xent_bits", F.lit(0.0)))
     staged = toked.select(
         "doc_id", "lang", "text", "__toks", "eval_ngram_hits",
+        "lm_xent_bits",
         line_signals(token_lines(F.col("__toks"), LINE_TOKENS))
         .alias("__lsig"))
     lined = staged.select(
         "doc_id", "lang", "text", "__toks", "eval_ngram_hits",
+        "lm_xent_bits",
         F.col("__lsig.frac_dup_lines").alias("frac_dup_lines"))
     feats = text_features(lined, "text",
                           id_cols=["doc_id", "lang", "frac_dup_lines",
-                                   "eval_ngram_hits"],
+                                   "eval_ngram_hits", "lm_xent_bits"],
                           toks_col=F.col("__toks"))
     return feats.filter(
         (F.col("quality_score") >= 0.7) & (F.col("n_tokens") >= 20)
@@ -1161,11 +1307,17 @@ def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         # decontamination: no shared 13-gram with the eval slice, and
         # the eval slice itself (-1) never enters training
         & (F.col("eval_ngram_hits") == 0)
+        # CCNet fluency cut (N29): keep the low-perplexity band
+        & (F.col("lm_xent_bits") <= LM_XENT_KEEP_BITS)
     ).select("doc_id", "lang", "n_tokens", "quality_score",
-             "dup_2gram_ratio", "frac_dup_lines", "eval_ngram_hits")
+             "dup_2gram_ratio", "frac_dup_lines", "eval_ngram_hits",
+             "lm_xent_bits")
 
 
 def _oracle_quality_filter() -> str:
+    # NOTE: references ORACLE_LM_PERPLEXITY / LM_XENT_KEEP_BITS, which
+    # are defined further down the module — this builder is therefore
+    # invoked by the PAIRS.update at the END of the file, not here
     text_sql = _oracle_text()
     # thread `lang` through the toks CTE and the outer projection
     assert "SELECT doc_id, text," in text_sql and "SELECT toks.doc_id," in text_sql
@@ -1173,26 +1325,29 @@ def _oracle_quality_filter() -> str:
                 .replace("SELECT doc_id, text,", "SELECT doc_id, lang, text,")
                 .replace("SELECT toks.doc_id,", "SELECT toks.doc_id, lang,"))
     return f"""
-WITH feats AS ({text_sql})
-SELECT doc_id, lang, n_tokens, quality_score, dup_2gram_ratio,
-       frac_dup_lines, eval_ngram_hits
-FROM feats
+WITH feats AS ({text_sql}),
+lm AS ({ORACLE_LM_PERPLEXITY})
+SELECT feats.doc_id, lang, n_tokens, quality_score, dup_2gram_ratio,
+       frac_dup_lines, eval_ngram_hits,
+       COALESCE(lm.lm_xent_bits, 0.0) AS lm_xent_bits
+FROM feats LEFT JOIN lm ON lm.doc_id = feats.doc_id
 WHERE quality_score >= 0.7 AND n_tokens >= 20 AND lang_guess = 'en'
   AND dup_2gram_ratio <= 0.1 AND digit_char_ratio <= 0.2
   AND frac_dup_lines <= 0.04
   AND eval_ngram_hits = 0
+  AND COALESCE(lm.lm_xent_bits, 0.0) <= {LM_XENT_KEEP_BITS}
 """
-
-
-PAIRS.update({
-    "pipeline_quality_filter": (pipeline_quality_filter, _oracle_quality_filter()),
-})
 
 
 # ---------------------- training-data sampling / splitting (hash-mod)
 #: Sequence-packing geometry for the registered query: 512-token packs,
 #: 8 hash shards (parallel cumsum groups — size to the cluster at 100 TB).
 PACK_BUDGET, PACK_SHARDS = 512, 8
+
+#: Cap every source at ~10 documents (RefinedWeb rebalancing; shared by
+#: the recorded `sample_split_assignments` aggregate and the standalone
+#: `domain_rebalance` query below).
+DOMAIN_CAP_DOCS = 10
 
 
 #: Static training-mixture weights (per-source keep rates, ‰): a few
@@ -1216,6 +1371,7 @@ def sample_split_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct packs started and the max in-pack offset per group replay
     only if every prefix sum matches."""
     from hbase_snapshotter_spark.operators.sampling import (
+        domain_cap,
         dsir_logratio,
         hash_bucket,
         mixture_sample,
@@ -1231,6 +1387,10 @@ def sample_split_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labeled = mixture_sample(labeled, "doc_id", "source", MIX_RATES,
                              default_permille=MIX_DEFAULT)
+    # RefinedWeb per-domain cap (N30, r6 extend-in-place; standalone
+    # per-doc form: `domain_rebalance`): folded into the aggregate as a
+    # per-group survivor count
+    labeled = domain_cap(labeled, "doc_id", "source", DOMAIN_CAP_DOCS)
     # DSIR importance vs the curated-source target distribution — the
     # quantity a production sampler would turn into keep probabilities;
     # folded into the aggregate as a per-group 4-dp sum so the oracle
@@ -1252,6 +1412,8 @@ def sample_split_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("n_tokens").cast("long").alias("total_tokens"),
              F.countDistinct("pack_id").alias("n_packs"),
              F.max("pack_offset").alias("max_pack_offset"),
+             F.sum(F.col("in_domain_cap").cast("int")).cast("long")
+             .alias("n_domain_capped"),
              # SUM of 4-dp per-doc scores, not AVG: a sum of 4-dp
              # decimals is never on a .00005 rounding boundary, while
              # an average frequently is (engine-dependent half-point
@@ -1286,13 +1448,18 @@ sc AS (
            AS dsir_logratio
   FROM tk JOIN cf USING (tok) LEFT JOIN tf USING (tok) CROSS JOIN tot
   GROUP BY 1),
+dc AS (SELECT source, COUNT(*) AS domain_docs FROM documents GROUP BY source),
 d AS (
   SELECT doc_id, lang,
          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000 AS bk,
          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#mix'), 1, 8) AS BIGINT) % 1000 AS mbk,
          CASE source {_MIX_CASE} ELSE {MIX_DEFAULT} END AS mix_rate,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#cap'), 1, 8) AS BIGINT)
+           < LEAST(4294967296,
+                   CAST(floor({DOMAIN_CAP_DOCS} * 4294967296.0 / dc.domain_docs)
+                        AS BIGINT)) AS in_domain_cap,
          len(string_split(trim(text), ' ')) AS n_tokens
-  FROM documents),
+  FROM documents JOIN dc USING (source)),
 s AS (
   SELECT *,
          CASE WHEN bk < 800 THEN 'train'
@@ -1314,6 +1481,8 @@ SELECT lang, split, in_sample, in_mixture,
                   || CAST(seq_start // {PACK_BUDGET} AS VARCHAR)) AS BIGINT)
          AS n_packs,
        CAST(MAX(seq_start % {PACK_BUDGET}) AS BIGINT) AS max_pack_offset,
+       CAST(SUM(CASE WHEN in_domain_cap THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_domain_capped,
        ROUND(SUM(COALESCE(sc.dsir_logratio, 0)), 4) + 0.0 AS sum_dsir_logratio
 FROM p LEFT JOIN sc ON sc.doc_id = p.doc_id GROUP BY 1, 2, 3, 4
 """
@@ -1534,11 +1703,10 @@ FROM sc
 
 
 # ------------------------- N30: per-domain caps (RefinedWeb rebalance)
-#: Cap every source at ~10 documents (in expectation): at sf0.01 each
-#: of the 20 uniform sources holds 25 docs (rate 400‰); at sf0.1, 250
-#: docs (rate 40‰) — the cap is constant while the corpus grows, which
-#: is the point of rebalancing.
-DOMAIN_CAP_DOCS = 10
+#: (DOMAIN_CAP_DOCS — ~10 docs per source in expectation — is defined
+#: above with the sampling constants: at sf0.01 each of the 20 uniform
+#: sources holds 25 docs; at sf0.1, 250 — the cap is constant while the
+#: corpus grows, which is the point of rebalancing.)
 
 
 def domain_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1940,4 +2108,33 @@ FROM sp
 
 PAIRS.update({
     "cluster_aware_splits": (cluster_aware_splits, _oracle_cluster_splits()),
+})
+
+
+# pipeline_quality_filter's oracle references the LM constants above,
+# so its (re-)registration lives at module end; registry order is
+# governed by registry._R5_ORDER, not this dict's insertion order.
+PAIRS.update({
+    "pipeline_quality_filter": (pipeline_quality_filter,
+                                _oracle_quality_filter()),
+})
+
+
+def _oracle_jaccard_winnow() -> str:
+    winnow = _oracle_winnow_overlap().rsplit("ORDER BY", 1)[0]
+    return f"""
+WITH {SQL_SHINGLES}
+SELECT 'jaccard' AS method, id_a, id_b, jaccard AS score,
+       CAST(NULL AS INTEGER) AS support
+FROM jac WHERE jaccard >= 0.2
+UNION ALL
+SELECT 'winnow' AS method, id_a, id_b, containment AS score,
+       shared_fp AS support
+FROM ({winnow})
+ORDER BY method, id_a, id_b
+"""
+
+
+PAIRS.update({
+    "dedup_jaccard_pairs": (dedup_jaccard_pairs, _oracle_jaccard_winnow()),
 })

@@ -58,6 +58,9 @@ def main() -> int:
         "curriculum_length_buckets",   # 1-row boundary attach + 1-row
                                        # approx_assign_ok flag attach
         "cluster_aware_splits",        # 1-row zero-leaks flag attach
+        "dedup_clusters",              # 1-row leak-count/flag attach (r6)
+        "pipeline_quality_filter",     # 1-row vocab-size attach via the
+                                       # r6 bigram-LM fluency cut
     }
 
     flags_total = 0
