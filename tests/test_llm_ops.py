@@ -1112,3 +1112,49 @@ def test_cluster_aware_splits_are_leak_free_where_doc_splits_leak(
                   .collect()}
     leaks = sum(1 for a, b, _ in pairs if doc_splits[a] != doc_splits[b])
     assert leaks > 0
+
+
+def test_pq_scores_match_brute_force_and_recall(spark, sf_dir):
+    """PQ + ADC + exact re-rank: every returned pair carries the exact
+    4-dp cosine (the re-rank recomputes it on full vectors), results
+    are rank-ordered per query, and recall vs brute force clears the
+    registered floor on the worst-case isotropic fixture."""
+    from hbase_snapshotter_spark.operators.similarity import pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter("vec_id < 20")
+    brute_all = {(r.query_id, r.neighbor_id): r.cosine
+                 for r in brute_force_topk(emb, q, k=600).collect()}
+    brute_top = {(r.query_id, r.neighbor_id)
+                 for r in brute_force_topk(emb, q, k=5).collect()}
+    pq = pq_topk(emb, q, k=5).collect()
+    assert all(brute_all[(r.query_id, r.neighbor_id)] == r.cosine for r in pq)
+    by_q = {}
+    for r in sorted(pq, key=lambda r: (r.query_id, r.rank)):
+        by_q.setdefault(r.query_id, []).append(r.cosine)
+    assert all(c == sorted(c, reverse=True) for c in by_q.values())
+    got = {(r.query_id, r.neighbor_id) for r in pq}
+    assert len(got & brute_top) / len(brute_top) >= 0.7
+
+
+def test_pq_encode_deterministic_and_bounded(spark, sf_dir):
+    """Codes are positions into the id-sorted codebook (bounded by its
+    size), the reconstructed norm is positive, and the encode pass is
+    deterministic across runs and input partitionings."""
+    from hbase_snapshotter_spark.operators.similarity import (
+        pq_codebook,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cids, C = pq_codebook(emb)
+    assert list(cids) == sorted(cids) and len(cids) <= 256
+    a = {r["vec_id"]: (list(r["__codes"]), r["__rn2"])
+         for r in pq_encode(emb, C).collect()}
+    b = {r["vec_id"]: (list(r["__codes"]), r["__rn2"])
+         for r in pq_encode(emb.repartition(7), C).collect()}
+    assert a == b
+    for codes, rn2 in a.values():
+        assert len(codes) == 16
+        assert all(0 <= c < len(cids) for c in codes)
+        assert rn2 > 0
