@@ -307,3 +307,63 @@ def snapshot_as_of(
         else:
             out.append(decode_expr(raw, f.dataType, strict=strict_decode).alias(f.name))
     return pivoted.select(*out)
+
+
+def compact_cells(
+    cells: DataFrame,
+    *,
+    horizon_ts: int,
+    ttl_cutoff_ts: int,
+    key_col: str = "row_key",
+    qualifier_col: str = "qualifier",
+    ts_col: str = "cell_ts",
+    value_col: str = "value",
+    status_qualifier: str = "row_status",
+    delete_marker: str = "D",
+) -> DataFrame:
+    """Major-compaction classification of a latest-cells state (N40) —
+    the retention half the reference leaves to HBase itself: its
+    replicator writes ``d:row_status`` delete markers
+    (``Schema.scala:135-147`` — "denotes whether the row is the result
+    of a schema change (deletion, update, etc)") and relies on HBase
+    major compaction to eventually collect tombstoned rows and
+    TTL-expired cells.  A warehouse-side state table
+    (:func:`advance_latest_cells` / :mod:`~.snapshot_state`) must do
+    its own collection or grow monotonically.
+
+    Every input cell comes back with ``row_deleted`` and a ``cell_fate``:
+
+    - ``deleted`` — the row's ``row_status`` cell is ``delete_marker``
+      with ``cell_ts <= horizon_ts`` (the tombstone is old enough that
+      no snapshot newer than the horizon can resurrect the row), so ALL
+      the row's cells are collectible, marker included;
+    - ``expired``  — not deleted, but ``cell_ts < ttl_cutoff_ts`` (TTL);
+    - ``kept``     — everything else.  The compacted state is
+      ``filter(cell_fate = 'kept')``.
+
+    Scale shape: the tombstone set is a narrow filter of the state
+    itself; classification is ONE left join keyed on ``key_col`` plus
+    pure column expressions — no aggregation, no window.  Run against
+    the hash-bucket-partitioned state table the join is co-partitioned
+    (both sides derive from the same bucket), so compacting N buckets
+    is N independent narrow jobs — the same pruning story as the
+    partition-pruned advance, and at 100 TB compaction piggybacks on
+    the buckets an advance already rewrites."""
+    tombstones = (
+        cells.filter((F.col(qualifier_col) == status_qualifier)
+                     & (F.col(value_col) == delete_marker)
+                     & (F.col(ts_col) <= F.lit(horizon_ts)))
+        .select(F.col(key_col))
+        .withColumn("__row_deleted", F.lit(True))
+    )
+    classified = (
+        cells.join(tombstones, key_col, "left")
+        .withColumn("row_deleted", F.coalesce("__row_deleted", F.lit(False)))
+        .drop("__row_deleted")
+    )
+    fate = (
+        F.when(F.col("row_deleted"), F.lit("deleted"))
+        .when(F.col(ts_col) < F.lit(ttl_cutoff_ts), F.lit("expired"))
+        .otherwise(F.lit("kept"))
+    )
+    return classified.withColumn("cell_fate", fate)

@@ -103,3 +103,10 @@ for _name in _R5_ORDER:
 
 for _name, (_fn, _oracle) in _ALL_PAIRS.items():
     register(_name, _fn, _oracle)
+
+# Round-6 snapshot-lane addition (slots 51+, like the other round-6
+# standalone rows): the major-compaction audit.  Its capability is also
+# folded into the recorded `snapshot_latest_cells` key (cell_fate /
+# row_deleted columns), so a 50-row truncation still driver-checks it.
+register("snapshot_compaction", snapshot_q.q_snapshot_compaction,
+         snapshot_q.oracle_snapshot_compaction())

@@ -67,30 +67,150 @@ def oracle_snapshot_events_wide() -> str:
     """
 
 
-def q_latest_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tall form: latest version ≤ ts of every (row_key, qualifier) cell
-    — the HBase ``Scan.setTimeRange`` read (S1+S2) before pivoting."""
+#: Compaction policy for the registered snapshot-compaction lane (N40):
+#: tombstones at or before the snapshot boundary (Jan 15) are
+#: collectible, cells before Jan 8 are TTL-expired.  (The
+#: pending-tombstone branch — a 'D' marker NEWER than the horizon that
+#: must survive collection — is pinned by pytest on the synthetic
+#: changelog; at the fixture's event density every row stays active to
+#: the boundary, so an earlier horizon would collect nothing.)  Delete markers are injected deterministically
+#: (rows of users with ``user_id % 11 == 3`` carry a ``row_status`` =
+#: 'D' marker at the row's latest cell version, everyone else 'U') —
+#: the CORRUPT_MOD pattern, fully oracle-replayable.
+COMPACT_HORIZON_MS = SNAPSHOT_TS_MS      # 2024-01-15
+COMPACT_TTL_CUTOFF_MS = 1_704_672_000_000  # 2024-01-08
+DELETE_MOD, DELETE_RESIDUE = 11, 3
+
+
+def _state_with_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-cells state ≤ the snapshot ts, plus one synthetic
+    ``row_status`` marker cell per row (value 'D'/'U' by the
+    deterministic injection, version = the row's latest cell ts) —
+    the shape the replicator's ``d:row_status`` column gives a real
+    state table (``Schema.scala:135-147``)."""
+    from pyspark.sql import functions as F
+
     log = events_as_changelog(
         read_table(spark, sf_dir, "events", events_as_of_ms=SNAPSHOT_TS_MS))
-    return latest_cells(log, SNAPSHOT_TS_MS).select(
-        "row_key", "qualifier", "value", "cell_ts"
-    )
+    state = latest_cells(log, SNAPSHOT_TS_MS).select(
+        "row_key", "qualifier", "value", "cell_ts")
+    markers = state.groupBy("row_key").agg(F.max("cell_ts").alias("cell_ts")) \
+        .select(
+            "row_key",
+            F.lit("row_status").alias("qualifier"),
+            F.when(F.col("row_key").cast("long") % DELETE_MOD == DELETE_RESIDUE,
+                   F.lit("D")).otherwise(F.lit("U")).alias("value"),
+            "cell_ts")
+    return state.unionByName(markers)
 
 
-def oracle_latest_cells() -> str:
+def q_latest_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tall form: latest version ≤ ts of every (row_key, qualifier) cell
+    — the HBase ``Scan.setTimeRange`` read (S1+S2) before pivoting.
+
+    Round 6 extends the recorded key in place (the r4/r5 pattern) with
+    the COMPACTION lane (N40): the state gains per-row ``row_status``
+    marker cells (deterministic injection) and every cell carries its
+    major-compaction verdict — ``row_deleted`` plus ``cell_fate`` ∈
+    deleted/expired/kept (operators.snapshot.compact_cells; the oracle
+    replays tombstone collection and TTL exactly)."""
+    from hbase_snapshotter_spark.operators.snapshot import compact_cells
+
+    return compact_cells(
+        _state_with_markers(spark, sf_dir),
+        horizon_ts=COMPACT_HORIZON_MS,
+        ttl_cutoff_ts=COMPACT_TTL_CUTOFF_MS,
+    ).select("row_key", "qualifier", "value", "cell_ts",
+             "row_deleted", "cell_fate")
+
+
+def _sql_state_with_markers() -> str:
+    """CTEs shared by the latest-cells and compaction oracles: the
+    bounded latest-cells state, injected markers, tombstone set, and
+    per-cell fates."""
     return f"""
-    WITH log AS (
+    log AS (
       SELECT CAST(user_id AS VARCHAR) AS row_key,
              event_type AS qualifier,
              CAST(value AS VARCHAR) AS value,
              epoch_ms(ts) AS cell_ts
       FROM events
+    ),
+    state0 AS (
+      SELECT row_key, qualifier, value, cell_ts FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY row_key, qualifier
+                                     ORDER BY cell_ts DESC, value DESC) AS rn
+        FROM log WHERE cell_ts <= {SNAPSHOT_TS_MS}
+      ) WHERE rn = 1
+    ),
+    state AS (
+      SELECT * FROM state0
+      UNION ALL
+      SELECT row_key, 'row_status' AS qualifier,
+             CASE WHEN CAST(row_key AS BIGINT) % {DELETE_MOD} = {DELETE_RESIDUE}
+                  THEN 'D' ELSE 'U' END AS value,
+             MAX(cell_ts) AS cell_ts
+      FROM state0 GROUP BY row_key
+    ),
+    tomb AS (
+      SELECT DISTINCT row_key FROM state
+      WHERE qualifier = 'row_status' AND value = 'D'
+        AND cell_ts <= {COMPACT_HORIZON_MS}
+    ),
+    fates AS (
+      SELECT s.*, (t.row_key IS NOT NULL) AS row_deleted,
+             CASE WHEN t.row_key IS NOT NULL THEN 'deleted'
+                  WHEN s.cell_ts < {COMPACT_TTL_CUTOFF_MS} THEN 'expired'
+                  ELSE 'kept' END AS cell_fate
+      FROM state s LEFT JOIN tomb t ON t.row_key = s.row_key
+    )"""
+
+
+def oracle_latest_cells() -> str:
+    return f"""
+    WITH {_sql_state_with_markers()}
+    SELECT row_key, qualifier, value, cell_ts, row_deleted, cell_fate
+    FROM fates
+    """
+
+
+def q_snapshot_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row compaction audit (N40 standalone form): how much of the
+    state table a major compaction reclaims — cells tombstone-collected
+    (the whole row when its delete marker predates the horizon), cells
+    TTL-expired, cells kept.  ``filter(cell_fate = 'kept')`` IS the
+    compacted state; this query hashes the full accounting so a
+    mis-collected row (resurrection or over-collection) turns the row
+    red."""
+    from pyspark.sql import functions as F
+
+    from hbase_snapshotter_spark.operators.snapshot import compact_cells
+
+    classified = compact_cells(
+        _state_with_markers(spark, sf_dir),
+        horizon_ts=COMPACT_HORIZON_MS,
+        ttl_cutoff_ts=COMPACT_TTL_CUTOFF_MS,
     )
-    SELECT row_key, qualifier, value, cell_ts FROM (
-      SELECT *, ROW_NUMBER() OVER (PARTITION BY row_key, qualifier
-                                   ORDER BY cell_ts DESC, value DESC) AS rn
-      FROM log WHERE cell_ts <= {SNAPSHOT_TS_MS}
-    ) WHERE rn = 1
+    one_if = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("int")  # noqa: E731
+    return classified.groupBy("row_key").agg(
+        F.count(F.lit(1)).cast("int").alias("n_cells"),
+        one_if(F.col("cell_fate") == "deleted").alias("n_deleted"),
+        one_if(F.col("cell_fate") == "expired").alias("n_expired"),
+        one_if(F.col("cell_fate") == "kept").alias("n_kept"),
+        F.bool_or("row_deleted").alias("row_deleted"),
+    )
+
+
+def oracle_snapshot_compaction() -> str:
+    return f"""
+    WITH {_sql_state_with_markers()}
+    SELECT row_key,
+           CAST(COUNT(*) AS INTEGER) AS n_cells,
+           CAST(SUM(CASE WHEN cell_fate = 'deleted' THEN 1 ELSE 0 END) AS INTEGER) AS n_deleted,
+           CAST(SUM(CASE WHEN cell_fate = 'expired' THEN 1 ELSE 0 END) AS INTEGER) AS n_expired,
+           CAST(SUM(CASE WHEN cell_fate = 'kept' THEN 1 ELSE 0 END) AS INTEGER) AS n_kept,
+           BOOL_OR(row_deleted) AS row_deleted
+    FROM fates GROUP BY row_key
     """
 
 

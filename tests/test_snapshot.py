@@ -170,3 +170,39 @@ def test_empty_schema_raises_clear_error(spark, changelog):
 
     with pytest.raises(ValueError, match="binds no cells"):
         snapshot_as_of(changelog, explicit_schema([]), None)
+
+
+def test_compact_cells_tombstone_ttl_and_pending(changelog):
+    """Major-compaction semantics (N40) on the synthetic changelog's
+    REAL delete marker (r3 row_status=D @2900): a horizon at/after the
+    marker collects the whole row; a horizon before it leaves the
+    tombstone pending (no resurrection, no over-collection); TTL
+    expires strictly-older cells of non-deleted rows, boundary cell
+    kept."""
+    from hbase_snapshotter_spark.operators.snapshot import (
+        compact_cells,
+        latest_cells,
+    )
+
+    state = latest_cells(changelog, None)
+
+    collected = compact_cells(state, horizon_ts=2900, ttl_cutoff_ts=0).collect()
+    by_key = {}
+    for r in collected:
+        by_key.setdefault(r.row_key, set()).add(r.cell_fate)
+    assert by_key["r3"] == {"deleted"}          # marker included
+    assert by_key["r1"] == {"kept"} and by_key["r2"] == {"kept"}
+
+    pending = compact_cells(state, horizon_ts=2899, ttl_cutoff_ts=1000).collect()
+    fates = {(r.row_key, r.qualifier): r.cell_fate for r in pending}
+    deleted_flags = {r.row_key for r in pending if r.row_deleted}
+    assert deleted_flags == set()               # tombstone not yet collectible
+    assert fates[("r3", "row_status")] == "kept"
+    # TTL: r1 big_id/created latest @500 expire; boundary not crossed by
+    # cells at exactly the cutoff
+    assert fates[("r1", "big_id")] == "expired"
+    assert fates[("r1", "created")] == "expired"
+    assert fates[("r1", "amount")] == "kept"    # @2500
+    at_cutoff = compact_cells(state, horizon_ts=2899, ttl_cutoff_ts=500).collect()
+    f2 = {(r.row_key, r.qualifier): r.cell_fate for r in at_cutoff}
+    assert f2[("r1", "big_id")] == "kept"       # cell_ts == cutoff survives
