@@ -2249,3 +2249,45 @@ ORDER BY method, id_a, id_b
 PAIRS.update({
     "dedup_jaccard_pairs": (dedup_jaccard_pairs, _oracle_jaccard_winnow()),
 })
+
+
+#: Support threshold for the heavy-hitters query, in exact integer
+#: permille (the domain_cap convention): 32‰ of token instances splits
+#: the fixture's near-uniform vocabulary mid-distribution (28 of 31
+#: tokens pass at sf0.01, with live counts on both sides of the bound
+#: and the rare 'dup' token far below it).
+HH_SUPPORT_PERMILLE = 32
+
+
+def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters over token instances (N41): Misra-Gries
+    per-partition summaries bound the candidate shuffle (k counters per
+    partition instead of one row per distinct item — the 100 TB case
+    has a billions-wide item domain), then an exact verification pass
+    makes the output bit-identical to the full histogram's, which is
+    what the oracle replays.  The MG guarantee (no false negatives at
+    the support threshold) means partition order can only widen the
+    candidate set, never change the answer."""
+    from hbase_snapshotter_spark.operators.freq import heavy_hitters
+    from hbase_snapshotter_spark.operators.text import tokens
+
+    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    inst = docs.select(F.explode(tokens("text")).alias("token"))
+    return heavy_hitters(inst, "token",
+                         support_permille=HH_SUPPORT_PERMILLE)
+
+
+ORACLE_HEAVY_HITTERS = f"""
+WITH inst AS (
+  SELECT UNNEST(string_split(trim(text), ' ')) AS token FROM documents),
+tot AS (SELECT COUNT(*) AS n FROM inst)
+SELECT token, COUNT(*) AS n_occurrences,
+       ROUND(COUNT(*) / (SELECT n FROM tot), 6) AS share
+FROM inst GROUP BY token
+HAVING COUNT(*) * 1000 >= {HH_SUPPORT_PERMILLE} * (SELECT n FROM tot)
+"""
+
+
+PAIRS.update({
+    "token_heavy_hitters": (token_heavy_hitters, ORACLE_HEAVY_HITTERS),
+})
