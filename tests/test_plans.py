@@ -266,3 +266,33 @@ def test_bpe_pairs_single_corpus_scan(spark, sf_dir):
     plan = explain(spark, "bpe_pair_mining", sf_dir)
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pq_topk_window_free_and_broadcast_rerank(spark, sf_dir):
+    """PQ: ADC scoring + both top-k stages are the hash-agg form (no
+    Window sort anywhere), and the exact re-rank joins the tiny
+    candidate/query tables by broadcast — the corpus is never shuffled
+    by a join key."""
+    plan = explain(spark, "similarity_topk_pq", sf_dir)
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_compaction_classification_single_keyed_join(spark, sf_dir):
+    """Cell-fate classification is one left join on row_key plus column
+    expressions — no Window, no extra aggregation beyond the state
+    build and the audit rollup."""
+    plan = explain(spark, "snapshot_compaction", sf_dir)
+    assert "Window" not in plan
+    assert " LeftOuter" in plan or "BuildRight" in plan
+
+
+def test_heavy_hitters_candidates_broadcast(spark, sf_dir):
+    """The exact verification pass joins the MG candidate set by
+    broadcast (candidates are k-bounded); the only data-sized shuffle
+    is the candidate-pruned count aggregation."""
+    plan = explain(spark, "token_heavy_hitters", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan

@@ -61,6 +61,10 @@ def main() -> int:
         "dedup_clusters",              # 1-row leak-count/flag attach (r6)
         "pipeline_quality_filter",     # 1-row vocab-size attach via the
                                        # r6 bigram-LM fluency cut
+        "similarity_topk_pq",          # 1-row recall_within_tolerance
+                                       # attach (same flag as ANN/IVF)
+        "token_heavy_hitters",         # 1-row instance-total attach (the
+                                       # permille threshold denominator)
     }
 
     flags_total = 0
