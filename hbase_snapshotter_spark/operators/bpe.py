@@ -127,3 +127,97 @@ def bpe_train(df: DataFrame, text_col: str = "text",
             new_vocab[key] = new_vocab.get(key, 0) + wc
         vocab = new_vocab
     return merges
+
+
+def bpe_encode_words(words: DataFrame, merges: list[tuple[str, str]],
+                     *, word_col: str = "word") -> DataFrame:
+    """``(word, bpe)`` — each DISTINCT word's BPE token sequence under
+    the learned merge list (N42, the APPLY half of the tokenizer lane).
+
+    Encoding replays the merges in training order over the char+EOW
+    symbolization — the exact rewrite loop :func:`bpe_train` applies to
+    its vocabulary, so a word seen in training encodes to precisely the
+    symbol sequence the trained vocab holds (pytest pins this
+    equivalence).  Runs once per DISTINCT word (the GPT-2 encoder-cache
+    trick lifted to a DataFrame): at 100 TB the word table is
+    vocabulary-sized (MBs) while the corpus is not, so the per-word
+    Python loop below is over MBs and the corpus-side cost is a
+    broadcast join.  The merge list itself is tokenizer-artifact-sized
+    (thousands of rows) and ships in the closure."""
+    import pandas as pd
+
+    def encode_one(word: str) -> list[str]:
+        syms = list(word) + [EOW]
+        for a, b in merges:
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+            if len(syms) == 1:
+                break
+        return syms
+
+    def encode(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                word_col: pdf[word_col],
+                "bpe": [encode_one(w) for w in pdf[word_col]],
+            })
+
+    return (words.select(word_col).distinct()
+            .mapInPandas(encode, f"{word_col} string, bpe array<string>"))
+
+
+def bpe_token_stats(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document BPE token accounting under a trained merge list:
+    ``(id, n_words, n_bpe_tokens, roundtrip_ok, tokens_bounded)``.
+
+    The corpus pass is one posexplode + a BROADCAST join against the
+    word→encoding table (vocabulary-sized by construction) + one
+    map-side-combined aggregation — wire ≈ documents, the same
+    broadcast-artifact shape as DSIR/decontamination/the LM filter.
+    ``roundtrip_ok`` folds the losslessness invariant in-plan: every
+    word's token concatenation must equal ``word + EOW`` (BPE only
+    merges adjacent symbols, it can never alter the byte stream);
+    ``tokens_bounded`` pins ``n_words <= n_bpe_tokens <= n_chars +
+    n_words`` (≥1 token per word, ≤ one symbol per char + EOW).
+    These feed :func:`~.sampling.pack_sequences` with REAL tokenizer
+    counts instead of whitespace counts."""
+    enc = bpe_encode_words(
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .filter(F.col("word") != ""),
+        merges)
+    enc = enc.select(
+        "word", F.size("bpe").alias("__nt"),
+        (F.concat_ws("", F.col("bpe"))
+         == F.concat(F.col("word"), F.lit(EOW))).alias("__rt"))
+    words = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        words.join(F.broadcast(enc), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("__nt").alias("n_bpe_tokens"),
+            F.bool_and("__rt").alias("roundtrip_ok"),
+            (F.count(F.lit(1)) <= F.sum("__nt")).alias("__lb"),
+            (F.sum("__nt")
+             <= F.sum(F.length("word")) + F.count(F.lit(1))).alias("__ub"),
+        )
+        .select(id_col, "n_words", "n_bpe_tokens",
+                "roundtrip_ok",
+                (F.col("__lb") & F.col("__ub")).alias("tokens_bounded"))
+    )

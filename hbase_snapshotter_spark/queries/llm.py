@@ -2291,3 +2291,45 @@ HAVING COUNT(*) * 1000 >= {HH_SUPPORT_PERMILLE} * (SELECT n FROM tot)
 PAIRS.update({
     "token_heavy_hitters": (token_heavy_hitters, ORACLE_HEAVY_HITTERS),
 })
+
+
+#: Merge-list size for the registered BPE encode lane: enough to fully
+#: collapse the head of the fixture vocabulary (real tokenizers carry
+#: 10k-100k merges; the list is an artifact, its size changes no plan).
+BPE_ENCODE_MERGES = 30
+
+
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION (N42) — the other half of N35's merge
+    mining: train a merge list on the corpus word counts (vocab-local
+    loop), encode every distinct word once (the GPT-2 cache shape),
+    broadcast-join the encodings back to the token stream, and hash the
+    per-doc accounting.  DuckDB cannot replay the merge rewriting, so
+    the hash pins Spark-side INVARIANTS (the equality-flag pattern):
+    ``roundtrip_ok`` — every word's token concatenation equals
+    word+EOW (BPE is lossless by construction; a rewrite bug breaks
+    this); ``tokens_bounded`` — n_words ≤ n_bpe_tokens ≤ n_chars +
+    n_words.  ``n_words`` is exact and oracle-replayed; the
+    encode-vs-train equivalence and real token sequences are pinned by
+    pytest against a pure-Python reference."""
+    from hbase_snapshotter_spark.operators.bpe import bpe_token_stats, bpe_train
+
+    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    merges = bpe_train(docs, n_merges=BPE_ENCODE_MERGES)
+    return bpe_token_stats(docs, merges).select(
+        "doc_id", "n_words", "roundtrip_ok", "tokens_bounded")
+
+
+ORACLE_BPE_ENCODE = """
+SELECT doc_id,
+       len(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS n_words,
+       TRUE AS roundtrip_ok, TRUE AS tokens_bounded
+FROM documents
+WHERE text IS NOT NULL
+  AND len(list_filter(string_split(trim(text), ' '), x -> x <> '')) > 0
+"""
+
+
+PAIRS.update({
+    "bpe_encode_stats": (bpe_encode_stats, ORACLE_BPE_ENCODE),
+})

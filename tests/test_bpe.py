@@ -55,3 +55,54 @@ def test_top_k_total_order(spark):
     assert counts == sorted(counts, reverse=True)
     keys = [(r["sym_a"], r["sym_b"]) for r in rows]
     assert len(set(keys)) == 3
+
+
+def test_bpe_encode_classic_sequences(spark):
+    """Encoding under the trained merges yields the textbook token
+    sequences, equals a pure-Python sequential replay, and unseen words
+    fall back to partially-merged symbols."""
+    from hbase_snapshotter_spark.operators.bpe import bpe_encode_words
+
+    df = _corpus(spark)
+    merges = bpe_train(df, n_merges=4)
+    words = spark.createDataFrame(
+        [("lowest",), ("newest",), ("low",), ("zz",)], "word string")
+    got = {r["word"]: list(r["bpe"])
+           for r in bpe_encode_words(words, merges).collect()}
+    # pure-Python sequential replay (the bpe_train rewrite loop)
+    def ref(word):
+        syms = list(word) + [EOW]
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == (a, b):
+                    out.append(a + b); i += 2
+                else:
+                    out.append(syms[i]); i += 1
+            syms = out
+        return syms
+    assert got == {w: ref(w) for w in got}
+    assert got["newest"] == ["n", "e", "w", "est</w>"]
+    assert got["lowest"] == ["lo", "w", "est</w>"]   # unseen word, merges apply
+    assert got["zz"] == ["z", "z", EOW]              # no merge matches
+
+
+def test_bpe_token_stats_invariants_and_counts(spark):
+    """Per-doc accounting: exact word/token counts against the hand
+    model, lossless round-trip, bounds hold, and empty/NULL text
+    produces no row."""
+    from hbase_snapshotter_spark.operators.bpe import bpe_token_stats
+
+    df = _corpus(spark)
+    merges = bpe_train(df, n_merges=4)
+    extra = spark.createDataFrame(
+        [(2, "low low zz"), (3, ""), (4, None)], "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           bpe_token_stats(df.unionByName(extra), merges).collect()}
+    assert set(out) == {1, 2}
+    # doc 2: low->["low</w>"]? low encodes via merges: lo + w + </w>
+    #   ("l","o") is merge 4; ("lo","w") and ("low",EOW) never learned
+    assert out[2].n_words == 3
+    assert out[2].n_bpe_tokens == 3 + 3 + 3  # lo,w,</w> x2 + z,z,</w>
+    assert out[2].roundtrip_ok and out[2].tokens_bounded
+    assert out[1].roundtrip_ok and out[1].tokens_bounded

@@ -296,3 +296,11 @@ def test_heavy_hitters_candidates_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "Window" not in plan
+
+
+def test_bpe_encode_word_join_is_broadcast(spark, sf_dir):
+    """The word→encoding table is vocabulary-sized and must broadcast
+    back onto the token stream; no SMJ, no Window."""
+    plan = explain(spark, "bpe_encode_stats", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "Window" not in plan

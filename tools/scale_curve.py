@@ -295,6 +295,32 @@ def operators():
             read_table(spark, d, "events", events_as_of_ms=SNAPSHOT_TS_MS))
         return snapshot_as_of(log, events_snapshot_schema(), SNAPSHOT_TS_MS)
 
+    def run_compaction(spark, d):
+        from hbase_snapshotter_spark.queries.snapshot_q import (
+            q_snapshot_compaction,
+        )
+
+        return q_snapshot_compaction(spark, d)
+
+    def run_heavy_hitters(spark, d):
+        from hbase_snapshotter_spark.operators.freq import heavy_hitters
+        from hbase_snapshotter_spark.operators.text import tokens
+
+        # NOTE: replica token perturbation DILUTES shares ~linearly in
+        # the replica count (each replica's tokens are distinct), so
+        # the support threshold here is 3 permille, not the registered
+        # query's 32 — at 100x a 32-permille item cannot exist by
+        # construction; production corpora keep their head as they grow
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        inst = docs.select(F.explode(tokens("text")).alias("token"))
+        return heavy_hitters(inst, "token", support_permille=3)
+
+    def run_pq(spark, d):
+        from hbase_snapshotter_spark.operators.similarity import pq_topk
+
+        emb = spark.read.parquet(f"{d}/embeddings.parquet")
+        return pq_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+
     def run_latest_multi(spark, d):
         log = events_as_changelog(read_table(spark, d, "events"))
         return latest_cells_multi(log, list(TS_LIST))
@@ -306,7 +332,10 @@ def operators():
     return {
         "snapshot_events_wide": run_snapshot_wide,
         "latest_cells_multi": run_latest_multi,
+        "snapshot_compaction": run_compaction,
+        "heavy_hitters": run_heavy_hitters,
         "profile": run_profile,
+        "pq_topk": run_pq,
         "domain_cap": run_domain_cap,
         "bloom_novelty": run_bloom_novelty,
         "bpe_pairs": run_bpe_pairs,
