@@ -106,3 +106,31 @@ def test_bpe_token_stats_invariants_and_counts(spark):
     assert out[2].n_bpe_tokens == 3 + 3 + 3  # lo,w,</w> x2 + z,z,</w>
     assert out[2].roundtrip_ok and out[2].tokens_bounded
     assert out[1].roundtrip_ok and out[1].tokens_bounded
+
+
+def test_bpe_counts_feed_sequence_packing(spark):
+    """Composition: pack_sequences consumes the REAL tokenizer counts
+    from bpe_token_stats (not whitespace counts) — offsets advance by
+    BPE token counts and stay inside the budget."""
+    from hbase_snapshotter_spark.operators.bpe import bpe_token_stats
+    from hbase_snapshotter_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, "low newest " * (i + 1)) for i in range(6)],
+        "doc_id long, text string")
+    merges = bpe_train(df, n_merges=4)
+    counted = bpe_token_stats(df, merges)
+    packed = pack_sequences(counted, id_col="doc_id",
+                            token_count_col="n_bpe_tokens",
+                            budget=32, num_shards=2)
+    rows = sorted(packed.collect(), key=lambda r: (r.pack_shard, r.doc_id))
+    assert all(0 <= r.pack_offset < 32 for r in rows)
+    # within a shard, offsets advance by the BPE counts (mod budget)
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.pack_shard, []).append(r)
+    for shard_rows in by_shard.values():
+        run = 0
+        for r in shard_rows:
+            assert r.pack_offset == run % 32
+            run += r.n_bpe_tokens
