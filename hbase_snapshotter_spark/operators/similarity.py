@@ -1023,3 +1023,91 @@ def pq_topk(
     )
     return topk_by_group(rescored, k).select(
         "query_id", "neighbor_id", "rank", "cosine")
+
+
+# -------- N43: PQ index persistence + incremental maintenance ------------
+#
+# The ANN-lane mirror of the snapshot lane's N25: at 100 TB you never
+# re-encode the corpus.  The code table (16 bytes/vector) plus the
+# frozen codebook IS the search index — materialize it once, advance it
+# with only the delta.  Soundness is simpler than N25's associative
+# merge: under a FROZEN codebook, encoding is a pure function of the
+# vector, so the advanced index equals the full re-encode whenever each
+# id's latest vector is encoded exactly once — delta-wins + anti-join
+# gives that, and re-delivered deltas are idempotent by construction.
+# (Re-training the codebook is a REBUILD, not an advance — the same
+# boundary faiss draws between add() and train().)
+
+PQ_INDEX_MANIFEST = "_PQ_CODEBOOK.json"
+
+
+def write_pq_index(
+    codes: DataFrame,
+    cids: np.ndarray,
+    C: np.ndarray,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize a PQ index: the code table as parquet plus the
+    codebook as a sidecar manifest (through the Hadoop FileSystem, so
+    it lands next to the data on any scheme — the shard-writer
+    contract).  Codes are written id-sorted within files so delta
+    anti-joins and loader scans are spill-friendly."""
+    import json
+
+    from hbase_snapshotter_spark.sources.warehouse import (
+        _write_text_via_hadoop_fs,
+    )
+
+    codes.sortWithinPartitions(id_col).write.mode("overwrite") \
+        .parquet(path)
+    manifest = {"cids": [int(c) for c in cids],
+                "codebook": [[float(x) for x in row] for row in C],
+                "id_col": id_col}
+    _write_text_via_hadoop_fs(
+        codes.sparkSession, f"{path}/{PQ_INDEX_MANIFEST}",
+        json.dumps(manifest))
+
+
+def read_pq_index(spark, path: str):
+    """Loader twin: ``(codes, cids, C)``.  The manifest is REQUIRED —
+    its absence means the write never completed (the _SUCCESS
+    contract); searching codes against a different codebook than the
+    one that produced them is silently wrong, which is why the two
+    travel together."""
+    import json
+
+    from hbase_snapshotter_spark.sources.warehouse import (
+        _read_text_via_hadoop_fs,
+    )
+
+    manifest = json.loads(
+        _read_text_via_hadoop_fs(spark, f"{path}/{PQ_INDEX_MANIFEST}"))
+    cids = np.array(manifest["cids"], dtype=np.int64)
+    C = np.array(manifest["codebook"], dtype=np.float64)
+    return spark.read.parquet(path), cids, C
+
+
+def advance_pq_index(
+    prior_codes: DataFrame,
+    delta_vectors: DataFrame,
+    C: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    subspaces: int = PQ_SUBSPACES,
+) -> DataFrame:
+    """Advance a materialized code table with only the delta: encode
+    the delta vectors against the FROZEN codebook and let them win over
+    prior rows with the same id (updated vectors re-encode; new vectors
+    append; re-delivered unchanged vectors produce identical codes, so
+    the advance is idempotent).  Work is one narrow encode pass over
+    the delta plus ONE anti-join keyed on id — state input is the code
+    table (16 bytes/vector), never the corpus vectors.  Equality with
+    the full re-encode is pytest-pinned."""
+    fresh = pq_encode(delta_vectors, C, id_col=id_col, vec_col=vec_col,
+                      subspaces=subspaces)
+    kept = prior_codes.join(
+        delta_vectors.select(id_col), id_col, "left_anti")
+    return kept.unionByName(fresh)

@@ -1158,3 +1158,55 @@ def test_pq_encode_deterministic_and_bounded(spark, sf_dir):
         assert len(codes) == 16
         assert all(0 <= c < len(cids) for c in codes)
         assert rn2 > 0
+
+
+def test_pq_index_roundtrip_and_incremental_advance(spark, sf_dir, tmp_path):
+    """N43: the materialized PQ index round-trips (codes + codebook),
+    and advancing it with a delta — new vectors, an updated vector, and
+    a re-delivered unchanged vector — equals the full re-encode of the
+    final corpus, idempotently."""
+    from pyspark.sql import functions as F
+
+    from hbase_snapshotter_spark.operators.similarity import (
+        advance_pq_index,
+        pq_codebook,
+        pq_encode,
+        read_pq_index,
+        write_pq_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cids, C = pq_codebook(emb)
+    prior_vecs = emb.filter("vec_id < 400")
+    path = str(tmp_path / "pq_index")
+    write_pq_index(pq_encode(prior_vecs, C), cids, C, path)
+    codes, cids2, C2 = read_pq_index(spark, path)
+    assert list(cids2) == list(cids) and (C2 == C).all()
+    assert codes.count() == prior_vecs.count()
+
+    # delta: the remaining vectors (new), one updated vector (vec_id 7,
+    # negated), one re-delivered unchanged vector (vec_id 3)
+    updated = emb.filter("vec_id = 7").withColumn(
+        "embedding", F.transform("embedding", lambda x: -x))
+    delta = emb.filter("vec_id >= 400") \
+        .unionByName(updated) \
+        .unionByName(emb.filter("vec_id = 3"))
+    advanced = advance_pq_index(codes, delta, C)
+
+    final_corpus = emb.filter("vec_id <> 7").unionByName(updated)
+    expect = {r["vec_id"]: (list(r["__codes"]), r["__rn2"])
+              for r in pq_encode(final_corpus, C).collect()}
+    got = {r["vec_id"]: (list(r["__codes"]), r["__rn2"])
+           for r in advanced.collect()}
+    assert got == expect
+    # idempotent: re-delivering the same delta changes nothing
+    again = {r["vec_id"]: (list(r["__codes"]), r["__rn2"])
+             for r in advance_pq_index(advanced, delta, C).collect()}
+    assert again == expect
+    # loader refuses an index whose manifest is missing
+    import shutil
+    shutil.rmtree(path)
+    pq_encode(prior_vecs, C).write.mode("overwrite").parquet(path)
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        read_pq_index(spark, path)
