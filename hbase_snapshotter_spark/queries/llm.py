@@ -1023,10 +1023,14 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     query also stands alone as ``similarity_topk_ivf_kmeans``):
     ``kmeans_recall_ok`` = the Lloyd's-centroid path clears the same
     recall floor, ``kmeans_ge_sampled`` = refinement does not regress
-    the sampled baseline (− the float-wobble margin).  Both are 1-row
-    attaches; bench mode skips all probes."""
+    the sampled baseline (− the float-wobble margin).  Late round 6
+    also folds the PQ lane (N39) the same way: ``pq_recall_ok`` = the
+    ADC+re-rank path clears :data:`PQ_RECALL_BOUND` against the same
+    brute baseline (the full PQ query stands alone as
+    ``similarity_topk_pq``).  All are 1-row attaches; bench mode skips
+    all probes."""
     from hbase_snapshotter_spark.cache import scoped_persist
-    from hbase_snapshotter_spark.operators.similarity import ivf_topk
+    from hbase_snapshotter_spark.operators.similarity import ivf_topk, pq_topk
 
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < TOPK_QUERY_PRED)
@@ -1034,7 +1038,8 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (ivf_topk(emb, q, k=TOPK_K)
                 .withColumn("recall_within_tolerance", F.lit(True))
                 .withColumn("kmeans_recall_ok", F.lit(True))
-                .withColumn("kmeans_ge_sampled", F.lit(True)))
+                .withColumn("kmeans_ge_sampled", F.lit(True))
+                .withColumn("pq_recall_ok", F.lit(True)))
     ivf = scoped_persist(ivf_topk(emb, q, k=TOPK_K))  # output + recall probe
     brute = scoped_persist(brute_force_topk(emb, q, k=TOPK_K))
     flag = _recall_flag(ivf, brute, IVF_RECALL_BOUND)
@@ -1048,9 +1053,13 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(
             F.col("__r_km") >= F.col("__r_sampled") - KMEANS_RECALL_MARGIN,
             F.lit(True)).alias("kmeans_ge_sampled"))
+    pq_floor = _recall_flag(pq_topk(emb, q, k=TOPK_K), brute,
+                            PQ_RECALL_BOUND) \
+        .withColumnRenamed("recall_within_tolerance", "pq_recall_ok")
     return (ivf.crossJoin(F.broadcast(flag))
             .crossJoin(F.broadcast(km_floor))
-            .crossJoin(F.broadcast(cmp_flag)))
+            .crossJoin(F.broadcast(cmp_flag))
+            .crossJoin(F.broadcast(pq_floor)))
 
 
 def _oracle_ivf() -> str:
@@ -1076,7 +1085,8 @@ scored AS (
   JOIN embeddings c ON c.vec_id = ca.vec_id)
 SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine,
        TRUE AS recall_within_tolerance,
-       TRUE AS kmeans_recall_ok, TRUE AS kmeans_ge_sampled FROM (
+       TRUE AS kmeans_recall_ok, TRUE AS kmeans_ge_sampled,
+       TRUE AS pq_recall_ok FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                ORDER BY cosine DESC, neighbor_id ASC) AS rank
   FROM scored
