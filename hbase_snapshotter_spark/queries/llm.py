@@ -2343,3 +2343,53 @@ WHERE text IS NOT NULL
 PAIRS.update({
     "bpe_encode_stats": (bpe_encode_stats, ORACLE_BPE_ENCODE),
 })
+
+
+#: Context window for the registered chunking lane: 32-token chunks,
+#: 8-token overlap (step 24) — the fixture's 10-99-token documents
+#: spread over 1-4 chunks (132/122/147/99 docs at sf0.01).
+CHUNK_MAX_LEN, CHUNK_OVERLAP = 32, 8
+
+
+def doc_context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window context chunking (N44): one row per
+    ``CHUNK_MAX_LEN``-token chunk at stride max_len − overlap — the
+    fixed-context-window preparation between quality filtering and
+    sequence packing.  Pure column expressions (posexplode of an
+    integer sequence), zero shuffle; the oracle replays the closed-form
+    chunk count, spans, and boundary tokens exactly."""
+    from hbase_snapshotter_spark.operators.sampling import context_chunks
+    from hbase_snapshotter_spark.operators.text import tokens
+
+    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return context_chunks(
+        docs.select("doc_id", tokens("text").alias("toks")),
+        id_col="doc_id", tokens_col="toks",
+        max_len=CHUNK_MAX_LEN, overlap=CHUNK_OVERLAP)
+
+
+def _oracle_context_chunks() -> str:
+    step = CHUNK_MAX_LEN - CHUNK_OVERLAP
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS toks,
+         len(string_split(trim(text), ' ')) AS n
+  FROM documents WHERE text IS NOT NULL),
+sized AS (
+  SELECT *, CASE WHEN n <= {CHUNK_MAX_LEN} THEN 1
+                 ELSE CAST(CEIL((n - {CHUNK_MAX_LEN}) / {step}.0) AS INT) + 1
+            END AS n_chunks
+  FROM t WHERE n > 0)
+SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+       CAST(i * {step} AS INTEGER) AS chunk_start,
+       CAST(LEAST(i * {step} + {CHUNK_MAX_LEN}, n) - i * {step} AS INTEGER)
+         AS chunk_len,
+       toks[i * {step} + 1] AS first_token,
+       toks[CAST(LEAST(i * {step} + {CHUNK_MAX_LEN}, n) AS INT)] AS last_token
+FROM sized, UNNEST(range(0, n_chunks)) AS r(i)
+"""
+
+
+PAIRS.update({
+    "doc_context_chunks": (doc_context_chunks, _oracle_context_chunks()),
+})

@@ -1210,3 +1210,47 @@ def test_pq_index_roundtrip_and_incremental_advance(spark, sf_dir, tmp_path):
     import pytest as _pytest
     with _pytest.raises(Exception):
         read_pq_index(spark, path)
+
+
+def test_context_chunks_spans_and_edges(spark):
+    """Hand-checked spans at max_len=32/overlap=8 (step 24): boundary
+    at n==max_len, the two-chunk case, full coverage, the
+    fits-any-span-≤-overlap+1 guarantee, and NULL/empty handling."""
+    from hbase_snapshotter_spark.operators.sampling import context_chunks
+    import pytest as _pytest
+
+    def toks(n):
+        return [f"t{i}" for i in range(n)]
+
+    df = spark.createDataFrame(
+        [(1, toks(10)), (2, toks(32)), (3, toks(33)), (4, toks(99)),
+         (5, None), (6, [])],
+        "doc_id long, toks array<string>")
+    out = context_chunks(df, id_col="doc_id", tokens_col="toks",
+                         max_len=32, overlap=8)
+    rows = sorted(out.collect(), key=lambda r: (r.doc_id, r.chunk_idx))
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {1, 2, 3, 4}
+    assert [(r.chunk_start, r.chunk_len) for r in by_doc[1]] == [(0, 10)]
+    assert [(r.chunk_start, r.chunk_len) for r in by_doc[2]] == [(0, 32)]
+    assert [(r.chunk_start, r.chunk_len) for r in by_doc[3]] == [(0, 32), (24, 9)]
+    assert by_doc[3][1].first_token == "t24" and by_doc[3][1].last_token == "t32"
+    # n=99: ceil((99-32)/24)+1 = 4 chunks; the tail reaches the end
+    spans = [(r.chunk_start, r.chunk_start + r.chunk_len) for r in by_doc[4]]
+    assert spans == [(0, 32), (24, 56), (48, 80), (72, 99)]
+    # coverage + the guarantee: every span of length <= overlap+1 fits
+    # inside at least one chunk
+    covered = set()
+    for a, b in spans:
+        covered |= set(range(a, b))
+    assert covered == set(range(99))
+    for s in range(99 - 9):
+        assert any(a <= s and s + 9 <= b for a, b in spans)
+    with _pytest.raises(ValueError):
+        context_chunks(df, id_col="doc_id", tokens_col="toks",
+                       max_len=32, overlap=32)
+    with _pytest.raises(ValueError):
+        context_chunks(df, id_col="doc_id", tokens_col="toks",
+                       max_len=0)

@@ -304,3 +304,15 @@ def test_bpe_encode_word_join_is_broadcast(spark, sf_dir):
     plan = explain(spark, "bpe_encode_stats", sf_dir)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "Window" not in plan
+
+
+def test_context_chunks_plan_is_narrow(spark, sf_dir):
+    """Chunking is pure column expressions over a sequence explode —
+    the only Exchange is spread()'s round-robin scan-parallelism
+    repartition (no keyed shuffle), zero Window, zero Python."""
+    plan = explain(spark, "doc_context_chunks", sf_dir)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1
+    assert "hashpartitioning" not in plan.lower()
+    assert "rangepartitioning" not in plan.lower()
+    assert "Window" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
