@@ -327,8 +327,8 @@ def context_chunks(
     base = (
         df.filter(toks.isNotNull() & (nt > 0))
         .select(F.col(id_col), toks.alias("__t"), nt.alias("__n"),
-                F.posexplode(F.sequence(F.lit(0), n_chunks - 1))
-                .alias("chunk_idx", "__i"))
+                F.explode(F.sequence(F.lit(0), n_chunks - 1))
+                .alias("chunk_idx"))
     )
     start = F.col("chunk_idx") * step
     end = F.least(start + max_len, F.col("__n"))

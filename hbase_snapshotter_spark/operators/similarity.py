@@ -880,12 +880,15 @@ def pq_codebook(
     codebooks.  Collected like the IVF centroid table (the sanctioned
     index-structure collect: O(min(n/stride, codebook_max)) rows,
     never raw data)."""
+    # TakeOrdered: the cap applies BEFORE the collect (ORDER BY + LIMIT
+    # plans as a per-partition bounded heap + driver merge), so at most
+    # codebook_max rows ever reach the driver — collecting the whole
+    # stride sample first would ship n/stride full vectors
     rows = (corpus.filter((F.col(id_col) % codebook_stride) == 0)
-            .select(id_col, vec_col).collect())
+            .select(id_col, vec_col)
+            .orderBy(id_col).limit(codebook_max).collect())
     if not rows:
         raise ValueError("pq_codebook: empty codeword sample")
-    rows.sort(key=lambda r: r[id_col])
-    rows = rows[:codebook_max]
     cids = np.array([r[id_col] for r in rows], dtype=np.int64)
     C = np.array([r[vec_col] for r in rows], dtype=np.float64)
     return cids, C
@@ -989,6 +992,8 @@ def pq_topk(
         lut[:, j, :] = np.round(Q[:, j * sub:(j + 1) * sub] @ Cj.T, 6)
     id_type = dict(corpus.dtypes)[id_col]
 
+    cap = k * cand_factor
+
     def adc(batches):
         for pdf in batches:
             codes_arr = np.array(pdf["__codes"].tolist())
@@ -999,12 +1004,24 @@ def pq_topk(
             for j in range(m):
                 dots += lut[:, j, :][:, codes_arr[:, j]]
             score = np.round(dots / (qn[:, None] * rn[None, :]), 6)
-            qcol = np.repeat(qids, nb)
-            ncol = np.tile(ids, len(qids))
-            keep = qcol != ncol
-            yield pd.DataFrame({"query_id": qcol[keep],
-                                "neighbor_id": ncol[keep],
-                                "__score": score.ravel()[keep]})
+            # per-batch pre-prune: only each query's batch-local top
+            # cap candidates leave the batch, so the global per-query
+            # aggregation sees O(batches × cap) rows, never O(n) —
+            # sound because the global top-cap is a subset of the
+            # union of batch-local top-caps.  (-score, ids) ordering
+            # keeps the same score-desc / id-asc tie rule.
+            q_out, n_out, s_out = [], [], []
+            take = min(cap + 1, nb)  # +1: the self-match may rank inside
+            for qi in range(len(qids)):
+                srow = score[qi]
+                part = np.lexsort((ids, -srow))[:take]
+                keep = part[ids[part] != qids[qi]][:cap]
+                q_out.append(np.full(len(keep), qids[qi]))
+                n_out.append(ids[keep])
+                s_out.append(srow[keep])
+            yield pd.DataFrame({"query_id": np.concatenate(q_out),
+                                "neighbor_id": np.concatenate(n_out),
+                                "__score": np.concatenate(s_out)})
 
     scored = codes.mapInPandas(
         adc, f"query_id long, neighbor_id {id_type}, __score double")
@@ -1096,18 +1113,32 @@ def advance_pq_index(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    ts_col: str | None = None,
     subspaces: int = PQ_SUBSPACES,
 ) -> DataFrame:
     """Advance a materialized code table with only the delta: encode
     the delta vectors against the FROZEN codebook and let them win over
     prior rows with the same id (updated vectors re-encode; new vectors
     append; re-delivered unchanged vectors produce identical codes, so
-    the advance is idempotent).  Work is one narrow encode pass over
-    the delta plus ONE anti-join keyed on id — state input is the code
-    table (16 bytes/vector), never the corpus vectors.  Equality with
-    the full re-encode is pytest-pinned."""
-    fresh = pq_encode(delta_vectors, C, id_col=id_col, vec_col=vec_col,
+    the advance is idempotent).  Work is one latest-wins reduction +
+    narrow encode pass over the delta plus ONE anti-join keyed on id —
+    state input is the code table (16 bytes/vector), never the corpus
+    vectors.  Equality with the full re-encode is pytest-pinned.
+
+    A delta batch may fold SEVERAL versions of one id (a CDC stream's
+    update-then-update); without a reduction both would encode and the
+    index would carry a stale ghost code.  Pass ``ts_col`` for genuine
+    latest-wins (the N25 ``max(struct(ts, …))`` rule); without it the
+    winner is the deterministic struct-max over the vector itself —
+    fine for the common append/re-delivery case where same-id rows
+    carry the same vector, arbitrary-but-stable otherwise."""
+    order = ([F.col(ts_col)] if ts_col else []) + [F.col(vec_col)]
+    latest = (
+        delta_vectors.groupBy(id_col)
+        .agg(F.max(F.struct(*order)).alias("__w"))
+        .select(id_col, F.col(f"__w.{vec_col}").alias(vec_col))
+    )
+    fresh = pq_encode(latest, C, id_col=id_col, vec_col=vec_col,
                       subspaces=subspaces)
-    kept = prior_codes.join(
-        delta_vectors.select(id_col), id_col, "left_anti")
+    kept = prior_codes.join(latest.select(id_col), id_col, "left_anti")
     return kept.unionByName(fresh)

@@ -353,7 +353,10 @@ def compact_cells(
         cells.filter((F.col(qualifier_col) == status_qualifier)
                      & (F.col(value_col) == delete_marker)
                      & (F.col(ts_col) <= F.lit(horizon_ts)))
-        .select(F.col(key_col))
+        # distinct: a raw (non-latest-cells) input can carry several
+        # qualifying marker VERSIONS for one key — without the dedup
+        # the left join would fan out every cell of that key
+        .select(F.col(key_col)).distinct()
         .withColumn("__row_deleted", F.lit(True))
     )
     classified = (

@@ -1254,3 +1254,29 @@ def test_context_chunks_spans_and_edges(spark):
     with _pytest.raises(ValueError):
         context_chunks(df, id_col="doc_id", tokens_col="toks",
                        max_len=0)
+
+
+def test_advance_pq_index_folded_delta_latest_wins(spark, sf_dir):
+    """A delta folding TWO versions of one id must not leave a stale
+    ghost code: with ts_col the later version wins (the N25 rule)."""
+    from pyspark.sql import functions as F
+
+    from hbase_snapshotter_spark.operators.similarity import (
+        advance_pq_index,
+        pq_codebook,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _, C = pq_codebook(emb)
+    prior = pq_encode(emb.filter("vec_id < 100"), C)
+    v1 = emb.filter("vec_id = 5").withColumn("ts", F.lit(1))
+    v2 = (emb.filter("vec_id = 5")
+          .withColumn("embedding", F.transform("embedding", lambda x: -x))
+          .withColumn("ts", F.lit(2)))
+    delta = v1.unionByName(v2)
+    adv = advance_pq_index(prior, delta, C, ts_col="ts")
+    got = {r["vec_id"]: list(r["__codes"]) for r in adv.collect()}
+    assert len(got) == 100  # exactly one row per id, no ghosts
+    v2_only = pq_encode(v2.drop("ts"), C).collect()[0]
+    assert got[5] == list(v2_only["__codes"])

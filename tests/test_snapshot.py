@@ -206,3 +206,20 @@ def test_compact_cells_tombstone_ttl_and_pending(changelog):
     at_cutoff = compact_cells(state, horizon_ts=2899, ttl_cutoff_ts=500).collect()
     f2 = {(r.row_key, r.qualifier): r.cell_fate for r in at_cutoff}
     assert f2[("r1", "big_id")] == "kept"       # cell_ts == cutoff survives
+
+
+def test_compact_cells_duplicate_markers_no_fanout(spark):
+    """A RAW (non-latest-cells) input carrying two qualifying delete
+    markers for one key must not fan out the key's cells through the
+    tombstone join."""
+    from hbase_snapshotter_spark.operators.snapshot import compact_cells
+
+    cells = spark.createDataFrame(
+        [("r1", "row_status", "D", 100), ("r1", "row_status", "D", 200),
+         ("r1", "name", "x", 150), ("r2", "name", "y", 150)],
+        "row_key string, qualifier string, value string, cell_ts long")
+    out = compact_cells(cells, horizon_ts=300, ttl_cutoff_ts=0).collect()
+    assert len(out) == 4  # one verdict per input cell, no duplication
+    fates = {(r.row_key, r.qualifier, r.cell_ts): r.cell_fate for r in out}
+    assert fates[("r1", "name", 150)] == "deleted"
+    assert fates[("r2", "name", 150)] == "kept"
