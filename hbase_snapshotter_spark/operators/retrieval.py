@@ -1,0 +1,95 @@
+"""BM25 keyword retrieval (SURVEY §2.3 N45) — scored text search over
+the documents table.
+
+The missing classic next to the embedding lanes: lexical top-k.  The
+Spark-first shape exploits that a QUERY is a handful of literal terms:
+
+- per-document term frequencies are COLUMN EXPRESSIONS
+  (``size(filter(toks, x = term))`` per term) — zero shuffle, zero
+  Python, whole-stage codegen over one corpus scan;
+- the corpus statistics BM25 needs (N, avgdl, per-term document
+  frequencies) all fold into ONE one-row aggregate (map-side partials)
+  attached back as a broadcast scalar — the Lucene index's tiny header,
+  not an inverted index materialization;
+- ranking is ``ORDER BY score LIMIT k`` → TakeOrderedAndProject (per-
+  partition bounded heap + driver merge), never a global sort.
+
+At 100 TB this is two narrow passes over the corpus (stats, score) —
+for interactive many-query serving you would materialize the posting
+lists instead (the :mod:`~.dedup` inverted-index shape); for the
+pipeline use case (one-shot corpus triage, "pull everything about X")
+the scan form is the right cost.
+
+Scores use the Lucene/ATIRE BM25 variant — ``idf = ln(1 + (N - df +
+0.5)/(df + 0.5))`` (never negative) — with standard k1/b defaults.
+Both idf and the final score are rounded so the DuckDB oracle replays
+the arithmetic bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 25,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-``k`` documents by BM25 against ``query_terms``:
+    ``(id, score, <tf_term...>)`` — ties break toward the smaller id.
+    Documents matching no term score 0 and are ranked below any match;
+    duplicate query terms are collapsed (a term contributes once)."""
+    from hbase_snapshotter_spark.operators.text import tokens
+
+    if not query_terms:
+        raise ValueError("bm25_topk: query_terms must be non-empty")
+    terms = list(dict.fromkeys(query_terms))
+    toks = tokens(F.col(text_col))
+    # NB: a two-parameter lambda would be called as (element, index) by
+    # F.filter — bind the term via a closure factory instead
+    def _eq(term):
+        return lambda x: x == F.lit(term)
+
+    tf_cols = {t: F.size(F.filter(toks, _eq(t))) for t in terms}
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.size(toks).alias("__dl"),
+        *[tf.alias(f"tf_{i}") for i, (t, tf) in enumerate(tf_cols.items())],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__N"),
+        F.avg("__dl").alias("__avgdl"),
+        *[F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+          for i in range(len(terms))],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(terms)):
+        tf = F.col(f"tf_{i}").cast("double")
+        idf = F.round(
+            F.log(F.lit(1.0)
+                  + (F.col("__N") - F.col(f"df_{i}") + F.lit(0.5))
+                  / (F.col(f"df_{i}") + F.lit(0.5))), 6)
+        part = idf * (tf * (k1 + 1)) / (
+            tf + F.lit(k1) * (F.lit(1 - b)
+                              + F.lit(b) * F.col("__dl") / F.col("__avgdl")))
+        score = part if score is None else score + part
+    return (
+        scored.select(
+            id_col,
+            F.round(score, 4).alias("score"),
+            *[F.col(f"tf_{i}").alias(f"tf_{t}") for i, t in enumerate(terms)],
+        )
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )

@@ -2393,3 +2393,62 @@ FROM sized, UNNEST(range(0, n_chunks)) AS r(i)
 PAIRS.update({
     "doc_context_chunks": (doc_context_chunks, _oracle_context_chunks()),
 })
+
+
+#: Query terms for the registered BM25 lane: one rare term ('dup', 26
+#: corpus occurrences — high idf, the discriminator), two common ones.
+BM25_TERMS = ["dup", "join", "vector"]
+BM25_TOPK = 25
+
+
+def bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (N45): lexical top-k next to the
+    embedding lanes.  Per-term tf are column expressions over one scan,
+    the corpus statistics (N, avgdl, per-term df) are ONE one-row
+    broadcast aggregate, ranking is TakeOrderedAndProject — zero
+    Python, zero data-sized shuffle; the oracle replays the Lucene-
+    variant BM25 arithmetic exactly (6-dp idf, 4-dp score)."""
+    from hbase_snapshotter_spark.operators.retrieval import bm25_topk
+
+    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return bm25_topk(docs, BM25_TERMS, k=BM25_TOPK)
+
+
+def _oracle_bm25() -> str:
+    from hbase_snapshotter_spark.operators.retrieval import BM25_B, BM25_K1
+
+    tf_defs = ",\n         ".join(
+        f"len(list_filter(string_split(trim(text), ' '), x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(BM25_TERMS))
+    df_defs = ",\n         ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(BM25_TERMS)))
+    one_minus_b = 1 - BM25_B
+    k1p1 = BM25_K1 + 1
+    parts = " + ".join(
+        f"ROUND(ln(1.0 + (N - df{i} + 0.5) / (df{i} + 0.5)), 6)"
+        f" * (CAST(tf{i} AS DOUBLE) * {k1p1})"
+        f" / (CAST(tf{i} AS DOUBLE) + {BM25_K1} * ({one_minus_b}"
+        f" + {BM25_B} * dl / avgdl))"
+        for i in range(len(BM25_TERMS)))
+    tf_out = ", ".join(f"CAST(tf{i} AS INTEGER) AS tf_{t}"
+                      for i, t in enumerate(BM25_TERMS))
+    return f"""
+WITH base AS (
+  SELECT doc_id, len(string_split(trim(text), ' ')) AS dl,
+         {tf_defs}
+  FROM documents WHERE text IS NOT NULL),
+stats AS (
+  SELECT COUNT(*) AS N, AVG(dl) AS avgdl,
+         {df_defs}
+  FROM base)
+SELECT doc_id, ROUND({parts}, 4) AS score, {tf_out}
+FROM base, stats
+ORDER BY score DESC, doc_id
+LIMIT {BM25_TOPK}
+"""
+
+
+PAIRS.update({
+    "bm25_keyword_topk": (bm25_keyword_topk, _oracle_bm25()),
+})

@@ -1280,3 +1280,38 @@ def test_advance_pq_index_folded_delta_latest_wins(spark, sf_dir):
     assert len(got) == 100  # exactly one row per id, no ghosts
     v2_only = pq_encode(v2.drop("ts"), C).collect()[0]
     assert got[5] == list(v2_only["__codes"])
+
+
+def test_bm25_hand_computed_and_edges(spark):
+    """BM25 (Lucene idf variant) against a hand-computed model: exact
+    scores, tie-break toward smaller id, duplicate query terms
+    collapse, no-match docs score 0, NULL text excluded."""
+    import math
+
+    from hbase_snapshotter_spark.operators.retrieval import bm25_topk
+
+    df = spark.createDataFrame(
+        [(1, "cat cat dog"), (2, "cat fish"), (3, "bird bird bird"),
+         (4, None)],
+        "doc_id long, text string")
+    out = bm25_topk(df, ["cat", "cat", "dog"], k=10).collect()
+    assert [r.doc_id for r in out][:2] == [1, 2]  # doc1 matches both terms
+    rows = {r.doc_id: r for r in out}
+    assert set(rows) == {1, 2, 3}
+    assert rows[3].score == 0.0 and rows[3].tf_cat == 0
+    assert rows[1].tf_cat == 2 and rows[1].tf_dog == 1
+    assert "tf_cat" in out[0].asDict() and len(out[0].asDict()) == 4  # deduped
+
+    def idf(n, dfreq):
+        return round(math.log(1.0 + (n - dfreq + 0.5) / (dfreq + 0.5)), 6)
+
+    def part(tf, dl, avgdl, n, dfreq, k1=1.2, b=0.75):
+        return idf(n, dfreq) * (tf * (k1 + 1)) / (
+            tf + k1 * ((1 - b) + b * dl / avgdl))
+
+    n, avgdl = 3, (3 + 2 + 3) / 3
+    expect1 = round(part(2, 3, avgdl, n, 2) + part(1, 3, avgdl, n, 1), 4)
+    assert rows[1].score == expect1
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        bm25_topk(df, [])

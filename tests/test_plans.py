@@ -316,3 +316,14 @@ def test_context_chunks_plan_is_narrow(spark, sf_dir):
     assert "rangepartitioning" not in plan.lower()
     assert "Window" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_bm25_plan_take_ordered_no_shuffle_no_python(spark, sf_dir):
+    """BM25: tf as column exprs, one-row broadcast stats attach,
+    TakeOrderedAndProject ranking — no keyed shuffle of the corpus, no
+    Window, no Python."""
+    plan = explain(spark, "bm25_keyword_topk", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan and "Window" not in plan
+    assert "hashpartitioning" not in plan.lower()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -65,6 +65,8 @@ def main() -> int:
                                        # attach (same flag as ANN/IVF)
         "token_heavy_hitters",         # 1-row instance-total attach (the
                                        # permille threshold denominator)
+        "bm25_keyword_topk",           # 1-row corpus-stats attach (N,
+                                       # avgdl, per-term df)
     }
 
     flags_total = 0
