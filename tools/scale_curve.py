@@ -321,6 +321,22 @@ def operators():
         emb = spark.read.parquet(f"{d}/embeddings.parquet")
         return pq_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
 
+    def run_context_chunks(spark, d):
+        from hbase_snapshotter_spark.operators.sampling import context_chunks
+        from hbase_snapshotter_spark.operators.text import tokens
+
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        return context_chunks(
+            docs.select("doc_id", tokens("text").alias("toks")),
+            id_col="doc_id", tokens_col="toks", max_len=32, overlap=8)
+
+    def run_bm25(spark, d):
+        from hbase_snapshotter_spark.operators.retrieval import bm25_topk
+
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        # replica perturbation prefixes tokens, so query the base terms
+        return bm25_topk(docs, ["dup", "join", "vector"], k=25)
+
     def run_latest_multi(spark, d):
         log = events_as_changelog(read_table(spark, d, "events"))
         return latest_cells_multi(log, list(TS_LIST))
@@ -334,6 +350,8 @@ def operators():
         "latest_cells_multi": run_latest_multi,
         "snapshot_compaction": run_compaction,
         "heavy_hitters": run_heavy_hitters,
+        "context_chunks": run_context_chunks,
+        "bm25": run_bm25,
         "profile": run_profile,
         "pq_topk": run_pq,
         "domain_cap": run_domain_cap,
