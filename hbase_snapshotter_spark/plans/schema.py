@@ -190,3 +190,88 @@ def schema_as_of(
     if not rows:
         raise LookupError(f"no schema version at or before ts={ts}")
     return transform_schema(rows[0][json_col], mode=mode)
+
+
+def schema_json_as_of(
+    history: DataFrame,
+    ts: int | None,
+    *,
+    key_col: str = "change_key",
+    ts_col: str = "cell_ts",
+    json_col: str = "schema_json",
+) -> str:
+    """The raw schema-dump JSON at-or-before ``ts`` — the
+    :func:`schema_as_of` lookup without the StructType transform
+    (shared by the as-of and diff lanes)."""
+    df = history
+    if ts is not None and ts >= 0:
+        df = df.filter(F.col(ts_col) <= F.lit(ts))
+    rows = (
+        df.select(F.col(json_col), history_order_key(key_col).alias("__k"))
+        .orderBy(F.desc("__k"))
+        .limit(1)
+        .collect()
+    )
+    if not rows:
+        raise LookupError(f"no schema version at or before ts={ts}")
+    return rows[0][json_col]
+
+
+def schema_diff(
+    history: DataFrame,
+    ts_from: int | None,
+    ts_to: int | None,
+    *,
+    key_col: str = "change_key",
+    ts_col: str = "cell_ts",
+    json_col: str = "schema_json",
+) -> DataFrame:
+    """Schema EVOLUTION diff (N46): what changed between the schema
+    as-of ``ts_from`` and as-of ``ts_to`` — one row per column seen in
+    either version: ``(col_name, change, old_type, new_type,
+    old_index, new_index)``, ``change`` ∈ added / dropped / retyped /
+    moved / unchanged (classification priority in that order; a column
+    both retyped and moved reports ``retyped`` — the type change is
+    what breaks readers).
+
+    The reference reconstructs ONE point-in-time schema
+    (``Schema.scala:162-218``); operating a change-captured warehouse
+    also needs the delta between two points — which ALTERs happened in
+    a window, which snapshot columns will appear/disappear across a
+    re-snapshot boundary.  Like schema-as-of this is metadata-sized
+    driver work by design: two TakeOrdered one-row lookups, a
+    dict diff, and a ``createDataFrame`` of column-count rows —
+    never a data-path job."""
+    def cols(dump: str) -> dict[str, tuple[int, str]]:
+        doc = json.loads(dump)
+        (table_doc,) = doc.values()
+        idx_map = table_doc["columnIndexToNameMap"]
+        types = table_doc["columnsSchema"]
+        return {name: (int(idx), types[name]["columnType"])
+                for idx, name in idx_map.items()}
+
+    a = cols(schema_json_as_of(history, ts_from, key_col=key_col,
+                               ts_col=ts_col, json_col=json_col))
+    b = cols(schema_json_as_of(history, ts_to, key_col=key_col,
+                               ts_col=ts_col, json_col=json_col))
+    rows = []
+    for name in sorted(set(a) | set(b)):
+        old = a.get(name)
+        new = b.get(name)
+        if old is None:
+            change = "added"
+        elif new is None:
+            change = "dropped"
+        elif old[1] != new[1]:
+            change = "retyped"
+        elif old[0] != new[0]:
+            change = "moved"
+        else:
+            change = "unchanged"
+        rows.append((name, change,
+                     old[1] if old else None, new[1] if new else None,
+                     old[0] if old else None, new[0] if new else None))
+    return history.sparkSession.createDataFrame(
+        rows,
+        "col_name string, change string, old_type string, "
+        "new_type string, old_index int, new_index int")

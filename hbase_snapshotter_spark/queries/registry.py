@@ -110,3 +110,5 @@ for _name, (_fn, _oracle) in _ALL_PAIRS.items():
 # row_deleted columns), so a 50-row truncation still driver-checks it.
 register("snapshot_compaction", snapshot_q.q_snapshot_compaction,
          snapshot_q.oracle_snapshot_compaction())
+register("schema_evolution_diff", snapshot_q.q_schema_evolution_diff,
+         snapshot_q.oracle_schema_evolution_diff())

@@ -339,6 +339,38 @@ def q_snapshot_multi_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
 JAN10_MS = 1_704_844_800_000
 JAN20_MS = 1_705_708_800_000
 
+import json as _json
+
+#: The 3-version schema-history change log shared by the schema-as-of
+#: and schema-diff lanes (``initial-snapshot`` + two timestamped
+#: revisions, replaying ``Schema.scala:162-218``).
+SCHEMA_HIST_V0 = _json.dumps({"events": {
+    "columnIndexToNameMap": {"0": "click", "1": "view"},
+    "columnsSchema": {"click": {"columnType": "double"},
+                      "view": {"columnType": "double"}}}})
+SCHEMA_HIST_V1 = _json.dumps({"events": {
+    "columnIndexToNameMap": {"0": "click", "1": "purchase", "2": "signup_total",
+                             "3": "signup", "4": "last_seen"},
+    "columnsSchema": {"click": {"columnType": "decimal(14,4)"},
+                      "purchase": {"columnType": "double"},
+                      "signup_total": {"columnType": "int(10) unsigned"},
+                      "signup": {"columnType": "bigint(20) unsigned"},
+                      "last_seen": {"columnType": "date"}}}})
+SCHEMA_HIST_V2 = _json.dumps({"events": {
+    "columnIndexToNameMap": {"0": "click"},
+    "columnsSchema": {"click": {"columnType": "varchar(255)"}}}})
+SCHEMA_HIST_ROWS = [
+    (INITIAL_SNAPSHOT_KEY, 0, SCHEMA_HIST_V0),
+    (str(JAN10_MS), JAN10_MS, SCHEMA_HIST_V1),
+    (str(JAN20_MS), JAN20_MS, SCHEMA_HIST_V2),
+]
+
+
+def _schema_history_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        SCHEMA_HIST_ROWS,
+        "change_key string, cell_ts long, schema_json string")
+
 
 def q_schema_history_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end MySQL-schema pipeline at a point in time: a 3-version
@@ -363,29 +395,7 @@ def q_schema_history_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     — a derived cell carrying the date of the user's latest event,
     produced by a per-row explode so the change log is still read in
     ONE scan)."""
-    import json as _json
-
-    v0 = _json.dumps({"events": {
-        "columnIndexToNameMap": {"0": "click", "1": "view"},
-        "columnsSchema": {"click": {"columnType": "double"},
-                          "view": {"columnType": "double"}}}})
-    v1 = _json.dumps({"events": {
-        "columnIndexToNameMap": {"0": "click", "1": "purchase", "2": "signup_total",
-                                 "3": "signup", "4": "last_seen"},
-        "columnsSchema": {"click": {"columnType": "decimal(14,4)"},
-                          "purchase": {"columnType": "double"},
-                          "signup_total": {"columnType": "int(10) unsigned"},
-                          "signup": {"columnType": "bigint(20) unsigned"},
-                          "last_seen": {"columnType": "date"}}}})
-    v2 = _json.dumps({"events": {
-        "columnIndexToNameMap": {"0": "click"},
-        "columnsSchema": {"click": {"columnType": "varchar(255)"}}}})
-    history = spark.createDataFrame(
-        [(INITIAL_SNAPSHOT_KEY, 0, v0),
-         (str(JAN10_MS), JAN10_MS, v1),
-         (str(JAN20_MS), JAN20_MS, v2)],
-        "change_key string, cell_ts long, schema_json string",
-    )
+    history = _schema_history_df(spark)
     schema = schema_as_of(history, SNAPSHOT_TS_MS, mode="strict")
     from pyspark.sql import functions as F
 
@@ -492,3 +502,72 @@ def oracle_snapshot_multi_ts() -> str:
            decoded_value, decode_error_count
     FROM cells JOIN errs USING (snapshot_ts)
     """
+
+
+def q_schema_evolution_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema EVOLUTION diff (N46) over the shared 3-version history:
+    which columns were added / dropped / retyped across the
+    initial→Jan-10 and Jan-10→now transitions — the ALTER-window
+    question next to the reference's single point-in-time
+    reconstruction.  Metadata-sized by design (two one-row lookups per
+    transition + a dict diff); the oracle replays the as-of pick, the
+    JSON extraction, and the classification entirely in SQL."""
+    from pyspark.sql import functions as F
+
+    from hbase_snapshotter_spark.plans.schema import schema_diff
+
+    hist = _schema_history_df(spark)
+    d1 = schema_diff(hist, 0, JAN10_MS).withColumn(
+        "transition", F.lit("to_v1"))
+    d2 = schema_diff(hist, JAN10_MS, None).withColumn(
+        "transition", F.lit("to_now"))
+    cols = ["transition", "col_name", "change",
+            "old_type", "new_type", "old_index", "new_index"]
+    return d1.select(*cols).unionByName(d2.select(*cols))
+
+
+def oracle_schema_evolution_diff() -> str:
+    hist_values = ", ".join(
+        f"('{k}', {ts}, '{j}')" for k, ts, j in SCHEMA_HIST_ROWS)
+
+    def cols_cte(label: str, ts: int | None) -> str:
+        bound = 9_223_372_036_854_775_807 if ts is None else ts
+        return f"""
+pick_{label} AS (
+  SELECT j FROM hist WHERE cell_ts <= {bound}
+  ORDER BY CASE WHEN change_key = 'initial-snapshot' THEN 0
+                ELSE CAST(change_key AS BIGINT) END DESC
+  LIMIT 1),
+cols_{label} AS (
+  SELECT CAST(u.idx AS INT) AS idx,
+         json_extract_string(p.j,
+           '$.events.columnIndexToNameMap."' || u.idx || '"') AS name,
+         json_extract_string(p.j, '$.events.columnsSchema.'
+           || json_extract_string(p.j,
+                '$.events.columnIndexToNameMap."' || u.idx || '"')
+           || '.columnType') AS typ
+  FROM pick_{label} p,
+       UNNEST(json_keys(p.j, '$.events.columnIndexToNameMap')) AS u(idx))"""
+
+    def diff_select(label: str, a: str, b: str) -> str:
+        return f"""
+SELECT '{label}' AS transition,
+       COALESCE(a.name, b.name) AS col_name,
+       CASE WHEN a.name IS NULL THEN 'added'
+            WHEN b.name IS NULL THEN 'dropped'
+            WHEN a.typ <> b.typ THEN 'retyped'
+            WHEN a.idx <> b.idx THEN 'moved'
+            ELSE 'unchanged' END AS change,
+       a.typ AS old_type, b.typ AS new_type,
+       a.idx AS old_index, b.idx AS new_index
+FROM cols_{a} a FULL OUTER JOIN cols_{b} b ON a.name = b.name"""
+
+    return f"""
+WITH hist(change_key, cell_ts, j) AS (VALUES {hist_values}),
+{cols_cte("v0", 0)},
+{cols_cte("v1", JAN10_MS)},
+{cols_cte("now", None)}
+{diff_select("to_v1", "v0", "v1")}
+UNION ALL
+{diff_select("to_now", "v1", "now")}
+"""

@@ -223,3 +223,41 @@ def test_compact_cells_duplicate_markers_no_fanout(spark):
     fates = {(r.row_key, r.qualifier, r.cell_ts): r.cell_fate for r in out}
     assert fates[("r1", "name", 150)] == "deleted"
     assert fates[("r2", "name", 150)] == "kept"
+
+
+def test_schema_diff_all_change_classes(spark):
+    """schema_diff classifies every branch — added, dropped, retyped,
+    moved, unchanged — with retyped taking priority over moved, and
+    resolves both endpoints through the as-of pick (initial-snapshot
+    ordering included)."""
+    import json
+
+    from hbase_snapshotter_spark.plans.schema import schema_diff
+
+    va = json.dumps({"t": {
+        "columnIndexToNameMap": {"0": "keep", "1": "gone", "2": "shift",
+                                 "3": "retype_and_move"},
+        "columnsSchema": {"keep": {"columnType": "int"},
+                          "gone": {"columnType": "int"},
+                          "shift": {"columnType": "text"},
+                          "retype_and_move": {"columnType": "int"}}}})
+    vb = json.dumps({"t": {
+        "columnIndexToNameMap": {"0": "keep", "1": "shift", "2": "fresh",
+                                 "3": "retype_and_move"},
+        "columnsSchema": {"keep": {"columnType": "int"},
+                          "shift": {"columnType": "text"},
+                          "fresh": {"columnType": "double"},
+                          "retype_and_move": {"columnType": "bigint"}}}})
+    hist = spark.createDataFrame(
+        [("initial-snapshot", 0, va), ("1000", 1000, vb)],
+        "change_key string, cell_ts long, schema_json string")
+    out = {r.col_name: r for r in schema_diff(hist, 0, 1000).collect()}
+    assert out["keep"].change == "unchanged"
+    assert out["gone"].change == "dropped" and out["gone"].new_type is None
+    assert out["shift"].change == "moved"
+    assert (out["shift"].old_index, out["shift"].new_index) == (2, 1)
+    assert out["fresh"].change == "added" and out["fresh"].old_index is None
+    assert out["retype_and_move"].change == "retyped"  # priority over moved
+    # same endpoint twice -> everything unchanged
+    same = schema_diff(hist, 1000, 1000).collect()
+    assert {r.change for r in same} == {"unchanged"}
