@@ -1142,3 +1142,107 @@ def advance_pq_index(
                       subspaces=subspaces)
     kept = prior_codes.join(latest.select(id_col), id_col, "left_anti")
     return kept.unionByName(fresh)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    centroid_stride: int = IVF_CENTROID_STRIDE,
+    probe_min: int = IVF_PROBE_MIN,
+    probe_frac: float = IVF_PROBE_FRAC,
+    probe_cap: int = IVF_PROBE_CAP,
+    subspaces: int = PQ_SUBSPACES,
+    codebook_stride: int = PQ_CODEBOOK_STRIDE,
+    codebook_max: int = PQ_CODEBOOK_MAX,
+    cand_factor: int = PQ_CAND_FACTOR,
+) -> DataFrame:
+    """IVF+PQ — the full faiss-IVFPQ architecture as a composition of
+    the two lanes: IVF bounds WHICH vectors are scored (adaptive
+    multi-probe over coarse cells), PQ bounds what scoring COSTS and
+    WEIGHS (ADC over 16-byte codes), and the exact re-rank restores
+    full-precision ordering over the candidate set.  At 100 TB this is
+    the deployment shape: the per-cell CODE lists are the index
+    (memory ∝ 16 bytes/vector), a query touches only its probed cells'
+    codes, and full vectors are read for ~k·cand_factor rows per query.
+
+    The scored row stream is the broadcast join of probes onto the
+    cell-keyed code table — rows carry codes, never vectors; ADC is an
+    Arrow-batched LUT gather with the same per-batch pre-prune as
+    :func:`pq_topk`.  Output shape matches :func:`brute_force_topk`."""
+    cents = scoped_persist(sampled_centroids(
+        corpus, id_col=id_col, vec_col=vec_col,
+        centroid_stride=centroid_stride))
+    assign = assign_to_centroids(corpus, cents, id_col=id_col, vec_col=vec_col)
+    cids, C = pq_codebook(corpus, id_col=id_col, vec_col=vec_col,
+                          codebook_stride=codebook_stride,
+                          codebook_max=codebook_max)
+    m = subspaces
+    d = C.shape[1]
+    sub = d // m
+    codes = pq_encode(corpus, C, id_col=id_col, vec_col=vec_col,
+                      subspaces=subspaces).join(assign, id_col)
+    probes = probe_centroids(queries, cents, id_col=id_col, vec_col=vec_col,
+                             probe_min=probe_min, probe_frac=probe_frac,
+                             probe_cap=probe_cap)
+    qrows = queries.select(id_col, vec_col).collect()
+    qrows.sort(key=lambda r: r[id_col])
+    qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    Q = np.array([r[vec_col] for r in qrows], dtype=np.float64)
+    qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+    lut = np.empty((len(qids), m, C.shape[0]))
+    for j in range(m):
+        Cj = C[:, j * sub:(j + 1) * sub]
+        lut[:, j, :] = np.round(Q[:, j * sub:(j + 1) * sub] @ Cj.T, 6)
+    qpos = {int(q): i for i, q in enumerate(qids)}
+    id_type = dict(corpus.dtypes)[id_col]
+    cap = k * cand_factor
+
+    def adc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes_arr = np.array(pdf["__codes"].tolist())
+            rn = np.sqrt(pdf["__rn2"].to_numpy())
+            ids = pdf[id_col].to_numpy()
+            qrow = pdf["query_id"].map(qpos).to_numpy()
+            dots = np.zeros(len(ids))
+            for j in range(m):
+                dots += lut[qrow, j, codes_arr[:, j]]
+            score = np.round(dots / (qn[qrow] * rn), 6)
+            out_q, out_n, out_s = [], [], []
+            for q in np.unique(qrow):
+                sel = np.nonzero(qrow == q)[0]
+                order = sel[np.lexsort((ids[sel], -score[sel]))]
+                keep = order[ids[order] != qids[q]][:cap]
+                out_q.append(np.full(len(keep), qids[q]))
+                out_n.append(ids[keep])
+                out_s.append(score[keep])
+            if not out_q:
+                continue
+            yield pd.DataFrame({"query_id": np.concatenate(out_q),
+                                "neighbor_id": np.concatenate(out_n),
+                                "__score": np.concatenate(out_s)})
+
+    routed = codes.join(F.broadcast(probes), "cell") \
+        .select("query_id", id_col, "__codes", "__rn2")
+    scored = routed.mapInPandas(
+        adc, f"query_id long, neighbor_id {id_type}, __score double")
+    cand = topk_by_group(scored, cap, score_col="__score") \
+        .select("query_id", "neighbor_id")
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("__cv"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("__qv"))
+    rescored = (
+        c.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id",
+                F.round(cosine_expr(F.col("__qv"), F.col("__cv")), 4)
+                .alias("cosine"))
+    )
+    return topk_by_group(rescored, k).select(
+        "query_id", "neighbor_id", "rank", "cosine")

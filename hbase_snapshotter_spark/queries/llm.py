@@ -1191,14 +1191,11 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.crossJoin(F.broadcast(flag))
 
 
-def _oracle_pq() -> str:
-    """Replays the full PQ pipeline: stride-sampled capped codebook,
-    per-subspace argmin-L2 encode (expanded form, 6-dp, ties toward the
-    smaller codeword id), ADC score = Σⱼ rounded partial dots over
-    reconstructed norms, top k×cand_factor candidates, exact-cosine
-    re-rank."""
+def _sql_pq_ctes() -> str:
+    """DuckDB CTEs replaying the PQ machinery exactly (codebook →
+    per-subspace encode → reconstructed norms → query subvectors) —
+    shared by the PQ and IVF+PQ oracles."""
     from hbase_snapshotter_spark.operators.similarity import (
-        PQ_CAND_FACTOR,
         PQ_CODEBOOK_MAX,
         PQ_CODEBOOK_STRIDE,
         PQ_SUBSPACES,
@@ -1206,8 +1203,7 @@ def _oracle_pq() -> str:
 
     m = PQ_SUBSPACES
     sub = 64 // m
-    return f"""
-WITH cb AS (
+    return f"""cb AS (
   SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
   WHERE vec_id % {PQ_CODEBOOK_STRIDE} = 0
   ORDER BY vec_id LIMIT {PQ_CODEBOOK_MAX}),
@@ -1236,7 +1232,19 @@ qv AS (
   FROM vecs WHERE vec_id < {TOPK_QUERY_PRED}),
 qsubs AS (
   SELECT query_id, j, qvec[j*{sub}+1 : (j+1)*{sub}] AS qx, qn
-  FROM qv, UNNEST(range(0, {m})) AS t(j)),
+  FROM qv, UNNEST(range(0, {m})) AS t(j))"""
+
+
+def _oracle_pq() -> str:
+    """Replays the full PQ pipeline: stride-sampled capped codebook,
+    per-subspace argmin-L2 encode (expanded form, 6-dp, ties toward the
+    smaller codeword id), ADC score = Σⱼ rounded partial dots over
+    reconstructed norms, top k×cand_factor candidates, exact-cosine
+    re-rank."""
+    from hbase_snapshotter_spark.operators.similarity import PQ_CAND_FACTOR
+
+    return f"""
+WITH {_sql_pq_ctes()},
 adc AS (
   SELECT qs.query_id, e.vec_id AS neighbor_id,
          SUM(ROUND(list_dot_product(qs.qx, e.cw), 6)) AS dots,
@@ -2451,4 +2459,85 @@ LIMIT {BM25_TOPK}
 
 PAIRS.update({
     "bm25_keyword_topk": (bm25_keyword_topk, _oracle_bm25()),
+})
+
+
+#: Measured IVF+PQ recall vs brute force at sf0.001/0.01/0.1:
+#: 0.82 / 0.77 / 0.75 — the probe-miss and quantization losses compose,
+#: and both are deterministic (no RNG), so the floor can't flip.
+IVFPQ_RECALL_BOUND = 0.7
+
+
+def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ — the full faiss-IVFPQ architecture (the two approximate
+    lanes COMPOSED): adaptive multi-probe picks the cells, ADC over
+    16-byte codes scores only those cells' vectors, exact cosine
+    re-ranks the candidates.  The oracle replays the ENTIRE composition
+    in SQL — centroid assignment, probing, codebook encode, restricted
+    ADC ranking, re-rank — and the in-query recall probe hash-checks
+    the floor like every approximate row."""
+    from hbase_snapshotter_spark.cache import scoped_persist
+    from hbase_snapshotter_spark.operators.similarity import ivfpq_topk
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < TOPK_QUERY_PRED)
+    if not _probe_enabled():  # bench mode: approximate path alone
+        return ivfpq_topk(emb, q, k=TOPK_K) \
+            .withColumn("recall_within_tolerance", F.lit(True))
+    out = scoped_persist(ivfpq_topk(emb, q, k=TOPK_K))
+    flag = _recall_flag(out, brute_force_topk(emb, q, k=TOPK_K),
+                        IVFPQ_RECALL_BOUND)
+    return out.crossJoin(F.broadcast(flag))
+
+
+def _oracle_ivfpq() -> str:
+    from hbase_snapshotter_spark.operators.similarity import (
+        IVF_PROBE_CAP,
+        IVF_PROBE_FRAC,
+        IVF_PROBE_MIN,
+        PQ_CAND_FACTOR,
+    )
+
+    return f"""
+WITH {_sql_ivf_assign_ctes()},
+probe AS (SELECT vec_id AS query_id, cid AS cell FROM ranked
+          WHERE rn <= LEAST({IVF_PROBE_CAP},
+                            GREATEST({IVF_PROBE_MIN},
+                                     CEIL({IVF_PROBE_FRAC} * (SELECT COUNT(*) FROM cent))))
+            AND vec_id < {TOPK_QUERY_PRED}),
+{_sql_pq_ctes()},
+adc AS (
+  SELECT qs.query_id, e.vec_id AS neighbor_id,
+         SUM(ROUND(list_dot_product(qs.qx, e.cw), 6)) AS dots,
+         ANY_VALUE(qs.qn) AS qn
+  FROM enc e
+  JOIN assign av ON av.vec_id = e.vec_id
+  JOIN probe p ON p.cell = av.cell
+  JOIN qsubs qs ON qs.j = e.j AND qs.query_id = p.query_id
+  WHERE e.vec_id <> qs.query_id
+  GROUP BY qs.query_id, e.vec_id),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.query_id, a.neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY a.query_id ORDER BY
+             ROUND(a.dots / (a.qn * sqrt(r.rn2)), 6) DESC,
+             a.neighbor_id ASC) AS crn
+    FROM adc a JOIN rnorm r ON r.vec_id = a.neighbor_id
+  ) WHERE crn <= {TOPK_K * PQ_CAND_FACTOR}),
+rescored AS (
+  SELECT cd.query_id, cd.neighbor_id, {SQL_COSINE} AS cosine
+  FROM cand cd
+  JOIN embeddings q ON q.vec_id = cd.query_id
+  JOIN embeddings c ON c.vec_id = cd.neighbor_id)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine,
+       TRUE AS recall_within_tolerance FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM rescored
+) WHERE rank <= {TOPK_K}
+"""
+
+
+PAIRS.update({
+    "similarity_topk_ivfpq": (similarity_topk_ivfpq, _oracle_ivfpq()),
 })

@@ -1315,3 +1315,22 @@ def test_bm25_hand_computed_and_edges(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         bm25_topk(df, [])
+
+
+def test_ivfpq_scores_exact_and_recall_floor(spark, sf_dir):
+    """IVF+PQ composition: every returned pair carries the exact 4-dp
+    cosine (re-rank on full vectors), and recall vs brute clears the
+    floor on the worst-case isotropic fixture (deterministic — no RNG,
+    so this is a fixed property, not a flaky bound)."""
+    from hbase_snapshotter_spark.operators.similarity import ivfpq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter("vec_id < 20")
+    brute_all = {(r.query_id, r.neighbor_id): r.cosine
+                 for r in brute_force_topk(emb, q, k=600).collect()}
+    brute_top = {(r.query_id, r.neighbor_id)
+                 for r in brute_force_topk(emb, q, k=5).collect()}
+    out = ivfpq_topk(emb, q, k=5).collect()
+    assert all(brute_all[(r.query_id, r.neighbor_id)] == r.cosine for r in out)
+    got = {(r.query_id, r.neighbor_id) for r in out}
+    assert len(got & brute_top) / len(brute_top) >= 0.7

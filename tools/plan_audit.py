@@ -67,6 +67,8 @@ def main() -> int:
                                        # permille threshold denominator)
         "bm25_keyword_topk",           # 1-row corpus-stats attach (N,
                                        # avgdl, per-term df)
+        "similarity_topk_ivfpq",       # broadcast probe scoring + 1-row
+                                       # recall flag attach
     }
 
     flags_total = 0
