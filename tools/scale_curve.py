@@ -321,6 +321,12 @@ def operators():
         emb = spark.read.parquet(f"{d}/embeddings.parquet")
         return pq_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
 
+    def run_ivfpq(spark, d):
+        from hbase_snapshotter_spark.operators.similarity import ivfpq_topk
+
+        emb = spark.read.parquet(f"{d}/embeddings.parquet")
+        return ivfpq_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+
     def run_context_chunks(spark, d):
         from hbase_snapshotter_spark.operators.sampling import context_chunks
         from hbase_snapshotter_spark.operators.text import tokens
@@ -354,6 +360,7 @@ def operators():
         "bm25": run_bm25,
         "profile": run_profile,
         "pq_topk": run_pq,
+        "ivfpq_topk": run_ivfpq,
         "domain_cap": run_domain_cap,
         "bloom_novelty": run_bloom_novelty,
         "bpe_pairs": run_bpe_pairs,
