@@ -1,0 +1,70 @@
+"""Mergeable distinct-count sketch state (SURVEY §2.3 N48).
+
+The aggregate-state mirror of the N25 latest-cells maintenance: a 100 TB
+warehouse never re-counts distincts from scratch.  Per-group HLL
+sketches (Spark 4's Apache DataSketches bindings — ``hll_sketch_agg`` /
+``hll_union_agg`` / ``hll_sketch_estimate``) are MATERIALIZED as binary
+state (KBs per group, regardless of data volume), and advancing with a
+delta is a register-max union:
+
+- **associative + commutative** — ``union(sk(A), sk(B)) = sk(A ∪ B)``
+  exactly (the union takes the per-register maximum, and a register's
+  value depends only on the SET of hashed items that fed it);
+- **idempotent under re-delivery** — re-unioning a delta's items
+  changes no register (set semantics), so exactly-once sketch state
+  falls out of at-least-once delivery, the same soundness argument as
+  ``advance_latest_cells``;
+- **deterministic** — same item set ⇒ bit-identical sketch ⇒ the
+  merged-equals-full and advanced-equals-full invariants are exact
+  EQUALITIES, not tolerances (driver-hash-checkable).
+
+This is the Druid/Pinot/BigQuery materialized-sketch pattern: per-day /
+per-partition sketch columns rolled up at query time at any grouping,
+each merge reading KBs where the exact recount reads the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def distinct_sketches(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_cols: list[str],
+) -> DataFrame:
+    """Materialized per-group sketch state: ``(*group_cols, sketch)``.
+    One hash aggregation with map-side partials — the only pass that
+    reads the data."""
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(value_col).alias("sketch"))
+
+
+def advance_sketches(
+    prior: DataFrame,
+    delta: DataFrame,
+    value_col: str,
+    *,
+    group_cols: list[str],
+) -> DataFrame:
+    """Advance materialized sketch state with only the delta: sketch
+    the delta (the only data-sized work) and union per group.  Groups
+    new in the delta appear; untouched groups pass through; re-delivered
+    delta rows are no-ops (register max).  State input is KBs per
+    group, never the prior data."""
+    fresh = distinct_sketches(delta, value_col, group_cols=group_cols)
+    return (
+        prior.select(*group_cols, "sketch")
+        .unionByName(fresh)
+        .groupBy(*group_cols)
+        .agg(F.hll_union_agg("sketch").alias("sketch"))
+    )
+
+
+def sketch_estimates(sketches: DataFrame, *, group_cols: list[str]) -> DataFrame:
+    """``(*group_cols, estimate)`` — long estimates from the state."""
+    return sketches.select(
+        *group_cols,
+        F.hll_sketch_estimate("sketch").alias("estimate"))

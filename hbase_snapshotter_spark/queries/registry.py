@@ -112,3 +112,6 @@ register("snapshot_compaction", snapshot_q.q_snapshot_compaction,
          snapshot_q.oracle_snapshot_compaction())
 register("schema_evolution_diff", snapshot_q.q_schema_evolution_diff,
          snapshot_q.oracle_schema_evolution_diff())
+register("sketch_distinct_maintenance",
+         snapshot_q.q_sketch_distinct_maintenance,
+         snapshot_q.oracle_sketch_distinct_maintenance())

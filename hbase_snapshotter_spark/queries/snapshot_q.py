@@ -571,3 +571,85 @@ WITH hist(change_key, cell_ts, j) AS (VALUES {hist_values}),
 UNION ALL
 {diff_select("to_now", "v1", "now")}
 """
+
+
+def q_sketch_distinct_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketch state (N48) — the aggregate-state
+    mirror of the incremental snapshot lane: per-event-type HLL
+    sketches of the distinct-user set, materialized and advanced
+    without re-reading history.  The hash pins (the equality-flag
+    pattern — DuckDB's own HLL differs bit-wise, so estimates
+    themselves are not portable):
+
+    - per-type ``exact_distinct_users`` (oracle-replayed exactly);
+    - ``est_within_tolerance`` — |estimate − exact| ≤ 15 % of exact;
+    - ``merged_equals_full`` — unioning per-(type, user-shard) sketch
+      state reproduces the single-pass sketch EXACTLY (register-max
+      union is lossless — the mergeable-state soundness claim);
+    - ``advance_equals_full`` — advancing the ≤ T1 state with only the
+      > T1 delta reproduces the full sketch exactly (the N25 argument
+      for aggregate state; re-delivery idempotency is pytest-pinned).
+    """
+    from pyspark.sql import functions as F
+
+    from hbase_snapshotter_spark.cache import scoped_persist
+    from hbase_snapshotter_spark.operators.sketches import (
+        advance_sketches,
+        distinct_sketches,
+        sketch_estimates,
+    )
+
+    ev = scoped_persist(
+        read_table(spark, sf_dir, "events")
+        .select("event_type", "user_id",
+                (F.unix_millis("ts") <= SNAPSHOT_TS_MS).alias("__prior"),
+                (F.col("user_id") % 8).alias("__shard")))
+    g = ["event_type"]
+    full = scoped_persist(distinct_sketches(ev, "user_id", group_cols=g))
+    full_est = sketch_estimates(full, group_cols=g)
+
+    sharded = distinct_sketches(ev, "user_id",
+                                group_cols=["event_type", "__shard"])
+    merged_est = sketch_estimates(
+        sharded.groupBy(*g).agg(F.hll_union_agg("sketch").alias("sketch")),
+        group_cols=g).withColumnRenamed("estimate", "__m")
+
+    advanced = advance_sketches(
+        distinct_sketches(ev.filter("__prior"), "user_id", group_cols=g),
+        ev.filter("NOT __prior"), "user_id", group_cols=g)
+    adv_est = sketch_estimates(advanced, group_cols=g) \
+        .withColumnRenamed("estimate", "__a")
+
+    exact = ev.groupBy(*g).agg(
+        F.countDistinct("user_id").alias("exact_distinct_users"))
+    per_type = (
+        exact.join(full_est, g)
+        .withColumn(
+            "est_within_tolerance",
+            F.abs(F.col("estimate") - F.col("exact_distinct_users"))
+            <= 0.15 * F.col("exact_distinct_users"))
+    )
+    merged_flag = (
+        full_est.join(merged_est, g)
+        .agg(F.bool_and(F.col("estimate") == F.col("__m"))
+             .alias("merged_equals_full")))
+    adv_flag = (
+        full_est.join(adv_est, g)
+        .agg(F.bool_and(F.col("estimate") == F.col("__a"))
+             .alias("advance_equals_full")))
+    # scalar attach x2: ONE-row equality flags, broadcast cross
+    return (per_type.select(*g, "exact_distinct_users",
+                            "est_within_tolerance")
+            .crossJoin(F.broadcast(merged_flag))
+            .crossJoin(F.broadcast(adv_flag)))
+
+
+def oracle_sketch_distinct_maintenance() -> str:
+    return """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_distinct_users,
+           TRUE AS est_within_tolerance,
+           TRUE AS merged_equals_full,
+           TRUE AS advance_equals_full
+    FROM events GROUP BY event_type
+    """

@@ -261,3 +261,44 @@ def test_schema_diff_all_change_classes(spark):
     # same endpoint twice -> everything unchanged
     same = schema_diff(hist, 1000, 1000).collect()
     assert {r.change for r in same} == {"unchanged"}
+
+
+def test_sketch_state_merge_advance_idempotent(spark):
+    """HLL sketch state (N48): register-max union is lossless (merged
+    == single-pass, exact equality), the delta advance reproduces the
+    full sketch, and re-delivering the delta is a no-op — the
+    exactly-once-from-at-least-once argument for aggregate state."""
+    from pyspark.sql import functions as F
+
+    from hbase_snapshotter_spark.operators.sketches import (
+        advance_sketches,
+        distinct_sketches,
+        sketch_estimates,
+    )
+
+    df = spark.range(2000).select(
+        (F.col("id") % 3).alias("g"), (F.col("id") % 311).alias("v"),
+        (F.col("id") < 1200).alias("early"))
+    g = ["g"]
+    full = {r.g: r.estimate for r in sketch_estimates(
+        distinct_sketches(df, "v", group_cols=g), group_cols=g).collect()}
+    exact = {r.g: r.c for r in
+             df.groupBy("g").agg(F.countDistinct("v").alias("c")).collect()}
+    assert all(abs(full[k] - exact[k]) <= 0.15 * exact[k] for k in exact)
+
+    prior = distinct_sketches(df.filter("early"), "v", group_cols=g)
+    delta = df.filter("NOT early")
+    adv = advance_sketches(prior, delta, "v", group_cols=g)
+    got = {r.g: r.estimate for r in
+           sketch_estimates(adv, group_cols=g).collect()}
+    assert got == full
+    again = {r.g: r.estimate for r in sketch_estimates(
+        advance_sketches(adv, delta, "v", group_cols=g),
+        group_cols=g).collect()}
+    assert again == full  # re-delivered delta is a no-op
+    # a group newborn in the delta appears
+    newg = spark.range(5).select(F.lit(99).alias("g"), F.col("id").alias("v"))
+    withnew = {r.g: r.estimate for r in sketch_estimates(
+        advance_sketches(adv, newg, "v", group_cols=g),
+        group_cols=g).collect()}
+    assert withnew[99] == 5 and withnew[0] == full[0]

@@ -69,6 +69,8 @@ def main() -> int:
                                        # avgdl, per-term df)
         "similarity_topk_ivfpq",       # broadcast probe scoring + 1-row
                                        # recall flag attach
+        "sketch_distinct_maintenance",  # 1-row merged/advance equality
+                                        # flag attaches
     }
 
     flags_total = 0
