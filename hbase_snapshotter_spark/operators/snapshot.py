@@ -370,3 +370,39 @@ def compact_cells(
         .otherwise(F.lit("kept"))
     )
     return classified.withColumn("cell_fate", fate)
+
+
+def scd2_history(
+    changelog: DataFrame,
+    *,
+    key_cols: tuple[str, ...] = ("row_key", "qualifier"),
+    ts_col: str = "cell_ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """SCD2 reconstruction (N49): every cell VERSION with its validity
+    interval — ``(*key_cols, value, valid_from, valid_to, version,
+    is_current)``, ``valid_to`` exclusive and NULL on the live version.
+
+    The snapshot lane answers "state AT ts" (one version per cell);
+    operating a change-captured warehouse also needs "state OVER time"
+    — the slowly-changing-dimension view every BI layer builds from a
+    CDC log (Kimball type-2: new row per change, close the old row's
+    interval).  The change log IS the SCD source; reconstruction is one
+    ``lead`` window per cell: ``valid_to = next version's ts``.
+
+    Scale shape: the window partitions by CELL, so partition sizes are
+    per-cell version counts (bounded by retention policy — dozens, not
+    data-sized), never a global sort; one shuffle by key.  Ties (two
+    versions at one ts) order deterministically by value — the same
+    tie-break as :func:`latest_cells` — producing a zero-length
+    interval for the shadowed write."""
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]) \
+        .orderBy(F.col(ts_col), F.col(value_col))
+    return (
+        changelog.select(*key_cols, value_col, ts_col)
+        .withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w))
+        .withColumn("version", F.row_number().over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop(ts_col)
+    )

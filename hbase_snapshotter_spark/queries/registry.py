@@ -115,3 +115,5 @@ register("schema_evolution_diff", snapshot_q.q_schema_evolution_diff,
 register("sketch_distinct_maintenance",
          snapshot_q.q_sketch_distinct_maintenance,
          snapshot_q.oracle_sketch_distinct_maintenance())
+register("scd2_event_history", snapshot_q.q_scd2_event_history,
+         snapshot_q.oracle_scd2_event_history())

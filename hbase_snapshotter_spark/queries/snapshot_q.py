@@ -653,3 +653,36 @@ def oracle_sketch_distinct_maintenance() -> str:
            TRUE AS advance_equals_full
     FROM events GROUP BY event_type
     """
+
+
+def q_scd2_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history (N49) of the events change log: per-cell version
+    chains with exclusive validity intervals — the state-OVER-time
+    companion to the state-AT-ts snapshot queries.  The oracle replays
+    the lead window, version numbering, and tie-break exactly."""
+    from hbase_snapshotter_spark.operators.snapshot import scd2_history
+
+    log = events_as_changelog(read_table(spark, sf_dir, "events"))
+    return scd2_history(log).select(
+        "row_key", "qualifier", "value",
+        "valid_from", "valid_to", "version", "is_current")
+
+
+def oracle_scd2_event_history() -> str:
+    return """
+    WITH log AS (
+      SELECT CAST(user_id AS VARCHAR) AS row_key,
+             event_type AS qualifier,
+             CAST(value AS VARCHAR) AS value,
+             epoch_ms(ts) AS cell_ts
+      FROM events
+    )
+    SELECT row_key, qualifier, value,
+           cell_ts AS valid_from,
+           LEAD(cell_ts) OVER w AS valid_to,
+           CAST(ROW_NUMBER() OVER w AS INTEGER) AS version,
+           (LEAD(cell_ts) OVER w IS NULL) AS is_current
+    FROM log
+    WINDOW w AS (PARTITION BY row_key, qualifier
+                 ORDER BY cell_ts, value)
+    """

@@ -302,3 +302,25 @@ def test_sketch_state_merge_advance_idempotent(spark):
         advance_sketches(adv, newg, "v", group_cols=g),
         group_cols=g).collect()}
     assert withnew[99] == 5 and withnew[0] == full[0]
+
+
+def test_scd2_history_interval_chain(changelog):
+    """SCD2 reconstruction: per-cell version chains are contiguous
+    (valid_to == next valid_from), exactly one current version per
+    cell, version numbers dense from 1, and the known r1.name chain
+    (alpha@500 -> alpha2@1500) closes the first interval at 1500."""
+    from hbase_snapshotter_spark.operators.snapshot import scd2_history
+
+    out = scd2_history(changelog).collect()
+    by_cell = {}
+    for r in sorted(out, key=lambda r: (r.row_key, r.qualifier, r.version)):
+        by_cell.setdefault((r.row_key, r.qualifier), []).append(r)
+    for chain in by_cell.values():
+        assert [r.version for r in chain] == list(range(1, len(chain) + 1))
+        assert sum(r.is_current for r in chain) == 1
+        assert chain[-1].is_current and chain[-1].valid_to is None
+        for a, b in zip(chain, chain[1:]):
+            assert a.valid_to == b.valid_from
+    name_chain = by_cell[("r1", "name")]
+    assert [(r.value, r.valid_from, r.valid_to) for r in name_chain] == \
+        [("alpha", 500, 1500), ("alpha2", 1500, None)]
