@@ -406,3 +406,41 @@ def scd2_history(
         .withColumn("is_current", F.col("valid_to").isNull())
         .drop(ts_col)
     )
+
+
+def state_changefeed(
+    state_a: DataFrame,
+    state_b: DataFrame,
+    *,
+    key_cols: tuple[str, ...] = ("row_key", "qualifier"),
+    value_col: str = "value",
+) -> DataFrame:
+    """Changefeed generation (N50) — the INVERSE of the reference's
+    pipeline: the reference replays a change log into a snapshot; this
+    derives the change log BETWEEN two snapshots — ``(*key_cols, op,
+    old_value, new_value)`` with ``op`` ∈ I (insert: only in B) /
+    U (update: in both, value differs) / D (delete: only in A).
+    Unchanged cells are omitted (a changefeed carries changes).
+
+    The reverse-ETL primitive: publishing a warehouse table's delta to
+    downstream consumers (cache invalidation, search-index refresh,
+    subscription feeds) without the upstream CDC stream.  ONE full
+    outer join keyed on the cell — run against two bucket-partitioned
+    state tables (:mod:`~.snapshot_state`) the join co-partitions and
+    the feed is computable bucket-by-bucket, pruned to buckets whose
+    content hash moved."""
+    a = state_a.select(*key_cols, F.col(value_col).alias("__old"))
+    b = state_b.select(*key_cols, F.col(value_col).alias("__new"))
+    joined = a.join(b, list(key_cols), "full_outer")
+    op = (
+        F.when(F.col("__old").isNull(), F.lit("I"))
+        .when(F.col("__new").isNull(), F.lit("D"))
+        .when(F.col("__old") != F.col("__new"), F.lit("U"))
+    )
+    return (
+        joined.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select(*key_cols, "op",
+                F.col("__old").alias("old_value"),
+                F.col("__new").alias("new_value"))
+    )

@@ -117,3 +117,5 @@ register("sketch_distinct_maintenance",
          snapshot_q.oracle_sketch_distinct_maintenance())
 register("scd2_event_history", snapshot_q.q_scd2_event_history,
          snapshot_q.oracle_scd2_event_history())
+register("state_changefeed", snapshot_q.q_state_changefeed,
+         snapshot_q.oracle_state_changefeed())

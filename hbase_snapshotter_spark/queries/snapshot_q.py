@@ -686,3 +686,49 @@ def oracle_scd2_event_history() -> str:
     WINDOW w AS (PARTITION BY row_key, qualifier
                  ORDER BY cell_ts, value)
     """
+
+
+def q_state_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changefeed between the mid-month and now states (N50): the
+    snapshots→changelog inverse of the reference's changelog→snapshot
+    pipeline — I/U/D rows with old/new values, unchanged cells
+    omitted.  One full outer join on the cell key; the oracle replays
+    the join and the op classification exactly."""
+    from hbase_snapshotter_spark.cache import scoped_persist
+    from hbase_snapshotter_spark.operators.snapshot import state_changefeed
+
+    log = scoped_persist(
+        events_as_changelog(read_table(spark, sf_dir, "events")))
+    t1 = latest_cells(log, SNAPSHOT_TS_MS).select(
+        "row_key", "qualifier", "value")
+    t2 = latest_cells(log, None).select("row_key", "qualifier", "value")
+    return state_changefeed(t1, t2)
+
+
+def oracle_state_changefeed() -> str:
+    def latest(pred: str) -> str:
+        return f"""
+        SELECT row_key, qualifier, value FROM (
+          SELECT CAST(user_id AS VARCHAR) AS row_key,
+                 event_type AS qualifier,
+                 CAST(value AS VARCHAR) AS value,
+                 ROW_NUMBER() OVER (PARTITION BY CAST(user_id AS VARCHAR), event_type
+                                    ORDER BY epoch_ms(ts) DESC, CAST(value AS VARCHAR) DESC) AS rn
+          FROM events WHERE {pred}
+        ) WHERE rn = 1
+        """
+    return f"""
+    WITH a AS ({latest(f'epoch_ms(ts) <= {SNAPSHOT_TS_MS}')}),
+    b AS ({latest('TRUE')})
+    SELECT COALESCE(a.row_key, b.row_key) AS row_key,
+           COALESCE(a.qualifier, b.qualifier) AS qualifier,
+           CASE WHEN a.value IS NULL THEN 'I'
+                WHEN b.value IS NULL THEN 'D'
+                WHEN a.value <> b.value THEN 'U' END AS op,
+           a.value AS old_value, b.value AS new_value
+    FROM a FULL OUTER JOIN b
+      ON a.row_key = b.row_key AND a.qualifier = b.qualifier
+    WHERE (CASE WHEN a.value IS NULL THEN 'I'
+                WHEN b.value IS NULL THEN 'D'
+                WHEN a.value <> b.value THEN 'U' END) IS NOT NULL
+    """

@@ -324,3 +324,31 @@ def test_scd2_history_interval_chain(changelog):
     name_chain = by_cell[("r1", "name")]
     assert [(r.value, r.valid_from, r.valid_to) for r in name_chain] == \
         [("alpha", 500, 1500), ("alpha2", 1500, None)]
+
+
+def test_state_changefeed_ops(changelog):
+    """Changefeed between T1=1000 and T2=3000 states on the synthetic
+    changelog: updates carry old/new, inserts only new, cells stable
+    across the window are absent; feeding the changefeed's new values
+    back over T1 reproduces T2 (round-trip)."""
+    from hbase_snapshotter_spark.operators.snapshot import (
+        latest_cells,
+        state_changefeed,
+    )
+
+    t1 = latest_cells(changelog, 1000).select("row_key", "qualifier", "value")
+    t2 = latest_cells(changelog, 3000).select("row_key", "qualifier", "value")
+    feed = {(r.row_key, r.qualifier): (r.op, r.old_value, r.new_value)
+            for r in state_changefeed(t1, t2).collect()}
+    assert feed[("r1", "name")] == ("U", "alpha", "alpha2")
+    assert feed[("r3", "name")][0] == "I"          # r3 born after T1
+    assert ("r1", "big_id") not in feed            # unchanged
+    # round-trip: T1 patched by the feed == T2
+    t1_map = {(r.row_key, r.qualifier): r.value for r in t1.collect()}
+    for k, (op, old, new) in feed.items():
+        if op == "D":
+            t1_map.pop(k)
+        else:
+            t1_map[k] = new
+    t2_map = {(r.row_key, r.qualifier): r.value for r in t2.collect()}
+    assert t1_map == t2_map
