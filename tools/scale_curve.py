@@ -302,6 +302,18 @@ def operators():
 
         return q_snapshot_compaction(spark, d)
 
+    def run_scd2(spark, d):
+        from hbase_snapshotter_spark.operators.snapshot import scd2_history
+
+        return scd2_history(events_as_changelog(read_table(spark, d, "events")))
+
+    def run_changefeed(spark, d):
+        from hbase_snapshotter_spark.queries.snapshot_q import (
+            q_state_changefeed,
+        )
+
+        return q_state_changefeed(spark, d)
+
     def run_heavy_hitters(spark, d):
         from hbase_snapshotter_spark.operators.freq import heavy_hitters
         from hbase_snapshotter_spark.operators.text import tokens
@@ -355,6 +367,8 @@ def operators():
         "snapshot_events_wide": run_snapshot_wide,
         "latest_cells_multi": run_latest_multi,
         "snapshot_compaction": run_compaction,
+        "scd2_history": run_scd2,
+        "state_changefeed": run_changefeed,
         "heavy_hitters": run_heavy_hitters,
         "context_chunks": run_context_chunks,
         "bm25": run_bm25,
