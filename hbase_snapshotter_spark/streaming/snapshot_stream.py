@@ -36,17 +36,29 @@ from pyspark.sql import DataFrame, SparkSession
 from hbase_snapshotter_spark.operators.snapshot import (
     advance_latest_cells,
     latest_cells,
+    state_changefeed,
 )
 
 _MARKER = "CURRENT"
 
 
 class SnapshotMaintainer:
-    """foreachBatch sink maintaining latest-cell state under ``state_dir``."""
+    """foreachBatch sink maintaining latest-cell state under ``state_dir``.
 
-    def __init__(self, state_dir: str):
+    With ``feed_dir`` set, every batch ALSO publishes its downstream
+    changefeed (N50 run continuously): the I/U/D delta between the
+    previous and new state, written to ``feed_dir/b{batch_id}`` with
+    per-batch OVERWRITE — so a crash-replayed batch rewrites the same
+    feed instead of appending duplicates, and a re-delivered batch
+    (no-op state advance) publishes an EMPTY feed.  The first batch's
+    feed is all-inserts (delta against the empty state)."""
+
+    def __init__(self, state_dir: str, feed_dir: str | None = None):
         self.state_dir = state_dir
+        self.feed_dir = feed_dir
         os.makedirs(state_dir, exist_ok=True)
+        if feed_dir:
+            os.makedirs(feed_dir, exist_ok=True)
 
     def _current_path(self) -> str | None:
         marker = os.path.join(self.state_dir, _MARKER)
@@ -72,6 +84,14 @@ class SnapshotMaintainer:
             cells = advance_latest_cells(prev, cells)
         out = os.path.join(self.state_dir, f"v{batch_id}")
         cells.write.mode("overwrite").parquet(out)
+        if self.feed_dir:
+            new_state = spark.read.parquet(out)  # materialized, not lineage
+            old = prev if prev is not None else spark.createDataFrame(
+                [], new_state.schema)
+            feed = state_changefeed(
+                old, new_state, key_cols=("row_key", "family", "qualifier"))
+            feed.write.mode("overwrite").parquet(
+                os.path.join(self.feed_dir, f"b{batch_id}"))
         tmp = os.path.join(self.state_dir, f".{_MARKER}.tmp")
         with open(tmp, "w") as f:
             f.write(f"v{batch_id}")
@@ -81,10 +101,13 @@ class SnapshotMaintainer:
                 shutil.rmtree(os.path.join(self.state_dir, name), ignore_errors=True)
 
 
-def maintain_snapshot(stream_changelog: DataFrame, state_dir: str, **start_kwargs):
+def maintain_snapshot(stream_changelog: DataFrame, state_dir: str,
+                      feed_dir: str | None = None, **start_kwargs):
     """Start the maintenance query (availableNow/trigger via kwargs).
-    Returns (StreamingQuery, SnapshotMaintainer)."""
-    maintainer = SnapshotMaintainer(state_dir)
+    Returns (StreamingQuery, SnapshotMaintainer).  With ``feed_dir``
+    each batch also publishes its I/U/D changefeed (see
+    SnapshotMaintainer)."""
+    maintainer = SnapshotMaintainer(state_dir, feed_dir)
     query = (
         stream_changelog.writeStream.foreachBatch(maintainer.process_batch)
         .outputMode("update")

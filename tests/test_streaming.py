@@ -263,3 +263,54 @@ def test_novelty_maintenance_streaming_equals_batch_and_redelivers(
     dirs_after = {d: sorted(r["key"] for r in spark.read.parquet(d).collect())
                   for d in m2._batch_dirs()}
     assert dirs_after == dirs_before
+
+
+def test_streaming_changefeed_reconstructs_state_and_redelivery_empty(
+        spark, event_stream_dir, tmp_path):
+    """N50 run continuously: each micro-batch publishes its I/U/D feed;
+    applying the per-batch feeds in order onto an empty table
+    reconstructs the final maintained state exactly, and a full
+    re-delivery run (no-op state advances) publishes EMPTY feeds."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hbase_snapshotter_spark.sources.changelog import events_as_changelog
+    from hbase_snapshotter_spark.streaming.snapshot_stream import (
+        maintain_snapshot,
+    )
+
+    batch_src = spark.read.parquet(event_stream_dir)
+    state = str(tmp_path / "state")
+    feeds = str(tmp_path / "feeds")
+
+    def run(checkpoint: str):
+        stream = events_as_changelog(
+            replay_stream(spark, event_stream_dir, batch_src.schema,
+                          max_files_per_trigger=1))
+        q, m = maintain_snapshot(
+            stream, state, feed_dir=feeds,
+            checkpointLocation=str(tmp_path / checkpoint),
+            availableNow=True)
+        q.awaitTermination(120)
+        return m
+
+    m = run("ck1")
+    final = {(r.row_key, r.family, r.qualifier): r.value
+             for r in m.current_cells(spark).collect()}
+    # apply feeds in batch order onto an empty table
+    applied = {}
+    batch_dirs = sorted(os.listdir(feeds), key=lambda n: int(n[1:]))
+    assert len(batch_dirs) > 1
+    for b in batch_dirs:
+        for r in spark.read.parquet(f"{feeds}/{b}").collect():
+            k = (r.row_key, r.family, r.qualifier)
+            if r.op == "D":
+                applied.pop(k, None)
+            else:
+                applied[k] = r.new_value
+    assert applied == final and len(final) > 0
+
+    run("ck2")  # full re-delivery: every batch advance is a no-op
+    for b in sorted(os.listdir(feeds)):
+        assert spark.read.parquet(f"{feeds}/{b}").count() == 0
