@@ -941,6 +941,64 @@ def pq_encode(
         encode, f"{id_col} {id_type}, __codes array<int>, __rn2 double")
 
 
+def _query_luts(
+    queries: DataFrame,
+    C: np.ndarray,
+    *,
+    id_col: str,
+    vec_col: str,
+    subspaces: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """``(qids, qn, lut)`` — the id-sorted query batch as ADC lookup
+    tables: ``lut[q, j, c] = round(<q_j, codeword_c_j>, 6)``.  The
+    query batch is the SEARCH REQUEST (O(|queries|), not corpus data)
+    and ships to scoring tasks as these LUTs — the faiss search-API
+    shape.  Shared by the flat-PQ and IVF+PQ lanes so their rounding
+    and ordering can never drift apart (the DuckDB oracle CTEs assume
+    both compute identically)."""
+    m = subspaces
+    sub = C.shape[1] // m
+    qrows = queries.select(id_col, vec_col).collect()
+    qrows.sort(key=lambda r: r[id_col])
+    qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    Q = np.array([r[vec_col] for r in qrows], dtype=np.float64)
+    qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+    lut = np.empty((len(qids), m, C.shape[0]))
+    for j in range(m):
+        Cj = C[:, j * sub:(j + 1) * sub]
+        lut[:, j, :] = np.round(Q[:, j * sub:(j + 1) * sub] @ Cj.T, 6)
+    return qids, qn, lut
+
+
+def _exact_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cand: DataFrame,
+    k: int,
+    *,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact-cosine re-rank of a (query_id, neighbor_id) candidate
+    table: full vectors are read only for the broadcast-selected
+    candidate rows; 4-dp rounding and the (score desc, id asc) tie rule
+    match :func:`brute_force_topk` exactly.  Shared by both PQ lanes."""
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("__cv"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("__qv"))
+    rescored = (
+        c.join(F.broadcast(cand.select("query_id", "neighbor_id")),
+               "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id",
+                F.round(cosine_expr(F.col("__qv"), F.col("__cv")), 4)
+                .alias("cosine"))
+    )
+    return topk_by_group(rescored, k).select(
+        "query_id", "neighbor_id", "rank", "cosine")
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -972,24 +1030,14 @@ def pq_topk(
     sanctioned index collect as the IVF centroid table.  In a combined
     IVF+PQ deployment the ADC scan is further cut to the probed cells'
     code lists."""
-    cids, C = pq_codebook(corpus, id_col=id_col, vec_col=vec_col,
-                          codebook_stride=codebook_stride,
-                          codebook_max=codebook_max)
+    _, C = pq_codebook(corpus, id_col=id_col, vec_col=vec_col,
+                       codebook_stride=codebook_stride,
+                       codebook_max=codebook_max)
     m = subspaces
-    d = C.shape[1]
-    sub = d // m
     codes = pq_encode(corpus, C, id_col=id_col, vec_col=vec_col,
                       subspaces=subspaces)
-    qrows = queries.select(id_col, vec_col).collect()
-    qrows.sort(key=lambda r: r[id_col])
-    qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
-    Q = np.array([r[vec_col] for r in qrows], dtype=np.float64)
-    qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
-    # LUT[q, j, c]: rounded partial dots, built once on the driver
-    lut = np.empty((len(qids), m, C.shape[0]))
-    for j in range(m):
-        Cj = C[:, j * sub:(j + 1) * sub]
-        lut[:, j, :] = np.round(Q[:, j * sub:(j + 1) * sub] @ Cj.T, 6)
+    qids, qn, lut = _query_luts(queries, C, id_col=id_col, vec_col=vec_col,
+                                subspaces=subspaces)
     id_type = dict(corpus.dtypes)[id_col]
 
     cap = k * cand_factor
@@ -1025,21 +1073,9 @@ def pq_topk(
 
     scored = codes.mapInPandas(
         adc, f"query_id long, neighbor_id {id_type}, __score double")
-    cand = topk_by_group(scored, k * cand_factor, score_col="__score") \
-        .select("query_id", "neighbor_id")
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("__cv"))
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("__qv"))
-    rescored = (
-        c.join(F.broadcast(cand), "neighbor_id")
-        .join(F.broadcast(q), "query_id")
-        .select("query_id", "neighbor_id",
-                F.round(cosine_expr(F.col("__qv"), F.col("__cv")), 4)
-                .alias("cosine"))
-    )
-    return topk_by_group(rescored, k).select(
-        "query_id", "neighbor_id", "rank", "cosine")
+    cand = topk_by_group(scored, cap, score_col="__score")
+    return _exact_rerank(corpus, queries, cand, k,
+                         id_col=id_col, vec_col=vec_col)
 
 
 # -------- N43: PQ index persistence + incremental maintenance ------------
@@ -1177,26 +1213,17 @@ def ivfpq_topk(
         corpus, id_col=id_col, vec_col=vec_col,
         centroid_stride=centroid_stride))
     assign = assign_to_centroids(corpus, cents, id_col=id_col, vec_col=vec_col)
-    cids, C = pq_codebook(corpus, id_col=id_col, vec_col=vec_col,
-                          codebook_stride=codebook_stride,
-                          codebook_max=codebook_max)
+    _, C = pq_codebook(corpus, id_col=id_col, vec_col=vec_col,
+                       codebook_stride=codebook_stride,
+                       codebook_max=codebook_max)
     m = subspaces
-    d = C.shape[1]
-    sub = d // m
     codes = pq_encode(corpus, C, id_col=id_col, vec_col=vec_col,
                       subspaces=subspaces).join(assign, id_col)
     probes = probe_centroids(queries, cents, id_col=id_col, vec_col=vec_col,
                              probe_min=probe_min, probe_frac=probe_frac,
                              probe_cap=probe_cap)
-    qrows = queries.select(id_col, vec_col).collect()
-    qrows.sort(key=lambda r: r[id_col])
-    qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
-    Q = np.array([r[vec_col] for r in qrows], dtype=np.float64)
-    qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
-    lut = np.empty((len(qids), m, C.shape[0]))
-    for j in range(m):
-        Cj = C[:, j * sub:(j + 1) * sub]
-        lut[:, j, :] = np.round(Q[:, j * sub:(j + 1) * sub] @ Cj.T, 6)
+    qids, qn, lut = _query_luts(queries, C, id_col=id_col, vec_col=vec_col,
+                                subspaces=subspaces)
     qpos = {int(q): i for i, q in enumerate(qids)}
     id_type = dict(corpus.dtypes)[id_col]
     cap = k * cand_factor
@@ -1231,18 +1258,6 @@ def ivfpq_topk(
         .select("query_id", id_col, "__codes", "__rn2")
     scored = routed.mapInPandas(
         adc, f"query_id long, neighbor_id {id_type}, __score double")
-    cand = topk_by_group(scored, cap, score_col="__score") \
-        .select("query_id", "neighbor_id")
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("__cv"))
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("__qv"))
-    rescored = (
-        c.join(F.broadcast(cand), "neighbor_id")
-        .join(F.broadcast(q), "query_id")
-        .select("query_id", "neighbor_id",
-                F.round(cosine_expr(F.col("__qv"), F.col("__cv")), 4)
-                .alias("cosine"))
-    )
-    return topk_by_group(rescored, k).select(
-        "query_id", "neighbor_id", "rank", "cosine")
+    cand = topk_by_group(scored, cap, score_col="__score")
+    return _exact_rerank(corpus, queries, cand, k,
+                         id_col=id_col, vec_col=vec_col)

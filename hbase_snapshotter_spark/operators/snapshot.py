@@ -429,13 +429,20 @@ def state_changefeed(
     state tables (:mod:`~.snapshot_state`) the join co-partitions and
     the feed is computable bucket-by-bucket, pruned to buckets whose
     content hash moved."""
-    a = state_a.select(*key_cols, F.col(value_col).alias("__old"))
-    b = state_b.select(*key_cols, F.col(value_col).alias("__new"))
+    # presence is tracked explicitly — a cell PRESENT with a NULL value
+    # is not the same as an ABSENT cell (inferring presence from value
+    # nullness would misclassify NULL-valued cells as inserts/deletes
+    # and re-emit NULL↔NULL cells forever); value comparison is
+    # null-safe for the same reason
+    a = state_a.select(*key_cols, F.col(value_col).alias("__old")) \
+        .withColumn("__in_a", F.lit(True))
+    b = state_b.select(*key_cols, F.col(value_col).alias("__new")) \
+        .withColumn("__in_b", F.lit(True))
     joined = a.join(b, list(key_cols), "full_outer")
     op = (
-        F.when(F.col("__old").isNull(), F.lit("I"))
-        .when(F.col("__new").isNull(), F.lit("D"))
-        .when(F.col("__old") != F.col("__new"), F.lit("U"))
+        F.when(F.col("__in_a").isNull(), F.lit("I"))
+        .when(F.col("__in_b").isNull(), F.lit("D"))
+        .when(~F.col("__old").eqNullSafe(F.col("__new")), F.lit("U"))
     )
     return (
         joined.withColumn("op", op)

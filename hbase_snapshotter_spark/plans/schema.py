@@ -178,18 +178,10 @@ def schema_as_of(
     top-1 under :func:`history_order_key` → single-row driver collect.
     ``ts`` < 0 or ``None`` means "now" (``Schema.scala:181``).
     """
-    df = history
-    if ts is not None and ts >= 0:
-        df = df.filter(F.col(ts_col) <= F.lit(ts))
-    rows = (
-        df.select(F.col(json_col), history_order_key(key_col).alias("__k"))
-        .orderBy(F.desc("__k"))
-        .limit(1)
-        .collect()
-    )
-    if not rows:
-        raise LookupError(f"no schema version at or before ts={ts}")
-    return transform_schema(rows[0][json_col], mode=mode)
+    return transform_schema(
+        schema_json_as_of(history, ts, key_col=key_col, ts_col=ts_col,
+                          json_col=json_col),
+        mode=mode)
 
 
 def schema_json_as_of(

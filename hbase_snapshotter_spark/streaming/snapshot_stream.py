@@ -74,22 +74,39 @@ class SnapshotMaintainer:
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        cells = latest_cells(batch, None)  # pre-reduce the batch
+        out = os.path.join(self.state_dir, f"v{batch_id}")
+        current = self._current_path()
+        if current is not None and os.path.abspath(current) == os.path.abspath(out):
+            # crash window between the marker advance and the streaming
+            # checkpoint commit: this batch's state (and, because the
+            # feed is written BEFORE the marker, its feed) is already
+            # fully committed — reprocessing must be a no-op, not a
+            # read-and-overwrite of the current state with itself
+            return
+        batch_cells = latest_cells(batch, None)  # pre-reduce the batch
         prev = self.current_cells(spark)
+        cells = batch_cells
         if prev is not None:
             # the one shared incremental-merge implementation (N25):
             # associative max-struct, idempotent under re-delivered
             # batches — at-least-once foreachBatch delivery therefore
             # yields exactly-once STATE (pinned by the re-delivery test)
-            cells = advance_latest_cells(prev, cells)
-        out = os.path.join(self.state_dir, f"v{batch_id}")
+            cells = advance_latest_cells(prev, batch_cells)
         cells.write.mode("overwrite").parquet(out)
         if self.feed_dir:
+            keys = ["row_key", "family", "qualifier"]
             new_state = spark.read.parquet(out)  # materialized, not lineage
+            # the feed join is restricted to the batch's TOUCHED keys:
+            # the maintainer only ever upserts, so a cell absent from
+            # the batch cannot change — per-trigger feed cost is
+            # O(batch), not O(live cells)
+            touched = batch_cells.select(*keys).distinct()
             old = prev if prev is not None else spark.createDataFrame(
                 [], new_state.schema)
             feed = state_changefeed(
-                old, new_state, key_cols=("row_key", "family", "qualifier"))
+                old.join(touched, keys, "left_semi"),
+                new_state.join(touched, keys, "left_semi"),
+                key_cols=tuple(keys))
             feed.write.mode("overwrite").parquet(
                 os.path.join(self.feed_dir, f"b{batch_id}"))
         tmp = os.path.join(self.state_dir, f".{_MARKER}.tmp")

@@ -352,3 +352,26 @@ def test_state_changefeed_ops(changelog):
             t1_map[k] = new
     t2_map = {(r.row_key, r.qualifier): r.value for r in t2.collect()}
     assert t1_map == t2_map
+
+
+def test_state_changefeed_null_values(spark):
+    """Presence is explicit: NULL-valued cells present in both states
+    are unchanged (omitted); NULL→x is U (not I), x→NULL is U (not D);
+    genuinely absent cells classify I/D."""
+    from hbase_snapshotter_spark.operators.snapshot import state_changefeed
+
+    a = spark.createDataFrame(
+        [("r1", "q1", None), ("r1", "q2", None), ("r1", "q3", "x"),
+         ("r1", "q4", "gone")],
+        "row_key string, qualifier string, value string")
+    b = spark.createDataFrame(
+        [("r1", "q1", None), ("r1", "q2", "x"), ("r1", "q3", None),
+         ("r1", "q5", None)],
+        "row_key string, qualifier string, value string")
+    feed = {(r.row_key, r.qualifier): (r.op, r.old_value, r.new_value)
+            for r in state_changefeed(a, b).collect()}
+    assert ("r1", "q1") not in feed                      # NULL == NULL
+    assert feed[("r1", "q2")] == ("U", None, "x")
+    assert feed[("r1", "q3")] == ("U", "x", None)
+    assert feed[("r1", "q4")] == ("D", "gone", None)
+    assert feed[("r1", "q5")] == ("I", None, None)       # born with NULL
