@@ -68,3 +68,53 @@ def sketch_estimates(sketches: DataFrame, *, group_cols: list[str]) -> DataFrame
     return sketches.select(
         *group_cols,
         F.hll_sketch_estimate("sketch").alias("estimate"))
+
+
+def theta_set_cardinalities(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    *,
+    group_cols: list[str],
+) -> DataFrame:
+    """Distinct-set ALGEBRA between two slices via theta sketches
+    (N51): per group — ``n_a, n_b, n_union, n_intersection, n_a_only,
+    n_b_only``.  HLL (N48) answers only cardinality; theta sketches
+    (Apache DataSketches via Spark 4's ``theta_*``) support UNION,
+    INTERSECTION, and DIFFERENCE over the sketch state — the "how many
+    users churned / are new / are retained" questions across snapshot
+    eras without ever materializing the sets.
+
+    Each side is one hash aggregation into KB-sized sketch state;
+    the algebra is per-group scalar functions on the joined sketches.
+    Below the sketch's nominal capacity (2¹² retained hashes by
+    default) a theta sketch IS the exact hashed set, so estimates are
+    EXACT and deterministic — the fixture regime, where the driver
+    hash checks them as values; above it they degrade to ±~2%
+    estimates (intersection error grows with disjointness — the
+    documented DataSketches caveat), which is the 100 TB trade.
+    Groups present in only one slice get an empty-set other side."""
+    a_sk = df_a.groupBy(*group_cols).agg(
+        F.theta_sketch_agg(value_col).alias("__a"))
+    b_sk = df_b.groupBy(*group_cols).agg(
+        F.theta_sketch_agg(value_col).alias("__b"))
+    joined = a_sk.join(b_sk, list(group_cols), "full_outer")
+    est = F.theta_sketch_estimate
+
+    def side(col):
+        return F.when(F.col(col).isNull(), F.lit(0)).otherwise(est(F.col(col)))
+
+    both = F.col("__a").isNotNull() & F.col("__b").isNotNull()
+    return joined.select(
+        *group_cols,
+        side("__a").alias("n_a"),
+        side("__b").alias("n_b"),
+        F.when(both, est(F.theta_union("__a", "__b")))
+         .otherwise(side("__a") + side("__b")).alias("n_union"),
+        F.when(both, est(F.theta_intersection("__a", "__b")))
+         .otherwise(F.lit(0)).alias("n_intersection"),
+        F.when(both, est(F.theta_difference("__a", "__b")))
+         .otherwise(side("__a")).alias("n_a_only"),
+        F.when(both, est(F.theta_difference("__b", "__a")))
+         .otherwise(side("__b")).alias("n_b_only"),
+    )

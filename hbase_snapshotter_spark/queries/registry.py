@@ -119,3 +119,6 @@ register("scd2_event_history", snapshot_q.q_scd2_event_history,
          snapshot_q.oracle_scd2_event_history())
 register("state_changefeed", snapshot_q.q_state_changefeed,
          snapshot_q.oracle_state_changefeed())
+register("sketch_set_cardinalities",
+         snapshot_q.q_sketch_set_cardinalities,
+         snapshot_q.oracle_sketch_set_cardinalities())

@@ -732,3 +732,56 @@ def oracle_state_changefeed() -> str:
                 WHEN b.value IS NULL THEN 'D'
                 WHEN a.value <> b.value THEN 'U' END) IS NOT NULL
     """
+
+
+def q_sketch_set_cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra (N51) across the snapshot boundary:
+    per event type, how many users are early-only (churned), late-only
+    (new), retained (intersection) — computed entirely on KB-sized
+    sketch state.  At fixture scale every set is below the sketch's
+    nominal capacity, so estimates are exact and the oracle replays
+    them as exact distinct-set algebra; at 100 TB the same plan
+    degrades gracefully to ±~2% estimates."""
+    from pyspark.sql import functions as F
+
+    from hbase_snapshotter_spark.cache import scoped_persist
+    from hbase_snapshotter_spark.operators.sketches import (
+        theta_set_cardinalities,
+    )
+
+    ev = scoped_persist(
+        read_table(spark, sf_dir, "events")
+        .select("event_type", "user_id",
+                (F.unix_millis("ts") <= SNAPSHOT_TS_MS).alias("__early")))
+    return theta_set_cardinalities(
+        ev.filter("__early"), ev.filter("NOT __early"),
+        "user_id", group_cols=["event_type"])
+
+
+def oracle_sketch_set_cardinalities() -> str:
+    return f"""
+    WITH a AS (
+      SELECT DISTINCT event_type, user_id FROM events
+      WHERE epoch_ms(ts) <= {SNAPSHOT_TS_MS}),
+    b AS (
+      SELECT DISTINCT event_type, user_id FROM events
+      WHERE epoch_ms(ts) > {SNAPSHOT_TS_MS}),
+    types AS (SELECT event_type FROM a UNION SELECT event_type FROM b)
+    SELECT t.event_type,
+           (SELECT COUNT(*) FROM a WHERE a.event_type = t.event_type) AS n_a,
+           (SELECT COUNT(*) FROM b WHERE b.event_type = t.event_type) AS n_b,
+           (SELECT COUNT(DISTINCT user_id) FROM (
+              SELECT user_id FROM a WHERE a.event_type = t.event_type
+              UNION ALL
+              SELECT user_id FROM b WHERE b.event_type = t.event_type)) AS n_union,
+           (SELECT COUNT(*) FROM a JOIN b
+              ON a.user_id = b.user_id AND b.event_type = t.event_type
+              WHERE a.event_type = t.event_type) AS n_intersection,
+           (SELECT COUNT(*) FROM a WHERE a.event_type = t.event_type
+              AND a.user_id NOT IN (SELECT user_id FROM b
+                                    WHERE b.event_type = t.event_type)) AS n_a_only,
+           (SELECT COUNT(*) FROM b WHERE b.event_type = t.event_type
+              AND b.user_id NOT IN (SELECT user_id FROM a
+                                    WHERE a.event_type = t.event_type)) AS n_b_only
+    FROM types t
+    """

@@ -375,3 +375,33 @@ def test_state_changefeed_null_values(spark):
     assert feed[("r1", "q3")] == ("U", "x", None)
     assert feed[("r1", "q4")] == ("D", "gone", None)
     assert feed[("r1", "q5")] == ("I", None, None)       # born with NULL
+
+
+def test_theta_set_cardinalities_exact_below_capacity(spark):
+    """Theta set algebra (N51): below sketch capacity estimates are
+    exact — verified against hand sets including overlap, disjoint
+    values, a one-sided group, and partition independence."""
+    from pyspark.sql import functions as F
+
+    from hbase_snapshotter_spark.operators.sketches import (
+        theta_set_cardinalities,
+    )
+
+    a = spark.createDataFrame(
+        [("g1", v) for v in range(100)] + [("g2", v) for v in range(50)]
+        + [("only_a", 1)], "g string, v long")
+    b = spark.createDataFrame(
+        [("g1", v) for v in range(60, 160)] + [("g2", v) for v in range(50, 80)]
+        + [("only_b", 1), ("only_b", 2)], "g string, v long")
+    for aa, bb in ((a, b), (a.repartition(7), b.repartition(3))):
+        out = {r.g: r for r in theta_set_cardinalities(
+            aa, bb, "v", group_cols=["g"]).collect()}
+        g1 = out["g1"]
+        assert (g1.n_a, g1.n_b, g1.n_union, g1.n_intersection,
+                g1.n_a_only, g1.n_b_only) == (100, 100, 160, 40, 60, 60)
+        g2 = out["g2"]
+        assert (g2.n_a, g2.n_b, g2.n_union, g2.n_intersection) == (50, 30, 80, 0)
+        assert (out["only_a"].n_a, out["only_a"].n_b,
+                out["only_a"].n_union, out["only_a"].n_intersection,
+                out["only_a"].n_a_only) == (1, 0, 1, 0, 1)
+        assert (out["only_b"].n_b, out["only_b"].n_b_only) == (2, 2)
