@@ -508,6 +508,86 @@ def paragraph_dedup_stats(
         .alias("n_dup_paragraphs"))
 
 
+def dup_span_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    span_len: int = 5,
+) -> DataFrame:
+    """Exact-substring duplicated-span detection (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better" —
+    the ExactSubstr half; the paragraph operator covers NearDup's
+    exact-paragraph form).  A token run of length ``span_len`` is
+    *duplicated* when the identical token sequence occurs ≥ 2 times in
+    the corpus (across documents or within one); every token covered by
+    a duplicated run is duplicated text, and overlapping/adjacent runs
+    merge into maximal spans — exactly the spans ExactSubstr removes
+    before training.  Returns one row per document: ``(id, n_tokens,
+    n_dup_instances, n_dup_spans, n_dup_tokens, dup_token_ratio)`` —
+    ``n_tokens - n_dup_tokens`` is the surviving length after the cut.
+    All instances of a duplicated run count as covered (the keeper too:
+    the score measures how much text is non-unique; rewriters keep one).
+
+    100 TB shape: the paper builds a corpus-wide suffix array — a
+    genuinely serial index.  The Spark-able equivalent is L-gram
+    hashing: any duplicated substring of ≥ span_len tokens contains a
+    duplicated L-gram, so marking L-gram collisions and merging
+    overlaps finds the same covered text (granularity L instead of the
+    suffix array's exact maximal match).  Instances shuffle as 16-byte
+    md5 + int position (never text); the count aggregate is a hash agg
+    with map-side partials; the mark join keys the same hash so AQE
+    shares the exchange, and only COLLIDING instances (rare) reach the
+    two per-document windows, whose partitions are bounded by document
+    length — no global sort, no pairwise term anywhere.  Documents
+    shorter than span_len have no runs and report zero duplication."""
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    base = scoped_persist(spread(df).select(
+        F.col(id_col), toks.alias("__t"), F.size(toks).alias("n_tokens")))
+    # one instance per L-gram start position (1-indexed, matching slice)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.col("n_tokens") - F.lit(span_len - 1)),
+        lambda p: F.md5(F.concat_ws(" ", F.slice(F.col("__t"), p, span_len))))
+    inst = scoped_persist(
+        base.filter(F.col("n_tokens") >= span_len)
+        .select(id_col, F.posexplode(grams).alias("__i", "__gh"))
+        .select(id_col, (F.col("__i") + 1).alias("pos"), "__gh"))
+    cnt = inst.groupBy("__gh").agg(F.count(F.lit(1)).alias("__c"))
+    dup = (inst.join(cnt, "__gh").filter(F.col("__c") >= 2)
+           .select(id_col, "pos"))
+    # merge overlapping/adjacent covered intervals [pos, pos+L-1]
+    # (gaps-and-islands: new span when pos clears the running max end)
+    from pyspark.sql import Window
+    w = (Window.partitionBy(id_col).orderBy("pos")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    ws = (Window.partitionBy(id_col).orderBy("pos")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    spans = (dup
+             .withColumn("__prev_end",
+                         F.max(F.col("pos") + F.lit(span_len - 1)).over(w))
+             .withColumn("__new",
+                         (F.col("pos")
+                          > F.coalesce(F.col("__prev_end"), F.lit(-1)) + 1)
+                         .cast("int"))
+             .withColumn("__span", F.sum("__new").over(ws))
+             .groupBy(id_col, "__span")
+             .agg(F.count(F.lit(1)).alias("__ni"),
+                  (F.max("pos") + F.lit(span_len - 1) - F.min("pos")
+                   + F.lit(1)).alias("__covered")))
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum("__ni").cast("int").alias("n_dup_instances"),
+        F.count(F.lit(1)).cast("int").alias("n_dup_spans"),
+        F.sum("__covered").cast("int").alias("n_dup_tokens"))
+    return (base.select(id_col, "n_tokens").join(per_doc, id_col, "left")
+            .select(
+                id_col, "n_tokens",
+                F.coalesce("n_dup_instances", F.lit(0)).alias("n_dup_instances"),
+                F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+                F.coalesce("n_dup_tokens", F.lit(0)).alias("n_dup_tokens"),
+                F.round(F.coalesce("n_dup_tokens", F.lit(0))
+                        / F.col("n_tokens"), 4).alias("dup_token_ratio")))
+
+
 def shingle_dup_stats(
     df: DataFrame,
     id_col: str,

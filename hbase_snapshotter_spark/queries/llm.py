@@ -2541,3 +2541,65 @@ SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine,
 PAIRS.update({
     "similarity_topk_ivfpq": (similarity_topk_ivfpq, _oracle_ivfpq()),
 })
+
+
+# ------- N52: exact-substring duplicated-span detection (ExactSubstr)
+#: Token-run length for the ExactSubstr scan.  Lee et al. use 50 BPE
+#: tokens on real corpora; 5 whitespace tokens is the fixture-scale
+#: equivalent (71/500 docs carry a duplicated 5-token run at sf0.01 —
+#: sparse but non-trivial, like production).
+SPAN_LEN = 5
+
+
+def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-text spans (Lee et al. 2021 ExactSubstr):
+    tokens covered by a ≥ SPAN_LEN-token run occurring ≥ 2 times in the
+    corpus, overlapping runs merged into maximal spans.  The suffix
+    array the paper builds is serial; L-gram hashing is the distributed
+    equivalent (instances shuffle as md5+pos, only collisions reach the
+    per-doc merge windows).  Ordered by doc_id for a stable driver view."""
+    from hbase_snapshotter_spark.operators.dedup import dup_span_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dup_span_stats(docs, "doc_id", span_len=SPAN_LEN).orderBy("doc_id")
+
+
+ORACLE_EXACT_SUBSTR = f"""
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+nt AS (SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tokens FROM toks),
+inst AS (SELECT doc_id, CAST(i.r AS INTEGER) AS pos,
+                md5(array_to_string(t[i.r:i.r+{SPAN_LEN}-1], ' ')) AS gh
+         FROM toks, UNNEST(range(1, len(t) - {SPAN_LEN} + 2)) AS i(r)
+         WHERE len(t) >= {SPAN_LEN}),
+cnt AS (SELECT gh, COUNT(*) AS c FROM inst GROUP BY 1),
+dup AS (SELECT doc_id, pos FROM inst JOIN cnt USING (gh) WHERE c >= 2),
+isl AS (SELECT doc_id, pos,
+               CASE WHEN pos > COALESCE(MAX(pos + {SPAN_LEN} - 1) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      -1) + 1
+                    THEN 1 ELSE 0 END AS is_new
+        FROM dup),
+sp AS (SELECT doc_id, pos,
+              SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+       FROM isl),
+spans AS (SELECT doc_id, span_id, COUNT(*) AS ni,
+                 MAX(pos) + {SPAN_LEN} - 1 - MIN(pos) + 1 AS covered
+          FROM sp GROUP BY 1, 2),
+agg AS (SELECT doc_id, CAST(SUM(ni) AS INTEGER) AS n_dup_instances,
+               CAST(COUNT(*) AS INTEGER) AS n_dup_spans,
+               CAST(SUM(covered) AS INTEGER) AS n_dup_tokens
+        FROM spans GROUP BY 1)
+SELECT nt.doc_id, nt.n_tokens,
+       COALESCE(a.n_dup_instances, 0) AS n_dup_instances,
+       COALESCE(a.n_dup_spans, 0) AS n_dup_spans,
+       COALESCE(a.n_dup_tokens, 0) AS n_dup_tokens,
+       ROUND(COALESCE(a.n_dup_tokens, 0) / nt.n_tokens, 4) AS dup_token_ratio
+FROM nt LEFT JOIN agg a USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+PAIRS.update({
+    "exact_substring_spans": (exact_substring_spans, ORACLE_EXACT_SUBSTR),
+})

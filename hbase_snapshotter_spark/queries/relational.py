@@ -884,3 +884,103 @@ FROM (SELECT {stats} FROM lineitem)""")
 PAIRS.update({
     "profile_lineitem": (profile_lineitem, _oracle_profile()),
 })
+
+
+# -------- N53: Z-order (Morton-curve) layout audit -----------------------
+def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering audit over lineitem on (l_orderkey,
+    l_partkey) — the Delta/Iceberg ``OPTIMIZE ZORDER BY`` pattern: one
+    Morton clustering key whose file-level min/max stats prune scans on
+    EITHER dimension.  Grid bounds come from ONE one-row aggregate
+    (broadcast scalar attach); the grid/interleave/bucket chain is pure
+    BIGINT column arithmetic in whole-stage codegen, and the audit is a
+    single hash aggregation over the 64 buckets.
+
+    Each bucket row reports its row count and per-dimension min/max
+    span — square-ish Morton tiles, so BOTH spans are ~1/8 of the
+    domain — plus two pruning flags: would a scan for one fixed
+    orderkey band / partkey band (each 1/16 of its domain, placed at
+    2/5 of the range) have to read this bucket?  Under a single-column
+    layout the off-column predicate hits every bucket; under Z-order
+    each hits ~sqrt(64) = 8 of 64 — the n^(1-1/d) guarantee, made
+    visible (and driver-hashed) per bucket."""
+    from hbase_snapshotter_spark.operators.layout import (
+        grid_coord,
+        zorder_bucket,
+        zorder_value,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    bounds = li.agg(
+        F.min("l_orderkey").alias("omin"), F.max("l_orderkey").alias("omax"),
+        F.min("l_partkey").alias("pmin"), F.max("l_partkey").alias("pmax"))
+    g = li.crossJoin(F.broadcast(bounds))
+    z = zorder_value(
+        grid_coord(F.col("l_orderkey"), F.col("omin"), F.col("omax")),
+        grid_coord(F.col("l_partkey"), F.col("pmin"), F.col("pmax")))
+    per = (g.select("l_orderkey", "l_partkey", "omin", "omax", "pmin", "pmax",
+                    zorder_bucket(z, n_buckets=64).alias("zbucket"))
+           .groupBy("zbucket")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.min("l_orderkey").alias("o_lo"),
+                F.max("l_orderkey").alias("o_hi"),
+                F.min("l_partkey").alias("p_lo"),
+                F.max("l_partkey").alias("p_hi"),
+                F.first("omin").alias("omin"), F.first("omax").alias("omax"),
+                F.first("pmin").alias("pmin"), F.first("pmax").alias("pmax")))
+    # fixed test bands: 1/16 of each domain starting at 2/5 of the range
+    o_band_lo = (F.col("omin")
+                 + F.floor((F.col("omax") - F.col("omin")) * 2 / 5))
+    o_band_hi = o_band_lo + F.floor((F.col("omax") - F.col("omin")) / 16)
+    p_band_lo = (F.col("pmin")
+                 + F.floor((F.col("pmax") - F.col("pmin")) * 2 / 5))
+    p_band_hi = p_band_lo + F.floor((F.col("pmax") - F.col("pmin")) / 16)
+    return (per.select(
+        "zbucket", "n_rows", "o_lo", "o_hi", "p_lo", "p_hi",
+        ((F.col("o_lo") <= o_band_hi) & (F.col("o_hi") >= o_band_lo))
+        .alias("hits_order_band"),
+        ((F.col("p_lo") <= p_band_hi) & (F.col("p_hi") >= p_band_lo))
+        .alias("hits_part_band"))
+        .orderBy("zbucket"))
+
+
+def _oracle_zorder() -> str:
+    # replay grid quantization, bit interleave, and bucket fold in SQL:
+    # the Morton sum unrolls to the same 16 shift/mask terms
+    terms = " + ".join(
+        f"(((b1 >> {i}) & 1) * {1 << (2 * i + 1)}) + "
+        f"(((b2 >> {i}) & 1) * {1 << (2 * i)})"
+        for i in range(8))
+    return f"""
+WITH b AS (SELECT MIN(l_orderkey) AS omin, MAX(l_orderkey) AS omax,
+                  MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax
+           FROM lineitem),
+g AS (SELECT l_orderkey, l_partkey, omin, omax, pmin, pmax,
+             CAST(FLOOR(((l_orderkey - omin) * 256.0) / (omax - omin + 1))
+                  AS BIGINT) AS b1,
+             CAST(FLOOR(((l_partkey - pmin) * 256.0) / (pmax - pmin + 1))
+                  AS BIGINT) AS b2
+      FROM lineitem, b),
+z AS (SELECT *, ({terms}) >> 10 AS zbucket FROM g),
+per AS (SELECT zbucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               MIN(l_orderkey) AS o_lo, MAX(l_orderkey) AS o_hi,
+               MIN(l_partkey) AS p_lo, MAX(l_partkey) AS p_hi,
+               ANY_VALUE(omin) AS omin, ANY_VALUE(omax) AS omax,
+               ANY_VALUE(pmin) AS pmin, ANY_VALUE(pmax) AS pmax
+        FROM z GROUP BY zbucket)
+SELECT zbucket, n_rows, o_lo, o_hi, p_lo, p_hi,
+       (o_lo <= omin + ((omax - omin) * 2 // 5)
+                     + ((omax - omin) // 16)
+        AND o_hi >= omin + ((omax - omin) * 2 // 5))
+         AS hits_order_band,
+       (p_lo <= pmin + ((pmax - pmin) * 2 // 5)
+                     + ((pmax - pmin) // 16)
+        AND p_hi >= pmin + ((pmax - pmin) * 2 // 5))
+         AS hits_part_band
+FROM per ORDER BY zbucket
+"""
+
+
+PAIRS.update({
+    "zorder_layout_audit": (zorder_layout_audit, _oracle_zorder()),
+})

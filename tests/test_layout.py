@@ -1,0 +1,63 @@
+"""Z-order layout operator (N53) — Morton-code correctness and the
+pruning guarantee the layout exists for."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbase_snapshotter_spark.operators.layout import (
+    grid_coord,
+    zorder_bucket,
+    zorder_value,
+)
+
+
+def test_morton_interleave_known_values(spark):
+    """Hand-computed Morton codes: bit i of b1 → position 2i+1, bit i
+    of b2 → position 2i."""
+    rows = [(0, 0, 0), (3, 1, 11), (1, 0, 2), (0, 1, 1), (255, 255, 65535)]
+    df = spark.createDataFrame(
+        [(a, b) for a, b, _ in rows], "b1 long, b2 long")
+    got = [r["z"] for r in df.select(
+        zorder_value(F.col("b1"), F.col("b2")).alias("z")).collect()]
+    assert got == [z for _, _, z in rows]
+
+
+def test_grid_coord_bounds_and_monotone(spark):
+    """min → 0, max → 2^bits - 1, and quantization is monotone."""
+    df = spark.createDataFrame(
+        [(x,) for x in (10, 11, 500, 1000, 1009)], "x long")
+    out = df.select(
+        grid_coord(F.col("x"), F.lit(10), F.lit(1009)).alias("g"),
+        "x").orderBy("x").collect()
+    gs = [r["g"] for r in out]
+    assert gs[0] == 0 and gs[-1] == 255
+    assert gs == sorted(gs)
+    assert all(0 <= g <= 255 for g in gs)
+
+
+def test_zorder_buckets_are_tiles_and_prune_both_dims(spark):
+    """On a uniform 2-D grid, 64 Morton buckets are 8×8 tiles: every
+    bucket spans ≤ 1/8 of EACH dimension (+ quantization slack), and a
+    band predicate 1/16 wide on EITHER single dimension touches only
+    the one tile-row/column containing it — 8 of 64 buckets, where any
+    single-column layout reads all 64 for the off-column predicate."""
+    n = 64
+    pts = [(x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    z = zorder_value(
+        grid_coord(F.col("x"), F.lit(0), F.lit(n - 1)),
+        grid_coord(F.col("y"), F.lit(0), F.lit(n - 1)))
+    per = (df.select("x", "y", zorder_bucket(z, n_buckets=64).alias("zb"))
+           .groupBy("zb")
+           .agg(F.min("x").alias("x_lo"), F.max("x").alias("x_hi"),
+                F.min("y").alias("y_lo"), F.max("y").alias("y_hi"))
+           .collect())
+    assert len(per) == 64
+    for r in per:
+        assert r["x_hi"] - r["x_lo"] <= n // 8 - 1
+        assert r["y_hi"] - r["y_lo"] <= n // 8 - 1
+    # band [24, 27] (1/16 of the domain) on each dimension separately
+    hits_x = [r for r in per if r["x_lo"] <= 27 and r["x_hi"] >= 24]
+    hits_y = [r for r in per if r["y_lo"] <= 27 and r["y_hi"] >= 24]
+    assert len(hits_x) == 8
+    assert len(hits_y) == 8

@@ -1334,3 +1334,52 @@ def test_ivfpq_scores_exact_and_recall_floor(spark, sf_dir):
     assert all(brute_all[(r.query_id, r.neighbor_id)] == r.cosine for r in out)
     got = {(r.query_id, r.neighbor_id) for r in out}
     assert len(got & brute_top) / len(brute_top) >= 0.7
+
+
+def test_dup_span_stats_hand_computed(spark):
+    """ExactSubstr span detection (N52): overlap merge, adjacency
+    boundary, within-doc repetition, short docs, and all-unique docs —
+    hand-computed with L=3."""
+    from hbase_snapshotter_spark.operators.dedup import dup_span_stats
+
+    rows = [
+        # "a b c d e" duplicated across 1/2 → two overlapping 3-gram
+        # instances per doc merging into ONE 5-token span each side
+        (1, "a b c d e x y z"),
+        (2, "q a b c d e"),
+        # within-doc repetition: "p p p p p" → 3-grams "p p p" ×3 all
+        # identical → whole doc covered by one span
+        (3, "p p p p p"),
+        # shorter than L: no runs, zero duplication
+        (4, "u v"),
+        # all-unique trigrams: zero duplication
+        (5, "m n o r s t"),
+        # two DISJOINT duplicated runs separated by unique text: the
+        # runs "a b c" (dup with 1/2) and "x y z" (dup with 1) must
+        # NOT merge across the gap
+        (6, "a b c k1 k2 k3 k4 x y z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dup_span_stats(df, "doc_id", span_len=3).collect()}
+
+    # doc1: dup 3-grams at pos 1 ("a b c"), 2 ("b c d"), 3 ("c d e"),
+    # 6 ("x y z") → spans [1,5] and [6,8]... wait pos6 gram covers 6-8,
+    # prev end 5 → adjacent (6 == 5+1) merges.  Covered [1,8] = 8.
+    assert out[1]["n_tokens"] == 8
+    assert out[1]["n_dup_instances"] == 4
+    assert out[1]["n_dup_spans"] == 1
+    assert out[1]["n_dup_tokens"] == 8
+    # doc2: "a b c d e" at pos 2..4 → one span [2,6] = 5 tokens of 6
+    assert (out[2]["n_dup_spans"], out[2]["n_dup_tokens"]) == (1, 5)
+    assert out[2]["dup_token_ratio"] == pytest.approx(0.8333)
+    # doc3: three identical in-doc instances → one span covering all 5
+    assert (out[3]["n_dup_instances"], out[3]["n_dup_spans"],
+            out[3]["n_dup_tokens"]) == (3, 1, 5)
+    # docs 4/5: no duplication, still present with zeros
+    for d in (4, 5):
+        assert (out[d]["n_dup_instances"], out[d]["n_dup_tokens"]) == (0, 0)
+        assert out[d]["dup_token_ratio"] == 0.0
+    # doc6: "a b c" [1,3] and "x y z" [8,10] with a 4-token unique gap
+    # → two spans, 6 covered tokens, NOT one merged span
+    assert (out[6]["n_dup_spans"], out[6]["n_dup_tokens"]) == (2, 6)

@@ -71,6 +71,8 @@ def main() -> int:
                                        # recall flag attach
         "sketch_distinct_maintenance",  # 1-row merged/advance equality
                                         # flag attaches
+        "zorder_layout_audit",          # 1-row grid-bounds attach (the
+                                        # min/max the Morton grid spans)
     }
 
     flags_total = 0
