@@ -9,6 +9,7 @@ replayable by the DuckDB oracle.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from hbase_snapshotter_spark.operators.snapshot import latest_cells, snapshot_as_of
 from hbase_snapshotter_spark.plans.schema import (
@@ -659,13 +660,34 @@ def q_scd2_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 history (N49) of the events change log: per-cell version
     chains with exclusive validity intervals — the state-OVER-time
     companion to the state-AT-ts snapshot queries.  The oracle replays
-    the lead window, version numbering, and tie-break exactly."""
-    from hbase_snapshotter_spark.operators.snapshot import scd2_history
+    the lead window, version numbering, and tie-break exactly.
 
-    log = events_as_changelog(read_table(spark, sf_dir, "events"))
-    return scd2_history(log).select(
-        "row_key", "qualifier", "value",
-        "valid_from", "valid_to", "version", "is_current")
+    Round 6 adds the incremental lane (N54): every row also carries
+    ``advance_consistent`` — TRUE iff rebuilding the history as-of the
+    mid-month boundary and advancing it with only the (T1, now] delta
+    (:func:`~hbase_snapshotter_spark.operators.snapshot.advance_scd2`)
+    reproduces this full rebuild row-for-row (both ``exceptAll``
+    directions empty).  The oracle expects TRUE — the equality-flag
+    pattern (DuckDB cannot replay the advance), so an advance
+    divergence turns the whole driver row red."""
+    from hbase_snapshotter_spark.cache import scoped_persist
+    from hbase_snapshotter_spark.operators.snapshot import (
+        advance_scd2,
+        scd2_history,
+    )
+
+    log = scoped_persist(
+        events_as_changelog(read_table(spark, sf_dir, "events")))
+    cols = ["row_key", "qualifier", "value",
+            "valid_from", "valid_to", "version", "is_current"]
+    full = scd2_history(log).select(*cols)
+    state = scd2_history(
+        log.filter(F.col("cell_ts") <= SNAPSHOT_TS_MS)).select(*cols)
+    adv = advance_scd2(
+        state, log.filter(F.col("cell_ts") > SNAPSHOT_TS_MS)).select(*cols)
+    flag = (adv.exceptAll(full).unionAll(full.exceptAll(adv))
+            .agg((F.count(F.lit(1)) == 0).alias("advance_consistent")))
+    return full.crossJoin(F.broadcast(flag))
 
 
 def oracle_scd2_event_history() -> str:
@@ -681,7 +703,8 @@ def oracle_scd2_event_history() -> str:
            cell_ts AS valid_from,
            LEAD(cell_ts) OVER w AS valid_to,
            CAST(ROW_NUMBER() OVER w AS INTEGER) AS version,
-           (LEAD(cell_ts) OVER w IS NULL) AS is_current
+           (LEAD(cell_ts) OVER w IS NULL) AS is_current,
+           TRUE AS advance_consistent
     FROM log
     WINDOW w AS (PARTITION BY row_key, qualifier
                  ORDER BY cell_ts, value)

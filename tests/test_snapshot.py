@@ -405,3 +405,42 @@ def test_theta_set_cardinalities_exact_below_capacity(spark):
                 out["only_a"].n_union, out["only_a"].n_intersection,
                 out["only_a"].n_a_only) == (1, 0, 1, 0, 1)
         assert (out["only_b"].n_b, out["only_b"].n_b_only) == (2, 2)
+
+
+def test_advance_scd2_equals_full_rebuild(changelog):
+    """Incremental SCD2 maintenance (N54): advancing the T1 history
+    with only the (T1, T2] delta equals the full rebuild at T2 —
+    including new cells born in the delta, multi-version delta cells,
+    and untouched cells passing through bit-identically; re-delivered
+    delta rows are a no-op (exactly-once state from at-least-once
+    delivery)."""
+    from pyspark.sql import functions as F
+
+    from hbase_snapshotter_spark.operators.snapshot import (
+        advance_scd2,
+        scd2_history,
+    )
+
+    t1 = 1000
+    state = scd2_history(changelog.filter(F.col("cell_ts") <= t1))
+    delta = changelog.filter(F.col("cell_ts") > t1)
+    full = scd2_history(changelog)
+
+    cols = full.columns
+    adv = advance_scd2(state, delta).select(*cols)
+    assert adv.exceptAll(full).count() == 0
+    assert full.exceptAll(adv).count() == 0
+
+    # delta actually exercises the interesting branches
+    state_keys = {(r.row_key, r.qualifier)
+                  for r in state.select("row_key", "qualifier").collect()}
+    delta_keys = {(r.row_key, r.qualifier)
+                  for r in delta.select("row_key", "qualifier").collect()}
+    assert delta_keys - state_keys, "delta should birth at least one new cell"
+    assert state_keys - delta_keys, "at least one cell must be untouched"
+    assert state_keys & delta_keys, "at least one cell must advance"
+
+    # idempotency: a re-delivered delta changes nothing
+    adv2 = advance_scd2(adv, delta.unionAll(delta)).select(*cols)
+    assert adv2.exceptAll(full).count() == 0
+    assert full.exceptAll(adv2).count() == 0

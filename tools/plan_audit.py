@@ -73,6 +73,8 @@ def main() -> int:
                                         # flag attaches
         "zorder_layout_audit",          # 1-row grid-bounds attach (the
                                         # min/max the Morton grid spans)
+        "scd2_event_history",           # 1-row advance_consistent flag
+                                        # attach (N54 equality flag)
     }
 
     flags_total = 0

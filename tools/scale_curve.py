@@ -106,6 +106,15 @@ def build_10x(spark, src_dir: str, out_dir: str) -> None:
         union_replicas(emb_parts).repartition(32) \
             .write.parquet(f"{out_dir}/embeddings.parquet")
 
+    if _needs_build(f"{out_dir}/lineitem.parquet"):
+        li = spark.read.parquet(f"{src_dir}/lineitem.parquet")
+        li_parts = [
+            li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(r * ID_STRIDE))
+            for r in range(REPLICAS)
+        ]
+        union_replicas(li_parts).repartition(32) \
+            .write.parquet(f"{out_dir}/lineitem.parquet")
+
     if _needs_build(f"{out_dir}/events.parquet"):
         # read_table normalizes the fixture's ts encoding; the replica is
         # written as plain TimestampType, which read_table passes through
@@ -355,6 +364,22 @@ def operators():
         # replica perturbation prefixes tokens, so query the base terms
         return bm25_topk(docs, ["dup", "join", "vector"], k=25)
 
+    def run_exact_substring(spark, d):
+        from hbase_snapshotter_spark.operators.dedup import dup_span_stats
+
+        # replica token prefixes keep duplicated-gram structure linear
+        # in the replica count (no cross-replica collisions), like the
+        # shingle lanes
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        return dup_span_stats(docs, "doc_id", span_len=5)
+
+    def run_zorder(spark, d):
+        from hbase_snapshotter_spark.queries.relational import (
+            zorder_layout_audit,
+        )
+
+        return zorder_layout_audit(spark, d)
+
     def run_latest_multi(spark, d):
         log = events_as_changelog(read_table(spark, d, "events"))
         return latest_cells_multi(log, list(TS_LIST))
@@ -373,6 +398,8 @@ def operators():
         "context_chunks": run_context_chunks,
         "bm25": run_bm25,
         "profile": run_profile,
+        "zorder_layout": run_zorder,
+        "exact_substring": run_exact_substring,
         "pq_topk": run_pq,
         "ivfpq_topk": run_ivfpq,
         "domain_cap": run_domain_cap,
