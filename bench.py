@@ -41,6 +41,22 @@ HEADLINE = [
     "stream_session_windows",
 ]
 
+# Round-6 engine half (VERDICT r6 task 2): timed as a SECOND section so
+# the 18 legacy keys above stay comparable round-over-round while
+# regressions in the new operators become visible in BENCH_r*.json.
+# Same min-of-reps / two-pass discipline; reported separately as
+# "queries_r6" with its own total.
+HEADLINE_R6 = [
+    "scd2_event_history",
+    "state_changefeed",
+    "cluster_aware_splits",
+    "winnow_overlap",
+    "exact_substring_spans",
+    "similarity_topk_pq",
+    "similarity_topk_ivfpq",
+    "lm_perplexity_filter",
+]
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -80,7 +96,7 @@ def main() -> int:
     warm_dir = "/root/testdata/sf0.001"
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
-    for name in HEADLINE:
+    for name in HEADLINE + HEADLINE_R6:
         QUERIES[name](spark, warm_dir).write.mode("overwrite").format("noop").save()
     from hbase_snapshotter_spark.cache import release_caches
 
@@ -105,9 +121,10 @@ def main() -> int:
     # one query disagree by 2x, that's the noise floor, not a plan
     # change.  The headline number stays the cross-pass min.
     PASSES, REPS = 2, 3
-    per_pass: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    all_names = HEADLINE + HEADLINE_R6
+    per_pass: dict[str, list[float]] = {name: [] for name in all_names}
     for _pass in range(PASSES):
-        for name in HEADLINE:
+        for name in all_names:
             fn = getattr(QUERIES[name], "__wrapped__", QUERIES[name])
             best = float("inf")
             for _ in range(REPS):
@@ -116,13 +133,16 @@ def main() -> int:
                 best = min(best, time.time() - t0)
             per_pass[name].append(round(best, 3))
             release_caches()
-    times = {name: min(mins) for name, mins in per_pass.items()}
+    times = {name: min(per_pass[name]) for name in HEADLINE}
+    times_r6 = {name: min(per_pass[name]) for name in HEADLINE_R6}
 
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "queries_r6": times_r6,
+        "r6_total": round(sum(times_r6.values()), 3),
         "queries_per_pass": per_pass,
         "passes": PASSES,
         "reps_per_pass": REPS,

@@ -143,22 +143,16 @@ def ann_lsh_topk(
     any other vector produce no rows — the recall trade-off, measured
     against :func:`brute_force_topk` (pytest pins score identity; the
     registered query pins a recall floor the driver hash-checks).
-    Same output shape as :func:`brute_force_topk`.  Pass ``n_vectors``
-    to auto-scale the geometry via :func:`lsh_geometry` (fixture sizes
-    resolve to the measured constants; larger corpora grow bits at
-    fixed occupancy and tables to hold recall)."""
-    if projections is None and tables is None:
-        auto_tables, auto_bits = lsh_geometry(
-            n_vectors or 0, ref_tables=ANN_TABLES, ref_bits=ANN_BITS_PER_TABLE)
-        tables = auto_tables
-        projections = (
-            ANN_PROJECTIONS
-            if (auto_tables, auto_bits) == (ANN_TABLES, ANN_BITS_PER_TABLE)
-            else random_projections(n=auto_tables * auto_bits))
-    elif projections is None:
-        projections = ANN_PROJECTIONS
-    elif tables is None:
-        tables = ANN_TABLES
+    Same output shape as :func:`brute_force_topk`.  Geometry defaults
+    to :func:`lsh_geometry` over the CORPUS size — derived with a cheap
+    count when ``n_vectors`` isn't supplied (see
+    :func:`_resolve_lsh_geometry`); fixture sizes resolve to the
+    measured constants, larger corpora grow bits at fixed occupancy and
+    tables to hold recall."""
+    projections, tables = _resolve_lsh_geometry(
+        corpus, projections, tables, n_vectors,
+        ref_tables=ANN_TABLES, ref_bits=ANN_BITS_PER_TABLE,
+        ref_projections=ANN_PROJECTIONS)
     if len(projections) % tables:
         raise ValueError(
             f"len(projections)={len(projections)} not divisible by "
@@ -278,6 +272,44 @@ def lsh_geometry(
     return tables, bits
 
 
+def _resolve_lsh_geometry(
+    corpus: DataFrame,
+    projections: list[list[float]] | None,
+    tables: int | None,
+    n_vectors: int | None,
+    *,
+    ref_tables: int,
+    ref_bits: int,
+    ref_projections: list[list[float]],
+) -> tuple[list[list[float]], int]:
+    """Resolve the (projections, tables) geometry for an SRP-LSH entry
+    point.  Auto mode (neither projections nor tables given) is the
+    DEFAULT-SCALE-CORRECT path (VERDICT r6 task 3): if the caller didn't
+    supply ``n_vectors`` either, the corpus size is derived with a cheap
+    ``count()`` — metadata-only on a bare parquet scan, one
+    column-pruned pass otherwise, and O(inputs) against the O(n·L)
+    LSH pass it parameterizes — so a production caller who forgets the
+    knob gets occupancy-held geometry instead of silently-linear bucket
+    growth.  Fixture-sized corpora (≤ :data:`LSH_REF_N`) resolve to the
+    measured-recall reference constants, so registered-query hashes are
+    unchanged by the auto default."""
+    if projections is None and tables is None:
+        if n_vectors is None:
+            n_vectors = corpus.count()
+        auto_tables, auto_bits = lsh_geometry(
+            n_vectors, ref_tables=ref_tables, ref_bits=ref_bits)
+        return (
+            ref_projections
+            if (auto_tables, auto_bits) == (ref_tables, ref_bits)
+            else random_projections(n=auto_tables * auto_bits)
+        ), auto_tables
+    if projections is None:
+        return ref_projections, tables
+    if tables is None:
+        return projections, ref_tables
+    return projections, tables
+
+
 def cosine_pairs_bucketed(
     emb: DataFrame,
     *,
@@ -308,21 +340,20 @@ def cosine_pairs_bucketed(
     tables is a min-aggregate on the (already rare) passing pairs.
     ``chunk_rows`` bounds each matmul slab (chunk × bucket), so task
     memory is O(bucket·d + chunk·bucket); bucket width is the (m, L)
-    geometry knob — pass ``n_vectors`` (approximate corpus size, e.g.
-    from table stats) to let :func:`lsh_geometry` grow m with log₂(n)
-    at fixed occupancy, holding the per-task slab and the Σ bucket²·L
-    flop term constant per core.  Default (no ``n_vectors``) keeps the
-    measured-recall fixture constants; explicit ``projections``/
+    geometry knob — :func:`lsh_geometry` grows m with log₂(n) at fixed
+    occupancy, holding the per-task slab and the Σ bucket²·L flop term
+    constant per core.  ``n_vectors`` (approximate corpus size, e.g.
+    from table stats) parameterizes it directly; when omitted it is
+    derived with a cheap count (see :func:`_resolve_lsh_geometry`), so
+    the scale-correct geometry is the DEFAULT — fixture sizes resolve
+    to the measured-recall constants; explicit ``projections``/
     ``tables`` override both."""
-    if projections is None and tables is None:
-        auto_tables, auto_bits = lsh_geometry(n_vectors or 0)
-        tables = auto_tables
-        projections = (
-            NEARDUP_PROJECTIONS
-            if (auto_tables, auto_bits) == (NEARDUP_TABLES, NEARDUP_BITS_PER_TABLE)
-            else random_projections(n=auto_tables * auto_bits))
-    elif projections is None or tables is None:
+    if (projections is None) != (tables is None):
         raise ValueError("pass both projections and tables, or neither")
+    projections, tables = _resolve_lsh_geometry(
+        emb, projections, tables, n_vectors,
+        ref_tables=NEARDUP_TABLES, ref_bits=NEARDUP_BITS_PER_TABLE,
+        ref_projections=NEARDUP_PROJECTIONS)
     if len(projections) % tables:
         raise ValueError(
             f"len(projections)={len(projections)} not divisible by "

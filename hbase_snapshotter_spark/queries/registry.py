@@ -69,56 +69,69 @@ register("schema_history_snapshot", snapshot_q.q_schema_history_snapshot,
 _ALL_PAIRS: dict[str, tuple] = {}
 for _module in (relational, llm, streaming_q):
     _ALL_PAIRS.update(_module.PAIRS)
+_ALL_PAIRS.update({
+    "snapshot_compaction": (snapshot_q.q_snapshot_compaction,
+                            snapshot_q.oracle_snapshot_compaction()),
+    "schema_evolution_diff": (snapshot_q.q_schema_evolution_diff,
+                              snapshot_q.oracle_schema_evolution_diff()),
+    "sketch_distinct_maintenance": (snapshot_q.q_sketch_distinct_maintenance,
+                                    snapshot_q.oracle_sketch_distinct_maintenance()),
+    "scd2_event_history": (snapshot_q.q_scd2_event_history,
+                           snapshot_q.oracle_scd2_event_history()),
+    "state_changefeed": (snapshot_q.q_state_changefeed,
+                         snapshot_q.oracle_state_changefeed()),
+    "sketch_set_cardinalities": (snapshot_q.q_sketch_set_cardinalities,
+                                 snapshot_q.oracle_sketch_set_cardinalities()),
+})
 
 #: The correctness harness records at most 50 query rows (observed in
-#: round 2 — `COVERAGE.md`), and it preserves registration order.  The
-#: round-5 key set therefore occupies the first 50 slots IN ITS r05
-#: ORDER, so every previously-recorded row keeps its slot whatever the
-#: harness truncates; queries added later register after them (their
-#: capabilities are ALSO folded into recorded keys — see COVERAGE.md
-#: round-6 notes — so a 50-row truncation records every capability,
-#: and a full recording greens the standalone forms too).
-_R5_ORDER = [
+#: round 2 — `COVERAGE.md`), and it preserves registration order; the
+#: five snapshot queries above occupy slots 1-5.  Round 7 (per
+#: VERDICT r6 task 1) consolidated eight thin legacy suites into their
+#: sibling keys — every merged-away operator survives inside ONE
+#: recorded physical plan (see each host query's docstring) — and
+#: promoted the eight highest-value previously-unrecorded round-6
+#: capabilities into the freed slots, so CORRECTNESS_r07 hard-gates
+#: them.  Merges: window_running_total→window_rank_suite;
+#: agg_distinct+agg_percentiles→agg_approx_distinct;
+#: agg_grouping_sets→agg_rollup_cube;
+#: setop_active_both_eras→join_full_outer_eras;
+#: join_cross_nation_region→scalar_map_suite;
+#: scalar_json_suite→scalar_suite;
+#: stream_tumbling_counts+stream_dedup_sliding_counts→stream_window_suite.
+_R7_ORDER = [
+    # 37 legacy survivors, r5 relative order (slots 6-42)
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
-    "join_semi_anti", "join_outer_order_counts", "window_running_total",
-    "agg_rollup_cube", "agg_distinct", "pivot_segment_priority",
-    "setop_active_both_eras", "scalar_suite", "asof_latest_order",
+    "join_semi_anti", "join_outer_order_counts",
+    "agg_rollup_cube", "pivot_segment_priority",
+    "scalar_suite", "asof_latest_order",
     "range_join_price_band", "skew_salted_agg", "join_full_outer_eras",
-    "join_cross_nation_region", "scalar_array_suite", "scalar_json_suite",
-    "agg_grouping_sets", "agg_approx_distinct", "window_rank_suite",
-    "agg_percentiles", "scalar_string_suite", "scalar_map_suite",
+    "scalar_array_suite",
+    "agg_approx_distinct", "window_rank_suite",
+    "scalar_string_suite", "scalar_map_suite",
     "dedup_exact_documents", "dedup_jaccard_pairs", "dedup_minhash_lsh",
     "dedup_simhash", "text_analysis", "similarity_topk_brute",
     "similarity_topk_ann", "embedding_near_dup_pairs",
     "multimodal_payload_stats", "udf_zscore_trimmed", "udtf_explode_tokens",
     "embedding_near_dup_lsh", "similarity_topk_ivf", "dedup_clusters",
     "pipeline_quality_filter", "sample_split_assignments", "text_scrub",
-    "stream_tumbling_counts", "stream_dedup_sliding_counts",
+    "stream_window_suite",
     "stream_session_windows", "funnel_cohort_retention",
+    # 8 promoted round-6 capabilities (slots 43-50): SCD2 (N49+N54),
+    # changefeed (N50), IVF+PQ ANN (N39+N47), bloom novelty (N34),
+    # exact-substring dedup (N52), one-scan profiler (N33), BPE
+    # mine+encode (N35+N42), Misra-Gries heavy hitters (N41)
+    "scd2_event_history", "state_changefeed", "similarity_topk_ivfpq",
+    "cross_snapshot_novelty", "exact_substring_spans", "profile_lineitem",
+    "bpe_encode_stats", "token_heavy_hitters",
 ]
 
-for _name in _R5_ORDER:
+for _name in _R7_ORDER:
     _fn, _oracle = _ALL_PAIRS.pop(_name)
     register(_name, _fn, _oracle)
 
+# Slots 51+: standalone rows beyond the driver's recorded window — each
+# capability here is ALSO folded as columns into a recorded key (see
+# COVERAGE.md) or pytest-pinned, so a 50-row truncation still checks it.
 for _name, (_fn, _oracle) in _ALL_PAIRS.items():
     register(_name, _fn, _oracle)
-
-# Round-6 snapshot-lane addition (slots 51+, like the other round-6
-# standalone rows): the major-compaction audit.  Its capability is also
-# folded into the recorded `snapshot_latest_cells` key (cell_fate /
-# row_deleted columns), so a 50-row truncation still driver-checks it.
-register("snapshot_compaction", snapshot_q.q_snapshot_compaction,
-         snapshot_q.oracle_snapshot_compaction())
-register("schema_evolution_diff", snapshot_q.q_schema_evolution_diff,
-         snapshot_q.oracle_schema_evolution_diff())
-register("sketch_distinct_maintenance",
-         snapshot_q.q_sketch_distinct_maintenance,
-         snapshot_q.oracle_sketch_distinct_maintenance())
-register("scd2_event_history", snapshot_q.q_scd2_event_history,
-         snapshot_q.oracle_scd2_event_history())
-register("state_changefeed", snapshot_q.q_state_changefeed,
-         snapshot_q.oracle_state_changefeed())
-register("sketch_set_cardinalities",
-         snapshot_q.q_sketch_set_cardinalities,
-         snapshot_q.oracle_sketch_set_cardinalities())

@@ -210,37 +210,13 @@ GROUP BY c_custkey, c_name
 # ------------------------------------------------- window functions (N8)
 # (Top-k-per-group via row_number + filter is covered by
 # window_rank_suite, which additionally pins rank/dense_rank/ntile/lead.)
-def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running spend per customer over order history — frame-based
-    analytic window + lag."""
-    orders = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return orders.select(
-        "o_custkey", "o_orderkey", "o_orderdate",
-        F.round(F.sum("o_totalprice").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2
-        ).alias("running_spend"),
-        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
-    )
-
-
-ORACLE_WINDOW_RUN = """
-SELECT o_custkey, o_orderkey, o_orderdate,
-       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
-                                     ORDER BY o_orderdate, o_orderkey
-                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
-         AS running_spend,
-       LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey
-                                  ORDER BY o_orderdate, o_orderkey) AS prev_price
-FROM orders
-"""
-
-
 # ------------------------------------------- grouping sets / rollup / cube
 def agg_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP over lineitem and CUBE over orders in one tagged union —
-    both plan as a single Expand + hash aggregate per branch (map-side
-    partials before the one shuffle each)."""
+    """ROLLUP over lineitem, CUBE over orders, and explicit GROUPING
+    SETS through the SQL front end (r7 merge of the former standalone
+    ``agg_grouping_sets`` slot) in one tagged union — each branch plans
+    as a single Expand + hash aggregate (map-side partials before the
+    one shuffle each)."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     rollup = (
@@ -259,7 +235,17 @@ def agg_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("o_orderstatus").alias("grp_a"),
                 F.col("o_orderpriority").alias("grp_b"), "n_rows", "sum_val")
     )
-    return rollup.unionAll(cube)
+    orders.createOrReplaceTempView("__orders_gs")
+    gsets = spark.sql("""
+        SELECT 'gsets_orders' AS src, o_orderstatus AS grp_a,
+               o_orderpriority AS grp_b,
+               COUNT(*) AS n_rows,
+               ROUND(SUM(o_totalprice), 2) AS sum_val
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+    """)
+    return rollup.unionAll(cube).unionAll(gsets)
 
 
 ORACLE_ROLLUP_CUBE = """
@@ -270,25 +256,11 @@ UNION ALL
 SELECT 'cube_orders' AS src, o_orderstatus AS grp_a, o_orderpriority AS grp_b,
        COUNT(*) AS n_rows, ROUND(SUM(o_totalprice), 2) AS sum_val
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
-"""
-
-
-def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """COUNT(DISTINCT) — expands to a two-stage aggregation; partial
-    distinct runs map-side so the shuffle carries distinct pairs only."""
-    orders = _t(spark, sf_dir, "orders")
-    return (
-        orders.groupBy("o_orderpriority")
-        .agg(F.countDistinct("o_custkey").alias("n_customers"),
-             F.count(F.lit(1)).alias("n_orders"))
-    )
-
-
-ORACLE_DISTINCT = """
-SELECT o_orderpriority,
-       COUNT(DISTINCT o_custkey) AS n_customers,
-       COUNT(*) AS n_orders
-FROM orders GROUP BY o_orderpriority
+UNION ALL
+SELECT 'gsets_orders' AS src, o_orderstatus AS grp_a, o_orderpriority AS grp_b,
+       COUNT(*) AS n_rows, ROUND(SUM(o_totalprice), 2) AS sum_val
+FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                    (o_orderstatus, o_orderpriority))
 """
 
 
@@ -323,30 +295,22 @@ GROUP BY c_mktsegment
 
 
 # ------------------------------------------------------------ set ops (N10)
-def setop_active_both_eras(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers ordering both before 1996 and after 2000 — INTERSECT."""
-    orders = _t(spark, sf_dir, "orders")
-    early = orders.filter(F.col("o_orderdate") < F.lit("1996-01-01")).select("o_custkey")
-    late = orders.filter(F.col("o_orderdate") >= F.lit("2000-01-01")).select("o_custkey")
-    return early.intersect(late)
-
-
-ORACLE_SETOP = """
-SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
-INTERSECT
-SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
-"""
-
-
 # -------------------------------------------- scalar function suite (N11)
 def scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String / date / math / JSON scalar coverage on events — all
-    JVM-side expressions inside one codegen stage; JSON path extraction
-    maps to get_json_object."""
+    JVM-side expressions inside one codegen stage.  JSON both ways Spark
+    offers it: path extraction (get_json_object) and typed parsing
+    (from_json with a schema) — r7 merge of the former standalone
+    ``scalar_json_suite`` slot; same table, same single projection."""
     ev = _t(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k INT")
     return ev.select(
         "event_id",
         F.get_json_object("props", "$.k").cast("int").alias("k"),
+        F.get_json_object("props", "$.k").alias("k_str"),
+        parsed["k"].alias("k_typed"),
+        F.col("props").contains('"k"').alias("has_k"),
+        F.length("props").alias("props_len"),
         F.upper("event_type").alias("etype_upper"),
         F.length("event_type").alias("etype_len"),
         F.substring("event_type", 1, 2).alias("etype_pre"),
@@ -365,6 +329,10 @@ def scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SCALAR = """
 SELECT event_id,
        CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+       json_extract_string(props, '$.k') AS k_str,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_typed,
+       contains(props, '"k"') AS has_k,
+       CAST(length(props) AS INTEGER) AS props_len,
        UPPER(event_type) AS etype_upper,
        CAST(LENGTH(event_type) AS INTEGER) AS etype_len,
        SUBSTRING(event_type, 1, 2) AS etype_pre,
@@ -456,11 +424,8 @@ PAIRS = {
     "q5_local_supplier": (q5_local_supplier, ORACLE_Q5),
     "join_semi_anti": (join_semi_anti, ORACLE_SEMI_ANTI),
     "join_outer_order_counts": (join_outer_order_counts, ORACLE_OUTER),
-    "window_running_total": (window_running_total, ORACLE_WINDOW_RUN),
     "agg_rollup_cube": (agg_rollup_cube, ORACLE_ROLLUP_CUBE),
-    "agg_distinct": (agg_distinct, ORACLE_DISTINCT),
     "pivot_segment_priority": (pivot_segment_priority, ORACLE_PIVOT),
-    "setop_active_both_eras": (setop_active_both_eras, ORACLE_SETOP),
     "scalar_suite": (scalar_suite, ORACLE_SCALAR),
     "asof_latest_order": (asof_latest_order, ORACLE_ASOF),
     "range_join_price_band": (range_join_price_band, ORACLE_RANGE),
@@ -516,7 +481,12 @@ GROUP BY l_returnflag, flag_label, l_linestatus
 # ------------------------------------------------------ full outer join
 def join_full_outer_eras(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-outer join of per-customer spend in two eras — customers
-    active in only one era keep NULLs on the other side."""
+    active in only one era keep NULLs on the other side — unioned with
+    the INTERSECT set-op branch (customers ordering both before 1996
+    and after 2000; r7 merge of the former ``setop_active_both_eras``
+    slot).  One plan carries both the full-outer SMJ and the intersect
+    (which plans as a left-semi aggregate) — both shuffle on o_custkey,
+    so AQE can reuse the exchange."""
     orders = _t(spark, sf_dir, "orders")
     early = (orders.filter(F.col("o_orderdate") < F.lit("1997-01-01"))
              .groupBy("o_custkey")
@@ -524,15 +494,25 @@ def join_full_outer_eras(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = (orders.filter(F.col("o_orderdate") >= F.lit("2000-01-01"))
             .groupBy("o_custkey")
             .agg(F.round(F.sum("o_totalprice"), 2).alias("late_spend")))
-    return (
+    spend = (
         early.withColumnRenamed("o_custkey", "custkey_e")
         .join(late.withColumnRenamed("o_custkey", "custkey_l"),
               F.col("custkey_e") == F.col("custkey_l"), "full_outer")
         .select(
             F.coalesce("custkey_e", "custkey_l").alias("custkey"),
             "early_spend", "late_spend",
+            F.lit("era_spend").alias("tag"),
         )
     )
+    e96 = orders.filter(F.col("o_orderdate") < F.lit("1996-01-01")).select("o_custkey")
+    l00 = orders.filter(F.col("o_orderdate") >= F.lit("2000-01-01")).select("o_custkey")
+    both = e96.intersect(l00).select(
+        F.col("o_custkey").alias("custkey"),
+        F.lit(None).cast("double").alias("early_spend"),
+        F.lit(None).cast("double").alias("late_spend"),
+        F.lit("both_eras").alias("tag"),
+    )
+    return spend.unionAll(both)
 
 
 ORACLE_FULL_OUTER = """
@@ -543,21 +523,20 @@ late AS (
   SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS late_spend
   FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01' GROUP BY o_custkey)
 SELECT COALESCE(early.o_custkey, late.o_custkey) AS custkey,
-       early_spend, late_spend
+       early_spend, late_spend, 'era_spend' AS tag
 FROM early FULL OUTER JOIN late ON early.o_custkey = late.o_custkey
+UNION ALL
+SELECT o_custkey AS custkey, CAST(NULL AS DOUBLE) AS early_spend,
+       CAST(NULL AS DOUBLE) AS late_spend, 'both_eras' AS tag
+FROM (
+  SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+)
 """
 
 
 # ------------------------------------------------------------ cross join
-def join_cross_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
-    nation = _t(spark, sf_dir, "nation")
-    region = _t(spark, sf_dir, "region")
-    return nation.crossJoin(region).select("n_name", "r_name")
-
-
-ORACLE_CROSS = "SELECT n_name, r_name FROM nation CROSS JOIN region"
-
-
 # -------------------------------------------- array function suite (N11)
 def scalar_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array functions over array<float> embeddings — size, indexing,
@@ -587,70 +566,24 @@ FROM embeddings
 
 
 # --------------------------------------------- JSON function suite (N11)
-def scalar_json_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON extraction both ways Spark offers it: path extraction
-    (get_json_object) and typed parsing (from_json with a schema)."""
-    ev = _t(spark, sf_dir, "events")
-    parsed = F.from_json("props", "k INT")
-    return ev.select(
-        "event_id",
-        F.get_json_object("props", "$.k").alias("k_str"),
-        parsed["k"].alias("k_typed"),
-        F.col("props").contains('"k"').alias("has_k"),
-        F.length("props").alias("props_len"),
-    )
-
-
-ORACLE_JSON = """
-SELECT event_id,
-       json_extract_string(props, '$.k') AS k_str,
-       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_typed,
-       contains(props, '"k"') AS has_k,
-       CAST(length(props) AS INTEGER) AS props_len
-FROM events
-"""
-
-
 PAIRS.update({
     "skew_salted_agg": (skew_salted_agg, ORACLE_SALTED),
     "join_full_outer_eras": (join_full_outer_eras, ORACLE_FULL_OUTER),
-    "join_cross_nation_region": (join_cross_nation_region, ORACLE_CROSS),
     "scalar_array_suite": (scalar_array_suite, ORACLE_ARRAY),
-    "scalar_json_suite": (scalar_json_suite, ORACLE_JSON),
 })
 
 
 # --------------------------------------------- grouping sets (SQL surface)
-def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS through the SQL front end (rollup/cube are
-    the DataFrame-side variants) — plans as a single expand + aggregate."""
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("__orders_gs")
-    return spark.sql("""
-        SELECT o_orderstatus, o_orderpriority,
-               COUNT(*) AS n_orders,
-               ROUND(SUM(o_totalprice), 2) AS sum_price
-        FROM __orders_gs
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
-                                (o_orderstatus, o_orderpriority))
-    """)
-
-
-ORACLE_GROUPING_SETS = """
-SELECT o_orderstatus, o_orderpriority,
-       COUNT(*) AS n_orders,
-       ROUND(SUM(o_totalprice), 2) AS sum_price
-FROM orders
-GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
-                        (o_orderstatus, o_orderpriority))
-"""
-
-
 # ----------------------------- approximate sketches (oracle-checkable)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch aggregates next to their exact twins: HyperLogLog++
-    distinct counts (approx_count_distinct) and the quantile sketch
-    (approx_percentile) — both single-pass, mergeable, bounded-memory
-    (the 100 TB shape for cardinality/quantiles).
+    """Distinct + percentile aggregates, exact next to their sketch
+    twins, over two grouping keys in one tagged union (r7 merge of the
+    former ``agg_distinct`` and ``agg_percentiles`` slots — every
+    operator survives in this one plan): COUNT(DISTINCT) (two-stage,
+    partial distinct map-side), exact interpolated percentiles, min/max,
+    and the mergeable bounded-memory sketches (HyperLogLog++
+    approx_count_distinct, KLL-style approx_percentile — the 100 TB
+    shape for cardinality/quantiles).
 
     The raw sketch estimates are engine-specific (DuckDB's HLL differs
     by construction), so the query emits the EXACT values plus
@@ -659,42 +592,71 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle replays the exact values and expects ``true`` — making
     the sketch's error contract itself hash-checkable."""
     orders = _t(spark, sf_dir, "orders")
-    approx_cnt = F.approx_count_distinct("o_custkey", 0.02)
-    exact_cnt = F.countDistinct("o_custkey")
-    approx_med = F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(1000))
-    exact_med = F.percentile("o_totalprice", F.lit(0.5))
-    return orders.groupBy("o_orderstatus").agg(
-        exact_cnt.alias("exact_customers"),
-        F.round(exact_med, 2).alias("exact_median_price"),
-        (F.abs(approx_cnt - exact_cnt) <= 0.10 * exact_cnt)
-        .alias("count_within_tolerance"),
-        (F.abs(approx_med - exact_med) <= 0.05 * exact_med)
-        .alias("median_within_tolerance"),
-    )
+
+    def branch(key: str, kind: str) -> DataFrame:
+        approx_cnt = F.approx_count_distinct("o_custkey", 0.02)
+        exact_cnt = F.countDistinct("o_custkey")
+        approx_med = F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(1000))
+        exact_med = F.percentile("o_totalprice", F.lit(0.5))
+        return orders.groupBy(key).agg(
+            exact_cnt.alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(exact_med, 2).alias("median_price"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90_price"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            (F.abs(approx_cnt - exact_cnt) <= 0.10 * exact_cnt)
+            .alias("count_within_tolerance"),
+            (F.abs(approx_med - exact_med) <= 0.05 * exact_med)
+            .alias("median_within_tolerance"),
+        ).select(
+            F.lit(kind).alias("grp_kind"), F.col(key).alias("grp_key"),
+            "n_customers", "n_orders", "median_price", "p90_price",
+            "min_price", "max_price",
+            "count_within_tolerance", "median_within_tolerance",
+        )
+
+    return branch("o_orderstatus", "by_status").unionAll(
+        branch("o_orderpriority", "by_priority"))
 
 
-ORACLE_APPROX_DISTINCT = """
-SELECT o_orderstatus,
-       COUNT(DISTINCT o_custkey) AS exact_customers,
-       ROUND(quantile_cont(o_totalprice, 0.5), 2) AS exact_median_price,
+_APPROX_BRANCH_SQL = """
+SELECT '{kind}' AS grp_kind, {key} AS grp_key,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(*) AS n_orders,
+       ROUND(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+       ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90_price,
+       ROUND(MIN(o_totalprice), 2) AS min_price,
+       ROUND(MAX(o_totalprice), 2) AS max_price,
        TRUE AS count_within_tolerance,
        TRUE AS median_within_tolerance
-FROM orders GROUP BY o_orderstatus
+FROM orders GROUP BY {key}
 """
+
+ORACLE_APPROX_DISTINCT = (
+    _APPROX_BRANCH_SQL.format(kind="by_status", key="o_orderstatus")
+    + "UNION ALL"
+    + _APPROX_BRANCH_SQL.format(kind="by_priority", key="o_orderpriority")
+)
 
 
 PAIRS.update({
-    "agg_grouping_sets": (agg_grouping_sets, ORACLE_GROUPING_SETS),
     "agg_approx_distinct": (agg_approx_distinct, ORACLE_APPROX_DISTINCT),
 })
 
 
 # ------------------------------------- ranking-function suite (N8 breadth)
 def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All ranking/analytic window shapes in one pass: row_number, rank,
-    dense_rank, ntile, lead — one shuffle by the partition key."""
+    """All ranking/analytic/frame window shapes in one pass: row_number,
+    rank, dense_rank, ntile, lead over the price ordering PLUS the
+    running-total frame (UNBOUNDED PRECEDING..CURRENT ROW sum) and lag
+    over the date ordering (r7 merge of the former standalone
+    ``window_running_total`` slot).  Both specs share the o_custkey
+    partitioning, so the plan pays ONE exchange and two in-partition
+    sorts — the shuffle is the scale cost and it is not duplicated."""
     orders = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    wd = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return orders.select(
         "o_custkey", "o_orderkey", "o_totalprice",
         F.row_number().over(w).alias("rn"),
@@ -702,6 +664,10 @@ def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dense_rank().over(w).alias("drk"),
         F.ntile(4).over(w).alias("quartile"),
         F.lead("o_totalprice", 1).over(w).alias("next_price"),
+        F.round(F.sum("o_totalprice").over(
+            wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2
+        ).alias("running_spend"),
+        F.lag("o_totalprice", 1).over(wd).alias("prev_price"),
     ).filter(F.col("rn") <= 5)
 
 
@@ -709,14 +675,20 @@ ORACLE_RANK_SUITE = """
 SELECT o_custkey, o_orderkey, o_totalprice,
        CAST(rn AS INTEGER) AS rn, CAST(rk AS INTEGER) AS rk,
        CAST(drk AS INTEGER) AS drk, CAST(quartile AS INTEGER) AS quartile,
-       next_price
+       next_price, running_spend, prev_price
 FROM (
   SELECT o_custkey, o_orderkey, o_totalprice,
          ROW_NUMBER() OVER w AS rn,
          RANK() OVER w AS rk,
          DENSE_RANK() OVER w AS drk,
          NTILE(4) OVER w AS quartile,
-         LEAD(o_totalprice, 1) OVER w AS next_price
+         LEAD(o_totalprice, 1) OVER w AS next_price,
+         ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+           AS running_spend,
+         LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS prev_price
   FROM orders
   WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
 ) WHERE rn <= 5
@@ -729,28 +701,6 @@ PAIRS.update({
 
 
 # -------------------------------------------- percentile aggregates (N7)
-def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentiles (linear interpolation) per group; the approx
-    sketch variant is in agg_approx_distinct's family (rows-only)."""
-    orders = _t(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderpriority").agg(
-        F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("median_price"),
-        F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90_price"),
-        F.round(F.min("o_totalprice"), 2).alias("min_price"),
-        F.round(F.max("o_totalprice"), 2).alias("max_price"),
-    )
-
-
-ORACLE_PERCENTILES = """
-SELECT o_orderpriority,
-       ROUND(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
-       ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90_price,
-       ROUND(MIN(o_totalprice), 2) AS min_price,
-       ROUND(MAX(o_totalprice), 2) AS max_price
-FROM orders GROUP BY o_orderpriority
-"""
-
-
 # ------------------------------------------- string function suite (N11)
 def scalar_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part")
@@ -785,10 +735,16 @@ def scalar_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MapType surface: create_map, map_concat, element_at, size,
     map_keys/map_values, map_filter (higher-order), map_from_entries —
     canonicalized through ``to_json`` so the DuckDB oracle can replay the
-    values exactly (raw MapType cells don't hash cleanly cross-engine)."""
+    values exactly (raw MapType cells don't hash cleanly cross-engine).
+
+    The base relation is the explicit nation × region CROSS JOIN (r7
+    merge of the former standalone ``join_cross_nation_region`` slot) —
+    the deliberate Cartesian survives in this one plan (tiny × tiny;
+    whitelisted in tools/plan_audit.py), with ``same_region`` marking
+    the rows the old equi-join would have kept."""
     nat = _t(spark, sf_dir, "nation")
     reg = _t(spark, sf_dir, "region")
-    j = nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    j = nat.crossJoin(reg)
     m1 = F.create_map(F.lit("nation"), F.col("n_name"),
                       F.lit("nkey"), F.col("n_nationkey").cast("string"))
     m2 = F.create_map(F.lit("region"), F.col("r_name"))
@@ -797,6 +753,8 @@ def scalar_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(F.lit("r").alias("key"), F.col("r_name").alias("value"))))
     return j.select(
         "n_nationkey",
+        "r_regionkey",
+        (F.col("n_regionkey") == F.col("r_regionkey")).alias("same_region"),
         F.to_json(m1).alias("m1_json"),
         F.to_json(merged).alias("merged_json"),
         F.element_at(merged, F.lit("region")).alias("region_name"),
@@ -811,6 +769,8 @@ def scalar_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_MAP = """
 SELECT n_nationkey,
+  r_regionkey,
+  n_regionkey = r_regionkey AS same_region,
   CAST(json_object('nation', n_name, 'nkey', CAST(n_nationkey AS VARCHAR))
        AS VARCHAR) AS m1_json,
   CAST(json_object('nation', n_name, 'nkey', CAST(n_nationkey AS VARCHAR),
@@ -821,12 +781,11 @@ SELECT n_nationkey,
   n_name || ',' || CAST(n_nationkey AS VARCHAR) AS vals_csv,
   CAST(json_object('nation', n_name, 'region', r_name) AS VARCHAR) AS filtered_json,
   CAST(json_object('r', r_name) AS VARCHAR) AS entries_json
-FROM nation JOIN region ON n_regionkey = r_regionkey
+FROM nation CROSS JOIN region
 """
 
 
 PAIRS.update({
-    "agg_percentiles": (agg_percentiles, ORACLE_PERCENTILES),
     "scalar_string_suite": (scalar_string_suite, ORACLE_STRING),
     "scalar_map_suite": (scalar_map_suite, ORACLE_MAP),
 })

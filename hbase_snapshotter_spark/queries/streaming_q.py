@@ -155,9 +155,42 @@ FROM h
 """
 
 
+def stream_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling-interval-join pipeline and the dedup-then-sliding
+    pipeline in one tagged union (r7 merge of the former standalone
+    ``stream_tumbling_counts`` and ``stream_dedup_sliding_counts``
+    recorded slots) — both lanes' full operator chains (interval stream
+    join → tumbling window; first-arrival dedup → sliding window)
+    survive as the two branches of this one plan.  Session windows stay
+    standalone (``stream_session_windows``, a bench headline key)."""
+    a = stream_tumbling_counts(spark, sf_dir).select(
+        F.lit("tumbling_interval_join").alias("lane"),
+        "window_start", "window_end",
+        F.col("n_conversions").alias("n"),
+        F.col("sum_purchase_value").alias("metric"),
+    )
+    b = stream_dedup_sliding_counts(spark, sf_dir).select(
+        F.lit("dedup_sliding").alias("lane"),
+        "window_start", "window_end",
+        F.col("n_events").alias("n"),
+        F.lit(None).cast("double").alias("metric"),
+    )
+    return a.unionAll(b)
+
+
+ORACLE_WINDOW_SUITE = f"""
+SELECT 'tumbling_interval_join' AS lane, window_start, window_end,
+       n_conversions AS n, sum_purchase_value AS metric
+FROM ({ORACLE_TUMBLING})
+UNION ALL
+SELECT 'dedup_sliding' AS lane, window_start, window_end,
+       n_events AS n, CAST(NULL AS DOUBLE) AS metric
+FROM ({ORACLE_DEDUP_SLIDING})
+"""
+
+
 PAIRS = {
-    "stream_tumbling_counts": (stream_tumbling_counts, ORACLE_TUMBLING),
-    "stream_dedup_sliding_counts": (stream_dedup_sliding_counts, ORACLE_DEDUP_SLIDING),
+    "stream_window_suite": (stream_window_suite, ORACLE_WINDOW_SUITE),
     "stream_session_windows": (stream_session_windows, ORACLE_SESSION),
     "stream_running_max": (stream_running_max, ORACLE_RUNNING_MAX),
 }

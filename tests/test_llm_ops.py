@@ -949,6 +949,51 @@ def test_cosine_pairs_bucketed_auto_geometry_subset(spark, sf_dir):
         assert cos == exact[pair]
 
 
+def test_auto_geometry_is_default_above_ref_n(spark, sf_dir):
+    """VERDICT r6 task 3: a production caller who passes NO geometry
+    knob at all gets occupancy-held auto geometry once the corpus
+    exceeds LSH_REF_N — derived from a cheap count, not remembered —
+    while fixture-sized corpora resolve to the measured-recall
+    reference constants (so registered-query hashes are unchanged)."""
+    from hbase_snapshotter_spark.operators.similarity import (
+        ANN_BITS_PER_TABLE,
+        ANN_PROJECTIONS,
+        ANN_TABLES,
+        LSH_REF_N,
+        NEARDUP_BITS_PER_TABLE,
+        NEARDUP_PROJECTIONS,
+        NEARDUP_TABLES,
+        _resolve_lsh_geometry,
+        lsh_geometry,
+    )
+
+    # fixture-sized corpus, no knobs -> exactly the reference geometry
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    proj, tables = _resolve_lsh_geometry(
+        emb, None, None, None,
+        ref_tables=NEARDUP_TABLES, ref_bits=NEARDUP_BITS_PER_TABLE,
+        ref_projections=NEARDUP_PROJECTIONS)
+    assert proj is NEARDUP_PROJECTIONS and tables == NEARDUP_TABLES
+
+    # >ref_n corpus, still no knobs -> auto geometry engages from the
+    # derived count (8x ref_n => +3 bits at held occupancy)
+    big = spark.range(8 * LSH_REF_N).select(F.col("id").alias("vec_id"))
+    proj, tables = _resolve_lsh_geometry(
+        big, None, None, None,
+        ref_tables=NEARDUP_TABLES, ref_bits=NEARDUP_BITS_PER_TABLE,
+        ref_projections=NEARDUP_PROJECTIONS)
+    exp_tables, exp_bits = lsh_geometry(8 * LSH_REF_N)
+    assert (tables, len(proj) // tables) == (exp_tables, exp_bits)
+    assert exp_bits == NEARDUP_BITS_PER_TABLE + 3
+
+    # caller-supplied n_vectors still wins over the count (no action run)
+    proj, tables = _resolve_lsh_geometry(
+        big, None, None, 500,
+        ref_tables=ANN_TABLES, ref_bits=ANN_BITS_PER_TABLE,
+        ref_projections=ANN_PROJECTIONS)
+    assert proj is ANN_PROJECTIONS and tables == ANN_TABLES
+
+
 def test_bigram_lm_xent_hand_computed(spark):
     """Add-one bigram cross-entropy vs hand arithmetic: ref 'a b a b'
     gives c2(a,b)=2, c2(b,a)=1, c1(a)=2, c1(b)=1, V=2; scoring 'a b c'

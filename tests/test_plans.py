@@ -72,7 +72,7 @@ def test_semi_anti_join_strategies(spark, sf_dir):
 
 def test_agg_partial_pushdown(spark, sf_dir):
     """Partial aggregation must run map-side before the shuffle."""
-    plan = explain(spark, "agg_distinct", sf_dir)
+    plan = explain(spark, "agg_approx_distinct", sf_dir)
     assert "partial_count" in plan or "HashAggregate" in plan
     assert plan.index("HashAggregate") < plan.index("Exchange")
 
@@ -206,7 +206,7 @@ def test_stream_tumbling_plan_has_interval_join_condition(spark, sf_dir):
     """The batch form of the stream-stream interval join: an equi-join
     on the key with the time-interval range as residual condition —
     NOT a nested-loop — feeding the tumbling-window aggregation."""
-    plan = explain(spark, "stream_tumbling_counts", sf_dir)
+    plan = explain(spark, "stream_window_suite", sf_dir)
     assert "NestedLoop" not in plan
     # lower bound: purchase at-or-after the click
     assert re.search(r"purchase_ts.*>=.*click_ts|click_ts.*<=.*purchase_ts", plan)

@@ -42,7 +42,9 @@ def main() -> int:
     # ONE-row broadcast scalar attach (the in-query recall flags — a
     # constant-key equi-join constant-folds back to the same shape)
     INTENDED_CROSS = {
-        "join_cross_nation_region",
+        "scalar_map_suite",            # r7: the explicit Cartesian demo
+                                       # (nation × region) now lives in
+                                       # the map-suite's base relation
         "similarity_topk_brute",
         "similarity_topk_ivf",
         "similarity_topk_ann",        # 1-row recall_within_tolerance attach

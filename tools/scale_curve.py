@@ -474,7 +474,13 @@ def lsh_geometry_report(spark, sizes) -> dict:
         entry["auto"]["mean_bucket"], entry["auto"]["max_bucket"] = \
             bucket_stats(emb, auto_proj, auto_tables)
 
-        for mode, kwargs in (("fixed", {}), ("auto", {"n_vectors": n})):
+        # r7: auto geometry is now the DEFAULT (no-knob calls derive the
+        # corpus size), so "fixed" must pin the reference constants
+        # explicitly to keep measuring the old fixed-geometry behavior.
+        for mode, kwargs in (
+                ("fixed", {"projections": NEARDUP_PROJECTIONS,
+                           "tables": NEARDUP_TABLES}),
+                ("auto", {"n_vectors": n})):
             best = float("inf")
             for _ in range(2):
                 t0 = time.time()
