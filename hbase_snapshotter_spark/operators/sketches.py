@@ -90,9 +90,14 @@ def theta_set_cardinalities(
     Below the sketch's nominal capacity (2¹² retained hashes by
     default) a theta sketch IS the exact hashed set, so estimates are
     EXACT and deterministic — the fixture regime, where the driver
-    hash checks them as values; above it they degrade to ±~2%
-    estimates (intersection error grows with disjointness — the
-    documented DataSketches caveat), which is the 100 TB trade.
+    hash checks them as values; above it they degrade gracefully,
+    which is the 100 TB trade.  The envelope is MEASURED, not cited
+    (``test_sketch_error_envelope_above_capacity``, three cardinality
+    decades to 10⁶): per-side ±2%, union ±3% (a union inherits the
+    smaller theta of its inputs), intersection/differences ±6% at 50%
+    overlap (intersection error grows with disjointness and a
+    difference compounds both inputs' errors — the documented
+    DataSketches caveats; measured max 5.7% at n=10⁶).
     Groups present in only one slice get an empty-set other side."""
     a_sk = df_a.groupBy(*group_cols).agg(
         F.theta_sketch_agg(value_col).alias("__a"))

@@ -125,6 +125,7 @@ def advance_state_pruned(
     key_cols: tuple[str, ...] = ("row_key", "family", "qualifier"),
     ts_col: str = "cell_ts",
     value_col: str = "value",
+    compact: dict | None = None,
 ) -> list[int]:
     """Advance the bucketed state table at ``path`` by ``delta_log``,
     reading and rewriting ONLY the delta-touched buckets.  Returns the
@@ -138,8 +139,24 @@ def advance_state_pruned(
     carries ``state_bucket IN (touched)`` so partition pruning keeps
     untouched directories out of the file listing entirely; the write
     uses dynamic partition overwrite so they are not rewritten either.
-    """
+
+    ``compact`` (VERDICT r6 task 5) piggybacks major compaction on the
+    same cycle: a dict of
+    :func:`~hbase_snapshotter_spark.operators.snapshot.compact_cells`
+    kwargs (``horizon_ts`` and ``ttl_cutoff_ts`` required) applied to
+    the merged cells BEFORE the write, keeping only ``cell_fate =
+    'kept'`` rows.  Each touched bucket is then read once and written
+    once per cycle — there is no second compaction rewrite (measured in
+    ``tools/pruned_state_io.py --fused``).  The tombstone join stays
+    bucket-local because every cell of a row hashes to that row's
+    bucket.  Untouched buckets keep their expired cells until a delta
+    next touches them — compaction here is opportunistic (exactly
+    HBase's own minor/major compaction economics: collection rides the
+    writes); a full sweep is ``compact_cells`` over the whole state.
+    Fused-path state ≡ advance-then-compact two-step state,
+    byte-for-byte (pytest-pinned)."""
     from hbase_snapshotter_spark.cache import scoped_persist
+    from hbase_snapshotter_spark.operators.snapshot import compact_cells
 
     cols = [*key_cols, value_col, ts_col]
     row_key_col = key_cols[0]
@@ -158,6 +175,13 @@ def advance_state_pruned(
     )
     merged = advance_latest_cells(prev, delta, None, key_cols=key_cols,
                                   ts_col=ts_col, value_col=value_col)
+    if compact is not None:
+        merged = (
+            compact_cells(merged, key_col=row_key_col, ts_col=ts_col,
+                          value_col=value_col, **compact)
+            .filter(F.col("cell_fate") == "kept")
+            .drop("cell_fate", "row_deleted")
+        )
     (merged.withColumn(STATE_BUCKET_COL, state_bucket(row_key_col, n_buckets))
      .write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")

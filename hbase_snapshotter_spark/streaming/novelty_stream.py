@@ -96,8 +96,10 @@ class NoveltyMaintainer:
         out = os.path.join(self.state_dir, f"batch={batch_id}")
         # plan reads only pre-existing dirs; empty novels skip the
         # write so a re-delivered batch can never erase its first
-        # delivery's keys
-        if novel.count() == 0:
+        # delivery's keys.  isEmpty is a take(1) probe — it stops at the
+        # first row instead of counting the whole batch, so the
+        # emptiness check stays O(1) at high batch rates.
+        if novel.isEmpty():
             return
         novel.write.mode("overwrite").parquet(out)
         inc = build_bloom(spark.read.parquet(out), self.key_col,

@@ -153,6 +153,72 @@ def test_pruned_advance_idempotent_redelivery(spark, tmp_path):
     assert _rows(read_state(spark, path)) == once
 
 
+def test_fused_advance_and_compact(spark, tmp_path):
+    """VERDICT r6 task 5: compaction piggybacked on the pruned advance —
+    one read, one write per touched bucket per cycle.  The fused state
+    must equal the two-step reference (advance, then compact the
+    touched buckets) as exact row sets; untouched buckets are untouched
+    on disk; re-delivering the delta through the fused path is a no-op."""
+    path = str(tmp_path / "state")
+    log = _changelog(spark)
+    t1 = 1600
+    init_state(log, path, t1, n_buckets=16)
+
+    # delta: second half of history + a delete marker for key "7" old
+    # enough for a horizon at 99000, + a fresh post-TTL write
+    delta = log.filter(F.col("cell_ts") > t1).unionByName(
+        spark.createDataFrame(
+            [("7", "d", "row_status", "D", 90000),
+             ("8", "d", "q0", "fresh-after-ttl", 98000)],
+            "row_key string, family string, qualifier string, "
+            "value string, cell_ts long",
+        ))
+    compact_kwargs = {"horizon_ts": 95000, "ttl_cutoff_ts": 1200}
+
+    def partition_files(p):
+        out = {}
+        for d in os.listdir(p):
+            if d.startswith(f"{STATE_BUCKET_COL}="):
+                full = os.path.join(p, d)
+                out[d] = {
+                    f: os.path.getmtime(os.path.join(full, f))
+                    for f in os.listdir(full) if not f.startswith(".")
+                }
+        return out
+
+    before = partition_files(path)
+    touched = advance_state_pruned(
+        spark, path, delta, n_buckets=16, compact=compact_kwargs)
+    got = _rows(read_state(spark, path))
+
+    # two-step reference: full associative merge, then compact ONLY the
+    # rows living in touched buckets (fused compaction is opportunistic
+    # — untouched buckets keep their cells until next touched)
+    from hbase_snapshotter_spark.operators.snapshot import compact_cells
+
+    merged = advance_latest_cells(latest_cells(log, t1), delta) \
+        .withColumn("__b", state_bucket("row_key", 16))
+    in_touched = merged.filter(F.col("__b").isin(touched)).drop("__b")
+    outside = merged.filter(~F.col("__b").isin(touched)).drop("__b")
+    compacted = (compact_cells(in_touched, **compact_kwargs)
+                 .filter(F.col("cell_fate") == "kept")
+                 .drop("cell_fate", "row_deleted"))
+    want = _rows(compacted.unionByName(outside))
+    assert got == want
+    # compaction actually bit: the tombstoned row is gone from state
+    assert not any(r[0] == "7" for r in got)
+
+    # untouched buckets: bytes on disk untouched
+    after = partition_files(path)
+    changed = {d for d in before if before[d] != after.get(d)}
+    assert changed == {f"{STATE_BUCKET_COL}={b}" for b in touched}
+
+    # idempotent re-delivery through the fused path
+    advance_state_pruned(spark, path, delta, n_buckets=16,
+                         compact=compact_kwargs)
+    assert _rows(read_state(spark, path)) == got
+
+
 def test_state_bucket_null_total(spark):
     """NULL row keys land in a deterministic bucket (sampling sentinel),
     never a NULL partition value."""

@@ -144,6 +144,69 @@ def main() -> int:
         .format("noop").save()
     rescan_s = time.time() - t0
 
+    # ---- fused advance+compact vs two-step (VERDICT r6 task 5): the
+    # fused cycle must write each touched bucket ONCE; the two-step
+    # (advance, then compact-rewrite of the touched buckets) writes
+    # each twice.  Counted by bucket-directory content generations.
+    def bucket_gen(p):
+        out = {}
+        for d in os.listdir(p):
+            if d.startswith(f"{STATE_BUCKET_COL}="):
+                full = os.path.join(p, d)
+                out[d] = tuple(sorted(
+                    (f, os.path.getmtime(os.path.join(full, f)))
+                    for f in os.listdir(full) if not f.startswith(".")))
+        return out
+
+    import shutil
+
+    from hbase_snapshotter_spark.operators.snapshot import compact_cells
+
+    delta2 = delta.withColumn(
+        "cell_ts", F.lit(1_800_000_000_000 + 2)).withColumn(
+        "value", F.lit("fresh2"))
+    delta2.write.mode("overwrite").parquet("/tmp/pruned_state_io/delta2")
+    delta2 = spark.read.parquet("/tmp/pruned_state_io/delta2")
+    compact_kwargs = {"horizon_ts": 0, "ttl_cutoff_ts": 1_700_000_000_000}
+
+    path2 = path + "_twostep"
+    shutil.rmtree(path2, ignore_errors=True)
+    shutil.copytree(path, path2)
+
+    # two-step: advance, then compact+dynamic-overwrite the touched buckets
+    g0 = bucket_gen(path2)
+    t0 = time.time()
+    touched2 = advance_state_pruned(spark, path2, delta2, n_buckets=n_buckets)
+    g1 = bucket_gen(path2)
+    comp = (compact_cells(
+        spark.read.parquet(path2)
+        .filter(F.col(STATE_BUCKET_COL).isin(touched2))
+        .drop(STATE_BUCKET_COL), **compact_kwargs)
+        .filter(F.col("cell_fate") == "kept").drop("cell_fate", "row_deleted"))
+    (comp.withColumn(STATE_BUCKET_COL, state_bucket("row_key", n_buckets))
+     .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+     .partitionBy(STATE_BUCKET_COL).parquet(path2))
+    twostep_s = time.time() - t0
+    g2 = bucket_gen(path2)
+    twostep_writes = (sum(1 for d in g1 if g0.get(d) != g1[d])
+                      + sum(1 for d in g2 if g1.get(d) != g2[d]))
+
+    # fused: one cycle, one write per touched bucket
+    f0 = bucket_gen(path)
+    t0 = time.time()
+    touched_f = advance_state_pruned(spark, path, delta2,
+                                     n_buckets=n_buckets,
+                                     compact=compact_kwargs)
+    fused_s = time.time() - t0
+    f1 = bucket_gen(path)
+    fused_writes = sum(1 for d in f1 if f0.get(d) != f1[d])
+    assert touched_f == touched2
+
+    # same final state either way (exact row sets)
+    lhs = spark.read.parquet(path).drop(STATE_BUCKET_COL)
+    rhs = spark.read.parquet(path2).drop(STATE_BUCKET_COL)
+    assert lhs.exceptAll(rhs).isEmpty() and rhs.exceptAll(lhs).isEmpty()
+
     import json
 
     delta_rows = delta.count()
@@ -158,6 +221,10 @@ def main() -> int:
         "pruned_advance_s": round(pruned_s, 2),
         "full_advance_s": round(full_s, 2),
         "full_rescan_s": round(rescan_s, 2),
+        "fused_bucket_writes": fused_writes,
+        "twostep_bucket_writes": twostep_writes,
+        "fused_cycle_s": round(fused_s, 2),
+        "twostep_cycle_s": round(twostep_s, 2),
     }, indent=2))
     return 0
 
