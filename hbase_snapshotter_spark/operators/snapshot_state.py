@@ -58,8 +58,10 @@ from pyspark.sql import functions as F
 from hbase_snapshotter_spark.operators.sampling import hash_bucket
 from hbase_snapshotter_spark.operators.snapshot import (
     advance_latest_cells,
+    advance_scd2,
     as_of,
     latest_cells,
+    scd2_history,
 )
 
 #: Partition column of the bucketed state table.
@@ -147,7 +149,7 @@ def advance_state_pruned(
     the merged cells BEFORE the write, keeping only ``cell_fate =
     'kept'`` rows.  Each touched bucket is then read once and written
     once per cycle — there is no second compaction rewrite (measured in
-    ``tools/pruned_state_io.py --fused``).  The tombstone join stays
+    ``tools/pruned_state_io.py`` — fused vs two-step bucket writes).  The tombstone join stays
     bucket-local because every cell of a row hashes to that row's
     bucket.  Untouched buckets keep their expired cells until a delta
     next touches them — compaction here is opportunistic (exactly
@@ -182,6 +184,76 @@ def advance_state_pruned(
             .filter(F.col("cell_fate") == "kept")
             .drop("cell_fate", "row_deleted")
         )
+    (merged.withColumn(STATE_BUCKET_COL, state_bucket(row_key_col, n_buckets))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy(STATE_BUCKET_COL).parquet(path))
+    return touched
+
+
+def init_scd2_state(
+    changelog: DataFrame,
+    path: str,
+    *,
+    n_buckets: int = DEFAULT_STATE_BUCKETS,
+    key_cols: tuple[str, ...] = ("row_key", "qualifier"),
+    ts_col: str = "cell_ts",
+    value_col: str = "value",
+) -> None:
+    """Bootstrap a bucketed SCD2 history table (N54 scale form): one
+    full :func:`~.snapshot.scd2_history` reconstruction — paid once —
+    written in the same hash-bucket layout as the latest-cells state,
+    so advances prune to delta-touched buckets."""
+    hist = scd2_history(changelog, key_cols=key_cols, ts_col=ts_col,
+                        value_col=value_col)
+    write_state(hist, path, n_buckets=n_buckets, row_key_col=key_cols[0])
+
+
+def advance_scd2_pruned(
+    spark: SparkSession,
+    path: str,
+    delta_log: DataFrame,
+    *,
+    n_buckets: int = DEFAULT_STATE_BUCKETS,
+    key_cols: tuple[str, ...] = ("row_key", "qualifier"),
+    ts_col: str = "cell_ts",
+    value_col: str = "value",
+) -> list[int]:
+    """Advance a bucketed SCD2 history table by ``delta_log``, reading
+    and rewriting ONLY the delta-touched buckets (VERDICT r6 task 6 —
+    the partition-pruned treatment :func:`advance_state_pruned` gives
+    latest-cells, applied to N54).  Returns the sorted touched-bucket
+    list.
+
+    The pruning argument is the same and strictly cell-local: every
+    interval row of a cell lives in its ``row_key``'s bucket (the
+    partition function ignores ts/value), a delta cell can only extend
+    or re-window intervals of ITS OWN cell, so rows outside the touched
+    buckets cannot change.  Within the touched subset
+    :func:`~.snapshot.advance_scd2`'s untouched-cell anti-join and
+    tail re-window run co-partitioned against bucket-resident state —
+    the ``state_bucket IN (touched)`` predicate is a PartitionFilter
+    (plan-pinned in ``tests/test_snapshot_state.py``), untouched
+    directories never enter the file listing and keep their exact bytes
+    (mtime-pinned), and re-delivered deltas are no-ops end-to-end."""
+    from hbase_snapshotter_spark.cache import scoped_persist
+
+    row_key_col = key_cols[0]
+    delta = scoped_persist(
+        delta_log.select(*key_cols, ts_col, value_col)
+        .dropDuplicates([*key_cols, ts_col, value_col]))
+    touched = sorted(
+        r[0] for r in delta.select(
+            state_bucket(row_key_col, n_buckets).alias("b")).distinct().collect())
+    if not touched:
+        return []
+    prev = (
+        spark.read.parquet(path)
+        .filter(F.col(STATE_BUCKET_COL).isin(touched))
+        .drop(STATE_BUCKET_COL)
+    )
+    merged = advance_scd2(prev, delta, key_cols=key_cols, ts_col=ts_col,
+                          value_col=value_col)
     (merged.withColumn(STATE_BUCKET_COL, state_bucket(row_key_col, n_buckets))
      .write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")

@@ -225,3 +225,67 @@ def test_state_bucket_null_total(spark):
     df = spark.createDataFrame([(None,), ("k",)], "row_key string")
     rows = df.select(state_bucket("row_key", 16).alias("b")).collect()
     assert all(r.b is not None and 0 <= r.b < 16 for r in rows)
+
+
+def test_scd2_pruned_advance(spark, tmp_path):
+    """VERDICT r6 task 6: the SCD2 advance gets the full pruned-state
+    treatment latest-cells already has — exact equality with the
+    from-scratch rebuild, `state_bucket IN (...)` visible as a
+    PartitionFilter in the state read, untouched bucket files
+    byte-untouched (mtimes), and idempotent re-delivery."""
+    from hbase_snapshotter_spark.operators.snapshot import scd2_history
+    from hbase_snapshotter_spark.operators.snapshot_state import (
+        advance_scd2_pruned,
+        init_scd2_state,
+    )
+
+    path = str(tmp_path / "scd2")
+    log = _changelog(spark)
+    t1 = 1600
+    init_scd2_state(log.filter(F.col("cell_ts") <= t1), path, n_buckets=16)
+
+    def partition_files(p):
+        out = {}
+        for d in os.listdir(p):
+            if d.startswith(f"{STATE_BUCKET_COL}="):
+                full = os.path.join(p, d)
+                out[d] = {
+                    f: os.path.getmtime(os.path.join(full, f))
+                    for f in os.listdir(full) if not f.startswith(".")
+                }
+        return out
+
+    # delta touching ONE key -> exactly one bucket read+rewritten
+    before = partition_files(path)
+    delta = spark.createDataFrame(
+        [("42", "d", "q0", "late-0", 5000), ("42", "d", "q0", "late-1", 6000)],
+        "row_key string, family string, qualifier string, value string, cell_ts long",
+    )
+    expected_bucket = spark.range(1).select(
+        state_bucket(F.lit("42"), 16).alias("b")).collect()[0].b
+    touched = advance_scd2_pruned(spark, path, delta, n_buckets=16)
+    assert touched == [expected_bucket]
+
+    after = partition_files(path)
+    changed = {d for d in before if before[d] != after.get(d)}
+    assert changed == {f"{STATE_BUCKET_COL}={expected_bucket}"}
+
+    # advanced state == from-scratch SCD2 over the full log
+    full = log.filter(F.col("cell_ts") <= t1).unionByName(delta)
+    got = _rows(read_state(spark, path))
+    want = _rows(scd2_history(full.select(
+        "row_key", "qualifier", "value", "cell_ts")))
+    assert got == want
+
+    # the state read inside the advance prunes at the partition level
+    pruned = spark.read.parquet(path).filter(
+        F.col(STATE_BUCKET_COL).isin(touched))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "state_bucket" in m.group(1)
+
+    # re-delivered delta (even spanning past advances) is a no-op
+    advance_scd2_pruned(spark, path, delta, n_buckets=16)
+    assert _rows(read_state(spark, path)) == got

@@ -207,6 +207,43 @@ def main() -> int:
     rhs = spark.read.parquet(path2).drop(STATE_BUCKET_COL)
     assert lhs.exceptAll(rhs).isEmpty() and rhs.exceptAll(lhs).isEmpty()
 
+    # ---- SCD2 pruned advance IO (VERDICT r6 task 6): same pruning
+    # measurement for the bucketed SCD2 history table — a 10-key delta
+    # should read state ∝ its touched-bucket fraction, exactly as the
+    # latest-cells advance does.
+    from hbase_snapshotter_spark.operators.snapshot_state import (
+        advance_scd2_pruned,
+        init_scd2_state,
+    )
+
+    scd2_path = "/tmp/pruned_state_io/scd2"
+    t0 = time.time()
+    init_scd2_state(log, scd2_path, n_buckets=n_buckets)
+    scd2_init_s = time.time() - t0
+    scd2_rows_total = spark.read.parquet(scd2_path).count()
+
+    delta3 = (
+        spark.range(10 * 3)
+        .select(
+            (F.col("id") % 10).cast("string").alias("row_key"),
+            F.lit("d").alias("family"),
+            F.concat(F.lit("q"), (F.col("id") % 3).cast("string")).alias("qualifier"),
+            F.concat(F.lit("scd"), F.col("id").cast("string")).alias("value"),
+            (1_900_000_000_000 + F.col("id")).alias("cell_ts"),
+        )
+    )
+    scd2_pre_touched = sorted(
+        r[0] for r in delta3.select(
+            state_bucket("row_key", n_buckets).alias("b")).distinct().collect())
+    scd2_touched_rows = (
+        spark.read.parquet(scd2_path)
+        .filter(F.col(STATE_BUCKET_COL).isin(scd2_pre_touched)).count())
+    t0 = time.time()
+    scd2_touched = advance_scd2_pruned(spark, scd2_path, delta3,
+                                       n_buckets=n_buckets)
+    scd2_advance_s = time.time() - t0
+    assert scd2_touched == scd2_pre_touched
+
     import json
 
     delta_rows = delta.count()
@@ -225,6 +262,14 @@ def main() -> int:
         "twostep_bucket_writes": twostep_writes,
         "fused_cycle_s": round(fused_s, 2),
         "twostep_cycle_s": round(twostep_s, 2),
+        "scd2_state_rows": scd2_rows_total,
+        "scd2_touched_rows": scd2_touched_rows,
+        "scd2_touched_buckets": len(scd2_touched),
+        "scd2_input_ratio": round(
+            scd2_rows_total / max(scd2_touched_rows, 1), 2),
+        "scd2_bucket_fraction": round(len(scd2_touched) / n_buckets, 4),
+        "scd2_init_s": round(scd2_init_s, 2),
+        "scd2_pruned_advance_s": round(scd2_advance_s, 2),
     }, indent=2))
     return 0
 
