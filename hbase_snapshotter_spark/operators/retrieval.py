@@ -93,3 +93,88 @@ def bm25_topk(
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )
+
+
+def build_bm25_index(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Materialized BM25 index (VERDICT r6 task 7 — the serving form):
+    ``(postings, header)``.
+
+    ``postings`` is the inverted index — ``(term, doc_id, tf, dl)``,
+    one row per distinct (term, document) — with the document length
+    DENORMALIZED onto every posting row (Lucene stores norms separately;
+    inlining dl means scoring a query touches NOTHING but its terms'
+    posting lists).  ``header`` is the one-row corpus header
+    ``(N, avgdl)``.  Per-term document frequencies are NOT a third
+    table: df(term) = the term's posting-list length, counted at query
+    time from the (already query-pruned) postings.
+
+    Built in one corpus scan: tokenize → explode → count per (term,
+    doc).  For repeated serving persist ``postings`` PARTITIONED (or
+    bucketed) BY a hash of ``term``: a query's ``term IN (...)``
+    predicate then prunes the file listing to its terms' buckets, so
+    per-query input is Σ df(query terms) posting rows — independent of
+    corpus size, which is the whole point of an inverted index."""
+    from hbase_snapshotter_spark.operators.text import tokens
+
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    base = base.select(id_col, "__toks", F.size("__toks").alias("dl"))
+    postings = (
+        base.select(id_col, "dl", F.explode("__toks").alias("term"))
+        .groupBy("term", id_col, "dl")
+        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+    )
+    header = base.agg(F.count(F.lit(1)).alias("N"),
+                      F.avg("dl").alias("avgdl"))
+    return postings, header
+
+
+def bm25_topk_indexed(
+    postings: DataFrame,
+    header: DataFrame,
+    query_terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    k: int = 25,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-``k`` by BM25 served from a :func:`build_bm25_index` index:
+    ``(id, score)``, ties toward the smaller id.  Identical arithmetic
+    to :func:`bm25_topk` (6-dp idf, 4-dp score), so for documents
+    matching at least one term the two forms rank identically
+    (pytest-pinned); zero-match documents simply don't appear here —
+    an inverted index never visits them.
+
+    Query cost shape: ``term IN (...)`` prunes the postings scan to the
+    query's lists (partition/bucket pruning under the recommended
+    layout); df comes from counting those same pruned lists (≤
+    |terms| rows, broadcast back); scoring is one hash-agg over
+    Σ df(term) posting rows; ranking is TakeOrderedAndProject.  No
+    corpus-sized input anywhere after the one-time build."""
+    if not query_terms:
+        raise ValueError("bm25_topk_indexed: query_terms must be non-empty")
+    terms = list(dict.fromkeys(query_terms))
+    p = postings.filter(F.col("term").isin(terms))
+    df_tbl = p.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    idf = F.round(
+        F.log(F.lit(1.0)
+              + (F.col("N") - F.col("__df") + F.lit(0.5))
+              / (F.col("__df") + F.lit(0.5))), 6)
+    tf = F.col("tf").cast("double")
+    part = idf * (tf * (k1 + 1)) / (
+        tf + F.lit(k1) * (F.lit(1 - b)
+                          + F.lit(b) * F.col("dl") / F.col("avgdl")))
+    return (
+        p.join(F.broadcast(df_tbl), "term")
+        .crossJoin(F.broadcast(header))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(part), 4).alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )

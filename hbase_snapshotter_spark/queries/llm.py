@@ -2462,6 +2462,91 @@ PAIRS.update({
 })
 
 
+#: Query sets for the index-backed BM25 lane: three distinct keyword
+#: queries served from ONE materialized inverted index — the repeated-
+#: serving amortization the scan form deliberately doesn't pay for.
+BM25_QUERY_SETS = [
+    ("q_dup", ["dup", "join", "vector"]),   # == BM25_TERMS (equality pytest)
+    ("q_scan", ["scan", "filter", "merge"]),
+    ("q_stream", ["stream", "window", "key"]),
+]
+BM25_INDEXED_K = 10
+
+
+def bm25_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-backed BM25 serving (N45 serving form, VERDICT r6 task 7):
+    the inverted index (``(term, doc_id, tf, dl)`` postings + one-row
+    corpus header) is built ONCE — the only corpus-sized pass — and
+    three query sets are served from it in one tagged union.  Per-query
+    input after the build is Σ df(query terms) posting rows (``term IN
+    (...)`` prunes the persisted postings; at scale the postings table
+    is partitioned by a term hash so the pruning happens at file
+    listing).  The oracle replays postings construction and the exact
+    Lucene-variant arithmetic (6-dp idf, 4-dp score) per query set."""
+    from hbase_snapshotter_spark.cache import scoped_persist
+    from hbase_snapshotter_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        build_bm25_index,
+    )
+
+    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    postings, header = build_bm25_index(docs)
+    postings = scoped_persist(postings)
+    header = scoped_persist(header)
+    branches = [
+        bm25_topk_indexed(postings, header, terms, k=BM25_INDEXED_K)
+        .select(F.lit(name).alias("query_set"), "doc_id", "score")
+        for name, terms in BM25_QUERY_SETS
+    ]
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionAll(b)
+    return out
+
+
+def _oracle_bm25_indexed() -> str:
+    from hbase_snapshotter_spark.operators.retrieval import BM25_B, BM25_K1
+
+    one_minus_b = 1 - BM25_B
+    k1p1 = BM25_K1 + 1
+    sets = []
+    for name, terms in BM25_QUERY_SETS:
+        in_list = ", ".join(f"'{t}'" for t in terms)
+        sets.append(f"""
+SELECT '{name}' AS query_set, doc_id, score FROM (
+  SELECT pl.doc_id,
+         ROUND(SUM(ROUND(ln(1.0 + (hdr.N - d.df + 0.5) / (d.df + 0.5)), 6)
+               * (CAST(pl.tf AS DOUBLE) * {k1p1})
+               / (CAST(pl.tf AS DOUBLE) + {BM25_K1} * ({one_minus_b}
+                  + {BM25_B} * pl.dl / hdr.avgdl))), 4) AS score
+  FROM pl
+  JOIN (SELECT term, COUNT(*) AS df FROM pl
+        WHERE term IN ({in_list}) GROUP BY term) d ON pl.term = d.term
+  CROSS JOIN hdr
+  WHERE pl.term IN ({in_list})
+  GROUP BY pl.doc_id
+  ORDER BY score DESC, pl.doc_id
+  LIMIT {BM25_INDEXED_K})""")
+    union = "\nUNION ALL\n".join(sets)
+    return f"""
+WITH base AS (
+  SELECT doc_id, len(string_split(trim(text), ' ')) AS dl,
+         string_split(trim(text), ' ') AS toks
+  FROM documents WHERE text IS NOT NULL),
+pl AS (
+  SELECT term, doc_id, dl, CAST(COUNT(*) AS INTEGER) AS tf FROM (
+    SELECT doc_id, dl, unnest(toks) AS term FROM base)
+  GROUP BY term, doc_id, dl),
+hdr AS (SELECT COUNT(*) AS N, AVG(dl) AS avgdl FROM base)
+{union}
+"""
+
+
+PAIRS.update({
+    "bm25_indexed_topk": (bm25_indexed_topk, _oracle_bm25_indexed()),
+})
+
+
 #: Measured IVF+PQ recall vs brute force at sf0.001/0.01/0.1:
 #: 0.82 / 0.77 / 0.75 — the probe-miss and quantization losses compose,
 #: and both are deterministic (no RNG), so the floor can't flip.

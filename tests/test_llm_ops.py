@@ -1362,6 +1362,43 @@ def test_bm25_hand_computed_and_edges(spark):
         bm25_topk(df, [])
 
 
+def test_bm25_indexed_matches_scan_form(spark, sf_dir):
+    """VERDICT r6 task 7: the index-backed serving form ranks and
+    scores identically to the scan form for every document matching at
+    least one query term (zero-match docs are simply absent — an
+    inverted index never visits them), on both a hand corpus and the
+    fixture with the registered term set."""
+    from hbase_snapshotter_spark.operators.retrieval import (
+        bm25_topk,
+        bm25_topk_indexed,
+        build_bm25_index,
+    )
+    from hbase_snapshotter_spark.queries.llm import BM25_TERMS
+
+    df = spark.createDataFrame(
+        [(1, "cat cat dog"), (2, "cat fish"), (3, "bird bird bird"),
+         (4, None)],
+        "doc_id long, text string")
+    postings, header = build_bm25_index(df)
+    idx = bm25_topk_indexed(postings, header, ["cat", "dog"], k=10).collect()
+    scan = {r.doc_id: r.score
+            for r in bm25_topk(df, ["cat", "dog"], k=10).collect()}
+    assert [(r.doc_id, r.score) for r in idx] == [
+        (d, scan[d]) for d in [r.doc_id for r in idx]]
+    assert {r.doc_id for r in idx} == {1, 2}  # doc3 matches nothing
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    postings, header = build_bm25_index(docs)
+    idx = [(r.doc_id, r.score) for r in
+           bm25_topk_indexed(postings, header, BM25_TERMS, k=25).collect()]
+    scan = [(r.doc_id, r.score) for r in
+            bm25_topk(docs, BM25_TERMS, k=25).collect() if r.score > 0][:25]
+    assert idx == scan
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        bm25_topk_indexed(postings, header, [])
+
+
 def test_ivfpq_scores_exact_and_recall_floor(spark, sf_dir):
     """IVF+PQ composition: every returned pair carries the exact 4-dp
     cosine (re-rank on full vectors), and recall vs brute clears the

@@ -327,3 +327,19 @@ def test_bm25_plan_take_ordered_no_shuffle_no_python(spark, sf_dir):
     assert "SortMergeJoin" not in plan and "Window" not in plan
     assert "hashpartitioning" not in plan.lower()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_bm25_indexed_plan_serves_from_pruned_postings(spark, sf_dir):
+    """Index-backed BM25: each query-set branch filters the persisted
+    postings by `term IN (...)` (the pruning predicate that becomes
+    partition pruning under the term-bucketed layout), broadcasts the
+    tiny df table and header, aggregates per doc, and ranks via
+    TakeOrderedAndProject — no SMJ, no Window, no Python, no global
+    sort."""
+    plan = explain(spark, "bm25_indexed_topk", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 3   # df table per branch
+    assert "SortMergeJoin" not in plan and "Window" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # the term pruning predicate reaches the postings scan side
+    assert "term" in plan and "IN (" in plan.replace("in (", "IN (")

@@ -69,6 +69,8 @@ def main() -> int:
                                        # permille threshold denominator)
         "bm25_keyword_topk",           # 1-row corpus-stats attach (N,
                                        # avgdl, per-term df)
+        "bm25_indexed_topk",           # 1-row index header attach per
+                                       # query-set branch (N, avgdl)
         "similarity_topk_ivfpq",       # broadcast probe scoring + 1-row
                                        # recall flag attach
         "sketch_distinct_maintenance",  # 1-row merged/advance equality
