@@ -502,9 +502,153 @@ def lsh_geometry_report(spark, sizes) -> dict:
     return report
 
 
+def clustered_ann_report(spark) -> dict:
+    """Clustered-vs-isotropic ANN measurement (VERDICT r6 task 4): the
+    SCALE.md production argument — the near-isotropic fixture is the
+    LSH/IVF worst case; clustered corpora reach recall at far smaller
+    candidate fractions — measured instead of cited.
+
+    Two deterministic corpora of the sf0.1 shape (n=2000, d=64, unit
+    vectors): ``isotropic`` (iid gaussian) and ``clustered`` (32-center
+    mixture of Gaussians, within-cluster cosine ≈ 0.93).  For each, the
+    four approximate lanes are scored against brute force on the same
+    50 queries at the SAME geometry (the fixture constants), recording
+    recall, wall-clock, and the lane's CANDIDATE FRACTION — scored
+    candidate rows per (query × corpus) pair: ANN from the SRP band
+    histograms (Σ q_band·c_band, multiplicity across tables = real
+    scored rows), IVF/IVFPQ from the probed cells' populations, PQ
+    fixed at 1.0 (ADC is by design an exhaustive scan over 16-byte
+    codes — clustering cannot change its cost, only its recall)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from hbase_snapshotter_spark.cache import release_caches
+    from hbase_snapshotter_spark.operators.similarity import (
+        ANN_BITS_PER_TABLE,
+        ANN_PROJECTIONS,
+        ANN_TABLES,
+        ann_lsh_topk,
+        assign_to_centroids,
+        brute_force_topk,
+        ivf_topk,
+        ivfpq_topk,
+        pq_topk,
+        probe_centroids,
+        sampled_centroids,
+        srp_bucket,
+    )
+
+    n, d, nq, k_clusters = 2000, 64, 50, 32
+    rng = np.random.default_rng(7)
+    iso = rng.standard_normal((n, d))
+    centers = rng.standard_normal((k_clusters, d))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    member = rng.integers(0, k_clusters, n)
+    clu = centers[member] + 0.05 * rng.standard_normal((n, d))
+
+    def to_df(arr):
+        arr = arr / np.linalg.norm(arr, axis=1, keepdims=True)
+        rows = [(i, [float(x) for x in row]) for i, row in enumerate(arr)]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>").repartition(32)
+
+    def topsets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return out
+
+    def band_counts(df, alias):
+        bits = ANN_BITS_PER_TABLE
+        sig = df.select(srp_bucket(F.col("embedding"), ANN_PROJECTIONS).alias("s"))
+        return (
+            sig.select(F.posexplode(F.array(*[
+                F.substring("s", t * bits + 1, bits)
+                for t in range(ANN_TABLES)])).alias("tbl", "key"))
+            .groupBy("tbl", "key").agg(F.count(F.lit(1)).alias(alias)))
+
+    report = {"n": n, "d": d, "n_queries": nq, "clusters": k_clusters,
+              "within_cluster_cos": 0.93, "corpora": {}}
+    for label, arr in (("isotropic", iso), ("clustered", clu)):
+        emb = to_df(arr).persist()
+        emb.count()
+        q = emb.filter(F.col("vec_id") < nq)
+        brute = topsets(brute_force_topk(emb, q, k=5))
+        entry = {}
+
+        # candidate fractions (geometry-determined, measured from data)
+        cand_ann = (band_counts(emb, "c").join(band_counts(q, "qc"),
+                                               ["tbl", "key"])
+                    .agg(F.sum(F.col("c") * F.col("qc")).alias("s"))
+                    .collect()[0].s or 0)
+        cents = sampled_centroids(emb).persist()
+        assign = assign_to_centroids(emb, cents)
+        cell_sizes = assign.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("sz"))
+        probed = (probe_centroids(q, cents).join(cell_sizes, "cell")
+                  .agg(F.sum("sz").alias("s")).collect()[0].s or 0)
+        frac = {"ann": round(cand_ann / (nq * n), 4),
+                "ivf": round(probed / (nq * n), 4),
+                "ivfpq": round(probed / (nq * n), 4),
+                "pq": 1.0}
+
+        # re-tuned ANN: DEEPER geometry (4 tables x 8 bits vs the
+        # fixture's 12x4) — viable only when neighbors are tight
+        # (clustered); measures the candidate-fraction headroom
+        # clustering buys at production tuning
+        from hbase_snapshotter_spark.operators.similarity import (
+            random_projections,
+        )
+
+        deep_tables, deep_bits = 4, 8
+        deep_proj = random_projections(n=deep_tables * deep_bits)
+
+        def band_counts_deep(df, alias):
+            sig = df.select(srp_bucket(F.col("embedding"), deep_proj).alias("s"))
+            return (
+                sig.select(F.posexplode(F.array(*[
+                    F.substring("s", t * deep_bits + 1, deep_bits)
+                    for t in range(deep_tables)])).alias("tbl", "key"))
+                .groupBy("tbl", "key").agg(F.count(F.lit(1)).alias(alias)))
+
+        cand_deep = (band_counts_deep(emb, "c")
+                     .join(band_counts_deep(q, "qc"), ["tbl", "key"])
+                     .agg(F.sum(F.col("c") * F.col("qc")).alias("s"))
+                     .collect()[0].s or 0)
+        frac["ann_retuned"] = round(cand_deep / (nq * n), 4)
+
+        def ann_retuned(corpus, queries, k):
+            return ann_lsh_topk(corpus, queries, k=k,
+                                projections=deep_proj, tables=deep_tables)
+
+        for lane, fn in (("ann", ann_lsh_topk),
+                         ("ann_retuned", ann_retuned),
+                         ("ivf", ivf_topk),
+                         ("pq", pq_topk), ("ivfpq", ivfpq_topk)):
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                got = topsets(fn(emb, q, k=5))
+                best = min(best, time.time() - t0)
+                release_caches()
+            recall = sum(
+                len(got.get(qid, set()) & brute[qid]) / len(brute[qid])
+                for qid in brute) / len(brute)
+            entry[lane] = {"recall": round(recall, 3),
+                           "candidate_fraction": frac[lane],
+                           "sec": round(best, 2)}
+        cents.unpersist()
+        emb.unpersist()
+        report["corpora"][label] = entry
+        print(f"  {label}: {entry}", file=sys.stderr, flush=True)
+    return report
+
+
 def main() -> int:
     skip_100x = "--skip-100x" in sys.argv
     lsh_only = "--lsh-geometry" in sys.argv
+    clustered_only = "--clustered-ann" in sys.argv
     only: set[str] | None = None
     if "--only" in sys.argv:
         only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
@@ -535,6 +679,10 @@ def main() -> int:
 
     if lsh_only:
         print(json.dumps(lsh_geometry_report(spark, sizes), indent=2))
+        return 0
+
+    if clustered_only:
+        print(json.dumps(clustered_ann_report(spark), indent=2))
         return 0
 
     ops = operators()
