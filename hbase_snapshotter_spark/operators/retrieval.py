@@ -178,3 +178,88 @@ def bm25_topk_indexed(
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )
+
+
+#: Standard RRF smoothing constant (Cormack et al. 2009's published
+#: default): dampens any single list's top ranks so consensus across
+#: lists outweighs one retriever's first place.
+RRF_K0 = 60
+
+
+def rrf_fuse(
+    ranked_lists: list[DataFrame],
+    *,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 10,
+    k0: int = RRF_K0,
+) -> DataFrame:
+    """Reciprocal-rank fusion (SURVEY §2.3 N55) — merge ranked lists
+    from heterogeneous retrievers into one ranking:
+    ``score(d) = Σ_lists 1/(k0 + rank_list(d))``, the fusion rule that
+    needs NO score calibration between retrievers (BM25 scores and
+    cosines are not comparable; ranks are).  Output: ``(id, rrf_score,
+    n_lists)`` — top ``k``, ties toward the smaller id.
+
+    Spark shape: each input list contributes ``(id, 1/(k0+rank))``
+    rows; fusion is one union + hash aggregation over Σ|lists| rows —
+    the inputs are already top-N truncated (index-backed retrievals),
+    so the fuse costs k-row arithmetic regardless of corpus size.
+    Documents absent from a list simply contribute nothing — exactly
+    RRF's semantics, no outer-join NULL handling needed."""
+    if not ranked_lists:
+        raise ValueError("rrf_fuse: ranked_lists must be non-empty")
+    contribs = [
+        df.select(F.col(id_col),
+                  (F.lit(1.0) / (F.lit(k0) + F.col(rank_col))).alias("__c"))
+        for df in ranked_lists
+    ]
+    u = contribs[0]
+    for c in contribs[1:]:
+        u = u.unionAll(c)
+    return (
+        u.groupBy(id_col)
+        .agg(F.round(F.sum("__c"), 6).alias("rrf_score"),
+             F.count(F.lit(1)).cast("int").alias("n_lists"))
+        .orderBy(F.desc("rrf_score"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def advance_bm25_index(
+    postings: DataFrame,
+    delta_docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Advance a materialized BM25 index with ONLY the delta documents
+    — the serving index joins the incremental-state family (N25
+    latest-cells, N43 PQ codes, N48 sketches, N54 SCD2): at 100 TB
+    nobody re-tokenizes the corpus to add a day's crawl.
+
+    Document-wins semantics: a delta doc REPLACES its prior posting
+    rows (edits and re-deliveries both resolve to the delta's
+    tokenization — one ``id``-keyed anti-join removes the old lists,
+    exactly the N43 delta-wins shape), then the delta's postings
+    append.  The header advances arithmetically: ``N`` and ``avgdl``
+    recompose from (prior N·avgdl ± replaced/added lengths) — but
+    because replaced docs' old lengths must be subtracted, the header
+    is recomputed from the POSTINGS state itself (one agg over distinct
+    ``(doc, dl)`` — index-sized, not corpus-sized; dl is denormalized
+    onto every posting row precisely so state is self-describing).
+    Re-delivering a delta is a no-op (same tokenization ⇒ same rows).
+    Advanced index ≡ full rebuild over the unioned corpus,
+    row-for-row (pytest-pinned)."""
+    fresh_postings, _ = build_bm25_index(
+        delta_docs, id_col=id_col, text_col=text_col)
+    delta_ids = delta_docs.filter(F.col(text_col).isNotNull()) \
+        .select(id_col).distinct()
+    kept = postings.join(F.broadcast(delta_ids), id_col, "left_anti")
+    new_postings = kept.unionByName(fresh_postings) \
+        .select("term", id_col, "dl", "tf")
+    new_header = (
+        new_postings.select(id_col, "dl").distinct()
+        .agg(F.count(F.lit(1)).alias("N"), F.avg("dl").alias("avgdl"))
+    )
+    return new_postings, new_header

@@ -340,3 +340,73 @@ def context_chunks(
         F.element_at("__t", start + 1).alias("first_token"),
         F.element_at("__t", end.cast("int")).alias("last_token"),
     )
+
+
+def stratified_exact_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    n_per_stratum: int,
+    *,
+    key_col: str,
+    margin: int = 4,
+) -> DataFrame:
+    """Exact-allocation stratified sampling (SURVEY §2.3 N56): EXACTLY
+    ``min(n_per_stratum, |stratum|)`` rows per stratum — deterministic,
+    engine-replayable, partitioning-independent — unlike ``sampleBy``,
+    whose binomial draw only hits the target in expectation (an eval
+    set carved with sampleBy has a different size every run AND a
+    random composition).
+
+    Selection rule: each stratum keeps the bottom-``n`` rows of the
+    total order ``(hash_bucket(key), md5(key), key)`` — a content-
+    derived order, so membership survives reruns, repartitioning, and
+    engine changes, and the SQL oracle replays it verbatim.  Output =
+    input columns + ``strat_rank`` (1-based within the stratum).
+
+    Scale shape: ranking bottom-n of a 10⁹-row stratum must NOT sort
+    the stratum.  Because ``hash_bucket`` is the PRIMARY sort key, the
+    rows with ``bucket < B`` are a PREFIX of the total order — so the
+    window only runs over a hash band sized from the stratum's count
+    (one agg pass): ``B = ceil(1000·n·margin/|stratum|)``, expected
+    band population ``margin × n``.  Bottom-n within the band == 
+    bottom-n of the full stratum whenever the band holds ≥ n rows;
+    strata whose band came up short (adversarial hash clustering —
+    probability ~e^{-margin·n/3} by Chernoff) fall back to the full
+    stratum, detected in-plan by a survivor count.  Window input is
+    therefore ∝ requested sample size, never corpus size."""
+    if n_per_stratum <= 0:
+        raise ValueError("stratified_exact_sample: n_per_stratum must be > 0")
+    strata = list(strata_cols)
+    sizes = df.groupBy(*strata).agg(F.count(F.lit(1)).alias("__sz"))
+    bucket = hash_bucket(key_col)
+    band = F.least(
+        F.lit(BUCKETS),
+        F.ceil(F.lit(BUCKETS * n_per_stratum * margin) / F.col("__sz")))
+    with_band = (
+        df.join(F.broadcast(sizes), strata)
+        .withColumn("__bkt", bucket)
+        .withColumn("__band", band)
+    )
+    in_band = with_band.filter(F.col("__bkt") < F.col("__band"))
+    survivors = in_band.groupBy(*strata).agg(
+        F.count(F.lit(1)).alias("__n_band"))
+    # strata with a short band (survivors < n) re-window over ALL rows;
+    # the rest window over their band only — same total order either way
+    short = survivors.filter(
+        F.col("__n_band") < F.lit(n_per_stratum)).select(*strata)
+    widened = with_band.join(F.broadcast(short), strata, "left_semi")
+    narrow = in_band.join(F.broadcast(short), strata, "left_anti")
+    # the tie-break uses the coalesced STRING key on purpose: engines
+    # disagree on NULL sort position (Spark nulls-first vs DuckDB
+    # nulls-last), and the sentinel makes the order total either way;
+    # key_col should be row-unique (an id) for a fully deterministic
+    # rank — two identical NULL keys are indistinguishable by content
+    key = F.coalesce(F.col(key_col).cast("string"), F.lit("\x00NULL"))
+    w = Window.partitionBy(*[F.col(c) for c in strata]).orderBy(
+        F.col("__bkt"), F.md5(key), key)
+    ranked = (
+        narrow.unionByName(widened)
+        .withColumn("strat_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("strat_rank") <= n_per_stratum)
+    )
+    return ranked.drop("__sz", "__bkt", "__band")

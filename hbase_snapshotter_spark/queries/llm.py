@@ -2547,6 +2547,146 @@ PAIRS.update({
 })
 
 
+#: Hybrid retrieval: the embedding query is the vector of this doc (the
+#: fixture keys documents.doc_id == embeddings.vec_id), fused with the
+#: BM25_TERMS keyword list.
+HYBRID_QUERY_VEC = 7
+HYBRID_LIST_K = 20
+HYBRID_K = 10
+
+
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (N55): the
+    index-backed BM25 keyword list and the embedding cosine top-N over
+    the SAME id space (the fixture keys ``documents.doc_id ==
+    embeddings.vec_id``), fused by ``Σ 1/(60 + rank)`` — the
+    calibration-free way to combine retrievers whose raw scores aren't
+    comparable.  The exact cosine lane keeps the oracle exact;
+    production swaps it for IVF+PQ (same ``(id, rank)`` shape), making
+    both lists index-backed and the fuse k-row arithmetic.  Each list's
+    rank is a row_number over its own N-row truncated result — a
+    20-row window, not a corpus sort."""
+    from hbase_snapshotter_spark.cache import scoped_persist
+    from hbase_snapshotter_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        build_bm25_index,
+        rrf_fuse,
+    )
+    from hbase_snapshotter_spark.operators.similarity import brute_force_topk
+    from pyspark.sql import Window
+
+    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    emb = spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    postings, header = build_bm25_index(docs)
+    bm = bm25_topk_indexed(scoped_persist(postings), scoped_persist(header),
+                           BM25_TERMS, k=HYBRID_LIST_K)
+    w = Window.orderBy(F.desc("score"), F.col("doc_id"))
+    bm_ranked = bm.select("doc_id", F.row_number().over(w).alias("rank"))
+    nn = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") == HYBRID_QUERY_VEC), k=HYBRID_LIST_K
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse([bm_ranked, nn], k=HYBRID_K)
+
+
+def _oracle_hybrid_rrf() -> str:
+    from hbase_snapshotter_spark.operators.retrieval import BM25_B, BM25_K1, RRF_K0
+
+    in_list = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    one_minus_b = 1 - BM25_B
+    k1p1 = BM25_K1 + 1
+    return f"""
+WITH base AS (
+  SELECT doc_id, len(string_split(trim(text), ' ')) AS dl,
+         string_split(trim(text), ' ') AS toks
+  FROM documents WHERE text IS NOT NULL),
+pl AS (
+  SELECT term, doc_id, dl, CAST(COUNT(*) AS INTEGER) AS tf FROM (
+    SELECT doc_id, dl, unnest(toks) AS term FROM base)
+  GROUP BY term, doc_id, dl),
+hdr AS (SELECT COUNT(*) AS N, AVG(dl) AS avgdl FROM base),
+bm AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM (
+    SELECT pl.doc_id,
+           ROUND(SUM(ROUND(ln(1.0 + (hdr.N - d.df + 0.5) / (d.df + 0.5)), 6)
+                 * (CAST(pl.tf AS DOUBLE) * {k1p1})
+                 / (CAST(pl.tf AS DOUBLE) + {BM25_K1} * ({one_minus_b}
+                    + {BM25_B} * pl.dl / hdr.avgdl))), 4) AS score
+    FROM pl
+    JOIN (SELECT term, COUNT(*) AS df FROM pl
+          WHERE term IN ({in_list}) GROUP BY term) d ON pl.term = d.term
+    CROSS JOIN hdr
+    WHERE pl.term IN ({in_list})
+    GROUP BY pl.doc_id
+    ORDER BY score DESC, pl.doc_id
+    LIMIT {HYBRID_LIST_K})),
+nn AS (
+  SELECT neighbor_id AS doc_id, rank FROM (
+    SELECT c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (ORDER BY {SQL_COSINE} DESC, c.vec_id ASC) AS rank
+    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id = {HYBRID_QUERY_VEC})
+  WHERE rank <= {HYBRID_LIST_K}),
+contrib AS (
+  SELECT doc_id, 1.0 / ({RRF_K0} + rank) AS c FROM bm
+  UNION ALL
+  SELECT doc_id, 1.0 / ({RRF_K0} + rank) AS c FROM nn)
+SELECT doc_id, ROUND(SUM(c), 6) AS rrf_score,
+       CAST(COUNT(*) AS INTEGER) AS n_lists
+FROM contrib GROUP BY doc_id
+ORDER BY rrf_score DESC, doc_id
+LIMIT {HYBRID_K}
+"""
+
+
+PAIRS.update({
+    "hybrid_rrf_topk": (hybrid_rrf_topk, _oracle_hybrid_rrf()),
+})
+
+
+STRAT_SAMPLE_N = 10
+
+
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-allocation stratified sample (N56): exactly
+    min(10, |stratum|) documents per (lang, source) stratum, selected
+    by the content-derived (hash-band, md5, key) total order — the
+    deterministic eval-set carve `sampleBy`'s binomial draw can't give.
+    The window runs over a count-sized hash band per stratum (input ∝
+    requested sample), with an in-plan full-stratum fallback for bands
+    that come up short; the oracle replays the rank over the full
+    stratum — equivalent by the prefix property of the band."""
+    from hbase_snapshotter_spark.operators.sampling import (
+        stratified_exact_sample,
+    )
+
+    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return stratified_exact_sample(
+        docs, ["lang", "source"], STRAT_SAMPLE_N, key_col="doc_id"
+    ).select("lang", "source", "doc_id", "strat_rank")
+
+
+def _oracle_stratified_sample() -> str:
+    return f"""
+SELECT lang, source, doc_id, CAST(rnk AS INTEGER) AS strat_rank FROM (
+  SELECT lang, source, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang, source
+           ORDER BY CAST('0x' || substr(md5(k), 1, 8) AS BIGINT) % 1000,
+                    md5(k), k) AS rnk
+  FROM (SELECT lang, source, doc_id,
+               COALESCE(CAST(doc_id AS VARCHAR), chr(0) || 'NULL') AS k
+        FROM documents))
+WHERE rnk <= {STRAT_SAMPLE_N}
+"""
+
+
+PAIRS.update({
+    "stratified_sample_docs": (stratified_sample_docs,
+                               _oracle_stratified_sample()),
+})
+
+
 #: Measured IVF+PQ recall vs brute force at sf0.001/0.01/0.1:
 #: 0.82 / 0.77 / 0.75 — the probe-miss and quantization losses compose,
 #: and both are deterministic (no RNG), so the floor can't flip.

@@ -588,6 +588,44 @@ def test_sampling_is_total_over_null_keys(spark):
     assert all(r.b is not None and 0 <= r.b < 1000 for r in buckets)
 
 
+def test_stratified_exact_sample(spark):
+    """N56: exactly min(n, |stratum|) rows per stratum; membership is
+    content-derived (identical under repartitioning); the short-band
+    fallback (tiny stratum whose hash band can't hold n) still fills
+    the allocation; bad n raises."""
+    from pyspark.sql import functions as F
+
+    from hbase_snapshotter_spark.operators.sampling import (
+        stratified_exact_sample,
+    )
+
+    df = spark.range(1000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.col("id").alias("k"))
+    out = stratified_exact_sample(df, ["g"], 7, key_col="k")
+    got = out.groupBy("g").agg(F.count(F.lit(1)).alias("n"),
+                               F.max("strat_rank").alias("mx")).collect()
+    assert {(r.g, r.n, r.mx) for r in got} == {("0", 7, 7), ("1", 7, 7),
+                                               ("2", 7, 7)}
+
+    # partitioning independence: same members, same ranks
+    a = {(r.g, r.k, r.strat_rank) for r in out.collect()}
+    b = {(r.g, r.k, r.strat_rank) for r in stratified_exact_sample(
+        df.repartition(17), ["g"], 7, key_col="k").collect()}
+    assert a == b
+
+    # tiny stratum (|stratum| < n): everything kept, fallback path
+    tiny = spark.createDataFrame(
+        [("t", i) for i in range(3)], "g string, k long")
+    got_tiny = stratified_exact_sample(
+        df.unionByName(tiny), ["g"], 7, key_col="k")
+    assert got_tiny.filter(F.col("g") == "t").count() == 3
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        stratified_exact_sample(df, ["g"], 0, key_col="k")
+
+
 def test_pack_sequences_hand_computed_and_partition_independent(spark):
     """Crammed sequence packing against hand-computed prefix sums: with
     one shard the docs concatenate in id order and cut every `budget`
@@ -1397,6 +1435,68 @@ def test_bm25_indexed_matches_scan_form(spark, sf_dir):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         bm25_topk_indexed(postings, header, [])
+
+
+def test_bm25_index_advance_equals_rebuild(spark):
+    """Incremental BM25 index maintenance: advancing with a delta
+    (new docs + an EDIT of an existing doc) equals the full rebuild
+    over the final corpus, row-for-row and header-for-header;
+    re-delivering the delta is a no-op; served rankings agree."""
+    from hbase_snapshotter_spark.operators.retrieval import (
+        advance_bm25_index,
+        bm25_topk_indexed,
+        build_bm25_index,
+    )
+
+    docs0 = spark.createDataFrame(
+        [(1, "cat cat dog"), (2, "cat fish"), (3, "bird bird")],
+        "doc_id long, text string")
+    delta = spark.createDataFrame(
+        [(2, "cat fish fish shark"),   # edit: replaces doc 2
+         (4, "dog shark")],            # new doc
+        "doc_id long, text string")
+    final = spark.createDataFrame(
+        [(1, "cat cat dog"), (2, "cat fish fish shark"),
+         (3, "bird bird"), (4, "dog shark")],
+        "doc_id long, text string")
+
+    p0, _h0 = build_bm25_index(docs0)
+    p_adv, h_adv = advance_bm25_index(p0, delta)
+    p_full, h_full = build_bm25_index(final)
+
+    rows = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    assert rows(p_adv) == rows(p_full)
+    assert h_adv.collect() == h_full.collect()
+
+    # re-delivery is a no-op
+    p_again, h_again = advance_bm25_index(p_adv, delta)
+    assert rows(p_again) == rows(p_full)
+    assert h_again.collect() == h_full.collect()
+
+    # serving from the advanced index == serving from the rebuild
+    assert (bm25_topk_indexed(p_adv, h_adv, ["cat", "shark"], k=10).collect()
+            == bm25_topk_indexed(p_full, h_full, ["cat", "shark"], k=10).collect())
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """RRF against hand arithmetic: doc 1 in both lists (rank 1, rank 2
+    -> 1/61 + 1/62), doc 2 only in list A (rank 2 -> 1/62), doc 3 only
+    in list B (rank 1 -> 1/61); consensus doc wins, then the rank-1
+    single, tie-break toward the smaller id; k truncates; empty input
+    raises."""
+    from hbase_snapshotter_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank int")
+    b = spark.createDataFrame([(3, 1), (1, 2)], "doc_id long, rank int")
+    out = rrf_fuse([a, b], k=10).collect()
+    assert [r.doc_id for r in out] == [1, 3, 2]
+    assert out[0].rrf_score == round(1 / 61 + 1 / 62, 6)
+    assert out[0].n_lists == 2 and out[1].n_lists == 1
+    assert out[1].rrf_score == round(1 / 61, 6)
+    assert [r.doc_id for r in rrf_fuse([a, b], k=1).collect()] == [1]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        rrf_fuse([])
 
 
 def test_ivfpq_scores_exact_and_recall_floor(spark, sf_dir):

@@ -128,11 +128,12 @@ def test_funnel_cohort_all_joins_broadcast_no_window(spark, sf_dir):
 
 
 def test_rollup_cube_plan_is_expand_aggregate(spark, sf_dir):
-    """ROLLUP and CUBE each plan as Expand + hash aggregate with
-    map-side partials — exactly one shuffle per branch."""
+    """ROLLUP, CUBE, and the GROUPING SETS branch (r7 merge) each plan
+    as Expand + hash aggregate with map-side partials — exactly one
+    shuffle per branch, three branches."""
     plan = explain(spark, "agg_rollup_cube", sf_dir)
-    assert plan.count("Expand") >= 2
-    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    assert plan.count("Expand") >= 3
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 3
     assert "SortMergeJoin" not in plan and "Window" not in plan
 
 

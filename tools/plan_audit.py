@@ -71,6 +71,10 @@ def main() -> int:
                                        # avgdl, per-term df)
         "bm25_indexed_topk",           # 1-row index header attach per
                                        # query-set branch (N, avgdl)
+        "hybrid_rrf_topk",             # broadcast-side scoring: ONE
+                                       # query vector against the
+                                       # corpus (exact cosine lane) +
+                                       # 1-row index header attach
         "similarity_topk_ivfpq",       # broadcast probe scoring + 1-row
                                        # recall flag attach
         "sketch_distinct_maintenance",  # 1-row merged/advance equality
