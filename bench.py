@@ -57,6 +57,20 @@ HEADLINE_R6 = [
     "lm_perplexity_filter",
 ]
 
+# Round-7 additions + the four round-6 ops promoted into recorded
+# CORRECTNESS slots that HEADLINE_R6 didn't already time — keeping the
+# benched surface aligned with the driver-recorded surface.  Reported
+# as "queries_r7" with its own total.
+HEADLINE_R7 = [
+    "cross_snapshot_novelty",
+    "profile_lineitem",
+    "bpe_encode_stats",
+    "token_heavy_hitters",
+    "bm25_indexed_topk",
+    "hybrid_rrf_topk",
+    "stratified_sample_docs",
+]
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -96,7 +110,7 @@ def main() -> int:
     warm_dir = "/root/testdata/sf0.001"
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
-    for name in HEADLINE + HEADLINE_R6:
+    for name in HEADLINE + HEADLINE_R6 + HEADLINE_R7:
         QUERIES[name](spark, warm_dir).write.mode("overwrite").format("noop").save()
     from hbase_snapshotter_spark.cache import release_caches
 
@@ -121,7 +135,7 @@ def main() -> int:
     # one query disagree by 2x, that's the noise floor, not a plan
     # change.  The headline number stays the cross-pass min.
     PASSES, REPS = 2, 3
-    all_names = HEADLINE + HEADLINE_R6
+    all_names = HEADLINE + HEADLINE_R6 + HEADLINE_R7
     per_pass: dict[str, list[float]] = {name: [] for name in all_names}
     for _pass in range(PASSES):
         for name in all_names:
@@ -135,6 +149,7 @@ def main() -> int:
             release_caches()
     times = {name: min(per_pass[name]) for name in HEADLINE}
     times_r6 = {name: min(per_pass[name]) for name in HEADLINE_R6}
+    times_r7 = {name: min(per_pass[name]) for name in HEADLINE_R7}
 
     out = {
         "metric": "headline_queries_total",
@@ -143,6 +158,8 @@ def main() -> int:
         "queries": times,
         "queries_r6": times_r6,
         "r6_total": round(sum(times_r6.values()), 3),
+        "queries_r7": times_r7,
+        "r7_total": round(sum(times_r7.values()), 3),
         "queries_per_pass": per_pass,
         "passes": PASSES,
         "reps_per_pass": REPS,

@@ -285,6 +285,131 @@ def minhash_lsh_pairs(
                          candidates=candidates, shingles_df=s)
 
 
+def build_neardup_state(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """Materialized near-dup state (SURVEY §2.3 N57): the banded
+    MinHash index ``(id, band, band_key)`` — ``bands`` rows per
+    document, each key a band's signature slice.  This is the table a
+    100 TB pipeline PERSISTS so tomorrow's crawl is near-dup-checked
+    against all history without re-shingling the corpus (the N25/N43/
+    N45 incremental-state posture for the flagship dedup lane).
+    Content-derived hashing (no RNG) makes the state reproducible
+    anywhere, so rebuild-vs-advance equality is exact."""
+    rows = num_hashes // bands
+    sig = (
+        doc_shingles(spread(df), id_col, text_col, n)
+        .select(F.col(id_col), *minhash_digests(num_hashes))
+        .groupBy(id_col).agg(*minhash_aggs(num_hashes))
+    )
+    band_cols = [
+        F.concat_ws(",", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
+        for b in range(bands)
+    ]
+    return sig.select(
+        id_col, F.posexplode(F.array(*band_cols)).alias("band", "band_key"))
+
+
+def advance_neardup_state(
+    state: DataFrame,
+    delta_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """Advance the N57 near-dup state with ONLY the delta documents.
+    Document-wins: a delta doc REPLACES its prior band rows (one
+    id-keyed anti-join — edits re-sign, re-deliveries are no-ops since
+    the same text yields the same rows), then the delta's band rows
+    append.  Advanced state ≡ full rebuild over the unioned corpus and
+    idempotent under re-delivery (pytest-pinned) — only the delta is
+    ever shingled."""
+    fresh = build_neardup_state(
+        delta_docs, id_col, text_col, n=n, num_hashes=num_hashes,
+        bands=bands)
+    delta_ids = delta_docs.select(id_col).distinct()
+    kept = state.join(F.broadcast(delta_ids), id_col, "left_anti")
+    return kept.unionByName(fresh)
+
+
+def neardup_novelty(
+    state: DataFrame,
+    history_docs: DataFrame,
+    delta_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-dup novelty of a delta against the persisted N57 state:
+    for each delta document, does history already hold a near-duplicate
+    (exact Jaccard ≥ ``threshold``)?  Output per delta doc:
+    ``(id, n_candidates, n_matches, best_match_id, best_jaccard,
+    is_novel)`` — best = highest Jaccard among matches, ties toward the
+    smaller history id.
+
+    Scale shape (the whole point): the HISTORY side never re-shingles —
+    candidates come from joining the delta's freshly-signed band rows
+    (delta-sized, broadcast) against the materialized state; exact
+    verification then shingles ONLY the delta plus the COLLIDING
+    history docs (one id-keyed semi-join fetch — input ∝ candidates,
+    never corpus).  Self-collisions (a delta id already present in
+    state) are excluded: novelty is against OTHER documents."""
+    delta_bands = build_neardup_state(
+        delta_docs, id_col, text_col, n=n, num_hashes=num_hashes,
+        bands=bands)
+    cand = scoped_persist(
+        state.join(F.broadcast(delta_bands.withColumnRenamed(id_col, "id_a")),
+                   ["band", "band_key"])
+        .filter(F.col(id_col) != F.col("id_a"))
+        .select("id_a", F.col(id_col).alias("id_b"))
+        .distinct()
+    )
+    hist_needed = history_docs.join(
+        cand.select(F.col("id_b").alias(id_col)).distinct(),
+        id_col, "left_semi")
+    shingles = _shingle_sets(
+        delta_docs.select(id_col, text_col)
+        .unionByName(hist_needed.select(id_col, text_col)),
+        id_col, text_col, n, None)
+    matches = jaccard_pairs(
+        delta_docs, id_col, text_col, n=n, threshold=threshold,
+        candidates=cand, shingles_df=shingles)
+    best = (
+        matches.groupBy("id_a")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_matches"),
+             F.max(F.struct(F.col("jaccard"),
+                            (-F.col("id_b")).alias("__nid"))).alias("__b"))
+        .select("id_a", "n_matches",
+                (-F.col("__b.__nid")).alias("best_match_id"),
+                F.col("__b.jaccard").alias("best_jaccard"))
+    )
+    ncand = cand.groupBy("id_a").agg(
+        F.count(F.lit(1)).cast("int").alias("n_candidates"))
+    return (
+        delta_docs.select(F.col(id_col).alias("id_a"))
+        .join(ncand, "id_a", "left").join(best, "id_a", "left")
+        .select(
+            F.col("id_a").alias(id_col),
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+            "best_match_id", "best_jaccard",
+            (F.coalesce("n_matches", F.lit(0)) == 0).alias("is_novel"))
+    )
+
+
 SIMHASH_BITS = 48
 SIMHASH_BANDS = 3
 SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS

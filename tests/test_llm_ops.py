@@ -1437,6 +1437,50 @@ def test_bm25_indexed_matches_scan_form(spark, sf_dir):
         bm25_topk_indexed(postings, header, [])
 
 
+def test_neardup_state_advance_and_novelty(spark):
+    """N57: the persisted band index advances with only the delta
+    (advance == rebuild, row-for-row; re-delivery and document-wins
+    edits are no-ops/replacements), and novelty classifies an exact
+    copy as matched (jaccard 1.0, best = its history twin) while a
+    disjoint-text doc is novel with zero candidates."""
+    from hbase_snapshotter_spark.operators.dedup import (
+        advance_neardup_state,
+        build_neardup_state,
+        neardup_novelty,
+    )
+
+    h = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "p q r s t u v w")],
+        "doc_id long, text string")
+    d = spark.createDataFrame(
+        [(10, "a b c d e f g h"),      # exact copy of doc 1
+         (11, "zz yy xx ww vv uu tt")],  # disjoint text -> novel
+        "doc_id long, text string")
+
+    rows = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    state = build_neardup_state(h, "doc_id")
+
+    # advance == rebuild over the union; re-delivery is a no-op
+    adv = advance_neardup_state(state, d)
+    full = build_neardup_state(h.unionByName(d), "doc_id")
+    assert rows(adv) == rows(full)
+    assert rows(advance_neardup_state(adv, d)) == rows(full)
+
+    # document-wins: an edit of doc 1 replaces its band rows
+    edit = spark.createDataFrame(
+        [(1, "m n o p q r s t")], "doc_id long, text string")
+    re_built = build_neardup_state(
+        edit.unionByName(h.filter("doc_id = 2")), "doc_id")
+    assert rows(advance_neardup_state(state, edit)) == rows(re_built)
+
+    # novelty: the copy matches its twin; the disjoint doc is novel
+    out = {r.doc_id: r for r in neardup_novelty(state, h, d).collect()}
+    assert not out[10].is_novel and out[10].n_matches == 1
+    assert out[10].best_match_id == 1 and out[10].best_jaccard == 1.0
+    assert out[11].is_novel and out[11].n_candidates == 0
+    assert out[11].best_match_id is None and out[11].best_jaccard is None
+
+
 def test_bm25_index_advance_equals_rebuild(spark):
     """Incremental BM25 index maintenance: advancing with a delta
     (new docs + an EDIT of an existing doc) equals the full rebuild

@@ -71,6 +71,8 @@ def main() -> int:
                                        # avgdl, per-term df)
         "bm25_indexed_topk",           # 1-row index header attach per
                                        # query-set branch (N, avgdl)
+        "neardup_novelty_delta",       # 1-row advance-equals-rebuild
+                                       # flag attach
         "hybrid_rrf_topk",             # broadcast-side scoring: ONE
                                        # query vector against the
                                        # corpus (exact cosine lane) +
