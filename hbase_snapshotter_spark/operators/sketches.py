@@ -123,3 +123,113 @@ def theta_set_cardinalities(
         F.when(both, est(F.theta_difference("__b", "__a")))
          .otherwise(side("__b")).alias("n_b_only"),
     )
+
+
+#: DDSketch relative-accuracy target (Masson, Lee & Rong, VLDB 2019):
+#: every quantile estimate is within ``DD_ALPHA`` relative error of the
+#: true value at that rank, GUARANTEED (not probabilistic like KLL).
+DD_ALPHA = 0.01
+#: log-bucket base: values in (gamma^(i-1), gamma^i] share bucket i.
+DD_GAMMA = (1 + DD_ALPHA) / (1 - DD_ALPHA)
+#: precomputed ln(gamma) — shared verbatim with the SQL oracle so both
+#: engines divide by the identical double.
+DD_LN_GAMMA = __import__("math").log(DD_GAMMA)
+
+
+def dd_bucket(value_col: str):
+    """DDSketch bucket index of a POSITIVE value: ``ceil(ln(v)/ln γ)``.
+    The ratio is rounded to 6 dp before the ceil so engine libm ulp
+    differences cannot flip a boundary bucket (the md5-determinism
+    posture applied to floats)."""
+    return F.ceil(F.round(F.log(F.col(value_col)) / F.lit(DD_LN_GAMMA), 6)) \
+        .cast("long")
+
+
+def quantile_state(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_cols: list[str],
+) -> DataFrame:
+    """Mergeable quantile-sketch state (SURVEY §2.3 N58): per-group
+    DDSketch log-bucket histogram ``(*group_cols, bucket, cnt)`` — the
+    quantile mirror of the N48 distinct-count state.  One hash
+    aggregation with map-side partials; state size is O(buckets) per
+    group (≈ ln(max/min)/ln γ ≈ 460 buckets per decade-spanning group
+    at α=1%), independent of data volume.  Only positive values are
+    sketched (DDSketch's domain); NULLs and non-positives are the
+    caller's pre-filter contract."""
+    return (
+        df.filter(F.col(value_col).isNotNull() & (F.col(value_col) > 0))
+        .groupBy(*group_cols, dd_bucket(value_col).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def merge_quantile_states(
+    a: DataFrame,
+    b: DataFrame,
+    *,
+    group_cols: list[str],
+) -> DataFrame:
+    """Merge two quantile states: bucket-wise count sum — associative,
+    commutative, and LOSSLESS (``merge(state(A), state(B)) =
+    state(A ⊎ B)`` exactly, since bucketing is a pure per-value
+    function), so merged-equals-full is an exact equality the driver
+    can hash, not a tolerance."""
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def advance_quantile_state(
+    prior: DataFrame,
+    delta: DataFrame,
+    value_col: str,
+    *,
+    group_cols: list[str],
+) -> DataFrame:
+    """Advance materialized quantile state with only the delta rows:
+    sketch the delta (the only data-sized work) and bucket-sum into the
+    prior state.  Unlike the HLL register-max, count-sum is NOT
+    idempotent under re-delivery — exactly-once delta delivery is the
+    contract (the same contract as the N25 cell counts), which the
+    changefeed's idempotent keys provide upstream."""
+    return merge_quantile_states(
+        prior, quantile_state(delta, value_col, group_cols=group_cols),
+        group_cols=group_cols)
+
+
+def dd_quantile_estimates(
+    state: DataFrame,
+    qs: list[float],
+    *,
+    group_cols: list[str],
+) -> DataFrame:
+    """Quantile estimates from the state alone (never the data):
+    ``(*group_cols, n_values, q<pct>_est ...)``.  The value at rank
+    ``ceil(q·n)`` lies in the first bucket whose cumulative count
+    reaches that rank; the estimate ``2γ^b/(γ+1)`` (the bucket's
+    geometric midpoint) is within α relative error of it by
+    construction.  Cost: two windows + one agg over the BUCKET table —
+    O(buckets) per group, KBs at any corpus scale."""
+    from pyspark.sql import Window
+
+    gc = [F.col(c) for c in group_cols]
+    w_cum = (Window.partitionBy(*gc).orderBy("bucket")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = Window.partitionBy(*gc)
+    c = state.select(
+        *group_cols, "bucket",
+        F.sum("cnt").over(w_cum).alias("__cum"),
+        F.sum("cnt").over(w_all).alias("__n"))
+    aggs = [F.max("__n").alias("n_values")]
+    for q in qs:
+        b_q = F.min(F.when(
+            F.col("__cum") >= F.ceil(F.lit(q) * F.col("__n")), F.col("bucket")))
+        est = F.round(
+            F.lit(2.0) * F.pow(F.lit(DD_GAMMA), b_q) / F.lit(DD_GAMMA + 1), 4)
+        aggs.append(est.alias(f"q{int(round(q * 100))}_est"))
+    return c.groupBy(*group_cols).agg(*aggs)

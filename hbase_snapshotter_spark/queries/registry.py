@@ -82,6 +82,9 @@ _ALL_PAIRS.update({
                          snapshot_q.oracle_state_changefeed()),
     "sketch_set_cardinalities": (snapshot_q.q_sketch_set_cardinalities,
                                  snapshot_q.oracle_sketch_set_cardinalities()),
+    "quantile_sketch_maintenance": (
+        snapshot_q.q_quantile_sketch_maintenance,
+        snapshot_q.oracle_quantile_sketch_maintenance()),
 })
 
 #: The correctness harness records at most 50 query rows (observed in

@@ -656,6 +656,124 @@ def oracle_sketch_distinct_maintenance() -> str:
     """
 
 
+def q_quantile_sketch_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile-sketch state (N58) — the quantile mirror of
+    the N48 distinct-count lane: per-event-type DDSketch log-bucket
+    histograms of ``value``, materialized as ``(type, bucket, cnt)``
+    rows and advanced/merged by bucket-wise count sum.  Unlike HLL the
+    estimates ARE cross-engine portable (deterministic bucket
+    arithmetic), so the oracle replays ``n_values`` and the
+    q50/q95/q99 estimates bit-for-bit.  The hash additionally pins:
+
+    - ``est_within_tolerance`` — every estimate within α·(1+slack)
+      relative error of the EXACT value at rank ⌈q·n⌉ (α = 1 %, the
+      DDSketch guarantee; 20 % slack covers the 6-dp boundary rounding
+      that keeps the bucket index engine-portable);
+    - ``merged_equals_full`` — summing per-(type, shard) states equals
+      the single-pass state EXACTLY (bucket-sum is lossless);
+    - ``advance_equals_full`` — advancing the ≤ T1 state with only the
+      > T1 delta equals the full state exactly.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hbase_snapshotter_spark.cache import scoped_persist
+    from hbase_snapshotter_spark.operators.sketches import (
+        DD_ALPHA,
+        advance_quantile_state,
+        dd_quantile_estimates,
+        merge_quantile_states,
+        quantile_state,
+    )
+
+    QS = [0.5, 0.95, 0.99]
+    g = ["event_type"]
+    ev = scoped_persist(
+        read_table(spark, sf_dir, "events")
+        .select("event_type", "value",
+                (F.unix_millis("ts") <= SNAPSHOT_TS_MS).alias("__prior"),
+                (F.col("event_id") % 8).alias("__shard")))
+    full = scoped_persist(quantile_state(ev, "value", group_cols=g))
+    est = dd_quantile_estimates(full, QS, group_cols=g)
+
+    # exact rank values (check-time structure: one per-group sort of
+    # the fixture; production audits a sampled subset on a schedule)
+    pos = ev.filter(F.col("value").isNotNull() & (F.col("value") > 0))
+    wv = Window.partitionBy(*g).orderBy("value")
+    wn = Window.partitionBy(*g)
+    ranked = pos.select(
+        *g, "value", F.row_number().over(wv).alias("__rn"),
+        F.count(F.lit(1)).over(wn).alias("__n"))
+    exact = ranked.groupBy(*g).agg(*[
+        F.min(F.when(F.col("__rn") == F.ceil(F.lit(q) * F.col("__n")),
+                     F.col("value"))).alias(f"__x{int(q * 100)}")
+        for q in QS])
+    tol = DD_ALPHA * 1.2
+    with_flag = est.join(exact, g).withColumn(
+        "est_within_tolerance",
+        (F.abs(F.col("q50_est") - F.col("__x50")) <= tol * F.col("__x50"))
+        & (F.abs(F.col("q95_est") - F.col("__x95")) <= tol * F.col("__x95"))
+        & (F.abs(F.col("q99_est") - F.col("__x99")) <= tol * F.col("__x99")))
+
+    from functools import reduce
+
+    sharded = scoped_persist(quantile_state(
+        ev, "value", group_cols=["event_type", "__shard"]))
+    merged = reduce(
+        lambda acc, i: merge_quantile_states(
+            acc, sharded.filter(F.col("__shard") == i).drop("__shard"),
+            group_cols=g),
+        range(1, 8),
+        sharded.filter(F.col("__shard") == 0).drop("__shard"))
+    merged_flag = (merged.exceptAll(full).unionAll(full.exceptAll(merged))
+                   .agg((F.count(F.lit(1)) == 0).alias("merged_equals_full")))
+    advanced = advance_quantile_state(
+        quantile_state(ev.filter("__prior"), "value", group_cols=g),
+        ev.filter("NOT __prior"), "value", group_cols=g)
+    adv_flag = (advanced.exceptAll(full).unionAll(full.exceptAll(advanced))
+                .agg((F.count(F.lit(1)) == 0).alias("advance_equals_full")))
+    # scalar attach x2: ONE-row equality flags, broadcast cross
+    return (with_flag.select(*g, "n_values", "q50_est", "q95_est",
+                             "q99_est", "est_within_tolerance")
+            .crossJoin(F.broadcast(merged_flag))
+            .crossJoin(F.broadcast(adv_flag))
+            .orderBy(*g))
+
+
+def oracle_quantile_sketch_maintenance() -> str:
+    from hbase_snapshotter_spark.operators.sketches import (
+        DD_GAMMA,
+        DD_LN_GAMMA,
+    )
+
+    est = ("ROUND(2.0 * POWER({G}, MIN(CASE WHEN cum >= CEIL({q} * n) "
+           "THEN bucket END)) / {GP1}, 4)")
+    cols = ",\n           ".join(
+        est.format(G=repr(DD_GAMMA), GP1=repr(DD_GAMMA + 1), q=repr(q))
+        + f" AS q{int(q * 100)}_est"
+        for q in [0.5, 0.95, 0.99])
+    return f"""
+    WITH v AS (SELECT event_type, value FROM events
+               WHERE value IS NOT NULL AND value > 0),
+    b AS (SELECT event_type,
+                 CAST(CEIL(ROUND(LN(value) / {repr(DD_LN_GAMMA)}, 6))
+                      AS BIGINT) AS bucket,
+                 COUNT(*) AS cnt
+          FROM v GROUP BY 1, 2),
+    c AS (SELECT event_type, bucket, cnt,
+                 SUM(cnt) OVER (PARTITION BY event_type
+                                ORDER BY bucket) AS cum,
+                 SUM(cnt) OVER (PARTITION BY event_type) AS n
+          FROM b)
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_values,
+           {cols},
+           TRUE AS est_within_tolerance,
+           TRUE AS merged_equals_full,
+           TRUE AS advance_equals_full
+    FROM c GROUP BY event_type ORDER BY event_type
+    """
+
+
 def q_scd2_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 history (N49) of the events change log: per-cell version
     chains with exclusive validity intervals — the state-OVER-time

@@ -349,6 +349,77 @@ def test_sketch_state_merge_advance_idempotent(spark):
     assert withnew[99] == 5 and withnew[0] == full[0]
 
 
+@pytest.mark.parametrize("n", [1_000, 10_000, 100_000])
+def test_quantile_sketch_guarantee_and_state_algebra(spark, n):
+    """DDSketch quantile state (N58) across three cardinality decades:
+    every estimate lands within the α=1% relative-error GUARANTEE
+    (+25% slack for the engine-portable 6-dp bucket rounding) of the
+    exact value at rank ⌈q·n⌉; the state stays O(log(max/min)/log γ)
+    buckets regardless of n; merge is lossless (shard-merged ==
+    single-pass, exact row equality) and the delta advance reproduces
+    the full state exactly.  Deterministic — pinned bounds, not
+    statistics."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from hbase_snapshotter_spark.operators.sketches import (
+        DD_ALPHA,
+        DD_GAMMA,
+        advance_quantile_state,
+        dd_quantile_estimates,
+        merge_quantile_states,
+        quantile_state,
+    )
+
+    # heavy-tailed positives spanning ~5 decades: (id+1)^1.7 / 50
+    df = spark.range(n).select(
+        F.lit("g").alias("g"),
+        (F.pow(F.col("id") + 1, 1.7) / 50.0).alias("v"),
+        (F.col("id") % 2 == 0).alias("early"),
+        (F.col("id") % 4).alias("shard"))
+    g = ["g"]
+    state = quantile_state(df, "v", group_cols=g)
+
+    # bucket count bounded by the value-range geometry, not by n
+    n_buckets = state.count()
+    vmin, vmax = 1.0 / 50.0, (n ** 1.7) / 50.0
+    assert n_buckets <= math.log(vmax / vmin) / math.log(DD_GAMMA) + 2
+
+    qs = [0.5, 0.9, 0.99]
+    est = dd_quantile_estimates(state, qs, group_cols=g).collect()[0]
+    assert est.n_values == n
+    vals = sorted(r.v for r in df.select("v").collect())
+    for q, col in zip(qs, ["q50_est", "q90_est", "q99_est"]):
+        exact = vals[math.ceil(q * n) - 1]
+        assert abs(est[col] - exact) <= DD_ALPHA * 1.25 * exact, (n, q)
+
+    rows = lambda d: sorted(tuple(r) for r in d.collect())  # noqa: E731
+    full = rows(state)
+    merged = rows(
+        merge_quantile_states(
+            merge_quantile_states(
+                quantile_state(df.filter("shard = 0"), "v", group_cols=g),
+                quantile_state(df.filter("shard = 1"), "v", group_cols=g),
+                group_cols=g),
+            merge_quantile_states(
+                quantile_state(df.filter("shard = 2"), "v", group_cols=g),
+                quantile_state(df.filter("shard = 3"), "v", group_cols=g),
+                group_cols=g),
+            group_cols=g))
+    assert merged == full
+    adv = advance_quantile_state(
+        quantile_state(df.filter("early"), "v", group_cols=g),
+        df.filter("NOT early"), "v", group_cols=g)
+    assert rows(adv) == full
+
+    # non-positives and NULLs are outside DDSketch's domain: dropped
+    dirty = df.unionByName(spark.createDataFrame(
+        [("g", -1.0, True, 0), ("g", 0.0, True, 0), ("g", None, True, 0)],
+        "g string, v double, early boolean, shard long"))
+    assert rows(quantile_state(dirty, "v", group_cols=g)) == full
+
+
 def test_scd2_history_interval_chain(changelog):
     """SCD2 reconstruction: per-cell version chains are contiguous
     (valid_to == next valid_from), exactly one current version per

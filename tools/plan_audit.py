@@ -73,6 +73,8 @@ def main() -> int:
                                        # query-set branch (N, avgdl)
         "neardup_novelty_delta",       # 1-row advance-equals-rebuild
                                        # flag attach
+        "quantile_sketch_maintenance",  # 1-row merged/advance equality
+                                        # flag attach x2
         "hybrid_rrf_topk",             # broadcast-side scoring: ONE
                                        # query vector against the
                                        # corpus (exact cosine lane) +
