@@ -278,3 +278,78 @@ GROUP BY cohort_week, week
 PAIRS.update({
     "funnel_cohort_retention": (funnel_cohort_retention, ORACLE_FUNNEL_COHORT),
 })
+
+
+# ------------------------- N59: time-bucket resample + gap fill (r7)
+#: 30-minute buckets over the fixture's 30-day span: ~1 440 grid rows
+#: per event type with a real gap fraction (~25 % empty at sf0.01), so
+#: both fill lanes actually fill.  The grid size is span/width —
+#: INDEPENDENT of the event count, the property that makes the dense
+#: form affordable at any scale.
+RESAMPLE_BUCKET_MS = 30 * 60 * 1000
+
+
+def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable rollup (N59): events downsampled to a regular
+    30-minute grid per event type, densified, and gap-filled — LOCF
+    and linear interpolation side by side, ``filled`` marking
+    generated rows.  The oracle replays bucketing, the grid, and both
+    fills exactly (integer bucket arithmetic; 4-dp value rounding)."""
+    from hbase_snapshotter_spark.operators.timeseries import (
+        gap_fill,
+        time_bucket_rollup,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    r = time_bucket_rollup(
+        ev, "ts", "value", RESAMPLE_BUCKET_MS, group_cols=["event_type"])
+    return gap_fill(r, RESAMPLE_BUCKET_MS, group_cols=["event_type"]) \
+        .orderBy("event_type", "bucket")
+
+
+ORACLE_RESAMPLE_GAPFILL = f"""
+WITH r AS (
+  SELECT event_type,
+         CAST(FLOOR(epoch_ms(ts) / {RESAMPLE_BUCKET_MS}) AS BIGINT)
+           * {RESAMPLE_BUCKET_MS} AS bucket,
+         ROUND(AVG(value), 4) AS v_avg,
+         CAST(COUNT(value) AS INTEGER) AS n_rows
+  FROM events GROUP BY 1, 2),
+b AS (SELECT event_type, MIN(bucket) AS mn, MAX(bucket) AS mx
+      FROM r GROUP BY 1),
+grid AS (SELECT event_type,
+                UNNEST(range(mn, mx + 1, {RESAMPLE_BUCKET_MS})) AS bucket
+         FROM b),
+j AS (SELECT g.event_type, g.bucket, r.v_avg, r.n_rows
+      FROM grid g LEFT JOIN r
+        ON r.event_type = g.event_type AND r.bucket = g.bucket),
+w AS (
+  SELECT *,
+         LAST_VALUE(v_avg IGNORE NULLS) OVER wp AS pv,
+         LAST_VALUE(CASE WHEN v_avg IS NOT NULL THEN bucket END
+                    IGNORE NULLS) OVER wp AS pb,
+         FIRST_VALUE(v_avg IGNORE NULLS) OVER wn AS nv,
+         FIRST_VALUE(CASE WHEN v_avg IS NOT NULL THEN bucket END
+                     IGNORE NULLS) OVER wn AS nb
+  FROM j
+  WINDOW wp AS (PARTITION BY event_type ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY event_type ORDER BY bucket
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT event_type, bucket,
+       COALESCE(n_rows, 0) AS n_rows,
+       v_avg,
+       pv AS v_locf,
+       CASE WHEN v_avg IS NOT NULL THEN v_avg
+            ELSE ROUND(pv + (nv - pv) * (bucket - pb)
+                       / CAST(nb - pb AS DOUBLE), 6) END AS v_lerp,
+       (v_avg IS NULL) AS filled
+FROM w
+ORDER BY event_type, bucket
+"""
+
+
+PAIRS.update({
+    "events_resample_gapfill": (events_resample_gapfill,
+                                ORACLE_RESAMPLE_GAPFILL),
+})

@@ -384,11 +384,69 @@ def operators():
         log = events_as_changelog(read_table(spark, d, "events"))
         return latest_cells_multi(log, list(TS_LIST))
 
+    def run_quantile_sketch(spark, d):
+        from hbase_snapshotter_spark.operators.sketches import (
+            dd_quantile_estimates,
+            quantile_state,
+        )
+
+        ev = read_table(spark, d, "events")
+        state = quantile_state(ev, "value", group_cols=["event_type"])
+        return dd_quantile_estimates(state, [0.5, 0.95, 0.99],
+                                     group_cols=["event_type"])
+
+    def run_stratified_sample(spark, d):
+        from hbase_snapshotter_spark.operators.sampling import (
+            stratified_exact_sample,
+        )
+
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        return stratified_exact_sample(
+            docs, ["lang", "source"], 10, key_col="doc_id")
+
+    def run_bm25_indexed(spark, d):
+        from hbase_snapshotter_spark.cache import scoped_persist
+        from hbase_snapshotter_spark.operators.retrieval import (
+            bm25_topk_indexed,
+            build_bm25_index,
+        )
+
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        postings, header = build_bm25_index(docs)
+        return bm25_topk_indexed(
+            scoped_persist(postings), scoped_persist(header),
+            ["spark", "query", "join"], k=25)
+
+    def run_hybrid_rrf(spark, d):
+        from hbase_snapshotter_spark.queries.llm import hybrid_rrf_topk
+
+        return hybrid_rrf_topk(spark, d)
+
+    def run_neardup_novelty(spark, d):
+        from pyspark.sql import functions as F
+
+        from hbase_snapshotter_spark.cache import scoped_persist
+        from hbase_snapshotter_spark.operators.dedup import (
+            build_neardup_state,
+            neardup_novelty,
+        )
+
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        hist = docs.filter(F.col("doc_id") % 5 != 0)
+        delta = docs.filter(F.col("doc_id") % 5 == 0)
+        state = scoped_persist(build_neardup_state(hist, "doc_id"))
+        return neardup_novelty(state, hist, delta, "doc_id")
+
     # ORDER MATTERS: cheap ops first, heap-heavy LSH ops last.  A
     # sub-2s measurement taken right after a ~100s candidate-join run
     # inherits its JVM heap bloat / GC debt — measured 1.35s → 12.5s on
     # latest_cells_multi when it followed embedding_near_dup_lsh.
     return {
+        "quantile_sketch": run_quantile_sketch,
+        "stratified_sample": run_stratified_sample,
+        "bm25_indexed": run_bm25_indexed,
+        "hybrid_rrf": run_hybrid_rrf,
+        "neardup_novelty": run_neardup_novelty,
         "snapshot_events_wide": run_snapshot_wide,
         "latest_cells_multi": run_latest_multi,
         "snapshot_compaction": run_compaction,
