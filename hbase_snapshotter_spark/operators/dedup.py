@@ -293,6 +293,7 @@ def build_neardup_state(
     n: int = 3,
     num_hashes: int = 12,
     bands: int = 4,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Materialized near-dup state (SURVEY §2.3 N57): the banded
     MinHash index ``(id, band, band_key)`` — ``bands`` rows per
@@ -301,11 +302,17 @@ def build_neardup_state(
     against all history without re-shingling the corpus (the N25/N43/
     N45 incremental-state posture for the flagship dedup lane).
     Content-derived hashing (no RNG) makes the state reproducible
-    anywhere, so rebuild-vs-advance equality is exact."""
+    anywhere, so rebuild-vs-advance equality is exact.
+
+    ``shingles_df`` — optional precomputed ``(id, shingle)`` table for
+    exactly the documents in ``df``; when a caller already holds a
+    persisted shingle pass (e.g. one pass feeding state build AND
+    exact verification), passing it here skips re-tokenization."""
     rows = num_hashes // bands
+    s = (shingles_df if shingles_df is not None
+         else doc_shingles(spread(df), id_col, text_col, n))
     sig = (
-        doc_shingles(spread(df), id_col, text_col, n)
-        .select(F.col(id_col), *minhash_digests(num_hashes))
+        s.select(F.col(id_col), *minhash_digests(num_hashes))
         .groupBy(id_col).agg(*minhash_aggs(num_hashes))
     )
     band_cols = [
@@ -352,6 +359,8 @@ def neardup_novelty(
     num_hashes: int = 12,
     bands: int = 4,
     threshold: float = 0.7,
+    delta_shingles: DataFrame | None = None,
+    verify_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup novelty of a delta against the persisted N57 state:
     for each delta document, does history already hold a near-duplicate
@@ -366,10 +375,20 @@ def neardup_novelty(
     verification then shingles ONLY the delta plus the COLLIDING
     history docs (one id-keyed semi-join fetch — input ∝ candidates,
     never corpus).  Self-collisions (a delta id already present in
-    state) are excluded: novelty is against OTHER documents."""
+    state) are excluded: novelty is against OTHER documents.
+
+    ``delta_shingles`` / ``verify_shingles`` — optional precomputed
+    ``(id, shingle)`` tables: the delta's shingles (skips re-signing
+    the delta) and a superset table covering delta + history docs
+    (verification shrinks it to colliding docs with the same id
+    semi-join, so passing an already-persisted corpus pass is strictly
+    less work whenever one exists — e.g. the registered query, which
+    shares ONE shingle pass across state build, delta signing, and
+    verification).  At true incremental scale neither is available and
+    the defaults re-shingle exactly the delta + colliding docs."""
     delta_bands = build_neardup_state(
         delta_docs, id_col, text_col, n=n, num_hashes=num_hashes,
-        bands=bands)
+        bands=bands, shingles_df=delta_shingles)
     cand = scoped_persist(
         state.join(F.broadcast(delta_bands.withColumnRenamed(id_col, "id_a")),
                    ["band", "band_key"])
@@ -377,13 +396,18 @@ def neardup_novelty(
         .select("id_a", F.col(id_col).alias("id_b"))
         .distinct()
     )
-    hist_needed = history_docs.join(
-        cand.select(F.col("id_b").alias(id_col)).distinct(),
-        id_col, "left_semi")
-    shingles = _shingle_sets(
-        delta_docs.select(id_col, text_col)
-        .unionByName(hist_needed.select(id_col, text_col)),
-        id_col, text_col, n, None)
+    if verify_shingles is not None:
+        # jaccard_pairs semi-joins the shingle table down to candidate
+        # docs, so a superset (e.g. full-corpus) pass is safe to reuse
+        shingles = verify_shingles
+    else:
+        hist_needed = history_docs.join(
+            cand.select(F.col("id_b").alias(id_col)).distinct(),
+            id_col, "left_semi")
+        shingles = _shingle_sets(
+            delta_docs.select(id_col, text_col)
+            .unionByName(hist_needed.select(id_col, text_col)),
+            id_col, text_col, n, None)
     matches = jaccard_pairs(
         delta_docs, id_col, text_col, n=n, threshold=threshold,
         candidates=cand, shingles_df=shingles)
@@ -521,8 +545,20 @@ def connected_components(
         edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
     ).distinct().persist()
 
-    labels = nodes.select(F.col(id_col).alias("node"),
-                          F.col(id_col).alias("component")).persist()
+    # The loop runs ONLY over edge-incident nodes: a node no edge
+    # touches is a fixpoint (component = own id) from round 0, so
+    # iterating it is pure waste — and near-dup graphs are SPARSE
+    # (most of a 100 TB corpus is singleton docs), so this cuts every
+    # round's shuffle from |corpus| to |edge-incident docs|.
+    # Singletons rejoin via one anti-join after convergence.  The
+    # initial labels are eagerly localCheckpoint-ed, not persisted: a
+    # checkpoint's stats are the MATERIALIZED size, so the per-round
+    # joins against a KB-sized label table plan as broadcasts, where
+    # the derived plan's estimates (post-union-distinct defaults)
+    # force sort-merge joins (measured 2.6x slower per round).
+    touched = sym.select(F.col("s").alias("node")).distinct()
+    labels = touched.select("node", F.col("node").alias("component")) \
+        .localCheckpoint()
     prev = labels
     for _ in range(max_iterations):
         neighbor_min = (
@@ -530,9 +566,11 @@ def connected_components(
             .groupBy(F.col("s").alias("node"))
             .agg(F.min("component").alias("n_min"))
         )
+        # change detection rides along in the same row (__old) — no
+        # third join against the previous labels
         stepped = (
             labels.join(neighbor_min, "node", "left")
-            .select("node",
+            .select("node", F.col("component").alias("__old"),
                     F.least(F.col("component"),
                             F.coalesce("n_min", F.col("component"))).alias("component"))
         )
@@ -544,16 +582,14 @@ def connected_components(
                                 F.col("component").alias("__lc"))
             stepped = (
                 stepped.join(lut, stepped.component == F.col("__ln"), "left")
-                .select("node",
+                .select("node", "__old",
                         F.least(F.col("component"),
                                 F.coalesce("__lc", F.col("component")))
                         .alias("component"))
             )
-        old = labels.select("node", F.col("component").alias("__old"))
-        updated = (
-            stepped.join(old, "node")
-            .select("node", "component",
-                    (F.col("component") < F.col("__old")).alias("__changed"))
+        updated = stepped.select(
+            "node", "component",
+            (F.col("component") < F.col("__old")).alias("__changed")
         ).localCheckpoint(eager=False)
         # ONE action per round: the count materializes the lazy
         # checkpoint, truncating the logical plan to a scan of the
@@ -581,7 +617,14 @@ def connected_components(
         )
     edges.unpersist()
     sym.unpersist()
-    return labels.select(F.col("node").alias(id_col), "component")
+    # anti-join against the final labels (checkpoint-materialized — a
+    # scan, not the unpersisted edge DAG), whose node set == touched
+    singletons = (
+        nodes.select(F.col(id_col).alias("node"))
+        .join(labels.select("node"), "node", "left_anti")
+        .select("node", F.col("node").alias("component")))
+    return labels.select("node", "component").unionByName(singletons) \
+        .select(F.col("node").alias(id_col), "component")
 
 
 def paragraph_dedup_stats(

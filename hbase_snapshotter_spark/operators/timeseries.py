@@ -109,3 +109,66 @@ def gap_fill(
         pv.alias("v_locf"),
         F.when(v.isNotNull(), v).otherwise(lerp).alias("v_lerp"),
         v.isNull().alias("filled"))
+
+
+def rolling_stats(
+    grid: DataFrame,
+    *,
+    group_cols: list[str],
+    value_col: str = "v_lerp",
+    window_buckets: int = 48,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Trailing rolling-window statistics + z-score anomaly flags over
+    a DENSE bucket grid (SURVEY §2.3 N60) — the monitoring/feature
+    lane on top of the N59 resample: per (group, bucket), the
+    trailing-``window_buckets`` mean and sample stddev of
+    ``value_col``, the current value's z-score against them, and an
+    ``|z| > z_threshold`` anomaly flag.
+
+    Input must be dense (run :func:`gap_fill` first): on a grid,
+    ``ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW`` IS the trailing
+    time window — the frame is k physical rows, so the engine-portable
+    ROWS frame expresses the time semantics exactly (a RANGE frame
+    over sparse data would not be replayable across engines the same
+    way).
+
+    Scale shape: ONE window pass whose partition is a group's grid —
+    ``span/width`` rows regardless of event volume (the N59 property),
+    so the whole operator is bucket-table-sized.
+
+    Rounding posture (the N59 lesson, one step further): a ROUNDED
+    window mean of k ≤-6-dp values lands on an exact ``.xxx5`` decimal
+    whenever k divides the scaled sum a power of 2 — a SYSTEMATIC
+    round tie engines break differently.  So the mean is never
+    rounded: values are summed as exact integer micro-units
+    (``round(v·10⁶)`` — order-independent BIGINT arithmetic) and the
+    mean is the double quotient ``sum/(n·10⁶)``, bit-identical on any
+    engine because the integer inputs are.  ``roll_std`` keeps the
+    usual 4-dp posture (a sqrt is never an exact decimal, so no
+    systematic tie exists); the z-score divides identical doubles.
+
+    Output adds ``roll_avg, roll_std, zscore, is_anomaly, n_window``.
+    ``roll_std`` is NULL (and the flag false) while the window holds
+    one row; ``zscore`` additionally NULL on zero variance."""
+    if window_buckets < 2:
+        raise ValueError(
+            f"window_buckets must be >= 2, got {window_buckets} "
+            "(a 1-bucket window has no variance to score against)")
+    w = (Window.partitionBy(*[F.col(c) for c in group_cols])
+         .orderBy("bucket")
+         .rowsBetween(-(window_buckets - 1), Window.currentRow))
+    v = F.col(value_col)
+    micro = F.round(v * F.lit(1e6), 0).cast("long")
+    n = F.count(v).over(w)
+    avg = F.sum(micro).over(w) / n / F.lit(1e6)
+    std = F.round(F.stddev_samp(v).over(w), 4)
+    z = F.when(std > 0, F.round((v - avg) / std, 4))
+    return grid.select(
+        "*",
+        avg.alias("roll_avg"),
+        std.alias("roll_std"),
+        z.alias("zscore"),
+        F.coalesce(F.abs(z) > F.lit(z_threshold), F.lit(False))
+        .alias("is_anomaly"),
+        n.cast("int").alias("n_window"))

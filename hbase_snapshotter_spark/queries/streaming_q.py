@@ -353,3 +353,71 @@ PAIRS.update({
     "events_resample_gapfill": (events_resample_gapfill,
                                 ORACLE_RESAMPLE_GAPFILL),
 })
+
+
+# ------------------- N60: rolling-window stats + anomaly flags (r7)
+#: 48 buckets of 30 min = a trailing 24-hour window; 3-sigma flag.
+ROLLING_WINDOW_BUCKETS = 48
+ROLLING_Z_THRESHOLD = 3.0
+
+
+def events_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window monitoring lane (N60): the N59 dense grid with a
+    trailing 24-hour mean/stddev per event type, each bucket's z-score
+    against its own trailing window, and a 3-sigma anomaly flag.  The
+    window input is the bucket GRID (span/width rows per group — the
+    N59 property), never the raw events; the oracle replays the
+    resample, both fills, and the rolling stats over the identical
+    ROWS frame."""
+    from hbase_snapshotter_spark.operators.timeseries import (
+        gap_fill,
+        rolling_stats,
+        time_bucket_rollup,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    r = time_bucket_rollup(
+        ev, "ts", "value", RESAMPLE_BUCKET_MS, group_cols=["event_type"])
+    grid = gap_fill(r, RESAMPLE_BUCKET_MS, group_cols=["event_type"])
+    return rolling_stats(
+        grid, group_cols=["event_type"], value_col="v_lerp",
+        window_buckets=ROLLING_WINDOW_BUCKETS,
+        z_threshold=ROLLING_Z_THRESHOLD,
+    ).select("event_type", "bucket", "v_lerp", "filled", "roll_avg",
+             "roll_std", "zscore", "is_anomaly", "n_window") \
+        .orderBy("event_type", "bucket")
+
+
+_GAPFILL_CORE = ORACLE_RESAMPLE_GAPFILL.rsplit("ORDER BY", 1)[0]
+
+ORACLE_ROLLING_ANOMALY = f"""
+WITH gf AS ({_GAPFILL_CORE}),
+rs AS (
+  SELECT event_type, bucket, v_lerp, filled,
+         -- exact integer micro-unit sum, then one double division:
+         -- bit-identical to Spark (see rolling_stats — a ROUNDED mean
+         -- of decimal values has systematic round ties)
+         SUM(CAST(ROUND(v_lerp * 1000000, 0) AS BIGINT)) OVER tw
+           / COUNT(v_lerp) OVER tw / 1000000.0 AS roll_avg,
+         ROUND(STDDEV_SAMP(v_lerp) OVER tw, 4) AS roll_std,
+         CAST(COUNT(v_lerp) OVER tw AS INTEGER) AS n_window
+  FROM gf
+  WINDOW tw AS (PARTITION BY event_type ORDER BY bucket
+                ROWS BETWEEN {ROLLING_WINDOW_BUCKETS - 1} PRECEDING
+                         AND CURRENT ROW))
+SELECT event_type, bucket, v_lerp, filled, roll_avg, roll_std,
+       CASE WHEN roll_std > 0
+            THEN ROUND((v_lerp - roll_avg) / roll_std, 4) END AS zscore,
+       COALESCE(ABS(CASE WHEN roll_std > 0
+                         THEN ROUND((v_lerp - roll_avg) / roll_std, 4)
+                    END) > {ROLLING_Z_THRESHOLD}, FALSE) AS is_anomaly,
+       n_window
+FROM rs
+ORDER BY event_type, bucket
+"""
+
+
+PAIRS.update({
+    "events_rolling_anomaly": (events_rolling_anomaly,
+                               ORACLE_ROLLING_ANOMALY),
+})

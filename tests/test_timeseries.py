@@ -1,10 +1,15 @@
-"""Time-bucket resample + gap fill (SURVEY §2.3 N59) — hand-computed
-grid, both fill lanes, and the bounded-grid property."""
+"""Time-bucket resample + gap fill (SURVEY §2.3 N59) and rolling-window
+stats (N60) — hand-computed grid, both fill lanes, the bounded-grid
+property, and the trailing-window mean/std/z-score."""
 
+import math
+
+import pytest
 from pyspark.sql import functions as F
 
 from hbase_snapshotter_spark.operators.timeseries import (
     gap_fill,
+    rolling_stats,
     time_bucket_rollup,
 )
 
@@ -63,3 +68,45 @@ def test_grid_size_is_span_not_cardinality(spark):
     # lerp is affine across the whole gap: bucket k -> 1 + k
     got = {x.bucket // W: x.v_lerp for x in d2.collect()}
     assert got == {k: float(1 + k) for k in range(10)}
+
+
+def test_rolling_stats_hand_computed(spark):
+    """3-bucket trailing window over the dense series 10,20,60,20:
+    means 10,15,30,100/3; stds NULL then hand-computed sample stds; the
+    spike at bucket 2 scores z=(60-30)/std(10,20,60) and the window
+    count ramps 1,2,3,3.  A second group is windowed independently."""
+    grid = spark.createDataFrame(
+        [("a", i * W, v) for i, v in enumerate([10.0, 20.0, 60.0, 20.0])]
+        + [("b", 0, 5.0), ("b", W, 5.0)],
+        "g string, bucket long, v_lerp double")
+    out = {(x.g, x.bucket // W): x for x in rolling_stats(
+        grid, group_cols=["g"], value_col="v_lerp",
+        window_buckets=3, z_threshold=1.08).collect()}
+
+    def std(*vals):
+        m = sum(vals) / len(vals)
+        return round(math.sqrt(
+            sum((x - m) ** 2 for x in vals) / (len(vals) - 1)), 4)
+
+    a0, a1, a2, a3 = (out[("a", i)] for i in range(4))
+    assert (a0.roll_avg, a0.roll_std, a0.zscore, a0.n_window) == \
+        (10.0, None, None, 1)
+    assert (a1.roll_avg, a1.roll_std, a1.n_window) == (15.0, std(10, 20), 2)
+    assert a1.zscore == round((20 - 15) / std(10, 20), 4)
+    assert (a2.roll_avg, a2.roll_std) == (30.0, std(10, 20, 60))
+    assert a2.zscore == round(30 / std(10, 20, 60), 4)
+    # 1.08 sits between the spike's z (~1.134) and every other |z|
+    assert a2.is_anomaly and not any(
+        x.is_anomaly for x in out.values() if x is not a2)
+    # window slid past bucket 0: mean of 20,60,20 is non-terminating
+    # in decimal — exact integer-micro arithmetic, not a rounded float
+    assert a3.roll_avg == (20 + 60 + 20) * 1_000_000 / 3 / 1e6
+    # zero variance -> NULL z, no flag
+    b1 = out[("b", 1)]
+    assert (b1.roll_avg, b1.roll_std, b1.zscore, b1.is_anomaly) == \
+        (5.0, 0.0, None, False)
+
+
+def test_rolling_stats_window_guard():
+    with pytest.raises(ValueError, match="window_buckets"):
+        rolling_stats(None, group_cols=["g"], window_buckets=1)
