@@ -72,6 +72,8 @@ HEADLINE_R7 = [
     "neardup_novelty_delta",
     "quantile_sketch_maintenance",
     "events_resample_gapfill",
+    "events_rolling_anomaly",
+    "mmr_diverse_topk",
 ]
 
 

@@ -263,3 +263,102 @@ def advance_bm25_index(
         .agg(F.count(F.lit(1)).alias("N"), F.avg("dl").alias("avgdl"))
     )
     return new_postings, new_header
+
+
+#: MMR trade-off weights — INDEPENDENT literals on purpose: the oracle
+#: writes the same two decimals, so both engines hold the identical
+#: nearest-double for each (computing mu as `1 - 0.7` would yield a
+#: DIFFERENT double than the literal 0.3).
+MMR_LAMBDA = 0.7
+MMR_MU = 0.3
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    pair_sims: DataFrame,
+    k: int,
+    *,
+    lam: float = MMR_LAMBDA,
+    mu: float = MMR_MU,
+) -> DataFrame:
+    """Greedy maximal-marginal-relevance re-ranking (SURVEY §2.3 N61;
+    Carbonell & Goldstein, SIGIR'98): from each query's candidate list,
+    select ``k`` results one at a time by
+    ``argmax lam·rel(c) − mu·max_{s∈S} sim(c, s)`` — relevance traded
+    against redundancy with what is already selected, the standard
+    diversification pass a retrieval deployment runs AFTER fusion
+    (near-duplicate hits carry no marginal information).
+
+    Inputs: ``candidates`` ``(query_id, cand_id, rel)`` — the top-M
+    list from any retriever (rel on a rounded 4-dp scale), and
+    ``pair_sims`` ``(query_id, id_a, id_b, sim)`` with ``id_a <
+    id_b`` — pairwise candidate-candidate similarities (symmetric;
+    one direction suffices).
+
+    The greedy recurrence is inherently sequential in ``k``, but each
+    query's problem is an M-candidate, M²-similarity island — so the
+    Spark shape is ONE ``applyInPandas`` over query groups (the
+    sanctioned custom-operator fallback: Arrow batches, vectorized
+    group payloads).  A million queries parallelize across partitions;
+    per-group work is O(k·M) with M²-bounded input, and the corpus is
+    never touched (both inputs are index-backed truncated lists).
+
+    Determinism (oracle-replayable): rel/sim arrive 4-dp rounded; the
+    MMR score rounds at 6 dp (a lam/mu blend of 4-dp inputs carries 5
+    decimals, so no systematic round tie exists); argmax ties break
+    toward the smaller candidate id; rank-1 penalty is 0.0 (max over
+    an empty selection).  Output: ``(query_id, rank, cand_id, rel,
+    div_penalty, mmr_score)``.
+    """
+    import pandas as pd
+
+    if k < 1:
+        raise ValueError(f"mmr_rerank: k must be >= 1, got {k}")
+
+    rel_rows = candidates.select(
+        "query_id", F.col("cand_id").alias("i"),
+        F.lit(None).cast("long").alias("j"), F.col("rel").alias("val"))
+    sim_rows = pair_sims.select(
+        "query_id", F.col("id_a").alias("i"),
+        F.col("id_b").alias("j"), F.col("sim").alias("val"))
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        rel = {int(r.i): float(r.val)
+               for r in pdf.itertuples() if pd.isna(r.j)}
+        sim: dict[tuple[int, int], float] = {}
+        for r in pdf.itertuples():
+            if not pd.isna(r.j):
+                a, b, s = int(r.i), int(r.j), float(r.val)
+                sim[(a, b)] = s
+                sim[(b, a)] = s
+        qid = int(pdf["query_id"].iloc[0])
+        picked: list[int] = []
+        remaining = set(rel)
+        out = []
+        for rank in range(1, k + 1):
+            if not remaining:
+                break
+            best = None
+            for c in sorted(remaining):
+                pen = max((sim.get((c, s), 0.0) for s in picked),
+                          default=0.0)
+                score = round(lam * rel[c] - mu * pen, 6)
+                key = (score, -c)
+                if best is None or key > best[0]:
+                    best = (key, c, pen, score)
+            _, c, pen, score = best
+            out.append((qid, rank, c, rel[c], pen, score))
+            picked.append(c)
+            remaining.remove(c)
+        return pd.DataFrame(
+            out, columns=["query_id", "rank", "cand_id", "rel",
+                          "div_penalty", "mmr_score"])
+
+    return (
+        rel_rows.unionByName(sim_rows)
+        .groupBy("query_id")
+        .applyInPandas(
+            greedy,
+            "query_id long, rank int, cand_id long, rel double, "
+            "div_penalty double, mmr_score double")
+    )

@@ -1,4 +1,5 @@
-"""Time-series resampling + gap filling (SURVEY §2.3 N59).
+"""Time-series resampling + gap filling (SURVEY §2.3 N59) and
+rolling-window anomaly statistics over the dense grid (N60).
 
 The hypertable-rollup shape (TimescaleDB ``time_bucket_gapfill`` /
 InfluxDB ``GROUP BY time() fill()``): downsample an event stream to a

@@ -2644,6 +2644,123 @@ PAIRS.update({
 })
 
 
+# --------------------- N61: MMR-diversified re-ranking (round 7)
+MMR_QUERY_PRED = 3   # vec_id < 3 are the query vectors
+MMR_CAND_M = 15      # top-M candidate list per query
+MMR_K = 5            # diversified results per query
+
+
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified retrieval via greedy MMR (N61): the exact cosine
+    top-15 per query re-ranked by maximal marginal relevance (λ=0.7) —
+    each of the 5 selections trades relevance against the max
+    similarity to what is already selected, so near-duplicate hits
+    stop crowding the result list (the diversification pass that runs
+    AFTER N55's fusion in a retrieval deployment).  Candidate lists
+    and their pairwise similarities are M/M²-row islands per query —
+    the corpus is touched only by the candidate generator; the greedy
+    itself is one ``applyInPandas`` over query groups.  The oracle
+    unrolls the k greedy steps into SQL (argmax per step with the same
+    6-dp score rounding and smaller-id tie-break)."""
+    from hbase_snapshotter_spark.cache import scoped_persist
+    from hbase_snapshotter_spark.operators.retrieval import mmr_rerank
+    from hbase_snapshotter_spark.operators.similarity import (
+        brute_force_topk,
+        cosine_expr,
+    )
+
+    emb = spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    queries = emb.filter(F.col("vec_id") < MMR_QUERY_PRED)
+    cand = scoped_persist(
+        brute_force_topk(emb, queries, k=MMR_CAND_M)
+        .select("query_id", F.col("neighbor_id").alias("cand_id"),
+                F.col("cosine").alias("rel")))
+    cv = cand.join(
+        emb.select(F.col("vec_id").alias("cand_id"), "embedding"),
+        "cand_id")
+    a, b = cv.alias("a"), cv.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.query_id") == F.col("b.query_id"))
+               & (F.col("a.cand_id") < F.col("b.cand_id")))
+        .select(F.col("a.query_id").alias("query_id"),
+                F.col("a.cand_id").alias("id_a"),
+                F.col("b.cand_id").alias("id_b"),
+                F.round(cosine_expr(F.col("a.embedding"),
+                                    F.col("b.embedding")), 4).alias("sim")))
+    return mmr_rerank(cand, pairs, MMR_K).orderBy("query_id", "rank")
+
+
+def _oracle_mmr() -> str:
+    from hbase_snapshotter_spark.operators.retrieval import (
+        MMR_LAMBDA,
+        MMR_MU,
+    )
+
+    def cos(x: str, y: str) -> str:
+        def sq(z: str) -> str:
+            return (f"list_dot_product(CAST({z}.embedding AS DOUBLE[]), "
+                    f"CAST({z}.embedding AS DOUBLE[]))")
+        return (f"ROUND(list_dot_product(CAST({x}.embedding AS DOUBLE[]), "
+                f"CAST({y}.embedding AS DOUBLE[])) / "
+                f"(sqrt({sq(x)}) * sqrt({sq(y)})), 4)")
+
+    mmr = f"ROUND({MMR_LAMBDA} * rel - {MMR_MU} * pen, 6)"
+    steps = []
+    for t in range(1, MMR_K + 1):
+        if t == 1:
+            pen = "pen1 AS (SELECT query_id, cid, rel, 0.0 AS pen FROM cand)"
+        else:
+            pen = f"""pen{t} AS (
+  SELECT c.query_id, c.cid, c.rel, COALESCE(MAX(p.sim), 0.0) AS pen
+  FROM cand c
+  LEFT JOIN (SELECT ps.query_id, ps.i, ps.sim FROM ps
+             JOIN pk{t - 1} k ON k.query_id = ps.query_id AND k.cid = ps.j) p
+    ON p.query_id = c.query_id AND p.i = c.cid
+  WHERE NOT EXISTS (SELECT 1 FROM pk{t - 1} k2
+                    WHERE k2.query_id = c.query_id AND k2.cid = c.cid)
+  GROUP BY 1, 2, 3)"""
+        sel = f"""s{t} AS (
+  SELECT query_id, CAST({t} AS INTEGER) AS rank, cid, rel, pen, mmr
+  FROM (SELECT *, {mmr} AS mmr,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY {mmr} DESC, cid) AS rn
+        FROM pen{t}) WHERE rn = 1)"""
+        pk = (f"pk{t} AS (SELECT query_id, cid FROM s1"
+              + "".join(f" UNION ALL SELECT query_id, cid FROM s{i}"
+                        for i in range(2, t + 1)) + ")")
+        steps += [pen, sel, pk]
+    union = "\nUNION ALL ".join(
+        f"SELECT query_id, rank, cid AS cand_id, rel, pen AS div_penalty, "
+        f"mmr AS mmr_score FROM s{t}" for t in range(1, MMR_K + 1))
+    step_sql = ",\n".join(steps)
+    return f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {SQL_COSINE} AS cosine
+  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {MMR_QUERY_PRED}),
+cand AS (
+  SELECT query_id, neighbor_id AS cid, cosine AS rel FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rnk
+    FROM scored) WHERE rnk <= {MMR_CAND_M}),
+ps AS (
+  SELECT a.query_id, a.cid AS i, b.cid AS j, {cos("ea", "eb")} AS sim
+  FROM cand a
+  JOIN embeddings ea ON ea.vec_id = a.cid
+  JOIN cand b ON b.query_id = a.query_id AND b.cid <> a.cid
+  JOIN embeddings eb ON eb.vec_id = b.cid),
+{step_sql}
+{union}
+ORDER BY query_id, rank
+"""
+
+
+PAIRS.update({
+    "mmr_diverse_topk": (mmr_diverse_topk, _oracle_mmr()),
+})
+
+
 STRAT_SAMPLE_N = 10
 
 

@@ -1609,3 +1609,55 @@ def test_dup_span_stats_hand_computed(spark):
     # doc6: "a b c" [1,3] and "x y z" [8,10] with a 4-token unique gap
     # → two spans, 6 covered tokens, NOT one merged span
     assert (out[6]["n_dup_spans"], out[6]["n_dup_tokens"]) == (2, 6)
+
+
+def test_mmr_rerank_hand_computed(spark):
+    """MMR greedy against hand arithmetic, one query: rels c10=.9,
+    c11=.88, c12=.5; c10–c11 are near-dups (sim .95), everything else
+    far (sim .1).  Rank 1 takes c10 (best rel, zero penalty); rank 2
+    REORDERS — c11's .95 redundancy drops its score to .331 while c12
+    wins with .32? no: .7*.5-.3*.1=.32 < .331 — so c11 still edges it,
+    and rank 3 takes c12.  A second variant raises the near-dup sim so
+    the diversification actually flips the order, and an exact-tie
+    case breaks toward the smaller id.  k truncates; k<1 raises."""
+    import pytest as _pytest
+
+    from hbase_snapshotter_spark.operators.retrieval import mmr_rerank
+
+    cand = spark.createDataFrame(
+        [(1, 10, 0.9), (1, 11, 0.88), (1, 12, 0.5)],
+        "query_id long, cand_id long, rel double")
+    sims = spark.createDataFrame(
+        [(1, 10, 11, 0.95), (1, 10, 12, 0.1), (1, 11, 12, 0.1)],
+        "query_id long, id_a long, id_b long, sim double")
+    out = mmr_rerank(cand, sims, 3).orderBy("rank").collect()
+    assert [(r.rank, r.cand_id) for r in out] == [(1, 10), (2, 11), (3, 12)]
+    assert (out[0].rel, out[0].div_penalty, out[0].mmr_score) == \
+        (0.9, 0.0, round(0.7 * 0.9, 6))
+    assert (out[1].div_penalty, out[1].mmr_score) == \
+        (0.95, round(0.7 * 0.88 - 0.3 * 0.95, 6))
+    assert (out[2].div_penalty, out[2].mmr_score) == \
+        (0.1, round(0.7 * 0.5 - 0.3 * 0.1, 6))
+
+    # raise the near-dup redundancy: c11 falls below c12 and the
+    # greedy REORDERS by relevance -> diversity
+    sims2 = spark.createDataFrame(
+        [(1, 10, 11, 0.999), (1, 10, 12, 0.1), (1, 11, 12, 0.1)],
+        "query_id long, id_a long, id_b long, sim double")
+    got = [(r.rank, r.cand_id)
+           for r in mmr_rerank(cand, sims2, 3).orderBy("rank").collect()]
+    assert got == [(1, 10), (2, 12), (3, 11)]
+
+    # exact score tie (identical rel, identical penalty) -> smaller id
+    tie = spark.createDataFrame(
+        [(2, 21, 0.8), (2, 20, 0.8)],
+        "query_id long, cand_id long, rel double")
+    tsims = spark.createDataFrame(
+        [(2, 20, 21, 0.5)], "query_id long, id_a long, id_b long, sim double")
+    t = mmr_rerank(tie, tsims, 2).orderBy("rank").collect()
+    assert [(r.rank, r.cand_id) for r in t] == [(1, 20), (2, 21)]
+
+    # k beyond the candidate list truncates at |candidates|
+    assert mmr_rerank(cand, sims, 99).count() == 3
+    with _pytest.raises(ValueError, match="k must be"):
+        mmr_rerank(cand, sims, 0)

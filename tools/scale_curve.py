@@ -437,11 +437,31 @@ def operators():
         state = scoped_persist(build_neardup_state(hist, "doc_id"))
         return neardup_novelty(state, hist, delta, "doc_id")
 
+    def run_rolling_anomaly(spark, d):
+        from hbase_snapshotter_spark.operators.timeseries import (
+            gap_fill,
+            rolling_stats,
+            time_bucket_rollup,
+        )
+
+        ev = read_table(spark, d, "events")
+        r = time_bucket_rollup(
+            ev, "ts", "value", 30 * 60 * 1000, group_cols=["event_type"])
+        grid = gap_fill(r, 30 * 60 * 1000, group_cols=["event_type"])
+        return rolling_stats(grid, group_cols=["event_type"])
+
+    def run_mmr(spark, d):
+        from hbase_snapshotter_spark.queries.llm import mmr_diverse_topk
+
+        return mmr_diverse_topk(spark, d)
+
     # ORDER MATTERS: cheap ops first, heap-heavy LSH ops last.  A
     # sub-2s measurement taken right after a ~100s candidate-join run
     # inherits its JVM heap bloat / GC debt — measured 1.35s → 12.5s on
     # latest_cells_multi when it followed embedding_near_dup_lsh.
     return {
+        "rolling_anomaly": run_rolling_anomaly,
+        "mmr_rerank": run_mmr,
         "quantile_sketch": run_quantile_sketch,
         "stratified_sample": run_stratified_sample,
         "bm25_indexed": run_bm25_indexed,
