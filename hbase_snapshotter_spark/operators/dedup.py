@@ -627,6 +627,71 @@ def connected_components(
         .select(F.col("node").alias(id_col), "component")
 
 
+def advance_components(
+    state: DataFrame,
+    delta_edges: DataFrame,
+    delta_nodes: DataFrame,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    id_col: str = "id",
+) -> DataFrame:
+    """Advance a MATERIALIZED connected-components table with only the
+    delta (SURVEY §2.3 N62) — the clustering lane's member of the
+    incremental-state family (N25 latest-cells, N43 PQ codes, N45
+    postings, N48/N58 sketches, N57 band index): at 100 TB nobody
+    re-runs graph clustering over all history to absorb a day's crawl.
+
+    ``state`` is a prior :func:`connected_components` output
+    ``(id, component)`` (components labeled by min reachable id);
+    ``delta_nodes`` are the new documents' ids; ``delta_edges`` are the
+    new near-dup pairs (delta↔delta and delta↔history — e.g. from
+    :func:`neardup_novelty`'s verified matches, whose candidate
+    generation is already delta-bounded).
+
+    Soundness: contracting the old graph by its components preserves
+    connectivity, so the new components are exactly the components of
+    the SUPER-GRAPH whose nodes are old component labels and whose
+    edges are the delta edges mapped through the current labeling —
+    and because old labels are min reachable ids, the min label of a
+    merged super-component is the min reachable id of the merged
+    component, i.e. the advanced state equals the full rebuild
+    row-for-row (pytest-pinned).  Re-delivering the same delta is a
+    no-op: its edges then map to equal labels and drop out.
+
+    Scale shape: the iterative loop runs over the DELTA-SIZED
+    super-graph (merged-component count ≤ |delta edges|), never the
+    corpus graph; the state side is one scan with a broadcast remap
+    join (remap rows = merged components) plus an anti-join for the
+    new singletons.  Persisted state rewrites ride the N25 bucketed
+    dynamic-partition-overwrite machinery, touching only buckets that
+    hold remapped rows."""
+    labels0 = state.select(F.col(id_col), F.col("component")).unionByName(
+        delta_nodes.select(F.col(id_col))
+        .join(state.select(id_col), id_col, "left_anti")
+        .select(F.col(id_col), F.col(id_col).alias("component")))
+    la = labels0.select(F.col(id_col).alias(src),
+                        F.col("component").alias("__ca"))
+    lb = labels0.select(F.col(id_col).alias(dst),
+                        F.col("component").alias("__cb"))
+    super_edges = (
+        delta_edges.select(src, dst).join(la, src).join(lb, dst)
+        .filter(F.col("__ca") != F.col("__cb"))
+        .select(F.col("__ca").alias(src), F.col("__cb").alias(dst))
+        .distinct())
+    touched = (super_edges.select(F.col(src).alias(id_col))
+               .unionByName(super_edges.select(F.col(dst).alias(id_col)))
+               .distinct())
+    remap = connected_components(
+        super_edges, touched, src=src, dst=dst, id_col=id_col
+    ).select(F.col(id_col).alias("component"),
+             F.col("component").alias("__new"))
+    return (
+        labels0.join(F.broadcast(remap), "component", "left")
+        .select(id_col,
+                F.coalesce("__new", F.col("component")).alias("component")))
+
+
 def paragraph_dedup_stats(
     df: DataFrame,
     paras,

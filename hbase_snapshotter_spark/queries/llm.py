@@ -2167,6 +2167,12 @@ PAIRS.update({
 
 
 # ------- N38: cluster-aware (leakage-free) train/val/test splitting
+#: History/delta split shared by the incremental-state queries (N57
+#: near-dup novelty, N62 cluster advance): docs with id % 5 == 0 play
+#: "today's crawl", the rest are history.
+NOVELTY_DELTA_MOD = 5
+
+
 def cluster_aware_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-FREE splitting: hash the split key on the near-dup
     CLUSTER, not the document — every member of a connected near-dup
@@ -2237,6 +2243,71 @@ FROM sp
 
 PAIRS.update({
     "cluster_aware_splits": (cluster_aware_splits, _oracle_cluster_splits()),
+})
+
+
+def dedup_clusters_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup-cluster maintenance (N62): the materialized
+    components table over the HISTORY docs advanced with only the
+    delta docs' near-dup edges —
+    :func:`~hbase_snapshotter_spark.operators.dedup.advance_components`
+    contracts the old graph by its components and runs the label loop
+    over the DELTA-SIZED super-graph, so absorbing a crawl never
+    re-clusters the corpus.  Unlike the other advance queries, NO
+    equality flag is needed: min-reachable-id labels are path
+    independent, so the ADVANCED labels themselves are replayable —
+    the oracle recomputes components from the recursive-CTE closure
+    over ALL pairs and the driver hash value-checks every advanced
+    row against it (strictly stronger than a self-reported
+    advance-equals-rebuild flag, which the pytest pins separately)."""
+    from hbase_snapshotter_spark.operators.dedup import (
+        advance_components,
+        connected_components,
+        scoped_persist,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = scoped_persist(
+        minhash_lsh_pairs(docs, "doc_id", num_hashes=MINHASH_K,
+                          bands=MINHASH_BANDS, threshold=MINHASH_THRESHOLD))
+    is_delta = F.col("doc_id") % NOVELTY_DELTA_MOD == 0
+    hist_nodes = docs.filter(~is_delta).select("doc_id")
+    delta_nodes = docs.filter(is_delta).select("doc_id")
+    hist_pairs = pairs.filter(
+        (F.col("id_a") % NOVELTY_DELTA_MOD != 0)
+        & (F.col("id_b") % NOVELTY_DELTA_MOD != 0))
+    delta_edges = pairs.filter(
+        (F.col("id_a") % NOVELTY_DELTA_MOD == 0)
+        | (F.col("id_b") % NOVELTY_DELTA_MOD == 0))
+    state = connected_components(hist_pairs, hist_nodes, id_col="doc_id")
+    adv = advance_components(state, delta_edges, delta_nodes,
+                             id_col="doc_id")
+    return adv.select("doc_id", "component",
+                      is_delta.alias("is_delta")).orderBy("doc_id")
+
+
+def _oracle_clusters_delta() -> str:
+    pair_sql = _oracle_minhash().rsplit("ORDER BY", 1)[0]
+    return f"""
+WITH RECURSIVE pairs AS ({pair_sql}),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s),
+comp AS (SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a)
+SELECT doc_id, component,
+       doc_id % {NOVELTY_DELTA_MOD} = 0 AS is_delta
+FROM comp
+ORDER BY doc_id
+"""
+
+
+PAIRS.update({
+    "dedup_clusters_delta": (dedup_clusters_delta,
+                             _oracle_clusters_delta()),
 })
 
 
@@ -2802,11 +2873,6 @@ PAIRS.update({
     "stratified_sample_docs": (stratified_sample_docs,
                                _oracle_stratified_sample()),
 })
-
-
-#: History/delta split for the incremental near-dup state query: docs
-#: with id % 5 == 0 play "today's crawl", the rest are history.
-NOVELTY_DELTA_MOD = 5
 
 
 def neardup_novelty_delta(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -43,6 +43,7 @@ from hbase_snapshotter_spark.operators.dedup import (
     build_neardup_state,
     neardup_novelty,
 )
+from hbase_snapshotter_spark.streaming.windows import start_foreach_batch
 
 
 class NearDupMaintainer:
@@ -115,9 +116,6 @@ def maintain_neardup(stream_df: DataFrame, state_dir: str, verdict_dir: str,
     """Start the near-dup maintenance query.  Returns (StreamingQuery,
     NearDupMaintainer)."""
     maintainer = NearDupMaintainer(state_dir, verdict_dir, corpus)
-    query = (
-        stream_df.writeStream.foreachBatch(maintainer.process_batch)
-        .outputMode("update")
-        .start(**start_kwargs)
-    )
+    query = start_foreach_batch(
+        stream_df, maintainer.process_batch, **start_kwargs)
     return query, maintainer

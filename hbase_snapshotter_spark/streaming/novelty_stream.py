@@ -42,6 +42,9 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hbase_snapshotter_spark.streaming.windows import (
+    start_foreach_batch,
+)
 from hbase_snapshotter_spark.operators.bloom import (
     bloom_bits_for,
     build_bloom,
@@ -114,9 +117,6 @@ def maintain_novelty(stream_df: DataFrame, state_dir: str, key_col: str,
     """Start the novelty-maintenance query.  Returns (StreamingQuery,
     NoveltyMaintainer)."""
     maintainer = NoveltyMaintainer(state_dir, key_col, expected_keys)
-    query = (
-        stream_df.writeStream.foreachBatch(maintainer.process_batch)
-        .outputMode("update")
-        .start(**start_kwargs)
-    )
+    query = start_foreach_batch(
+        stream_df, maintainer.process_batch, **start_kwargs)
     return query, maintainer

@@ -33,6 +33,9 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
+from hbase_snapshotter_spark.streaming.windows import (
+    start_foreach_batch,
+)
 from hbase_snapshotter_spark.operators.snapshot import (
     advance_latest_cells,
     latest_cells,
@@ -125,9 +128,6 @@ def maintain_snapshot(stream_changelog: DataFrame, state_dir: str,
     each batch also publishes its I/U/D changefeed (see
     SnapshotMaintainer)."""
     maintainer = SnapshotMaintainer(state_dir, feed_dir)
-    query = (
-        stream_changelog.writeStream.foreachBatch(maintainer.process_batch)
-        .outputMode("update")
-        .start(**start_kwargs)
-    )
+    query = start_foreach_batch(
+        stream_changelog, maintainer.process_batch, **start_kwargs)
     return query, maintainer

@@ -37,6 +37,28 @@ def replay_stream(spark, path: str, schema, *, max_files_per_trigger: int = 1) -
     )
 
 
+#: kwargs that are TRIGGER settings, not writer options.  start()
+#: swallows unknown kwargs as inert options, so passing
+#: ``availableNow=True`` straight through silently leaves the default
+#: processing-time trigger running — the query then never terminates
+#: and every ``awaitTermination(t)`` burns its full timeout.
+_TRIGGER_KWARGS = ("availableNow", "once", "processingTime", "continuous")
+
+
+def start_foreach_batch(stream_df: DataFrame, process_batch, **start_kwargs):
+    """Start a ``foreachBatch`` maintenance query, routing trigger
+    kwargs (``availableNow``/``once``/``processingTime``/``continuous``)
+    to ``.trigger(...)`` and everything else to ``.start(...)`` — the
+    shared starter for the state-maintainer modules."""
+    trigger = {k: start_kwargs.pop(k)
+               for k in _TRIGGER_KWARGS if k in start_kwargs}
+    writer = (stream_df.writeStream.foreachBatch(process_batch)
+              .outputMode("update"))
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start(**start_kwargs)
+
+
 def _flatten_window(df: DataFrame) -> DataFrame:
     """window struct → flat window_start / window_end columns (stable,
     oracle-comparable output shape)."""

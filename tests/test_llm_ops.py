@@ -1661,3 +1661,49 @@ def test_mmr_rerank_hand_computed(spark):
     assert mmr_rerank(cand, sims, 99).count() == 3
     with _pytest.raises(ValueError, match="k must be"):
         mmr_rerank(cand, sims, 0)
+
+
+def test_advance_components_equals_full_rebuild(spark):
+    """N62: advancing a materialized components table with delta edges
+    equals the full rebuild — a delta edge MERGES two old components
+    (label drops to the global min), a new node with an edge joins its
+    neighbor's component, a new isolated node stays a singleton, a
+    chain of delta edges merges TRANSITIVELY through the super-graph,
+    and re-delivering the same delta is a no-op."""
+    from hbase_snapshotter_spark.operators.dedup import (
+        advance_components,
+        connected_components,
+    )
+
+    hist_edges = spark.createDataFrame([(1, 2), (5, 6)],
+                                       "id_a long, id_b long")
+    hist_nodes = spark.createDataFrame([(i,) for i in range(1, 8)],
+                                       "id long")
+    state = connected_components(hist_edges, hist_nodes)
+    # delta: node 8 attaches to 7; 2-3 merges {1,2} with {3}; 3-5 then
+    # chains that onto {5,6} (transitive through the super-graph);
+    # node 9 arrives isolated
+    d_nodes = spark.createDataFrame([(8,), (9,)], "id long")
+    d_edges = spark.createDataFrame([(7, 8), (2, 3), (3, 5)],
+                                    "id_a long, id_b long")
+    adv = {r.id: r.component
+           for r in advance_components(state, d_edges, d_nodes).collect()}
+    full = {r.id: r.component for r in connected_components(
+        hist_edges.unionByName(d_edges),
+        hist_nodes.unionByName(d_nodes)).collect()}
+    assert adv == full
+    assert adv[6] == 1 and adv[8] == 7 and adv[9] == 9
+
+    # re-delivery: the same delta against the advanced state is a no-op
+    adv_state = advance_components(state, d_edges, d_nodes)
+    again = {r.id: r.component
+             for r in advance_components(adv_state, d_edges, d_nodes)
+             .collect()}
+    assert again == adv
+
+    # empty delta edges: only the new singleton appears
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    only9 = spark.createDataFrame([(9,)], "id long")
+    base = {r.id: r.component
+            for r in advance_components(state, empty, only9).collect()}
+    assert base[9] == 9 and base[6] == 5 and base[2] == 1

@@ -455,6 +455,11 @@ def operators():
 
         return mmr_diverse_topk(spark, d)
 
+    def run_clusters_delta(spark, d):
+        from hbase_snapshotter_spark.queries.llm import dedup_clusters_delta
+
+        return dedup_clusters_delta(spark, d)
+
     # ORDER MATTERS: cheap ops first, heap-heavy LSH ops last.  A
     # sub-2s measurement taken right after a ~100s candidate-join run
     # inherits its JVM heap bloat / GC debt — measured 1.35s → 12.5s on
@@ -493,6 +498,7 @@ def operators():
         "simhash": run_simhash,
         "minhash_lsh": run_minhash,
         "dedup_clusters": run_clusters,
+        "clusters_delta": run_clusters_delta,
         "embedding_near_dup_lsh": run_embdup,
         "embedding_exact_blocked": run_exact_blocked,
         "semdedup": run_semdedup,
