@@ -74,6 +74,8 @@ HEADLINE_R7 = [
     "events_resample_gapfill",
     "events_rolling_anomaly",
     "mmr_diverse_topk",
+    "dedup_clusters_delta",
+    "repetition_signals_docs",
 ]
 
 

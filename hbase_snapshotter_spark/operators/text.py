@@ -487,3 +487,146 @@ def cdc_chunks(toks: Column, *, boundary_mod: int = CDC_BOUNDARY_MOD) -> Column:
             .otherwise(acc["chunks"]))
 
     return bind_once(toks, from_t)
+
+
+#: Gopher Table A1 repetition thresholds (char-coverage form): a doc is
+#: repetition-flagged when ANY signal exceeds its threshold.
+REPETITION_THRESHOLDS: dict[str, float] = {
+    "top2_char_frac": 0.20,
+    "top3_char_frac": 0.18,
+    "top4_char_frac": 0.16,
+    "dup5_char_frac": 0.15,
+    "dup10_char_frac": 0.10,
+}
+
+#: n for "chars covered by the single most frequent n-gram".
+REPETITION_TOP_NS = (2, 3, 4)
+#: n for "chars covered by all duplicated n-grams".
+REPETITION_DUP_NS = (5, 10)
+
+
+def _round4_frac(num: Column, den: Column) -> Column:
+    """round(num/den, 4) computed on the exact rational (half-up) —
+    num/den in doubles lands EXACTLY on x.xxxx5 boundaries for some
+    documents and the two engines' round() then disagree by 1e-4 (the
+    text_features quality-score lesson).  (a − a mod b) ÷ b is an
+    exact-multiple double division == integer division."""
+    a = 20000 * num.cast("long") + den.cast("long")
+    b = 2 * den.cast("long")
+    return F.when(
+        den > 0,
+        (((a - F.pmod(a, b)) / b).cast("long").cast("double") / 10000),
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_signals(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher repetition filters, char-coverage form (SURVEY §2.3 N63;
+    Rae et al. 2021 Table A1): per document,
+
+    - ``top{2,3,4}_char_frac`` — fraction of the document's characters
+      covered by the single most frequent {2,3,4}-gram (count × gram
+      chars / doc chars);
+    - ``dup{5,10}_char_frac`` — fraction covered by ALL {5,10}-grams
+      that occur more than once (Σ count × gram chars / doc chars;
+      overlapping occurrences counted per occurrence — documented
+      deviation from Gopher's non-overlap counting, deterministic in
+      both engines);
+    - ``repetition_flagged`` — any signal over its Gopher threshold
+      (:data:`REPETITION_THRESHOLDS`).
+
+    Complements the count-ratio signals already in
+    :func:`text_features` (``dup_2gram_ratio`` counts duplicated gram
+    TYPES; these measure character MASS, which is what the Gopher
+    filter actually thresholds).
+
+    Scale shape: ONE projection builds all five n-gram streams per doc
+    (higher-order exprs, codegen), ONE explode, and the only shuffled
+    payload is ``(doc_id, n, 16-hex-char md5 prefix, gram chars)`` —
+    the text itself never shuffles (the dedup-family rule).  Two hash
+    aggs (gram counts → per-(doc,n) stats, both map-side-combined) +
+    one conditional-agg pivot to columns, then a co-partitioned join
+    back to the id table so gram-free (short) documents keep rows.
+    All fractions are exact-rational half-up rounded
+    (:func:`_round4_frac`), so the DuckDB oracle replays them
+    bit-for-bit.
+    """
+    toks = tokens(F.col(text_col))
+    all_ns = (*REPETITION_TOP_NS, *REPETITION_DUP_NS)
+
+    def gram_structs(t: Column) -> Column:
+        # One-arg lambda via a factory: a `lambda i, n=n:` default-arg
+        # capture would have TWO parameters, which pyspark's transform
+        # reads as the (element, index) form — `n` silently becomes the
+        # 0-based array index.
+        def gram_at(n: int):
+            return lambda i: F.struct(
+                F.lit(n).alias("n"),
+                F.concat_ws(" ", F.slice(t, i, n)).alias("g"))
+
+        per_n = [
+            F.when(
+                F.size(t) >= n,
+                F.transform(F.sequence(F.lit(1), F.size(t) - n + 1),
+                            gram_at(n)),
+            ).otherwise(F.array().cast("array<struct<n:int,g:string>>"))
+            for n in all_ns
+        ]
+        return F.flatten(F.array(*per_n))
+
+    grams = (
+        df.select(
+            F.col(id_col),
+            F.length(F.trim(text_col)).alias("__tot"),
+            F.explode(bind_once(toks, gram_structs)).alias("__gr"))
+        .select(
+            id_col, "__tot",
+            F.col("__gr.n").alias("__n"),
+            F.substring(F.md5("__gr.g"), 1, 16).alias("__h"),
+            F.length("__gr.g").alias("__glen"))
+    )
+    counts = grams.groupBy(id_col, "__n", "__h").agg(
+        F.count("*").alias("__cnt"),
+        F.min("__glen").alias("__glen"),
+        F.min("__tot").alias("__tot"))
+    per_n = counts.groupBy(id_col, "__n").agg(
+        F.max(F.struct("__cnt", "__h", "__glen")).alias("__top"),
+        F.sum(F.when(F.col("__cnt") >= 2,
+                     F.col("__cnt") * F.col("__glen"))
+              .otherwise(F.lit(0))).alias("__dup_chars"),
+        F.min("__tot").alias("__tot"))
+    per_n = per_n.select(
+        id_col, "__n", "__tot", "__dup_chars",
+        (F.col("__top.__cnt") * F.col("__top.__glen")).alias("__top_chars"))
+
+    def pick(n: int, col: str) -> Column:
+        return F.max(F.when(F.col("__n") == n, F.col(col)))
+
+    pivoted = per_n.groupBy(id_col).agg(
+        F.min("__tot").alias("__tot"),
+        *[pick(n, "__top_chars").alias(f"__top{n}") for n in REPETITION_TOP_NS],
+        *[pick(n, "__dup_chars").alias(f"__dup{n}") for n in REPETITION_DUP_NS])
+
+    base = df.select(F.col(id_col), F.length(F.trim(text_col)).alias("__tot0"))
+    joined = base.join(pivoted.drop("__tot"), id_col, "left")
+    fracs = {
+        f"top{n}_char_frac": _round4_frac(
+            F.coalesce(F.col(f"__top{n}"), F.lit(0)), F.col("__tot0"))
+        for n in REPETITION_TOP_NS
+    }
+    fracs.update({
+        f"dup{n}_char_frac": _round4_frac(
+            F.coalesce(F.col(f"__dup{n}"), F.lit(0)), F.col("__tot0"))
+        for n in REPETITION_DUP_NS
+    })
+    flag = None
+    for name, thr in REPETITION_THRESHOLDS.items():
+        cond = fracs[name] > thr
+        flag = cond if flag is None else (flag | cond)
+    return joined.select(
+        id_col,
+        *[expr.alias(name) for name, expr in fracs.items()],
+        flag.alias("repetition_flagged"))

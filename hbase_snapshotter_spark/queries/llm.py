@@ -2311,6 +2311,93 @@ PAIRS.update({
 })
 
 
+# ------- N63: Gopher repetition signals (char-coverage form)
+def repetition_signals_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher Table-A1 repetition filters over the documents table
+    (N63): per-doc character mass covered by the most frequent
+    {2,3,4}-gram and by all duplicated {5,10}-grams, plus the
+    any-threshold flag — the char-COVERAGE complement to
+    ``text_analysis``'s count-ratio ``dup_2gram_ratio``.  One explode,
+    two map-side-combined hash aggs, only 16-hex-char gram digests on
+    the wire; exact-rational half-up rounding so the oracle replays
+    bit-for-bit."""
+    from hbase_snapshotter_spark.operators.text import repetition_signals
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_signals(docs, "doc_id").orderBy("doc_id")
+
+
+def _oracle_repetition_signals() -> str:
+    from hbase_snapshotter_spark.operators.text import (
+        REPETITION_DUP_NS,
+        REPETITION_THRESHOLDS,
+        REPETITION_TOP_NS,
+    )
+
+    ns = (*REPETITION_TOP_NS, *REPETITION_DUP_NS)
+    values = ", ".join(f"({n})" for n in ns)
+    # round(num/den, 4) on the exact rational, half-up — mirrors
+    # operators.text._round4_frac (integer (a − a mod b) ÷ b).
+    frac = ("CASE WHEN d.tot > 0 THEN "
+            "((20000 * {num} + d.tot) // (2 * d.tot)) / 10000.0 "
+            "ELSE 0.0 END")
+    tops = ",\n       ".join(
+        frac.format(num=f"COALESCE(p.top{n}, 0)") + f" AS top{n}_char_frac"
+        for n in REPETITION_TOP_NS)
+    dups = ",\n       ".join(
+        frac.format(num=f"COALESCE(p.dup{n}, 0)") + f" AS dup{n}_char_frac"
+        for n in REPETITION_DUP_NS)
+    top_cols = ", ".join(
+        f"MAX(CASE WHEN n = {n} THEN top_chars END) AS top{n}"
+        for n in REPETITION_TOP_NS)
+    dup_cols = ", ".join(
+        f"MAX(CASE WHEN n = {n} THEN dup_chars END) AS dup{n}"
+        for n in REPETITION_DUP_NS)
+    flag_terms = []
+    for name, thr in REPETITION_THRESHOLDS.items():
+        n = int("".join(ch for ch in name.split("_")[0] if ch.isdigit()))
+        kind = "top" if name.startswith("top") else "dup"
+        flag_terms.append(
+            frac.format(num=f"COALESCE(p.{kind}{n}, 0)") + f" > {thr}")
+    flag = " OR ".join(flag_terms)
+    return f"""
+WITH d0 AS (SELECT doc_id, trim(text) AS tx FROM documents),
+d AS (SELECT doc_id, string_split(tx, ' ') AS t, length(tx) AS tot FROM d0),
+grams AS (
+  SELECT doc_id, ns.n,
+         substring(md5(array_to_string(t[i.r:i.r+ns.n-1], ' ')), 1, 16) AS h,
+         length(array_to_string(t[i.r:i.r+ns.n-1], ' ')) AS glen
+  FROM d, (VALUES {values}) ns(n),
+       UNNEST(range(1, len(t) - ns.n + 2)) AS i(r)
+  WHERE len(t) >= ns.n),
+gc AS (SELECT doc_id, n, h, COUNT(*) AS cnt, MIN(glen) AS glen
+       FROM grams GROUP BY 1, 2, 3),
+topg AS (SELECT doc_id, n, cnt * glen AS top_chars FROM (
+           SELECT doc_id, n, cnt, glen,
+                  row_number() OVER (PARTITION BY doc_id, n
+                                     ORDER BY cnt DESC, h DESC) AS rn
+           FROM gc) WHERE rn = 1),
+dupg AS (SELECT doc_id, n,
+                COALESCE(SUM(CASE WHEN cnt >= 2 THEN cnt * glen END), 0)
+                  AS dup_chars
+         FROM gc GROUP BY 1, 2),
+p AS (SELECT doc_id, {top_cols}, {dup_cols}
+      FROM topg FULL JOIN dupg USING (doc_id, n) GROUP BY doc_id)
+SELECT d.doc_id,
+       {tops},
+       {dups},
+       ({flag}) AS repetition_flagged
+FROM d LEFT JOIN p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+PAIRS.update({
+    "repetition_signals_docs": (repetition_signals_docs,
+                                _oracle_repetition_signals()),
+})
+
+
 # pipeline_quality_filter's oracle references the LM constants above,
 # so its (re-)registration lives at module end; registry order is
 # governed by registry._R5_ORDER, not this dict's insertion order.

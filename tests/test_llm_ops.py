@@ -1707,3 +1707,44 @@ def test_advance_components_equals_full_rebuild(spark):
     base = {r.id: r.component
             for r in advance_components(state, empty, only9).collect()}
     assert base[9] == 9 and base[6] == 5 and base[2] == 1
+
+
+def test_repetition_signals_hand_computed(spark):
+    """N63 Gopher repetition signals: hand-computed char coverage,
+    gram-free docs keep zero rows, empty text guarded, flag logic."""
+    from hbase_snapshotter_spark.operators.text import repetition_signals
+
+    rows = [
+        (1, "a b a b a b"),      # 11 chars, 6 tokens
+        (2, "hello"),             # 1 token: no grams at all
+        (3, ""),                  # empty: tot = 0 guard
+        (4, " ".join(f"w{i}" for i in range(10, 40))),  # all grams unique
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict()
+           for r in repetition_signals(df, "doc_id").collect()}
+    assert set(out) == {1, 2, 3, 4}
+
+    # doc 1: top 2-gram "a b" ×3 ×3 chars → 9/11; top 3-gram ×2 ×5 →
+    # 10/11; top 4-gram "a b a b" ×2 ×7 → 14/11 (overlapping
+    # occurrences counted per occurrence — may exceed 1, documented);
+    # no duplicated 5-gram; fewer than 10 tokens → dup10 = 0.
+    assert out[1]["top2_char_frac"] == 0.8182
+    assert out[1]["top3_char_frac"] == 0.9091
+    assert out[1]["top4_char_frac"] == 1.2727
+    assert out[1]["dup5_char_frac"] == 0.0
+    assert out[1]["dup10_char_frac"] == 0.0
+    assert out[1]["repetition_flagged"] is True
+
+    # doc 2 has no n>=2 grams; doc 3 has zero chars — both all-zero,
+    # unflagged, and present in the output (left-join row keep).
+    for d in (2, 3):
+        assert all(out[d][c] == 0.0 for c in out[d] if c.endswith("_frac"))
+        assert out[d]["repetition_flagged"] is False
+
+    # doc 4: every gram unique → dup fracs 0; top fracs are one
+    # occurrence of one gram over the 119-char doc, all under
+    # thresholds (30 tokens × "wNN" + 29 spaces).
+    assert out[4]["dup5_char_frac"] == 0.0
+    assert out[4]["top2_char_frac"] == 0.0588  # 7/119 half-up
+    assert out[4]["repetition_flagged"] is False
