@@ -76,6 +76,7 @@ HEADLINE_R7 = [
     "mmr_diverse_topk",
     "dedup_clusters_delta",
     "repetition_signals_docs",
+    "hard_negative_mining",
 ]
 
 

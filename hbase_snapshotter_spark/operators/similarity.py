@@ -1292,3 +1292,67 @@ def ivfpq_topk(
     cand = topk_by_group(scored, cap, score_col="__score")
     return _exact_rerank(corpus, queries, cand, k,
                          id_col=id_col, vec_col=vec_col)
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    margin: float = 0.1,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding-model training
+    (SURVEY §2.3 N64): per query, the top-``k`` most similar
+    DIFFERENT-label corpus vectors, each with the query's best
+    same-label (positive) similarity and the semi-hard verdicts the
+    triplet-loss literature actually thresholds (FaceNet, Schroff et
+    al. 2015; DPR, Karpukhin et al. 2020):
+
+    - ``pos_sim`` — max cosine over the query's same-label candidates
+      (NULL when the query's label is unique in the corpus);
+    - ``margin_to_pos = round(pos_sim − cosine, 4)``;
+    - ``harder_than_positive`` — the negative outscores the positive
+      (the "hardest" regime that makes triplet gradients explode);
+    - ``is_semi_hard`` — within ``margin`` below the positive
+      (``pos_sim − margin < cosine ≤ pos_sim``), the band mining
+      actually keeps.
+
+    Scale shape: identical to :func:`brute_force_topk` — the corpus is
+    NEVER shuffled; the (small) query table broadcasts, one scan scores
+    every (query, candidate) pair where the candidates live, the
+    positive side folds to one row per query via a map-side-combined
+    max, and the negative side ranks via the window-free
+    :func:`topk_by_group` hash-agg.  The per-query positive row then
+    broadcasts back onto the k·|queries| negative rows.  Swap the
+    scoring scan for any ANN lane (:func:`ann_lsh_topk`,
+    :func:`ivf_topk`) to mine at 100 TB without the exact pass — the
+    join/threshold structure is unchanged.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"),
+        F.col(label_col).alias("__qlab"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"),
+        F.col(label_col).alias("__clab"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            (F.col("__clab") == F.col("__qlab")).alias("__same"),
+            F.round(cosine_expr(F.col("__qv"), F.col("__cv")), 4)
+            .alias("cosine")))
+    pos = scored.filter("__same").groupBy("query_id").agg(
+        F.max("cosine").alias("pos_sim"))
+    negs = topk_by_group(scored.filter(~F.col("__same")), k)
+    out = negs.join(F.broadcast(pos), "query_id", "left")
+    return out.select(
+        "query_id", "neighbor_id",
+        F.col("rank").alias("neg_rank"), "cosine", "pos_sim",
+        F.round(F.col("pos_sim") - F.col("cosine"), 4).alias("margin_to_pos"),
+        (F.col("cosine") > F.col("pos_sim")).alias("harder_than_positive"),
+        ((F.col("cosine") > F.col("pos_sim") - F.lit(margin))
+         & (F.col("cosine") <= F.col("pos_sim"))).alias("is_semi_hard"))

@@ -2398,6 +2398,57 @@ PAIRS.update({
 })
 
 
+# ------- N64: hard-negative mining for contrastive training
+HARDNEG_K = 5
+HARDNEG_MARGIN = 0.1
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (N64): for each query vector, the top-5
+    most similar DIFFERENT-label corpus vectors with the query's best
+    same-label similarity, the margin, and the harder-than-positive /
+    semi-hard verdicts the triplet-loss literature thresholds.  Labels
+    play the relevance proxy; the corpus never shuffles (broadcast
+    query table, map-side positive max, window-free top-k)."""
+    from hbase_snapshotter_spark.operators.similarity import hard_negatives
+
+    emb = _emb(spark, sf_dir)
+    return hard_negatives(
+        emb, emb.filter(F.col("vec_id") < TOPK_QUERY_PRED),
+        k=HARDNEG_K, margin=HARDNEG_MARGIN)
+
+
+ORACLE_HARD_NEGATIVES = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         q.label = c.label AS same_label,
+         {SQL_COSINE} AS cosine
+  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {TOPK_QUERY_PRED}),
+pos AS (
+  SELECT query_id, MAX(cosine) AS pos_sim
+  FROM scored WHERE same_label GROUP BY query_id),
+negs AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+  FROM scored WHERE NOT same_label)
+SELECT n.query_id, n.neighbor_id, CAST(n.rnk AS INTEGER) AS neg_rank,
+       n.cosine, p.pos_sim,
+       ROUND(p.pos_sim - n.cosine, 4) AS margin_to_pos,
+       n.cosine > p.pos_sim AS harder_than_positive,
+       (n.cosine > p.pos_sim - {HARDNEG_MARGIN}
+        AND n.cosine <= p.pos_sim) AS is_semi_hard
+FROM negs n LEFT JOIN pos p USING (query_id)
+WHERE n.rnk <= {HARDNEG_K}
+"""
+
+
+PAIRS.update({
+    "hard_negative_mining": (hard_negative_mining, ORACLE_HARD_NEGATIVES),
+})
+
+
 # pipeline_quality_filter's oracle references the LM constants above,
 # so its (re-)registration lives at module end; registry order is
 # governed by registry._R5_ORDER, not this dict's insertion order.

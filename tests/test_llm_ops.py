@@ -1748,3 +1748,36 @@ def test_repetition_signals_hand_computed(spark):
     assert out[4]["dup5_char_frac"] == 0.0
     assert out[4]["top2_char_frac"] == 0.0588  # 7/119 half-up
     assert out[4]["repetition_flagged"] is False
+
+
+def test_hard_negatives_hand_computed(spark):
+    """N64: positives/negatives split by label, semi-hard band, ties
+    toward smaller id, NULL positive for a unique label."""
+    from hbase_snapshotter_spark.operators.similarity import hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0], "A"),   # query
+        (1, [1.0, 1.0], "A"),   # positive of 0: cos 0.7071
+        (2, [1.0, 0.0], "B"),   # negative, cos 1.0 (harder than pos)
+        (3, [1.0, 1.0], "B"),   # negative, cos 0.7071 (semi-hard: margin 0)
+        (4, [0.0, 1.0], "B"),   # negative, cos 0.0
+        (6, [1.0, 0.0], "Z"),   # query with a corpus-unique label
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = hard_negatives(df, df.filter(F.col("vec_id").isin(0, 6)), k=2)
+    got = {(r["query_id"], r["neg_rank"]): r.asDict() for r in out.collect()}
+    assert set(got) == {(0, 1), (0, 2), (6, 1), (6, 2)}
+
+    # q0 rank1: ids 2 and 6 both cos 1.0 — smaller id wins.
+    r = got[(0, 1)]
+    assert (r["neighbor_id"], r["cosine"], r["pos_sim"]) == (2, 1.0, 0.7071)
+    assert r["harder_than_positive"] is True and r["is_semi_hard"] is False
+    assert r["margin_to_pos"] == -0.2929
+    r2 = got[(0, 2)]
+    assert (r2["neighbor_id"], r2["cosine"]) == (6, 1.0)
+
+    # q6 has no same-label candidate: positive side is NULL throughout.
+    r6 = got[(6, 1)]
+    assert r6["neighbor_id"] == 0 and r6["cosine"] == 1.0
+    assert r6["pos_sim"] is None and r6["margin_to_pos"] is None
+    assert r6["harder_than_positive"] is None and r6["is_semi_hard"] is None
