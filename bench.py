@@ -77,6 +77,7 @@ HEADLINE_R7 = [
     "dedup_clusters_delta",
     "repetition_signals_docs",
     "hard_negative_mining",
+    "cms_freq_maintenance",
 ]
 
 

@@ -233,3 +233,109 @@ def dd_quantile_estimates(
             F.lit(2.0) * F.pow(F.lit(DD_GAMMA), b_q) / F.lit(DD_GAMMA + 1), 4)
         aggs.append(est.alias(f"q{int(round(q * 100))}_est"))
     return c.groupBy(*group_cols).agg(*aggs)
+
+
+# ---------------------------------------------------------------- N65
+#: Count-min geometry: D independent hash rows × W buckets.  Point
+#: estimates overestimate by ≤ (CMS_BOUND_NUM/W)·N with probability
+#: ≥ 1 − (1/CMS_BOUND_NUM)^D (Cormode & Muthukrishnan 2005, with the
+#: integer 3 standing in for e so the bound check stays in exact
+#: integer arithmetic both engines share).
+CMS_DEPTH = 3
+CMS_WIDTH = 256
+CMS_BOUND_NUM = 3
+
+
+def cms_bucket(item, depth: int):
+    """Row-``depth`` bucket of ``item``: 8 md5 hex chars → BIGINT mod
+    width.  Depth is salted into the digest input, so the D rows are
+    independent; md5 exists in DuckDB, so the oracle replays the exact
+    sketch."""
+    return (F.conv(F.substring(F.md5(F.concat_ws("|", F.lit(str(depth)),
+                                                 item)), 1, 8), 16, 10)
+            .cast("long") % CMS_WIDTH)
+
+
+def cms_state(
+    df: DataFrame,
+    item_col: str,
+    *,
+    group_cols: list[str],
+) -> DataFrame:
+    """Mergeable count-min sketch state (SURVEY §2.3 N65): per-group
+    frequency sketch as ``(*group_cols, depth, bucket, cnt)`` rows —
+    the point-frequency member of the sketch-state family (N48 HLL
+    distincts, N51 theta set algebra, N58 DDSketch quantiles, N41
+    Misra-Gries heavy hitters).  D hash aggregations' worth of state in
+    ONE pass: the depth dimension is a D-way posexplode per item, then
+    a single map-side-combined count.  State size is G × D × W rows —
+    bounded by geometry, independent of data volume."""
+    depths = F.array(*[
+        cms_bucket(F.col(item_col), d) for d in range(CMS_DEPTH)])
+    return (
+        df.select(*group_cols,
+                  F.posexplode(depths).alias("depth", "bucket"))
+        .groupBy(*group_cols, "depth", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def merge_cms_states(
+    a: DataFrame,
+    b: DataFrame,
+    *,
+    group_cols: list[str],
+) -> DataFrame:
+    """Bucket-wise count sum — associative, commutative, LOSSLESS
+    (``merge(state(A), state(B)) = state(A ⊎ B)`` exactly, since the
+    bucket of an item is a pure function), so advanced-equals-full is
+    an exact equality the driver hashes, not a tolerance.  NOT
+    idempotent under re-delivery: exactly-once delta delivery is the
+    contract, same as the N58 quantile state."""
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "depth", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def advance_cms_state(
+    prior: DataFrame,
+    delta: DataFrame,
+    item_col: str,
+    *,
+    group_cols: list[str],
+) -> DataFrame:
+    """Advance materialized CMS state with only the delta rows: sketch
+    the delta (the only data-sized work) and bucket-sum into the prior
+    state — state input is G × D × W rows, never the prior corpus."""
+    return merge_cms_states(
+        prior, cms_state(delta, item_col, group_cols=group_cols),
+        group_cols=group_cols)
+
+
+def cms_estimates(
+    state: DataFrame,
+    probes: DataFrame,
+    item_col: str,
+    *,
+    group_cols: list[str],
+) -> DataFrame:
+    """Point-frequency estimates from the state alone:
+    ``(*group_cols, item, est_cnt)`` with ``est = min over depth rows``
+    of the item's bucket count (0 when a bucket row is absent).  The
+    (tiny) probe table crosses the D depth literals and broadcasts onto
+    the bounded state — the corpus is never touched.  By the CMS
+    theorem the estimate NEVER underestimates; the registered query
+    carries that invariant (and the ε-bound) as driver-hashed flags."""
+    p = probes.select(
+        *group_cols, F.col(item_col).alias("item"),
+        F.posexplode(F.array(*[
+            cms_bucket(F.col(item_col), d)
+            for d in range(CMS_DEPTH)])).alias("depth", "bucket"))
+    joined = p.join(state.withColumnRenamed("cnt", "__cnt"),
+                    [*group_cols, "depth", "bucket"], "left")
+    return (
+        joined.groupBy(*group_cols, "item")
+        .agg(F.min(F.coalesce("__cnt", F.lit(0))).alias("est_cnt"))
+    )

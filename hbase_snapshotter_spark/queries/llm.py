@@ -2449,6 +2449,118 @@ PAIRS.update({
 })
 
 
+# ------- N65: count-min sketch mergeable state
+#: Fixed probe vocabulary for the CMS query — fixture-independent
+#: literals (one absent token exercises the zero/collision path).
+CMS_PROBE_TOKENS = [
+    "table", "row", "key", "value", "scan", "merge",
+    "the", "a", "spark", "window", "zzz_absent",
+]
+
+
+def cms_freq_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch state maintenance (N65): per-lang token
+    frequency sketches built on the history docs, advanced with only
+    the delta docs' tokens (lossless bucket-sum merge — advanced state
+    ≡ full-build state EXACTLY, so the oracle builds from the full
+    corpus and value-checks every estimate).  Point estimates for a
+    fixed probe vocabulary come from the state alone, with the CMS
+    never-underestimates theorem and the ε-bound as driver-hashed
+    flags."""
+    from hbase_snapshotter_spark.cache import scoped_persist
+    from hbase_snapshotter_spark.operators.sketches import (
+        CMS_BOUND_NUM,
+        CMS_WIDTH,
+        advance_cms_state,
+        cms_estimates,
+        cms_state,
+    )
+    from hbase_snapshotter_spark.operators.text import tokens
+
+    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    # one tokenize pass feeds the sketch, the true counts, and the
+    # per-lang totals (scope-persisted — and spread first: the fixture
+    # is single-split parquet, which would pin the explode to one core)
+    toks = scoped_persist(docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok")))
+    is_delta = F.col("doc_id") % NOVELTY_DELTA_MOD == 0
+    prior = cms_state(toks.filter(~is_delta), "tok", group_cols=["lang"])
+    adv = advance_cms_state(prior, toks.filter(is_delta), "tok",
+                            group_cols=["lang"])
+    probes = (
+        docs.select("lang").distinct()
+        .crossJoin(spark.createDataFrame(
+            [(t,) for t in CMS_PROBE_TOKENS], ["item"])))
+    est = cms_estimates(adv, probes, "item", group_cols=["lang"])
+    true_cnt = (
+        toks.filter(F.col("tok").isin(CMS_PROBE_TOKENS))
+        .groupBy("lang", F.col("tok").alias("item"))
+        .agg(F.count(F.lit(1)).alias("true_cnt")))
+    n_tok = toks.groupBy("lang").agg(F.count(F.lit(1)).alias("n_tokens"))
+    out = (
+        est.join(true_cnt, ["lang", "item"], "left")
+        .join(F.broadcast(n_tok), "lang")
+        .withColumn("true_cnt", F.coalesce("true_cnt", F.lit(0))))
+    return out.select(
+        "lang", "item", "est_cnt", "true_cnt", "n_tokens",
+        (F.col("est_cnt") >= F.col("true_cnt")).alias("overestimate_ok"),
+        ((F.col("est_cnt") - F.col("true_cnt")) * CMS_WIDTH
+         <= CMS_BOUND_NUM * F.col("n_tokens")).alias("within_bound"),
+    ).orderBy("lang", "item")
+
+
+def _oracle_cms_freq() -> str:
+    from hbase_snapshotter_spark.operators.sketches import (
+        CMS_BOUND_NUM,
+        CMS_DEPTH,
+        CMS_WIDTH,
+    )
+
+    depth_vals = ", ".join(f"({d})" for d in range(CMS_DEPTH))
+    probe_vals = ", ".join(f"('{t}')" for t in CMS_PROBE_TOKENS)
+    bucket = ("CAST('0x' || substr(md5(CAST({d} AS VARCHAR) || '|' || {it}),"
+              " 1, 8) AS BIGINT) % {w}")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, UNNEST(string_split(trim(text), ' ')) AS tok
+  FROM documents),
+st AS (
+  SELECT lang, dd.d AS depth,
+         {bucket.format(d='dd.d', it='tok', w=CMS_WIDTH)} AS bucket,
+         COUNT(*) AS cnt
+  FROM toks, (VALUES {depth_vals}) dd(d)
+  GROUP BY 1, 2, 3),
+probes AS (
+  SELECT lang, item FROM (SELECT DISTINCT lang FROM documents),
+                         (VALUES {probe_vals}) p(item)),
+pb AS (
+  SELECT lang, item, dd.d AS depth,
+         {bucket.format(d='dd.d', it='item', w=CMS_WIDTH)} AS bucket
+  FROM probes, (VALUES {depth_vals}) dd(d)),
+est AS (
+  SELECT pb.lang, pb.item, MIN(COALESCE(st.cnt, 0)) AS est_cnt
+  FROM pb LEFT JOIN st USING (lang, depth, bucket)
+  GROUP BY 1, 2),
+tc AS (
+  SELECT lang, tok AS item, COUNT(*) AS true_cnt FROM toks
+  WHERE tok IN (SELECT item FROM (VALUES {probe_vals}) p(item))
+  GROUP BY 1, 2),
+nt AS (SELECT lang, COUNT(*) AS n_tokens FROM toks GROUP BY 1)
+SELECT e.lang, e.item, e.est_cnt, COALESCE(t.true_cnt, 0) AS true_cnt,
+       nt.n_tokens,
+       e.est_cnt >= COALESCE(t.true_cnt, 0) AS overestimate_ok,
+       (e.est_cnt - COALESCE(t.true_cnt, 0)) * {CMS_WIDTH}
+         <= {CMS_BOUND_NUM} * nt.n_tokens AS within_bound
+FROM est e LEFT JOIN tc t USING (lang, item) JOIN nt USING (lang)
+ORDER BY e.lang, e.item
+"""
+
+
+PAIRS.update({
+    "cms_freq_maintenance": (cms_freq_maintenance, _oracle_cms_freq()),
+})
+
+
 # pipeline_quality_filter's oracle references the LM constants above,
 # so its (re-)registration lives at module end; registry order is
 # governed by registry._R5_ORDER, not this dict's insertion order.

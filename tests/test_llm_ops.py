@@ -1781,3 +1781,67 @@ def test_hard_negatives_hand_computed(spark):
     assert r6["neighbor_id"] == 0 and r6["cosine"] == 1.0
     assert r6["pos_sim"] is None and r6["margin_to_pos"] is None
     assert r6["harder_than_positive"] is None and r6["is_semi_hard"] is None
+
+
+def test_cms_state_hand_replayed(spark):
+    """N65 count-min state: python-replayed sketch matches exactly,
+    merge is lossless, advance ≡ full build, re-delivery inflates
+    (documented non-idempotence), estimates never underestimate."""
+    import hashlib
+    from collections import Counter
+
+    from hbase_snapshotter_spark.operators.sketches import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        advance_cms_state,
+        cms_estimates,
+        cms_state,
+        merge_cms_states,
+    )
+
+    rows_a = [("g", t) for t in ["x", "y", "x", "z", "x"]]
+    rows_b = [("g", t) for t in ["y", "w"]]
+    cols = ["grp", "tok"]
+    a = spark.createDataFrame(rows_a, cols)
+    b = spark.createDataFrame(rows_b, cols)
+    full = spark.createDataFrame(rows_a + rows_b, cols)
+
+    def py_bucket(tok, d):
+        h = hashlib.md5(f"{d}|{tok}".encode()).hexdigest()
+        return int(h[:8], 16) % CMS_WIDTH
+
+    expect = Counter()
+    for _, t in rows_a + rows_b:
+        for d in range(CMS_DEPTH):
+            expect[("g", d, py_bucket(t, d))] += 1
+
+    def as_set(state):
+        return {(r["grp"], r["depth"], r["bucket"], r["cnt"])
+                for r in state.collect()}
+
+    full_state = as_set(cms_state(full, "tok", group_cols=["grp"]))
+    assert full_state == {(g, d, bkt, c) for (g, d, bkt), c in expect.items()}
+
+    sa = cms_state(a, "tok", group_cols=["grp"])
+    merged = as_set(merge_cms_states(
+        sa, cms_state(b, "tok", group_cols=["grp"]), group_cols=["grp"]))
+    advanced = as_set(advance_cms_state(sa, b, "tok", group_cols=["grp"]))
+    assert merged == full_state and advanced == full_state
+
+    # re-delivering b is NOT a no-op (count-sum, unlike HLL register-max)
+    twice = as_set(advance_cms_state(
+        advance_cms_state(sa, b, "tok", group_cols=["grp"]),
+        b, "tok", group_cols=["grp"]))
+    assert twice != full_state
+
+    probes = spark.createDataFrame(
+        [("g", t) for t in ["x", "y", "w", "absent"]], ["grp", "item"])
+    est = {r["item"]: r["est_cnt"]
+           for r in cms_estimates(
+               cms_state(full, "tok", group_cols=["grp"]), probes, "item",
+               group_cols=["grp"]).collect()}
+    true = {"x": 3, "y": 2, "w": 1, "absent": 0}
+    py_est = {t: min(expect.get(("g", d, py_bucket(t, d)), 0)
+                     for d in range(CMS_DEPTH)) for t in true}
+    assert est == py_est
+    assert all(est[t] >= c for t, c in true.items())
