@@ -78,6 +78,7 @@ HEADLINE_R7 = [
     "repetition_signals_docs",
     "hard_negative_mining",
     "cms_freq_maintenance",
+    "events_drift_psi",
 ]
 
 

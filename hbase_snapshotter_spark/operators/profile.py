@@ -126,3 +126,72 @@ def profile_columns(
         for c in string_cols
     ]
     return one.select(F.inline(F.array(*rows)))
+
+
+#: Classic PSI decision thresholds (Siddiqi 2006): < 0.1 stable,
+#: 0.1–0.2 moderate shift, > 0.2 significant drift.
+PSI_DRIFT_THRESHOLD = 0.2
+
+
+def psi_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    *,
+    group_cols: list[str],
+) -> DataFrame:
+    """Population Stability Index between two slices of a positive
+    metric, per group (SURVEY §2.3 N66) — the drift audit a pipeline
+    runs between snapshot eras / ingestion days before trusting new
+    data: ``PSI = Σ_buckets (p_i − q_i)·ln(p_i/q_i)`` over the
+    DDSketch log buckets (:func:`~.sketches.dd_bucket` — the same
+    engine-portable bucketing the quantile state uses), with add-0.5
+    smoothing over the union of observed buckets so one-sided buckets
+    contribute finitely.
+
+    Determinism: every PSI term is individually ≥ 0 ((p−q) and
+    ln(p/q) share sign), each is snapped to integer micro-units
+    (``round(term·10⁶)`` BIGINT — a transcendental has no systematic
+    .5 ties, the N60 posture), summed exactly, and divided once
+    half-up — bit-identical on any engine and any summation order.
+
+    Scale shape: ONE scan of each side feeding a single
+    ``(group, bucket, era)``-conditional hash agg (map-side partials;
+    shuffle ≤ groups × buckets, never events), per-group totals from
+    the BUCKET table (bounded by geometry), broadcast back, one final
+    per-group fold.  Returns ``(*group_cols, n_buckets, n_a, n_b,
+    psi, drifted)``; groups present in only one era still appear
+    (their PSI is the smoothed divergence from nothing).
+    """
+    from hbase_snapshotter_spark.operators.sketches import dd_bucket
+
+    def side(df: DataFrame, flag: str) -> DataFrame:
+        return (
+            df.filter(F.col(value_col).isNotNull() & (F.col(value_col) > 0))
+            .select(*group_cols, dd_bucket(value_col).alias("bucket"),
+                    F.lit(flag).alias("__era")))
+
+    bc = (
+        side(df_a, "a").unionByName(side(df_b, "b"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.sum(F.when(F.col("__era") == "a", 1).otherwise(0)).alias("ca"),
+             F.sum(F.when(F.col("__era") == "b", 1).otherwise(0)).alias("cb"))
+    )
+    totals = bc.groupBy(*group_cols).agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b"),
+        F.count(F.lit(1)).alias("n_buckets"))
+    j = bc.join(F.broadcast(totals), group_cols)
+    p = (F.col("ca") + 0.5) / (F.col("n_a") + 0.5 * F.col("n_buckets"))
+    q = (F.col("cb") + 0.5) / (F.col("n_b") + 0.5 * F.col("n_buckets"))
+    term_micro = F.round((p - q) * F.log(p / q) * 1e6, 0).cast("long")
+    agg = j.groupBy(*group_cols).agg(
+        F.min("n_buckets").alias("n_buckets"),
+        F.min("n_a").alias("n_a"), F.min("n_b").alias("n_b"),
+        F.sum(term_micro).alias("__psi_micro"))
+    # round(psi_micro/1e6, 4) half-up on the exact integer rational
+    a = 20000 * F.col("__psi_micro") + F.lit(1_000_000)
+    b = F.lit(2_000_000)
+    psi = ((a - F.pmod(a, b)) / b).cast("long").cast("double") / 10000
+    return agg.select(
+        *group_cols, "n_buckets", "n_a", "n_b", psi.alias("psi"),
+        (psi > PSI_DRIFT_THRESHOLD).alias("drifted"))

@@ -421,3 +421,73 @@ PAIRS.update({
     "events_rolling_anomaly": (events_rolling_anomaly,
                                ORACLE_ROLLING_ANOMALY),
 })
+
+
+# ------------------- N66: era-over-era distribution drift (PSI)
+def events_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift audit (N66): PSI of the event value
+    distribution per event type, early era vs late era (the theta-lane
+    snapshot boundary), over DDSketch log buckets with add-0.5
+    smoothing.  Integer micro-unit term summing makes the sum
+    order-independent; the oracle replays buckets, smoothing, terms,
+    and the final half-up division exactly."""
+    from hbase_snapshotter_spark.cache import scoped_persist
+    from hbase_snapshotter_spark.operators.profile import psi_drift
+    from hbase_snapshotter_spark.queries.snapshot_q import SNAPSHOT_TS_MS
+
+    ev = scoped_persist(
+        read_table(spark, sf_dir, "events")
+        .select("event_type", "value",
+                (F.unix_millis("ts") <= SNAPSHOT_TS_MS).alias("__early")))
+    return psi_drift(
+        ev.filter("__early"), ev.filter("NOT __early"), "value",
+        group_cols=["event_type"]).orderBy("event_type")
+
+
+def _oracle_drift_psi() -> str:
+    from hbase_snapshotter_spark.operators.profile import PSI_DRIFT_THRESHOLD
+    from hbase_snapshotter_spark.operators.sketches import DD_LN_GAMMA
+    from hbase_snapshotter_spark.queries.snapshot_q import SNAPSHOT_TS_MS
+
+    return f"""
+WITH v AS (
+  SELECT event_type,
+         CAST(CEIL(ROUND(LN(value) / {repr(DD_LN_GAMMA)}, 6)) AS BIGINT)
+           AS bucket,
+         epoch_ms(ts) <= {SNAPSHOT_TS_MS} AS early
+  FROM events WHERE value IS NOT NULL AND value > 0),
+bc AS (
+  SELECT event_type, bucket,
+         SUM(CASE WHEN early THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN early THEN 0 ELSE 1 END) AS cb
+  FROM v GROUP BY 1, 2),
+t AS (
+  SELECT event_type, SUM(ca) AS n_a, SUM(cb) AS n_b,
+         COUNT(*) AS n_buckets
+  FROM bc GROUP BY 1),
+terms AS (
+  SELECT bc.event_type,
+         CAST(ROUND(((bc.ca + 0.5) / (t.n_a + 0.5 * t.n_buckets)
+                     - (bc.cb + 0.5) / (t.n_b + 0.5 * t.n_buckets))
+                    * LN(((bc.ca + 0.5) / (t.n_a + 0.5 * t.n_buckets))
+                         / ((bc.cb + 0.5) / (t.n_b + 0.5 * t.n_buckets)))
+                    * 1e6, 0) AS BIGINT) AS term_micro
+  FROM bc JOIN t USING (event_type)),
+s AS (
+  SELECT event_type, SUM(term_micro) AS psi_micro
+  FROM terms GROUP BY 1)
+SELECT t.event_type,
+       CAST(t.n_buckets AS BIGINT) AS n_buckets,
+       CAST(t.n_a AS BIGINT) AS n_a, CAST(t.n_b AS BIGINT) AS n_b,
+       CAST((20000 * s.psi_micro + 1000000) // 2000000 AS DOUBLE) / 10000
+         AS psi,
+       CAST((20000 * s.psi_micro + 1000000) // 2000000 AS DOUBLE) / 10000
+         > {PSI_DRIFT_THRESHOLD} AS drifted
+FROM t JOIN s USING (event_type)
+ORDER BY t.event_type
+"""
+
+
+PAIRS.update({
+    "events_drift_psi": (events_drift_psi, _oracle_drift_psi()),
+})

@@ -1845,3 +1845,48 @@ def test_cms_state_hand_replayed(spark):
                      for d in range(CMS_DEPTH)) for t in true}
     assert est == py_est
     assert all(est[t] >= c for t, c in true.items())
+
+
+def test_psi_drift_hand_replayed(spark):
+    """N66 PSI drift: python-replayed buckets/smoothing/terms match
+    exactly; one-era-only groups appear; zero-drift identical sides."""
+    import math
+
+    from hbase_snapshotter_spark.operators.profile import psi_drift
+    from hbase_snapshotter_spark.operators.sketches import DD_LN_GAMMA
+
+    a_rows = [("g", 1.0)] * 6 + [("g", 2.0)] * 4 + [("h", 3.0)] * 5
+    b_rows = [("g", 1.0)] * 2 + [("g", 2.0)] * 8
+    cols = ["grp", "v"]
+    a = spark.createDataFrame(a_rows, cols)
+    b = spark.createDataFrame(b_rows, cols)
+    out = {r["grp"]: r.asDict()
+           for r in psi_drift(a, b, "v", group_cols=["grp"]).collect()}
+    assert set(out) == {"g", "h"}
+
+    def py_psi(ca_by_bucket, cb_by_bucket):
+        buckets = set(ca_by_bucket) | set(cb_by_bucket)
+        na, nb, nk = (sum(ca_by_bucket.values()), sum(cb_by_bucket.values()),
+                      len(buckets))
+        micro = 0
+        for k in buckets:
+            p = (ca_by_bucket.get(k, 0) + 0.5) / (na + 0.5 * nk)
+            q = (cb_by_bucket.get(k, 0) + 0.5) / (nb + 0.5 * nk)
+            micro += int(round((p - q) * math.log(p / q) * 1e6))
+        return (20000 * micro + 1_000_000) // 2_000_000 / 10000
+
+    def bkt(v):
+        return math.ceil(round(math.log(v) / DD_LN_GAMMA, 6))
+
+    g_expect = py_psi({bkt(1.0): 6, bkt(2.0): 4}, {bkt(1.0): 2, bkt(2.0): 8})
+    assert out["g"]["psi"] == g_expect and out["g"]["n_buckets"] == 2
+    assert (out["g"]["n_a"], out["g"]["n_b"]) == (10, 10)
+
+    # group h exists only in era A: PSI vs nothing, still finite
+    h_expect = py_psi({bkt(3.0): 5}, {})
+    assert out["h"]["psi"] == h_expect and out["h"]["n_b"] == 0
+    assert out["h"]["drifted"] is bool(h_expect > 0.2)
+
+    # identical sides → PSI exactly 0, undrifted
+    same = psi_drift(a, a, "v", group_cols=["grp"]).collect()
+    assert all(r["psi"] == 0.0 and r["drifted"] is False for r in same)
