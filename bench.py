@@ -79,6 +79,7 @@ HEADLINE_R7 = [
     "hard_negative_mining",
     "cms_freq_maintenance",
     "events_drift_psi",
+    "retrieval_eval_metrics",
 ]
 
 

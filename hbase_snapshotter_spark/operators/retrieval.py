@@ -362,3 +362,80 @@ def mmr_rerank(
             "query_id long, rank int, cand_id long, rel double, "
             "div_penalty double, mmr_score double")
     )
+
+
+def ranking_metrics(
+    ranked: DataFrame,
+    relevant: DataFrame,
+    *,
+    k: int,
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Retrieval-evaluation metrics (SURVEY §2.3 N67): per query,
+    ``recall_at_k``, ``precision_at_k``, ``mrr`` (reciprocal rank of
+    the first relevant hit, 0 when none), and ``ndcg_at_k`` — the
+    eval pass every retrieval deployment runs next to its rankers
+    (binary relevance; ``relevant`` is the (query, id) ground truth).
+
+    Determinism: DCG terms ``1/log2(rank+1)`` are transcendental, so
+    each is snapped to integer micro-units (``round(10⁶/log2(r+1))``
+    BIGINT — no systematic .5 ties, the N60/N66 posture), summed
+    exactly, and nDCG is the half-up exact-rational division of the
+    two micro sums; recall/precision divide exact integers the same
+    way.  Bit-identical on both engines at any summation order.
+
+    Scale shape: one left join of the (q·k)-row ranked table onto the
+    ground truth (co-partitioned hash join on the query/id pair), one
+    per-query hash agg with map-side partials, plus a query-count-
+    sized relevant-total table broadcast back.  Nothing touches the
+    corpus — eval cost is output-sized, independent of corpus scale.
+    """
+    idcg = {
+        m: sum(int(round(1e6 / __import__("math").log2(r + 1)))
+               for r in range(1, m + 1))
+        for m in range(0, k + 1)
+    }
+    n_rel = relevant.groupBy(query_col).agg(
+        F.count(F.lit(1)).alias("__n_rel"))
+    hits = (
+        ranked.filter(F.col(rank_col) <= k)
+        .join(relevant.select(query_col, id_col).withColumn("__rel", F.lit(1)),
+              [query_col, id_col], "left")
+        .withColumn("__rel", F.coalesce("__rel", F.lit(0))))
+    dcg_term = F.when(
+        F.col("__rel") == 1,
+        F.round(F.lit(1e6) / F.log2(F.col(rank_col) + 1), 0).cast("long")
+    ).otherwise(F.lit(0))
+    per_q = hits.groupBy(query_col).agg(
+        F.sum("__rel").alias("__hits"),
+        F.count(F.lit(1)).alias("__returned"),
+        F.min(F.when(F.col("__rel") == 1, F.col(rank_col))).alias("__first"),
+        F.sum(dcg_term).alias("__dcg_micro"))
+
+    def div4(num, den):
+        # round(num/den, 4) half-up on the exact integer rational
+        a = 20000 * num + den
+        b = 2 * den
+        return F.when(
+            den > F.lit(0),
+            (((a - F.pmod(a, b)) / b).cast("long").cast("double") / 10000),
+        ).otherwise(F.lit(0.0))
+
+    idcg_expr = F.element_at(
+        F.array(*[F.lit(idcg[m]) for m in range(0, k + 1)]),
+        F.least(F.col("__n_rel"), F.lit(k)).cast("int") + 1)
+    return (
+        per_q.join(F.broadcast(n_rel), query_col, "left")
+        .withColumn("__n_rel", F.coalesce("__n_rel", F.lit(0)))
+        .select(
+            query_col,
+            F.col("__hits").cast("int").alias("hits"),
+            F.col("__n_rel").cast("int").alias("n_relevant"),
+            div4(F.col("__hits"), F.col("__n_rel")).alias("recall_at_k"),
+            div4(F.col("__hits"), F.lit(k)).alias("precision_at_k"),
+            F.coalesce(div4(F.lit(1), F.col("__first")), F.lit(0.0))
+            .alias("mrr"),
+            div4(F.col("__dcg_micro"), idcg_expr).alias("ndcg_at_k"),
+        ))

@@ -2561,6 +2561,134 @@ PAIRS.update({
 })
 
 
+# ------- N67: retrieval-evaluation metrics (recall@k / MRR / nDCG@k)
+def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation (N67): recall@k, precision@k, MRR and
+    nDCG@k for the exact and the SRP-ANN rankers against same-label
+    ground truth — the eval pass a retrieval deployment runs next to
+    its rankers.  Both rankers and every metric are deterministic
+    (integer micro-unit DCG terms, exact-rational half-up divisions),
+    so the oracle replays rankings AND metrics bit-for-bit."""
+    from hbase_snapshotter_spark.cache import scoped_persist
+    from hbase_snapshotter_spark.operators.retrieval import ranking_metrics
+
+    emb = scoped_persist(_emb(spark, sf_dir))
+    q = emb.filter(F.col("vec_id") < TOPK_QUERY_PRED)
+    truth = scoped_persist(
+        q.select(F.col("vec_id").alias("query_id"), "label")
+        .join(emb.select(F.col("vec_id").alias("neighbor_id"), "label"),
+              "label")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id"))
+    out = []
+    for method, ranked in (
+        ("ann", ann_lsh_topk(emb, q, k=TOPK_K)),
+        ("brute", brute_force_topk(emb, q, k=TOPK_K)),
+    ):
+        out.append(
+            ranking_metrics(ranked, truth, k=TOPK_K)
+            .withColumn("method", F.lit(method)))
+    return (
+        out[0].unionByName(out[1])
+        .select("method", "query_id", "hits", "n_relevant", "recall_at_k",
+                "precision_at_k", "mrr", "ndcg_at_k")
+        .orderBy("method", "query_id"))
+
+
+def _oracle_retrieval_eval() -> str:
+    import math
+
+    from hbase_snapshotter_spark.operators.similarity import (
+        ANN_BITS_PER_TABLE,
+        ANN_PROJECTIONS,
+        ANN_TABLES,
+    )
+
+    planes = ", ".join(
+        "CASE WHEN ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"{list(p)}::DOUBLE[]), 6) >= 0 THEN '1' ELSE '0' END"
+        for p in ANN_PROJECTIONS)
+    idcg = {m: sum(int(round(1e6 / math.log2(r + 1)))
+                   for r in range(1, m + 1))
+            for m in range(0, TOPK_K + 1)}
+    idcg_case = ("CASE LEAST(n_rel, {k}) "
+                 + " ".join(f"WHEN {m} THEN {v}"
+                            for m, v in idcg.items())
+                 + " END").format(k=TOPK_K)
+    div4 = ("CASE WHEN {den} > 0 THEN "
+            "CAST((20000 * {num} + {den}) // (2 * {den}) AS DOUBLE) / 10000 "
+            "ELSE 0.0 END")
+    metrics = f"""
+  SELECT method, query_id,
+         CAST(hits AS INTEGER) AS hits,
+         CAST(n_rel AS INTEGER) AS n_relevant,
+         {div4.format(num='hits', den='n_rel')} AS recall_at_k,
+         {div4.format(num='hits', den=TOPK_K)} AS precision_at_k,
+         CASE WHEN first_hit IS NULL THEN 0.0
+              ELSE {div4.format(num='1', den='first_hit')} END AS mrr,
+         {div4.format(num='dcg_micro', den=f'({idcg_case})')} AS ndcg_at_k
+"""
+    return f"""
+WITH truth AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM embeddings q JOIN embeddings c
+    ON q.label = c.label AND c.vec_id <> q.vec_id
+  WHERE q.vec_id < {TOPK_QUERY_PRED}),
+nrel AS (SELECT query_id, COUNT(*) AS n_rel FROM truth GROUP BY 1),
+brute AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {SQL_COSINE} DESC, c.vec_id ASC)
+             AS rank
+    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < {TOPK_QUERY_PRED}) WHERE rank <= {TOPK_K}),
+b AS (SELECT vec_id, embedding, CONCAT({planes}) AS sig FROM embeddings),
+t AS (SELECT vec_id, embedding, k.k AS tbl,
+             substr(sig, k.k * {ANN_BITS_PER_TABLE} + 1,
+                    {ANN_BITS_PER_TABLE}) AS key
+      FROM b, UNNEST(range(0, {ANN_TABLES})) AS k(k)),
+annr AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 {SQL_COSINE} AS cosine
+          FROM t q JOIN t c
+            ON q.tbl = c.tbl AND q.key = c.key AND c.vec_id <> q.vec_id
+          WHERE q.vec_id < {TOPK_QUERY_PRED})) WHERE rank <= {TOPK_K}),
+ranked AS (
+  SELECT 'brute' AS method, * FROM brute
+  UNION ALL
+  SELECT 'ann' AS method, * FROM annr),
+j AS (
+  SELECT r.method, r.query_id, r.rank,
+         CASE WHEN tr.neighbor_id IS NULL THEN 0 ELSE 1 END AS rel
+  FROM ranked r LEFT JOIN truth tr
+    ON tr.query_id = r.query_id AND tr.neighbor_id = r.neighbor_id),
+pq AS (
+  SELECT method, query_id, SUM(rel) AS hits,
+         MIN(CASE WHEN rel = 1 THEN rank END) AS first_hit,
+         SUM(CASE WHEN rel = 1
+                  THEN CAST(ROUND(1e6 / log2(rank + 1), 0) AS BIGINT)
+                  ELSE 0 END) AS dcg_micro
+  FROM j GROUP BY 1, 2),
+m AS (
+  SELECT pq.*, COALESCE(nrel.n_rel, 0) AS n_rel
+  FROM pq LEFT JOIN nrel USING (query_id))
+{metrics}
+FROM m
+ORDER BY method, query_id
+"""
+
+
+PAIRS.update({
+    "retrieval_eval_metrics": (retrieval_eval_metrics,
+                               _oracle_retrieval_eval()),
+})
+
+
 # pipeline_quality_filter's oracle references the LM constants above,
 # so its (re-)registration lives at module end; registry order is
 # governed by registry._R5_ORDER, not this dict's insertion order.

@@ -1890,3 +1890,36 @@ def test_psi_drift_hand_replayed(spark):
     # identical sides → PSI exactly 0, undrifted
     same = psi_drift(a, a, "v", group_cols=["grp"]).collect()
     assert all(r["psi"] == 0.0 and r["drifted"] is False for r in same)
+
+
+def test_ranking_metrics_hand_computed(spark):
+    """N67: recall/precision/MRR/nDCG on a tiny hand-checkable set,
+    incl. a zero-relevant query and ranks beyond k ignored."""
+    import math
+
+    from hbase_snapshotter_spark.operators.retrieval import ranking_metrics
+
+    ranked = spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 2), (1, "c", 3), (1, "d", 4),  # rank 4 > k
+         (2, "x", 1)],
+        ["query_id", "neighbor_id", "rank"])
+    truth = spark.createDataFrame(
+        [(1, "b"), (1, "zzz")], ["query_id", "neighbor_id"])
+    out = {r["query_id"]: r.asDict()
+           for r in ranking_metrics(ranked, truth, k=3).collect()}
+    assert set(out) == {1, 2}
+
+    r1 = out[1]
+    assert (r1["hits"], r1["n_relevant"]) == (1, 2)
+    assert r1["recall_at_k"] == 0.5
+    assert r1["precision_at_k"] == 0.3333
+    assert r1["mrr"] == 0.5
+    dcg = int(round(1e6 / math.log2(3)))
+    idcg = 1_000_000 + int(round(1e6 / math.log2(3)))
+    assert r1["ndcg_at_k"] == (20000 * dcg + idcg) // (2 * idcg) / 10000
+
+    # q2 has no relevant docs at all: everything 0, no NULLs
+    r2 = out[2]
+    assert (r2["hits"], r2["n_relevant"]) == (0, 0)
+    assert all(r2[c] == 0.0 for c in
+               ("recall_at_k", "precision_at_k", "mrr", "ndcg_at_k"))

@@ -87,6 +87,15 @@ def main() -> int:
                                         # min/max the Morton grid spans)
         "scd2_event_history",           # 1-row advance_consistent flag
                                         # attach (N54 equality flag)
+        "mmr_diverse_topk",             # broadcast query scoring (the
+                                        # brute_force_topk candidate
+                                        # generator — r7 N61)
+        "hard_negative_mining",         # broadcast query scoring (same
+                                        # brute-force lane) + per-query
+                                        # positive-row attach (r7 N64)
+        "cms_freq_maintenance",         # langs × literal-probe-tokens
+                                        # cross (tiny × tiny probe
+                                        # table build — r7 N65)
     }
 
     flags_total = 0

@@ -460,11 +460,42 @@ def operators():
 
         return dedup_clusters_delta(spark, d)
 
+    def run_repetition(spark, d):
+        from hbase_snapshotter_spark.operators.dedup import spread
+        from hbase_snapshotter_spark.operators.text import repetition_signals
+
+        docs = spread(spark.read.parquet(f"{d}/documents.parquet"))
+        return repetition_signals(docs, "doc_id")
+
+    def run_hard_negatives(spark, d):
+        from hbase_snapshotter_spark.operators.similarity import (
+            hard_negatives,
+        )
+
+        emb = spark.read.parquet(f"{d}/embeddings.parquet")
+        return hard_negatives(emb, emb.filter(F.col("vec_id") < 20), k=5)
+
+    def run_cms(spark, d):
+        from hbase_snapshotter_spark.queries.llm import cms_freq_maintenance
+
+        return cms_freq_maintenance(spark, d)
+
+    def run_psi(spark, d):
+        from hbase_snapshotter_spark.queries.streaming_q import (
+            events_drift_psi,
+        )
+
+        return events_drift_psi(spark, d)
+
     # ORDER MATTERS: cheap ops first, heap-heavy LSH ops last.  A
     # sub-2s measurement taken right after a ~100s candidate-join run
     # inherits its JVM heap bloat / GC debt — measured 1.35s → 12.5s on
     # latest_cells_multi when it followed embedding_near_dup_lsh.
     return {
+        "repetition_signals": run_repetition,
+        "hard_negatives": run_hard_negatives,
+        "cms_freq": run_cms,
+        "psi_drift": run_psi,
         "rolling_anomaly": run_rolling_anomaly,
         "mmr_rerank": run_mmr,
         "quantile_sketch": run_quantile_sketch,
