@@ -163,20 +163,66 @@ def psi_drift(
     psi, drifted)``; groups present in only one era still appear
     (their PSI is the smoothed divergence from nothing).
     """
-    from hbase_snapshotter_spark.operators.sketches import dd_bucket
-
     def side(df: DataFrame, flag: str) -> DataFrame:
-        return (
-            df.filter(F.col(value_col).isNotNull() & (F.col(value_col) > 0))
-            .select(*group_cols, dd_bucket(value_col).alias("bucket"),
-                    F.lit(flag).alias("__era")))
+        return value_histogram(df, value_col, group_cols=group_cols) \
+            .withColumn("__era", F.lit(flag))
 
     bc = (
         side(df_a, "a").unionByName(side(df_b, "b"))
         .groupBy(*group_cols, "bucket")
-        .agg(F.sum(F.when(F.col("__era") == "a", 1).otherwise(0)).alias("ca"),
-             F.sum(F.when(F.col("__era") == "b", 1).otherwise(0)).alias("cb"))
+        .agg(F.sum(F.when(F.col("__era") == "a", F.col("cnt")).otherwise(0))
+             .alias("ca"),
+             F.sum(F.when(F.col("__era") == "b", F.col("cnt")).otherwise(0))
+             .alias("cb"))
     )
+    return _psi_from_joint(bc, group_cols)
+
+
+def value_histogram(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_cols: list[str],
+) -> DataFrame:
+    """Per-group DDSketch-bucket histogram ``(*group_cols, bucket,
+    cnt)`` of a positive metric — the MATERIALIZABLE drift-reference
+    form (it is exactly the N58 quantile state, so it merges by bucket
+    sum and advances with deltas).  One map-side-combined hash agg;
+    output ≤ groups × buckets rows."""
+    from hbase_snapshotter_spark.operators.sketches import dd_bucket
+
+    return (
+        df.filter(F.col(value_col).isNotNull() & (F.col(value_col) > 0))
+        .groupBy(*group_cols, dd_bucket(value_col).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def psi_from_histograms(
+    ref: DataFrame,
+    obs: DataFrame,
+    *,
+    group_cols: list[str],
+) -> DataFrame:
+    """PSI from two ALREADY-BUCKETED histograms (``(*group_cols,
+    bucket, cnt)`` — :func:`value_histogram` output): the state-level
+    entry point the streaming drift monitor uses, where the reference
+    histogram is materialized once and each micro-batch brings only
+    its own bucket counts.  Same math, smoothing, and integer
+    micro-unit determinism as :func:`psi_drift`."""
+    a = ref.select(*group_cols, "bucket", F.col("cnt").alias("ca"))
+    b = obs.select(*group_cols, "bucket", F.col("cnt").alias("cb"))
+    bc = (
+        a.join(b, [*group_cols, "bucket"], "full")
+        .select(*group_cols, "bucket",
+                F.coalesce("ca", F.lit(0)).alias("ca"),
+                F.coalesce("cb", F.lit(0)).alias("cb")))
+    return _psi_from_joint(bc, group_cols)
+
+
+def _psi_from_joint(bc: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Shared PSI fold over a joint ``(group, bucket, ca, cb)`` count
+    table: add-0.5 smoothing, ≥0 terms snapped to integer micro-units,
+    exact BIGINT sum, one half-up division."""
     totals = bc.groupBy(*group_cols).agg(
         F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b"),
         F.count(F.lit(1)).alias("n_buckets"))

@@ -391,3 +391,106 @@ def test_streaming_changefeed_reconstructs_state_and_redelivery_empty(
     run("ck2")  # full re-delivery: every batch advance is a no-op
     for b in sorted(os.listdir(feeds)):
         assert spark.read.parquet(f"{feeds}/{b}").count() == 0
+
+
+def test_drift_monitor_streaming_verdicts_and_redelivery(spark, tmp_path):
+    """Continuous drift monitoring (N66 streaming form): three replayed
+    micro-batches score against a materialized reference histogram —
+    batch 0 matches the reference shape (undrifted), batch 1 is a
+    shifted distribution (drifted, both per-batch and cumulative),
+    batch 2 is clean again (per-batch undrifted, cumulative still
+    poisoned by batch 1).  Every PSI is python-replayed exactly; a full
+    re-delivery run over the existing state reproduces every verdict
+    directory."""
+    import glob
+    import math
+    import shutil
+
+    from hbase_snapshotter_spark.operators.profile import PSI_DRIFT_THRESHOLD
+    from hbase_snapshotter_spark.operators.sketches import DD_LN_GAMMA
+    from hbase_snapshotter_spark.streaming.drift_stream import (
+        build_drift_reference,
+        maintain_drift,
+    )
+    from hbase_snapshotter_spark.streaming.windows import replay_stream
+
+    def bkt(v):
+        return math.ceil(round(math.log(v) / DD_LN_GAMMA, 6))
+
+    def py_psi(ref_hist, obs_hist):
+        buckets = set(ref_hist) | set(obs_hist)
+        na, nb, nk = (sum(ref_hist.values()), sum(obs_hist.values()),
+                      len(buckets))
+        micro = 0
+        for k in buckets:
+            p = (ref_hist.get(k, 0) + 0.5) / (na + 0.5 * nk)
+            q = (obs_hist.get(k, 0) + 0.5) / (nb + 0.5 * nk)
+            micro += int(round((p - q) * math.log(p / q) * 1e6))
+        return (20000 * micro + 1_000_000) // 2_000_000 / 10000
+
+    ref_vals = [1.0] * 30 + [2.0] * 30
+    ref_hist = {bkt(1.0): 30, bkt(2.0): 30}
+    ref_dir = str(tmp_path / "ref")
+    build_drift_reference(
+        spark.createDataFrame([("g", v) for v in ref_vals], ["grp", "v"]),
+        "v", ref_dir, group_cols=["grp"])
+
+    batches = [
+        [1.0] * 5 + [2.0] * 5,   # reference shape
+        [8.0] * 10,               # shifted
+        [1.0] * 3 + [2.0] * 3,   # clean again
+    ]
+    hists = [
+        {bkt(1.0): 5, bkt(2.0): 5},
+        {bkt(8.0): 10},
+        {bkt(1.0): 3, bkt(2.0): 3},
+    ]
+    src = str(tmp_path / "value_stream")
+    for i, vals in enumerate(batches):
+        spark.createDataFrame([("g", v) for v in vals], ["grp", "v"]) \
+            .coalesce(1).write.mode("overwrite").parquet(f"{src}/f{i}")
+        part = glob.glob(f"{src}/f{i}/part-*.parquet")[0]
+        shutil.move(part, f"{src}/file{i}.parquet")
+        shutil.rmtree(f"{src}/f{i}")
+    schema = spark.read.parquet(f"{src}/file0.parquet").schema
+
+    state = str(tmp_path / "drift_state")
+
+    def run(ckpt):
+        stream = replay_stream(spark, src, schema, max_files_per_trigger=1)
+        q, m = maintain_drift(
+            stream, state, ref_dir, "v", ["grp"],
+            checkpointLocation=str(tmp_path / ckpt), availableNow=True)
+        q.awaitTermination(120)
+        return m
+
+    m = run("ckpt1")
+    got = {r["batch_id"]: r.asDict() for r in m.verdicts(spark).collect()}
+    assert set(got) == {0, 1, 2}
+
+    cum = {}
+    for i, h in enumerate(hists):
+        for k, c in h.items():
+            cum[k] = cum.get(k, 0) + c
+        expect_b = py_psi(ref_hist, hists[i])
+        expect_c = py_psi(ref_hist, dict(cum))
+        assert got[i]["psi_batch"] == expect_b, i
+        assert got[i]["psi_cum"] == expect_c, i
+        assert got[i]["drifted_batch"] is bool(expect_b > PSI_DRIFT_THRESHOLD)
+        assert got[i]["drifted_cum"] is bool(expect_c > PSI_DRIFT_THRESHOLD)
+    assert got[0]["drifted_batch"] is False
+    assert got[1]["drifted_batch"] is True      # the shifted batch alarms
+    assert got[2]["drifted_batch"] is False     # clean batch, but ...
+    assert got[2]["drifted_cum"] is True        # ... the run stays poisoned
+
+    # cumulative histogram equals the histogram of everything seen
+    ch = {r["bucket"]: r["cnt"]
+          for r in m.cumulative_histogram(spark).collect()}
+    assert ch == cum
+
+    dirs_before = {d: sorted(map(str, spark.read.parquet(
+        f"{d}/verdict").collect())) for d in m._verdict_dirs()}
+    m2 = run("ckpt2")  # full re-delivery over existing state
+    dirs_after = {d: sorted(map(str, spark.read.parquet(
+        f"{d}/verdict").collect())) for d in m2._verdict_dirs()}
+    assert dirs_after == dirs_before
