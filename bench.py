@@ -80,6 +80,7 @@ HEADLINE_R7 = [
     "cms_freq_maintenance",
     "events_drift_psi",
     "retrieval_eval_metrics",
+    "source_vocab_drift",
 ]
 
 

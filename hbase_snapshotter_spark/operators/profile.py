@@ -241,3 +241,48 @@ def _psi_from_joint(bc: DataFrame, group_cols: list[str]) -> DataFrame:
     return agg.select(
         *group_cols, "n_buckets", "n_a", "n_b", psi.alias("psi"),
         (psi > PSI_DRIFT_THRESHOLD).alias("drifted"))
+
+
+def loo_categorical_drift(
+    df: DataFrame,
+    item_col: str,
+    *,
+    source_col: str,
+) -> DataFrame:
+    """Leave-one-out categorical drift (SURVEY §2.3 N68): for each
+    source, the PSI between ITS item distribution and the REST of the
+    corpus's, over hashed item buckets — "which source's vocabulary is
+    off-profile", the signal mixture tuning and crawl triage act on.
+    Buckets are :func:`~.sketches.cms_bucket` row 0 (md5 mod W), so the
+    histogram is literally one depth row of the N65 CMS state —
+    maintaining that state keeps this audit delta-advanceable for free.
+
+    Scale shape: ONE pass over the items builds per-(source, bucket)
+    counts (map-side-combined; shuffle ≤ sources × W).  The
+    leave-one-out reference needs NO second pass: per-bucket corpus
+    totals come from the bounded bucket table itself, and
+    ``ref(s, b) = total(b) − cnt(s, b)`` on a sources × W grid (a
+    deliberate tiny cross).  PSI math, smoothing, and integer
+    micro-unit determinism are shared with :func:`psi_drift` via
+    :func:`_psi_from_joint`.  Output: ``(source, n_buckets, n_rest,
+    n_source, psi, drifted)``.
+    """
+    from hbase_snapshotter_spark.operators.sketches import cms_bucket
+
+    counts = (
+        df.select(F.col(source_col).alias("source"),
+                  cms_bucket(F.col(item_col), 0).alias("bucket"))
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt")))
+    totals = counts.groupBy("bucket").agg(F.sum("cnt").alias("tot"))
+    grid = (counts.select("source").distinct()
+            .crossJoin(F.broadcast(totals)))
+    joint = (
+        grid.join(counts, ["source", "bucket"], "left")
+        .select("source", "bucket",
+                (F.col("tot") - F.coalesce("cnt", F.lit(0))).alias("ca"),
+                F.coalesce("cnt", F.lit(0)).alias("cb")))
+    return _psi_from_joint(joint, ["source"]).select(
+        F.col("source").alias(source_col), "n_buckets",
+        F.col("n_a").alias("n_rest"), F.col("n_b").alias("n_source"),
+        "psi", "drifted")

@@ -2689,6 +2689,75 @@ PAIRS.update({
 })
 
 
+# ------- N68: per-source vocabulary drift (leave-one-out PSI)
+def source_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary drift (N68): leave-one-out PSI of each
+    source's token distribution vs the rest of the corpus, over hashed
+    token buckets (CMS row 0) — "which source's language is
+    off-profile", the mixture-monitoring signal.  One tokenize pass;
+    the reference side derives from the bounded bucket table, never a
+    second scan."""
+    from hbase_snapshotter_spark.operators.profile import (
+        loo_categorical_drift,
+    )
+    from hbase_snapshotter_spark.operators.text import tokens
+
+    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    toks = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("tok"))
+    return loo_categorical_drift(toks, "tok", source_col="source") \
+        .orderBy("source")
+
+
+def _oracle_vocab_drift() -> str:
+    from hbase_snapshotter_spark.operators.profile import PSI_DRIFT_THRESHOLD
+    from hbase_snapshotter_spark.operators.sketches import CMS_WIDTH
+
+    bucket = ("CAST('0x' || substr(md5('0' || '|' || tok), 1, 8) AS BIGINT)"
+              f" % {CMS_WIDTH}")
+    return f"""
+WITH toks AS (
+  SELECT source, UNNEST(string_split(trim(text), ' ')) AS tok
+  FROM documents),
+c AS (SELECT source, {bucket} AS bucket, COUNT(*) AS cnt
+      FROM toks GROUP BY 1, 2),
+t AS (SELECT bucket, SUM(cnt) AS tot FROM c GROUP BY 1),
+grid AS (SELECT s.source, t.bucket, t.tot
+         FROM (SELECT DISTINCT source FROM c) s, t),
+joint AS (
+  SELECT g.source, g.bucket,
+         g.tot - COALESCE(c.cnt, 0) AS ca, COALESCE(c.cnt, 0) AS cb
+  FROM grid g LEFT JOIN c ON c.source = g.source AND c.bucket = g.bucket),
+tt AS (SELECT source, SUM(ca) AS n_a, SUM(cb) AS n_b,
+              COUNT(*) AS n_buckets
+       FROM joint GROUP BY 1),
+terms AS (
+  SELECT j.source,
+         CAST(ROUND(((j.ca + 0.5) / (tt.n_a + 0.5 * tt.n_buckets)
+                     - (j.cb + 0.5) / (tt.n_b + 0.5 * tt.n_buckets))
+                    * LN(((j.ca + 0.5) / (tt.n_a + 0.5 * tt.n_buckets))
+                         / ((j.cb + 0.5) / (tt.n_b + 0.5 * tt.n_buckets)))
+                    * 1e6, 0) AS BIGINT) AS term_micro
+  FROM joint j JOIN tt USING (source)),
+s AS (SELECT source, SUM(term_micro) AS psi_micro FROM terms GROUP BY 1)
+SELECT tt.source,
+       CAST(tt.n_buckets AS BIGINT) AS n_buckets,
+       CAST(tt.n_a AS BIGINT) AS n_rest,
+       CAST(tt.n_b AS BIGINT) AS n_source,
+       CAST((20000 * s.psi_micro + 1000000) // 2000000 AS DOUBLE) / 10000
+         AS psi,
+       CAST((20000 * s.psi_micro + 1000000) // 2000000 AS DOUBLE) / 10000
+         > {PSI_DRIFT_THRESHOLD} AS drifted
+FROM tt JOIN s USING (source)
+ORDER BY tt.source
+"""
+
+
+PAIRS.update({
+    "source_vocab_drift": (source_vocab_drift, _oracle_vocab_drift()),
+})
+
+
 # pipeline_quality_filter's oracle references the LM constants above,
 # so its (re-)registration lives at module end; registry order is
 # governed by registry._R5_ORDER, not this dict's insertion order.

@@ -1923,3 +1923,59 @@ def test_ranking_metrics_hand_computed(spark):
     assert (r2["hits"], r2["n_relevant"]) == (0, 0)
     assert all(r2[c] == 0.0 for c in
                ("recall_at_k", "precision_at_k", "mrr", "ndcg_at_k"))
+
+
+def test_loo_categorical_drift_hand_replayed(spark):
+    """N68 leave-one-out vocab drift: python-replayed hashed-bucket
+    PSI per source; a lone source drifts against an empty rest."""
+    import hashlib
+    import math
+
+    from hbase_snapshotter_spark.operators.profile import (
+        loo_categorical_drift,
+    )
+    from hbase_snapshotter_spark.operators.sketches import CMS_WIDTH
+
+    def bkt(tok):
+        return int(hashlib.md5(f"0|{tok}".encode()).hexdigest()[:8],
+                   16) % CMS_WIDTH
+
+    def py_psi(ref, obs):
+        buckets = set(ref) | set(obs)
+        na, nb, nk = sum(ref.values()), sum(obs.values()), len(buckets)
+        micro = 0
+        for k in buckets:
+            p = (ref.get(k, 0) + 0.5) / (na + 0.5 * nk)
+            q = (obs.get(k, 0) + 0.5) / (nb + 0.5 * nk)
+            micro += int(round((p - q) * math.log(p / q) * 1e6))
+        return (20000 * micro + 1_000_000) // 2_000_000 / 10000
+
+    rows = ([("s1", t) for t in ["a", "a", "b"]]
+            + [("s2", t) for t in ["a", "b", "b", "c"]])
+    df = spark.createDataFrame(rows, ["src", "tok"])
+    out = {r["src"]: r.asDict()
+           for r in loo_categorical_drift(df, "tok", source_col="src")
+           .collect()}
+    assert set(out) == {"s1", "s2"}
+
+    def hist(toks):
+        h = {}
+        for t in toks:
+            h[bkt(t)] = h.get(bkt(t), 0) + 1
+        return h
+
+    h1, h2 = hist(["a", "a", "b"]), hist(["a", "b", "b", "c"])
+    # grid spans every bucket with corpus mass, for BOTH sources
+    union = set(h1) | set(h2)
+    full1 = {k: h1.get(k, 0) for k in union}
+    full2 = {k: h2.get(k, 0) for k in union}
+    assert out["s1"]["psi"] == py_psi(full2, full1)
+    assert out["s2"]["psi"] == py_psi(full1, full2)
+    assert (out["s1"]["n_rest"], out["s1"]["n_source"]) == (4, 3)
+
+    # a lone source compares against an empty rest — finite, flagged
+    lone = loo_categorical_drift(
+        spark.createDataFrame([("only", "x")], ["src", "tok"]),
+        "tok", source_col="src").collect()
+    assert lone[0]["n_rest"] == 0 and lone[0]["psi"] == py_psi(
+        {bkt("x"): 0}, {bkt("x"): 1})
