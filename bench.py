@@ -81,6 +81,7 @@ HEADLINE_R7 = [
     "events_drift_psi",
     "retrieval_eval_metrics",
     "source_vocab_drift",
+    "constraint_audit_suite",
 ]
 
 

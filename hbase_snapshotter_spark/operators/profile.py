@@ -286,3 +286,111 @@ def loo_categorical_drift(
         F.col("source").alias(source_col), "n_buckets",
         F.col("n_a").alias("n_rest"), F.col("n_b").alias("n_source"),
         "psi", "drifted")
+
+
+#: Result schema shared by every constraint check: one row per check.
+_CHECK_COLS = ("table_name", "check_type", "col_name",
+               "n_rows", "n_violations", "passed")
+
+
+def _check_rows(df: DataFrame, table: str, rows: list) -> DataFrame:
+    """Fold row-level checks into ONE aggregate over one scan, then
+    ``inline`` the one-row result into the per-check shape."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, (_, _, cond) in enumerate(rows):
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).alias(f"__v{i}"))
+    one = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(table).alias("table_name"),
+            F.lit(ctype).alias("check_type"),
+            F.lit(col).alias("col_name"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"__v{i}").alias("n_violations"),
+            (F.col(f"__v{i}") == 0).alias("passed"))
+        for i, (ctype, col, _) in enumerate(rows)
+    ]
+    return one.select(F.inline(F.array(*structs)))
+
+
+def constraint_audit(
+    df: DataFrame,
+    table: str,
+    *,
+    complete: list[str] = (),
+    unique: list[str] = (),
+    positive: list[str] = (),
+    accepted: dict[str, list] | None = None,
+) -> DataFrame:
+    """Declarative data-quality constraint audit (SURVEY §2.3 N69) —
+    the Deequ / Great Expectations CHECK step next to the N33 profiler:
+    completeness (no NULLs), uniqueness, positivity, and
+    accepted-value-set constraints, each reported as ``(table_name,
+    check_type, col_name, n_rows, n_violations, passed)``.
+
+    Scale shape: every row-level check is a conditional sum in ONE
+    aggregate over ONE scan (map-side partials — an audit costs a
+    read, not a read per check).  Uniqueness is the one exception that
+    genuinely needs distincts: ``n_rows − count_distinct`` per column,
+    one extra aggregate sharing the same scan via the plan's Expand
+    (the documented N33 price of exactness).  Referential checks live
+    in :func:`referential_orphans` (they need the other table).
+    """
+    rows: list = []
+    for c in complete:
+        rows.append(("complete", c, F.col(c).isNull()))
+    for c in positive:
+        rows.append(("positive", c, ~(F.col(c) > 0)))
+    for c, vals in (accepted or {}).items():
+        rows.append(("accepted_values", c,
+                     ~F.col(c).isin(list(vals)) | F.col(c).isNull()))
+    out = _check_rows(df, table, rows) if rows else None
+    if unique:
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        aggs += [F.count_distinct(F.col(c)).alias(f"__d{i}")
+                 for i, c in enumerate(unique)]
+        one = df.agg(*aggs)
+        structs = [
+            F.struct(
+                F.lit(table).alias("table_name"),
+                F.lit("unique").alias("check_type"),
+                F.lit(c).alias("col_name"),
+                F.col("__n").alias("n_rows"),
+                (F.col("__n") - F.col(f"__d{i}")).alias("n_violations"),
+                (F.col("__n") == F.col(f"__d{i}")).alias("passed"))
+            for i, c in enumerate(unique)
+        ]
+        uniq = one.select(F.inline(F.array(*structs)))
+        out = uniq if out is None else out.unionByName(uniq)
+    if out is None:
+        raise ValueError("constraint_audit: no checks requested")
+    return out
+
+
+def referential_orphans(
+    child: DataFrame,
+    child_table: str,
+    key: str,
+    parent: DataFrame,
+    parent_key: str,
+) -> DataFrame:
+    """Referential-integrity check: child rows whose ``key`` has no
+    match in ``parent`` (NULL keys are completeness's job, not
+    counted here).  ONE left join + one agg — the join carries only
+    the key columns, co-partitioned hash join at scale (broadcast when
+    the parent is dim-sized).  Same output shape as
+    :func:`constraint_audit`."""
+    p = parent.select(F.col(parent_key).alias("__pk")).distinct() \
+        .withColumn("__hit", F.lit(1))
+    j = child.select(F.col(key)).join(
+        p, F.col(key) == F.col("__pk"), "left")
+    orphan = F.col(key).isNotNull() & F.col("__hit").isNull()
+    return j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(orphan, 1).otherwise(0)).alias("n_violations"),
+    ).select(
+        F.lit(child_table).alias("table_name"),
+        F.lit("referential").alias("check_type"),
+        F.lit(key).alias("col_name"),
+        "n_rows", "n_violations",
+        (F.col("n_violations") == 0).alias("passed"))

@@ -164,7 +164,10 @@ def rolling_stats(
     n = F.count(v).over(w)
     avg = F.sum(micro).over(w) / n / F.lit(1e6)
     std = F.round(F.stddev_samp(v).over(w), 4)
-    z = F.when(std > 0, F.round((v - avg) / std, 4))
+    # + 0.0 normalizes IEEE negative zero: a tiny negative deviation
+    # rounds to -0.0, which DuckDB renders as a DISTINCT value and
+    # the driver hash then splits on (-0 vs 0, hit at sf0.001)
+    z = F.when(std > 0, F.round((v - avg) / std, 4) + F.lit(0.0))
     return grid.select(
         "*",
         avg.alias("roll_avg"),

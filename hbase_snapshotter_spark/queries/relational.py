@@ -952,3 +952,106 @@ FROM per ORDER BY zbucket
 PAIRS.update({
     "zorder_layout_audit": (zorder_layout_audit, _oracle_zorder()),
 })
+
+
+# ---------------------------------------------- N69: constraint audit
+def constraint_audit_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint audit (N69) over the warehouse core:
+    completeness / uniqueness / positivity / accepted-values checks
+    (each a conditional sum in ONE aggregate per table) plus both
+    referential edges (orders→customer, lineitem→orders; one key-only
+    left join each).  The Deequ-style CHECK step next to the N33
+    profiler — violations are counted, not sampled, so `passed` is a
+    hard gate the driver hashes."""
+    from hbase_snapshotter_spark.operators.profile import (
+        constraint_audit,
+        referential_orphans,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    parts = [
+        constraint_audit(
+            cust, "customer",
+            complete=["c_custkey", "c_name"],
+            unique=["c_custkey"],
+            positive=["c_acctbal"]),
+        constraint_audit(
+            orders, "orders",
+            complete=["o_custkey"],
+            unique=["o_orderkey"],
+            positive=["o_totalprice"],
+            accepted={"o_orderstatus": ["O", "F", "P"]}),
+        referential_orphans(orders, "orders", "o_custkey",
+                            cust, "c_custkey"),
+        referential_orphans(li, "lineitem", "l_orderkey",
+                            orders, "o_orderkey"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("table_name", "check_type", "col_name")
+
+
+def _oracle_constraint_audit() -> str:
+    return """
+WITH checks AS (
+  SELECT 'customer' AS table_name, 'complete' AS check_type,
+         'c_custkey' AS col_name, COUNT(*) AS n_rows,
+         SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS n_violations
+  FROM customer
+  UNION ALL
+  SELECT 'customer', 'complete', 'c_name', COUNT(*),
+         SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END)
+  FROM customer
+  UNION ALL
+  SELECT 'customer', 'positive', 'c_acctbal', COUNT(*),
+         SUM(CASE WHEN NOT (c_acctbal > 0) THEN 1 ELSE 0 END)
+  FROM customer
+  UNION ALL
+  SELECT 'customer', 'unique', 'c_custkey', COUNT(*),
+         COUNT(*) - COUNT(DISTINCT c_custkey)
+  FROM customer
+  UNION ALL
+  SELECT 'orders', 'complete', 'o_custkey', COUNT(*),
+         SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+  FROM orders
+  UNION ALL
+  SELECT 'orders', 'positive', 'o_totalprice', COUNT(*),
+         SUM(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END)
+  FROM orders
+  UNION ALL
+  SELECT 'orders', 'accepted_values', 'o_orderstatus', COUNT(*),
+         SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                    OR o_orderstatus IS NULL THEN 1 ELSE 0 END)
+  FROM orders
+  UNION ALL
+  SELECT 'orders', 'unique', 'o_orderkey', COUNT(*),
+         COUNT(*) - COUNT(DISTINCT o_orderkey)
+  FROM orders
+  UNION ALL
+  SELECT 'orders', 'referential', 'o_custkey', COUNT(*),
+         SUM(CASE WHEN o_custkey IS NOT NULL AND c.c_custkey IS NULL
+                  THEN 1 ELSE 0 END)
+  FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+    ON o.o_custkey = c.c_custkey
+  UNION ALL
+  SELECT 'lineitem', 'referential', 'l_orderkey', COUNT(*),
+         SUM(CASE WHEN l_orderkey IS NOT NULL AND o.o_orderkey IS NULL
+                  THEN 1 ELSE 0 END)
+  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+    ON l.l_orderkey = o.o_orderkey)
+SELECT table_name, check_type, col_name,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_violations AS BIGINT) AS n_violations,
+       n_violations = 0 AS passed
+FROM checks
+ORDER BY table_name, check_type, col_name
+"""
+
+
+PAIRS.update({
+    "constraint_audit_suite": (constraint_audit_suite,
+                               _oracle_constraint_audit()),
+})

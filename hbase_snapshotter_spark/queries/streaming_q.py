@@ -407,7 +407,7 @@ rs AS (
                          AND CURRENT ROW))
 SELECT event_type, bucket, v_lerp, filled, roll_avg, roll_std,
        CASE WHEN roll_std > 0
-            THEN ROUND((v_lerp - roll_avg) / roll_std, 4) END AS zscore,
+            THEN ROUND((v_lerp - roll_avg) / roll_std, 4) + 0.0 END AS zscore,
        COALESCE(ABS(CASE WHEN roll_std > 0
                          THEN ROUND((v_lerp - roll_avg) / roll_std, 4)
                     END) > {ROLLING_Z_THRESHOLD}, FALSE) AS is_anomaly,

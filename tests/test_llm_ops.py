@@ -1979,3 +1979,37 @@ def test_loo_categorical_drift_hand_replayed(spark):
         "tok", source_col="src").collect()
     assert lone[0]["n_rest"] == 0 and lone[0]["psi"] == py_psi(
         {bkt("x"): 0}, {bkt("x"): 1})
+
+
+def test_constraint_audit_hand_computed(spark):
+    """N69 constraint audit: duplicates, NULLs, non-positives, bad
+    enum values, and referential orphans all counted exactly."""
+    from hbase_snapshotter_spark.operators.profile import (
+        constraint_audit,
+        referential_orphans,
+    )
+
+    parent = spark.createDataFrame(
+        [(1, "a", 5.0), (1, "b", -2.0), (2, None, 0.0), (3, "d", 1.0)],
+        ["pk", "name", "bal"])
+    audit = {(r["check_type"], r["col_name"]): r.asDict()
+             for r in constraint_audit(
+                 parent, "p",
+                 complete=["pk", "name"],
+                 unique=["pk"],
+                 positive=["bal"],
+                 accepted={"name": ["a", "b", "d"]}).collect()}
+    assert audit[("complete", "pk")]["n_violations"] == 0
+    assert audit[("complete", "name")]["n_violations"] == 1
+    assert audit[("unique", "pk")]["n_violations"] == 1     # pk 1 twice
+    assert audit[("positive", "bal")]["n_violations"] == 2  # -2 and 0
+    # NULL is not an accepted value either
+    assert audit[("accepted_values", "name")]["n_violations"] == 1
+    assert audit[("unique", "pk")]["passed"] is False
+    assert all(r["n_rows"] == 4 for r in audit.values())
+
+    child = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 9), (4, None)], ["ck", "fk"])
+    ref = referential_orphans(child, "c", "fk", parent, "pk").collect()[0]
+    # fk=9 is an orphan; the NULL fk is completeness's job, not counted
+    assert (ref["n_rows"], ref["n_violations"], ref["passed"]) == (4, 1, False)
