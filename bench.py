@@ -82,6 +82,7 @@ HEADLINE_R7 = [
     "retrieval_eval_metrics",
     "source_vocab_drift",
     "constraint_audit_suite",
+    "embedding_truncation_audit",
 ]
 
 

@@ -1356,3 +1356,54 @@ def hard_negatives(
         (F.col("cosine") > F.col("pos_sim")).alias("harder_than_positive"),
         ((F.col("cosine") > F.col("pos_sim") - F.lit(margin))
          & (F.col("cosine") <= F.col("pos_sim"))).alias("is_semi_hard"))
+
+
+def truncation_overlap(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    trunc_dims: int,
+    k: int = 5,
+) -> DataFrame:
+    """Embedding-truncation audit (SURVEY §2.3 N70): per query, the
+    top-k overlap between ranking with only the first ``trunc_dims``
+    dimensions and ranking with the full vector — the acceptance test
+    for Matryoshka-style dimension reduction (Kusupati et al. 2022)
+    before a pipeline swaps in truncated vectors to cut ANN index cost
+    ``dims_full/dims_trunc``-fold.
+
+    Output: ``(query_id, n_returned, hits, overlap_at_k)`` with the
+    overlap an exact-rational 4-dp fraction of the query's FULL-rank
+    list size.  Both rankings are :func:`brute_force_topk` lanes
+    (corpus never shuffled, broadcast queries, window-free top-k); the
+    overlap join is over two q·k-row tables.  At production scale the
+    same audit runs with the ANN lanes on both sides — the
+    join/fraction structure is unchanged.
+    """
+    full = brute_force_topk(corpus, queries, id_col=id_col,
+                            vec_col=vec_col, k=k)
+    t_corpus = corpus.withColumn("__tv", F.slice(F.col(vec_col), 1,
+                                                 trunc_dims))
+    t_queries = queries.withColumn("__tv", F.slice(F.col(vec_col), 1,
+                                                   trunc_dims))
+    trunc = brute_force_topk(t_corpus, t_queries, id_col=id_col,
+                             vec_col="__tv", k=k)
+    hits = (
+        full.select("query_id", "neighbor_id")
+        .join(trunc.select("query_id", "neighbor_id"),
+              ["query_id", "neighbor_id"])
+        .groupBy("query_id").agg(F.count(F.lit(1)).alias("__hits")))
+    base = full.groupBy("query_id").agg(F.count(F.lit(1)).alias("__k"))
+    joined = (
+        base.join(hits, "query_id", "left")
+        .withColumn("__hits", F.coalesce("__hits", F.lit(0))))
+    a = 20000 * F.col("__hits").cast("long") + F.col("__k").cast("long")
+    b = 2 * F.col("__k").cast("long")
+    overlap = ((a - F.pmod(a, b)) / b).cast("long").cast("double") / 10000
+    return joined.select(
+        "query_id",
+        F.col("__k").cast("int").alias("n_returned"),
+        F.col("__hits").cast("int").alias("hits"),
+        overlap.alias("overlap_at_k"))

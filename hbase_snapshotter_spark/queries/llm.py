@@ -2758,6 +2758,73 @@ PAIRS.update({
 })
 
 
+# ------- N70: embedding-truncation (Matryoshka) audit
+TRUNC_DIMS = 32
+
+
+def embedding_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit (N70): per query, top-5 overlap
+    between ranking with the first 32 of 64 dimensions and the full
+    vector — the acceptance test before swapping truncated embeddings
+    into the ANN index at half the cost.  Exact-rational overlap
+    fractions; the oracle replays both rankings and the overlap."""
+    from hbase_snapshotter_spark.operators.similarity import (
+        truncation_overlap,
+    )
+
+    emb = _emb(spark, sf_dir)
+    return truncation_overlap(
+        emb, emb.filter(F.col("vec_id") < TOPK_QUERY_PRED),
+        trunc_dims=TRUNC_DIMS, k=TOPK_K).orderBy("query_id")
+
+
+SQL_COSINE_TRUNC = f"""
+ROUND(list_dot_product(CAST(q.embedding[1:{TRUNC_DIMS}] AS DOUBLE[]),
+                       CAST(c.embedding[1:{TRUNC_DIMS}] AS DOUBLE[]))
+      / (sqrt(list_dot_product(CAST(q.embedding[1:{TRUNC_DIMS}] AS DOUBLE[]),
+                               CAST(q.embedding[1:{TRUNC_DIMS}] AS DOUBLE[])))
+         * sqrt(list_dot_product(CAST(c.embedding[1:{TRUNC_DIMS}] AS DOUBLE[]),
+                                 CAST(c.embedding[1:{TRUNC_DIMS}] AS DOUBLE[])))), 4)
+"""
+
+ORACLE_TRUNCATION_AUDIT = f"""
+WITH fullr AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {SQL_COSINE} DESC, c.vec_id ASC)
+             AS rank
+    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < {TOPK_QUERY_PRED}) WHERE rank <= {TOPK_K}),
+truncr AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {SQL_COSINE_TRUNC} DESC,
+                                       c.vec_id ASC) AS rank
+    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < {TOPK_QUERY_PRED}) WHERE rank <= {TOPK_K}),
+base AS (SELECT query_id, COUNT(*) AS k FROM fullr GROUP BY 1),
+h AS (SELECT f.query_id, COUNT(*) AS hits
+      FROM fullr f JOIN truncr t
+        ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+      GROUP BY 1)
+SELECT b.query_id,
+       CAST(b.k AS INTEGER) AS n_returned,
+       CAST(COALESCE(h.hits, 0) AS INTEGER) AS hits,
+       CAST((20000 * COALESCE(h.hits, 0) + b.k) // (2 * b.k) AS DOUBLE)
+         / 10000 AS overlap_at_k
+FROM base b LEFT JOIN h USING (query_id)
+ORDER BY b.query_id
+"""
+
+
+PAIRS.update({
+    "embedding_truncation_audit": (embedding_truncation_audit,
+                                   ORACLE_TRUNCATION_AUDIT),
+})
+
+
 # pipeline_quality_filter's oracle references the LM constants above,
 # so its (re-)registration lives at module end; registry order is
 # governed by registry._R5_ORDER, not this dict's insertion order.

@@ -2013,3 +2013,25 @@ def test_constraint_audit_hand_computed(spark):
     ref = referential_orphans(child, "c", "fk", parent, "pk").collect()[0]
     # fk=9 is an orphan; the NULL fk is completeness's job, not counted
     assert (ref["n_rows"], ref["n_violations"], ref["passed"]) == (4, 1, False)
+
+
+def test_truncation_overlap_hand_computed(spark):
+    """N70: truncating dims reorders the ranking; overlap counted
+    exactly against the full-dimension top-k."""
+    from hbase_snapshotter_spark.operators.similarity import (
+        truncation_overlap,
+    )
+
+    rows = [
+        (0, [1.0, 0.0]),    # query
+        (1, [0.1, 1.0]),    # full cos 0.0995; trunc(1d) cos 1.0
+        (2, [1.0, 0.1]),    # full cos 0.9950; trunc 1.0
+        (3, [0.9, -0.5]),   # full cos 0.8742; trunc 1.0
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = truncation_overlap(
+        df, df.filter(F.col("vec_id") == 0), trunc_dims=1, k=2).collect()
+    r = out[0].asDict()
+    # full top-2 = {2, 3}; truncated all-ties resolve to smaller ids
+    # {1, 2} -> one common neighbor
+    assert (r["n_returned"], r["hits"], r["overlap_at_k"]) == (2, 1, 0.5)
