@@ -83,6 +83,7 @@ HEADLINE_R7 = [
     "source_vocab_drift",
     "constraint_audit_suite",
     "embedding_truncation_audit",
+    "weighted_sample_docs",
 ]
 
 

@@ -410,3 +410,59 @@ def stratified_exact_sample(
         .filter(F.col("strat_rank") <= n_per_stratum)
     )
     return ranked.drop("__sz", "__bkt", "__band")
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    *,
+    group_col: str | None = None,
+    salt: str = "#ws",
+) -> DataFrame:
+    """Weight-proportional sampling WITHOUT replacement (SURVEY §2.3
+    N71; Efraimidis & Spirakis 2006): per group, the ``k`` rows with
+    the largest ``u^(1/w)`` where ``u`` is a deterministic uniform
+    drawn from the row key — rows are included with probability
+    proportional to weight, exactly the A-ES scheme corpus
+    subsampling uses when documents carry quality weights.
+
+    Determinism replaces randomness (the repo-wide posture): ``u``
+    comes from the md5 of the salted key (``(h32+1)/(2³²+1)`` ∈ (0,1)),
+    so the sample is reproducible, partitioning-independent, and
+    oracle-replayable.  Ranking uses ``ln(u)/w`` (monotone in
+    ``u^(1/w)``), rounded at 9 dp so an engine libm ulp difference
+    cannot reorder two keys; residual ties break toward the smaller
+    key — both engines sort identically.
+
+    Scale shape: one narrow projection computes the key (codegen, no
+    Python), then :func:`~.similarity.topk_by_group`\'s window-free
+    hash-agg takes the per-group top-k — map-side partials, shuffle
+    carries groups × k candidate structs, never a global sort.
+    Weights must be > 0 (caller contract, enforced as a filter).
+
+    Returns ``([group_col,] key_col, weight_col, es_key, sample_rank)``.
+    """
+    from hbase_snapshotter_spark.operators.similarity import topk_by_group
+
+    h32 = F.conv(F.substring(F.md5(F.concat_ws("|", F.col(key_col),
+                                               F.lit(salt))), 1, 8),
+                 16, 10).cast("long")
+    u = (h32 + 1) / F.lit(float(2**32 + 1))
+    es_key = F.round(F.log(u) / F.col(weight_col), 9)
+    g = group_col or "__g"
+    scored = (
+        df.filter(F.col(weight_col) > 0)
+        .select(*( [group_col] if group_col else []),
+                F.col(key_col), F.col(weight_col), es_key.alias("es_key")))
+    if group_col is None:
+        scored = scored.withColumn("__g", F.lit(1))
+    top = topk_by_group(scored.withColumnRenamed(key_col, "__id"), k,
+                        group_col=g, score_col="es_key", id_col="__id")
+    out = (top.withColumnRenamed("__id", key_col)
+           .withColumnRenamed("rank", "sample_rank"))
+    w = df.select(F.col(key_col), F.col(weight_col))
+    return (out.join(w, key_col)
+            .select(*([group_col] if group_col else []), key_col,
+                    weight_col, "es_key", "sample_rank"))

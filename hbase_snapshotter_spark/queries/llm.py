@@ -2825,6 +2825,45 @@ PAIRS.update({
 })
 
 
+# ------- N71: weight-proportional sampling (Efraimidis–Spirakis)
+WS_SAMPLE_K = 20
+
+
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sampling without replacement (N71): per
+    language, the A-ES top-20 documents weighted by length — the
+    deterministic weighted subsample a budgeted training mix draws
+    when documents carry quality/length weights.  Derandomized by the
+    md5-uniform, so the oracle replays keys, ranking, and tie-breaks
+    exactly."""
+    from hbase_snapshotter_spark.operators.sampling import weighted_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return weighted_sample(
+        docs, "doc_id", "n_chars", WS_SAMPLE_K, group_col="lang"
+    ).orderBy("lang", "sample_rank")
+
+
+ORACLE_WEIGHTED_SAMPLE = f"""
+WITH s AS (
+  SELECT lang, doc_id, n_chars,
+         ROUND(LN((CAST('0x' || substr(md5(doc_id || '|#ws'), 1, 8)
+                   AS BIGINT) + 1) / 4294967297.0) / n_chars, 9) AS es_key
+  FROM documents WHERE n_chars > 0),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                   ORDER BY es_key DESC, doc_id ASC) AS rnk
+      FROM s)
+SELECT lang, doc_id, n_chars, es_key, CAST(rnk AS INTEGER) AS sample_rank
+FROM r WHERE rnk <= {WS_SAMPLE_K}
+ORDER BY lang, sample_rank
+"""
+
+
+PAIRS.update({
+    "weighted_sample_docs": (weighted_sample_docs, ORACLE_WEIGHTED_SAMPLE),
+})
+
+
 # pipeline_quality_filter's oracle references the LM constants above,
 # so its (re-)registration lives at module end; registry order is
 # governed by registry._R5_ORDER, not this dict's insertion order.

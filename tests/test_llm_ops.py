@@ -2035,3 +2035,39 @@ def test_truncation_overlap_hand_computed(spark):
     # full top-2 = {2, 3}; truncated all-ties resolve to smaller ids
     # {1, 2} -> one common neighbor
     assert (r["n_returned"], r["hits"], r["overlap_at_k"]) == (2, 1, 0.5)
+
+
+def test_weighted_sample_hand_replayed(spark):
+    """N71 A-ES weighted sampling: python-replayed exponential keys,
+    ranking, k-truncation, non-positive-weight filter, and
+    partitioning independence."""
+    import hashlib
+    import math
+
+    from hbase_snapshotter_spark.operators.sampling import weighted_sample
+
+    rows = [(i, "g", float(w)) for i, w in
+            enumerate([5, 50, 500, 1, 17, 0, -3])]  # 0/-3 filtered
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "w"])
+
+    def es_key(doc_id, w):
+        h = int(hashlib.md5(f"{doc_id}|#ws".encode()).hexdigest()[:8], 16)
+        u = (h + 1) / (2**32 + 1)
+        return round(math.log(u) / w, 9)
+
+    expect = sorted(
+        ((es_key(i, w), i, w) for i, _, w in rows if w > 0),
+        key=lambda t: (-t[0], t[1]))[:3]
+    out = weighted_sample(df, "doc_id", "w", 3, group_col="grp") \
+        .orderBy("sample_rank").collect()
+    assert [(r["es_key"], r["doc_id"], r["w"]) for r in out] == expect
+    assert [r["sample_rank"] for r in out] == [1, 2, 3]
+
+    # same sample under different partitioning
+    out2 = weighted_sample(df.repartition(7), "doc_id", "w", 3,
+                           group_col="grp").orderBy("sample_rank").collect()
+    assert [tuple(r) for r in out2] == [tuple(r) for r in out]
+
+    # ungrouped form: one global sample
+    glob = weighted_sample(df, "doc_id", "w", 2).collect()
+    assert len(glob) == 2 and "grp" not in glob[0].asDict()
