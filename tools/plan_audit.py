@@ -96,6 +96,14 @@ def main() -> int:
         "cms_freq_maintenance",         # langs × literal-probe-tokens
                                         # cross (tiny × tiny probe
                                         # table build — r7 N65)
+        "retrieval_eval_metrics",       # broadcast query scoring (the
+                                        # brute + ANN ranker lanes
+                                        # under evaluation — r7 N67)
+        "source_vocab_drift",           # sources × bounded-bucket-table
+                                        # grid cross (the leave-one-out
+                                        # reference — r7 N68)
+        "embedding_truncation_audit",   # broadcast query scoring on
+                                        # both ranking sides (r7 N70)
     }
 
     flags_total = 0
