@@ -84,6 +84,7 @@ HEADLINE_R7 = [
     "constraint_audit_suite",
     "embedding_truncation_audit",
     "weighted_sample_docs",
+    "events_ewma_smooth",
 ]
 
 

@@ -176,3 +176,74 @@ def rolling_stats(
         F.coalesce(F.abs(z) > F.lit(z_threshold), F.lit(False))
         .alias("is_anomaly"),
         n.cast("int").alias("n_window"))
+
+
+#: EWMA smoothing factor as an exact rational: α = EWMA_NUM/EWMA_DEN.
+EWMA_NUM = 1
+EWMA_DEN = 8
+#: Deviation flag: |v − ewma| ≥ ewma / EWMA_DEV_DIV (a 25% excursion).
+EWMA_DEV_DIV = 4
+
+
+def ewma_smooth(
+    grid: DataFrame,
+    *,
+    group_cols: list[str],
+    value_col: str = "v_lerp",
+) -> DataFrame:
+    """Exponentially-weighted moving average over the dense grid
+    (SURVEY §2.3 N72) — the monitoring smoother next to the N60
+    trailing window: ``e_t = α·v_t + (1−α)·e_{t−1}`` with
+    ``e_0 = v_0``, α = :data:`EWMA_NUM`/:data:`EWMA_DEN`.
+
+    Bit-identical by construction, not by rounding discipline: values
+    snap to integer micro-units once, and every EWMA step is PURE
+    INTEGER arithmetic — ``e_t = ((den−num)·e + num·v + den/2) // den``
+    (half-up) — so any engine that can fold a list replays the exact
+    sequence (DuckDB: ``list_reduce`` over bucket-ordered prefixes).
+    An iterated FLOAT ewma would accumulate ulp skew instead.
+
+    Scale shape: the recurrence is sequential per group, but a group's
+    grid is span/width rows — bounded by TIME, not event volume (the
+    N59 property) — so one ``collect_list`` per group is a bounded
+    array and the fold is one higher-order expression (no Python, no
+    window).  Groups parallelize across partitions; shuffle carries
+    the bucket table once.  Output adds ``ewma`` (micro-exact double),
+    ``dev_micro`` (v − ewma in micro-units) and ``is_excursion``
+    (|dev| ≥ ewma/:data:`EWMA_DEV_DIV`, integer compare).
+    """
+    num, den = EWMA_NUM, EWMA_DEN
+    gc = [F.col(c) for c in group_cols]
+    vm = F.round(F.col(value_col) * 1e6, 0).cast("long")
+    rows = grid.select(*group_cols, "bucket", vm.alias("__vm"))
+    agg = rows.groupBy(*gc).agg(
+        F.array_sort(F.collect_list(F.struct("bucket", "__vm")))
+        .alias("__a"))
+
+    def step(acc, x):
+        prev = F.element_at(acc, -1)["__e"]
+        t = (den - num) * prev + num * x["__vm"] + F.lit(den // 2)
+        e = ((t - F.pmod(t, den)) / den).cast("long")
+        return F.array_append(
+            acc, F.struct(x["bucket"].alias("bucket"),
+                          x["__vm"].alias("__vm"), e.alias("__e")))
+
+    head = F.element_at(F.col("__a"), 1)
+    init = F.array(F.struct(
+        head["bucket"].alias("bucket"), head["__vm"].alias("__vm"),
+        head["__vm"].alias("__e")))
+    tail = F.when(F.size("__a") > 1,
+                  F.slice("__a", 2, F.size("__a") - 1)) \
+        .otherwise(F.array().cast(
+            "array<struct<bucket:bigint,__vm:bigint>>"))
+    folded = agg.select(
+        *gc, F.posexplode(F.aggregate(tail, init, step)).alias("__i", "__s"))
+    dev = F.col("__s.__vm") - F.col("__s.__e")
+    return folded.select(
+        *group_cols,
+        F.col("__s.bucket").alias("bucket"),
+        (F.col("__s.__vm").cast("double") / 1e6).alias("v"),
+        (F.col("__s.__e").cast("double") / 1e6).alias("ewma"),
+        dev.alias("dev_micro"),
+        (F.lit(EWMA_DEV_DIV) * F.abs(dev) >= F.col("__s.__e"))
+        .alias("is_excursion"))

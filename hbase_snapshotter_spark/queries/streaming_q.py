@@ -491,3 +491,60 @@ ORDER BY t.event_type
 PAIRS.update({
     "events_drift_psi": (events_drift_psi, _oracle_drift_psi()),
 })
+
+
+# ------------------- N72: EWMA smoothing over the dense grid
+def events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA monitoring smoother (N72): the N59 dense grid folded
+    through an exact integer fixed-point EWMA (α = 1/8) with a 25%
+    excursion flag — bit-identical on any engine that can fold a list,
+    so the oracle replays every step with ``list_reduce`` over
+    bucket-ordered prefixes."""
+    from hbase_snapshotter_spark.operators.timeseries import (
+        ewma_smooth,
+        gap_fill,
+        time_bucket_rollup,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    r = time_bucket_rollup(
+        ev, "ts", "value", RESAMPLE_BUCKET_MS, group_cols=["event_type"])
+    grid = gap_fill(r, RESAMPLE_BUCKET_MS, group_cols=["event_type"])
+    return ewma_smooth(grid, group_cols=["event_type"]) \
+        .orderBy("event_type", "bucket")
+
+
+def _oracle_ewma() -> str:
+    from hbase_snapshotter_spark.operators.timeseries import (
+        EWMA_DEN,
+        EWMA_DEV_DIV,
+        EWMA_NUM,
+    )
+
+    keep, num, den = EWMA_DEN - EWMA_NUM, EWMA_NUM, EWMA_DEN
+    step = f"({keep} * a + {num} * b + {den // 2}) // {den}"
+    return f"""
+WITH gf AS ({_GAPFILL_CORE}),
+vm AS (SELECT event_type, bucket,
+              CAST(ROUND(v_lerp * 1000000, 0) AS BIGINT) AS vmv
+       FROM gf),
+ls AS (SELECT event_type,
+              list(vmv ORDER BY bucket) AS vs,
+              list(bucket ORDER BY bucket) AS bs
+       FROM vm GROUP BY 1),
+ex AS (SELECT event_type, bs[i.i] AS bucket, vs[i.i] AS vmv,
+              list_reduce(vs[1:i.i], (a, b) -> {step}) AS e
+       FROM ls, UNNEST(range(1, len(vs) + 1)) AS i(i))
+SELECT event_type, bucket,
+       CAST(vmv AS DOUBLE) / 1000000 AS v,
+       CAST(e AS DOUBLE) / 1000000 AS ewma,
+       vmv - e AS dev_micro,
+       {EWMA_DEV_DIV} * ABS(vmv - e) >= e AS is_excursion
+FROM ex
+ORDER BY event_type, bucket
+"""
+
+
+PAIRS.update({
+    "events_ewma_smooth": (events_ewma_smooth, _oracle_ewma()),
+})

@@ -2071,3 +2071,25 @@ def test_weighted_sample_hand_replayed(spark):
     # ungrouped form: one global sample
     glob = weighted_sample(df, "doc_id", "w", 2).collect()
     assert len(glob) == 2 and "grp" not in glob[0].asDict()
+
+
+def test_ewma_smooth_hand_computed(spark):
+    """N72 integer fixed-point EWMA: exact hand-computed fold,
+    single-bucket groups, and the 25% excursion flag."""
+    from hbase_snapshotter_spark.operators.timeseries import ewma_smooth
+
+    rows = [("g", 0, 1.0), ("g", 1, 2.0), ("g", 2, 10.0), ("h", 5, 4.0)]
+    df = spark.createDataFrame(rows, ["grp", "bucket", "v_lerp"])
+    out = {(r["grp"], r["bucket"]): r.asDict()
+           for r in ewma_smooth(df, group_cols=["grp"]).collect()}
+    # e0 = 1e6; e1 = (7e6 + 2e6 + 4)//8 = 1_125_000;
+    # e2 = (7*1_125_000 + 10e6 + 4)//8 = 2_234_375
+    assert out[("g", 0)]["ewma"] == 1.0
+    assert out[("g", 1)]["ewma"] == 1.125
+    assert out[("g", 2)]["ewma"] == 2.234375
+    assert out[("g", 1)]["dev_micro"] == 875_000
+    # |dev| = 0.875 >= 1.125/4 -> excursion; bucket 0 exact -> not
+    assert out[("g", 0)]["is_excursion"] is False
+    assert out[("g", 1)]["is_excursion"] is True
+    # a single-bucket group is its own EWMA
+    assert out[("h", 5)]["ewma"] == 4.0 and out[("h", 5)]["dev_micro"] == 0
