@@ -487,6 +487,42 @@ def operators():
 
         return events_drift_psi(spark, d)
 
+    def run_retrieval_eval(spark, d):
+        from hbase_snapshotter_spark.queries.llm import retrieval_eval_metrics
+
+        return retrieval_eval_metrics(spark, d)
+
+    def run_vocab_drift(spark, d):
+        from hbase_snapshotter_spark.queries.llm import source_vocab_drift
+
+        return source_vocab_drift(spark, d)
+
+    def run_constraint_audit(spark, d):
+        from hbase_snapshotter_spark.queries.relational import (
+            constraint_audit_suite,
+        )
+
+        return constraint_audit_suite(spark, d)
+
+    def run_truncation(spark, d):
+        from hbase_snapshotter_spark.queries.llm import (
+            embedding_truncation_audit,
+        )
+
+        return embedding_truncation_audit(spark, d)
+
+    def run_weighted_sample(spark, d):
+        from hbase_snapshotter_spark.queries.llm import weighted_sample_docs
+
+        return weighted_sample_docs(spark, d)
+
+    def run_ewma(spark, d):
+        from hbase_snapshotter_spark.queries.streaming_q import (
+            events_ewma_smooth,
+        )
+
+        return events_ewma_smooth(spark, d)
+
     # ORDER MATTERS: cheap ops first, heap-heavy LSH ops last.  A
     # sub-2s measurement taken right after a ~100s candidate-join run
     # inherits its JVM heap bloat / GC debt — measured 1.35s → 12.5s on
@@ -496,6 +532,12 @@ def operators():
         "hard_negatives": run_hard_negatives,
         "cms_freq": run_cms,
         "psi_drift": run_psi,
+        "retrieval_eval": run_retrieval_eval,
+        "vocab_drift": run_vocab_drift,
+        "constraint_audit": run_constraint_audit,
+        "truncation_audit": run_truncation,
+        "weighted_sample": run_weighted_sample,
+        "ewma_smooth": run_ewma,
         "rolling_anomaly": run_rolling_anomaly,
         "mmr_rerank": run_mmr,
         "quantile_sketch": run_quantile_sketch,
