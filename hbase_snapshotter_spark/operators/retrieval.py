@@ -392,9 +392,10 @@ def ranking_metrics(
     sized relevant-total table broadcast back.  Nothing touches the
     corpus — eval cost is output-sized, independent of corpus scale.
     """
+    import math
+
     idcg = {
-        m: sum(int(round(1e6 / __import__("math").log2(r + 1)))
-               for r in range(1, m + 1))
+        m: sum(int(round(1e6 / math.log2(r + 1))) for r in range(1, m + 1))
         for m in range(0, k + 1)
     }
     n_rel = relevant.groupBy(query_col).agg(

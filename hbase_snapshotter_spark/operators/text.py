@@ -553,6 +553,11 @@ def repetition_signals(
     All fractions are exact-rational half-up rounded
     (:func:`_round4_frac`), so the DuckDB oracle replays them
     bit-for-bit.
+
+    Row-size note: the pre-explode gram array holds ~5× a document's
+    tokens; pathological multi-MB documents should be length-capped
+    upstream (every Gopher-style pipeline does) or chunked via
+    :func:`~.sampling.context_chunks` first.
     """
     toks = tokens(F.col(text_col))
     all_ns = (*REPETITION_TOP_NS, *REPETITION_DUP_NS)
