@@ -560,3 +560,46 @@ def test_advance_scd2_equals_full_rebuild(changelog):
     adv2 = advance_scd2(adv, delta.unionAll(delta)).select(*cols)
     assert adv2.exceptAll(full).count() == 0
     assert full.exceptAll(adv2).count() == 0
+
+
+@pytest.mark.parametrize("n_distinct", [1_000, 10_000, 100_000])
+def test_cms_error_envelope_across_decades(spark, n_distinct):
+    """N65 count-min envelope, measured across three cardinality
+    decades (vocabularies far above the 256-bucket width): the
+    never-underestimate theorem holds for EVERY probe, and the
+    documented (3/W)·N overestimate bound holds for ≥ 95% of probes
+    (the theorem guarantees it per hash row with prob 1 − 1/3; three
+    independent rows push failures below (1/3)³ ≈ 4% — measured, not
+    cited).  Deterministic: md5 hashing, so these are pinned bounds,
+    not flaky statistics."""
+    from pyspark.sql import functions as F
+
+    from hbase_snapshotter_spark.operators.sketches import (
+        CMS_BOUND_NUM,
+        CMS_WIDTH,
+        cms_estimates,
+        cms_state,
+    )
+
+    # Zipf-ish: item i appears 1 + (i % 7) times; N = n_distinct * 4
+    df = spark.range(n_distinct).select(
+        F.lit("g").alias("g"),
+        F.concat(F.lit("tok"), F.col("id")).alias("v"),
+        (F.col("id") % 7 + 1).alias("reps"))
+    items = df.select("g", "v", F.explode(
+        F.sequence(F.lit(1), F.col("reps"))).alias("_"))
+    n_total = items.count()
+    state = cms_state(items, "v", group_cols=["g"])
+
+    probes = df.filter(F.col("id") % 97 == 0).select("g", "v")
+    est = cms_estimates(state, probes, "v", group_cols=["g"])
+    truth = items.groupBy("g", "v").agg(F.count(F.lit(1)).alias("t"))
+    j = est.join(truth.withColumnRenamed("v", "item"), ["g", "item"],
+                 "left")
+    rows = j.collect()
+    assert all(r["est_cnt"] >= (r["t"] or 0) for r in rows)
+    within = sum(
+        1 for r in rows
+        if (r["est_cnt"] - (r["t"] or 0)) * CMS_WIDTH
+        <= CMS_BOUND_NUM * n_total)
+    assert within / len(rows) >= 0.95, f"{within}/{len(rows)}"

@@ -115,6 +115,29 @@ def build_10x(spark, src_dir: str, out_dir: str) -> None:
         union_replicas(li_parts).repartition(32) \
             .write.parquet(f"{out_dir}/lineitem.parquet")
 
+    if _needs_build(f"{out_dir}/orders.parquet"):
+        # o_custkey shifts with customer's c_custkey and o_orderkey with
+        # lineitem's l_orderkey (same stride), so each replica keeps its
+        # referential edges intact — the constraint-audit curve measures
+        # join cost, not synthetic orphans
+        o = spark.read.parquet(f"{src_dir}/orders.parquet")
+        o_parts = [
+            o.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(r * ID_STRIDE))
+             .withColumn("o_custkey", F.col("o_custkey") + F.lit(r * ID_STRIDE))
+            for r in range(REPLICAS)
+        ]
+        union_replicas(o_parts).repartition(32) \
+            .write.parquet(f"{out_dir}/orders.parquet")
+
+    if _needs_build(f"{out_dir}/customer.parquet"):
+        c = spark.read.parquet(f"{src_dir}/customer.parquet")
+        c_parts = [
+            c.withColumn("c_custkey", F.col("c_custkey") + F.lit(r * ID_STRIDE))
+            for r in range(REPLICAS)
+        ]
+        union_replicas(c_parts).repartition(32) \
+            .write.parquet(f"{out_dir}/customer.parquet")
+
     if _needs_build(f"{out_dir}/events.parquet"):
         # read_table normalizes the fixture's ts encoding; the replica is
         # written as plain TimestampType, which read_table passes through
