@@ -635,3 +635,48 @@ def repetition_signals(
         id_col,
         *[expr.alias(name) for name, expr in fracs.items()],
         flag.alias("repetition_flagged"))
+
+
+#: Flag thresholds for the char-entropy signal: natural-language text
+#: sits ~3.5–4.5 bits/char; near-0 means runs/padding, near-log2(|Σ|)
+#: uniform noise.  Outside [1.5, 5.5] → gibberish-flagged.
+ENTROPY_MIN_BITS = 1.5
+ENTROPY_MAX_BITS = 5.5
+
+
+def char_entropy_bits(text_col: Column | str) -> Column:
+    """Per-document character-level Shannon entropy in bits/char
+    (SURVEY §2.3 N73) — the cheap gibberish signal quality pipelines
+    run next to the ratio features: binary dumps and padding runs sit
+    near 0, encrypted/compressed noise near log₂|alphabet|, natural
+    language in between.
+
+    Pure column expressions: one pass collects the distinct chars of
+    the doc, one ``transform`` counts each (O(|Σ|·L) array ops per doc,
+    |Σ| ≤ alphabet size), and each term ``−(c/L)·log₂(c/L)`` is
+    snapped to integer micro-bits and summed exactly (the N60/N66
+    posture) so the value is bit-identical on any engine.  Empty/NULL
+    text → 0.0 / NULL."""
+
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+
+    def from_chars(chars: Column) -> Column:
+        n = F.size(chars)
+
+        def term(c: Column) -> Column:
+            cnt = F.size(F.filter(chars, lambda x: x == c))
+            p = cnt.cast("double") / n
+            return F.round(-p * F.log2(p) * 1e6, 0).cast("long")
+
+        micro = F.aggregate(
+            F.array_distinct(chars), F.lit(0).cast("long"),
+            lambda acc, c: acc + term(c))
+        # round(micro/1e6, 4) half-up on the exact integer rational
+        a = 20000 * micro + F.lit(1_000_000)
+        b = F.lit(2_000_000)
+        bits = ((a - F.pmod(a, b)) / b).cast("long").cast("double") / 10000
+        return F.when(n >= 1, bits).otherwise(F.lit(0.0))
+
+    chars = F.when(F.length(col) > 0, F.split(col, "")) \
+        .otherwise(F.array().cast("array<string>"))
+    return bind_once(chars, from_chars)

@@ -2864,6 +2864,65 @@ PAIRS.update({
 })
 
 
+# ------- N73: character-entropy quality signal
+def char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-entropy gibberish signal (N73): per-document Shannon
+    entropy in bits/char with the out-of-band flag — binary dumps and
+    padding sit near 0, encrypted noise near log₂|Σ|, language in
+    between.  Integer micro-bit terms summed exactly, so the oracle
+    replays the value bit-for-bit."""
+    from hbase_snapshotter_spark.operators.text import (
+        ENTROPY_MAX_BITS,
+        ENTROPY_MIN_BITS,
+        char_entropy_bits,
+    )
+
+    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    bits = char_entropy_bits("text")
+    return docs.select(
+        "doc_id",
+        bits.alias("entropy_bits"),
+        ((bits < ENTROPY_MIN_BITS) | (bits > ENTROPY_MAX_BITS))
+        .alias("gibberish_flagged"),
+    ).orderBy("doc_id")
+
+
+def _oracle_char_entropy() -> str:
+    from hbase_snapshotter_spark.operators.text import (
+        ENTROPY_MAX_BITS,
+        ENTROPY_MIN_BITS,
+    )
+
+    return f"""
+WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
+ch AS (SELECT doc_id, substring(text, i.i, 1) AS c, L
+       FROM d, UNNEST(range(1, L + 1)) AS i(i)
+       WHERE L > 0),
+cc AS (SELECT doc_id, c, L, COUNT(*) AS cnt FROM ch GROUP BY 1, 2, 3),
+tm AS (SELECT doc_id,
+              SUM(CAST(ROUND(-(CAST(cnt AS DOUBLE) / L)
+                             * log2(CAST(cnt AS DOUBLE) / L) * 1e6, 0)
+                       AS BIGINT)) AS micro
+       FROM cc GROUP BY 1),
+e AS (SELECT d.doc_id,
+             CASE WHEN d.L > 0
+                  THEN CAST((20000 * tm.micro + 1000000) // 2000000
+                            AS DOUBLE) / 10000
+                  ELSE 0.0 END AS entropy_bits
+      FROM d LEFT JOIN tm USING (doc_id))
+SELECT doc_id, entropy_bits,
+       entropy_bits < {ENTROPY_MIN_BITS}
+         OR entropy_bits > {ENTROPY_MAX_BITS} AS gibberish_flagged
+FROM e
+ORDER BY doc_id
+"""
+
+
+PAIRS.update({
+    "char_entropy_docs": (char_entropy_docs, _oracle_char_entropy()),
+})
+
+
 # pipeline_quality_filter's oracle references the LM constants above,
 # so its (re-)registration lives at module end; registry order is
 # governed by registry._R5_ORDER, not this dict's insertion order.

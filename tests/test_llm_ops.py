@@ -2093,3 +2093,33 @@ def test_ewma_smooth_hand_computed(spark):
     assert out[("g", 1)]["is_excursion"] is True
     # a single-bucket group is its own EWMA
     assert out[("h", 5)]["ewma"] == 4.0 and out[("h", 5)]["dev_micro"] == 0
+
+
+def test_char_entropy_hand_computed(spark):
+    """N73 char entropy: exact micro-bit values for hand-checkable
+    strings; degenerate and empty docs."""
+    import math
+
+    from hbase_snapshotter_spark.operators.text import char_entropy_bits
+
+    rows = [(1, "aab"), (2, "aaaa"), (3, ""), (4, "abcdefgh")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["e"]
+           for r in df.select("doc_id",
+                              char_entropy_bits("text").alias("e"))
+           .collect()}
+
+    def py_bits(s):
+        if not s:
+            return 0.0
+        from collections import Counter
+        L = len(s)
+        micro = sum(
+            int(round(-(c / L) * math.log2(c / L) * 1e6))
+            for c in Counter(s).values())
+        return (20000 * micro + 1_000_000) // 2_000_000 / 10000
+
+    for i, s in rows:
+        assert out[i] == py_bits(s), (i, s)
+    assert out[2] == 0.0 and out[3] == 0.0
+    assert out[4] == 3.0  # 8 equiprobable chars = exactly 3 bits
