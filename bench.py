@@ -86,6 +86,7 @@ HEADLINE_R7 = [
     "weighted_sample_docs",
     "events_ewma_smooth",
     "char_entropy_docs",
+    "events_quantile_rank",
 ]
 
 

@@ -339,3 +339,75 @@ def cms_estimates(
         joined.groupBy(*group_cols, "item")
         .agg(F.min(F.coalesce("__cnt", F.lit(0))).alias("est_cnt"))
     )
+
+
+def quantile_rank_normalize(
+    df: DataFrame,
+    state: DataFrame,
+    value_col: str,
+    *,
+    group_cols: list[str],
+) -> DataFrame:
+    """Quantile-rank normalization from sketch state (SURVEY §2.3
+    N74) — the SORTLESS ``percent_rank``: map each positive value to
+    its estimated within-group quantile rank using only the N58
+    DDSketch histogram (``(group, bucket, cnt)`` rows), the standard
+    feature-scaling transform (rank features are heavy-tail-robust
+    where z-scores are not).
+
+    Rank estimate: mid-rank within the value's bucket —
+    ``(cum_below + cnt_bucket/2) / n``, computed as the exact rational
+    ``(2·cum_below + cnt_bucket) / (2n)`` and half-up rounded at 4 dp,
+    so both engines agree bit-for-bit.  Values in buckets the state
+    never saw (possible when normalizing NEW data against an old
+    state) clamp to the nearest observed bucket's boundary rank.
+
+    Scale shape: a window-free alternative to ``percent_rank`` —
+    Spark's exact form sorts every group; here the only per-row work
+    is a bucket expression + a BROADCAST join against the bounded
+    cum-count table (groups × buckets rows), so the corpus is never
+    shuffled at all.  The state is mergeable/advanceable (N58), so the
+    normalizer refreshes with deltas, never a rescan.
+    """
+    from pyspark.sql import Window
+
+    # densify the cum table over every integer bucket in the state's
+    # [lo, hi] span (bounded by sketch geometry, ~460/decade): interior
+    # buckets the state never saw then carry the correct cum-below and
+    # cnt 0 instead of mis-clamping to an endpoint
+    span = state.groupBy(*group_cols).agg(
+        F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi"),
+        F.sum("cnt").alias("__n2"))
+    grid = span.select(
+        *group_cols,
+        F.explode(F.sequence("__lo", "__hi")).alias("bucket"))
+    dense = grid.join(state, [*group_cols, "bucket"], "left") \
+        .withColumn("cnt", F.coalesce("cnt", F.lit(0)))
+    w = (Window.partitionBy(*[F.col(c) for c in group_cols])
+         .orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    w_all = Window.partitionBy(*[F.col(c) for c in group_cols])
+    cum = dense.select(
+        *group_cols, "bucket", F.col("cnt"),
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("__below"),
+        F.sum("cnt").over(w_all).alias("__n"))
+    vals = df.filter(F.col(value_col).isNotNull() & (F.col(value_col) > 0)) \
+        .withColumn("bucket", dd_bucket(value_col))
+    j = vals.join(F.broadcast(cum), [*group_cols, "bucket"], "left")
+    # out-of-span buckets clamp to the endpoints
+    j = j.join(F.broadcast(span), group_cols, "left")
+    below = F.when(F.col("__n").isNotNull(), F.col("__below")) \
+        .when(F.col("bucket") < F.col("__lo"), F.lit(0)) \
+        .otherwise(F.col("__n2"))
+    in_bucket = F.coalesce(F.col("cnt"), F.lit(0))
+    n = F.coalesce(F.col("__n"), F.col("__n2"))
+    num = (2 * below + in_bucket).cast("long")
+    den = (2 * n).cast("long")
+    a = 20000 * num + den
+    b = 2 * den
+    rank = F.when(
+        den > 0,
+        (((a - F.pmod(a, b)) / b).cast("long").cast("double") / 10000),
+    )
+    return j.select(
+        *[c for c in df.columns], rank.alias("q_rank"))

@@ -548,3 +548,55 @@ ORDER BY event_type, bucket
 PAIRS.update({
     "events_ewma_smooth": (events_ewma_smooth, _oracle_ewma()),
 })
+
+
+# ------------------- N74: sketch-based quantile-rank normalization
+def events_quantile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sortless percent_rank (N74): every event value mapped to its
+    estimated within-type quantile rank using only the N58 DDSketch
+    histogram state — a broadcast join against groups × buckets rows,
+    the corpus never shuffles (Spark's exact percent_rank sorts every
+    group).  Mid-rank estimates as exact rationals; the oracle replays
+    buckets, cumulative counts, and the rounding."""
+    from hbase_snapshotter_spark.cache import scoped_persist
+    from hbase_snapshotter_spark.operators.sketches import (
+        quantile_rank_normalize,
+        quantile_state,
+    )
+
+    ev = scoped_persist(
+        read_table(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value"))
+    state = quantile_state(ev, "value", group_cols=["event_type"])
+    return quantile_rank_normalize(
+        ev, state, "value", group_cols=["event_type"]).orderBy("event_id")
+
+
+def _oracle_quantile_rank() -> str:
+    from hbase_snapshotter_spark.operators.sketches import DD_LN_GAMMA
+
+    return f"""
+WITH v AS (
+  SELECT event_id, event_type, value,
+         CAST(CEIL(ROUND(LN(value) / {repr(DD_LN_GAMMA)}, 6)) AS BIGINT)
+           AS bucket
+  FROM events WHERE value IS NOT NULL AND value > 0),
+st AS (SELECT event_type, bucket, COUNT(*) AS cnt FROM v GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, bucket, cnt,
+         COALESCE(SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS below,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM st)
+SELECT v.event_id, v.event_type, v.value,
+       CAST((20000 * (2 * c.below + c.cnt) + 2 * c.n)
+            // (2 * 2 * c.n) AS DOUBLE) / 10000 AS q_rank
+FROM v JOIN cum c ON c.event_type = v.event_type AND c.bucket = v.bucket
+ORDER BY v.event_id
+"""
+
+
+PAIRS.update({
+    "events_quantile_rank": (events_quantile_rank, _oracle_quantile_rank()),
+})

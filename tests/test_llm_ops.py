@@ -2123,3 +2123,28 @@ def test_char_entropy_hand_computed(spark):
         assert out[i] == py_bits(s), (i, s)
     assert out[2] == 0.0 and out[3] == 0.0
     assert out[4] == 3.0  # 8 equiprobable chars = exactly 3 bits
+
+
+def test_quantile_rank_normalize_hand_computed(spark):
+    """N74 sortless percent_rank: mid-rank in seen buckets, correct
+    interior-gap ranks, endpoint clamps for out-of-span values."""
+    from hbase_snapshotter_spark.operators.sketches import (
+        quantile_rank_normalize,
+        quantile_state,
+    )
+
+    train = spark.createDataFrame(
+        [("g", 1.0)] * 4 + [("g", 100.0)] * 6, ["grp", "v"])
+    state = quantile_state(train, "v", group_cols=["grp"])
+    test = spark.createDataFrame(
+        [("g", i, v) for i, v in
+         enumerate([1.0, 100.0, 10.0, 0.5, 10000.0])],
+        ["grp", "i", "v"])
+    out = {r["i"]: r["q_rank"]
+           for r in quantile_rank_normalize(
+               test, state, "v", group_cols=["grp"]).collect()}
+    assert out[0] == 0.2    # (0 + 4/2) / 10
+    assert out[1] == 0.7    # (4 + 6/2) / 10
+    assert out[2] == 0.4    # interior gap: below=4, cnt=0
+    assert out[3] == 0.0    # below the span
+    assert out[4] == 1.0    # above the span
