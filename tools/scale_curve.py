@@ -546,6 +546,18 @@ def operators():
 
         return events_ewma_smooth(spark, d)
 
+    def run_char_entropy(spark, d):
+        from hbase_snapshotter_spark.queries.llm import char_entropy_docs
+
+        return char_entropy_docs(spark, d)
+
+    def run_quantile_rank(spark, d):
+        from hbase_snapshotter_spark.queries.streaming_q import (
+            events_quantile_rank,
+        )
+
+        return events_quantile_rank(spark, d)
+
     # ORDER MATTERS: cheap ops first, heap-heavy LSH ops last.  A
     # sub-2s measurement taken right after a ~100s candidate-join run
     # inherits its JVM heap bloat / GC debt — measured 1.35s → 12.5s on
@@ -561,6 +573,8 @@ def operators():
         "truncation_audit": run_truncation,
         "weighted_sample": run_weighted_sample,
         "ewma_smooth": run_ewma,
+        "char_entropy": run_char_entropy,
+        "quantile_rank": run_quantile_rank,
         "rolling_anomaly": run_rolling_anomaly,
         "mmr_rerank": run_mmr,
         "quantile_sketch": run_quantile_sketch,
