@@ -87,6 +87,7 @@ HEADLINE_R7 = [
     "events_ewma_smooth",
     "char_entropy_docs",
     "events_quantile_rank",
+    "events_winsorized",
 ]
 
 

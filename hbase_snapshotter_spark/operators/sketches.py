@@ -411,3 +411,39 @@ def quantile_rank_normalize(
     )
     return j.select(
         *[c for c in df.columns], rank.alias("q_rank"))
+
+
+def winsorize(
+    df: DataFrame,
+    state: DataFrame,
+    value_col: str,
+    *,
+    group_cols: list[str],
+    q_lo: float = 0.05,
+    q_hi: float = 0.95,
+) -> DataFrame:
+    """Sketch-state winsorization (SURVEY §2.3 N75): clip each value to
+    its group's ``[q_lo, q_hi]`` quantile estimates derived from the
+    N58 DDSketch histogram state — the robust feature-prep transform
+    (tail outliers dominate means and gradient scales; winsorizing at
+    state-derived bounds needs NO sort and NO second scan of history).
+
+    The bounds come from :func:`dd_quantile_estimates` (4-dp bucket
+    midpoints, deterministic); clipping is a broadcast join of the
+    one-row-per-group bounds table + two comparisons in codegen.
+    Output adds ``v_winsorized`` (4-dp, exact comparisons both
+    engines share) and ``was_clipped``.  Like the N74 rank transform,
+    the corpus is never shuffled and the bounds refresh with state
+    deltas."""
+    bounds = dd_quantile_estimates(state, [q_lo, q_hi],
+                                   group_cols=group_cols)
+    lo_c = f"q{int(round(q_lo * 100))}_est"
+    hi_c = f"q{int(round(q_hi * 100))}_est"
+    v = F.col(value_col)
+    j = df.join(F.broadcast(bounds.select(*group_cols, lo_c, hi_c)),
+                group_cols, "left")
+    clipped = F.least(F.greatest(v, F.col(lo_c)), F.col(hi_c))
+    return j.select(
+        *df.columns,
+        F.round(clipped, 4).alias("v_winsorized"),
+        ((v < F.col(lo_c)) | (v > F.col(hi_c))).alias("was_clipped"))

@@ -600,3 +600,68 @@ ORDER BY v.event_id
 PAIRS.update({
     "events_quantile_rank": (events_quantile_rank, _oracle_quantile_rank()),
 })
+
+
+# ------------------- N75: sketch-state winsorization
+WINSOR_QLO = 0.05
+WINSOR_QHI = 0.95
+
+
+def events_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-state winsorization (N75): every event value clipped to
+    its type's [q5, q95] DDSketch-estimated quantiles — robust feature
+    prep with no sort and no second scan; bounds are a broadcast
+    one-row-per-group table derived from mergeable state.  The oracle
+    replays buckets, quantile estimates, and the clip exactly."""
+    from hbase_snapshotter_spark.cache import scoped_persist
+    from hbase_snapshotter_spark.operators.sketches import (
+        quantile_state,
+        winsorize,
+    )
+
+    ev = scoped_persist(
+        read_table(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value")
+        .filter(F.col("value").isNotNull() & (F.col("value") > 0)))
+    state = quantile_state(ev, "value", group_cols=["event_type"])
+    return winsorize(ev, state, "value", group_cols=["event_type"],
+                     q_lo=WINSOR_QLO, q_hi=WINSOR_QHI).orderBy("event_id")
+
+
+def _oracle_winsorized() -> str:
+    from hbase_snapshotter_spark.operators.sketches import (
+        DD_GAMMA,
+        DD_LN_GAMMA,
+    )
+
+    est = ("ROUND(2.0 * POWER({G}, MIN(CASE WHEN cum >= CEIL({q} * n) "
+           "THEN bucket END)) / {GP1}, 4)")
+    lo = est.format(G=repr(DD_GAMMA), GP1=repr(DD_GAMMA + 1),
+                    q=repr(WINSOR_QLO))
+    hi = est.format(G=repr(DD_GAMMA), GP1=repr(DD_GAMMA + 1),
+                    q=repr(WINSOR_QHI))
+    return f"""
+WITH v AS (
+  SELECT event_id, event_type, value FROM events
+  WHERE value IS NOT NULL AND value > 0),
+b AS (SELECT event_type,
+             CAST(CEIL(ROUND(LN(value) / {repr(DD_LN_GAMMA)}, 6)) AS BIGINT)
+               AS bucket,
+             COUNT(*) AS cnt
+      FROM v GROUP BY 1, 2),
+c AS (SELECT event_type, bucket, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM b),
+q AS (SELECT event_type, {lo} AS lo, {hi} AS hi FROM c GROUP BY event_type)
+SELECT v.event_id, v.event_type, v.value,
+       ROUND(LEAST(GREATEST(v.value, q.lo), q.hi), 4) AS v_winsorized,
+       (v.value < q.lo OR v.value > q.hi) AS was_clipped
+FROM v JOIN q USING (event_type)
+ORDER BY v.event_id
+"""
+
+
+PAIRS.update({
+    "events_winsorized": (events_winsorized, _oracle_winsorized()),
+})

@@ -2148,3 +2148,31 @@ def test_quantile_rank_normalize_hand_computed(spark):
     assert out[2] == 0.4    # interior gap: below=4, cnt=0
     assert out[3] == 0.0    # below the span
     assert out[4] == 1.0    # above the span
+
+
+def test_winsorize_hand_computed(spark):
+    """N75: clip bounds come from the sketch state's quantile
+    estimates; interior values untouched, tails clipped + flagged."""
+    from hbase_snapshotter_spark.operators.sketches import (
+        dd_quantile_estimates,
+        quantile_state,
+        winsorize,
+    )
+
+    vals = [float(v) for v in range(1, 101)]  # 1..100, one group
+    train = spark.createDataFrame([("g", v) for v in vals], ["grp", "v"])
+    state = quantile_state(train, "v", group_cols=["grp"])
+    b = dd_quantile_estimates(state, [0.05, 0.95],
+                              group_cols=["grp"]).collect()[0]
+    lo, hi = b["q5_est"], b["q95_est"]
+    assert lo < 10 and hi > 90  # sanity: bounds sit in the tails
+
+    out = {r["v"]: r.asDict()
+           for r in winsorize(train, state, "v", group_cols=["grp"])
+           .collect()}
+    assert out[50.0]["v_winsorized"] == 50.0
+    assert out[50.0]["was_clipped"] is False
+    assert out[1.0]["v_winsorized"] == round(lo, 4)
+    assert out[1.0]["was_clipped"] is True
+    assert out[100.0]["v_winsorized"] == round(hi, 4)
+    assert out[100.0]["was_clipped"] is True
