@@ -88,6 +88,7 @@ HEADLINE_R7 = [
     "char_entropy_docs",
     "events_quantile_rank",
     "events_winsorized",
+    "dedup_cluster_representatives",
 ]
 
 

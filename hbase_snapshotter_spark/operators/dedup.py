@@ -855,3 +855,44 @@ def shingle_dup_stats(
                 / F.count(F.lit(1)), 4).alias("dup_shingle_ratio"),
         )
     )
+
+
+def cluster_representatives(
+    components: DataFrame,
+    quality: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    quality_col: str = "quality_score",
+) -> DataFrame:
+    """Quality-based representative selection per near-dup cluster
+    (SURVEY §2.3 N76): production dedup keeps the BEST member of each
+    connected component — the longest/cleanest capture of the content
+    — not the arbitrary min-id the pairwise verdicts default to
+    (Lee et al. 2021 keep one-per-cluster; quality-ranked keeps are
+    the RefinedWeb/FineWeb practice).
+
+    Keeper = argmax(quality, ties toward the smaller id), resolved by
+    ONE struct-max hash agg per component (map-side partials, no
+    window sort), then one co-partitioned join back on the component
+    key — two shuffles total, both on the component id, wire =
+    (id, component, quality) triples.  Output:
+    ``(id, cluster_id, quality, representative_id, cluster_size,
+    is_representative)``."""
+    j = components.select(F.col(id_col), F.col("component")).join(
+        quality.select(F.col(id_col), F.col(quality_col)), id_col)
+    best = j.groupBy("component").agg(
+        F.max(F.struct(F.col(quality_col).alias("q"),
+                       (-F.col(id_col)).alias("nid"))).alias("__b"),
+        F.count(F.lit(1)).alias("cluster_size"))
+    reps = best.select(
+        "component", (-F.col("__b.nid")).alias("representative_id"),
+        "cluster_size")
+    return (
+        j.join(reps, "component")
+        .select(
+            id_col,
+            F.col("component").alias("cluster_id"),
+            quality_col,
+            "representative_id", "cluster_size",
+            (F.col(id_col) == F.col("representative_id"))
+            .alias("is_representative")))

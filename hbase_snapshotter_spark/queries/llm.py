@@ -2923,6 +2923,80 @@ PAIRS.update({
 })
 
 
+# ------- N76: quality-based cluster representatives
+def dedup_cluster_representatives(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Quality-ranked keeps (N76): per near-dup cluster, keep the
+    member with the highest quality score (ties toward the smaller id)
+    — the RefinedWeb/FineWeb practice, replacing the arbitrary min-id
+    keeper.  Components from the MinHash-LSH pairs, quality from the
+    deterministic text_features score; the oracle replays the closure,
+    the quality formula, and the argmax."""
+    from hbase_snapshotter_spark.operators.dedup import (
+        cluster_representatives,
+        connected_components,
+        scoped_persist,
+    )
+
+    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    pairs = scoped_persist(
+        minhash_lsh_pairs(docs, "doc_id", num_hashes=MINHASH_K,
+                          bands=MINHASH_BANDS, threshold=MINHASH_THRESHOLD))
+    comp = connected_components(
+        pairs, docs.select("doc_id"), id_col="doc_id")
+    quality = text_features(docs, "text", id_cols=["doc_id"]) \
+        .select("doc_id", "quality_score")
+    return cluster_representatives(comp, quality).orderBy("doc_id")
+
+
+def _oracle_cluster_reps() -> str:
+    pair_sql = _oracle_minhash().rsplit("ORDER BY", 1)[0]
+    stop_hits = (f"len(list_filter(t, x -> "
+                 f"list_contains({_sql_list(STOPWORDS)}, x)))")
+    return f"""
+WITH RECURSIVE pairs AS ({pair_sql}),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s),
+comp AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+q AS (
+  SELECT doc_id,
+         CAST((20000 * (2 * least(length(text), 500) * len(t)
+                        + 1000 * len(list_distinct(t))
+                        + 500 * (CASE WHEN {stop_hits} > 0
+                                 THEN 1 ELSE 0 END) * len(t))
+               + 2500 * len(t)) // (2 * 2500 * len(t)) AS DOUBLE) / 10000
+           AS quality_score
+  FROM (SELECT doc_id, text, string_split(trim(text), ' ') AS t
+        FROM documents)),
+jq AS (SELECT c.doc_id, c.cluster_id, q.quality_score
+       FROM comp c JOIN q USING (doc_id)),
+reps AS (
+  SELECT cluster_id, doc_id AS representative_id, cluster_size FROM (
+    SELECT cluster_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY cluster_id
+                              ORDER BY quality_score DESC, doc_id ASC)
+             AS rn,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM jq) WHERE rn = 1)
+SELECT jq.doc_id, jq.cluster_id, jq.quality_score,
+       r.representative_id, r.cluster_size,
+       jq.doc_id = r.representative_id AS is_representative
+FROM jq JOIN reps r USING (cluster_id)
+ORDER BY jq.doc_id
+"""
+
+
+PAIRS.update({
+    "dedup_cluster_representatives": (dedup_cluster_representatives,
+                                      _oracle_cluster_reps()),
+})
+
+
 # pipeline_quality_filter's oracle references the LM constants above,
 # so its (re-)registration lives at module end; registry order is
 # governed by registry._R5_ORDER, not this dict's insertion order.

@@ -2176,3 +2176,27 @@ def test_winsorize_hand_computed(spark):
     assert out[1.0]["was_clipped"] is True
     assert out[100.0]["v_winsorized"] == round(hi, 4)
     assert out[100.0]["was_clipped"] is True
+
+
+def test_cluster_representatives_hand_computed(spark):
+    """N76: highest-quality member wins, ties break to the smaller id,
+    singletons represent themselves."""
+    from hbase_snapshotter_spark.operators.dedup import (
+        cluster_representatives,
+    )
+
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 5)],
+        ["doc_id", "component"])
+    quality = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.7), (4, 0.1), (5, 0.6), (6, 0.6)],
+        ["doc_id", "quality_score"])
+    out = {r["doc_id"]: r.asDict()
+           for r in cluster_representatives(comp, quality).collect()}
+    assert all(out[d]["representative_id"] == 2 for d in (1, 2, 3))
+    assert out[2]["is_representative"] is True
+    assert out[1]["is_representative"] is False
+    assert out[1]["cluster_size"] == 3
+    assert out[4]["representative_id"] == 4  # singleton
+    assert out[5]["representative_id"] == 5  # tie -> smaller id
+    assert out[6]["is_representative"] is False
