@@ -494,3 +494,66 @@ def test_drift_monitor_streaming_verdicts_and_redelivery(spark, tmp_path):
     dirs_after = {d: sorted(map(str, spark.read.parquet(
         f"{d}/verdict").collect())) for d in m2._verdict_dirs()}
     assert dirs_after == dirs_before
+
+
+def test_ewma_monitor_streaming_equals_batch_and_redelivers(spark, tmp_path):
+    """Continuous EWMA (N72 streaming form): three replayed
+    micro-batches of finalized bucket rows fold from saved state; the
+    concatenated streamed verdicts equal the batch ewma_smooth over
+    the full grid BIT-FOR-BIT (integer recurrence), a group silent in
+    one batch carries state forward, and a full re-delivery run
+    reproduces every directory."""
+    import glob
+    import shutil
+
+    from hbase_snapshotter_spark.operators.timeseries import ewma_smooth
+    from hbase_snapshotter_spark.streaming.ewma_stream import maintain_ewma
+    from hbase_snapshotter_spark.streaming.windows import replay_stream
+
+    batches = [
+        [("g", 0, 1.0), ("g", 1, 2.0), ("h", 0, 4.0)],
+        [("g", 2, 10.0), ("g", 3, 3.0)],            # h silent
+        [("g", 4, 2.5), ("h", 5, 8.0)],             # h resumes
+    ]
+    src = str(tmp_path / "bucket_stream")
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, ["grp", "bucket", "v"]) \
+            .coalesce(1).write.mode("overwrite").parquet(f"{src}/f{i}")
+        part = glob.glob(f"{src}/f{i}/part-*.parquet")[0]
+        shutil.move(part, f"{src}/file{i}.parquet")
+        shutil.rmtree(f"{src}/f{i}")
+    schema = spark.read.parquet(f"{src}/file0.parquet").schema
+
+    state = str(tmp_path / "ewma_state")
+
+    def run(ckpt):
+        stream = replay_stream(spark, src, schema, max_files_per_trigger=1)
+        q, m = maintain_ewma(
+            stream, state, "v", ["grp"],
+            checkpointLocation=str(tmp_path / ckpt), availableNow=True)
+        q.awaitTermination(120)
+        return m
+
+    m = run("ckpt1")
+    streamed = {(r["grp"], r["bucket"]): (r["ewma"], r["dev_micro"],
+                                          r["is_excursion"])
+                for r in m.verdicts(spark).collect()}
+    full = spark.createDataFrame(
+        [r for b in batches for r in b], ["grp", "bucket", "v"])
+    expect = {(r["grp"], r["bucket"]): (r["ewma"], r["dev_micro"],
+                                        r["is_excursion"])
+              for r in ewma_smooth(full, group_cols=["grp"],
+                                   value_col="v").collect()}
+    assert streamed == expect  # bit-identical chain continuation
+
+    # h's state survived its silent batch
+    st = {r["grp"]: (r["last_bucket"], r["ewma_micro"])
+          for r in m.state(spark).collect()}
+    assert st["h"][0] == 5 and st["g"][0] == 4
+
+    dirs_before = {d: sorted(map(str, spark.read.parquet(
+        f"{d}/verdict").collect())) for d in m._done_dirs()}
+    m2 = run("ckpt2")  # full re-delivery over existing state
+    dirs_after = {d: sorted(map(str, spark.read.parquet(
+        f"{d}/verdict").collect())) for d in m2._done_dirs()}
+    assert dirs_after == dirs_before
