@@ -558,6 +558,20 @@ def operators():
 
         return events_quantile_rank(spark, d)
 
+    def run_winsorize(spark, d):
+        from hbase_snapshotter_spark.queries.streaming_q import (
+            events_winsorized,
+        )
+
+        return events_winsorized(spark, d)
+
+    def run_cluster_reps(spark, d):
+        from hbase_snapshotter_spark.queries.llm import (
+            dedup_cluster_representatives,
+        )
+
+        return dedup_cluster_representatives(spark, d)
+
     # ORDER MATTERS: cheap ops first, heap-heavy LSH ops last.  A
     # sub-2s measurement taken right after a ~100s candidate-join run
     # inherits its JVM heap bloat / GC debt — measured 1.35s → 12.5s on
@@ -575,6 +589,8 @@ def operators():
         "ewma_smooth": run_ewma,
         "char_entropy": run_char_entropy,
         "quantile_rank": run_quantile_rank,
+        "winsorize": run_winsorize,
+        "cluster_reps": run_cluster_reps,
         "rolling_anomaly": run_rolling_anomaly,
         "mmr_rerank": run_mmr,
         "quantile_sketch": run_quantile_sketch,
