@@ -89,6 +89,7 @@ HEADLINE_R7 = [
     "events_quantile_rank",
     "events_winsorized",
     "dedup_cluster_representatives",
+    "epoch_replicated_mix",
 ]
 
 

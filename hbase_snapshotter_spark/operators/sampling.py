@@ -466,3 +466,51 @@ def weighted_sample(
     return (out.join(w, key_col)
             .select(*([group_col] if group_col else []), key_col,
                     weight_col, "es_key", "sample_rank"))
+
+
+def epoch_replicate(
+    df: DataFrame,
+    key_col: str,
+    epochs: dict[str, float],
+    *,
+    source_col: str = "source",
+    salt: str = "#ep",
+) -> DataFrame:
+    """Epoch-aware source replication (SURVEY §2.3 N77; the
+    data-constrained-scaling recipe of Muennighoff et al. 2023):
+    materialize each source at a FRACTIONAL epoch count — "2.3 epochs
+    of source A, 0.8 of source B" — by emitting ``ceil(f)`` copies per
+    row and keeping the last copy only for the deterministic
+    ``frac(f)`` slice of rows (md5 permille of the salted key, the
+    N22 mixture machinery), so every source's realized volume is
+    ``f × |source|`` in expectation with zero randomness.
+
+    Each emitted copy carries ``copy_idx`` (1-based) — downstream
+    packing/shuffling sees distinct rows, and the (key, copy_idx) pair
+    stays a stable identity across reruns and partitionings.  Sources
+    absent from ``epochs`` default to one epoch (single copy).
+
+    Scale shape: a pure per-row ``explode`` of a ≤ ``ceil(max f)``
+    sequence — no shuffle, no join; the epoch table rides the plan as
+    literals.  Fan-out is the POINT (the training mix is larger than
+    the corpus); wire cost is exactly the emitted volume."""
+    def permille(key):
+        h = F.conv(F.substring(F.md5(F.concat_ws("|", key, F.lit(salt))),
+                               1, 8), 16, 10).cast("long")
+        return h % 1000
+
+    src = F.col(source_col)
+    f_expr = F.lit(1.0)
+    for name, f in epochs.items():
+        if f < 0:
+            raise ValueError(f"epoch_replicate: negative epochs for {name}")
+        f_expr = F.when(src == name, F.lit(float(f))).otherwise(f_expr)
+    n_full = F.floor(f_expr).cast("int")
+    frac_permille = F.round((f_expr - n_full) * 1000, 0).cast("int")
+    keep_partial = permille(F.col(key_col)) < frac_permille
+    n_copies = (n_full + F.when(keep_partial, 1).otherwise(0))
+    out = df.withColumn("__n", n_copies).filter(F.col("__n") >= 1)
+    return (
+        out.withColumn("copy_idx",
+                       F.explode(F.sequence(F.lit(1), F.col("__n"))))
+        .drop("__n"))

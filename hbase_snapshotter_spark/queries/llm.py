@@ -2997,6 +2997,53 @@ PAIRS.update({
 })
 
 
+# ------- N77: epoch-aware source replication (data-constrained mix)
+EPOCH_FACTORS = {"src0": 2.3, "src1": 0.5, "src2": 0.0}
+
+
+def epoch_replicated_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch upsampling (N77): materialize the training mix
+    at per-source epoch counts — 2.3 epochs of src0, half of src1,
+    none of src2, one of everything else — via a deterministic
+    explode; every (doc, copy_idx) identity is stable across reruns.
+    The oracle replays factors, the md5 permille cut, and the
+    fan-out."""
+    from hbase_snapshotter_spark.operators.sampling import epoch_replicate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "source")
+    return epoch_replicate(docs, "doc_id", EPOCH_FACTORS) \
+        .orderBy("doc_id", "copy_idx")
+
+
+def _oracle_epoch_mix() -> str:
+    case = " ".join(f"WHEN '{k}' THEN {v}" for k, v in
+                    EPOCH_FACTORS.items())
+    return f"""
+WITH f AS (
+  SELECT doc_id, source,
+         CASE source {case} ELSE 1.0 END AS f,
+         CAST('0x' || substr(md5(doc_id || '|#ep'), 1, 8) AS BIGINT) % 1000
+           AS pm
+  FROM documents),
+n AS (SELECT doc_id, source,
+             CAST(FLOOR(f) AS INTEGER)
+               + CASE WHEN pm < CAST(ROUND((f - FLOOR(f)) * 1000, 0)
+                                AS INTEGER)
+                      THEN 1 ELSE 0 END AS n
+      FROM f)
+SELECT doc_id, source, CAST(i.i AS INTEGER) AS copy_idx
+FROM n, UNNEST(range(1, n + 1)) AS i(i)
+WHERE n >= 1
+ORDER BY doc_id, copy_idx
+"""
+
+
+PAIRS.update({
+    "epoch_replicated_mix": (epoch_replicated_mix, _oracle_epoch_mix()),
+})
+
+
 # pipeline_quality_filter's oracle references the LM constants above,
 # so its (re-)registration lives at module end; registry order is
 # governed by registry._R5_ORDER, not this dict's insertion order.

@@ -2200,3 +2200,43 @@ def test_cluster_representatives_hand_computed(spark):
     assert out[4]["representative_id"] == 4  # singleton
     assert out[5]["representative_id"] == 5  # tie -> smaller id
     assert out[6]["is_representative"] is False
+
+
+def test_epoch_replicate_hand_computed(spark):
+    """N77 fractional-epoch replication: copy counts per source,
+    deterministic partial-epoch membership, zero-epoch drop, default
+    one epoch, stable (key, copy_idx) identity across partitionings."""
+    import hashlib
+
+    from hbase_snapshotter_spark.operators.sampling import epoch_replicate
+
+    rows = [(i, "a") for i in range(100)] + \
+           [(i, "b") for i in range(100, 200)] + \
+           [(200, "c"), (201, "d")]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = epoch_replicate(df, "doc_id",
+                          {"a": 2.5, "b": 0.0, "c": 1.0}).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["doc_id"], []).append(r["copy_idx"])
+
+    def pm(i):
+        return int(hashlib.md5(f"{i}|#ep".encode()).hexdigest()[:8],
+                   16) % 1000
+
+    # source a: 2 full copies + a third iff permille < 500
+    for i in range(100):
+        expect = 3 if pm(i) < 500 else 2
+        assert sorted(got[i]) == list(range(1, expect + 1)), i
+    # source b: zero epochs -> absent entirely
+    assert not any(i in got for i in range(100, 200))
+    # c explicit 1.0 and d default 1.0: exactly one copy each
+    assert got[200] == [1] and got[201] == [1]
+
+    # realized volume ~ f * |source| (deterministic, so exact here)
+    n_a = sum(len(v) for k, v in got.items() if k < 100)
+    assert n_a == 200 + sum(1 for i in range(100) if pm(i) < 500)
+
+    out2 = epoch_replicate(df.repartition(7), "doc_id",
+                           {"a": 2.5, "b": 0.0, "c": 1.0}).collect()
+    assert sorted(map(tuple, out2)) == sorted(map(tuple, out))
