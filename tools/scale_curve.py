@@ -572,6 +572,11 @@ def operators():
 
         return dedup_cluster_representatives(spark, d)
 
+    def run_epoch_mix(spark, d):
+        from hbase_snapshotter_spark.queries.llm import epoch_replicated_mix
+
+        return epoch_replicated_mix(spark, d)
+
     # ORDER MATTERS: cheap ops first, heap-heavy LSH ops last.  A
     # sub-2s measurement taken right after a ~100s candidate-join run
     # inherits its JVM heap bloat / GC debt — measured 1.35s → 12.5s on
@@ -590,6 +595,7 @@ def operators():
         "char_entropy": run_char_entropy,
         "quantile_rank": run_quantile_rank,
         "winsorize": run_winsorize,
+        "epoch_mix": run_epoch_mix,
         "cluster_reps": run_cluster_reps,
         "rolling_anomaly": run_rolling_anomaly,
         "mmr_rerank": run_mmr,
