@@ -582,41 +582,40 @@ def repetition_signals(
         ]
         return F.flatten(F.array(*per_n))
 
+    # the doc-chars denominator is NOT carried through the gram
+    # shuffles (it re-joins from the id table at the end) — 8 fewer
+    # bytes per gram instance on the wire
     grams = (
         df.select(
             F.col(id_col),
-            F.length(F.trim(text_col)).alias("__tot"),
             F.explode(bind_once(toks, gram_structs)).alias("__gr"))
         .select(
-            id_col, "__tot",
+            id_col,
             F.col("__gr.n").alias("__n"),
             F.substring(F.md5("__gr.g"), 1, 16).alias("__h"),
             F.length("__gr.g").alias("__glen"))
     )
     counts = grams.groupBy(id_col, "__n", "__h").agg(
         F.count("*").alias("__cnt"),
-        F.min("__glen").alias("__glen"),
-        F.min("__tot").alias("__tot"))
+        F.min("__glen").alias("__glen"))
     per_n = counts.groupBy(id_col, "__n").agg(
         F.max(F.struct("__cnt", "__h", "__glen")).alias("__top"),
         F.sum(F.when(F.col("__cnt") >= 2,
                      F.col("__cnt") * F.col("__glen"))
-              .otherwise(F.lit(0))).alias("__dup_chars"),
-        F.min("__tot").alias("__tot"))
+              .otherwise(F.lit(0))).alias("__dup_chars"))
     per_n = per_n.select(
-        id_col, "__n", "__tot", "__dup_chars",
+        id_col, "__n", "__dup_chars",
         (F.col("__top.__cnt") * F.col("__top.__glen")).alias("__top_chars"))
 
     def pick(n: int, col: str) -> Column:
         return F.max(F.when(F.col("__n") == n, F.col(col)))
 
     pivoted = per_n.groupBy(id_col).agg(
-        F.min("__tot").alias("__tot"),
         *[pick(n, "__top_chars").alias(f"__top{n}") for n in REPETITION_TOP_NS],
         *[pick(n, "__dup_chars").alias(f"__dup{n}") for n in REPETITION_DUP_NS])
 
     base = df.select(F.col(id_col), F.length(F.trim(text_col)).alias("__tot0"))
-    joined = base.join(pivoted.drop("__tot"), id_col, "left")
+    joined = base.join(pivoted, id_col, "left")
     fracs = {
         f"top{n}_char_frac": _round4_frac(
             F.coalesce(F.col(f"__top{n}"), F.lit(0)), F.col("__tot0"))
