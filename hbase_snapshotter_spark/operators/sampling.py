@@ -437,15 +437,15 @@ def weighted_sample(
     key — both engines sort identically.
 
     Scale shape: one narrow projection computes the key (codegen, no
-    Python), then :func:`~.similarity.topk_by_group`\'s window-free
-    hash-agg takes the per-group top-k — map-side partials, shuffle
-    carries groups × k candidate structs, never a global sort.
+    Python), then a window-free per-group top-k hash-agg (the
+    :func:`~.similarity.topk_by_group` shape with the weight riding
+    the struct as a payload) — map-side partials, shuffle carries
+    groups × k candidate structs, never a global sort and never a
+    corpus re-join.
     Weights must be > 0 (caller contract, enforced as a filter).
 
     Returns ``([group_col,] key_col, weight_col, es_key, sample_rank)``.
     """
-    from hbase_snapshotter_spark.operators.similarity import topk_by_group
-
     h32 = F.conv(F.substring(F.md5(F.concat_ws("|", F.col(key_col),
                                                F.lit(salt))), 1, 8),
                  16, 10).cast("long")
@@ -454,18 +454,31 @@ def weighted_sample(
     g = group_col or "__g"
     scored = (
         df.filter(F.col(weight_col) > 0)
-        .select(*( [group_col] if group_col else []),
+        .select(*([group_col] if group_col else []),
                 F.col(key_col), F.col(weight_col), es_key.alias("es_key")))
     if group_col is None:
         scored = scored.withColumn("__g", F.lit(1))
-    top = topk_by_group(scored.withColumnRenamed(key_col, "__id"), k,
-                        group_col=g, score_col="es_key", id_col="__id")
-    out = (top.withColumnRenamed("__id", key_col)
-           .withColumnRenamed("rank", "sample_rank"))
-    w = df.select(F.col(key_col), F.col(weight_col))
-    return (out.join(w, key_col)
-            .select(*([group_col] if group_col else []), key_col,
-                    weight_col, "es_key", "sample_rank"))
+    # the topk_by_group shape with the weight riding the struct as a
+    # payload field (it sits after the id tie-break, so it never
+    # affects ordering) — no corpus re-join to recover the weight
+    agg = scored.groupBy(g).agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(F.struct(
+                    F.col("es_key"),
+                    (-F.col(key_col)).alias("__neg_id"),
+                    F.col(weight_col).alias("__w"))),
+                asc=False),
+            1, k).alias("__top"))
+    out = agg.select(
+        g, F.posexplode("__top").alias("__pos", "__t")
+    ).select(
+        *([group_col] if group_col else []),
+        (-F.col("__t.__neg_id")).alias(key_col),
+        F.col("__t.__w").alias(weight_col),
+        F.col("__t.es_key").alias("es_key"),
+        (F.col("__pos") + 1).cast("int").alias("sample_rank"))
+    return out
 
 
 def epoch_replicate(
