@@ -288,11 +288,6 @@ def loo_categorical_drift(
         "psi", "drifted")
 
 
-#: Result schema shared by every constraint check: one row per check.
-_CHECK_COLS = ("table_name", "check_type", "col_name",
-               "n_rows", "n_violations", "passed")
-
-
 def _check_rows(df: DataFrame, table: str, rows: list) -> DataFrame:
     """Fold row-level checks into ONE aggregate over one scan, then
     ``inline`` the one-row result into the per-check shape."""
