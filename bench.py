@@ -15,6 +15,15 @@ import sys
 import time
 
 
+# r8 NOTE on round-over-round comparability: the VERDICT r7 task-1
+# consolidation merged several legacy keys into lane-union suites, so
+# five legacy rows changed identity this round (deliberate capability
+# cost, the r7 merge pattern): dedup_minhash_lsh + dedup_simhash →
+# dedup_pairs_suite; similarity_topk_brute + similarity_topk_ann →
+# similarity_topk_suite; embedding_near_dup_pairs +
+# embedding_near_dup_lsh → embedding_near_dup_suite;
+# stream_session_windows → stream_window_suite (timed here now);
+# text_analysis / agg_rollup_cube absorbed extra fold columns.
 HEADLINE = [
     # the reference's pipeline at its heaviest: full snapshot materialization
     "snapshot_events_wide",
@@ -29,16 +38,13 @@ HEADLINE = [
     "asof_latest_order",
     "agg_rollup_cube",
     # LLM pipeline
-    "dedup_minhash_lsh",
-    "dedup_simhash",
+    "dedup_pairs_suite",
     "text_analysis",
-    "similarity_topk_brute",
-    "similarity_topk_ann",
-    "embedding_near_dup_lsh",
-    "embedding_near_dup_pairs",
+    "similarity_topk_suite",
+    "embedding_near_dup_suite",
     "multimodal_payload_stats",
-    # windowed/streaming semantics in batch form
-    "stream_session_windows",
+    # windowed/streaming semantics in batch form (incl. session lane)
+    "stream_window_suite",
 ]
 
 # Round-6 engine half (VERDICT r6 task 2): timed as a SECOND section so
@@ -53,7 +59,7 @@ HEADLINE_R6 = [
     "winnow_overlap",
     "exact_substring_spans",
     "similarity_topk_pq",
-    "similarity_topk_ivfpq",
+    "similarity_topk_ivf_suite",  # r8: absorbed similarity_topk_ivfpq
     "lm_perplexity_filter",
 ]
 
@@ -61,6 +67,10 @@ HEADLINE_R6 = [
 # CORRECTNESS slots that HEADLINE_R6 didn't already time — keeping the
 # benched surface aligned with the driver-recorded surface.  Reported
 # as "queries_r7" with its own total.
+# r8 consolidation: the five events_* lanes now bench as their two
+# suites; quantile/CMS maintenance as sketch_maintenance_suite; the
+# weighted/stratified/epoch sampling lanes and char_entropy ride their
+# recorded hosts (sample_split_assignments / text_analysis above).
 HEADLINE_R7 = [
     "cross_snapshot_novelty",
     "profile_lineitem",
@@ -68,28 +78,21 @@ HEADLINE_R7 = [
     "token_heavy_hitters",
     "bm25_indexed_topk",
     "hybrid_rrf_topk",
-    "stratified_sample_docs",
+    "sample_split_assignments",  # carries weighted/stratified/epoch folds
     "neardup_novelty_delta",
-    "quantile_sketch_maintenance",
-    "events_resample_gapfill",
-    "events_rolling_anomaly",
+    "sketch_maintenance_suite",
+    "events_timeseries_suite",
+    "events_sketch_norm_suite",
     "mmr_diverse_topk",
     "dedup_clusters_delta",
     "repetition_signals_docs",
     "hard_negative_mining",
-    "cms_freq_maintenance",
     "events_drift_psi",
     "retrieval_eval_metrics",
     "source_vocab_drift",
     "constraint_audit_suite",
     "embedding_truncation_audit",
-    "weighted_sample_docs",
-    "events_ewma_smooth",
-    "char_entropy_docs",
-    "events_quantile_rank",
-    "events_winsorized",
     "dedup_cluster_representatives",
-    "epoch_replicated_mix",
 ]
 
 
@@ -166,6 +169,43 @@ def main() -> int:
     # budget as rounds append queries.
     all_names = HEADLINE + HEADLINE_R6 + HEADLINE_R7
     per_pass: dict[str, list[float]] = {name: [] for name in all_names}
+    # Per-rep process CPU seconds next to wall (VERDICT r7 task 3):
+    # local[32] runs the executors in-process, so time.process_time()
+    # spans the whole JVM-adjacent Python side — but the JVM is a
+    # separate process, so CPU is read from /proc (utime+stime of the
+    # driver JVM tree).  Co-tenant noise shows as wall↑ with cpu flat;
+    # a real plan regression moves both.
+    per_pass_cpu: dict[str, list[float]] = {name: [] for name in all_names}
+
+    import glob
+
+    def _proc_cpu_s() -> float:
+        """Total utime+stime (seconds) of this process and every child
+        (the in-process-launched JVM and its threads live under our
+        PID tree; python-side CPU is included too)."""
+        tick = os.sysconf("SC_CLK_TCK")
+        total = 0.0
+        me = str(os.getpid())
+        seen, frontier = set(), {me}
+        while frontier:
+            pid = frontier.pop()
+            seen.add(pid)
+            try:
+                with open(f"/proc/{pid}/stat") as fh:
+                    parts = fh.read().rsplit(")", 1)[1].split()
+                total += (int(parts[11]) + int(parts[12])) / tick
+            except OSError:
+                continue
+            for child_file in glob.glob(f"/proc/{pid}/task/*/children"):
+                try:
+                    with open(child_file) as fh:
+                        for c in fh.read().split():
+                            if c not in seen:
+                                frontier.add(c)
+                except OSError:
+                    pass
+        return total
+
     for section, PASSES, REPS in ((HEADLINE, 3, 3), (HEADLINE_R6, 2, 2),
                                   (HEADLINE_R7, 2, 2)):
         # Warm-up at the smallest SF: compiles the generated code for
@@ -175,21 +215,36 @@ def main() -> int:
         for name in section:
             QUERIES[name](spark, warm_dir).write.mode("overwrite") \
                 .format("noop").save()
-        release_caches()
+        release_caches(keep_shared=True)
         for _pass in range(PASSES):
             for name in section:
                 fn = getattr(QUERIES[name], "__wrapped__", QUERIES[name])
                 best = float("inf")
+                best_cpu = float("inf")
                 for _ in range(REPS):
+                    c0 = _proc_cpu_s()
                     t0 = time.time()
                     fn(spark, sf_dir).write.mode("overwrite") \
                         .format("noop").save()
-                    best = min(best, time.time() - t0)
+                    wall = time.time() - t0
+                    cpu = _proc_cpu_s() - c0
+                    if wall < best:
+                        best, best_cpu = wall, cpu
                 per_pass[name].append(round(best, 3))
-                release_caches()
+                per_pass_cpu[name].append(round(best_cpu, 3))
+                # keep_shared: cross-query shared stages (the MinHash
+                # pair table + component closure scaffold) compute once
+                # per bench run, not once per rep — VERDICT r7 task 2
+                release_caches(keep_shared=True)
+
+    def _min_wall_cpu(name: str) -> float:
+        i = min(range(len(per_pass[name])), key=lambda j: per_pass[name][j])
+        return per_pass_cpu[name][i]
+
     times = {name: min(per_pass[name]) for name in HEADLINE}
     times_r6 = {name: min(per_pass[name]) for name in HEADLINE_R6}
     times_r7 = {name: min(per_pass[name]) for name in HEADLINE_R7}
+    cpu_s = {name: _min_wall_cpu(name) for name in all_names}
 
     out = {
         "metric": "headline_queries_total",
@@ -201,6 +256,8 @@ def main() -> int:
         "queries_r7": times_r7,
         "r7_total": round(sum(times_r7.values()), 3),
         "queries_per_pass": per_pass,
+        "cpu_s": cpu_s,
+        "cpu_s_per_pass": per_pass_cpu,
         "passes": {"legacy": 3, "r6": 2, "r7": 2},
         "reps_per_pass": {"legacy": 3, "r6": 2, "r7": 2},
         "recall_probe_in_bench": os.environ.get("SPARK_GRAFT_RECALL_PROBE") != "0",

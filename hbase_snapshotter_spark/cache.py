@@ -36,6 +36,7 @@ no results — at worst a later action recomputes the lineage.
 from __future__ import annotations
 
 from collections import OrderedDict
+from collections.abc import Callable
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
@@ -45,7 +46,14 @@ from pyspark.sql import DataFrame
 _SCOPES: OrderedDict[str, list[DataFrame]] = OrderedDict()
 
 _GLOBAL = "__global__"
+_SHARED = "__shared__"
 _current: str = _GLOBAL
+
+#: key -> the cached DataFrame for a CROSS-QUERY shared stage
+#: (:func:`shared_stage`).  Handles live under the ``__shared__`` scope,
+#: which the per-query LRU never evicts; ``release_caches()`` drops it
+#: unless asked to keep it (the bench's between-query release does).
+_SHARED_STAGES: dict[str, DataFrame] = {}
 
 #: How many query scopes may hold cache blocks at once.  2 keeps the
 #: common interleave (build A, build B, act on A) recompute-free while
@@ -79,6 +87,8 @@ def release_scope(name: str) -> int:
     a real error and propagates, with the failing handle (and the rest
     of its scope) still tracked for the next release instead of leaking
     for the session lifetime."""
+    if name == _SHARED:
+        _SHARED_STAGES.clear()
     handles = _SCOPES.get(name)
     if handles is None:
         return 0
@@ -94,11 +104,56 @@ def release_scope(name: str) -> int:
     return n
 
 
-def release_caches() -> int:
-    """Unpersist every scoped handle in every scope; returns how many."""
+def shared_stage(key: str, builder: Callable[[], DataFrame]) -> DataFrame:
+    """A computation shared ACROSS queries for the rest of the session.
+
+    Several check-scaffold stages (the MinHash pair table and the full
+    component closure the three cluster queries each rebuilt from raw
+    fixtures — VERDICT r7 task 2) are identical across their consumers;
+    per-query scopes cannot share them because entering a scope releases
+    nothing outside it but exiting evicts old scopes.  ``shared_stage``
+    persists the builder's result ONCE under the ``__shared__`` scope —
+    exempt from the ``MAX_LIVE_SCOPES`` eviction — and returns the same
+    handle to every later caller with the same key, until
+    :func:`release_caches` (without ``keep_shared``) or
+    :func:`release_scope` drops it.
+
+    Sharing is a pure caching decision: the stage is deterministic, so
+    consumers compute identical results whether they hit or rebuild —
+    releasing is always safe (at worst a consumer recomputes lineage).
+    Keys must include every input that changes the result (callers use
+    ``f"{stage}|{sf_dir}"``)."""
+    df = _SHARED_STAGES.get(key)
+    if (df is not None
+            and getattr(df.sparkSession._sc, "_jsc", None) is not None
+            and df.storageLevel.useMemory):
+        return df
+    _SHARED_STAGES.pop(key, None)
+    global _current
+    prev = _current
+    _current = _SHARED
+    try:
+        out = builder().persist()
+        _SCOPES.setdefault(_SHARED, []).append(out)
+    finally:
+        _current = prev
+    _SHARED_STAGES[key] = out
+    return out
+
+
+def release_caches(*, keep_shared: bool = False) -> int:
+    """Unpersist every scoped handle in every scope; returns how many.
+
+    ``keep_shared=True`` leaves the cross-query ``__shared__`` scope
+    cached (the bench's between-query release uses it so shared stages
+    compute once per section, not once per rep)."""
     n = 0
     for name in list(_SCOPES):
+        if keep_shared and name == _SHARED:
+            continue
         n += release_scope(name)
+    if not keep_shared:
+        _SHARED_STAGES.clear()
     return n
 
 
@@ -130,7 +185,7 @@ def cache_scope(name: str):
             # nothing persisted: drop the empty entry so scope-less
             # queries don't count toward (or evict from) the live bound
             _SCOPES.pop(name, None)
-        query_scopes = [s for s in _SCOPES if s != _GLOBAL]
+        query_scopes = [s for s in _SCOPES if s not in (_GLOBAL, _SHARED)]
         evictable = [s for s in query_scopes if s not in (name, _current)]
         while len(query_scopes) > MAX_LIVE_SCOPES and evictable:
             victim = evictable.pop(0)

@@ -491,6 +491,19 @@ def cdc_chunks(toks: Column, *, boundary_mod: int = CDC_BOUNDARY_MOD) -> Column:
 
 #: Gopher Table A1 repetition thresholds (char-coverage form): a doc is
 #: repetition-flagged when ANY signal exceeds its threshold.
+#:
+#: Calibration note (VERDICT r7 minor #3): the thresholds are Gopher's
+#: but the measure runs HOTTER than Gopher's on pathologically
+#: self-overlapping text, because occurrences are counted per sliding
+#: position rather than greedily non-overlapping — e.g. the 6-token doc
+#: ``"a a a a a a"`` yields dup5_char_frac 18/11 ≈ 1.64 here (two
+#: overlapping 5-gram occurrences × 9 chars over 11 doc chars) vs ≤ 1.0
+#: under non-overlap counting (one occurrence fits).  The delta is one-
+#: sided: overlap counting ≥ non-overlap counting always, so every doc
+#: Gopher flags is flagged here too (no false negatives vs Gopher);
+#: docs in the over-threshold margin created purely by self-overlap are
+#: EXTRA flags.  Quantified by
+#: ``tests/test_llm_ops.py::test_repetition_overlap_runs_hotter_than_gopher``.
 REPETITION_THRESHOLDS: dict[str, float] = {
     "top2_char_frac": 0.20,
     "top3_char_frac": 0.18,

@@ -82,54 +82,60 @@ _ALL_PAIRS.update({
                          snapshot_q.oracle_state_changefeed()),
     "sketch_set_cardinalities": (snapshot_q.q_sketch_set_cardinalities,
                                  snapshot_q.oracle_sketch_set_cardinalities()),
-    "quantile_sketch_maintenance": (
-        snapshot_q.q_quantile_sketch_maintenance,
-        snapshot_q.oracle_quantile_sketch_maintenance()),
 })
 
 #: The correctness harness records at most 50 query rows (observed in
 #: round 2 — `COVERAGE.md`), and it preserves registration order; the
-#: five snapshot queries above occupy slots 1-5.  Round 7 (per
-#: VERDICT r6 task 1) consolidated eight thin legacy suites into their
-#: sibling keys — every merged-away operator survives inside ONE
-#: recorded physical plan (see each host query's docstring) — and
-#: promoted the eight highest-value previously-unrecorded round-6
-#: capabilities into the freed slots, so CORRECTNESS_r07 hard-gates
-#: them.  Merges: window_running_total→window_rank_suite;
-#: agg_distinct+agg_percentiles→agg_approx_distinct;
-#: agg_grouping_sets→agg_rollup_cube;
-#: setop_active_both_eras→join_full_outer_eras;
-#: join_cross_nation_region→scalar_map_suite;
-#: scalar_json_suite→scalar_suite;
-#: stream_tumbling_counts+stream_dedup_sliding_counts→stream_window_suite.
-_R7_ORDER = [
-    # 37 legacy survivors, r5 relative order (slots 6-42)
+#: five snapshot queries above occupy slots 1-5.  Round 8 (per
+#: VERDICT r7 task 1) made the recorded window structural again:
+#: eleven thin recorded slots were merged into six lane-union suites
+#: whose single plans carry every absorbed operator chain
+#: (join_semi_anti + join_outer_order_counts →
+#: join_customer_orders_suite; pivot_segment_priority →
+#: agg_rollup_cube; dedup_jaccard_pairs + dedup_minhash_lsh +
+#: dedup_simhash → dedup_pairs_suite; similarity_topk_brute +
+#: similarity_topk_ann → similarity_topk_suite; similarity_topk_ivf +
+#: similarity_topk_ivfpq → similarity_topk_ivf_suite;
+#: embedding_near_dup_pairs + embedding_near_dup_lsh →
+#: embedding_near_dup_suite; udf_zscore_trimmed + udtf_explode_tokens
+#: → udf_udtf_suite; stream_session_windows → stream_window_suite),
+#: four unrecorded lanes folded into recorded hosts as columns
+#: (char_entropy_docs → text_analysis; weighted_sample_docs +
+#: stratified_sample_docs + epoch_replicated_mix →
+#: sample_split_assignments), and the NINE freed slots promoted the
+#: previously-unrecorded r7 flagships: the two events suites
+#: (N59+N60+N72; N74+N75), sketch_maintenance_suite (N58+N65),
+#: neardup_novelty_delta (N57), dedup_clusters_delta (N62),
+#: events_drift_psi (N66), retrieval_eval_metrics (N67),
+#: hybrid_rrf_topk (N55), repetition_signals_docs (N63).
+_R8_ORDER = [
+    # 36 survivors, r7 relative order (slots 6-41)
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
-    "join_semi_anti", "join_outer_order_counts",
-    "agg_rollup_cube", "pivot_segment_priority",
+    "join_customer_orders_suite",
+    "agg_rollup_cube",
     "scalar_suite", "asof_latest_order",
     "range_join_price_band", "skew_salted_agg", "join_full_outer_eras",
     "scalar_array_suite",
     "agg_approx_distinct", "window_rank_suite",
     "scalar_string_suite", "scalar_map_suite",
-    "dedup_exact_documents", "dedup_jaccard_pairs", "dedup_minhash_lsh",
-    "dedup_simhash", "text_analysis", "similarity_topk_brute",
-    "similarity_topk_ann", "embedding_near_dup_pairs",
-    "multimodal_payload_stats", "udf_zscore_trimmed", "udtf_explode_tokens",
-    "embedding_near_dup_lsh", "similarity_topk_ivf", "dedup_clusters",
+    "dedup_exact_documents", "dedup_pairs_suite",
+    "text_analysis", "similarity_topk_suite",
+    "embedding_near_dup_suite",
+    "multimodal_payload_stats", "udf_udtf_suite",
+    "similarity_topk_ivf_suite", "dedup_clusters",
     "pipeline_quality_filter", "sample_split_assignments", "text_scrub",
-    "stream_window_suite",
-    "stream_session_windows", "funnel_cohort_retention",
-    # 8 promoted round-6 capabilities (slots 43-50): SCD2 (N49+N54),
-    # changefeed (N50), IVF+PQ ANN (N39+N47), bloom novelty (N34),
-    # exact-substring dedup (N52), one-scan profiler (N33), BPE
-    # mine+encode (N35+N42), Misra-Gries heavy hitters (N41)
-    "scd2_event_history", "state_changefeed", "similarity_topk_ivfpq",
+    "stream_window_suite", "funnel_cohort_retention",
+    "scd2_event_history", "state_changefeed",
     "cross_snapshot_novelty", "exact_substring_spans", "profile_lineitem",
     "bpe_encode_stats", "token_heavy_hitters",
+    # 9 promoted round-7 capabilities (slots 42-50)
+    "events_timeseries_suite", "events_sketch_norm_suite",
+    "sketch_maintenance_suite", "neardup_novelty_delta",
+    "dedup_clusters_delta", "events_drift_psi", "retrieval_eval_metrics",
+    "hybrid_rrf_topk", "repetition_signals_docs",
 ]
 
-for _name in _R7_ORDER:
+for _name in _R8_ORDER:
     _fn, _oracle = _ALL_PAIRS.pop(_name)
     register(_name, _fn, _oracle)
 

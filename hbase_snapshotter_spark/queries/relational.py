@@ -207,16 +207,89 @@ GROUP BY c_custkey, c_name
 """
 
 
+def join_customer_orders_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi + anti + left-outer-aggregate in ONE customer-keyed plan
+    (r8 merge of the former standalone ``join_semi_anti`` and
+    ``join_outer_order_counts`` recorded slots): every customer row
+    carries the outer-join order count/spend AND two flag columns
+    produced by genuine LeftSemi / LeftAnti physical joins —
+    ``has_urgent`` (≥1 URGENT order, via left_semi against the filtered
+    orders keys) and ``no_orders`` (via left_anti).  All three join
+    operators survive in this one plan; the flag joins are key-only
+    projections, so the extra cost over the outer lane is two
+    keys-only hash joins."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    base = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("order_count"),
+             F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2)
+             .alias("total_spent"))
+    )
+    semi = (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+        .select("c_custkey", F.lit(True).alias("has_urgent"))
+    )
+    anti = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", F.lit(True).alias("no_orders"))
+    )
+    return (
+        base.join(semi, "c_custkey", "left").join(anti, "c_custkey", "left")
+        .select("c_custkey", "c_name", "order_count", "total_spent",
+                F.coalesce("has_urgent", F.lit(False)).alias("has_urgent"),
+                F.coalesce("no_orders", F.lit(False)).alias("no_orders"))
+    )
+
+
+ORACLE_CUSTOMER_ORDERS = """
+SELECT c_custkey, c_name,
+       COUNT(o_orderkey) AS order_count,
+       ROUND(COALESCE(SUM(o_totalprice), 0.0), 2) AS total_spent,
+       COALESCE(MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN TRUE END),
+                FALSE) AS has_urgent,
+       COUNT(o_orderkey) = 0 AS no_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+"""
+
+
 # ------------------------------------------------- window functions (N8)
 # (Top-k-per-group via row_number + filter is covered by
 # window_rank_suite, which additionally pins rank/dense_rank/ntile/lead.)
+# ----------------------------------------------------------- pivot (N7)
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def pivot_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts per market segment × priority, priorities as columns.
+    Explicit pivot values → single-pass aggregation, no discovery scan.
+    Registered inside ``agg_rollup_cube`` since r8 (unpivoted back to
+    long form so the union's schema lines up)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .pivot("o_orderpriority", PRIORITIES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, PRIORITIES)
+    )
+
+
 # ------------------------------------------- grouping sets / rollup / cube
 def agg_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP over lineitem, CUBE over orders, and explicit GROUPING
-    SETS through the SQL front end (r7 merge of the former standalone
-    ``agg_grouping_sets`` slot) in one tagged union — each branch plans
-    as a single Expand + hash aggregate (map-side partials before the
-    one shuffle each)."""
+    """ROLLUP over lineitem, CUBE over orders, explicit GROUPING SETS
+    through the SQL front end (r7 merge of the former standalone
+    ``agg_grouping_sets`` slot), AND the segment × priority PIVOT
+    round-tripped back to long form through ``unpivot`` (r8 merge of
+    the former standalone ``pivot_segment_priority`` slot — the pivot
+    aggregate including its zero-filled cells survives in this plan,
+    every cell value-checked) in one tagged union — each branch plans
+    as a single Expand/Pivot + hash aggregate (map-side partials
+    before the one shuffle each)."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     rollup = (
@@ -245,10 +318,20 @@ def agg_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
                                 (o_orderstatus, o_orderpriority))
     """)
-    return rollup.unionAll(cube).unionAll(gsets)
+    pivot_long = (
+        pivot_segment_priority(spark, sf_dir)
+        .unpivot("c_mktsegment", PRIORITIES, "grp_b", "__n")
+        .select(F.lit("pivot_segment").alias("src"),
+                F.col("c_mktsegment").alias("grp_a"), "grp_b",
+                F.col("__n").alias("n_rows"),
+                F.lit(None).cast("double").alias("sum_val"))
+    )
+    return rollup.unionAll(cube).unionAll(gsets).unionAll(pivot_long)
 
 
-ORACLE_ROLLUP_CUBE = """
+_PRIORITY_VALUES = ", ".join(f"('{p}')" for p in PRIORITIES)
+
+ORACLE_ROLLUP_CUBE = f"""
 SELECT 'rollup_lineitem' AS src, l_returnflag AS grp_a, l_linestatus AS grp_b,
        COUNT(*) AS n_rows, ROUND(SUM(l_quantity), 2) AS sum_val
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -261,36 +344,16 @@ SELECT 'gsets_orders' AS src, o_orderstatus AS grp_a, o_orderpriority AS grp_b,
        COUNT(*) AS n_rows, ROUND(SUM(o_totalprice), 2) AS sum_val
 FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
                                     (o_orderstatus, o_orderpriority))
-"""
-
-
-# ----------------------------------------------------------- pivot (N7)
-PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
-
-
-def pivot_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order counts per market segment × priority, priorities as columns.
-    Explicit pivot values → single-pass aggregation, no discovery scan."""
-    cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
-    return (
-        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("c_mktsegment")
-        .pivot("o_orderpriority", PRIORITIES)
-        .agg(F.count(F.lit(1)))
-        .na.fill(0, PRIORITIES)
-    )
-
-
-ORACLE_PIVOT = """
-SELECT c_mktsegment,
-       CAST(COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS "1-URGENT",
-       CAST(COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT) AS "2-HIGH",
-       CAST(COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT) AS "3-MEDIUM",
-       CAST(COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS "4-NOT SPECIFIED",
-       CAST(COUNT(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT) AS "5-LOW"
-FROM orders JOIN customer ON o_custkey = c_custkey
-GROUP BY c_mktsegment
+UNION ALL
+SELECT 'pivot_segment' AS src, s.c_mktsegment AS grp_a, p.pr AS grp_b,
+       COALESCE(g.cnt, 0) AS n_rows, CAST(NULL AS DOUBLE) AS sum_val
+FROM (SELECT DISTINCT c_mktsegment FROM orders JOIN customer
+      ON o_custkey = c_custkey) s
+CROSS JOIN (VALUES {_PRIORITY_VALUES}) p(pr)
+LEFT JOIN (SELECT c_mktsegment, o_orderpriority, COUNT(*) AS cnt
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1, 2) g
+  ON g.c_mktsegment = s.c_mktsegment AND g.o_orderpriority = p.pr
 """
 
 
@@ -422,10 +485,9 @@ PAIRS = {
     "q1_pricing_summary": (q1_pricing_summary, ORACLE_Q1),
     "q3_shipping_priority": (q3_shipping_priority, ORACLE_Q3),
     "q5_local_supplier": (q5_local_supplier, ORACLE_Q5),
-    "join_semi_anti": (join_semi_anti, ORACLE_SEMI_ANTI),
-    "join_outer_order_counts": (join_outer_order_counts, ORACLE_OUTER),
+    "join_customer_orders_suite": (join_customer_orders_suite,
+                                   ORACLE_CUSTOMER_ORDERS),
     "agg_rollup_cube": (agg_rollup_cube, ORACLE_ROLLUP_CUBE),
-    "pivot_segment_priority": (pivot_segment_priority, ORACLE_PIVOT),
     "scalar_suite": (scalar_suite, ORACLE_SCALAR),
     "asof_latest_order": (asof_latest_order, ORACLE_ASOF),
     "range_join_price_band": (range_join_price_band, ORACLE_RANGE),

@@ -156,42 +156,58 @@ FROM h
 
 
 def stream_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The tumbling-interval-join pipeline and the dedup-then-sliding
-    pipeline in one tagged union (r7 merge of the former standalone
-    ``stream_tumbling_counts`` and ``stream_dedup_sliding_counts``
-    recorded slots) — both lanes' full operator chains (interval stream
-    join → tumbling window; first-arrival dedup → sliding window)
-    survive as the two branches of this one plan.  Session windows stay
-    standalone (``stream_session_windows``, a bench headline key)."""
+    """The tumbling-interval-join pipeline, the dedup-then-sliding
+    pipeline, AND per-user session windows in one tagged union (r7
+    merged the first two; r8 folds the former standalone
+    ``stream_session_windows`` recorded slot the same way) — all three
+    lanes' full operator chains (interval stream join → tumbling
+    window; first-arrival dedup → sliding window; gap-merged session
+    windows) survive as branches of this one plan.  ``user_id`` is
+    NULL on the keyless lanes."""
     a = stream_tumbling_counts(spark, sf_dir).select(
         F.lit("tumbling_interval_join").alias("lane"),
         "window_start", "window_end",
+        F.lit(None).cast("long").alias("user_id"),
         F.col("n_conversions").alias("n"),
         F.col("sum_purchase_value").alias("metric"),
     )
     b = stream_dedup_sliding_counts(spark, sf_dir).select(
         F.lit("dedup_sliding").alias("lane"),
         "window_start", "window_end",
+        F.lit(None).cast("long").alias("user_id"),
         F.col("n_events").alias("n"),
         F.lit(None).cast("double").alias("metric"),
     )
-    return a.unionAll(b)
+    c = stream_session_windows(spark, sf_dir).select(
+        F.lit("session").alias("lane"),
+        "window_start", "window_end",
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("n_events").alias("n"),
+        F.lit(None).cast("double").alias("metric"),
+    )
+    return a.unionAll(b).unionAll(c)
 
 
 ORACLE_WINDOW_SUITE = f"""
 SELECT 'tumbling_interval_join' AS lane, window_start, window_end,
+       CAST(NULL AS BIGINT) AS user_id,
        n_conversions AS n, sum_purchase_value AS metric
 FROM ({ORACLE_TUMBLING})
 UNION ALL
 SELECT 'dedup_sliding' AS lane, window_start, window_end,
+       CAST(NULL AS BIGINT) AS user_id,
        n_events AS n, CAST(NULL AS DOUBLE) AS metric
 FROM ({ORACLE_DEDUP_SLIDING})
+UNION ALL
+SELECT 'session' AS lane, window_start, window_end,
+       CAST(user_id AS BIGINT) AS user_id,
+       n_events AS n, CAST(NULL AS DOUBLE) AS metric
+FROM ({ORACLE_SESSION})
 """
 
 
 PAIRS = {
     "stream_window_suite": (stream_window_suite, ORACLE_WINDOW_SUITE),
-    "stream_session_windows": (stream_session_windows, ORACLE_SESSION),
     "stream_running_max": (stream_running_max, ORACLE_RUNNING_MAX),
 }
 
@@ -349,10 +365,8 @@ ORDER BY event_type, bucket
 """
 
 
-PAIRS.update({
-    "events_resample_gapfill": (events_resample_gapfill,
-                                ORACLE_RESAMPLE_GAPFILL),
-})
+# (registered via events_timeseries_suite — r8 consolidation; the
+# standalone fn stays for tools/scale_curve.py and pytest)
 
 
 # ------------------- N60: rolling-window stats + anomaly flags (r7)
@@ -417,10 +431,7 @@ ORDER BY event_type, bucket
 """
 
 
-PAIRS.update({
-    "events_rolling_anomaly": (events_rolling_anomaly,
-                               ORACLE_ROLLING_ANOMALY),
-})
+# (registered via events_timeseries_suite — r8 consolidation)
 
 
 # ------------------- N66: era-over-era distribution drift (PSI)
@@ -545,9 +556,7 @@ ORDER BY event_type, bucket
 """
 
 
-PAIRS.update({
-    "events_ewma_smooth": (events_ewma_smooth, _oracle_ewma()),
-})
+# (registered via events_timeseries_suite — r8 consolidation)
 
 
 # ------------------- N74: sketch-based quantile-rank normalization
@@ -597,9 +606,7 @@ ORDER BY v.event_id
 """
 
 
-PAIRS.update({
-    "events_quantile_rank": (events_quantile_rank, _oracle_quantile_rank()),
-})
+# (registered via events_sketch_norm_suite — r8 consolidation)
 
 
 # ------------------- N75: sketch-state winsorization
@@ -662,6 +669,167 @@ ORDER BY v.event_id
 """
 
 
+# (registered via events_sketch_norm_suite — r8 consolidation)
+
+
+# ------------- r8 consolidated suites (VERDICT r7 task 1): the five
+# thin events_* lanes fold into TWO recorded keys whose single plans
+# carry all five capabilities — the stream_window_suite pattern.
+def events_timeseries_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series monitoring suite — N59 + N60 + N72 in ONE plan (r8
+    merge of the former standalone ``events_resample_gapfill``,
+    ``events_rolling_anomaly`` and ``events_ewma_smooth`` rows): the
+    30-minute dense grid with both gap fills, the trailing-24 h rolling
+    stats + 3σ anomaly flags over it, and the integer-exact EWMA +
+    excursion flags — one row per (event_type, bucket) carrying every
+    lane's columns, each replayed exactly by the oracle.
+
+    Scale shape unchanged from the standalones: everything after the
+    rollup scan is bucket-table-sized (span/width rows per group); the
+    grid is persisted once and feeds both the window pass and the
+    per-group EWMA fold, and the final join is grid-sized."""
+    from hbase_snapshotter_spark.cache import scoped_persist
+    from hbase_snapshotter_spark.operators.timeseries import (
+        ewma_smooth,
+        gap_fill,
+        rolling_stats,
+        time_bucket_rollup,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    r = time_bucket_rollup(
+        ev, "ts", "value", RESAMPLE_BUCKET_MS, group_cols=["event_type"])
+    grid = scoped_persist(
+        gap_fill(r, RESAMPLE_BUCKET_MS, group_cols=["event_type"]))
+    rs = rolling_stats(
+        grid, group_cols=["event_type"], value_col="v_lerp",
+        window_buckets=ROLLING_WINDOW_BUCKETS,
+        z_threshold=ROLLING_Z_THRESHOLD)
+    ew = ewma_smooth(grid, group_cols=["event_type"]).drop("v")
+    return rs.join(ew, ["event_type", "bucket"]) \
+        .orderBy("event_type", "bucket")
+
+
+def _oracle_timeseries_suite() -> str:
+    from hbase_snapshotter_spark.operators.timeseries import (
+        EWMA_DEN,
+        EWMA_DEV_DIV,
+        EWMA_NUM,
+    )
+
+    keep, num, den = EWMA_DEN - EWMA_NUM, EWMA_NUM, EWMA_DEN
+    step = f"({keep} * a + {num} * b + {den // 2}) // {den}"
+    return f"""
+WITH gf AS ({_GAPFILL_CORE}),
+rs AS (
+  SELECT gf.*,
+         SUM(CAST(ROUND(v_lerp * 1000000, 0) AS BIGINT)) OVER tw
+           / COUNT(v_lerp) OVER tw / 1000000.0 AS roll_avg,
+         ROUND(STDDEV_SAMP(v_lerp) OVER tw, 4) AS roll_std,
+         CAST(COUNT(v_lerp) OVER tw AS INTEGER) AS n_window
+  FROM gf
+  WINDOW tw AS (PARTITION BY event_type ORDER BY bucket
+                ROWS BETWEEN {ROLLING_WINDOW_BUCKETS - 1} PRECEDING
+                         AND CURRENT ROW)),
+rz AS (
+  SELECT *,
+         CASE WHEN roll_std > 0
+              THEN ROUND((v_lerp - roll_avg) / roll_std, 4) + 0.0
+         END AS zscore
+  FROM rs),
+vm AS (SELECT event_type, bucket,
+              CAST(ROUND(v_lerp * 1000000, 0) AS BIGINT) AS vmv
+       FROM gf),
+ls AS (SELECT event_type,
+              list(vmv ORDER BY bucket) AS vs,
+              list(bucket ORDER BY bucket) AS bs
+       FROM vm GROUP BY 1),
+ex AS (SELECT event_type, bs[i.i] AS bucket, vs[i.i] AS vmv,
+              list_reduce(vs[1:i.i], (a, b) -> {step}) AS e
+       FROM ls, UNNEST(range(1, len(vs) + 1)) AS i(i))
+SELECT rz.event_type, rz.bucket, rz.n_rows, rz.v_avg, rz.v_locf,
+       rz.v_lerp, rz.filled, rz.roll_avg, rz.roll_std, rz.zscore,
+       COALESCE(ABS(rz.zscore) > {ROLLING_Z_THRESHOLD}, FALSE) AS is_anomaly,
+       rz.n_window,
+       CAST(ex.e AS DOUBLE) / 1000000 AS ewma,
+       ex.vmv - ex.e AS dev_micro,
+       {EWMA_DEV_DIV} * ABS(ex.vmv - ex.e) >= ex.e AS is_excursion
+FROM rz JOIN ex ON ex.event_type = rz.event_type AND ex.bucket = rz.bucket
+ORDER BY rz.event_type, rz.bucket
+"""
+
+
+def events_sketch_norm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-state normalization suite — N74 + N75 in ONE plan (r8
+    merge of the former standalone ``events_quantile_rank`` and
+    ``events_winsorized`` rows): every positive event value carries its
+    DDSketch mid-rank quantile estimate AND its [q5, q95] winsorized
+    form — the two state-derived feature transforms, sharing ONE
+    histogram state build.  The corpus never shuffles: both transforms
+    are broadcast joins against bounded state tables chained onto the
+    same scan."""
+    from hbase_snapshotter_spark.cache import scoped_persist
+    from hbase_snapshotter_spark.operators.sketches import (
+        quantile_rank_normalize,
+        quantile_state,
+        winsorize,
+    )
+
+    ev = scoped_persist(
+        read_table(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value")
+        .filter(F.col("value").isNotNull() & (F.col("value") > 0)))
+    state = scoped_persist(
+        quantile_state(ev, "value", group_cols=["event_type"]))
+    qr = quantile_rank_normalize(
+        ev, state, "value", group_cols=["event_type"])
+    return winsorize(qr, state, "value", group_cols=["event_type"],
+                     q_lo=WINSOR_QLO, q_hi=WINSOR_QHI).orderBy("event_id")
+
+
+def _oracle_sketch_norm_suite() -> str:
+    from hbase_snapshotter_spark.operators.sketches import (
+        DD_GAMMA,
+        DD_LN_GAMMA,
+    )
+
+    est = ("ROUND(2.0 * POWER({G}, MIN(CASE WHEN cum >= CEIL({q} * n) "
+           "THEN bucket END)) / {GP1}, 4)")
+    lo = est.format(G=repr(DD_GAMMA), GP1=repr(DD_GAMMA + 1),
+                    q=repr(WINSOR_QLO))
+    hi = est.format(G=repr(DD_GAMMA), GP1=repr(DD_GAMMA + 1),
+                    q=repr(WINSOR_QHI))
+    return f"""
+WITH v AS (
+  SELECT event_id, event_type, value,
+         CAST(CEIL(ROUND(LN(value) / {repr(DD_LN_GAMMA)}, 6)) AS BIGINT)
+           AS bucket
+  FROM events WHERE value IS NOT NULL AND value > 0),
+b AS (SELECT event_type, bucket, COUNT(*) AS cnt FROM v GROUP BY 1, 2),
+c AS (SELECT event_type, bucket, cnt,
+             COALESCE(SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS below,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM b),
+q AS (SELECT event_type, {lo} AS lo, {hi} AS hi FROM c GROUP BY event_type),
+vr AS (
+  SELECT v.event_id, v.event_type, v.value,
+         CAST((20000 * (2 * c.below + c.cnt) + 2 * c.n)
+              // (2 * 2 * c.n) AS DOUBLE) / 10000 AS q_rank
+  FROM v JOIN c ON c.event_type = v.event_type AND c.bucket = v.bucket)
+SELECT vr.event_id, vr.event_type, vr.value, vr.q_rank,
+       ROUND(LEAST(GREATEST(vr.value, q.lo), q.hi), 4) AS v_winsorized,
+       (vr.value < q.lo OR vr.value > q.hi) AS was_clipped
+FROM vr JOIN q USING (event_type)
+ORDER BY vr.event_id
+"""
+
+
 PAIRS.update({
-    "events_winsorized": (events_winsorized, _oracle_winsorized()),
+    "events_timeseries_suite": (events_timeseries_suite,
+                                _oracle_timeseries_suite()),
+    "events_sketch_norm_suite": (events_sketch_norm_suite,
+                                 _oracle_sketch_norm_suite()),
 })

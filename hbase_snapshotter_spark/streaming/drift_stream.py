@@ -70,33 +70,38 @@ class DriftMonitor:
     histograms + verdicts land in ``state_dir/batch=<id>``."""
 
     def __init__(self, state_dir: str, ref_dir: str, value_col: str,
-                 group_cols: list[str]):
+                 group_cols: list[str], retention: int | None = None):
+        from hbase_snapshotter_spark.streaming.retention import (
+            BatchDirCompactor,
+        )
+
         self.state_dir = state_dir
         self.ref_dir = ref_dir
         self.value_col = value_col
         self.group_cols = group_cols
+        #: batch dirs to keep live; None disables compaction.  The
+        #: generation pre-sums expired histograms (lossless — the only
+        #: consumer re-aggregates) and carries verdicts as-is.
+        self.retention = retention
+        self._compactor = BatchDirCompactor(
+            state_dir, subtables=("hist", "verdict"),
+            done_subpath="verdict",
+            keep_last=retention if retention else 8,
+            aggregate={"hist": lambda df: df
+                       .groupBy(*group_cols, "bucket")
+                       .agg(F.sum("cnt").alias("cnt"))})
         os.makedirs(state_dir, exist_ok=True)
 
-    def _batch_dirs(self) -> list[str]:
-        return sorted(
-            os.path.join(self.state_dir, d)
-            for d in os.listdir(self.state_dir) if d.startswith("batch="))
-
-    def _verdict_dirs(self) -> list[str]:
-        # the verdict file is written LAST, so its presence marks the
-        # batch complete (a partial write re-runs whole)
-        return [d for d in self._batch_dirs()
-                if os.path.exists(os.path.join(d, "verdict"))]
-
     def verdicts(self, spark: SparkSession) -> DataFrame | None:
-        dirs = [os.path.join(d, "verdict") for d in self._verdict_dirs()]
+        dirs = self._compactor.table_dirs("verdict")
         return spark.read.parquet(*dirs) if dirs else None
 
     def cumulative_histogram(self, spark: SparkSession) -> DataFrame | None:
         """Derived state: bucket-sum of every completed batch's
         histogram (lossless merge — equals the histogram of all rows
-        seen, the N58/N65 argument)."""
-        dirs = [os.path.join(d, "hist") for d in self._verdict_dirs()]
+        seen, the N58/N65 argument; a compacted generation's pre-sum
+        folds into the same total)."""
+        dirs = self._compactor.table_dirs("hist")
         if not dirs:
             return None
         return (spark.read.parquet(*dirs)
@@ -106,7 +111,8 @@ class DriftMonitor:
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         out = os.path.join(self.state_dir, f"batch={batch_id}")
-        if os.path.exists(os.path.join(out, "verdict")):
+        if self._compactor.is_compacted(batch_id) \
+                or os.path.exists(os.path.join(out, "verdict")):
             return  # re-delivered batch: state already complete, no-op
         hist = value_histogram(batch, self.value_col,
                                group_cols=self.group_cols)
@@ -133,13 +139,17 @@ class DriftMonitor:
             .withColumn("batch_id", F.lit(batch_id)))
         verdict.write.mode("overwrite") \
             .parquet(os.path.join(out, "verdict"))
+        if self.retention:
+            self._compactor.compact(spark)
 
 
 def maintain_drift(stream_df: DataFrame, state_dir: str, ref_dir: str,
-                   value_col: str, group_cols: list[str], **start_kwargs):
+                   value_col: str, group_cols: list[str],
+                   retention: int | None = None, **start_kwargs):
     """Start the drift-monitoring query.  Returns (StreamingQuery,
     DriftMonitor)."""
-    monitor = DriftMonitor(state_dir, ref_dir, value_col, group_cols)
+    monitor = DriftMonitor(state_dir, ref_dir, value_col, group_cols,
+                           retention=retention)
     query = start_foreach_batch(
         stream_df, monitor.process_batch, **start_kwargs)
     return query, monitor

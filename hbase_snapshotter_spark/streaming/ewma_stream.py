@@ -50,21 +50,30 @@ class EwmaMonitor:
     each micro-batch's newly-finalized bucket rows."""
 
     def __init__(self, state_dir: str, value_col: str,
-                 group_cols: list[str]):
+                 group_cols: list[str], retention: int | None = None):
+        from hbase_snapshotter_spark.streaming.retention import (
+            BatchDirCompactor,
+        )
+
         self.state_dir = state_dir
         self.value_col = value_col
         self.group_cols = group_cols
+        #: batch dirs to keep live; None disables compaction (r7
+        #: behavior).  Verdicts of compacted batches stay readable from
+        #: the generation; the latest per-group STATE always lives in a
+        #: kept batch dir (keep_last >= 1).
+        self.retention = retention
+        self._compactor = BatchDirCompactor(
+            state_dir, subtables=("verdict",),
+            done_subpath=os.path.join("verdict", "_DONE"),
+            keep_last=retention if retention else 8)
         os.makedirs(state_dir, exist_ok=True)
 
     def _done_dirs(self) -> list[str]:
-        dirs = sorted(
-            (int(d.split("=", 1)[1]), os.path.join(self.state_dir, d))
-            for d in os.listdir(self.state_dir) if d.startswith("batch="))
-        return [p for _, p in dirs
-                if os.path.exists(os.path.join(p, "verdict", "_DONE"))]
+        return self._compactor.live_done_dirs()
 
     def verdicts(self, spark: SparkSession) -> DataFrame | None:
-        dirs = [os.path.join(d, "verdict") for d in self._done_dirs()]
+        dirs = self._compactor.table_dirs("verdict")
         return spark.read.parquet(*dirs) if dirs else None
 
     def state(self, spark: SparkSession) -> DataFrame | None:
@@ -77,7 +86,8 @@ class EwmaMonitor:
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         out = os.path.join(self.state_dir, f"batch={batch_id}")
-        if os.path.exists(os.path.join(out, "verdict", "_DONE")):
+        if self._compactor.is_compacted(batch_id) \
+                or os.path.exists(os.path.join(out, "verdict", "_DONE")):
             return  # re-delivered batch: already complete
         gc = self.group_cols
         prior = self.state(spark)
@@ -123,13 +133,17 @@ class EwmaMonitor:
         # batch re-runs the whole thing
         with open(os.path.join(out, "verdict", "_DONE"), "w") as fh:
             fh.write("")
+        if self.retention:
+            self._compactor.compact(spark)
 
 
 def maintain_ewma(stream_df: DataFrame, state_dir: str, value_col: str,
-                  group_cols: list[str], **start_kwargs):
+                  group_cols: list[str], retention: int | None = None,
+                  **start_kwargs):
     """Start the EWMA-monitoring query.  Returns (StreamingQuery,
     EwmaMonitor)."""
-    monitor = EwmaMonitor(state_dir, value_col, group_cols)
+    monitor = EwmaMonitor(state_dir, value_col, group_cols,
+                          retention=retention)
     query = start_foreach_batch(
         stream_df, monitor.process_batch, **start_kwargs)
     return query, monitor

@@ -56,24 +56,38 @@ class NearDupMaintainer:
     def __init__(self, state_dir: str, verdict_dir: str,
                  corpus: Callable[[SparkSession], DataFrame],
                  id_col: str = "doc_id", text_col: str = "text",
-                 threshold: float = 0.7):
+                 threshold: float = 0.7, retention: int | None = None):
+        from hbase_snapshotter_spark.streaming.retention import (
+            BatchDirCompactor,
+        )
+
         self.state_dir = state_dir
         self.verdict_dir = verdict_dir
         self.corpus = corpus
         self.id_col, self.text_col = id_col, text_col
         self.threshold = threshold
+        #: batch dirs to keep live per root; None disables compaction.
+        #: Band rows keep their ``__batch`` tag through the generation,
+        #: so document-wins and the ``__batch < B`` novelty read are
+        #: unchanged; compacted batch ids are re-delivery no-ops via
+        #: the watermark (they must be — re-adding a compacted batch's
+        #: live dir would double its band rows).
+        self.retention = retention
+        keep = retention if retention else 8
+        self._state_c = BatchDirCompactor(
+            state_dir, subtables=("",), done_subpath="_SUCCESS",
+            keep_last=keep)
+        self._verdict_c = BatchDirCompactor(
+            verdict_dir, subtables=("",), done_subpath="_SUCCESS",
+            keep_last=keep)
         os.makedirs(state_dir, exist_ok=True)
         os.makedirs(verdict_dir, exist_ok=True)
-
-    def _batch_dirs(self, root: str) -> list[str]:
-        return sorted(os.path.join(root, d)
-                      for d in os.listdir(root) if d.startswith("batch="))
 
     def state(self, spark: SparkSession,
               before: int | None = None) -> DataFrame | None:
         """The index as of ``before`` (exclusive): document-wins —
         only each doc's latest-batch band rows participate."""
-        dirs = self._batch_dirs(self.state_dir)
+        dirs = self._state_c.table_dirs("")
         if not dirs:
             return None
         df = spark.read.parquet(*dirs)
@@ -83,11 +97,14 @@ class NearDupMaintainer:
         return df.join(latest, [self.id_col, "__batch"]).drop("__batch")
 
     def verdicts(self, spark: SparkSession) -> DataFrame | None:
-        dirs = self._batch_dirs(self.verdict_dir)
+        dirs = self._verdict_c.table_dirs("")
         return spark.read.parquet(*dirs) if dirs else None
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        if self._state_c.is_compacted(batch_id) \
+                or self._verdict_c.is_compacted(batch_id):
+            return  # compacted batch id: re-delivery is a no-op
         docs = (batch.select(self.id_col, self.text_col)
                 .filter(F.col(self.id_col).isNotNull()))
         prior = self.state(spark, before=batch_id)
@@ -108,14 +125,21 @@ class NearDupMaintainer:
             .withColumn("__batch", F.lit(batch_id))
         bands.write.mode("overwrite").parquet(
             os.path.join(self.state_dir, f"batch={batch_id}"))
+        if self.retention:
+            # verdicts first: the state watermark gates re-delivery, so
+            # it must advance last (crash between the two heals on the
+            # next compaction)
+            self._verdict_c.compact(spark)
+            self._state_c.compact(spark)
 
 
 def maintain_neardup(stream_df: DataFrame, state_dir: str, verdict_dir: str,
                      corpus: Callable[[SparkSession], DataFrame],
-                     **start_kwargs):
+                     retention: int | None = None, **start_kwargs):
     """Start the near-dup maintenance query.  Returns (StreamingQuery,
     NearDupMaintainer)."""
-    maintainer = NearDupMaintainer(state_dir, verdict_dir, corpus)
+    maintainer = NearDupMaintainer(state_dir, verdict_dir, corpus,
+                                   retention=retention)
     query = start_foreach_batch(
         stream_df, maintainer.process_batch, **start_kwargs)
     return query, maintainer

@@ -2240,3 +2240,23 @@ def test_epoch_replicate_hand_computed(spark):
     out2 = epoch_replicate(df.repartition(7), "doc_id",
                            {"a": 2.5, "b": 0.0, "c": 1.0}).collect()
     assert sorted(map(tuple, out2)) == sorted(map(tuple, out))
+
+
+def test_repetition_overlap_runs_hotter_than_gopher(spark):
+    """N63 calibration (VERDICT r7 minor #3): sliding-position
+    occurrence counting runs HOTTER than Gopher's non-overlapping
+    counting on pathologically self-overlapping text — quantified on
+    the crafted doc, and one-sided (overlap >= non-overlap always, so
+    the deviation only ever ADDS flags)."""
+    from hbase_snapshotter_spark.operators.text import repetition_signals
+
+    # 6 tokens of "a": the 5-gram "a a a a a" occurs at 2 sliding
+    # positions; non-overlap counting fits only 1 occurrence.
+    df = spark.createDataFrame([(1, "a a a a a a")], ["doc_id", "text"])
+    row = repetition_signals(df, "doc_id").collect()[0]
+    # overlap counting: 2 occurrences x 9 gram chars / 11 doc chars
+    assert row["dup5_char_frac"] == round(18 / 11, 4) > 1.0
+    # Gopher's non-overlap mass on the same doc: 1 occurrence x 9 / 11
+    gopher_mass = round(9 / 11, 4)
+    assert row["dup5_char_frac"] > gopher_mass  # strictly hotter
+    assert row["repetition_flagged"] is True    # both countings flag it

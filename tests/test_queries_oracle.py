@@ -51,11 +51,11 @@ def test_cache_scope_interleaved_builds_no_recompute(spark, sf_dir):
     scope (bounded working set, recompute-correct beyond the bound)."""
     from hbase_snapshotter_spark import cache
 
-    a = QUERIES["dedup_minhash_lsh"](spark, sf_dir)
-    handles = list(cache._SCOPES["dedup_minhash_lsh"])
-    assert handles, "expected dedup_minhash_lsh to register scoped persists"
+    a = QUERIES["dedup_pairs_suite"](spark, sf_dir)
+    handles = list(cache._SCOPES["dedup_pairs_suite"])
+    assert handles, "expected dedup_pairs_suite to register scoped persists"
 
-    b = QUERIES["similarity_topk_ivf"](spark, sf_dir)
+    b = QUERIES["similarity_topk_ivf_suite"](spark, sf_dir)
     # building B keeps A's scoped caches (per-query scopes, live bound 2)
     assert all(h.storageLevel.useMemory for h in handles)
 
@@ -64,9 +64,9 @@ def test_cache_scope_interleaved_builds_no_recompute(spark, sf_dir):
 
     # depth-3 interleave: building C evicts A (least recently built),
     # keeps B — the bounded-working-set half of the contract
-    b_handles = list(cache._SCOPES["similarity_topk_ivf"])
-    c = QUERIES["embedding_near_dup_lsh"](spark, sf_dir)
-    assert "dedup_minhash_lsh" not in cache._SCOPES
+    b_handles = list(cache._SCOPES["similarity_topk_ivf_suite"])
+    c = QUERIES["embedding_near_dup_suite"](spark, sf_dir)
+    assert "dedup_pairs_suite" not in cache._SCOPES
     assert all(not h.storageLevel.useMemory for h in handles)
     assert all(h.storageLevel.useMemory for h in b_handles)
     c.write.format("noop").mode("overwrite").save()
@@ -90,12 +90,12 @@ def test_cache_global_scope_swept_and_excluded_from_bound(spark, sf_dir):
     g.count()
     assert cache._SCOPES.get("__global__")
 
-    a = QUERIES["dedup_minhash_lsh"](spark, sf_dir)
+    a = QUERIES["dedup_pairs_suite"](spark, sf_dir)
     assert not g.storageLevel.useMemory        # stray handle swept
     assert "__global__" not in cache._SCOPES
-    a_handles = list(cache._SCOPES["dedup_minhash_lsh"])
+    a_handles = list(cache._SCOPES["dedup_pairs_suite"])
 
-    QUERIES["similarity_topk_ivf"](spark, sf_dir)
+    QUERIES["similarity_topk_ivf_suite"](spark, sf_dir)
     # with the global scope excluded from the bound, A stays warm
     assert all(h.storageLevel.useMemory for h in a_handles)
     assert sorted(tuple(r) for r in a.collect())

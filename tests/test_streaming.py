@@ -334,11 +334,13 @@ def test_neardup_maintenance_streaming_verdicts_and_redelivery(
     assert rows(m.state(spark).filter("doc_id = 1")) == \
         rows(build_neardup_state(edited, "doc_id"))
 
+    # (r8: per-batch dirs are now listed through the retention
+    # compactor — same dirs while nothing has been compacted)
     before = {d: rows(spark.read.parquet(d)) for d in
-              m._batch_dirs(m.verdict_dir)}
+              m._verdict_c.table_dirs("")}
     m2 = run("ckpt2")  # full re-delivery over existing state
     after = {d: rows(spark.read.parquet(d)) for d in
-             m2._batch_dirs(m2.verdict_dir)}
+             m2._verdict_c.table_dirs("")}
     assert after == before
 
 
@@ -488,11 +490,13 @@ def test_drift_monitor_streaming_verdicts_and_redelivery(spark, tmp_path):
           for r in m.cumulative_histogram(spark).collect()}
     assert ch == cum
 
-    dirs_before = {d: sorted(map(str, spark.read.parquet(
-        f"{d}/verdict").collect())) for d in m._verdict_dirs()}
+    # (r8: per-batch verdict dirs are now listed through the retention
+    # compactor — same dirs while nothing has been compacted)
+    dirs_before = {d: sorted(map(str, spark.read.parquet(d).collect()))
+                   for d in m._compactor.table_dirs("verdict")}
     m2 = run("ckpt2")  # full re-delivery over existing state
-    dirs_after = {d: sorted(map(str, spark.read.parquet(
-        f"{d}/verdict").collect())) for d in m2._verdict_dirs()}
+    dirs_after = {d: sorted(map(str, spark.read.parquet(d).collect()))
+                  for d in m2._compactor.table_dirs("verdict")}
     assert dirs_after == dirs_before
 
 
@@ -557,3 +561,113 @@ def test_ewma_monitor_streaming_equals_batch_and_redelivers(spark, tmp_path):
     dirs_after = {d: sorted(map(str, spark.read.parquet(
         f"{d}/verdict").collect())) for d in m2._done_dirs()}
     assert dirs_after == dirs_before
+
+
+def test_ewma_retention_bounds_dirs_and_preserves_reads(spark, tmp_path):
+    """Maintainer retention (VERDICT r7 task 5): a long run of
+    micro-batches holds the directory count bounded (<= keep_last live
+    batch dirs + ONE compact generation), reads are unchanged vs the
+    unbounded r7 behavior, the EWMA chain still equals the batch fold
+    bit-for-bit, and a re-delivered compacted batch id is a no-op."""
+    import os
+
+    from hbase_snapshotter_spark.operators.timeseries import ewma_smooth
+    from hbase_snapshotter_spark.streaming.ewma_stream import EwmaMonitor
+
+    N, KEEP = 24, 5
+    batches = [[("g", i, float(1 + (i * 7) % 5)),
+                ("h", i, float(2 + (i * 3) % 4))] for i in range(N)]
+
+    state = str(tmp_path / "ewma_ret")
+    m = EwmaMonitor(state, "v", ["grp"], retention=KEEP)
+    for i, rows in enumerate(batches):
+        m.process_batch(
+            spark.createDataFrame(rows, ["grp", "bucket", "v"]), i)
+
+    entries = os.listdir(state)
+    live = [d for d in entries if d.startswith("batch=")]
+    gens = [d for d in entries if d.startswith("compact=")]
+    assert len(live) <= KEEP + 1      # bounded, not O(N)
+    assert len(gens) == 1             # exactly one generation
+    assert not any(d.startswith("__compact_tmp") for d in entries)
+
+    # reads unchanged: every batch's verdicts present exactly once,
+    # and the chain equals the batch fold over the full grid
+    streamed = {(r["grp"], r["bucket"]): (r["ewma"], r["is_excursion"])
+                for r in m.verdicts(spark).collect()}
+    full = spark.createDataFrame(
+        [r for b in batches for r in b], ["grp", "bucket", "v"])
+    expect = {(r["grp"], r["bucket"]): (r["ewma"], r["is_excursion"])
+              for r in ewma_smooth(full, group_cols=["grp"],
+                                   value_col="v").collect()}
+    assert streamed == expect
+    assert m.verdicts(spark).count() == 2 * N  # no dup rows from compaction
+
+    # re-delivery of a compacted batch id: watermark no-op, zero new dirs
+    wm = m._compactor.watermark()
+    assert 0 <= wm < N - KEEP + 1
+    before = sorted(os.listdir(state))
+    m.process_batch(
+        spark.createDataFrame(batches[0], ["grp", "bucket", "v"]), 0)
+    assert sorted(os.listdir(state)) == before
+    assert {(r["grp"], r["bucket"]): (r["ewma"], r["is_excursion"])
+            for r in m.verdicts(spark).collect()} == expect
+
+    # a fresh monitor over the same dirs (restart) reads identically
+    m2 = EwmaMonitor(state, "v", ["grp"], retention=KEEP)
+    assert {(r["grp"], r["bucket"]): (r["ewma"], r["is_excursion"])
+            for r in m2.verdicts(spark).collect()} == expect
+
+
+def test_neardup_retention_preserves_document_wins(spark, tmp_path):
+    """NearDup maintainer retention: band rows keep their __batch tag
+    through the generation, so document-wins and verdicts match the
+    unbounded run; compacted batch ids no-op on re-delivery (re-adding
+    one would double its band rows)."""
+    import os
+
+    from hbase_snapshotter_spark.streaming.neardup_stream import (
+        NearDupMaintainer,
+    )
+
+    N, KEEP = 12, 3
+    corpus_rows = [(b * 10 + j, f"doc {b} {j} text body filler")
+                   for b in range(N) for j in range(2)]
+    # batch 5 RE-INGESTS doc 1 (an edit) — document-wins must keep
+    # only its latest band rows through compaction
+    batches = {b: [(b * 10 + j, f"doc {b} {j} text body filler")
+                   for j in range(2)] for b in range(N)}
+    batches[5].append((1, "doc 0 1 text body filler EDITED"))
+    corpus = lambda s: s.createDataFrame(  # noqa: E731
+        corpus_rows + [(1, "doc 0 1 text body filler EDITED")],
+        ["doc_id", "text"])
+
+    def run(root, retention):
+        m = NearDupMaintainer(
+            str(root / "state"), str(root / "verdict"), corpus,
+            retention=retention)
+        for b in range(N):
+            m.process_batch(
+                spark.createDataFrame(batches[b], ["doc_id", "text"]), b)
+        return m
+
+    m_ret = run(tmp_path / "ret", KEEP)
+    m_ref = run(tmp_path / "ref", None)
+
+    key = lambda r: (r["doc_id"],)  # noqa: E731
+    got = sorted(map(str, m_ret.verdicts(spark).collect()))
+    ref = sorted(map(str, m_ref.verdicts(spark).collect()))
+    assert got == ref
+    got_state = sorted(map(str, m_ret.state(spark).collect()))
+    ref_state = sorted(map(str, m_ref.state(spark).collect()))
+    assert got_state == ref_state  # document-wins identical
+
+    sdir = str(tmp_path / "ret" / "state")
+    live = [d for d in os.listdir(sdir) if d.startswith("batch=")]
+    assert len(live) <= KEEP + 1
+
+    # compacted re-delivery: no new dirs, state unchanged
+    before = sorted(os.listdir(sdir))
+    m_ret.process_batch(
+        spark.createDataFrame(batches[0], ["doc_id", "text"]), 0)
+    assert sorted(os.listdir(sdir)) == before

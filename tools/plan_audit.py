@@ -45,10 +45,12 @@ def main() -> int:
         "scalar_map_suite",            # r7: the explicit Cartesian demo
                                        # (nation × region) now lives in
                                        # the map-suite's base relation
-        "similarity_topk_brute",
-        "similarity_topk_ivf",
-        "similarity_topk_ann",        # 1-row recall_within_tolerance attach
-        "embedding_near_dup_lsh",     # 1-row recall_within_tolerance attach
+        "similarity_topk_suite",      # r8: brute lane broadcast scoring
+                                      # + ANN 1-row recall flag attach
+        "similarity_topk_ivf_suite",  # r8: ivf+ivfpq lanes — broadcast
+                                      # probe scoring + 1-row recall /
+                                      # kmeans / pq flag attaches
+        "embedding_near_dup_suite",   # 1-row recall_within_tolerance attach
         "sample_split_assignments",   # 1-row DSIR totals attach (pinned to
                                       # exactly one BNLJ in test_plans)
         "snapshot_diff",              # 1-row incremental_consistent attach
@@ -73,14 +75,14 @@ def main() -> int:
                                        # query-set branch (N, avgdl)
         "neardup_novelty_delta",       # 1-row advance-equals-rebuild
                                        # flag attach
-        "quantile_sketch_maintenance",  # 1-row merged/advance equality
-                                        # flag attach x2
+        "sketch_maintenance_suite",     # 1-row merged/advance equality
+                                        # flag attach x2 (quantile lane)
+                                        # + langs × literal-probe cross
+                                        # (cms lane probe table build)
         "hybrid_rrf_topk",             # broadcast-side scoring: ONE
                                        # query vector against the
                                        # corpus (exact cosine lane) +
                                        # 1-row index header attach
-        "similarity_topk_ivfpq",       # broadcast probe scoring + 1-row
-                                       # recall flag attach
         "sketch_distinct_maintenance",  # 1-row merged/advance equality
                                         # flag attaches
         "zorder_layout_audit",          # 1-row grid-bounds attach (the
@@ -90,12 +92,12 @@ def main() -> int:
         "mmr_diverse_topk",             # broadcast query scoring (the
                                         # brute_force_topk candidate
                                         # generator — r7 N61)
+        "mmr_ivfpq_topk",               # broadcast probe scoring (the
+                                        # ivfpq candidate generator) +
+                                        # 1-row recall flag attach (r8)
         "hard_negative_mining",         # broadcast query scoring (same
                                         # brute-force lane) + per-query
                                         # positive-row attach (r7 N64)
-        "cms_freq_maintenance",         # langs × literal-probe-tokens
-                                        # cross (tiny × tiny probe
-                                        # table build — r7 N65)
         "retrieval_eval_metrics",       # broadcast query scoring (the
                                         # brute + ANN ranker lanes
                                         # under evaluation — r7 N67)
