@@ -126,6 +126,7 @@ def ann_lsh_topk(
     projections: list[list[float]] | None = None,
     tables: int | None = None,
     n_vectors: int | None = None,
+    geometry: str = "fixed",
 ) -> DataFrame:
     """Approximate top-k via MULTI-TABLE SRP-LSH: the signature splits
     into ``tables`` band keys; a corpus vector is a candidate for a
@@ -148,7 +149,27 @@ def ann_lsh_topk(
     count when ``n_vectors`` isn't supplied (see
     :func:`_resolve_lsh_geometry`); fixture sizes resolve to the
     measured constants, larger corpora grow bits at fixed occupancy and
-    tables to hold recall."""
+    tables to hold recall.
+
+    ``geometry="measured"`` (VERDICT r7 task 4) additionally runs
+    :func:`clusteredness_probe` and takes the deep measured row on
+    tight corpora — the study's 15× candidate-fraction headroom cashed
+    without a manual knob; near-isotropic corpora (every driver
+    fixture) resolve to the same constants as fixed mode, pinned by
+    ``tests/test_srp_autotune.py``."""
+    if geometry not in ("fixed", "measured"):
+        raise ValueError(f"geometry must be 'fixed' or 'measured': {geometry!r}")
+    if geometry == "measured" and projections is None and tables is None:
+        if n_vectors is None:
+            n_vectors = corpus.count()
+        t, b = tuned_srp_geometry(
+            n_vectors,
+            clusteredness_probe(corpus, id_col=id_col, vec_col=vec_col,
+                                n_vectors=n_vectors))
+        projections, tables = (
+            (ANN_PROJECTIONS, ANN_TABLES)
+            if (t, b) == (ANN_TABLES, ANN_BITS_PER_TABLE)
+            else (random_projections(n=t * b), t))
     projections, tables = _resolve_lsh_geometry(
         corpus, projections, tables, n_vectors,
         ref_tables=ANN_TABLES, ref_bits=ANN_BITS_PER_TABLE,
@@ -270,6 +291,105 @@ def lsh_geometry(
     bits = ref_bits + extra
     tables = math.ceil(ref_tables * (1.0 / p1) ** extra)
     return tables, bits
+
+
+# ---- measured-clusteredness auto-tune (VERDICT r7 task 4) ----------
+#
+# The clustered-ANN study (`tools/scale_curve.py --clustered-ann`,
+# `SCALE_CURVE_ANN_CLUSTERED.json`) measured that DEEP geometry
+# (4 tables × 8 bits) reaches recall 0.736 at candidate fraction 0.052
+# on a clustered corpus — 15× fewer scored candidates than the
+# reference geometry needs — while COLLAPSING to 0.036 recall on
+# isotropic data.  The right geometry is therefore corpus-dependent;
+# the probe + table below derive it from the data instead of leaving
+# it a manual knob.
+
+#: A sampled pair at least this close counts as "tight" (same-cluster
+#: mass): isotropic d=64 cosines are ~N(0, 1/64), so 0.7 is a 5.6σ
+#: event there (probability ~1e-8) while any real cluster structure
+#: puts its within-cluster pair mass far above it.
+TIGHT_PAIR_COS = 0.7
+
+#: Decision floor on the tight-pair fraction.  The study's 32-cluster
+#: corpus measures ≈ 1/32 ≈ 0.03 (same-cluster pair probability);
+#: isotropic measures ~0 — both a >2× margin from 0.01.
+TIGHT_PAIR_FLOOR = 0.01
+
+#: The measured deep row: 4 tables × 8 bits (the study's re-tuned
+#: geometry — recall 0.736 at candidate fraction 0.052 on clustered).
+DEEP_TABLES, DEEP_BITS = 4, 8
+
+#: Per-plane collision probability of a within-cluster pair at the
+#: tight-pair cosine: θ = arccos 0.7 ≈ 45.6° → p₁ = 1 − θ/π ≈ 0.747 —
+#: the growth rate :func:`lsh_geometry` uses to scale the deep table
+#: count past the reference corpus size.
+DEEP_P1 = 0.7468
+
+#: Probe sample size: the gram matrix is sample² dots over sample·d
+#: floats — 1024 vectors at d=64 is a 256 KB collect and a ~1M-dot
+#: numpy call, both trivial at any corpus scale.
+PROBE_SAMPLE_N = 1024
+
+
+def clusteredness_probe(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_n: int = PROBE_SAMPLE_N,
+    n_vectors: int | None = None,
+) -> float:
+    """Measured clusteredness in [0, 1]: the fraction of sampled-pair
+    cosines ≥ :data:`TIGHT_PAIR_COS` over a deterministic ≤ sample_n
+    vector sample.
+
+    Cost at 100 TB: ONE column-pruned O(n) scan with a narrow
+    md5-permille filter (the `operators/sampling.py:hash_bucket`
+    idiom), a bounded ≤ ~1.5·sample_n-row collect, and a driver-side
+    numpy gram matrix — no shuffle, O(inputs) against the O(n·L) LSH
+    pass it parameterizes.  The sample is PARTITIONING-INDEPENDENT
+    (membership is a pure function of the id; the cap takes the
+    md5-smallest rows driver-side), so the verdict — and with it the
+    selected geometry — is a property of the data, reproducible on any
+    cluster layout."""
+    import math
+
+    if n_vectors is None:
+        n_vectors = emb.count()
+    if n_vectors <= 1:
+        return 0.0
+    pm = max(1, min(1000, math.ceil(1500.0 * sample_n / n_vectors)))
+    sampled = emb.select(
+        F.md5(F.col(id_col).cast("string")).alias("__h"),
+        F.col(vec_col).alias("__v"),
+    ).filter(
+        F.conv(F.substring("__h", 1, 8), 16, 10).cast("long") % 1000 < pm)
+    rows = sorted(sampled.collect(), key=lambda r: r["__h"])[:sample_n]
+    if len(rows) < 2:
+        return 0.0
+    x = np.array([r["__v"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    x /= norms
+    iu = np.triu_indices(len(x), k=1)
+    return float(((x @ x.T)[iu] >= TIGHT_PAIR_COS).mean())
+
+
+def tuned_srp_geometry(n_vectors: int, tight_frac: float) -> tuple[int, int]:
+    """``(tables, bits)`` from MEASURED clusteredness: a tight corpus
+    takes the deep row of the measured table (grown from
+    (:data:`DEEP_TABLES`, :data:`DEEP_BITS`) by the
+    :func:`lsh_geometry` occupancy rule at p₁ = :data:`DEEP_P1`); a
+    loose corpus takes the ANN reference row.  Fixture corpora are
+    near-isotropic and ≤ :data:`LSH_REF_N`, so they resolve to exactly
+    ``(ANN_TABLES, ANN_BITS_PER_TABLE)`` — registered-query hashes are
+    unchanged by measured mode."""
+    if tight_frac >= TIGHT_PAIR_FLOOR:
+        return lsh_geometry(
+            n_vectors, ref_tables=DEEP_TABLES, ref_bits=DEEP_BITS,
+            p1=DEEP_P1)
+    return lsh_geometry(
+        n_vectors, ref_tables=ANN_TABLES, ref_bits=ANN_BITS_PER_TABLE)
 
 
 def _resolve_lsh_geometry(
