@@ -57,20 +57,29 @@ class NoveltyMaintainer:
     under ``state_dir``; per-batch novel keys land in
     ``state_dir/batch=<id>``."""
 
-    def __init__(self, state_dir: str, key_col: str, expected_keys: int):
+    def __init__(self, state_dir: str, key_col: str, expected_keys: int,
+                 retention: int | None = None):
+        from hbase_snapshotter_spark.streaming.retention import (
+            BatchDirCompactor,
+        )
+
         self.state_dir = state_dir
         self.key_col = key_col
         self.m_bits = bloom_bits_for(expected_keys)
+        #: batch dirs to keep live; None disables compaction (r7
+        #: behavior).  The seen-key SET is the union of the compact
+        #: generation and the live dirs — novel keys are disjoint
+        #: across batches by construction, so the merge is trivially
+        #: lossless and the bitmap recovery is unchanged.
+        self.retention = retention
+        self._compactor = BatchDirCompactor(
+            state_dir, subtables=("",), done_subpath="_SUCCESS",
+            keep_last=retention if retention else 8)
         os.makedirs(state_dir, exist_ok=True)
         self.bitmap: bytes | None = None
 
-    def _batch_dirs(self) -> list[str]:
-        return sorted(
-            os.path.join(self.state_dir, d)
-            for d in os.listdir(self.state_dir) if d.startswith("batch="))
-
     def seen_keys(self, spark: SparkSession) -> DataFrame | None:
-        dirs = self._batch_dirs()
+        dirs = self._compactor.table_dirs("")
         return spark.read.parquet(*dirs).distinct() if dirs else None
 
     def _recover_bitmap(self, spark: SparkSession) -> None:
@@ -84,6 +93,11 @@ class NoveltyMaintainer:
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        if self._compactor.is_compacted(batch_id):
+            # re-delivered batch at-or-below the compaction watermark:
+            # its novel keys (if any) already live in the generation,
+            # so the probe below would find novel = ∅ anyway — skip it
+            return
         if self.bitmap is None:
             self._recover_bitmap(spark)
         keys = (batch.select(self.key_col)
@@ -110,13 +124,17 @@ class NoveltyMaintainer:
         self.bitmap = (
             np.frombuffer(self.bitmap, dtype=np.uint8)
             | np.frombuffer(inc, dtype=np.uint8)).tobytes()
+        if self.retention:
+            self._compactor.compact(spark)
 
 
 def maintain_novelty(stream_df: DataFrame, state_dir: str, key_col: str,
-                     expected_keys: int, **start_kwargs):
+                     expected_keys: int, retention: int | None = None,
+                     **start_kwargs):
     """Start the novelty-maintenance query.  Returns (StreamingQuery,
     NoveltyMaintainer)."""
-    maintainer = NoveltyMaintainer(state_dir, key_col, expected_keys)
+    maintainer = NoveltyMaintainer(state_dir, key_col, expected_keys,
+                                   retention=retention)
     query = start_foreach_batch(
         stream_df, maintainer.process_batch, **start_kwargs)
     return query, maintainer

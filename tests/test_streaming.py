@@ -252,16 +252,18 @@ def test_novelty_maintenance_streaming_equals_batch_and_redelivers(
     m = run("ckpt1")
     seen = {r["key"] for r in m.seen_keys(spark).collect()}
     assert seen == {f"k{k}" for k in range(20)}
-    # each key novel exactly ONCE across all batch dirs (no dup reports)
-    all_novel = [r["key"] for d in m._batch_dirs()
+    # each key novel exactly ONCE across all batch dirs (no dup
+    # reports; r8: dirs listed through the retention compactor — same
+    # dirs while nothing has been compacted)
+    all_novel = [r["key"] for d in m._compactor.table_dirs("")
                  for r in spark.read.parquet(d).collect()]
     assert sorted(all_novel) == sorted(seen)
 
     dirs_before = {d: sorted(r["key"] for r in spark.read.parquet(d).collect())
-                   for d in m._batch_dirs()}
+                   for d in m._compactor.table_dirs("")}
     m2 = run("ckpt2")  # full re-delivery over existing state
     dirs_after = {d: sorted(r["key"] for r in spark.read.parquet(d).collect())
-                  for d in m2._batch_dirs()}
+                  for d in m2._compactor.table_dirs("")}
     assert dirs_after == dirs_before
 
 
@@ -671,3 +673,63 @@ def test_neardup_retention_preserves_document_wins(spark, tmp_path):
     m_ret.process_batch(
         spark.createDataFrame(batches[0], ["doc_id", "text"]), 0)
     assert sorted(os.listdir(sdir)) == before
+
+
+def test_novelty_retention_bounds_dirs_and_preserves_seen_set(
+        spark, tmp_path):
+    """N78 applied to the novelty maintainer: a long run with a small
+    keep-window holds the directory count bounded, the seen-key set and
+    once-per-key novelty reports are unchanged vs an unbounded run, a
+    restart over compacted state rebuilds the bitmap correctly (novel
+    keys still detected), and a re-delivered compacted batch is a
+    no-op."""
+    import os
+
+    from hbase_snapshotter_spark.streaming.novelty_stream import (
+        NoveltyMaintainer,
+    )
+
+    N, KEEP = 16, 3
+    # each batch: 4 fresh keys + 2 re-sent from the previous batch
+    batches = [
+        [(f"k{4 * i + j}",) for j in range(4)]
+        + ([(f"k{4 * (i - 1) + j}",) for j in range(2)] if i else [])
+        for i in range(N)]
+
+    def run(root, retention):
+        m = NoveltyMaintainer(str(root), "key", expected_keys=256,
+                              retention=retention)
+        for i, rows in enumerate(batches):
+            m.process_batch(spark.createDataFrame(rows, "key string"), i)
+        return m
+
+    m_ret = run(tmp_path / "ret", KEEP)
+    m_ref = run(tmp_path / "ref", None)
+
+    seen_ret = sorted(r["key"] for r in m_ret.seen_keys(spark).collect())
+    seen_ref = sorted(r["key"] for r in m_ref.seen_keys(spark).collect())
+    assert seen_ret == seen_ref == sorted(f"k{k}" for k in range(4 * N))
+
+    # once-per-key novelty reports survive compaction (the generation
+    # holds the compacted union, live dirs the rest — no dup, no loss)
+    all_novel = sorted(r["key"] for d in m_ret._compactor.table_dirs("")
+                       for r in spark.read.parquet(d).collect())
+    assert all_novel == seen_ref
+
+    live = [d for d in os.listdir(str(tmp_path / "ret"))
+            if d.startswith("batch=")]
+    assert len(live) <= KEEP + 1  # keep-window (+1 in-flight slack)
+
+    # restart over compacted state: bitmap recovery reads through the
+    # generation; an already-seen key is NOT novel, a fresh key is
+    m2 = NoveltyMaintainer(str(tmp_path / "ret"), "key",
+                           expected_keys=256, retention=KEEP)
+    m2.process_batch(
+        spark.createDataFrame([("k0",), ("fresh",)], "key string"), N)
+    assert sorted(r["key"] for r in spark.read.parquet(
+        str(tmp_path / "ret" / f"batch={N}")).collect()) == ["fresh"]
+
+    # re-delivered compacted batch id: no new dirs, nothing rewritten
+    before = sorted(os.listdir(str(tmp_path / "ret")))
+    m2.process_batch(spark.createDataFrame(batches[0], "key string"), 0)
+    assert sorted(os.listdir(str(tmp_path / "ret"))) == before
