@@ -108,3 +108,74 @@ def heavy_hitters(
             F.round(F.col("n_occurrences") / F.col("__total"), 6).alias("share"),
         )
     )
+
+
+def mg_summaries(items: DataFrame, col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries WITH their error accounting —
+    the mergeable form (Agarwal et al. 2012) the streaming maintainer
+    (:mod:`~.streaming.freq_stream`, N81) advances across micro-batches.
+
+    One distributed pass; each partition yields rows of three kinds
+    (schema ``(item, cnt, kind)``):
+
+    - ``kind='counter'``: the partition's surviving MG counters —
+      ``cnt`` LOWER-bounds the item's partition frequency, and
+      ``cnt + dec`` upper-bounds it;
+    - ``kind='dec'`` (one row): the partition's cumulative decrement
+      ``dec`` — every prune subtracts the (k+1)-largest count from all
+      counters, and decrements across partitions/merges ADD;
+    - ``kind='total'`` (one row): the partition's non-null instance
+      count, so the caller gets ``n`` without a second scan.
+
+    Everything downstream of this pass is summary-sized:
+    ≤ (k + 2) × partitions rows."""
+    if k < 1:
+        raise ValueError(f"mg_summaries: k must be >= 1, got {k}")
+
+    def summarize(batches):
+        summary = pd.Series(dtype="int64")
+        dec = 0
+        total = 0
+        for pdf in batches:
+            vals = pdf[col].dropna()
+            total += int(len(vals))
+            counts = vals.value_counts()
+            summary = summary.add(counts, fill_value=0)
+            if len(summary) > k:
+                top = summary.nlargest(k + 1)
+                cut = int(top.iloc[-1])
+                dec += cut
+                summary = (top - cut).iloc[:-1]
+                summary = summary[summary > 0]
+        yield pd.DataFrame({
+            col: list(summary.index.astype(str)) + [None, None],
+            "cnt": list(summary.values.astype("int64")) + [dec, total],
+            "kind": ["counter"] * len(summary) + ["dec", "total"],
+        })
+
+    return items.select(col).mapInPandas(
+        summarize, f"{col} string, cnt long, kind string")
+
+
+def mg_merge(
+    counters: dict[str, int], dec: int, new: list[tuple[str, int]], k: int,
+) -> tuple[dict[str, int], int]:
+    """Driver-side merge of MG summaries (all inputs are sketch-sized —
+    ≤ k counters each; the BPE-vocabulary-loop collect posture): add
+    the ``new`` (item, cnt) rows into ``counters``, then prune back to
+    ``k`` by subtracting the (k+1)-largest count from all — returning
+    the pruned counters and the grown cumulative decrement.
+
+    Invariants carried (and pytest-pinned): for every tracked item,
+    ``cnt ≤ true ≤ cnt + dec``; for untracked, ``true ≤ dec``; and
+    ``dec ≤ n/(k+1)`` always, because each prune subtracts its cut
+    from ≥ k+1 counters of conserved total mass."""
+    merged = dict(counters)
+    for item, cnt in new:
+        merged[item] = merged.get(item, 0) + cnt
+    if len(merged) > k:
+        by_cnt = sorted(merged.values(), reverse=True)
+        cut = by_cnt[k]
+        dec += cut
+        merged = {i: c - cut for i, c in merged.items() if c > cut}
+    return merged, dec

@@ -733,3 +733,123 @@ def test_novelty_retention_bounds_dirs_and_preserves_seen_set(
     before = sorted(os.listdir(str(tmp_path / "ret")))
     m2.process_batch(spark.createDataFrame(batches[0], "key string"), 0)
     assert sorted(os.listdir(str(tmp_path / "ret"))) == before
+
+
+def test_heavy_hitters_maintenance_guarantees_and_redelivery(
+        spark, tmp_path):
+    """Continuous heavy hitters (N81): a real readStream replay
+    advances the mergeable Misra-Gries state batch by batch; at the
+    end every MG guarantee holds against the EXACT histogram of
+    everything streamed — tracked items bracketed by
+    [cnt, cnt + dec], untracked items bounded by dec,
+    dec ≤ n/(k+1), zero false negatives at the support threshold,
+    and every confirmed row is a true hitter — and a full re-delivery
+    run over the existing state changes nothing."""
+    import os
+    from collections import Counter
+
+    from hbase_snapshotter_spark.streaming.freq_stream import (
+        maintain_heavy_hitters,
+    )
+    from hbase_snapshotter_spark.streaming.windows import replay_stream
+
+    # 4 replay files: two persistent hot items + per-file cold tails
+    files = [
+        ["hot_a"] * 40 + ["hot_b"] * 25 + [f"cold{i}_{j}" for j in range(30)]
+        for i in range(4)]
+    src = str(tmp_path / "tok_stream")
+    os.makedirs(src)
+    for i, toks in enumerate(files):
+        spark.createDataFrame([(t,) for t in toks], "item string") \
+            .coalesce(1).write.parquet(f"{src}/f{i}")
+    import glob
+    import shutil
+    for i in range(4):
+        part = glob.glob(f"{src}/f{i}/part-*.parquet")[0]
+        shutil.move(part, f"{src}/file{i}.parquet")
+        shutil.rmtree(f"{src}/f{i}")
+    schema = spark.read.parquet(f"{src}/file0.parquet").schema
+
+    K, SUPPORT = 12, 100  # 10% support; k > 1000/support for safety
+    state = str(tmp_path / "hh_state")
+
+    def run(ckpt):
+        stream = replay_stream(spark, src, schema, max_files_per_trigger=1)
+        q, m = maintain_heavy_hitters(
+            stream, state, "item", k=K, support_permille=SUPPORT,
+            checkpointLocation=str(tmp_path / ckpt), availableNow=True)
+        q.awaitTermination(120)
+        return m
+
+    m = run("ckpt1")
+
+    true = Counter(t for toks in files for t in toks)
+    n = sum(true.values())
+    n_state, dec = m.meta(spark)
+    assert n_state == n
+    assert dec <= n // (K + 1)
+
+    tracked = {r["item"]: r["cnt"] for r in m.state(spark).collect()}
+    for item, cnt in tracked.items():
+        assert cnt <= true[item] <= cnt + dec, item
+    for item, t in true.items():
+        if item not in tracked:
+            assert t <= dec, item
+
+    hit_rows = {r["item"]: r for r in m.hitters(spark).collect()}
+    exact_hitters = {i for i, t in true.items() if t * 1000 >= SUPPORT * n}
+    assert exact_hitters == {"hot_a", "hot_b"}
+    assert exact_hitters <= set(hit_rows)          # zero false negatives
+    for item, r in hit_rows.items():
+        assert r["cnt_lower"] <= true[item] <= r["cnt_upper"]
+        if r["confirmed"]:
+            assert item in exact_hitters           # confirmed ⇒ true hitter
+
+    # full re-delivery over existing state: byte-identical verdicts
+    before = sorted(map(str, m.verdicts(spark).collect()))
+    m2 = run("ckpt2")
+    assert sorted(map(str, m2.verdicts(spark).collect())) == before
+
+
+def test_heavy_hitters_retention_bounds_dirs(spark, tmp_path):
+    """N78 applied to the heavy-hitters maintainer: a long direct-call
+    run with a small keep-window bounds the dir count, the latest
+    hitter verdict and state equal the unbounded run's, and a
+    re-delivered compacted batch id is a no-op."""
+    import os
+
+    from hbase_snapshotter_spark.streaming.freq_stream import (
+        HeavyHittersMaintainer,
+    )
+
+    N, KEEP, K = 15, 3, 8
+    batches = [["hot"] * 10 + [f"c{i}_{j}" for j in range(12)]
+               for i in range(N)]
+
+    def run(root, retention):
+        m = HeavyHittersMaintainer(str(root), "item", k=K,
+                                   support_permille=200,
+                                   retention=retention)
+        for i, toks in enumerate(batches):
+            m.process_batch(
+                spark.createDataFrame([(t,) for t in toks], "item string"),
+                i)
+        return m
+
+    m_ret = run(tmp_path / "ret", KEEP)
+    m_ref = run(tmp_path / "ref", None)
+
+    assert sorted(map(str, m_ret.hitters(spark).collect())) == \
+        sorted(map(str, m_ref.hitters(spark).collect()))
+    assert sorted(map(str, m_ret.state(spark).collect())) == \
+        sorted(map(str, m_ref.state(spark).collect()))
+    assert m_ret.meta(spark) == m_ref.meta(spark)
+
+    live = [d for d in os.listdir(str(tmp_path / "ret"))
+            if d.startswith("batch=")]
+    assert len(live) <= KEEP + 1
+
+    before = sorted(os.listdir(str(tmp_path / "ret")))
+    m_ret.process_batch(
+        spark.createDataFrame([(t,) for t in batches[0]], "item string"), 0)
+    assert sorted(os.listdir(str(tmp_path / "ret"))) == before
