@@ -137,3 +137,62 @@ def salted_join(
     s = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))))
     return b.join(s, [*on, "__salt"], how).drop("__salt")
+
+
+def measured_salt_buckets(
+    df: DataFrame,
+    keys: list[str],
+    *,
+    parallelism: int | None = None,
+    k: int = 256,
+    max_buckets: int = 256,
+) -> int:
+    """Salt-bucket count derived from the MEASURED hottest-key share —
+    the N80 posture (measure, then tune) applied to the skew knob
+    (SURVEY §2.3 N82).
+
+    A fixed ``salt_buckets`` is wrong in both directions: too small
+    leaves the hot reducer hot, too large pays the stage-2 combine
+    (and the ``salt_buckets``× small-side blowup of
+    :func:`salted_join`) on balanced data.  The right number is
+    ``⌈p_max · parallelism⌉`` — spread the hottest key until its
+    per-reducer share matches everyone else's — and ``p_max`` is
+    measurable in one pass: a Misra-Gries summary
+    (:func:`~.freq.mg_summaries`, summary-sized collect) bounds the
+    hottest key's count within ``dec ≤ n/(k+1)``, so the share
+    estimate is conservative by at most 1/(k+1) — at the default
+    k=256, under half a percent.
+
+    Returns 1 (no salting — the two-stage pass would cost a shuffle
+    for nothing) when even the UPPER bound of the hottest share fits
+    a single reducer's fair load.  The summary itself depends on the
+    input partitioning (MG is order-sensitive), but the decrement
+    bound does not — so across layouts the estimate stays within
+    1/(k+1) of the true share and the selected bucket count jitters
+    by at most ⌈parallelism/(k+1)⌉, never flipping a clearly-skewed
+    input to 1 or a clearly-balanced one past it."""
+    import math
+
+    from hbase_snapshotter_spark.operators.freq import mg_summaries
+
+    if parallelism is None:
+        parallelism = df.sparkSession.sparkContext.defaultParallelism
+    key = F.concat_ws(
+        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+                  for c in keys]).alias("__k")
+    rows = mg_summaries(df.select(key), "__k", k).collect()
+    n = sum(r["cnt"] for r in rows if r["kind"] == "total")
+    if n == 0:
+        return 1
+    dec = sum(r["cnt"] for r in rows if r["kind"] == "dec")
+    # summaries are PER-PARTITION: merge counters by item first (the
+    # per-item sum of partition counters lower-bounds its true count;
+    # partition decrements ADD), then take the hottest
+    merged: dict[str, int] = {}
+    for r in rows:
+        if r["kind"] == "counter":
+            merged[r["__k"]] = merged.get(r["__k"], 0) + r["cnt"]
+    p_upper = (max(merged.values(), default=0) + dec) / n
+    if p_upper * parallelism <= 1.0:
+        return 1
+    return max(1, min(max_buckets, math.ceil(p_upper * parallelism)))

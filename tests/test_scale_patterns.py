@@ -272,3 +272,44 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_measured_salt_buckets_skewed_vs_balanced(spark):
+    """N82 (the N80 measure-then-tune posture on the skew knob): a
+    clearly-skewed key column auto-selects a multi-bucket salt scaled
+    to the hottest share x parallelism, a clearly-balanced one selects
+    1 (no pointless two-stage pass), the count caps at max_buckets,
+    the decision survives repartitioning, and salting at the measured
+    count leaves the aggregate row-identical."""
+    from hbase_snapshotter_spark.operators.skew import (
+        measured_salt_buckets,
+        salted_agg,
+    )
+
+    # 80% of rows on one key, the rest spread over 200 keys
+    skewed = spark.createDataFrame(
+        [("hot", i) for i in range(1600)]
+        + [(f"k{i % 200}", i) for i in range(400)],
+        "key string, v long").repartition(8)
+    P = 32
+    b = measured_salt_buckets(skewed, ["key"], parallelism=P)
+    # p_max = 0.8 → ceil(0.8 · 32) = 26, +1/(k+1) estimate slack
+    assert 24 <= b <= 28
+    assert measured_salt_buckets(skewed.repartition(3), ["key"],
+                                 parallelism=P) in range(24, 29)
+    assert measured_salt_buckets(skewed, ["key"], parallelism=P,
+                                 max_buckets=8) == 8
+
+    balanced = spark.createDataFrame(
+        [(f"k{i % 500}", i) for i in range(2000)],
+        "key string, v long").repartition(8)
+    # hottest share 1/500 << 1/32 → no salt
+    assert measured_salt_buckets(balanced, ["key"], parallelism=P) == 1
+
+    want = sorted(tuple(r) for r in skewed.groupBy("key")
+                  .agg(F.count(F.lit(1)).alias("n"),
+                       F.sum("v").alias("s")).collect())
+    got = sorted(tuple(r) for r in salted_agg(
+        skewed, ["key"], [(None, "count", "n"), ("v", "sum", "s")],
+        salt_buckets=b, salt_cols=["v"]).collect())
+    assert got == want
