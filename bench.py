@@ -84,12 +84,14 @@ HEADLINE_R7 = [
     "events_timeseries_suite",
     "events_sketch_norm_suite",
     "mmr_diverse_topk",
+    "mmr_ivfpq_topk",  # r8: the ANN-candidate serving composition
     "dedup_clusters_delta",
     "repetition_signals_docs",
     "hard_negative_mining",
     "events_drift_psi",
     "retrieval_eval_metrics",
     "source_vocab_drift",
+    "range_layout_audit",  # r8: equi-depth vs fixed-width layout
     "constraint_audit_suite",
     "embedding_truncation_audit",
     "dedup_cluster_representatives",

@@ -68,3 +68,34 @@ def zorder_bucket(z: Column, *, n_buckets: int, bits: int = Z_BITS) -> Column:
     2-D grid: tight min/max on BOTH dimensions."""
     shift = 2 * bits - (n_buckets - 1).bit_length()
     return F.shiftright(z, shift)
+
+
+def _int_div(a: Column, b: Column) -> Column:
+    """Exact BIGINT floor-division (both operands non-negative) — the
+    ``(a - a mod b) / b`` idiom, replayed verbatim by DuckDB's ``//``."""
+    return ((a - F.pmod(a, b)) / b).cast("long")
+
+
+def equidepth_bucket(q_rank: Column, n_buckets: int) -> Column:
+    """Equi-depth layout bucket from a 4-dp quantile rank (the N74
+    sortless ``percent_rank``): ``⌊rank · B⌋`` clamped to ``B-1`` —
+    computed in BIGINT arithmetic on the rank's 4-dp integer form, so
+    no float product can straddle a bucket boundary differently per
+    engine.  Range-partitioning the write on this bucket yields files
+    of ~equal ROW COUNT however skewed the value distribution — the
+    property fixed-width bucketing loses (the audit query measures
+    both)."""
+    r = F.round(q_rank * 10000).cast("long")
+    return F.least(_int_div(r * n_buckets, F.lit(10000).cast("long")),
+                   F.lit(n_buckets - 1).cast("long"))
+
+
+def fixed_width_bucket_micro(vi: Column, vmin: Column, vmax: Column,
+                             n_buckets: int) -> Column:
+    """Fixed-width bucket over the inclusive micro-unit range
+    ``[vmin, vmax]`` (values pre-scaled to 4-dp BIGINT micro-units, the
+    ``grid_coord`` discipline): ``(vi - vmin) · B ÷ (vmax - vmin + 1)``
+    in exact BIGINT arithmetic — the naive layout the audit contrasts
+    equi-depth against."""
+    return _int_div((vi - vmin) * F.lit(n_buckets).cast("bigint"),
+                    (vmax - vmin + F.lit(1)).cast("bigint"))

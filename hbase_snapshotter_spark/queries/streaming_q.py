@@ -833,3 +833,130 @@ PAIRS.update({
     "events_sketch_norm_suite": (events_sketch_norm_suite,
                                  _oracle_sketch_norm_suite()),
 })
+
+
+#: Layout buckets for the N83 range-layout audit — 8 target "files".
+RANGE_LAYOUT_B = 8
+
+
+def range_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-guided equi-depth range layout vs naive fixed-width
+    (SURVEY §2.3 N83): per (event_type, method, bucket), the row count,
+    the value span the bucket's file would carry in its min/max stats,
+    and the depth ratio n_rows·B/total (1.0 = perfectly balanced
+    files).  The equi-depth lane derives its bucket from the N74
+    sortless quantile rank — so however skewed the value distribution,
+    its depth ratios sit near 1 while the fixed-width lane's collapse
+    onto a few hot buckets: the layout decision MEASURED in one
+    recorded plan, not argued.
+
+    Scale shape: one DDSketch state build (hash agg to O(buckets)
+    rows), both bucket assignments are broadcast joins / pure column
+    exprs on a never-shuffled corpus, and the audit agg reduces to
+    ≤ 2·B rows per group with map-side partials.  At 100 TB this IS
+    the write plan: ``partitionBy(event_type)`` +
+    range-partition-by-equidepth-bucket gives balanced parquet files
+    whose min/max value stats prune range predicates."""
+    from hbase_snapshotter_spark.cache import scoped_persist
+    from hbase_snapshotter_spark.operators.layout import (
+        equidepth_bucket,
+        fixed_width_bucket_micro,
+    )
+    from hbase_snapshotter_spark.operators.sketches import (
+        quantile_rank_normalize,
+        quantile_state,
+    )
+
+    B = RANGE_LAYOUT_B
+    ev = scoped_persist(
+        read_table(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value")
+        .filter(F.col("value").isNotNull() & (F.col("value") > 0)))
+    state = quantile_state(ev, "value", group_cols=["event_type"])
+    qr = quantile_rank_normalize(
+        ev, state, "value", group_cols=["event_type"])
+    equi = qr.select(
+        "event_type", "value",
+        F.lit("equidepth").alias("method"),
+        equidepth_bucket(F.col("q_rank"), B).alias("bucket"))
+
+    vi = F.round(F.col("value") * 10000).cast("long")
+    bounds = ev.groupBy("event_type").agg(
+        F.min(F.round(F.col("value") * 10000).cast("long")).alias("__vmin"),
+        F.max(F.round(F.col("value") * 10000).cast("long")).alias("__vmax"))
+    fixed = (
+        ev.join(F.broadcast(bounds), "event_type")
+        .select("event_type", "value",
+                F.lit("fixedwidth").alias("method"),
+                fixed_width_bucket_micro(
+                    vi, F.col("__vmin"), F.col("__vmax"), B).alias("bucket")))
+
+    per_bucket = (
+        equi.unionByName(fixed)
+        .groupBy("event_type", "method", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.round(F.min("value"), 4).alias("v_lo"),
+             F.round(F.max("value"), 4).alias("v_hi")))
+    totals = per_bucket.groupBy("event_type", "method").agg(
+        F.sum("n_rows").alias("__total"))
+    num = (F.col("n_rows") * B).cast("long")
+    den = F.col("__total").cast("long")
+    a = 20000 * num + den
+    ratio = (((a - F.pmod(a, 2 * den)) / (2 * den))
+             .cast("long").cast("double") / 10000)
+    return (
+        per_bucket.join(F.broadcast(totals), ["event_type", "method"])
+        .select("event_type", "method", "bucket", "n_rows", "v_lo", "v_hi",
+                ratio.alias("depth_ratio"))
+        .orderBy("event_type", "method", "bucket"))
+
+
+def _oracle_range_layout() -> str:
+    from hbase_snapshotter_spark.operators.sketches import DD_LN_GAMMA
+
+    B = RANGE_LAYOUT_B
+    return f"""
+WITH v AS (
+  SELECT event_id, event_type, value,
+         CAST(CEIL(ROUND(LN(value) / {repr(DD_LN_GAMMA)}, 6)) AS BIGINT)
+           AS bucket
+  FROM events WHERE value IS NOT NULL AND value > 0),
+b AS (SELECT event_type, bucket, COUNT(*) AS cnt FROM v GROUP BY 1, 2),
+c AS (SELECT event_type, bucket, cnt,
+             COALESCE(SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS below,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM b),
+equi AS (
+  SELECT v.event_type, v.value, 'equidepth' AS method,
+         LEAST((CAST(ROUND(CAST((20000 * (2 * c.below + c.cnt) + 2 * c.n)
+                   // (2 * 2 * c.n) AS DOUBLE) / 10000 * 10000) AS BIGINT)
+                * {B}) // 10000, {B - 1}) AS bucket
+  FROM v JOIN c ON c.event_type = v.event_type AND c.bucket = v.bucket),
+mic AS (SELECT event_type, value,
+               CAST(ROUND(value * 10000) AS BIGINT) AS vi FROM v),
+bnd AS (SELECT event_type, MIN(vi) AS vmin, MAX(vi) AS vmax
+        FROM mic GROUP BY event_type),
+fixedw AS (
+  SELECT mic.event_type, mic.value, 'fixedwidth' AS method,
+         ((mic.vi - bnd.vmin) * {B}) // (bnd.vmax - bnd.vmin + 1) AS bucket
+  FROM mic JOIN bnd USING (event_type)),
+lanes AS (SELECT * FROM equi UNION ALL SELECT * FROM fixedw),
+pb AS (
+  SELECT event_type, method, bucket, COUNT(*) AS n_rows,
+         ROUND(MIN(value), 4) AS v_lo, ROUND(MAX(value), 4) AS v_hi
+  FROM lanes GROUP BY 1, 2, 3),
+t AS (SELECT event_type, method, SUM(n_rows) AS total
+      FROM pb GROUP BY 1, 2)
+SELECT pb.event_type, pb.method, pb.bucket, pb.n_rows, pb.v_lo, pb.v_hi,
+       CAST((20000 * pb.n_rows * {B} + t.total)
+            // (2 * t.total) AS DOUBLE) / 10000 AS depth_ratio
+FROM pb JOIN t USING (event_type, method)
+ORDER BY pb.event_type, pb.method, pb.bucket
+"""
+
+
+PAIRS.update({
+    "range_layout_audit": (range_layout_audit, _oracle_range_layout()),
+})

@@ -61,3 +61,40 @@ def test_zorder_buckets_are_tiles_and_prune_both_dims(spark):
     hits_y = [r for r in per if r["y_lo"] <= 27 and r["y_hi"] >= 24]
     assert len(hits_x) == 8
     assert len(hits_y) == 8
+
+
+def test_range_layout_equidepth_balances_skew_fixed_width_does_not(
+        spark, sf_dir):
+    """N83's reason to exist, asserted not narrated: on the skewed
+    event-value distribution the equi-depth lane's bucket depths all
+    sit near the fair share (ratio within [0.5, 1.5] — sketch
+    granularity is the only slack) while the fixed-width lane
+    concentrates rows into a few hot buckets (max ratio well above 2),
+    and each lane partitions the rows exactly (depths sum to the lane
+    total, spans nest inside the lane's min/max)."""
+    from hbase_snapshotter_spark.queries.streaming_q import (
+        RANGE_LAYOUT_B,
+        range_layout_audit,
+    )
+
+    rows = range_layout_audit(spark, sf_dir).collect()
+    by_lane = {}
+    for r in rows:
+        by_lane.setdefault((r.event_type, r.method), []).append(r)
+    methods = {m for _, m in by_lane}
+    assert methods == {"equidepth", "fixedwidth"}
+
+    for (etype, method), lane in by_lane.items():
+        total = sum(r.n_rows for r in lane)
+        for r in lane:
+            assert abs(r.depth_ratio
+                       - r.n_rows * RANGE_LAYOUT_B / total) < 1e-3
+        if method == "equidepth":
+            assert len(lane) == RANGE_LAYOUT_B
+            assert all(0.5 <= r.depth_ratio <= 1.5 for r in lane), etype
+    # the SAME rows, fixed-width: at least one event_type shows a hot
+    # bucket at >2x the fair share (the skew equi-depth flattens)
+    assert any(
+        max(r.depth_ratio for r in lane) > 2.0
+        for (etype, method), lane in by_lane.items()
+        if method == "fixedwidth")
