@@ -92,6 +92,7 @@ HEADLINE_R7 = [
     "retrieval_eval_metrics",
     "source_vocab_drift",
     "range_layout_audit",  # r8: equi-depth vs fixed-width layout
+    "agg_view_advance",    # r8: IVM advance + rebuild-equality flag
     "constraint_audit_suite",
     "embedding_truncation_audit",
     "dedup_cluster_representatives",

@@ -514,3 +514,70 @@ def state_changefeed(
                 F.col("__old").alias("old_value"),
                 F.col("__new").alias("new_value"))
     )
+
+
+def aggregate_view(
+    state: DataFrame,
+    *,
+    group_col: str = "qualifier",
+    value_col: str = "value",
+) -> DataFrame:
+    """Materialized aggregate view over a cell-state table (SURVEY
+    §2.3 N84): per group, the cell count, the numeric-cell count, and
+    the exact 4-dp micro-unit sum — the algebraic aggregates that stay
+    maintainable under DELETES (min/max are not: a deleted extremum
+    needs history to replace; production recomputes those or keeps
+    insert-only).  Sums live in BIGINT micro-units so the incremental
+    merge (:func:`advance_aggregate_view`) and the SQL oracle are
+    exact — no float accumulation order can split the engines.  One
+    hash aggregation with map-side partials; output is group-sized."""
+    num = F.expr(f"try_cast({value_col} as double)")
+    micro = F.round(num * 10000).cast("long")
+    return state.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.count(num).alias("n_numeric"),
+        F.coalesce(F.sum(micro), F.lit(0)).cast("long").alias("sum_micro"))
+
+
+def advance_aggregate_view(
+    view: DataFrame,
+    feed: DataFrame,
+    *,
+    group_col: str = "qualifier",
+) -> DataFrame:
+    """Advance a materialized aggregate view with ONLY a changefeed
+    (N50 shape: ``op`` ∈ I/U/D with ``old_value``/``new_value``) — the
+    classic incremental-view-maintenance step: inserts add their
+    contribution, deletes subtract the OLD one, updates do both.
+    Because the feed carries before-images, no history rescan is ever
+    needed: cost is feed-sized, however large the view's base table.
+
+    Groups whose count reaches zero leave the view (a full rebuild
+    would not contain them); a group first seen in the feed enters it.
+    The merge is a union + one group-sized hash agg — associative, so
+    feeds compose: advancing by f1 then f2 equals advancing by the
+    concatenated feed (count/sum algebra)."""
+    num_old = F.expr("try_cast(old_value as double)")
+    num_new = F.expr("try_cast(new_value as double)")
+    rm = feed.filter(F.col("op").isin("D", "U")).select(
+        F.col(group_col),
+        F.lit(-1).cast("long").alias("n_cells"),
+        F.when(num_old.isNotNull(), F.lit(-1).cast("long"))
+        .otherwise(F.lit(0).cast("long")).alias("n_numeric"),
+        F.coalesce(-F.round(num_old * 10000).cast("long"),
+                   F.lit(0).cast("long")).alias("sum_micro"))
+    ad = feed.filter(F.col("op").isin("I", "U")).select(
+        F.col(group_col),
+        F.lit(1).cast("long").alias("n_cells"),
+        F.when(num_new.isNotNull(), F.lit(1).cast("long"))
+        .otherwise(F.lit(0).cast("long")).alias("n_numeric"),
+        F.coalesce(F.round(num_new * 10000).cast("long"),
+                   F.lit(0).cast("long")).alias("sum_micro"))
+    return (
+        view.select(group_col, "n_cells", "n_numeric", "sum_micro")
+        .unionByName(rm).unionByName(ad)
+        .groupBy(group_col)
+        .agg(F.sum("n_cells").cast("long").alias("n_cells"),
+             F.sum("n_numeric").cast("long").alias("n_numeric"),
+             F.sum("sum_micro").cast("long").alias("sum_micro"))
+        .filter(F.col("n_cells") > 0))

@@ -80,6 +80,8 @@ _ALL_PAIRS.update({
                            snapshot_q.oracle_scd2_event_history()),
     "state_changefeed": (snapshot_q.q_state_changefeed,
                          snapshot_q.oracle_state_changefeed()),
+    "agg_view_advance": (snapshot_q.q_agg_view_advance,
+                         snapshot_q.oracle_agg_view_advance()),
     "sketch_set_cardinalities": (snapshot_q.q_sketch_set_cardinalities,
                                  snapshot_q.oracle_sketch_set_cardinalities()),
 })

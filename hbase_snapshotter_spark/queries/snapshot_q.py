@@ -939,3 +939,74 @@ def oracle_sketch_set_cardinalities() -> str:
                                     WHERE a.event_type = t.event_type)) AS n_b_only
     FROM types t
     """
+
+
+def q_agg_view_advance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate-view maintenance (N84): the per-qualifier
+    aggregate view (cell count, numeric count, exact micro-unit sum)
+    materialized at the mid-month snapshot, then ADVANCED to "now"
+    using only the N50 changefeed between the two states — no rescan
+    of the T2 base table.  The full-rebuild-vs-advanced equality rides
+    in-hash as ``advance_consistent`` (the ``incremental_consistent``
+    flag pattern, sentinel row included so an empty view could not
+    hide a divergence).  The oracle replays the FULL rebuild at T2 —
+    matching values prove the IVM algebra, the flag proves the
+    advance path produced them."""
+    from hbase_snapshotter_spark.cache import scoped_persist
+    from hbase_snapshotter_spark.operators.snapshot import (
+        advance_aggregate_view,
+        aggregate_view,
+        state_changefeed,
+    )
+
+    log = scoped_persist(
+        events_as_changelog(read_table(spark, sf_dir, "events")))
+    t1 = scoped_persist(latest_cells(log, SNAPSHOT_TS_MS).select(
+        "row_key", "qualifier", "value"))
+    t2 = scoped_persist(latest_cells(log, None).select(
+        "row_key", "qualifier", "value"))
+    feed = state_changefeed(t1, t2)
+    advanced = scoped_persist(
+        advance_aggregate_view(aggregate_view(t1), feed))
+    full = aggregate_view(t2)
+
+    cols = ["qualifier", "n_cells", "n_numeric", "sum_micro"]
+    sym = advanced.select(*cols).exceptAll(full.select(*cols)) \
+        .unionByName(full.select(*cols).exceptAll(advanced.select(*cols)))
+    flag = sym.agg((F.count(F.lit(1)) == 0).alias("advance_consistent"))
+    out = advanced.select(
+        "qualifier", "n_cells", "n_numeric",
+        (F.col("sum_micro").cast("double") / 10000).alias("sum_value"))
+    sentinel = flag.select(
+        F.lit(None).cast("string").alias("qualifier"),
+        F.lit(None).cast("long").alias("n_cells"),
+        F.lit(None).cast("long").alias("n_numeric"),
+        F.lit(None).cast("double").alias("sum_value"),
+        "advance_consistent")
+    return (out.crossJoin(F.broadcast(flag)).unionByName(sentinel)
+            .orderBy("qualifier"))
+
+
+def oracle_agg_view_advance() -> str:
+    return """
+WITH t2 AS (
+  SELECT row_key, qualifier, value FROM (
+    SELECT CAST(user_id AS VARCHAR) AS row_key,
+           event_type AS qualifier,
+           CAST(value AS VARCHAR) AS value,
+           ROW_NUMBER() OVER (PARTITION BY CAST(user_id AS VARCHAR), event_type
+                              ORDER BY epoch_ms(ts) DESC, CAST(value AS VARCHAR) DESC) AS rn
+    FROM events
+  ) WHERE rn = 1)
+SELECT qualifier,
+       COUNT(*) AS n_cells,
+       COUNT(TRY_CAST(value AS DOUBLE)) AS n_numeric,
+       CAST(COALESCE(SUM(CAST(ROUND(TRY_CAST(value AS DOUBLE) * 10000) AS BIGINT)), 0)
+            AS DOUBLE) / 10000 AS sum_value,
+       TRUE AS advance_consistent
+FROM t2 GROUP BY qualifier
+UNION ALL
+SELECT CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS DOUBLE), TRUE
+ORDER BY qualifier
+"""

@@ -603,3 +603,55 @@ def test_cms_error_envelope_across_decades(spark, n_distinct):
         if (r["est_cnt"] - (r["t"] or 0)) * CMS_WIDTH
         <= CMS_BOUND_NUM * n_total)
     assert within / len(rows) >= 0.95, f"{within}/{len(rows)}"
+
+
+def test_aggregate_view_advance_hand_computed(spark):
+    """N84 IVM algebra on a hand-built feed: insert adds, delete
+    subtracts the OLD contribution, update does both, a group whose
+    count hits zero LEAVES the view, a group first seen in the feed
+    ENTERS it, non-numeric values count cells but not sums — and
+    advancing by two feeds sequentially equals advancing by their
+    concatenation (associativity, the property that lets feeds
+    batch)."""
+    from hbase_snapshotter_spark.operators.snapshot import (
+        advance_aggregate_view,
+        aggregate_view,
+    )
+
+    state = spark.createDataFrame(
+        [("r1", "click", "2.5"), ("r2", "click", "1.5"),
+         ("r1", "buy", "10.0"), ("r1", "note", "hello")],
+        "row_key string, qualifier string, value string")
+    view0 = aggregate_view(state)
+    got0 = {r.qualifier: (r.n_cells, r.n_numeric, r.sum_micro)
+            for r in view0.collect()}
+    assert got0 == {"click": (2, 2, 40000), "buy": (1, 1, 100000),
+                    "note": (1, 0, 0)}
+
+    feed_schema = ("row_key string, qualifier string, op string, "
+                   "old_value string, new_value string")
+    f1 = spark.createDataFrame(
+        [("r3", "click", "I", None, "4.0"),      # insert
+         ("r1", "click", "U", "2.5", "3.0"),     # update
+         ("r1", "buy", "D", "10.0", None),       # delete → group exits
+         ("r9", "view", "I", None, "7.25")],     # new group enters
+        feed_schema)
+    f2 = spark.createDataFrame(
+        [("r2", "click", "D", "1.5", None),
+         ("r9", "view", "U", "7.25", "not_a_number")],  # numeric → not
+        feed_schema)
+
+    v1 = advance_aggregate_view(view0, f1)
+    v2 = advance_aggregate_view(v1, f2)
+    got = {r.qualifier: (r.n_cells, r.n_numeric, r.sum_micro)
+           for r in v2.collect()}
+    assert got == {
+        "click": (2, 2, 70000),   # 3.0 + 4.0
+        "note": (1, 0, 0),
+        "view": (1, 0, 0),        # value became non-numeric
+    }
+    assert "buy" not in got       # count reached zero → left the view
+
+    both = advance_aggregate_view(view0, f1.unionByName(f2))
+    assert sorted(map(tuple, both.collect())) == \
+        sorted(map(tuple, v2.collect()))

@@ -87,6 +87,8 @@ def main() -> int:
                                         # flag attaches
         "zorder_layout_audit",          # 1-row grid-bounds attach (the
                                         # min/max the Morton grid spans)
+        "agg_view_advance",             # 1-row advance_consistent flag
+                                        # attach (N84 IVM equality)
         "scd2_event_history",           # 1-row advance_consistent flag
                                         # attach (N54 equality flag)
         "mmr_diverse_topk",             # broadcast query scoring (the
