@@ -135,6 +135,9 @@ class BatchDirCompactor:
         tmp = os.path.join(self.root, f"__compact_tmp={new_wm}")
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
+        # subtables may be empty (full-state maintainers retain by
+        # deletion only) — the generation dir then holds just _DONE
+        os.makedirs(tmp, exist_ok=True)
         prev_gen = self._generations()
         for sub in self.subtables:
             srcs = []

@@ -853,3 +853,96 @@ def test_heavy_hitters_retention_bounds_dirs(spark, tmp_path):
     m_ret.process_batch(
         spark.createDataFrame([(t,) for t in batches[0]], "item string"), 0)
     assert sorted(os.listdir(str(tmp_path / "ret"))) == before
+
+
+def test_sketch_state_maintenance_streamed_equals_batch_bit_for_bit(
+        spark, event_stream_dir, tmp_path):
+    """Continuous sketch-state maintenance (N85): advancing the
+    DDSketch quantile state AND the CMS state through a real
+    readStream replay yields, after the last micro-batch, EXACTLY the
+    state a single batch build over everything produces — bit for bit,
+    because the bucket-sum merge is lossless — and a full re-delivery
+    run over the existing state changes nothing (bucket-sum is not
+    idempotent; the done-marker guard is the correctness line)."""
+    from hbase_snapshotter_spark.operators.sketches import (
+        cms_state,
+        quantile_state,
+    )
+    from hbase_snapshotter_spark.streaming.sketch_stream import (
+        maintain_sketch_state,
+    )
+    from hbase_snapshotter_spark.streaming.windows import replay_stream
+
+    src = spark.read.parquet(event_stream_dir)
+    rows = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+
+    lanes = {
+        "dd": (lambda df: quantile_state(df, "value",
+                                         group_cols=["event_type"]),
+               ["event_type", "bucket"],
+               quantile_state(src, "value", group_cols=["event_type"])),
+        "cms": (lambda df: cms_state(df, "event_type", group_cols=[]),
+                ["depth", "bucket"],
+                cms_state(src, "event_type", group_cols=[])),
+    }
+    for name, (builder, keys, batch_state) in lanes.items():
+        state_dir = str(tmp_path / f"{name}_state")
+
+        def run(ckpt):
+            stream = replay_stream(spark, event_stream_dir, src.schema,
+                                   max_files_per_trigger=1)
+            q, m = maintain_sketch_state(
+                stream, state_dir, builder, keys,
+                checkpointLocation=str(tmp_path / ckpt), availableNow=True)
+            q.awaitTermination(120)
+            return m
+
+        m = run(f"{name}_ckpt1")
+        assert rows(m.state(spark)) == rows(batch_state), name
+        m2 = run(f"{name}_ckpt2")  # full re-delivery: no re-application
+        assert rows(m2.state(spark)) == rows(batch_state), name
+
+
+def test_sketch_state_retention_bounds_dirs(spark, tmp_path):
+    """N78 on the sketch maintainer: expired full-state dirs delete
+    outright (each is subsumed by every newer state), the dir count
+    stays bounded, the final state equals the unbounded run's, and a
+    re-delivered expired batch id is a no-op."""
+    import os
+
+    from hbase_snapshotter_spark.operators.sketches import quantile_state
+    from hbase_snapshotter_spark.streaming.sketch_stream import (
+        SketchStateMaintainer,
+    )
+
+    N, KEEP = 14, 3
+    batches = [
+        spark.createDataFrame(
+            [("g", float(1 + (7 * i + j) % 9)) for j in range(6)],
+            "event_type string, value double")
+        for i in range(N)]
+    builder = lambda df: quantile_state(  # noqa: E731
+        df, "value", group_cols=["event_type"])
+    keys = ["event_type", "bucket"]
+
+    def run(root, retention):
+        m = SketchStateMaintainer(str(root), builder, keys,
+                                  retention=retention)
+        for i, b in enumerate(batches):
+            m.process_batch(b, i)
+        return m
+
+    rows = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    m_ret = run(tmp_path / "ret", KEEP)
+    m_ref = run(tmp_path / "ref", None)
+    assert rows(m_ret.state(spark)) == rows(m_ref.state(spark))
+
+    live = [d for d in os.listdir(str(tmp_path / "ret"))
+            if d.startswith("batch=")]
+    assert len(live) <= KEEP + 1
+
+    before_state = rows(m_ret.state(spark))
+    before_dirs = sorted(os.listdir(str(tmp_path / "ret")))
+    m_ret.process_batch(batches[0], 0)  # re-delivered expired id
+    assert rows(m_ret.state(spark)) == before_state
+    assert sorted(os.listdir(str(tmp_path / "ret"))) == before_dirs
