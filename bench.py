@@ -93,6 +93,7 @@ HEADLINE_R7 = [
     "source_vocab_drift",
     "range_layout_audit",  # r8: equi-depth vs fixed-width layout
     "agg_view_advance",    # r8: IVM advance + rebuild-equality flag
+    "batching_padding_audit",  # r8: padded-batching economics
     "constraint_audit_suite",
     "embedding_truncation_audit",
     "dedup_cluster_representatives",

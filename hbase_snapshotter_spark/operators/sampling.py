@@ -527,3 +527,60 @@ def epoch_replicate(
         out.withColumn("copy_idx",
                        F.explode(F.sequence(F.lit(1), F.col("__n"))))
         .drop("__n"))
+
+
+def batch_padding_audit(
+    df: DataFrame,
+    *,
+    id_col: str,
+    token_count_col: str,
+    batch_size: int,
+    num_shards: int = 8,
+) -> DataFrame:
+    """Padded-batching economics, measured (SURVEY §2.3 N86): when
+    sequences CANNOT be packed (inference serving, encoder batches,
+    any fixed-shape kernel), a batch pads every member to its longest
+    — so batch composition, not token count, sets the FLOP bill.  One
+    row per policy: ``arrival`` batches in key order, ``length_sorted``
+    batches after sorting by length within the shard — same documents,
+    same batch size, and the padding fraction collapses because
+    same-length neighbors share a max.
+
+    Both lanes use the :func:`pack_sequences` scale shape: documents
+    shard by key hash (deterministic, coordination-free) and the
+    row-number window runs per shard — ``num_shards``-way parallel,
+    never a one-partition global sort.  Everything after the window is
+    a two-level hash agg (per-batch, then per-policy).  All arithmetic
+    is exact integers; the padding fraction is the 4-dp half-up
+    rational both engines share."""
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(token_count_col).cast("long").alias("__tc"),
+    ).withColumn("__shard", hash_bucket("__id") % num_shards)
+
+    def lane(policy: str, order_cols: list) -> DataFrame:
+        w = Window.partitionBy("__shard").orderBy(*order_cols)
+        rn = F.row_number().over(w) - 1
+        bid = ((rn - F.pmod(rn, F.lit(batch_size))) / batch_size).cast("long")
+        per_batch = (
+            base.withColumn("__b", bid)
+            .groupBy("__shard", "__b")
+            .agg(F.count(F.lit(1)).alias("__n"),
+                 F.max("__tc").alias("__mx"),
+                 F.sum("__tc").alias("__sum")))
+        return per_batch.agg(
+            F.count(F.lit(1)).alias("n_batches"),
+            F.sum("__sum").cast("long").alias("total_tokens"),
+            F.sum(F.col("__n") * F.col("__mx")).cast("long")
+            .alias("padded_tokens"),
+        ).select(F.lit(policy).alias("policy"), "n_batches",
+                 "total_tokens", "padded_tokens")
+
+    out = lane("arrival", [F.col("__id")]).unionByName(
+        lane("length_sorted", [F.col("__tc"), F.col("__id")]))
+    num = (F.col("padded_tokens") - F.col("total_tokens")).cast("long")
+    den = F.col("padded_tokens").cast("long")
+    a = 20000 * num + den
+    frac = (((a - F.pmod(a, 2 * den)) / (2 * den))
+            .cast("long").cast("double") / 10000)
+    return out.withColumn("padding_frac", frac).orderBy("policy")

@@ -4413,3 +4413,68 @@ def _oracle_mmr_ivfpq() -> str:
 PAIRS.update({
     "mmr_ivfpq_topk": (mmr_ivfpq_topk, _oracle_mmr_ivfpq()),
 })
+
+
+#: N86 batching-audit geometry: 16-doc batches over 8 hash shards.
+BATCH_PAD_SIZE, BATCH_PAD_SHARDS = 16, 8
+
+
+def batching_padding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padded-batching economics (N86): the same documents batched two
+    ways — arrival order vs length-sorted within the shard — and the
+    padding bill each policy pays, measured in one plan.  Packing
+    (N19) eliminates padding when cross-document attention can be
+    masked; this audit covers the OTHER regime (inference serving,
+    encoder batches, fixed-shape kernels) where a batch pads every
+    member to its longest and composition sets the FLOP bill.  The
+    oracle replays the shard hash, both row-number assignments, and
+    the exact integer padding arithmetic."""
+    from hbase_snapshotter_spark.operators.sampling import (
+        batch_padding_audit,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", F.size(tokens(F.col("text"))).alias("n_tokens"))
+    return batch_padding_audit(
+        docs, id_col="doc_id", token_count_col="n_tokens",
+        batch_size=BATCH_PAD_SIZE, num_shards=BATCH_PAD_SHARDS)
+
+
+def _oracle_batch_padding() -> str:
+    B, S = BATCH_PAD_SIZE, BATCH_PAD_SHARDS
+    lane = """
+  SELECT '{policy}' AS policy,
+         CAST(COUNT(*) AS BIGINT) AS n_batches,
+         CAST(SUM(s) AS BIGINT) AS total_tokens,
+         CAST(SUM(n * mx) AS BIGINT) AS padded_tokens
+  FROM (
+    SELECT shard, (rn - rn % {B}) // {B} AS b,
+           COUNT(*) AS n, MAX(tc) AS mx, SUM(tc) AS s
+    FROM (
+      SELECT shard, tc,
+             ROW_NUMBER() OVER (PARTITION BY shard ORDER BY {order}) - 1
+               AS rn
+      FROM d)
+    GROUP BY 1, 2)"""
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS tc,
+         (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+          % 1000) % {S} AS shard
+  FROM documents),
+lanes AS (
+  ({lane.format(policy='arrival', order='doc_id', B=B)})
+  UNION ALL
+  ({lane.format(policy='length_sorted', order='tc, doc_id', B=B)}))
+SELECT policy, n_batches, total_tokens, padded_tokens,
+       CAST((20000 * (padded_tokens - total_tokens) + padded_tokens)
+            // (2 * padded_tokens) AS DOUBLE) / 10000 AS padding_frac
+FROM lanes ORDER BY policy
+"""
+
+
+PAIRS.update({
+    "batching_padding_audit": (batching_padding_audit,
+                               _oracle_batch_padding()),
+})

@@ -2260,3 +2260,22 @@ def test_repetition_overlap_runs_hotter_than_gopher(spark):
     gopher_mass = round(9 / 11, 4)
     assert row["dup5_char_frac"] > gopher_mass  # strictly hotter
     assert row["repetition_flagged"] is True    # both countings flag it
+
+
+def test_batch_padding_length_sorted_beats_arrival(spark, sf_dir):
+    """N86's point, asserted: over the same documents, shards, and
+    batch size, length-sorted batching pays a strictly smaller padding
+    fraction than arrival-order batching (same-length neighbors share
+    a max), while both lanes conserve the token totals and batch
+    counts (padding changes the BILL, never the content)."""
+    from hbase_snapshotter_spark.queries.llm import batching_padding_audit
+
+    rows = {r.policy: r for r in
+            batching_padding_audit(spark, sf_dir).collect()}
+    assert set(rows) == {"arrival", "length_sorted"}
+    a, s = rows["arrival"], rows["length_sorted"]
+    assert a.total_tokens == s.total_tokens
+    assert a.n_batches == s.n_batches
+    assert s.padded_tokens < a.padded_tokens
+    assert s.padding_frac < a.padding_frac
+    assert 0.0 <= s.padding_frac < a.padding_frac < 1.0
