@@ -94,6 +94,7 @@ HEADLINE_R7 = [
     "range_layout_audit",  # r8: equi-depth vs fixed-width layout
     "agg_view_advance",    # r8: IVM advance + rebuild-equality flag
     "batching_padding_audit",  # r8: padded-batching economics
+    "events_ohlc_bars",    # r8: OHLC bars, deterministic open/close
     "constraint_audit_suite",
     "embedding_truncation_audit",
     "dedup_cluster_representatives",

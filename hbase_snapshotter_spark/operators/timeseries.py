@@ -247,3 +247,54 @@ def ewma_smooth(
         dev.alias("dev_micro"),
         (F.lit(EWMA_DEV_DIV) * F.abs(dev) >= F.col("__s.__e"))
         .alias("is_excursion"))
+
+
+def ohlc_bars(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    value_col: str,
+    group_cols: list[str],
+    bucket_ms: int,
+    id_col: str,
+) -> DataFrame:
+    """OHLC time bars (SURVEY §2.3 N87): per (group, bucket) the
+    opening / highest / lowest / closing value plus count and exact
+    micro-unit sum — the candlestick rollup every monitoring and
+    market-data pipeline derives first (TimescaleDB ``candlestick_agg``,
+    kdb bar builds).
+
+    Open and close are ORDER-dependent where high/low are not — and
+    ``min_by``/``max_by`` are non-deterministic under timestamp ties.
+    Both are therefore computed as ``min(struct(ts, id, value))`` /
+    ``max(struct(ts, id, value))`` with the unique ``id_col`` inside
+    the ordering: total order, deterministic under any parallelism,
+    and the SQL oracle replays it as a row-number pick.  ONE hash
+    aggregation with map-side partials — the shuffle carries
+    ≤ groups × buckets struct rows, never events."""
+    b = time_bucket(ts_col, bucket_ms).alias("bucket")
+    ts_ms = F.unix_millis(F.col(ts_col))
+    v = F.col(value_col).cast("double")
+    vid = F.col(id_col).cast("long")
+    micro = F.round(v * 10000).cast("long")
+    first = F.min(F.struct(ts_ms.alias("t"), vid.alias("i"),
+                           v.alias("v"))).alias("__first")
+    last = F.max(F.struct(ts_ms.alias("t"), vid.alias("i"),
+                          v.alias("v"))).alias("__last")
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(*group_cols, b)
+        .agg(first, last,
+             F.round(F.max(v), 4).alias("high"),
+             F.round(F.min(v), 4).alias("low"),
+             F.count(F.lit(1)).alias("n_events"),
+             F.sum(micro).cast("long").alias("__sum_micro"))
+        .select(
+            *group_cols, "bucket",
+            F.round(F.col("__first.v"), 4).alias("open"),
+            "high", "low",
+            F.round(F.col("__last.v"), 4).alias("close"),
+            "n_events",
+            (F.col("__sum_micro").cast("double") / 10000)
+            .alias("sum_value"))
+    )

@@ -960,3 +960,52 @@ ORDER BY pb.event_type, pb.method, pb.bucket
 PAIRS.update({
     "range_layout_audit": (range_layout_audit, _oracle_range_layout()),
 })
+
+
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC time bars over the event stream (N87): per (event_type,
+    30-min bucket) the open/high/low/close with count and exact sum —
+    open/close deterministic under timestamp ties via the
+    struct-ordering pick (ts, event_id, value).  The oracle replays
+    the pick as row-number-1 in both directions."""
+    from hbase_snapshotter_spark.operators.timeseries import ohlc_bars
+
+    ev = read_table(spark, sf_dir, "events") \
+        .select("event_id", "event_type", "ts", "value")
+    return ohlc_bars(
+        ev, ts_col="ts", value_col="value", group_cols=["event_type"],
+        bucket_ms=RESAMPLE_BUCKET_MS, id_col="event_id") \
+        .orderBy("event_type", "bucket")
+
+
+def _oracle_ohlc_bars() -> str:
+    W = RESAMPLE_BUCKET_MS
+    return f"""
+WITH v AS (
+  SELECT event_type,
+         CAST(FLOOR(epoch_ms(ts) / {W}) AS BIGINT) * {W} AS bucket,
+         epoch_ms(ts) AS t, event_id, CAST(value AS DOUBLE) AS val,
+         ROW_NUMBER() OVER (PARTITION BY event_type,
+                            CAST(FLOOR(epoch_ms(ts) / {W}) AS BIGINT)
+                            ORDER BY epoch_ms(ts), event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY event_type,
+                            CAST(FLOOR(epoch_ms(ts) / {W}) AS BIGINT)
+                            ORDER BY epoch_ms(ts) DESC, event_id DESC)
+           AS rn_d
+  FROM events WHERE value IS NOT NULL)
+SELECT event_type, bucket,
+       ROUND(MAX(CASE WHEN rn_a = 1 THEN val END), 4) AS open,
+       ROUND(MAX(val), 4) AS high,
+       ROUND(MIN(val), 4) AS low,
+       ROUND(MAX(CASE WHEN rn_d = 1 THEN val END), 4) AS close,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(val * 10000) AS BIGINT)) AS DOUBLE) / 10000
+         AS sum_value
+FROM v GROUP BY 1, 2
+ORDER BY event_type, bucket
+"""
+
+
+PAIRS.update({
+    "events_ohlc_bars": (events_ohlc_bars, _oracle_ohlc_bars()),
+})

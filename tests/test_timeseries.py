@@ -110,3 +110,34 @@ def test_rolling_stats_hand_computed(spark):
 def test_rolling_stats_window_guard():
     with pytest.raises(ValueError, match="window_buckets"):
         rolling_stats(None, group_cols=["g"], window_buckets=1)
+
+
+def test_ohlc_bars_tie_break_and_bounds(spark):
+    """OHLC on a hand-built bucket with a timestamp TIE at the open
+    and at the close: the struct-ordering pick resolves both by
+    event_id (total order — any parallelism yields this answer), and
+    low <= open/close <= high always."""
+    from pyspark.sql import functions as F
+
+    from hbase_snapshotter_spark.operators.timeseries import ohlc_bars
+
+    rows = [
+        # (event_id, type, ts, value) — one 30-min bucket, tie at both ends
+        (2, "g", "2024-01-01 10:00:00", 5.0),
+        (1, "g", "2024-01-01 10:00:00", 3.0),   # tie: id 1 wins open
+        (3, "g", "2024-01-01 10:05:00", 9.0),
+        (5, "g", "2024-01-01 10:10:00", 1.0),
+        (4, "g", "2024-01-01 10:10:00", 7.0),   # tie: id 5 wins close
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts_s string, value double"
+    ).select("event_id", "event_type",
+             F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    out = ohlc_bars(df, ts_col="ts", value_col="value",
+                    group_cols=["event_type"], bucket_ms=30 * 60 * 1000,
+                    id_col="event_id").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.open, r.high, r.low, r.close) == (3.0, 9.0, 1.0, 1.0)
+    assert r.n_events == 5 and abs(r.sum_value - 25.0) < 1e-9
+    assert r.low <= r.open <= r.high and r.low <= r.close <= r.high
