@@ -95,6 +95,7 @@ HEADLINE_R7 = [
     "agg_view_advance",    # r8: IVM advance + rebuild-equality flag
     "batching_padding_audit",  # r8: padded-batching economics
     "events_ohlc_bars",    # r8: OHLC bars, deterministic open/close
+    "events_topk_advance", # r8: monotone top-k state advance
     "constraint_audit_suite",
     "embedding_truncation_audit",
     "dedup_cluster_representatives",

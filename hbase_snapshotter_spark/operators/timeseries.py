@@ -298,3 +298,50 @@ def ohlc_bars(
             (F.col("__sum_micro").cast("double") / 10000)
             .alias("sum_value"))
     )
+
+
+def topk_state(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    id_col: str,
+    score_col: str,
+    k: int,
+) -> DataFrame:
+    """Per-group exact top-k as MAINTAINABLE state (SURVEY §2.3 N88):
+    ``row_number`` over (score desc, id asc) filtered to ``rank ≤ k``.
+    The rank filter is written as a post-window predicate precisely
+    because Catalyst rewrites it to ``WindowGroupLimit`` — a MAP-SIDE
+    partial top-k per input partition before the shuffle (plan-pinned
+    by pytest), so the exchange carries ≤ partitions × k rows per
+    group, never the group's events: the scale-correct exact form
+    (collect_list-based top-k holds whole groups in memory).  The
+    unique id inside the ordering makes the pick total and
+    deterministic under ties."""
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc())
+    return (df.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def advance_topk_state(
+    prior: DataFrame,
+    delta: DataFrame,
+    *,
+    group_cols: list[str],
+    id_col: str,
+    score_col: str,
+    k: int,
+) -> DataFrame:
+    """Advance a top-k state with ONLY insert deltas: union the
+    (k × groups)-row prior with the delta and re-take the top-k.
+    Sound because top-k is MONOTONE under inserts — a row outside the
+    prior top-k is dominated by k rows that all survive into every
+    later input, so it can never re-enter (deletes break this; a
+    deleting pipeline recomputes from the N50 changefeed's before
+    images instead).  Cost per advance: the delta scan + a
+    WindowGroupLimit over delta ∪ k·groups rows — never a rescan of
+    history."""
+    return topk_state(
+        prior.drop("rank").unionByName(delta),
+        group_cols=group_cols, id_col=id_col, score_col=score_col, k=k)

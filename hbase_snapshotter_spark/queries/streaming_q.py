@@ -1009,3 +1009,72 @@ ORDER BY event_type, bucket
 PAIRS.update({
     "events_ohlc_bars": (events_ohlc_bars, _oracle_ohlc_bars()),
 })
+
+
+TOPK_STATE_K = 5
+
+
+def events_topk_advance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental per-group top-k (N88): the top-5 event values per
+    type materialized at the mid-month snapshot, advanced to "now"
+    with only the post-snapshot INSERT delta — monotone, so the
+    advanced state must equal the full rebuild, and that equality
+    rides in-hash as ``advance_consistent`` (sentinel row included).
+    The oracle replays the full rebuild's row-number pick."""
+    from hbase_snapshotter_spark.cache import scoped_persist
+    from hbase_snapshotter_spark.operators.timeseries import (
+        advance_topk_state,
+        topk_state,
+    )
+    from hbase_snapshotter_spark.queries.snapshot_q import SNAPSHOT_TS_MS
+
+    kw = dict(group_cols=["event_type"], id_col="event_id",
+              score_col="value", k=TOPK_STATE_K)
+    ev = scoped_persist(
+        read_table(spark, sf_dir, "events")
+        .select("event_id", "event_type", "ts", "value")
+        .filter(F.col("value").isNotNull())
+        .withColumn("__ms", F.unix_millis("ts")))
+    cols = ["event_id", "event_type", "value"]
+    prior = topk_state(ev.filter(F.col("__ms") <= SNAPSHOT_TS_MS)
+                       .select(*cols), **kw)
+    delta = ev.filter(F.col("__ms") > SNAPSHOT_TS_MS).select(*cols)
+    advanced = scoped_persist(advance_topk_state(prior, delta, **kw))
+    full = topk_state(ev.select(*cols), **kw)
+
+    out_cols = ["event_type", "rank", "event_id", "value"]
+    sym = advanced.select(*out_cols).exceptAll(full.select(*out_cols)) \
+        .unionByName(full.select(*out_cols)
+                     .exceptAll(advanced.select(*out_cols)))
+    flag = sym.agg((F.count(F.lit(1)) == 0).alias("advance_consistent"))
+    sentinel = flag.select(
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("int").alias("rank"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+        "advance_consistent")
+    return (advanced.select(*out_cols)
+            .crossJoin(F.broadcast(flag)).unionByName(sentinel)
+            .orderBy("event_type", "rank"))
+
+
+def _oracle_topk_advance() -> str:
+    return f"""
+WITH r AS (
+  SELECT event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rank
+  FROM events WHERE value IS NOT NULL)
+SELECT event_type, CAST(rank AS INTEGER) AS rank, event_id, value,
+       TRUE AS advance_consistent
+FROM r WHERE rank <= {TOPK_STATE_K}
+UNION ALL
+SELECT CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER),
+       CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), TRUE
+ORDER BY event_type, rank
+"""
+
+
+PAIRS.update({
+    "events_topk_advance": (events_topk_advance, _oracle_topk_advance()),
+})

@@ -361,3 +361,14 @@ def test_bm25_indexed_plan_serves_from_pruned_postings(spark, sf_dir):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     # the term pruning predicate reaches the postings scan side
     assert "term" in plan and "IN (" in plan.replace("in (", "IN (")
+
+
+def test_topk_state_plans_as_window_group_limit(spark, sf_dir):
+    """N88's scale claim, plan-pinned: the rank-≤-k filter rewrites to
+    WindowGroupLimit — a MAP-SIDE partial top-k per input partition
+    BEFORE the shuffle — so the exchange carries ≤ partitions × k rows
+    per group, never the group's events.  The one BNLJ is the 1-row
+    advance_consistent flag attach."""
+    plan = explain(spark, "events_topk_advance", sf_dir)
+    assert "WindowGroupLimit" in plan
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1

@@ -89,6 +89,8 @@ def main() -> int:
                                         # min/max the Morton grid spans)
         "agg_view_advance",             # 1-row advance_consistent flag
                                         # attach (N84 IVM equality)
+        "events_topk_advance",          # 1-row advance_consistent flag
+                                        # attach (N88 top-k equality)
         "scd2_event_history",           # 1-row advance_consistent flag
                                         # attach (N54 equality flag)
         "mmr_diverse_topk",             # broadcast query scoring (the
