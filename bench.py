@@ -96,6 +96,7 @@ HEADLINE_R7 = [
     "batching_padding_audit",  # r8: padded-batching economics
     "events_ohlc_bars",    # r8: OHLC bars, deterministic open/close
     "events_topk_advance", # r8: monotone top-k state advance
+    "mixture_temperature_rates",  # r8: tau-tempered source shares
     "constraint_audit_suite",
     "embedding_truncation_audit",
     "dedup_cluster_representatives",

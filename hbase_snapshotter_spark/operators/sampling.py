@@ -584,3 +584,43 @@ def batch_padding_audit(
     frac = (((a - F.pmod(a, 2 * den)) / (2 * den))
             .cast("long").cast("double") / 10000)
     return out.withColumn("padding_frac", frac).orderBy("policy")
+
+
+def temperature_mixture_rates(
+    df: DataFrame,
+    *,
+    source_col: str,
+    weight_col: str | None = None,
+    tau: float = 0.7,
+) -> DataFrame:
+    """Temperature-scaled source mixture (SURVEY §2.3 N89): per
+    source, the raw mass share, the τ-tempered share
+    ``n^τ / Σ n^τ``, and the implied up/down-sampling factor — the
+    multilingual-sampling standard (Conneau & Lample 2019; the XLM-R /
+    mT5 recipe): τ < 1 flattens the source distribution so rare
+    sources are not drowned, without the uniform extreme τ = 0.
+
+    N22 (`mixture_sample`) APPLIES given per-source rates; this
+    DERIVES them from measured sizes — compose by feeding
+    ``round(1000·upsample_factor)`` capped at 1000 into N22 and the
+    excess over 1 into N77 epoch replication.  One hash aggregation to
+    a sources-sized table, then per-row arithmetic on that table; the
+    pow term is rounded at 6 dp before the normalizing divide and all
+    shares at 4 dp, the float-determinism posture the engines share."""
+    w = (F.count(F.lit(1)) if weight_col is None
+         else F.sum(F.col(weight_col).cast("long")))
+    sizes = df.groupBy(source_col).agg(w.cast("long").alias("n_mass"))
+    tot = sizes.agg(F.sum("n_mass").alias("__tot"),
+                    F.round(F.sum(F.round(F.pow(F.col("n_mass")
+                                                .cast("double"), tau), 6)),
+                            6).alias("__totw"))
+    out = sizes.crossJoin(F.broadcast(tot))
+    pw = F.round(F.pow(F.col("n_mass").cast("double"), tau), 6)
+    share_raw = F.col("n_mass") / F.col("__tot")
+    share_temp = pw / F.col("__totw")
+    return out.select(
+        source_col, "n_mass",
+        F.round(share_raw, 4).alias("share_raw"),
+        F.round(share_temp, 4).alias("share_temp"),
+        F.round(share_temp / share_raw, 4).alias("upsample_factor"),
+    ).orderBy(source_col)

@@ -4478,3 +4478,51 @@ PAIRS.update({
     "batching_padding_audit": (batching_padding_audit,
                                _oracle_batch_padding()),
 })
+
+
+MIX_TEMP_TAU = 0.7
+
+
+def mixture_temperature_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture derivation (N89): per source, token
+    mass, raw share, τ-tempered share, and the implied up/down-sample
+    factor — the rates that N22/N77 would then APPLY.  One hash agg to
+    a sources-sized table; oracle replays the pow/normalize/round
+    chain."""
+    from hbase_snapshotter_spark.operators.sampling import (
+        temperature_mixture_rates,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("source", F.size(tokens(F.col("text"))).alias("n_tokens"))
+    return temperature_mixture_rates(
+        docs, source_col="source", weight_col="n_tokens",
+        tau=MIX_TEMP_TAU)
+
+
+def _oracle_mixture_temperature() -> str:
+    return f"""
+WITH sz AS (
+  SELECT source,
+         CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS n_mass
+  FROM documents GROUP BY source),
+t AS (
+  SELECT SUM(n_mass) AS tot,
+         ROUND(SUM(ROUND(POWER(CAST(n_mass AS DOUBLE), {MIX_TEMP_TAU}), 6)),
+               6) AS totw
+  FROM sz)
+SELECT source, n_mass,
+       ROUND(CAST(n_mass AS DOUBLE) / tot, 4) AS share_raw,
+       ROUND(ROUND(POWER(CAST(n_mass AS DOUBLE), {MIX_TEMP_TAU}), 6) / totw,
+             4) AS share_temp,
+       ROUND((ROUND(POWER(CAST(n_mass AS DOUBLE), {MIX_TEMP_TAU}), 6) / totw)
+             / (CAST(n_mass AS DOUBLE) / tot), 4) AS upsample_factor
+FROM sz, t
+ORDER BY source
+"""
+
+
+PAIRS.update({
+    "mixture_temperature_rates": (mixture_temperature_rates,
+                                  _oracle_mixture_temperature()),
+})

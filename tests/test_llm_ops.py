@@ -2279,3 +2279,30 @@ def test_batch_padding_length_sorted_beats_arrival(spark, sf_dir):
     assert s.padded_tokens < a.padded_tokens
     assert s.padding_frac < a.padding_frac
     assert 0.0 <= s.padding_frac < a.padding_frac < 1.0
+
+
+def test_temperature_mixture_flattens_toward_uniform(spark):
+    """N89 semantics on a hand-built skew: τ=1 reproduces the raw
+    shares, τ=0 is uniform, and 0<τ<1 sits strictly between — rare
+    sources gain (factor > 1), dominant sources shed (factor < 1),
+    and tempered shares still sum to ~1."""
+    from hbase_snapshotter_spark.operators.sampling import (
+        temperature_mixture_rates,
+    )
+
+    df = spark.createDataFrame(
+        [("big",)] * 900 + [("mid",)] * 90 + [("small",)] * 10,
+        "source string")
+    for tau, check in (
+        (1.0, lambda r: abs(r["big"].share_temp - 0.9) < 1e-9),
+        (0.0, lambda r: abs(r["big"].share_temp - 1 / 3) < 1e-3),
+        (0.7, lambda r: 1 / 3 < r["big"].share_temp < 0.9),
+    ):
+        rows = {r.source: r for r in temperature_mixture_rates(
+            df, source_col="source", tau=tau).collect()}
+        assert check(rows), tau
+        assert abs(sum(r.share_temp for r in rows.values()) - 1.0) < 1e-2
+    rows = {r.source: r for r in temperature_mixture_rates(
+        df, source_col="source", tau=0.7).collect()}
+    assert rows["small"].upsample_factor > 1.0
+    assert rows["big"].upsample_factor < 1.0
