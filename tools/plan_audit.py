@@ -91,6 +91,8 @@ def main() -> int:
                                         # attach (N84 IVM equality)
         "events_topk_advance",          # 1-row advance_consistent flag
                                         # attach (N88 top-k equality)
+        "mixture_temperature_rates",    # 1-row totals attach onto the
+                                        # sources-sized table (N89)
         "scd2_event_history",           # 1-row advance_consistent flag
                                         # attach (N54 equality flag)
         "mmr_diverse_topk",             # broadcast query scoring (the
