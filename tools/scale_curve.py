@@ -577,11 +577,32 @@ def operators():
 
         return epoch_replicated_mix(spark, d)
 
+    def _q(name):
+        # round-8 registered queries take (spark, sf_dir) directly
+        def run(spark, d):
+            import hbase_snapshotter_spark.queries.llm as llm
+            import hbase_snapshotter_spark.queries.snapshot_q as sq
+            import hbase_snapshotter_spark.queries.streaming_q as stq
+
+            for mod in (llm, stq):
+                if name in mod.PAIRS:
+                    return mod.PAIRS[name][0](spark, d)
+            return getattr(sq, f"q_{name}")(spark, d)
+        return run
+
     # ORDER MATTERS: cheap ops first, heap-heavy LSH ops last.  A
     # sub-2s measurement taken right after a ~100s candidate-join run
     # inherits its JVM heap bloat / GC debt — measured 1.35s → 12.5s on
     # latest_cells_multi when it followed embedding_near_dup_lsh.
     return {
+        # round-8 additions (cheap, bucket-table-sized tails)
+        "ohlc_bars": _q("events_ohlc_bars"),
+        "topk_advance": _q("events_topk_advance"),
+        "range_layout": _q("range_layout_audit"),
+        "agg_view_advance": _q("agg_view_advance"),
+        "padding_audit": _q("batching_padding_audit"),
+        "temperature_mixture": _q("mixture_temperature_rates"),
+        "mmr_ivfpq": _q("mmr_ivfpq_topk"),
         "repetition_signals": run_repetition,
         "hard_negatives": run_hard_negatives,
         "cms_freq": run_cms,
@@ -862,6 +883,10 @@ def clustered_ann_report(spark) -> dict:
 
 
 def main() -> int:
+    # measure the approximate paths' real cost, not their in-query
+    # exact-baseline recall probes (the bench convention; the
+    # correctness gate always runs with probes ON)
+    os.environ.setdefault("SPARK_GRAFT_RECALL_PROBE", "0")
     skip_100x = "--skip-100x" in sys.argv
     lsh_only = "--lsh-geometry" in sys.argv
     clustered_only = "--clustered-ann" in sys.argv
