@@ -334,14 +334,25 @@ def advance_topk_state(
     k: int,
 ) -> DataFrame:
     """Advance a top-k state with ONLY insert deltas: union the
-    (k × groups)-row prior with the delta and re-take the top-k.
+    (k × groups)-row prior with the delta, collapse duplicates of the
+    same (group, id) to their MAX score, and re-take the top-k.
     Sound because top-k is MONOTONE under inserts — a row outside the
     prior top-k is dominated by k rows that all survive into every
     later input, so it can never re-enter (deletes break this; a
     deleting pipeline recomputes from the N50 changefeed's before
-    images instead).  Cost per advance: the delta scan + a
-    WindowGroupLimit over delta ∪ k·groups rows — never a rescan of
-    history."""
+    images instead).
+
+    The max-collapse makes the advance IDEMPOTENT — a re-delivered
+    delta whose rows the state already holds changes nothing (without
+    it, a literal duplicate row takes its own rank and shifts every
+    rank below it) — and gives re-sent ids upsert-by-max semantics.
+    Cost per advance: the delta scan + one map-side-combined hash agg
+    + a WindowGroupLimit over delta ∪ k·groups rows — never a rescan
+    of history."""
+    merged = (
+        prior.drop("rank").unionByName(delta)
+        .groupBy(*group_cols, id_col)
+        .agg(F.max(F.col(score_col)).alias(score_col)))
     return topk_state(
-        prior.drop("rank").unionByName(delta),
-        group_cols=group_cols, id_col=id_col, score_col=score_col, k=k)
+        merged, group_cols=group_cols, id_col=id_col,
+        score_col=score_col, k=k)

@@ -946,3 +946,51 @@ def test_sketch_state_retention_bounds_dirs(spark, tmp_path):
     m_ret.process_batch(batches[0], 0)  # re-delivered expired id
     assert rows(m_ret.state(spark)) == before_state
     assert sorted(os.listdir(str(tmp_path / "ret"))) == before_dirs
+
+
+def test_topk_maintenance_streamed_equals_batch_and_idempotent(
+        spark, event_stream_dir, tmp_path):
+    """N88 streaming form: a readStream replay advances the per-group
+    top-k state; the final state equals the batch top-k over
+    everything, a full re-delivery changes nothing, and — the
+    algebraic claim — re-applying an ALREADY-REFLECTED delta directly
+    (guard bypassed) is a no-op by idempotence, not just by marker."""
+    from pyspark.sql import functions as F
+
+    from hbase_snapshotter_spark.operators.timeseries import (
+        advance_topk_state,
+        topk_state,
+    )
+    from hbase_snapshotter_spark.streaming.topk_stream import maintain_topk
+    from hbase_snapshotter_spark.streaming.windows import replay_stream
+
+    src = spark.read.parquet(event_stream_dir) \
+        .filter(F.col("value").isNotNull())
+    kw = dict(group_cols=["event_type"], id_col="event_id",
+              score_col="value", k=4)
+    state_dir = str(tmp_path / "topk_state")
+    rows = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+
+    def run(ckpt):
+        stream = replay_stream(spark, event_stream_dir, src.schema,
+                               max_files_per_trigger=1) \
+            .filter(F.col("value").isNotNull())
+        q, m = maintain_topk(
+            stream, state_dir, **kw,
+            checkpointLocation=str(tmp_path / ckpt), availableNow=True)
+        q.awaitTermination(120)
+        return m
+
+    m = run("ckpt1")
+    want = rows(topk_state(
+        src.select("event_type", "event_id", "value"), **kw))
+    assert rows(m.state(spark)) == want
+    m2 = run("ckpt2")  # full re-delivery through the maintainer
+    assert rows(m2.state(spark)) == want
+
+    # idempotence proper: re-advance the final state by a slice it
+    # already contains — bit-identical, no guard involved
+    readv = advance_topk_state(
+        m.state(spark),
+        src.select("event_type", "event_id", "value").limit(200), **kw)
+    assert rows(readv) == want
