@@ -97,6 +97,7 @@ HEADLINE_R7 = [
     "events_ohlc_bars",    # r8: OHLC bars, deterministic open/close
     "events_topk_advance", # r8: monotone top-k state advance
     "mixture_temperature_rates",  # r8: tau-tempered source shares
+    "epoch_shuffle_stats", # r8: epoch shuffle interleaving audit
     "constraint_audit_suite",
     "embedding_truncation_audit",
     "dedup_cluster_representatives",

@@ -624,3 +624,61 @@ def temperature_mixture_rates(
         F.round(share_temp, 4).alias("share_temp"),
         F.round(share_temp / share_raw, 4).alias("upsample_factor"),
     ).orderBy(source_col)
+
+
+def epoch_shuffle_audit(
+    df: DataFrame,
+    *,
+    id_col: str,
+    source_col: str,
+    epoch: int,
+    num_shards: int = 8,
+) -> DataFrame:
+    """Deterministic training-order shuffle + interleaving audit
+    (SURVEY §2.3 N90): the per-epoch order key is the md5 of the id
+    salted with the epoch tag — a reproducible pseudo-random
+    permutation per epoch (same everywhere, different across epochs;
+    the purpose-salt convention of N22), realized as a SORT KEY the
+    writer orders by, never a materialized global sort here.
+
+    The audit half measures what the shuffle is FOR — that no source
+    forms long contiguous runs in training order: per source, the doc
+    count, the longest same-source run, and the mean permille position
+    (≈500 everywhere = sources spread evenly).  Run lengths come from
+    the gaps-and-islands difference of two row_numbers; ALL windows
+    partition by the hash shard (``num_shards``-way parallel, the
+    `pack_sequences` discipline — a global order audit would be a
+    one-partition sort).  Positions and means are exact integers."""
+    base = df.select(
+        F.col(id_col).alias("__id"), F.col(source_col).alias("source"),
+    ).withColumn("__okey", F.md5(F.concat(
+        F.coalesce(F.col("__id").cast("string"), F.lit("\x00NULL")),
+        F.lit(f"#epoch{epoch}")))) \
+        .withColumn("__shard", hash_bucket("__id") % num_shards)
+    w_all = Window.partitionBy("__shard").orderBy("__okey")
+    w_src = Window.partitionBy("__shard", "source").orderBy("__okey")
+    pos = F.row_number().over(w_all)
+    island = (pos - F.row_number().over(w_src)).alias("__island")
+    shard_n = F.count(F.lit(1)).over(Window.partitionBy("__shard"))
+    ranked = base.select(
+        "source", "__shard", island,
+        pos.alias("__pos"), shard_n.alias("__n"))
+    runs = ranked.groupBy("source", "__shard", "__island").agg(
+        F.count(F.lit(1)).alias("__run"))
+    per_source_runs = runs.groupBy("source").agg(
+        F.max("__run").cast("long").alias("max_run_len"))
+    # mean permille position: exact integer half-up over per-row
+    # permille = (1000·pos - pmod(1000·pos, n)) / n
+    pm = ((1000 * F.col("__pos")
+           - F.pmod(1000 * F.col("__pos"), F.col("__n"))) / F.col("__n")) \
+        .cast("long")
+    per_source_pos = ranked.withColumn("__pm", pm).groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__pm").cast("long").alias("__pm_sum"))
+    a = 2 * F.col("__pm_sum") + F.col("n_docs")
+    mean_pm = (((a - F.pmod(a, 2 * F.col("n_docs")))
+                / (2 * F.col("n_docs"))).cast("long"))
+    return (per_source_pos.join(per_source_runs, "source")
+            .select("source", "n_docs", mean_pm.alias("mean_permille_pos"),
+                    "max_run_len")
+            .orderBy("source"))

@@ -4526,3 +4526,63 @@ PAIRS.update({
     "mixture_temperature_rates": (mixture_temperature_rates,
                                   _oracle_mixture_temperature()),
 })
+
+
+EPOCH_SHUFFLE_EPOCH, EPOCH_SHUFFLE_SHARDS = 1, 8
+
+
+def epoch_shuffle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle + interleaving audit (N90): per
+    source the count, mean permille position in shuffled order
+    (≈500 = evenly spread), and the longest same-source run.  The
+    oracle replays the salted order key, the sharded gaps-and-islands
+    run decomposition, and the integer position arithmetic."""
+    from hbase_snapshotter_spark.operators.sampling import (
+        epoch_shuffle_audit,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "source")
+    return epoch_shuffle_audit(
+        docs, id_col="doc_id", source_col="source",
+        epoch=EPOCH_SHUFFLE_EPOCH, num_shards=EPOCH_SHUFFLE_SHARDS)
+
+
+def _oracle_epoch_shuffle() -> str:
+    E, S = EPOCH_SHUFFLE_EPOCH, EPOCH_SHUFFLE_SHARDS
+    return f"""
+WITH d AS (
+  SELECT source,
+         md5(CAST(doc_id AS VARCHAR) || '#epoch{E}') AS okey,
+         (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+          % 1000) % {S} AS shard
+  FROM documents),
+r AS (
+  SELECT source, shard,
+         ROW_NUMBER() OVER (PARTITION BY shard ORDER BY okey) AS pos,
+         ROW_NUMBER() OVER (PARTITION BY shard ORDER BY okey)
+           - ROW_NUMBER() OVER (PARTITION BY shard, source ORDER BY okey)
+           AS island,
+         COUNT(*) OVER (PARTITION BY shard) AS n
+  FROM d),
+runs AS (
+  SELECT source, MAX(run) AS max_run_len FROM (
+    SELECT source, shard, island, COUNT(*) AS run
+    FROM r GROUP BY 1, 2, 3)
+  GROUP BY source),
+pos AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         SUM((1000 * pos) // n) AS pm_sum
+  FROM r GROUP BY source)
+SELECT pos.source, pos.n_docs,
+       CAST((2 * pos.pm_sum + pos.n_docs) // (2 * pos.n_docs) AS BIGINT)
+         AS mean_permille_pos,
+       CAST(runs.max_run_len AS BIGINT) AS max_run_len
+FROM pos JOIN runs USING (source)
+ORDER BY pos.source
+"""
+
+
+PAIRS.update({
+    "epoch_shuffle_stats": (epoch_shuffle_stats, _oracle_epoch_shuffle()),
+})

@@ -2306,3 +2306,30 @@ def test_temperature_mixture_flattens_toward_uniform(spark):
         df, source_col="source", tau=0.7).collect()}
     assert rows["small"].upsample_factor > 1.0
     assert rows["big"].upsample_factor < 1.0
+
+
+def test_epoch_shuffle_interleaves_and_differs_across_epochs(spark):
+    """N90 semantics: on a block-ordered input (all of source A first,
+    then B), the shuffled order spreads both sources (mean positions
+    near 500 permille, max run far below the block length), the
+    shuffle is reproducible (same epoch → identical stats), and a
+    different epoch produces a DIFFERENT permutation (stats differ)."""
+    from hbase_snapshotter_spark.operators.sampling import (
+        epoch_shuffle_audit,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "A" if i < 400 else "B") for i in range(800)],
+        "doc_id long, source string")
+    kw = dict(id_col="doc_id", source_col="source", num_shards=4)
+    rows = lambda e: {r.source: r for r in  # noqa: E731
+                      epoch_shuffle_audit(df, epoch=e, **kw).collect()}
+    e1 = rows(1)
+    for src in ("A", "B"):
+        assert e1[src].n_docs == 400
+        assert 350 <= e1[src].mean_permille_pos <= 650, src
+        assert e1[src].max_run_len < 50, src  # blocks of 400 broken up
+    assert {k: tuple(v) for k, v in rows(1).items()} == \
+        {k: tuple(v) for k, v in e1.items()}        # reproducible
+    e2 = rows(2)
+    assert any(tuple(e2[s]) != tuple(e1[s]) for s in ("A", "B"))
