@@ -98,6 +98,7 @@ HEADLINE_R7 = [
     "events_topk_advance", # r8: monotone top-k state advance
     "mixture_temperature_rates",  # r8: tau-tempered source shares
     "epoch_shuffle_stats", # r8: epoch shuffle interleaving audit
+    "event_transition_matrix",  # r8: Markov path summary
     "constraint_audit_suite",
     "embedding_truncation_audit",
     "dedup_cluster_representatives",

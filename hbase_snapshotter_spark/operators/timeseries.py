@@ -356,3 +356,46 @@ def advance_topk_state(
     return topk_state(
         merged, group_cols=group_cols, id_col=id_col,
         score_col=score_col, k=k)
+
+
+def transition_matrix(
+    df: DataFrame,
+    *,
+    key_col: str,
+    state_col: str,
+    ts_col: str,
+    id_col: str,
+) -> DataFrame:
+    """First-order transition matrix over per-key event sequences
+    (SURVEY §2.3 N91): for every ordered pair of consecutive states
+    within a key's timeline, the transition count and the
+    row-normalized probability — the Markov-chain summary behind path
+    analysis, next-event prediction baselines, and funnel-free journey
+    views (the N-step generalization of what the funnel hard-codes).
+
+    The ``lag`` window partitions by KEY — parallelism is the key
+    count, partition size is one key's event count (the same bound
+    every per-key window in the engine rides) — and orders by
+    (ts, id): the unique id breaks timestamp ties so the sequence, and
+    with it the matrix, is deterministic under any parallelism.
+    Everything after the lag is a hash agg to ≤ |states|² rows +
+    a broadcast join of row totals; probabilities are exact-integer
+    permille (half-up), so the SQL oracle replays bit-for-bit."""
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc())
+    pairs = (
+        df.select(key_col, ts_col, id_col,
+                  F.col(state_col).alias("to_state"))
+        .withColumn("from_state", F.lag("to_state").over(w))
+        .filter(F.col("from_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions")))
+    totals = pairs.groupBy("from_state").agg(
+        F.sum("n_transitions").alias("__row_total"))
+    a = 2000 * F.col("n_transitions") + F.col("__row_total")
+    prob = ((a - F.pmod(a, 2 * F.col("__row_total")))
+            / (2 * F.col("__row_total"))).cast("long")
+    return (pairs.join(F.broadcast(totals), "from_state")
+            .select("from_state", "to_state", "n_transitions",
+                    prob.alias("prob_permille"))
+            .orderBy("from_state", "to_state"))

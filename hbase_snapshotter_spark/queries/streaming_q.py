@@ -1078,3 +1078,48 @@ ORDER BY event_type, rank
 PAIRS.update({
     "events_topk_advance": (events_topk_advance, _oracle_topk_advance()),
 })
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix (N91): over each
+    user's (ts, event_id)-ordered event sequence, the count and
+    exact-permille probability of every consecutive (from → to) state
+    pair — the Markov-chain path summary the funnel hard-codes one
+    path of.  Oracle replays the per-user lag and the integer
+    arithmetic."""
+    from hbase_snapshotter_spark.operators.timeseries import (
+        transition_matrix,
+    )
+
+    ev = read_table(spark, sf_dir, "events") \
+        .select("user_id", "event_id", "event_type", "ts")
+    return transition_matrix(
+        ev, key_col="user_id", state_col="event_type", ts_col="ts",
+        id_col="event_id")
+
+
+def _oracle_transition_matrix() -> str:
+    return """
+WITH s AS (
+  SELECT user_id, event_type AS to_state,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_ms(ts), event_id)
+           AS from_state
+  FROM events),
+p AS (
+  SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS n_transitions
+  FROM s WHERE from_state IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT from_state, SUM(n_transitions) AS row_total
+      FROM p GROUP BY from_state)
+SELECT p.from_state, p.to_state, p.n_transitions,
+       CAST((2000 * p.n_transitions + t.row_total)
+            // (2 * t.row_total) AS BIGINT) AS prob_permille
+FROM p JOIN t USING (from_state)
+ORDER BY p.from_state, p.to_state
+"""
+
+
+PAIRS.update({
+    "event_transition_matrix": (event_transition_matrix,
+                                _oracle_transition_matrix()),
+})

@@ -141,3 +141,41 @@ def test_ohlc_bars_tie_break_and_bounds(spark):
     assert (r.open, r.high, r.low, r.close) == (3.0, 9.0, 1.0, 1.0)
     assert r.n_events == 5 and abs(r.sum_value - 25.0) < 1e-9
     assert r.low <= r.open <= r.high and r.low <= r.close <= r.high
+
+
+def test_transition_matrix_hand_computed(spark):
+    """N91 on a hand-built sequence with a timestamp tie: the tie
+    breaks by event_id (deterministic sequence), probabilities are
+    row-normalized exact permille, and single-event users contribute
+    no transitions."""
+    from pyspark.sql import functions as F
+
+    from hbase_snapshotter_spark.operators.timeseries import (
+        transition_matrix,
+    )
+
+    rows = [
+        # u1: A -> B -> B -> C   (tie at 10:05 broken by id: 3 then 4)
+        (1, 1, "A", "2024-01-01 10:00:00"),
+        (3, 1, "B", "2024-01-01 10:05:00"),
+        (4, 1, "B", "2024-01-01 10:05:00"),
+        (5, 1, "C", "2024-01-01 10:10:00"),
+        # u2: A -> B
+        (6, 2, "A", "2024-01-01 09:00:00"),
+        (7, 2, "B", "2024-01-01 09:30:00"),
+        # u3: singleton — no transitions
+        (8, 3, "A", "2024-01-01 08:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_s string"
+    ).select("event_id", "user_id", "event_type",
+             F.col("ts_s").cast("timestamp").alias("ts"))
+    got = {(r.from_state, r.to_state): (r.n_transitions, r.prob_permille)
+           for r in transition_matrix(
+               df, key_col="user_id", state_col="event_type",
+               ts_col="ts", id_col="event_id").collect()}
+    assert got == {
+        ("A", "B"): (2, 1000),
+        ("B", "B"): (1, 500),
+        ("B", "C"): (1, 500),
+    }
