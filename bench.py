@@ -99,6 +99,7 @@ HEADLINE_R7 = [
     "mixture_temperature_rates",  # r8: tau-tempered source shares
     "epoch_shuffle_stats", # r8: epoch shuffle interleaving audit
     "event_transition_matrix",  # r8: Markov path summary
+    "event_top_paths",     # r8: top user journeys
     "constraint_audit_suite",
     "embedding_truncation_audit",
     "dedup_cluster_representatives",

@@ -399,3 +399,43 @@ def transition_matrix(
             .select("from_state", "to_state", "n_transitions",
                     prob.alias("prob_permille"))
             .orderBy("from_state", "to_state"))
+
+
+def top_paths(
+    df: DataFrame,
+    *,
+    key_col: str,
+    state_col: str,
+    ts_col: str,
+    id_col: str,
+    steps: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k most frequent ``steps``-long consecutive state paths
+    across all key timelines (SURVEY §2.3 N92) — the product-analytics
+    "top user journeys" view; :func:`transition_matrix` is its
+    2-step marginal.
+
+    ``steps-1`` lag expressions over ONE per-key window pass (same
+    deterministic (ts, id) ordering and per-key partition bound as the
+    matrix), a hash agg to ≤ |states|^steps rows, then
+    ``orderBy(...).limit(k)`` — which Spark plans as
+    TakeOrderedAndProject (per-partition top-k, no global sort
+    materialization).  The ordering includes the path itself so ties
+    at the count boundary resolve identically on every engine."""
+    if steps < 2:
+        raise ValueError(f"steps must be >= 2, got {steps}")
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc())
+    base = df.select(key_col, ts_col, id_col,
+                     F.col(state_col).alias("step_1"))
+    for i in range(1, steps):
+        base = base.withColumn(
+            f"step_{i + 1}", F.lead("step_1", i).over(w))
+    path_cols = [f"step_{i + 1}" for i in range(steps)]
+    return (
+        base.dropna(subset=path_cols[-1:])
+        .groupBy(*path_cols)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
+        .orderBy(F.col("n_paths").desc(), *path_cols)
+        .limit(k))

@@ -1123,3 +1123,45 @@ PAIRS.update({
     "event_transition_matrix": (event_transition_matrix,
                                 _oracle_transition_matrix()),
 })
+
+
+PATHS_STEPS, PATHS_K = 3, 20
+
+
+def event_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most frequent 3-step event paths (N92): the "top user
+    journeys" product-analytics view; the transition matrix (N91) is
+    its 2-step marginal.  Deterministic tie-break (count desc, then
+    path) so the limit is engine-stable; oracle replays the double
+    lead and the ordered limit."""
+    from hbase_snapshotter_spark.operators.timeseries import top_paths
+
+    ev = read_table(spark, sf_dir, "events") \
+        .select("user_id", "event_id", "event_type", "ts")
+    return top_paths(
+        ev, key_col="user_id", state_col="event_type", ts_col="ts",
+        id_col="event_id", steps=PATHS_STEPS, k=PATHS_K)
+
+
+def _oracle_top_paths() -> str:
+    return f"""
+WITH s AS (
+  SELECT event_type AS step_1,
+         LEAD(event_type, 1) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_ms(ts), event_id)
+           AS step_2,
+         LEAD(event_type, 2) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_ms(ts), event_id)
+           AS step_3
+  FROM events)
+SELECT step_1, step_2, step_3, CAST(COUNT(*) AS BIGINT) AS n_paths
+FROM s WHERE step_3 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n_paths DESC, step_1, step_2, step_3
+LIMIT {PATHS_K}
+"""
+
+
+PAIRS.update({
+    "event_top_paths": (event_top_paths, _oracle_top_paths()),
+})

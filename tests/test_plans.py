@@ -372,3 +372,11 @@ def test_topk_state_plans_as_window_group_limit(spark, sf_dir):
     plan = explain(spark, "events_topk_advance", sf_dir)
     assert "WindowGroupLimit" in plan
     assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
+
+
+def test_top_paths_plans_as_take_ordered(spark, sf_dir):
+    """N92: the ordered limit plans as TakeOrderedAndProject —
+    per-partition top-k, no global sort materialization — and the
+    only window is the per-key lead pass."""
+    plan = explain(spark, "event_top_paths", sf_dir)
+    assert "TakeOrderedAndProject" in plan
