@@ -100,6 +100,7 @@ HEADLINE_R7 = [
     "epoch_shuffle_stats", # r8: epoch shuffle interleaving audit
     "event_transition_matrix",  # r8: Markov path summary
     "event_top_paths",     # r8: top user journeys
+    "event_session_stats", # r8: sessionization economics
     "constraint_audit_suite",
     "embedding_truncation_audit",
     "dedup_cluster_representatives",

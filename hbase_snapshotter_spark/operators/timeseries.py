@@ -439,3 +439,61 @@ def top_paths(
         .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
         .orderBy(F.col("n_paths").desc(), *path_cols)
         .limit(k))
+
+
+def session_stats(
+    df: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    gap_ms: int,
+) -> DataFrame:
+    """Batch sessionization summary (SURVEY §2.3 N93): split each
+    key's timeline into sessions at inactivity gaps > ``gap_ms``
+    (the gaps-and-islands cumulative-sum form — session id = running
+    count of gap-opening events), then reduce to ONE row of
+    engine-wide session economics: session count, single-event
+    ("bounce") sessions in exact permille, and 4-dp means of events
+    per session and session span.
+
+    The streaming suite's session WINDOW aggregates each session's
+    rows; this is the other half — the cross-session distribution a
+    product dashboard heads with.  Two per-key window passes (lag +
+    running sum; partition = one key's events, the standard bound),
+    one hash agg per session (≤ sessions rows), one 1-row final agg.
+    Means are micro-unit-exact rationals rounded half-up so the
+    oracle replays them bit-for-bit."""
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc())
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ms = F.unix_millis(F.col(ts_col))
+    prev = F.lag("__ms").over(w)
+    sessions = (
+        df.select(key_col, ts_col, id_col)
+        .withColumn("__ms", ms)
+        .withColumn(
+            "__open",
+            F.when(prev.isNull() | ((F.col("__ms") - prev) > gap_ms), 1)
+            .otherwise(0))
+        .withColumn("__sid", F.sum("__open").over(wr))
+        .groupBy(key_col, "__sid")
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"),
+             (F.max("__ms") - F.min("__ms")).alias("__span_ms")))
+
+    def round4(num, den):
+        a = 20000 * num + den
+        return (((a - F.pmod(a, 2 * den)) / (2 * den))
+                .cast("long").cast("double") / 10000)
+
+    n_sessions = F.count(F.lit(1)).cast("long")
+    bounces = F.sum(F.when(F.col("__n") == 1, 1).otherwise(0)).cast("long")
+    b = 2000 * bounces + n_sessions
+    return sessions.agg(
+        n_sessions.alias("n_sessions"),
+        ((b - F.pmod(b, 2 * n_sessions)) / (2 * n_sessions)).cast("long")
+        .alias("bounce_permille"),
+        round4(F.sum("__n").cast("long"), n_sessions)
+        .alias("avg_events_per_session"),
+        round4(F.sum("__span_ms").cast("long"), n_sessions * 1000)
+        .alias("avg_span_s"))

@@ -1165,3 +1165,60 @@ LIMIT {PATHS_K}
 PAIRS.update({
     "event_top_paths": (event_top_paths, _oracle_top_paths()),
 })
+
+
+SESSION_GAP_MS = 30 * 60 * 1000
+
+
+def event_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization economics (N93): sessions split at 30-min
+    inactivity gaps per user (gaps-and-islands running sum), reduced
+    to one row — session count, bounce permille, mean events per
+    session, mean span.  The streaming suite's session window
+    aggregates WITHIN sessions; this is the cross-session distribution.
+    Oracle replays the lag, the running sum, and the exact-integer
+    means."""
+    from hbase_snapshotter_spark.operators.timeseries import session_stats
+
+    ev = read_table(spark, sf_dir, "events") \
+        .select("user_id", "event_id", "ts")
+    return session_stats(ev, key_col="user_id", ts_col="ts",
+                         id_col="event_id", gap_ms=SESSION_GAP_MS)
+
+
+def _oracle_session_stats() -> str:
+    G = SESSION_GAP_MS
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+         LAG(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_ms(ts), event_id) AS prev
+  FROM events),
+o AS (
+  SELECT user_id, event_id, ms,
+         CASE WHEN prev IS NULL OR ms - prev > {G} THEN 1 ELSE 0 END
+           AS opens
+  FROM e),
+sid AS (
+  SELECT user_id, ms,
+         SUM(opens) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                          ROWS UNBOUNDED PRECEDING) AS s
+  FROM o),
+sess AS (
+  SELECT user_id, s, CAST(COUNT(*) AS BIGINT) AS n,
+         MAX(ms) - MIN(ms) AS span_ms
+  FROM sid GROUP BY 1, 2)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST((2000 * SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) + COUNT(*))
+            // (2 * COUNT(*)) AS BIGINT) AS bounce_permille,
+       CAST((20000 * SUM(n) + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
+         / 10000 AS avg_events_per_session,
+       CAST((20000 * SUM(span_ms) + COUNT(*) * 1000)
+            // (2 * COUNT(*) * 1000) AS DOUBLE) / 10000 AS avg_span_s
+FROM sess
+"""
+
+
+PAIRS.update({
+    "event_session_stats": (event_session_stats, _oracle_session_stats()),
+})

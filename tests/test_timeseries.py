@@ -179,3 +179,33 @@ def test_transition_matrix_hand_computed(spark):
         ("B", "B"): (1, 500),
         ("B", "C"): (1, 500),
     }
+
+
+def test_session_stats_hand_computed(spark):
+    """N93 on a hand-built timeline: gap splits exactly at the
+    threshold boundary (> gap opens, == gap does not), bounces
+    counted, spans and means exact."""
+    from pyspark.sql import functions as F
+
+    from hbase_snapshotter_spark.operators.timeseries import session_stats
+
+    rows = [
+        # u1: one 3-event session (gaps 10 min, exactly 30 min), then
+        # a 31-min gap opens session 2 (single event = bounce)
+        (1, 1, "2024-01-01 10:00:00"),
+        (2, 1, "2024-01-01 10:10:00"),
+        (3, 1, "2024-01-01 10:40:00"),
+        (4, 1, "2024-01-01 11:11:00"),
+        # u2: one singleton session (bounce)
+        (5, 2, "2024-01-01 09:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_s string"
+    ).select("event_id", "user_id",
+             F.col("ts_s").cast("timestamp").alias("ts"))
+    r = session_stats(df, key_col="user_id", ts_col="ts",
+                      id_col="event_id", gap_ms=30 * 60 * 1000).head()
+    assert r.n_sessions == 3
+    assert r.bounce_permille == 667          # 2/3 half-up
+    assert abs(r.avg_events_per_session - 1.6667) < 1e-9
+    assert abs(r.avg_span_s - 800.0) < 1e-9  # (2400 + 0 + 0) / 3
