@@ -27,6 +27,7 @@ docs (they contribute ~0 to Jaccard specificity but O(df²) join rows).
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -50,9 +51,17 @@ def spread(df: DataFrame) -> DataFrame:
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
         n_files = len(df.inputFiles())
-    except Exception:  # non-file source (in-memory fixtures): leave as-is
-        return df
-    if 0 < n_files < target:
+    except AnalysisException:
+        n_files = 0  # unresolvable lineage: fall through to the split probe
+    if n_files >= target:
+        return df  # enough file splits: untouched, no planner call
+    if 0 < n_files:
+        return df.repartition(target)
+    # inputFiles() == [] for non-file sources (in-memory fixtures,
+    # createDataFrame) rather than raising — those still deserve the
+    # fan-out (ADVICE r8), so fall back to the physical split count for
+    # this shape only (the planner cost lands solely on non-file inputs).
+    if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
 

@@ -85,7 +85,7 @@ class DriftMonitor:
         self.retention = retention
         self._compactor = BatchDirCompactor(
             state_dir, subtables=("hist", "verdict"),
-            done_subpath="verdict",
+            done_subpath=os.path.join("verdict", "_DONE"),
             keep_last=retention if retention else 8,
             aggregate={"hist": lambda df: df
                        .groupBy(*group_cols, "bucket")
@@ -111,8 +111,13 @@ class DriftMonitor:
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         out = os.path.join(self.state_dir, f"batch={batch_id}")
+        # The re-delivery guard keys on verdict/_DONE, which lands LAST
+        # (below) — never on the verdict dir itself, which Spark creates
+        # at write START, so a crash mid-verdict-write must look
+        # incomplete and re-deliver (ADVICE r8): the batch then re-runs
+        # end-to-end and overwrites both tables byte-for-byte.
         if self._compactor.is_compacted(batch_id) \
-                or os.path.exists(os.path.join(out, "verdict")):
+                or os.path.exists(os.path.join(out, "verdict", "_DONE")):
             return  # re-delivered batch: state already complete, no-op
         hist = value_histogram(batch, self.value_col,
                                group_cols=self.group_cols)
@@ -139,6 +144,11 @@ class DriftMonitor:
             .withColumn("batch_id", F.lit(batch_id)))
         verdict.write.mode("overwrite") \
             .parquet(os.path.join(out, "verdict"))
+        # _DONE lands last: only now is the batch complete for the
+        # re-delivery guard AND the compactor's done check (a partial
+        # verdict dir is never folded into a permanent generation).
+        with open(os.path.join(out, "verdict", "_DONE"), "w") as fh:
+            fh.write("")
         if self.retention:
             self._compactor.compact(spark)
 

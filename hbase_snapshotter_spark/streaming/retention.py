@@ -124,6 +124,19 @@ class BatchDirCompactor:
         """Fold completed batch dirs beyond the retention window into a
         new generation; returns how many batch dirs were folded."""
         wm = self.watermark()
+        # Heal earlier crashes FIRST (a crash between generation publish
+        # and the deletion loop below leaves batch dirs at ids <= the
+        # watermark, which no reader consults and — without this sweep —
+        # no later compaction would ever delete, silently unbounding the
+        # directory count; likewise a __compact_tmp=<wm'> from a crash
+        # before publish would only be removed if wm' exactly recurred).
+        for i, p in self._entries("batch="):
+            if i <= wm:
+                shutil.rmtree(p, ignore_errors=True)
+        for d in os.listdir(self.root):
+            if d.startswith("__compact_tmp"):
+                shutil.rmtree(os.path.join(self.root, d),
+                              ignore_errors=True)
         done = [(i, p) for i, p in self._entries("batch=")
                 if i > wm
                 and os.path.exists(os.path.join(p, self.done_subpath))]

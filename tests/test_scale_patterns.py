@@ -313,3 +313,24 @@ def test_measured_salt_buckets_skewed_vs_balanced(spark):
         skewed, ["key"], [(None, "count", "n"), ("v", "sum", "s")],
         salt_buckets=b, salt_cols=["v"]).collect())
     assert got == want
+
+
+def test_spread_fans_out_non_file_sources(spark):
+    """spread() must fan narrow inputs out to default parallelism for
+    BOTH shapes: few-file parquet (inputFiles probe) and non-file
+    in-memory frames, where inputFiles() returns [] rather than raising
+    (ADVICE r8 — the empty list used to skip the repartition and
+    silently serialize CPU-bound hashing)."""
+    from hbase_snapshotter_spark.operators.dedup import spread
+
+    target = spark.sparkContext.defaultParallelism
+    mem = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(100)],
+        "id long, text string").coalesce(1)
+    assert mem.inputFiles() == []
+    out = spread(mem)
+    assert out.rdd.getNumPartitions() == target
+    assert out.count() == 100
+    # already-wide non-file input: untouched (no extra shuffle)
+    wide = spark.range(1000).repartition(target)
+    assert spread(wide) is wide
