@@ -101,6 +101,7 @@ HEADLINE_R7 = [
     "event_transition_matrix",  # r8: Markov path summary
     "event_top_paths",     # r8: top user journeys
     "event_session_stats", # r8: sessionization economics
+    "topk_delete_advance", # r9: deletion-capable view maintenance
     "constraint_audit_suite",
     "embedding_truncation_audit",
     "dedup_cluster_representatives",
@@ -257,24 +258,75 @@ def main() -> int:
     times_r7 = {name: min(per_pass[name]) for name in HEADLINE_R7}
     cpu_s = {name: _min_wall_cpu(name) for name in all_names}
 
-    out = {
-        "metric": "headline_queries_total",
-        "value": round(sum(times.values()), 3),
-        "unit": "sec",
-        "queries": times,
+    # ------------------------------------------------------------------
+    # Output layout (VERDICT r8 task 1 — noise-proof the artifact):
+    # the driver retains only the LAST ~2000 chars of stdout and parses
+    # the final line, so the FINAL line must be a compact summary that
+    # carries the attribution essentials (per-section wall AND cpu
+    # totals, legacy per-query cpu minima, per-section noise flags);
+    # the bulky per-pass arrays print on an EARLIER line and the full
+    # record is also written to BENCH_LOCAL.json in-repo, so a
+    # co-tenant-inflated driver window is self-diagnosing instead of
+    # looking like a plan regression (r8: unchanged plans "slowed" 5-20x
+    # in BENCH_r08.json while quiet re-runs matched r7).
+    # ------------------------------------------------------------------
+    def _section_stats(section: list[str], mins: dict[str, float]) -> dict:
+        wall = round(sum(mins.values()), 3)
+        cpu = round(sum(cpu_s[n] for n in section), 3)
+        # Per-query cross-pass spread (max/min of per-pass minima): a
+        # plan change moves every pass equally (spread ~1); a co-tenant
+        # load window inflates SOME passes only, so a large median
+        # spread on unchanged plans marks the round's walls as noisy.
+        spreads = sorted(
+            (max(per_pass[n]) / max(min(per_pass[n]), 1e-9))
+            for n in section)
+        spread = round(spreads[len(spreads) // 2], 2)
+        return {
+            "wall": wall,
+            "cpu": cpu,
+            # cpu/wall = effective parallelism; compare ROUND-OVER-ROUND
+            # per section — contention lowers it (wall up, cpu flat)
+            "cpu_over_wall": round(cpu / max(wall, 1e-9), 2),
+            "pass_spread": spread,
+            "noisy": spread > 1.5,
+        }
+
+    sections = {
+        "legacy": _section_stats(HEADLINE, times),
+        "r6": _section_stats(HEADLINE_R6, times_r6),
+        "r7": _section_stats(HEADLINE_R7, times_r7),
+    }
+    detail = {
         "queries_r6": times_r6,
-        "r6_total": round(sum(times_r6.values()), 3),
         "queries_r7": times_r7,
-        "r7_total": round(sum(times_r7.values()), 3),
         "queries_per_pass": per_pass,
         "cpu_s": cpu_s,
         "cpu_s_per_pass": per_pass_cpu,
         "passes": {"legacy": 3, "r6": 2, "r7": 2},
         "reps_per_pass": {"legacy": 3, "r6": 2, "r7": 2},
+    }
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "cpu_queries": {n: cpu_s[n] for n in HEADLINE},
+        "r6_total": sections["r6"]["wall"],
+        "r7_total": sections["r7"]["wall"],
+        "sections": sections,
         "recall_probe_in_bench": os.environ.get("SPARK_GRAFT_RECALL_PROBE") != "0",
+        "detail": "BENCH_LOCAL.json",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    print(json.dumps(out))
+    try:
+        local_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+        with open(local_path, "w") as fh:
+            json.dump({**out, **detail}, fh, indent=1)
+    except OSError:
+        pass  # read-only checkout: stdout still carries everything
+    print(json.dumps(detail))  # bulky line FIRST (truncation-safe)
+    print(json.dumps(out))     # compact summary LAST — the parsed line
     return 0
 
 
