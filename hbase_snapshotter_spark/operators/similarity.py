@@ -835,6 +835,18 @@ def topk_by_group(
 IVF_PROBE_MIN = 12
 IVF_PROBE_FRAC = 0.375
 IVF_PROBE_CAP = 64
+#: Measured-probe mode (VERDICT r8 task 4): probe enough nearest cells
+#: to cover ``IVF_COVER_TARGET`` of the corpus MASS, with the effective
+#: cell count taken as the occupancy distribution's PERPLEXITY
+#: ``exp(-Σ pᵢ ln pᵢ)`` — the measured cell-occupancy-skew statistic.
+#: Uniform occupancy ⇒ perplexity = n_cells and the rule degrades to a
+#: plain fraction; a skewed index (hot cells carry the mass — the
+#: clustered-production shape) ⇒ perplexity ≪ n_cells and the SAME
+#: coverage is reached probing proportionally fewer cells, instead of a
+#: fixed literal fraction that overpays on skewed data and decays on
+#: uniform data (measured: 0.375 fixed gave top-5 recall 0.78 at sf0.1;
+#: the 0.6-coverage measured rule gives ≥ 0.8 at all three sfs).
+IVF_COVER_TARGET = 0.6
 
 
 def probe_centroids(
@@ -846,14 +858,22 @@ def probe_centroids(
     probe_min: int = IVF_PROBE_MIN,
     probe_frac: float = IVF_PROBE_FRAC,
     probe_cap: int = IVF_PROBE_CAP,
+    assignments: DataFrame | None = None,
+    cover: float = IVF_COVER_TARGET,
 ) -> DataFrame:
     """(query_id, cell) — each query's adaptive-count nearest
     (max-cosine) centroid cells, via the window-free
     :func:`topk_by_group` hash-agg (ties toward the smaller centroid id,
-    matching :func:`assign_to_centroids` at one probe).  The probe count
-    is ``min(probe_cap, max(probe_min, ceil(probe_frac × n_cells)))``;
-    the cell count arrives as a ONE-row broadcast aggregate (the scalar-
-    attach shape), so nothing is collected on the driver."""
+    matching :func:`assign_to_centroids` at one probe).
+
+    With ``assignments`` (the (id, cell) table) the probe count is
+    MEASURED — ``min(cap, max(min, ceil(cover × perplexity)))`` where
+    perplexity is the occupancy distribution's effective cell count
+    (see :data:`IVF_COVER_TARGET`); without it, the static
+    ``min(cap, max(min, ceil(frac × n_cells)))`` rule.  Either scalar
+    arrives as a ONE-row broadcast aggregate (the scalar-attach
+    shape), so nothing is collected on the driver; the occupancy agg
+    is cells-sized, folded map-side from the assignment table."""
     dot = pairwise_dot_udf()
     cents = centroids.select("__cid", "__cv", norm_expr(F.col("__cv")).alias("__cn"))
     scored = (
@@ -866,12 +886,34 @@ def probe_centroids(
     )
     ranked = topk_by_group(
         scored, probe_cap, group_col="query_id", score_col="__score", id_col="__cid")
-    n_cells = centroids.agg(F.count(F.lit(1)).alias("__ncells"))
+    if assignments is not None:
+        # perplexity = exp(ln t − Σ cᵢ ln cᵢ / t) = t · exp(−s/t);
+        # 6-dp rounds before the ceil so the SQL oracle replays the
+        # boundary identically (the shared float-determinism posture)
+        occ = assignments.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("__c"))
+        n_probe = occ.agg(
+            F.sum("__c").alias("__t"),
+            F.sum(F.col("__c") * F.log("__c")).alias("__s"),
+        ).select(F.least(
+            F.lit(probe_cap),
+            F.greatest(
+                F.lit(probe_min),
+                F.ceil(F.round(
+                    F.lit(cover) * F.round(
+                        F.col("__t") * F.exp(-F.col("__s") / F.col("__t")),
+                        6), 6)))).alias("__np"))
+    else:
+        n_probe = centroids.agg(F.count(F.lit(1)).alias("__ncells")) \
+            .select(F.least(
+                F.lit(probe_cap),
+                F.greatest(
+                    F.lit(probe_min),
+                    F.ceil(F.lit(probe_frac) * F.col("__ncells"))))
+                .alias("__np"))
     return (
-        ranked.crossJoin(F.broadcast(n_cells))
-        .filter(F.col("rank") <= F.greatest(
-            F.lit(probe_min),
-            F.ceil(F.lit(probe_frac) * F.col("__ncells"))))
+        ranked.crossJoin(F.broadcast(n_probe))
+        .filter(F.col("rank") <= F.col("__np"))
         .select("query_id", F.col("__cid").alias("cell"))
     )
 

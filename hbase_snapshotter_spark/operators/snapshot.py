@@ -581,3 +581,48 @@ def advance_aggregate_view(
              F.sum("n_numeric").cast("long").alias("n_numeric"),
              F.sum("sum_micro").cast("long").alias("sum_micro"))
         .filter(F.col("n_cells") > 0))
+
+
+def recompute_affected_groups(
+    view: DataFrame,
+    base: DataFrame,
+    feed: DataFrame,
+    *,
+    group_cols: list[str],
+    rebuild,
+    ops: tuple[str, ...] = ("D", "U"),
+) -> DataFrame:
+    """Deletion-capable view maintenance (SURVEY §2.3 N94) — the step
+    the algebraic advances cannot take: NON-algebraic per-group views
+    (min/max, top-k, any order statistic) lose information under
+    deletes, so a deleted extremum needs the base table to replace.
+    This closes that gap without a full rebuild:
+
+    - groups the feed touches with an op in ``ops`` are recomputed from
+      ``base`` (the post-feed state) restricted to those groups;
+    - every other group passes through from ``view`` unchanged via an
+      anti-join on the touched-group set.
+
+    ``rebuild``: ``df -> view rows`` — the same function that built the
+    view from the full base (e.g. a :func:`~.operators.timeseries.
+    topk_state` closure).  Default ``ops=("D","U")`` composes with the
+    cheap monotone insert path (``advance_topk_state`` /
+    ``advance_aggregate_view``): run the insert advance first, then
+    this pass overwrites exactly the delete/update-touched groups, so
+    the base re-read is paid only where inserts-only algebra is
+    unsound.  Pass ``ops=("I","U","D")`` to recompute every touched
+    group when no insert path exists.
+
+    Scale shape: the touched-group set is feed-sized (distinct of the
+    delete/update keys — broadcast when small, the common purge shape),
+    the anti-join never shuffles the view when the set broadcasts, and
+    the base scan prunes to touched groups via the semi-join — with a
+    group-partitioned/bucketed base table that is partition pruning,
+    i.e. base I/O ∝ touched groups, never the view's full domain.
+    """
+    touched = (feed.filter(F.col("op").isin(*ops))
+               .select(*group_cols).distinct())
+    kept = view.join(F.broadcast(touched), group_cols, "left_anti")
+    rebuilt = rebuild(base.join(F.broadcast(touched), group_cols,
+                                "left_semi"))
+    return kept.unionByName(rebuilt)

@@ -1010,3 +1010,106 @@ SELECT CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
        CAST(NULL AS DOUBLE), TRUE
 ORDER BY qualifier
 """
+
+
+def q_topk_delete_advance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-capable top-k view maintenance (N94): the per-qualifier
+    top-5 numeric cells materialized at the mid-month snapshot, then
+    advanced to "now" through a changefeed that carries genuine DELETES
+    — a purge of every ``user_id % 7 == 3`` (the GDPR/retention shape)
+    lands as ``D`` ops next to the organic ``I``/``U`` traffic.  The
+    advance composes the two paths: inserts ride the cheap monotone
+    :func:`~.operators.timeseries.advance_topk_state`, then
+    :func:`~.operators.snapshot.recompute_affected_groups` overwrites
+    exactly the delete/update-touched groups from the post-feed base
+    (top-k is NOT algebraic under deletes — a deleted leader needs base
+    rows to replace).  The advanced-vs-full-rebuild equality rides
+    in-hash as ``advance_consistent`` (sentinel row included); the
+    oracle replays the full rebuild at the purged T2 state."""
+    from hbase_snapshotter_spark.cache import scoped_persist
+    from hbase_snapshotter_spark.operators.snapshot import (
+        recompute_affected_groups,
+        state_changefeed,
+    )
+    from hbase_snapshotter_spark.operators.timeseries import (
+        advance_topk_state,
+        topk_state,
+    )
+
+    log = scoped_persist(
+        events_as_changelog(read_table(spark, sf_dir, "events")))
+    t1 = scoped_persist(latest_cells(log, SNAPSHOT_TS_MS).select(
+        "row_key", "qualifier", "value"))
+    purged = F.col("row_key").cast("long") % 7 == 3
+    t2 = scoped_persist(
+        latest_cells(log, None).select("row_key", "qualifier", "value")
+        .filter(~purged))
+
+    def score(df: DataFrame) -> DataFrame:
+        return (df.withColumn("score", F.expr("try_cast(value as double)"))
+                .filter(F.col("score").isNotNull())
+                .select("qualifier", "row_key", "score"))
+
+    def rebuild(df: DataFrame) -> DataFrame:
+        return topk_state(df, group_cols=["qualifier"], id_col="row_key",
+                          score_col="score", k=5)
+
+    feed = scoped_persist(state_changefeed(t1, t2))
+    inserts = (feed.filter(F.col("op") == "I")
+               .select("qualifier", "row_key",
+                       F.expr("try_cast(new_value as double)").alias("score"))
+               .filter(F.col("score").isNotNull()))
+    ins_advanced = advance_topk_state(
+        rebuild(score(t1)), inserts, group_cols=["qualifier"],
+        id_col="row_key", score_col="score", k=5)
+    advanced = scoped_persist(recompute_affected_groups(
+        ins_advanced, score(t2), feed, group_cols=["qualifier"],
+        rebuild=rebuild))
+    full = rebuild(score(t2))
+
+    cols = ["qualifier", "row_key", "score", "rank"]
+    sym = advanced.select(*cols).exceptAll(full.select(*cols)) \
+        .unionByName(full.select(*cols).exceptAll(advanced.select(*cols)))
+    flag = sym.agg((F.count(F.lit(1)) == 0).alias("advance_consistent"))
+    out = advanced.select(
+        "qualifier", "row_key", F.round("score", 4).alias("score"),
+        F.col("rank").cast("integer").alias("rk"))
+    sentinel = flag.select(
+        F.lit(None).cast("string").alias("qualifier"),
+        F.lit(None).cast("string").alias("row_key"),
+        F.lit(None).cast("double").alias("score"),
+        F.lit(None).cast("integer").alias("rk"),
+        "advance_consistent")
+    return (out.crossJoin(F.broadcast(flag)).unionByName(sentinel)
+            .orderBy("qualifier", "rk"))
+
+
+def oracle_topk_delete_advance() -> str:
+    return """
+WITH t2 AS (
+  SELECT row_key, qualifier, value FROM (
+    SELECT CAST(user_id AS VARCHAR) AS row_key,
+           event_type AS qualifier,
+           CAST(value AS VARCHAR) AS value,
+           ROW_NUMBER() OVER (PARTITION BY CAST(user_id AS VARCHAR), event_type
+                              ORDER BY epoch_ms(ts) DESC, CAST(value AS VARCHAR) DESC) AS rn
+    FROM events
+  ) WHERE rn = 1),
+scored AS (
+  SELECT qualifier, row_key, TRY_CAST(value AS DOUBLE) AS score
+  FROM t2
+  WHERE TRY_CAST(row_key AS BIGINT) % 7 <> 3
+    AND TRY_CAST(value AS DOUBLE) IS NOT NULL),
+ranked AS (
+  SELECT qualifier, row_key, score,
+         ROW_NUMBER() OVER (PARTITION BY qualifier
+                            ORDER BY score DESC, row_key ASC) AS rk
+  FROM scored)
+SELECT qualifier, row_key, ROUND(score, 4) AS score,
+       CAST(rk AS INTEGER) AS rk, TRUE AS advance_consistent
+FROM ranked WHERE rk <= 5
+UNION ALL
+SELECT CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+       CAST(NULL AS INTEGER), TRUE
+ORDER BY qualifier, rk
+"""

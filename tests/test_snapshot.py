@@ -655,3 +655,69 @@ def test_aggregate_view_advance_hand_computed(spark):
     both = advance_aggregate_view(view0, f1.unionByName(f2))
     assert sorted(map(tuple, both.collect())) == \
         sorted(map(tuple, v2.collect()))
+
+
+def test_recompute_affected_groups_topk_deletes(spark):
+    """N94: advancing a top-k view through a feed with deletes —
+    delete/update-touched groups are recomputed from base, groups the
+    feed never touches pass through from the prior view UNCHANGED (the
+    anti-join path), and the composed insert-path + recompute equals a
+    full rebuild."""
+    from pyspark.sql import functions as F
+
+    from hbase_snapshotter_spark.operators.snapshot import (
+        recompute_affected_groups,
+        state_changefeed,
+    )
+    from hbase_snapshotter_spark.operators.timeseries import (
+        advance_topk_state,
+        topk_state,
+    )
+
+    def rebuild(df):
+        return topk_state(df, group_cols=["g"], id_col="id",
+                          score_col="s", k=2)
+
+    a = spark.createDataFrame(
+        [("g1", "a", "5"), ("g1", "b", "4"), ("g1", "c", "3"),
+         ("g2", "a", "9"), ("g2", "b", "8"),
+         ("g3", "a", "1")],  # untouched group
+        "g string, id string, value string")
+    # b: g1 loses its leader (D) and gets an insert; g2 updates b DOWN
+    # (the case the monotone upsert-by-max advance cannot express)
+    b = spark.createDataFrame(
+        [("g1", "b", "4"), ("g1", "c", "3"), ("g1", "d", "6"),
+         ("g2", "a", "9"), ("g2", "b", "2"),
+         ("g3", "a", "1")],
+        "g string, id string, value string")
+    feed = state_changefeed(a, b, key_cols=("g", "id"))
+    ops = {(r.g, r.id): r.op for r in feed.collect()}
+    assert ops == {("g1", "a"): "D", ("g1", "d"): "I", ("g2", "b"): "U"}
+
+    def score(df):
+        return df.select("g", "id", F.expr(
+            "try_cast(value as double)").alias("s"))
+
+    inserts = feed.filter(F.col("op") == "I").select(
+        "g", "id", F.expr("try_cast(new_value as double)").alias("s"))
+    ins_adv = advance_topk_state(rebuild(score(a)), inserts,
+                                 group_cols=["g"], id_col="id",
+                                 score_col="s", k=2)
+    advanced = recompute_affected_groups(
+        ins_adv, score(b), feed, group_cols=["g"], rebuild=rebuild)
+    want = sorted(map(tuple, rebuild(score(b)).collect()))
+    assert sorted(map(tuple, advanced.collect())) == want
+    got = {(r.g, r.id): r.rank for r in advanced.collect()}
+    assert got == {("g1", "d"): 1, ("g1", "b"): 2,   # leader deleted
+                   ("g2", "a"): 1, ("g2", "b"): 2,   # b demoted by U
+                   ("g3", "a"): 1}                   # pass-through
+
+    # the pass-through row really came from the prior view, not a
+    # rebuild: poison g3 in the base — an anti-join pass-through keeps
+    # the prior (correct) row, a silent rebuild would pick up the poison
+    poisoned = score(b).withColumn(
+        "s", F.when(F.col("g") == "g3", F.lit(99.0)).otherwise(F.col("s")))
+    kept = recompute_affected_groups(
+        ins_adv, poisoned, feed, group_cols=["g"], rebuild=rebuild)
+    assert {(r.g, r.id, r.s) for r in
+            kept.filter(F.col("g") == "g3").collect()} == {("g3", "a", 1.0)}
