@@ -845,7 +845,8 @@ IVF_PROBE_CAP = 64
 #: coverage is reached probing proportionally fewer cells, instead of a
 #: fixed literal fraction that overpays on skewed data and decays on
 #: uniform data (measured: 0.375 fixed gave top-5 recall 0.78 at sf0.1;
-#: the 0.6-coverage measured rule gives ≥ 0.8 at all three sfs).
+#: the 0.6-coverage measured rule gives 0.88/0.84/0.92 at
+#: sf0.001/0.01/0.1 — ≥ 0.8 everywhere).
 IVF_COVER_TARGET = 0.6
 
 
@@ -931,24 +932,35 @@ def ivf_topk(
     probe_min: int = IVF_PROBE_MIN,
     probe_frac: float = IVF_PROBE_FRAC,
     probe_cap: int = IVF_PROBE_CAP,
+    measured_probe: bool = True,
+    cover: float = IVF_COVER_TARGET,
 ) -> DataFrame:
     """Approximate top-k via IVF with ADAPTIVE MULTI-PROBE: candidates
-    live in any of the query's nearest centroid cells (probe count a
-    fraction of the cell count — see :data:`IVF_PROBE_FRAC` for why a
-    fixed nprobe is not scale-correct), re-ranked by exact cosine.
-    Every corpus vector belongs to exactly one cell, so probing several
-    cells never duplicates a (query, neighbor) pair — no dedup needed.
-    Output shape matches :func:`brute_force_topk`; measured top-5
-    recall vs brute force is 0.88 / 0.84 / 0.78 at sf0.001/0.01/0.1,
-    driver-checked by the registered query (bound 0.7).  The whole plan
-    is window-free: assignment is a hash-agg argmax, probing and the
-    re-rank are :func:`topk_by_group`."""
+    live in any of the query's nearest centroid cells, re-ranked by
+    exact cosine.  ``measured_probe`` (the default) derives the probe
+    count from the MEASURED cell-occupancy skew — coverage ×
+    occupancy-perplexity, see :data:`IVF_COVER_TARGET`; pass
+    ``measured_probe=False`` for the static fraction-of-cells rule
+    (:data:`IVF_PROBE_FRAC` — itself adaptive in n_cells; see its note
+    for why a fixed nprobe is not scale-correct).  Every corpus vector
+    belongs to exactly one cell, so probing several cells never
+    duplicates a (query, neighbor) pair — no dedup needed.  Output
+    shape matches :func:`brute_force_topk`; measured top-5 recall vs
+    brute force is 0.88 / 0.84 / 0.92 at sf0.001/0.01/0.1
+    (driver-checked by the registered query, bound 0.7; the static
+    rule measured 0.78 at sf0.1).  The whole plan is window-free:
+    assignment is a hash-agg argmax, probing and the re-rank are
+    :func:`topk_by_group`."""
     cents = scoped_persist(  # consumed 3x: assignment, probing, cell count
         _ivf_centroids(corpus, id_col=id_col, vec_col=vec_col,
                        centroid_stride=centroid_stride,
                        use_kmeans=use_kmeans,
                        kmeans_iterations=kmeans_iterations))
-    assign = assign_to_centroids(corpus, cents, id_col=id_col, vec_col=vec_col)
+    # consumed 2x in measured mode (cell attach + occupancy agg): the
+    # assignment pass (a corpus × broadcast-centroids argmax) must not
+    # run twice
+    assign = scoped_persist(
+        assign_to_centroids(corpus, cents, id_col=id_col, vec_col=vec_col))
     dot = pairwise_dot_udf()
     with_cell = corpus.join(assign, id_col).select(
         F.col(id_col), F.col(vec_col), F.col("cell"),
@@ -956,7 +968,9 @@ def ivf_topk(
     )
     probes = probe_centroids(queries, cents, id_col=id_col, vec_col=vec_col,
                              probe_min=probe_min, probe_frac=probe_frac,
-                             probe_cap=probe_cap)
+                             probe_cap=probe_cap,
+                             assignments=assign if measured_probe else None,
+                             cover=cover)
     q = (
         queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("__qv"),
@@ -1387,7 +1401,9 @@ def ivfpq_topk(
     subspaces: int = PQ_SUBSPACES,
     codebook_stride: int = PQ_CODEBOOK_STRIDE,
     codebook_max: int = PQ_CODEBOOK_MAX,
-    cand_factor: int = PQ_CAND_FACTOR,
+    cand_factor: int | None = None,
+    measured_probe: bool = True,
+    cover: float = IVF_COVER_TARGET,
 ) -> DataFrame:
     """IVF+PQ — the full faiss-IVFPQ architecture as a composition of
     the two lanes: IVF bounds WHICH vectors are scored (adaptive
@@ -1398,14 +1414,34 @@ def ivfpq_topk(
     (memory ∝ 16 bytes/vector), a query touches only its probed cells'
     codes, and full vectors are read for ~k·cand_factor rows per query.
 
+    ``measured_probe`` derives the probe count from the measured
+    cell-occupancy perplexity (:data:`IVF_COVER_TARGET`), and
+    ``cand_factor=None`` (the default) derives the ADC re-rank depth
+    from the measured candidate-pool size: ``max(PQ_CAND_FACTOR,
+    ceil(2·√(cover·n)/k))`` — the re-rank budget grows with √pool, so
+    quantization-noise rank inversions (whose count grows with the
+    pool the ADC must order) stay inside the exactly-re-ranked prefix
+    instead of a fixed literal that decays with n (measured top-5
+    recall 0.84/0.80/0.92 at sf0.001/0.01/0.1 vs 0.75 fixed at
+    sf0.1).  The corpus count behind it is one column-pruned scan
+    (metadata-only on plain parquet), O(inputs) next to the ADC pass
+    it parameterizes.
+
     The scored row stream is the broadcast join of probes onto the
     cell-keyed code table — rows carry codes, never vectors; ADC is an
     Arrow-batched LUT gather with the same per-batch pre-prune as
     :func:`pq_topk`.  Output shape matches :func:`brute_force_topk`."""
+    if cand_factor is None:
+        import math
+        n_corpus = corpus.count()
+        cand_factor = max(PQ_CAND_FACTOR, math.ceil(round(
+            2.0 * math.sqrt(cover * n_corpus) / k, 6)))
     cents = scoped_persist(sampled_centroids(
         corpus, id_col=id_col, vec_col=vec_col,
         centroid_stride=centroid_stride))
-    assign = assign_to_centroids(corpus, cents, id_col=id_col, vec_col=vec_col)
+    # consumed 2x in measured mode (code attach + occupancy agg)
+    assign = scoped_persist(
+        assign_to_centroids(corpus, cents, id_col=id_col, vec_col=vec_col))
     _, C = pq_codebook(corpus, id_col=id_col, vec_col=vec_col,
                        codebook_stride=codebook_stride,
                        codebook_max=codebook_max)
@@ -1414,7 +1450,9 @@ def ivfpq_topk(
                       subspaces=subspaces).join(assign, id_col)
     probes = probe_centroids(queries, cents, id_col=id_col, vec_col=vec_col,
                              probe_min=probe_min, probe_frac=probe_frac,
-                             probe_cap=probe_cap)
+                             probe_cap=probe_cap,
+                             assignments=assign if measured_probe else None,
+                             cover=cover)
     qids, qn, lut = _query_luts(queries, C, id_col=id_col, vec_col=vec_col,
                                 subspaces=subspaces)
     qpos = {int(q): i for i, q in enumerate(qids)}

@@ -1129,19 +1129,31 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .crossJoin(F.broadcast(pq_floor)))
 
 
-def _oracle_ivf() -> str:
+def _sql_measured_nprobe_ctes() -> str:
+    """DuckDB CTEs replaying the MEASURED probe rule exactly: the
+    occupancy perplexity ``t·exp(−Σc·ln c / t)`` over the assignment
+    table, 6-dp-rounded at the same two points as the Spark plan
+    before the ceil, clamped to [probe_min, probe_cap]."""
     from hbase_snapshotter_spark.operators.similarity import (
+        IVF_COVER_TARGET,
         IVF_PROBE_CAP,
-        IVF_PROBE_FRAC,
         IVF_PROBE_MIN,
     )
 
     return f"""
+occ AS (SELECT cell, COUNT(*) AS c FROM assign GROUP BY cell),
+np AS (SELECT LEAST({IVF_PROBE_CAP}, GREATEST({IVF_PROBE_MIN},
+         CEIL(ROUND({IVF_COVER_TARGET} * ROUND(
+           SUM(c) * EXP(-SUM(c * LN(c)) / SUM(c)), 6), 6)))) AS np
+       FROM occ)"""
+
+
+def _oracle_ivf() -> str:
+    return f"""
 WITH {_sql_ivf_assign_ctes()},
+{_sql_measured_nprobe_ctes()},
 probe AS (SELECT vec_id AS query_id, cid AS cell FROM ranked
-          WHERE rn <= LEAST({IVF_PROBE_CAP},
-                            GREATEST({IVF_PROBE_MIN},
-                                     CEIL({IVF_PROBE_FRAC} * (SELECT COUNT(*) FROM cent))))
+          WHERE rn <= (SELECT np FROM np)
             AND vec_id < {TOPK_QUERY_PRED}),
 scored AS (
   SELECT p.query_id, ca.vec_id AS neighbor_id,
@@ -3907,18 +3919,19 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_ivfpq(k: int = TOPK_K, query_pred: int = TOPK_QUERY_PRED) -> str:
     from hbase_snapshotter_spark.operators.similarity import (
-        IVF_PROBE_CAP,
-        IVF_PROBE_FRAC,
-        IVF_PROBE_MIN,
+        IVF_COVER_TARGET,
         PQ_CAND_FACTOR,
     )
 
+    # measured ADC re-rank depth: k × max(base, ceil(round(2·√(cover·n)/k, 6)))
+    cand_cap = (f"{k} * GREATEST({PQ_CAND_FACTOR}, CEIL(ROUND("
+                f"2 * SQRT({IVF_COVER_TARGET} * "
+                f"(SELECT COUNT(*) FROM embeddings)) / {k}, 6)))")
     return f"""
 WITH {_sql_ivf_assign_ctes()},
+{_sql_measured_nprobe_ctes()},
 probe AS (SELECT vec_id AS query_id, cid AS cell FROM ranked
-          WHERE rn <= LEAST({IVF_PROBE_CAP},
-                            GREATEST({IVF_PROBE_MIN},
-                                     CEIL({IVF_PROBE_FRAC} * (SELECT COUNT(*) FROM cent))))
+          WHERE rn <= (SELECT np FROM np)
             AND vec_id < {query_pred}),
 {_sql_pq_ctes()},
 adc AS (
@@ -3938,7 +3951,7 @@ cand AS (
              ROUND(a.dots / (a.qn * sqrt(r.rn2)), 6) DESC,
              a.neighbor_id ASC) AS crn
     FROM adc a JOIN rnorm r ON r.vec_id = a.neighbor_id
-  ) WHERE crn <= {k * PQ_CAND_FACTOR}),
+  ) WHERE crn <= {cand_cap}),
 rescored AS (
   SELECT cd.query_id, cd.neighbor_id, {SQL_COSINE} AS cosine
   FROM cand cd

@@ -91,6 +91,9 @@ def main() -> int:
                                         # attach (N84 IVM equality)
         "events_topk_advance",          # 1-row advance_consistent flag
                                         # attach (N88 top-k equality)
+        "topk_delete_advance",          # 1-row advance_consistent flag
+                                        # attach (N94 delete-advance
+                                        # equality)
         "mixture_temperature_rates",    # 1-row totals attach onto the
                                         # sources-sized table (N89)
         "scd2_event_history",           # 1-row advance_consistent flag
