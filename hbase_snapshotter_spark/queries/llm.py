@@ -834,8 +834,22 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (min doc_id).  The 1-in-1-out Arrow RESIZE lane is driver-checked
     too: each row carries the resized payload's content hash and byte
     length, which the oracle replays from the deterministic stub's
-    byte construction."""
+    byte construction.
+
+    Round 9 adds the REAL-codec lane (``codec="bmp"`` — VERDICT r8
+    task 5): each row gets a deterministic 24-bit BMP fixture image
+    (dims/fill/corner derived from doc_id, real
+    :func:`~.operators.multimodal.encode_bmp` bytes) decoded by the
+    dependency-free :func:`~.operators.multimodal.decode_bmp` — the
+    ``bmp_*`` columns come from ACTUAL header bytes and the pixel
+    array (4-byte row padding stripped, bottom-up rows flipped), and
+    the oracle replays the expected values from the id arithmetic
+    alone, so a padding/row-order/header bug hash-fails."""
     from hbase_snapshotter_spark.cache import scoped_persist
+    from hbase_snapshotter_spark.operators.multimodal import (
+        decode_bmp_features,
+        synthesize_bmp_payloads,
+    )
 
     docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     docs = docs.withColumn(
@@ -868,12 +882,15 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id",
                 F.col("content_md5").alias("resized_md5"),
                 F.length("payload").cast("int").alias("resized_n_bytes"))
+    bmp = decode_bmp_features(synthesize_bmp_payloads(with_payload))
     return (meta.join(decoded, "doc_id").join(frame_counts, "doc_id")
-            .join(resized, "doc_id").select(
+            .join(resized, "doc_id").join(bmp, "doc_id").select(
                 "doc_id", "n_bytes", "content_md5", "payload_dup_count",
                 "is_payload_keeper", "width", "height", "n_frames",
                 "feature_hash", "n_sampled_frames",
-                "resized_md5", "resized_n_bytes"))
+                "resized_md5", "resized_n_bytes",
+                "bmp_width", "bmp_height", "bmp_mean_pixel",
+                "bmp_corner_pixel"))
 
 
 ORACLE_MULTIMODAL = f"""
@@ -900,7 +917,18 @@ SELECT p.doc_id,
        md5(substr(repeat(md5(pay), 3), 1, {max(16, RESIZE_W * RESIZE_H // 64)})
            || '|{RESIZE_W}x{RESIZE_H}') AS resized_md5,
        CAST({max(16, RESIZE_W * RESIZE_H // 64) + len(f"|{RESIZE_W}x{RESIZE_H}")}
-            AS INTEGER) AS resized_n_bytes
+            AS INTEGER) AS resized_n_bytes,
+       -- bmp lane: the Spark side goes id → encode_bmp → REAL header/
+       -- pixel decode; the oracle replays the expected features from
+       -- the id arithmetic (solid fill, one distinct top-left pixel) —
+       -- equality proves the decoder inverted the real byte layout
+       CAST(5 + p.doc_id % 12 AS INTEGER) AS bmp_width,
+       CAST(2 + p.doc_id % 6 AS INTEGER) AS bmp_height,
+       ((p.doc_id % 256) * ((5 + p.doc_id % 12) * (2 + p.doc_id % 6) - 1)
+        + (p.doc_id * 7 + 1) % 256)
+       / (CAST((5 + p.doc_id % 12) * (2 + p.doc_id % 6) AS DOUBLE))
+         AS bmp_mean_pixel,
+       CAST((p.doc_id * 7 + 1) % 256 AS INTEGER) AS bmp_corner_pixel
 FROM p JOIN d ON d.content_md5 = md5(p.pay)
 """
 
