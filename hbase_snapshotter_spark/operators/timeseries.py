@@ -464,12 +464,31 @@ def session_stats(
     one hash agg per session (≤ sessions rows), one 1-row final agg.
     Means are micro-unit-exact rationals rounded half-up so the
     oracle replays them bit-for-bit."""
+    return session_economics(session_intervals(
+        df, key_col=key_col, ts_col=ts_col, id_col=id_col, gap_ms=gap_ms))
+
+
+def session_intervals(
+    df: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    gap_ms: int,
+) -> DataFrame:
+    """Per-key session INTERVALS — ``(key, start_ms, end_ms,
+    n_events)`` via the gaps-and-islands form.  This is the
+    MAINTAINABLE representation of sessionization: events only ever
+    JOIN sessions (never split them), so the interval rows of two
+    event sets merge losslessly with :func:`merge_session_intervals`
+    — the algebra behind the streaming maintainer's exact batch
+    parity, including out-of-order arrival."""
     w = Window.partitionBy(key_col).orderBy(
         F.col(ts_col).asc(), F.col(id_col).asc())
     wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ms = F.unix_millis(F.col(ts_col))
     prev = F.lag("__ms").over(w)
-    sessions = (
+    return (
         df.select(key_col, ts_col, id_col)
         .withColumn("__ms", ms)
         .withColumn(
@@ -478,8 +497,54 @@ def session_stats(
             .otherwise(0))
         .withColumn("__sid", F.sum("__open").over(wr))
         .groupBy(key_col, "__sid")
-        .agg(F.count(F.lit(1)).cast("long").alias("__n"),
-             (F.max("__ms") - F.min("__ms")).alias("__span_ms")))
+        .agg(F.min("__ms").alias("start_ms"),
+             F.max("__ms").alias("end_ms"),
+             F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(key_col, "start_ms", "end_ms", "n_events"))
+
+
+def merge_session_intervals(
+    sessions: DataFrame,
+    *,
+    key_col: str,
+    gap_ms: int,
+) -> DataFrame:
+    """Merge session-interval rows per key: intervals whose start is
+    within ``gap_ms`` of the running max end coalesce (counts sum,
+    bounds extend).  EXACT by the session algebra: sessionization is
+    the transitive closure of the ≤-gap adjacency on the sorted
+    timeline, events only ever join sessions, and each interval's
+    interior is already gap-chained — so
+    ``merge(intervals(A) ∪ intervals(B)) = intervals(A ∪ B)`` for any
+    split of the events, in any arrival order (pytest pins streamed ≡
+    batch bit-for-bit on a shuffled split).  Same per-key window bound
+    as every sessionization pass; input is sessions-sized, not
+    events-sized."""
+    w = Window.partitionBy(key_col).orderBy(
+        F.col("start_ms").asc(), F.col("end_ms").asc(),
+        F.col("n_events").asc())
+    prev_end = F.max("end_ms").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        sessions
+        .withColumn(
+            "__open",
+            F.when(prev_end.isNull()
+                   | ((F.col("start_ms") - prev_end) > gap_ms), 1)
+            .otherwise(0))
+        .withColumn("__sid", F.sum("__open").over(wr))
+        .groupBy(key_col, "__sid")
+        .agg(F.min("start_ms").alias("start_ms"),
+             F.max("end_ms").alias("end_ms"),
+             F.sum("n_events").cast("long").alias("n_events"))
+        .select(key_col, "start_ms", "end_ms", "n_events"))
+
+
+def session_economics(sessions: DataFrame) -> DataFrame:
+    """Reduce session-interval rows to the one-row economics summary
+    (the N93 output shape): session count, exact-permille bounce
+    share, micro-unit-exact half-up-rounded means."""
 
     def round4(num, den):
         a = 20000 * num + den
@@ -487,13 +552,15 @@ def session_stats(
                 .cast("long").cast("double") / 10000)
 
     n_sessions = F.count(F.lit(1)).cast("long")
-    bounces = F.sum(F.when(F.col("__n") == 1, 1).otherwise(0)).cast("long")
+    bounces = F.sum(
+        F.when(F.col("n_events") == 1, 1).otherwise(0)).cast("long")
     b = 2000 * bounces + n_sessions
     return sessions.agg(
         n_sessions.alias("n_sessions"),
         ((b - F.pmod(b, 2 * n_sessions)) / (2 * n_sessions)).cast("long")
         .alias("bounce_permille"),
-        round4(F.sum("__n").cast("long"), n_sessions)
+        round4(F.sum("n_events").cast("long"), n_sessions)
         .alias("avg_events_per_session"),
-        round4(F.sum("__span_ms").cast("long"), n_sessions * 1000)
+        round4(F.sum(F.col("end_ms") - F.col("start_ms")).cast("long"),
+               n_sessions * 1000)
         .alias("avg_span_s"))

@@ -994,3 +994,89 @@ def test_topk_maintenance_streamed_equals_batch_and_idempotent(
         m.state(spark),
         src.select("event_type", "event_id", "value").limit(200), **kw)
     assert rows(readv) == want
+
+
+def test_streamed_sessionization_equals_batch(spark, event_stream_dir,
+                                              tmp_path):
+    """N95: the continuous sessionization maintainer — streamed over a
+    TIME-SHUFFLED 4-file replay (each micro-batch holds a random slice
+    of every key's timeline, so sessions split and merge across
+    batches in arrival order ≠ event order) — reproduces the batch
+    N93 form bit-for-bit: the interval state equals
+    session_intervals(all events) and the derived economics equals
+    session_stats(all events).  A full re-delivery changes nothing."""
+    from hbase_snapshotter_spark.operators.timeseries import (
+        session_intervals,
+        session_stats,
+    )
+    from hbase_snapshotter_spark.streaming.session_stream import (
+        maintain_sessions,
+    )
+    from hbase_snapshotter_spark.streaming.windows import replay_stream
+
+    GAP_MS = 6 * 3600 * 1000
+    src = spark.read.parquet(event_stream_dir)
+    rows = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    want_state = rows(session_intervals(
+        src, key_col="user_id", ts_col="ts", id_col="event_id",
+        gap_ms=GAP_MS))
+    want_econ = rows(session_stats(
+        src, key_col="user_id", ts_col="ts", id_col="event_id",
+        gap_ms=GAP_MS))
+    state_dir = str(tmp_path / "sess_state")
+
+    def run(ckpt):
+        stream = replay_stream(spark, event_stream_dir, src.schema,
+                               max_files_per_trigger=1)
+        q, m = maintain_sessions(
+            stream, state_dir, key_col="user_id", ts_col="ts",
+            id_col="event_id", gap_ms=GAP_MS,
+            checkpointLocation=str(tmp_path / ckpt), availableNow=True)
+        q.awaitTermination(120)
+        return m
+
+    m = run("sess_ckpt1")
+    assert rows(m.state(spark)) == want_state
+    assert rows(m.economics(spark)) == want_econ
+    m2 = run("sess_ckpt2")  # full re-delivery: merge must not re-apply
+    assert rows(m2.state(spark)) == want_state
+    assert rows(m2.economics(spark)) == want_econ
+
+
+def test_session_state_retention_bounds_dirs(spark, tmp_path):
+    """N78 on the sessionization maintainer: expired full-state dirs
+    delete outright, the dir count stays bounded, and the final state
+    equals the unbounded run's."""
+    import os
+
+    from hbase_snapshotter_spark.streaming.session_stream import (
+        SessionStateMaintainer,
+    )
+
+    N, KEEP = 12, 3
+    batches = [
+        spark.createDataFrame(
+            [(f"u{j % 3}", (17 * i + 5 * j) % 240, i * 100 + j)
+             for j in range(8)],
+            "k string, mins long, eid long")
+        .selectExpr("k", "timestamp_millis(mins * 60000) AS ts", "eid")
+        for i in range(N)]
+
+    def run(root, retention):
+        m = SessionStateMaintainer(
+            str(root), key_col="k", ts_col="ts", id_col="eid",
+            gap_ms=10 * 60000, retention=retention)
+        for i, b in enumerate(batches):
+            m.process_batch(b, i)
+        return m
+
+    rows = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    bounded = run(tmp_path / "bounded", KEEP)
+    unbounded = run(tmp_path / "unbounded", None)
+    assert rows(bounded.state(spark)) == rows(unbounded.state(spark))
+    n_dirs = len([d for d in os.listdir(tmp_path / "bounded")
+                  if d.startswith("batch=")])
+    assert n_dirs <= KEEP + 1
+    # re-delivering an expired (compacted-away) batch id is a no-op
+    bounded.process_batch(batches[0], 0)
+    assert rows(bounded.state(spark)) == rows(unbounded.state(spark))
