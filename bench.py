@@ -102,6 +102,7 @@ HEADLINE_R7 = [
     "event_top_paths",     # r8: top user journeys
     "event_session_stats", # r8: sessionization economics
     "topk_delete_advance", # r9: deletion-capable view maintenance
+    "event_pattern_funnel", # r9: MATCH_RECOGNIZE-lite predicate paths
     "constraint_audit_suite",
     "embedding_truncation_audit",
     "dedup_cluster_representatives",

@@ -564,3 +564,95 @@ def session_economics(sessions: DataFrame) -> DataFrame:
         round4(F.sum(F.col("end_ms") - F.col("start_ms")).cast("long"),
                n_sessions * 1000)
         .alias("avg_span_s"))
+
+
+def pattern_matches(
+    df: DataFrame,
+    *,
+    key_col: str,
+    state_col: str,
+    ts_col: str,
+    id_col: str,
+    patterns: list[tuple[str, str]],
+    gap_ms: int,
+) -> DataFrame:
+    """MATCH_RECOGNIZE-lite path matching (SURVEY §2.3 N96): for each
+    ``(from_state, to_state)`` pattern, every greedy non-overlapping
+    match of ``FROM (ANY)* TO`` within a key's ≤-gap-chained event run
+    — the SQL-standard ``PATTERN (A X* C)`` with ``AFTER MATCH SKIP
+    PAST LAST ROW``, restricted to sessions (consecutive-event gaps ≤
+    ``gap_ms``), the product-analytics "did A then eventually C within
+    a visit" ask that N91/N92 count only for FIXED-length windows.
+
+    The state machine reduces to windows exactly: filtered to a
+    pattern's two literals, greedy matching closes one match at every
+    TO row whose predecessor (in the filtered per-session sequence) is
+    FROM, and the match binds the FIRST row of that predecessor's
+    FROM-run (runs collapse — no TO row intervenes inside a run, so
+    the whole run is one pending match).  Per match: the bound FROM
+    event's ms, the TO event's ms, their gap, and the number of
+    timeline events strictly between them.
+
+    Scale shape: ALL patterns ride ONE base sessionization pass (the
+    pattern fan-out is an explode over a literal array — rows ≤
+    |patterns| × events, filtered to pattern literals immediately);
+    every window partitions by (pattern, key, session) — the per-key
+    bound the whole timeseries family rides; the run join is
+    matches × runs sized, AQE-broadcast at any skew."""
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc())
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ms = F.unix_millis(F.col(ts_col))
+    prev = F.lag("__ms").over(w)
+    base = (
+        df.select(key_col, state_col, ts_col, id_col)
+        .withColumn("__ms", ms)
+        .withColumn(
+            "__open",
+            F.when(prev.isNull() | ((F.col("__ms") - prev) > gap_ms), 1)
+            .otherwise(0))
+        .withColumn("__sid", F.sum("__open").over(wr))
+        .withColumn("__pos", F.row_number().over(w)))
+    pats = F.array(*[
+        F.struct(F.lit(f).alias("__f"), F.lit(t).alias("__t"))
+        for f, t in patterns])
+    s = F.col(state_col)
+    fanned = base.select(
+        key_col, state_col, "__ms", "__sid", "__pos",
+        F.explode(F.filter(
+            pats, lambda p: (s == p["__f"]) | (s == p["__t"]))).alias("__p")
+    ).select(key_col, state_col, "__ms", "__sid", "__pos",
+             F.col("__p.__f").alias("from_state"),
+             F.col("__p.__t").alias("to_state"))
+    wf = Window.partitionBy("from_state", "to_state", key_col, "__sid") \
+        .orderBy("__pos")
+    wfr = wf.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_s = F.lag(state_col).over(wf)
+    runs_src = (
+        fanned.withColumn("__prev_s", prev_s)
+        .withColumn(
+            "__chg",
+            F.when(F.col("__prev_s").isNull()
+                   | (F.col("__prev_s") != s), 1).otherwise(0))
+        .withColumn("__run", F.sum("__chg").over(wfr)))
+    from hbase_snapshotter_spark.cache import scoped_persist
+
+    # consumed twice (run bounds + match rows) — one window pass, not two
+    runs_src = scoped_persist(runs_src)
+    runs = runs_src.groupBy("from_state", "to_state", key_col, "__sid",
+                            "__run").agg(
+        F.min("__ms").alias("from_ms"),
+        F.min("__pos").alias("__run_pos"))
+    # a match row always has chg = 1 (TO follows FROM), so the bound
+    # FROM-run is exactly __run - 1
+    prev_runs = runs.withColumn("__run", F.col("__run") + 1)
+    return (
+        runs_src.filter((s == F.col("to_state"))
+                        & (F.col("__prev_s") == F.col("from_state")))
+        .join(prev_runs,
+              ["from_state", "to_state", key_col, "__sid", "__run"])
+        .select("from_state", "to_state", F.col(key_col),
+                "from_ms", F.col("__ms").alias("to_ms"),
+                (F.col("__ms") - F.col("from_ms")).alias("duration_ms"),
+                (F.col("__pos") - F.col("__run_pos") - 1).cast("long")
+                .alias("steps_between")))

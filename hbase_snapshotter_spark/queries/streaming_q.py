@@ -1222,3 +1222,95 @@ FROM sess
 PAIRS.update({
     "event_session_stats": (event_session_stats, _oracle_session_stats()),
 })
+
+
+#: N96 funnel patterns: "did FROM then eventually TO within a visit",
+#: over 6-hour-gap-chained runs (30-min sessions are near-singleton on
+#: the fixture's event density; 6 h gives ~200 matches/pattern at
+#: sf0.01 — real signal, still session-bounded).
+FUNNEL_PATTERNS = [("view", "purchase"), ("click", "purchase"),
+                   ("signup", "error")]
+FUNNEL_GAP_MS = 6 * 3600 * 1000
+
+
+def event_pattern_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite predicate paths (N96): for each funnel
+    pattern, the greedy non-overlapping ``FROM (ANY)* TO`` matches
+    within ≤-gap-chained event runs, aggregated to the dashboard row —
+    match count, distinct converting users, micro-exact 4-dp mean
+    time-to-convert and mean events between.  N91/N92 count
+    fixed-length windows; this is the predicate form ("A then
+    eventually C within a visit") product analytics actually asks.
+    The oracle replays the whole state machine — sessionization, the
+    per-pattern filtered run collapse, greedy match closure at
+    TO-after-FROM, and first-of-run binding."""
+    from hbase_snapshotter_spark.operators.timeseries import pattern_matches
+
+    ev = read_table(spark, sf_dir, "events") \
+        .select("user_id", "event_id", "event_type", "ts")
+    m = pattern_matches(
+        ev, key_col="user_id", state_col="event_type", ts_col="ts",
+        id_col="event_id", patterns=FUNNEL_PATTERNS, gap_ms=FUNNEL_GAP_MS)
+
+    def round4(num, den):
+        a = 20000 * num + den
+        return (((a - F.pmod(a, 2 * den)) / (2 * den))
+                .cast("long").cast("double") / 10000)
+
+    n = F.count(F.lit(1)).cast("long")
+    return (m.groupBy("from_state", "to_state").agg(
+        n.alias("n_matches"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        round4(F.sum("duration_ms").cast("long"), n * 1000)
+        .alias("avg_duration_s"),
+        round4(F.sum("steps_between").cast("long"), n)
+        .alias("avg_steps_between"))
+        .orderBy("from_state", "to_state"))
+
+
+def _oracle_pattern_funnel() -> str:
+    G = FUNNEL_GAP_MS
+    vals = ", ".join(f"('{f}', '{t}')" for f, t in FUNNEL_PATTERNS)
+    return f"""
+WITH pat AS (SELECT * FROM (VALUES {vals}) AS p(f, t)),
+e AS (SELECT user_id AS k, event_type AS s, epoch_ms(ts) AS ms,
+             event_id AS eid FROM events),
+b AS (SELECT k, s, ms, eid,
+        CASE WHEN LAG(ms) OVER w IS NULL OR ms - LAG(ms) OVER w > {G}
+             THEN 1 ELSE 0 END AS op,
+        ROW_NUMBER() OVER w AS pos
+      FROM e WINDOW w AS (PARTITION BY k ORDER BY ms, eid)),
+sb AS (SELECT *, SUM(op) OVER (PARTITION BY k ORDER BY ms, eid
+                               ROWS UNBOUNDED PRECEDING) AS sid FROM b),
+f AS (SELECT pat.f, pat.t, sb.* FROM sb
+      JOIN pat ON sb.s IN (pat.f, pat.t)),
+r AS (SELECT *, LAG(s) OVER wf AS prev_s,
+        CASE WHEN LAG(s) OVER wf IS NULL OR LAG(s) OVER wf <> s
+             THEN 1 ELSE 0 END AS chg
+      FROM f WINDOW wf AS (PARTITION BY f, t, k, sid ORDER BY pos)),
+r2 AS (SELECT *, SUM(chg) OVER (PARTITION BY f, t, k, sid ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS run FROM r),
+runs AS (SELECT f, t, k, sid, run, MIN(ms) AS run_ms, MIN(pos) AS run_pos
+         FROM r2 GROUP BY 1, 2, 3, 4, 5),
+m AS (SELECT r2.f, r2.t, r2.k, r2.ms - runs.run_ms AS dur_ms,
+             r2.pos - runs.run_pos - 1 AS steps
+      FROM r2 JOIN runs ON runs.f = r2.f AND runs.t = r2.t
+                       AND runs.k = r2.k AND runs.sid = r2.sid
+                       AND runs.run = r2.run - r2.chg
+      WHERE r2.s = r2.t AND r2.prev_s = r2.f)
+SELECT f AS from_state, t AS to_state,
+       CAST(COUNT(*) AS BIGINT) AS n_matches,
+       CAST(COUNT(DISTINCT k) AS BIGINT) AS n_users,
+       CAST((20000 * SUM(dur_ms) + COUNT(*) * 1000)
+            // (2 * COUNT(*) * 1000) AS DOUBLE) / 10000 AS avg_duration_s,
+       CAST((20000 * SUM(steps) + COUNT(*))
+            // (2 * COUNT(*)) AS DOUBLE) / 10000 AS avg_steps_between
+FROM m GROUP BY 1, 2
+ORDER BY from_state, to_state
+"""
+
+
+PAIRS.update({
+    "event_pattern_funnel": (event_pattern_funnel,
+                             _oracle_pattern_funnel()),
+})

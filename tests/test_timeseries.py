@@ -209,3 +209,45 @@ def test_session_stats_hand_computed(spark):
     assert r.bounce_permille == 667          # 2/3 half-up
     assert abs(r.avg_events_per_session - 1.6667) < 1e-9
     assert abs(r.avg_span_s - 800.0) < 1e-9  # (2400 + 0 + 0) / 3
+
+
+def test_pattern_matches_greedy_semantics(spark):
+    """N96 hand-computed: greedy FROM (ANY)* TO with SKIP PAST LAST ROW
+    — 'A A C C' is ONE match bound to the FIRST A of the run; matches
+    never cross a session gap; steps_between counts the full-timeline
+    events strictly between the bound endpoints; two patterns ride one
+    call."""
+    import pyspark.sql.functions as F
+
+    from hbase_snapshotter_spark.operators.timeseries import pattern_matches
+
+    # timeline (minutes), gap = 10 min chains everything per key unless
+    # stated.  u1: A(0) A(2) X(3) C(5) C(6) A(8) C(9)  → matches:
+    #   (A@0 → C@5, steps: A@2,X@3 = 2) then skip-past → (A@8 → C@9, 0)
+    # u2: A(0) | gap | C(30): no match across the session break
+    rows = [("u1", 0, "A"), ("u1", 2, "A"), ("u1", 3, "X"),
+            ("u1", 5, "C"), ("u1", 6, "C"), ("u1", 8, "A"),
+            ("u1", 9, "C"),
+            ("u2", 0, "A"), ("u2", 30, "C")]
+    df = spark.createDataFrame(
+        [(k, m, s, i) for i, (k, m, s) in enumerate(rows)],
+        "k string, mins long, s string, eid long"
+    ).select("k", F.expr("timestamp_millis(mins * 60000)").alias("ts"),
+             "s", "eid")
+    out = pattern_matches(
+        df, key_col="k", state_col="s", ts_col="ts", id_col="eid",
+        patterns=[("A", "C"), ("X", "C")], gap_ms=10 * 60000)
+    got = sorted((r.from_state, r.to_state, r.k, r.from_ms // 60000,
+                  r.to_ms // 60000, r.steps_between)
+                 for r in out.collect())
+    assert got == [
+        ("A", "C", "u1", 0, 5, 2),   # bound to FIRST A, one match only
+        ("A", "C", "u1", 8, 9, 0),   # restarts after skip-past
+        ("X", "C", "u1", 3, 5, 0),   # second pattern, same call; no
+                                     # timeline event sits strictly
+                                     # between X@3 and C@5
+    ]
+    # duration is ms-exact
+    durs = {(r.from_state, r.from_ms // 60000): r.duration_ms
+            for r in out.collect()}
+    assert durs[("A", 0)] == 5 * 60000 and durs[("X", 3)] == 2 * 60000
