@@ -594,7 +594,44 @@ def operators():
     # sub-2s measurement taken right after a ~100s candidate-join run
     # inherits its JVM heap bloat / GC debt — measured 1.35s → 12.5s on
     # latest_cells_multi when it followed embedding_near_dup_lsh.
+    def run_session_merge(spark, d):
+        # the N95 maintainer's per-batch work: sessionize a batch,
+        # merge the intervals into prior interval state (here: the
+        # other half of the same events, split by event id parity)
+        from pyspark.sql import functions as F
+
+        from hbase_snapshotter_spark.operators.timeseries import (
+            merge_session_intervals,
+            session_intervals,
+        )
+        from hbase_snapshotter_spark.sources.changelog import read_table
+
+        ev = read_table(spark, d, "events").select(
+            "user_id", "event_id", "ts")
+        G = 6 * 3600 * 1000
+        halves = [session_intervals(
+            ev.filter(F.col("event_id") % 2 == i), key_col="user_id",
+            ts_col="ts", id_col="event_id", gap_ms=G) for i in (0, 1)]
+        return merge_session_intervals(
+            halves[0].unionByName(halves[1]), key_col="user_id", gap_ms=G)
+
+    def run_bmp_decode(spark, d):
+        # N16 real-codec lane: synthesize + decode one BMP per doc
+        from hbase_snapshotter_spark.operators.dedup import spread
+        from hbase_snapshotter_spark.operators.multimodal import (
+            decode_bmp_features,
+            synthesize_bmp_payloads,
+        )
+
+        docs = spread(spark.read.parquet(f"{d}/documents.parquet"))
+        return decode_bmp_features(synthesize_bmp_payloads(docs))
+
     return {
+        # round-9 additions (cheap: per-key windows / Arrow batch lanes)
+        "pattern_funnel": _q("event_pattern_funnel"),
+        "topk_delete_advance": _q("topk_delete_advance"),
+        "session_merge": run_session_merge,
+        "bmp_decode": run_bmp_decode,
         # round-8 additions (cheap, bucket-table-sized tails)
         "ohlc_bars": _q("events_ohlc_bars"),
         "topk_advance": _q("events_topk_advance"),
