@@ -265,6 +265,40 @@ def advance_bm25_index(
     return new_postings, new_header
 
 
+def retract_bm25_index(
+    postings: DataFrame,
+    deleted_ids: DataFrame,
+    *,
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Retract documents from a materialized BM25 index (the N94
+    deletion posture applied to text retrieval): remove the deleted
+    ids' posting lists and recompose the header from the surviving
+    state — no corpus re-tokenization, the GDPR/takedown shape.
+
+    BM25 state is fully retractable because the index is
+    per-document-decomposable: a doc's contribution is exactly its
+    posting rows (tf, dl inlined), df(term) is derived at query time
+    from posting-list length, and (N, avgdl) recompose from the
+    surviving distinct (doc, dl) pairs — so ``retract(index(C), D) ≡
+    index(C ∖ D)`` row-for-row (pytest-pinned), unlike the
+    non-algebraic views N94 recomputes per group.  Retracting an
+    absent id is a no-op (idempotent re-delivery).
+
+    Cost: one broadcast anti-join over the postings (with the
+    recommended term-hash partitioning this rewrites only partitions
+    that contain a deleted doc's terms — production runs it as a
+    partition-pruned MERGE DELETE) + one index-sized header agg."""
+    ids = deleted_ids.select(id_col).distinct()
+    new_postings = postings.join(F.broadcast(ids), id_col, "left_anti") \
+        .select(*postings.columns)
+    new_header = (
+        new_postings.select(id_col, "dl").distinct()
+        .agg(F.count(F.lit(1)).alias("N"), F.avg("dl").alias("avgdl"))
+    )
+    return new_postings, new_header
+
+
 #: MMR trade-off weights — INDEPENDENT literals on purpose: the oracle
 #: writes the same two decimals, so both engines hold the identical
 #: nearest-double for each (computing mu as `1 - 0.7` would yield a

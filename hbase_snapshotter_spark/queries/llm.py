@@ -3456,20 +3456,38 @@ def bm25_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (...)`` prunes the persisted postings; at scale the postings table
     is partitioned by a term hash so the pruning happens at file
     listing).  The oracle replays postings construction and the exact
-    Lucene-variant arithmetic (6-dp idf, 4-dp score) per query set."""
+    Lucene-variant arithmetic (6-dp idf, 4-dp score) per query set.
+
+    Round 9 adds the RETRACTION lane (``lane="purged"``): the same
+    query sets served from the index AFTER
+    :func:`~.operators.retrieval.retract_bm25_index` removes every
+    ``doc_id % 9 == 4`` — deletions applied to the materialized state,
+    never a re-tokenization.  The oracle rebuilds its purged postings
+    from the FILTERED corpus, so hash equality proves
+    ``retract(index(C), D) ≡ index(C ∖ D)`` through real served
+    scores (idf shifts with N and df, avgdl recomposes — every purged
+    quantity is exercised)."""
     from hbase_snapshotter_spark.cache import scoped_persist
     from hbase_snapshotter_spark.operators.retrieval import (
         bm25_topk_indexed,
         build_bm25_index,
+        retract_bm25_index,
     )
 
     docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     postings, header = build_bm25_index(docs)
     postings = scoped_persist(postings)
     header = scoped_persist(header)
+    deleted = docs.select("doc_id").filter(F.col("doc_id") % 9 == 4)
+    p2, h2 = retract_bm25_index(postings, deleted)
+    p2 = scoped_persist(p2)
+    h2 = scoped_persist(h2)
     branches = [
-        bm25_topk_indexed(postings, header, terms, k=BM25_INDEXED_K)
-        .select(F.lit(name).alias("query_set"), "doc_id", "score")
+        bm25_topk_indexed(p, h, terms, k=BM25_INDEXED_K)
+        .select(F.lit(lane).alias("lane"),
+                F.lit(name).alias("query_set"), "doc_id", "score")
+        for lane, p, h in (("full", postings, header),
+                           ("purged", p2, h2))
         for name, terms in BM25_QUERY_SETS
     ]
     out = branches[0]
@@ -3484,22 +3502,27 @@ def _oracle_bm25_indexed() -> str:
     one_minus_b = 1 - BM25_B
     k1p1 = BM25_K1 + 1
     sets = []
-    for name, terms in BM25_QUERY_SETS:
-        in_list = ", ".join(f"'{t}'" for t in terms)
-        sets.append(f"""
-SELECT '{name}' AS query_set, doc_id, score FROM (
-  SELECT pl.doc_id,
-         ROUND(SUM(ROUND(ln(1.0 + (hdr.N - d.df + 0.5) / (d.df + 0.5)), 6)
-               * (CAST(pl.tf AS DOUBLE) * {k1p1})
-               / (CAST(pl.tf AS DOUBLE) + {BM25_K1} * ({one_minus_b}
-                  + {BM25_B} * pl.dl / hdr.avgdl))), 4) AS score
-  FROM pl
-  JOIN (SELECT term, COUNT(*) AS df FROM pl
-        WHERE term IN ({in_list}) GROUP BY term) d ON pl.term = d.term
-  CROSS JOIN hdr
-  WHERE pl.term IN ({in_list})
-  GROUP BY pl.doc_id
-  ORDER BY score DESC, pl.doc_id
+    # purged lane: the oracle rebuilds from the FILTERED corpus — hash
+    # equality vs Spark's state-side retraction proves
+    # retract(index(C), D) == index(C \ D) through served scores
+    for lane, pl, hdr in (("full", "pl", "hdr"),
+                          ("purged", "pl2", "hdr2")):
+        for name, terms in BM25_QUERY_SETS:
+            in_list = ", ".join(f"'{t}'" for t in terms)
+            sets.append(f"""
+SELECT '{lane}' AS lane, '{name}' AS query_set, doc_id, score FROM (
+  SELECT {pl}.doc_id,
+         ROUND(SUM(ROUND(ln(1.0 + ({hdr}.N - d.df + 0.5) / (d.df + 0.5)), 6)
+               * (CAST({pl}.tf AS DOUBLE) * {k1p1})
+               / (CAST({pl}.tf AS DOUBLE) + {BM25_K1} * ({one_minus_b}
+                  + {BM25_B} * {pl}.dl / {hdr}.avgdl))), 4) AS score
+  FROM {pl}
+  JOIN (SELECT term, COUNT(*) AS df FROM {pl}
+        WHERE term IN ({in_list}) GROUP BY term) d ON {pl}.term = d.term
+  CROSS JOIN {hdr}
+  WHERE {pl}.term IN ({in_list})
+  GROUP BY {pl}.doc_id
+  ORDER BY score DESC, {pl}.doc_id
   LIMIT {BM25_INDEXED_K})""")
     union = "\nUNION ALL\n".join(sets)
     return f"""
@@ -3511,7 +3534,10 @@ pl AS (
   SELECT term, doc_id, dl, CAST(COUNT(*) AS INTEGER) AS tf FROM (
     SELECT doc_id, dl, unnest(toks) AS term FROM base)
   GROUP BY term, doc_id, dl),
-hdr AS (SELECT COUNT(*) AS N, AVG(dl) AS avgdl FROM base)
+hdr AS (SELECT COUNT(*) AS N, AVG(dl) AS avgdl FROM base),
+pl2 AS (SELECT * FROM pl WHERE doc_id % 9 <> 4),
+hdr2 AS (SELECT COUNT(*) AS N, AVG(dl) AS avgdl
+         FROM (SELECT DISTINCT doc_id, dl FROM pl2))
 {union}
 """
 

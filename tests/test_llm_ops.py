@@ -2410,3 +2410,45 @@ def test_bmp_decode_features_lane(spark):
         [(99, bytearray(b"not a bitmap"))], "doc_id long, payload binary")
     r = decode_bmp_features(broken).collect()[0]
     assert r.bmp_width is None and r.bmp_mean_pixel is None
+
+
+def test_retract_bm25_index_equals_rebuild(spark):
+    """BM25 retraction: retract(index(C), D) == index(C \\ D) row for
+    row (postings AND header), retracting absent ids is a no-op, and
+    retract composes with the document-wins advance."""
+    import pyspark.sql.functions as F
+
+    from hbase_snapshotter_spark.operators.retrieval import (
+        advance_bm25_index,
+        build_bm25_index,
+        retract_bm25_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "red fox ran"), (2, "red dog"), (3, "blue fox fox"),
+         (4, "green bird sang loud"), (5, "red red red")],
+        "doc_id long, text string")
+    rows = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    p0, _h0 = build_bm25_index(docs)
+
+    dele = spark.createDataFrame([(2,), (5,)], "doc_id long")
+    p1, h1 = retract_bm25_index(p0, dele)
+    p_want, h_want = build_bm25_index(docs.filter(~F.col("doc_id").isin(2, 5)))
+    assert rows(p1) == rows(p_want)
+    assert rows(h1) == rows(h_want)
+
+    # absent ids: no-op (idempotent re-delivery of the delete feed)
+    p2, h2 = retract_bm25_index(p1, spark.createDataFrame(
+        [(2,), (99,)], "doc_id long"))
+    assert rows(p2) == rows(p1) and rows(h2) == rows(h1)
+
+    # composition: retract then advance == rebuild over the final corpus
+    new_docs = spark.createDataFrame(
+        [(3, "blue blue whale"), (6, "red whale")],  # 3 edited, 6 new
+        "doc_id long, text string")
+    p3, h3 = advance_bm25_index(p1, new_docs)
+    final = docs.filter(~F.col("doc_id").isin(2, 3, 5)).unionByName(new_docs)
+    p_final, h_final = build_bm25_index(final)
+    assert rows(p3.select("term", "doc_id", "dl", "tf")) == \
+        rows(p_final.select("term", "doc_id", "dl", "tf"))
+    assert rows(h3) == rows(h_final)
