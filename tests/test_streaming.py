@@ -1080,3 +1080,79 @@ def test_session_state_retention_bounds_dirs(spark, tmp_path):
     # re-delivering an expired (compacted-away) batch id is a no-op
     bounded.process_batch(batches[0], 0)
     assert rows(bounded.state(spark)) == rows(unbounded.state(spark))
+
+
+def test_streamed_funnel_matches_equal_batch(spark, tmp_path):
+    """N98: funnel matching over watermark-closed sessions — streamed
+    match rows plus a final batch pass over the leftover open buffer
+    reproduce the batch pattern_matches over all delivered events
+    BIT-FOR-BIT; watermark-closed sessions never re-open; a
+    below-watermark late event is dropped (the documented lateness
+    contract); full re-delivery is a no-op."""
+    import pyspark.sql.functions as F
+
+    from hbase_snapshotter_spark.operators.timeseries import pattern_matches
+    from hbase_snapshotter_spark.streaming.funnel_stream import (
+        FunnelStateMaintainer,
+    )
+
+    GAP = 10 * 60000
+    PATS = [("A", "C")]
+    # two keys, sessions interleaved across time-ordered batches; every
+    # match shape: within-batch, cross-batch (open session spans the
+    # boundary), and a session that closes only via watermark advance
+    rows = [
+        # batch 0 (minutes 0-14)
+        ("u1", 0, "A"), ("u1", 2, "B"), ("u2", 1, "A"), ("u2", 9, "C"),
+        ("u1", 11, "C"),
+        # batch 1 (minutes 30-49): u1 session 1 closes (gap from 11),
+        # new sessions open; u2's A@31 stays pending across the batch
+        ("u1", 30, "A"), ("u2", 31, "A"), ("u1", 38, "C"),
+        # batch 2 (minutes 60-80): closes everything before 60-10-gap
+        ("u2", 65, "C"), ("u1", 70, "A"), ("u1", 78, "C"),
+    ]
+    batches = [rows[:5], rows[5:8], rows[8:]]
+
+    def df_of(i, batch):  # deterministic unique ids across batches
+        return spark.createDataFrame(
+            [(k, m, s, i * 100 + j) for j, (k, m, s) in enumerate(batch)],
+            "k string, mins long, s string, eid long"
+        ).select("k", F.expr("timestamp_millis(mins * 60000)").alias("ts"),
+                 "s", "eid")
+
+    m = FunnelStateMaintainer(
+        str(tmp_path / "funnel"), key_col="k", state_col="s",
+        ts_col="ts", id_col="eid", patterns=PATS, gap_ms=GAP)
+    all_events = None
+    for i, b in enumerate(batches):
+        bdf = df_of(i, b)
+        all_events = bdf if all_events is None else all_events.unionByName(bdf)
+        m.process_batch(bdf, i)
+
+    rows_of = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    want = rows_of(pattern_matches(
+        all_events, key_col="k", state_col="s", ts_col="ts", id_col="eid",
+        patterns=PATS, gap_ms=GAP))
+    streamed = m.matches(spark)
+    leftover = pattern_matches(
+        m.open_events(spark), key_col="k", state_col="s", ts_col="ts",
+        id_col="eid", patterns=PATS, gap_ms=GAP)
+    got = rows_of(streamed.unionByName(leftover))
+    assert got == want
+    assert len(rows_of(streamed)) >= 2  # real closed-session matches
+
+    # re-delivery of every batch: nothing re-appends
+    for i, b in enumerate(batches):
+        m.process_batch(df_of(i, b), i)
+    assert rows_of(m.matches(spark)
+                   .unionByName(leftover)) == want
+
+    # a below-watermark late event is dropped: replay an ancient event
+    # as a NEW batch id — matches and open buffer stay unchanged
+    wm_before = m.watermark_ms(spark)
+    late = df_of(9, [("u1", 1, "C")])
+    m.process_batch(late, 9)
+    assert m.watermark_ms(spark) == wm_before  # monotone, no regress
+    assert rows_of(m.matches(spark).unionByName(leftover)) == want
+    # and the late event never entered the open buffer
+    assert m.open_events(spark).filter("eid >= 900").count() == 0
