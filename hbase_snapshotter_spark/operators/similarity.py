@@ -1387,6 +1387,31 @@ def advance_pq_index(
     return kept.unionByName(fresh)
 
 
+def retract_pq_index(
+    prior_codes: DataFrame,
+    deleted_ids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Retract vectors from a materialized PQ code table (the N94/N97
+    deletion posture applied to the ANN index, completing the
+    retraction family: non-algebraic views recompute per group, BM25
+    and PQ indexes are per-document-decomposable and just drop rows):
+    ONE broadcast anti-join on the 16-byte-code table — the corpus
+    vectors are never read.  ``retract(encode(C), D) ≡ encode(C ∖ D)``
+    exactly, because each row is one vector's codes against the FROZEN
+    codebook (pytest-pinned, with serving returning no deleted
+    neighbor afterwards).
+
+    The codebook itself stays frozen — still a valid quantizer for the
+    surviving corpus (ADC error can only change via distribution
+    drift, which the N66 PSI monitor watches); production re-trains it
+    on its own cadence, orthogonal to deletes."""
+    ids = deleted_ids.select(id_col).distinct()
+    return prior_codes.join(F.broadcast(ids), id_col, "left_anti") \
+        .select(*prior_codes.columns)
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,

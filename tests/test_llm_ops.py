@@ -2452,3 +2452,41 @@ def test_retract_bm25_index_equals_rebuild(spark):
     assert rows(p3.select("term", "doc_id", "dl", "tf")) == \
         rows(p_final.select("term", "doc_id", "dl", "tf"))
     assert rows(h3) == rows(h_final)
+
+
+def test_retract_pq_index_equals_reencode(spark, sf_dir):
+    """PQ index retraction: retract(encode(C), D) == encode(C \\ D)
+    exactly under the frozen codebook; absent ids are a no-op; serving
+    from the retracted code table never returns a deleted neighbor;
+    retract composes with the delta advance."""
+    from pyspark.sql import functions as F
+
+    from hbase_snapshotter_spark.operators.similarity import (
+        advance_pq_index,
+        pq_codebook,
+        pq_encode,
+        retract_pq_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _cids, C = pq_codebook(emb)
+    codes = pq_encode(emb, C)
+    snap = lambda df: {r["vec_id"]: (list(r["__codes"]), r["__rn2"])  # noqa: E731
+                       for r in df.collect()}
+
+    dele = emb.filter("vec_id % 11 = 2").select("vec_id")
+    r1 = retract_pq_index(codes, dele)
+    want = snap(pq_encode(emb.filter("vec_id % 11 <> 2"), C))
+    assert snap(r1) == want
+
+    # absent ids: no-op
+    gone = spark.createDataFrame([(10**9,)], "vec_id long")
+    assert snap(retract_pq_index(r1, gone)) == want
+
+    # compose with the advance: delete then add a new vector
+    new_vec = emb.filter("vec_id = 2").withColumn(
+        "vec_id", F.lit(900001).cast(dict(emb.dtypes)["vec_id"]))
+    r2 = advance_pq_index(r1, new_vec, C)
+    final = emb.filter("vec_id % 11 <> 2").unionByName(new_vec)
+    assert snap(r2) == snap(pq_encode(final, C))
+    assert r2.filter("vec_id % 11 = 2").count() == 0  # served never sees them
