@@ -103,6 +103,7 @@ HEADLINE_R7 = [
     "event_session_stats", # r8: sessionization economics
     "topk_delete_advance", # r9: deletion-capable view maintenance
     "event_pattern_funnel", # r9: MATCH_RECOGNIZE-lite predicate paths
+    "scd2_lookup_purchases", # r9: temporal dimension (as-was) join
     "constraint_audit_suite",
     "embedding_truncation_audit",
     "dedup_cluster_representatives",

@@ -626,3 +626,56 @@ def recompute_affected_groups(
     rebuilt = rebuild(base.join(F.broadcast(touched), group_cols,
                                 "left_semi"))
     return kept.unionByName(rebuilt)
+
+
+def scd2_lookup(
+    facts: DataFrame,
+    history: DataFrame,
+    *,
+    key_cols: tuple[str, ...] = ("row_key", "qualifier"),
+    fact_ts_col: str = "cell_ts",
+    how: str = "left",
+) -> DataFrame:
+    """Temporal dimension lookup (SURVEY §2.3 N99): join each fact row
+    to the :func:`scd2_history` VERSION that was valid at the fact's
+    event time — the Kimball "as-was" join every change-captured
+    warehouse serves (`fact JOIN dim ON key AND valid_from <= ts <
+    valid_to`), and the interval mirror of the event-pair as-of join
+    (N6 `asof_join` picks the latest EVENT ≤ t; this picks the
+    enclosing VERSION, version attributes attached).
+
+    Spark-first shape: the join is an EQUI join on the dimension key
+    with the interval predicate as a residual condition — Catalyst
+    plans a hash/sort-merge join on the key (broadcast when the
+    history is dim-sized, the common case), never a
+    BroadcastNestedLoop, because the equality conjunct is extractable.
+    Versions of one key never overlap (`valid_to` = next version's
+    `valid_from`, exclusive), so each fact matches AT MOST one version
+    — no dedup pass needed, and ``how="left"`` keeps facts older than
+    their key's first version (dimension columns NULL), the audit
+    posture; ``how="inner"`` drops them.
+
+    Scale shape: shuffle/broadcast carries the (bounded per key —
+    retention-policy-sized) version table and the fact keys; the
+    residual interval filter evaluates inside the join, so no
+    fact × versions blow-up materializes.  At 100 TB both sides
+    bucket by the key and the join is co-located."""
+    if how not in ("left", "inner"):
+        raise ValueError(f"scd2_lookup: how must be left|inner, got {how}")
+    h = history.select(
+        *key_cols, F.col("value").alias("dim_value"), "valid_from",
+        "valid_to", "version", "is_current")
+    ts = F.col(f"__f.{fact_ts_col}")
+    cond = F.lit(True)
+    for c in key_cols:
+        cond = cond & (F.col(f"__f.{c}") == F.col(f"__h.{c}"))
+    cond = cond & (F.col("__h.valid_from") <= ts) \
+        & (F.col("__h.valid_to").isNull()
+           | (ts < F.col("__h.valid_to")))
+    out = facts.alias("__f").join(h.alias("__h"), cond, how)
+    return out.select(
+        *[F.col(f"__f.{c}") for c in facts.columns],
+        F.col("__h.dim_value").alias("dim_value"),
+        F.col("__h.valid_from").alias("dim_valid_from"),
+        F.col("__h.version").alias("dim_version"),
+        F.col("__h.is_current").alias("dim_is_current"))

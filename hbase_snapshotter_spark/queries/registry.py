@@ -84,6 +84,8 @@ _ALL_PAIRS.update({
                          snapshot_q.oracle_agg_view_advance()),
     "topk_delete_advance": (snapshot_q.q_topk_delete_advance,
                             snapshot_q.oracle_topk_delete_advance()),
+    "scd2_lookup_purchases": (snapshot_q.q_scd2_lookup_purchases,
+                              snapshot_q.oracle_scd2_lookup_purchases()),
     "sketch_set_cardinalities": (snapshot_q.q_sketch_set_cardinalities,
                                  snapshot_q.oracle_sketch_set_cardinalities()),
 })

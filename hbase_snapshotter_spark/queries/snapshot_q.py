@@ -1113,3 +1113,60 @@ SELECT CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
        CAST(NULL AS INTEGER), TRUE
 ORDER BY qualifier, rk
 """
+
+
+def q_scd2_lookup_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal dimension lookup (N99): every purchase event joined to
+    the SCD2 version of its user's ``signup`` cell that was valid AT
+    the purchase time — the Kimball "as-was" fact join (attribute each
+    purchase to the plan the user was on at that moment, not the
+    current one).  Purchases before the user's first signup keep NULL
+    dimension columns (the ``how="left"`` audit posture).  The oracle
+    replays the interval reconstruction and the as-was join."""
+    from hbase_snapshotter_spark.operators.snapshot import (
+        scd2_history,
+        scd2_lookup,
+    )
+
+    log = events_as_changelog(read_table(spark, sf_dir, "events"))
+    dim = scd2_history(log.filter(F.col("qualifier") == "signup"))
+    facts = (log.filter(F.col("qualifier") == "purchase")
+             .select("row_key", "cell_ts",
+                     F.col("value").alias("fact_value")))
+    return scd2_lookup(facts, dim, key_cols=("row_key",),
+                       fact_ts_col="cell_ts")
+
+
+def oracle_scd2_lookup_purchases() -> str:
+    return """
+WITH log AS (
+  SELECT CAST(user_id AS VARCHAR) AS row_key, event_type AS qualifier,
+         CAST(value AS VARCHAR) AS value, epoch_ms(ts) AS cell_ts
+  FROM events),
+dim AS (
+  -- is_current computed INSIDE the dimension: after the left join,
+  -- "valid_to IS NULL" would also be true for UNMATCHED facts
+  SELECT row_key, value, valid_from, valid_to, version,
+         valid_to IS NULL AS is_current
+  FROM (
+    SELECT row_key, value,
+           cell_ts AS valid_from,
+           LEAD(cell_ts) OVER (PARTITION BY row_key, qualifier
+                               ORDER BY cell_ts, value) AS valid_to,
+           ROW_NUMBER() OVER (PARTITION BY row_key, qualifier
+                              ORDER BY cell_ts, value) AS version
+    FROM log WHERE qualifier = 'signup')),
+facts AS (
+  SELECT row_key, cell_ts, value AS fact_value
+  FROM log WHERE qualifier = 'purchase')
+SELECT f.row_key, f.cell_ts, f.fact_value,
+       d.value AS dim_value,
+       d.valid_from AS dim_valid_from,
+       CAST(d.version AS INTEGER) AS dim_version,
+       d.is_current AS dim_is_current
+FROM facts f
+LEFT JOIN dim d
+  ON d.row_key = f.row_key
+ AND d.valid_from <= f.cell_ts
+ AND (d.valid_to IS NULL OR f.cell_ts < d.valid_to)
+"""

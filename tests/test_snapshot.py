@@ -721,3 +721,43 @@ def test_recompute_affected_groups_topk_deletes(spark):
         ins_adv, poisoned, feed, group_cols=["g"], rebuild=rebuild)
     assert {(r.g, r.id, r.s) for r in
             kept.filter(F.col("g") == "g3").collect()} == {("g3", "a", 1.0)}
+
+
+def test_scd2_lookup_as_was_semantics(spark):
+    """N99 hand-computed: each fact joins the version valid AT its ts —
+    boundary fact at a version change takes the NEW version
+    (valid_from <= ts, old closed exclusively), facts before the key's
+    first version keep NULL dimension columns under how='left' and
+    drop under how='inner', and at most one version ever matches."""
+    from pyspark.sql import functions as F
+
+    from hbase_snapshotter_spark.operators.snapshot import (
+        scd2_history,
+        scd2_lookup,
+    )
+
+    dim_log = spark.createDataFrame(
+        [("u1", "plan", "free", 100), ("u1", "plan", "pro", 200),
+         ("u2", "plan", "pro", 150)],
+        "row_key string, qualifier string, value string, cell_ts long")
+    hist = scd2_history(dim_log)
+    facts = spark.createDataFrame(
+        [("u1", 50, "a"),    # before first version → NULL dim
+         ("u1", 150, "b"),   # inside [100, 200) → free v1
+         ("u1", 200, "c"),   # boundary → pro v2 (valid_to exclusive)
+         ("u1", 999, "d"),   # open interval → pro v2, is_current
+         ("u2", 151, "e")],
+        "row_key string, cell_ts long, fact_value string")
+    out = scd2_lookup(facts, hist, key_cols=("row_key",),
+                      fact_ts_col="cell_ts")
+    got = {r.fact_value: (r.dim_value, r.dim_version, r.dim_is_current)
+           for r in out.collect()}
+    assert out.count() == 5  # at most one version per fact
+    assert got == {"a": (None, None, None),
+                   "b": ("free", 1, False),
+                   "c": ("pro", 2, True),
+                   "d": ("pro", 2, True),
+                   "e": ("pro", 1, True)}
+    inner = scd2_lookup(facts, hist, key_cols=("row_key",),
+                        fact_ts_col="cell_ts", how="inner")
+    assert {r.fact_value for r in inner.collect()} == {"b", "c", "d", "e"}
