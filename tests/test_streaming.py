@@ -1156,3 +1156,73 @@ def test_streamed_funnel_matches_equal_batch(spark, tmp_path):
     assert rows_of(m.matches(spark).unionByName(leftover)) == want
     # and the late event never entered the open buffer
     assert m.open_events(spark).filter("eid >= 900").count() == 0
+
+
+def test_index_feed_maintainer_bm25_and_pq(spark, sf_dir, tmp_path):
+    """N100: the CDC-driven index maintainer — after a chain of
+    insert/update/delete feed batches, the maintained BM25 postings
+    state and the maintained PQ code table each equal the batch-built
+    index over the NET corpus, bit-for-bit; re-delivering every batch
+    changes nothing."""
+    import pyspark.sql.functions as F
+
+    from hbase_snapshotter_spark.operators.retrieval import build_bm25_index
+    from hbase_snapshotter_spark.operators.similarity import (
+        pq_codebook,
+        pq_encode,
+    )
+    from hbase_snapshotter_spark.streaming.index_stream import (
+        IndexFeedMaintainer,
+        bm25_feed_apply,
+        pq_feed_apply,
+    )
+
+    rows_of = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+
+    # ---- BM25 lane ----
+    fs = "op string, doc_id long, text string"
+    feeds = [
+        spark.createDataFrame(
+            [("I", 1, "red fox ran"), ("I", 2, "red dog"),
+             ("I", 3, "blue fox fox"), ("I", 4, "green bird")], fs),
+        spark.createDataFrame(
+            [("U", 2, "red red whale"), ("D", 3, None),
+             ("I", 5, "blue bird")], fs),
+        spark.createDataFrame(
+            [("D", 5, None), ("U", 1, "orange fox")], fs),
+    ]
+    m = IndexFeedMaintainer(str(tmp_path / "bm25"), bm25_feed_apply())
+    for i, f in enumerate(feeds):
+        m.process_batch(f, i)
+    net = spark.createDataFrame(
+        [(1, "orange fox"), (2, "red red whale"), (4, "green bird")],
+        "doc_id long, text string")
+    want, _ = build_bm25_index(net)
+    cols = ["term", "doc_id", "dl", "tf"]
+    assert rows_of(m.state(spark).select(*cols)) == rows_of(want.select(*cols))
+    for i, f in enumerate(feeds):  # re-delivery: apply must not re-run
+        m.process_batch(f, i)
+    assert rows_of(m.state(spark).select(*cols)) == rows_of(want.select(*cols))
+
+    # ---- PQ lane (frozen codebook from the fixture corpus) ----
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _cids, C = pq_codebook(emb)
+    vec = lambda i: emb.filter(f"vec_id = {i}")  # noqa: E731
+    neg = lambda df: df.withColumn(  # noqa: E731
+        "embedding", F.transform("embedding", lambda x: -x))
+    tag = lambda df, op: df.select(  # noqa: E731
+        F.lit(op).alias("op"), "vec_id", "embedding")
+    pq_feeds = [
+        tag(emb.filter("vec_id < 6"), "I"),
+        tag(neg(vec(2)), "U").unionByName(tag(vec(3), "D"))
+        .unionByName(tag(vec(8), "I")),
+        tag(vec(8), "D"),
+    ]
+    mp = IndexFeedMaintainer(str(tmp_path / "pq"), pq_feed_apply(C))
+    for i, f in enumerate(pq_feeds):
+        mp.process_batch(f, i)
+    net_corpus = emb.filter("vec_id < 6 and vec_id not in (2, 3)") \
+        .unionByName(neg(vec(2)))
+    snap = lambda df: {r["vec_id"]: (list(r["__codes"]), r["__rn2"])  # noqa: E731
+                       for r in df.collect()}
+    assert snap(mp.state(spark)) == snap(pq_encode(net_corpus, C))
