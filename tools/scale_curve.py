@@ -626,9 +626,33 @@ def operators():
         docs = spread(spark.read.parquet(f"{d}/documents.parquet"))
         return decode_bmp_features(synthesize_bmp_payloads(docs))
 
+    def run_scd2_lookup(spark, d):
+        import hbase_snapshotter_spark.queries.snapshot_q as sq
+
+        return sq.q_scd2_lookup_purchases(spark, d)
+
+    def run_bm25_retract(spark, d):
+        # N97: retract 1/9 of docs from the postings state, then serve
+        from pyspark.sql import functions as F
+
+        from hbase_snapshotter_spark.operators.dedup import spread
+        from hbase_snapshotter_spark.operators.retrieval import (
+            bm25_topk_indexed,
+            build_bm25_index,
+            retract_bm25_index,
+        )
+
+        docs = spread(spark.read.parquet(f"{d}/documents.parquet"))
+        postings, _ = build_bm25_index(docs)
+        p2, h2 = retract_bm25_index(
+            postings, docs.select("doc_id").filter(F.col("doc_id") % 9 == 4))
+        return bm25_topk_indexed(p2, h2, ["data", "model"], k=25)
+
     return {
         # round-9 additions (cheap: per-key windows / Arrow batch lanes)
         "pattern_funnel": _q("event_pattern_funnel"),
+        "scd2_lookup": run_scd2_lookup,
+        "bm25_retract_serve": run_bm25_retract,
         "topk_delete_advance": _q("topk_delete_advance"),
         "session_merge": run_session_merge,
         "bmp_decode": run_bmp_decode,
