@@ -338,9 +338,12 @@ def advance_topk_state(
     same (group, id) to their MAX score, and re-take the top-k.
     Sound because top-k is MONOTONE under inserts — a row outside the
     prior top-k is dominated by k rows that all survive into every
-    later input, so it can never re-enter (deletes break this; a
-    deleting pipeline recomputes from the N50 changefeed's before
-    images instead).
+    later input, so it can never re-enter (deletes and score DECREASES
+    break this; compose with
+    :func:`~.operators.snapshot.recompute_affected_groups` — N94 — so
+    delete/update-touched groups recompute from base while insert-only
+    groups keep riding this cheap path, the registered
+    ``topk_delete_advance`` shape).
 
     The max-collapse makes the advance IDEMPOTENT — a re-delivered
     delta whose rows the state already holds changes nothing (without
