@@ -9,10 +9,13 @@ row-at-a-time.  Compressed codecs (PNG/JPEG/ffmpeg/…) are NOT in this
 container, so ``decode_payload`` is a clearly-marked deterministic stub;
 the Spark-side plumbing — schema, batch iteration, partitioning — is
 real and tested, and swapping the stub for a real codec changes no plan.
-One codec IS real and dependency-free: 24-bit uncompressed BMP
-(:func:`encode_bmp` / :func:`decode_bmp` — pure byte slicing + numpy),
-so the ``codec="bmp"`` lane exercises genuine bytes→pixels decoding
-(header parse, 4-byte row padding, bottom-up row order) end to end.
+TWO codecs ARE real and dependency-free: 24-bit uncompressed BMP
+(:func:`encode_bmp` / :func:`decode_bmp` — pure byte slicing + numpy;
+header parse, 4-byte row padding, bottom-up/top-down row order) and
+8-bit RGB/RGBA PNG (:func:`encode_png` / :func:`decode_png` — stdlib
+zlib inflate + the full five-filter scanline reconstruction incl.
+Paeth, CRC-checked chunks), so the real-codec lanes exercise genuine
+bytes→pixels decoding end to end.
 
 Scale notes: binary payloads inflate row size; keep them out of shuffles
 (derive features first, drop the payload before any wide op) and size
@@ -333,6 +336,197 @@ def synthesize_bmp_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFra
                 px = np.full((h, w, 3), i % 256, dtype=np.uint8)
                 px[0, 0, :] = (i * 7 + 1) % 256
                 payloads.append(encode_bmp(px))
+            yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"),
+                                "payload": payloads})
+
+    return df.select(id_col).mapInPandas(
+        gen_batches,
+        StructType([StructField("doc_id", LongType()),
+                    StructField("payload", BinaryType())]))
+
+
+# ---------------------------------------------------------------------------
+# Second real codec: PNG (8-bit RGB/RGBA, all five scanline filters).
+# Dependency-free because the stack is stdlib zlib + numpy: a PNG is
+# length-prefixed CRC'd chunks, IHDR geometry, zlib-deflated scanlines
+# each led by a filter byte (None/Sub/Up/Average/Paeth).  The decoder
+# implements the full filter set — real-world PNGs mix filters per row
+# — while the encoder emits filter 0 (always valid; compression ratio
+# is not the point of a fixture encoder).
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+
+def encode_png(pixels) -> bytes:
+    """Encode an ``(h, w, 3|4)`` uint8 array as an 8-bit RGB(A) PNG
+    (filter 0 scanlines, one IDAT)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] not in (3, 4):
+        raise ValueError(f"expected (h, w, 3|4) pixels, got {px.shape}")
+    h, w, ch = px.shape
+    color_type = 2 if ch == 3 else 6
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + px[r].tobytes() for r in range(h))
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes):
+    """Decode an 8-bit RGB/RGBA PNG to ``(width, height, pixels)``
+    (uint8, shape ``(h, w, channels)``) — full scanline-filter support
+    (None/Sub/Up/Average/Paeth), multi-IDAT, CRC-checked IHDR/IDAT.
+    Raises ``ValueError`` on anything else (interlace, palette,
+    non-8-bit depths)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(payload) < 8 or payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, w = 8, None
+    idat = []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if tag in (b"IHDR", b"IDAT") \
+                and crc != (zlib.crc32(tag + body) & 0xFFFFFFFF):
+            raise ValueError(f"bad CRC on {tag!r}")
+        if tag == b"IHDR":
+            w, h, depth, color_type, comp, filt, interlace = \
+                struct.unpack(">IIBBBBB", body)
+            if depth != 8 or color_type not in (2, 6) or comp != 0 \
+                    or filt != 0 or interlace != 0:
+                raise ValueError(
+                    f"unsupported PNG: depth={depth} color={color_type} "
+                    f"interlace={interlace}")
+            ch = 3 if color_type == 2 else 4
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload has the wrong size")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        ftype = raw[r * (stride + 1)]
+        line = np.frombuffer(raw, dtype=np.uint8,
+                             count=stride,
+                             offset=r * (stride + 1) + 1).astype(np.int32)
+        if ftype == 0:    # None
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prior) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: sequential in
+            cur = np.zeros(stride, dtype=np.int32)  # the left operand
+            for i in range(stride):
+                a = cur[i - ch] if i >= ch else 0
+                b = int(prior[i])
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = int(prior[i - ch]) if i >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) \
+                        else (b if pb <= pc else c)
+                cur[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        out[r] = cur.astype(np.uint8)
+        prior = cur
+    return w, h, out.reshape(h, w, ch)
+
+
+PNG_DECODED_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("png_width", IntegerType()),
+    StructField("png_height", IntegerType()),
+    StructField("png_mean_pixel", DoubleType()),
+    StructField("png_corner_pixel", IntegerType()),
+])
+
+
+def decode_png_features(df: DataFrame, *, id_col: str = "doc_id",
+                        payload_col: str = "payload") -> DataFrame:
+    """Real-codec feature extraction, PNG lane: inflate + unfilter each
+    payload and emit header dims + pixel statistics (exact integer-sum
+    mean — the no-round posture of the BMP lane — and the top-left red
+    channel).  Undecodable payloads yield NULL features."""
+
+    def png_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w_l, h_l, mean_l, corner_l = [], [], [], []
+            for p in pdf[payload_col]:
+                try:
+                    w, h, px = decode_png(bytes(p) if p is not None else b"")
+                    w_l.append(w)
+                    h_l.append(h)
+                    mean_l.append(int(px.sum(dtype="int64")) / px.size)
+                    corner_l.append(int(px[0, 0, 0]))
+                except ValueError:
+                    w_l.append(None)
+                    h_l.append(None)
+                    mean_l.append(None)
+                    corner_l.append(None)
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                "png_width": pd.Series(w_l, dtype="Int32"),
+                "png_height": pd.Series(h_l, dtype="Int32"),
+                "png_mean_pixel": pd.Series(mean_l, dtype="float64"),
+                "png_corner_pixel": pd.Series(corner_l, dtype="Int32"),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        png_batches, PNG_DECODED_SCHEMA)
+
+
+def synthesize_png_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic PNG fixture images (the :func:`synthesize_bmp_payloads`
+    pattern with independent dimension/fill rules): width ``4 + id % 9``,
+    height ``3 + id % 5``, solid ``(3·id) % 256`` fill except a distinct
+    top-left pixel ``(5·id + 2) % 256``.  Real :func:`encode_png` bytes
+    (zlib-deflated scanlines, CRC'd chunks); an oracle replays the
+    expected features from the id arithmetic alone."""
+
+    def gen_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = 4 + i % 9, 3 + i % 5
+                px = np.full((h, w, 3), (3 * i) % 256, dtype=np.uint8)
+                px[0, 0, :] = (5 * i + 2) % 256
+                payloads.append(encode_png(px))
             yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"),
                                 "payload": payloads})
 

@@ -844,11 +844,17 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``bmp_*`` columns come from ACTUAL header bytes and the pixel
     array (4-byte row padding stripped, bottom-up rows flipped), and
     the oracle replays the expected values from the id arithmetic
-    alone, so a padding/row-order/header bug hash-fails."""
+    alone, so a padding/row-order/header bug hash-fails.  The PNG lane
+    (``png_*`` columns) is the same proof through the COMPRESSED real
+    codec: zlib-deflated CRC'd chunks decoded by the dependency-free
+    five-filter :func:`~.operators.multimodal.decode_png`, with its
+    own id-arithmetic dimension rules."""
     from hbase_snapshotter_spark.cache import scoped_persist
     from hbase_snapshotter_spark.operators.multimodal import (
         decode_bmp_features,
+        decode_png_features,
         synthesize_bmp_payloads,
+        synthesize_png_payloads,
     )
 
     docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
@@ -883,14 +889,18 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("content_md5").alias("resized_md5"),
                 F.length("payload").cast("int").alias("resized_n_bytes"))
     bmp = decode_bmp_features(synthesize_bmp_payloads(with_payload))
+    png = decode_png_features(synthesize_png_payloads(with_payload))
     return (meta.join(decoded, "doc_id").join(frame_counts, "doc_id")
-            .join(resized, "doc_id").join(bmp, "doc_id").select(
+            .join(resized, "doc_id").join(bmp, "doc_id")
+            .join(png, "doc_id").select(
                 "doc_id", "n_bytes", "content_md5", "payload_dup_count",
                 "is_payload_keeper", "width", "height", "n_frames",
                 "feature_hash", "n_sampled_frames",
                 "resized_md5", "resized_n_bytes",
                 "bmp_width", "bmp_height", "bmp_mean_pixel",
-                "bmp_corner_pixel"))
+                "bmp_corner_pixel",
+                "png_width", "png_height", "png_mean_pixel",
+                "png_corner_pixel"))
 
 
 ORACLE_MULTIMODAL = f"""
@@ -928,7 +938,15 @@ SELECT p.doc_id,
         + (p.doc_id * 7 + 1) % 256)
        / (CAST((5 + p.doc_id % 12) * (2 + p.doc_id % 6) AS DOUBLE))
          AS bmp_mean_pixel,
-       CAST((p.doc_id * 7 + 1) % 256 AS INTEGER) AS bmp_corner_pixel
+       CAST((p.doc_id * 7 + 1) % 256 AS INTEGER) AS bmp_corner_pixel,
+       -- png lane: same id-arithmetic replay, independent rules
+       CAST(4 + p.doc_id % 9 AS INTEGER) AS png_width,
+       CAST(3 + p.doc_id % 5 AS INTEGER) AS png_height,
+       ((p.doc_id * 3 % 256) * ((4 + p.doc_id % 9) * (3 + p.doc_id % 5) - 1)
+        + (p.doc_id * 5 + 2) % 256)
+       / (CAST((4 + p.doc_id % 9) * (3 + p.doc_id % 5) AS DOUBLE))
+         AS png_mean_pixel,
+       CAST((p.doc_id * 5 + 2) % 256 AS INTEGER) AS png_corner_pixel
 FROM p JOIN d ON d.content_md5 = md5(p.pay)
 """
 

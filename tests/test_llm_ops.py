@@ -2490,3 +2490,109 @@ def test_retract_pq_index_equals_reencode(spark, sf_dir):
     final = emb.filter("vec_id % 11 <> 2").unionByName(new_vec)
     assert snap(r2) == snap(pq_encode(final, C))
     assert r2.filter("vec_id % 11 = 2").count() == 0  # served never sees them
+
+
+def test_png_codec_filters_golden_and_roundtrip():
+    """The PNG codec is REAL: hand-assembled scanlines under each
+    filter type (None/Sub/Up/Average/Paeth) reconstruct to the exact
+    pixels; RGBA roundtrips; a corrupted IDAT CRC and non-PNG bytes
+    raise."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from hbase_snapshotter_spark.operators.multimodal import (
+        _png_chunk,
+        _PNG_SIG,
+        decode_png,
+        encode_png,
+    )
+
+    # target 2x2 RGB image
+    px = np.array([[[10, 20, 30], [13, 22, 37]],
+                   [[12, 25, 40], [16, 30, 50]]], dtype=np.uint8)
+
+    def png_with(rows: bytes) -> bytes:
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+        return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"IDAT", zlib.compress(rows))
+                + _png_chunk(b"IEND", b""))
+
+    r0, r1 = px[0].flatten().astype(int), px[1].flatten().astype(int)
+
+    # filter 1 (Sub) on row 0: raw[i] = x[i] - x[i-3]
+    sub0 = [int(r0[i] - (r0[i - 3] if i >= 3 else 0)) & 0xFF
+            for i in range(6)]
+    # filter 2 (Up) on row 1: raw[i] = x[i] - prior[i]
+    up1 = [(int(r1[i]) - int(r0[i])) & 0xFF for i in range(6)]
+    got = decode_png(png_with(
+        b"\x01" + bytes(sub0) + b"\x02" + bytes(up1)))[2]
+    assert np.array_equal(got, px)
+
+    # filter 3 (Average) row 1: raw[i] = x[i] - (a + b)//2
+    avg1 = [(int(r1[i]) - ((int(r1[i - 3]) if i >= 3 else 0)
+                           + int(r0[i])) // 2) & 0xFF for i in range(6)]
+    got = decode_png(png_with(
+        b"\x00" + bytes(r0.astype(np.uint8)) + b"\x03" + bytes(avg1)))[2]
+    assert np.array_equal(got, px)
+
+    # filter 4 (Paeth) row 1: predictor of (a, b, c)
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    pae1 = [(int(r1[i]) - paeth(int(r1[i - 3]) if i >= 3 else 0,
+                                int(r0[i]),
+                                int(r0[i - 3]) if i >= 3 else 0)) & 0xFF
+            for i in range(6)]
+    got = decode_png(png_with(
+        b"\x00" + bytes(r0.astype(np.uint8)) + b"\x04" + bytes(pae1)))[2]
+    assert np.array_equal(got, px)
+
+    # RGBA roundtrip through our own encoder
+    rng = np.random.RandomState(11)
+    rgba = rng.randint(0, 256, size=(4, 3, 4)).astype(np.uint8)
+    w, h, back = decode_png(encode_png(rgba))
+    assert (w, h) == (3, 4) and np.array_equal(back, rgba)
+
+    # corrupted IDAT CRC must raise (flip one body byte)
+    good = encode_png(px)
+    idat_at = good.index(b"IDAT")
+    bad = bytearray(good)
+    bad[idat_at + 4] ^= 0xFF
+    with _pytest.raises(ValueError):
+        decode_png(bytes(bad))
+    with _pytest.raises(ValueError):
+        decode_png(b"GIF89a....")
+
+
+def test_png_decode_features_lane(spark):
+    """The Spark png lane: synthesized real-PNG payloads decode to the
+    id-derived dims/fill/corner; a corrupt payload yields NULLs."""
+    import pyspark.sql.functions as F
+
+    from hbase_snapshotter_spark.operators.multimodal import (
+        decode_png_features,
+        synthesize_png_payloads,
+    )
+
+    docs = spark.range(0, 45).select(F.col("id").alias("doc_id"))
+    out = decode_png_features(synthesize_png_payloads(docs))
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == 45
+    for i in range(45):
+        w, h = 4 + i % 9, 3 + i % 5
+        fill, corner = (3 * i) % 256, (5 * i + 2) % 256
+        r = rows[i]
+        assert (r.png_width, r.png_height) == (w, h)
+        assert r.png_corner_pixel == corner
+        assert r.png_mean_pixel == (fill * (w * h - 1) + corner) / (w * h)
+
+    broken = spark.createDataFrame(
+        [(7, bytearray(b"\x89PNG\r\n\x1a\nnot really"))],
+        "doc_id long, payload binary")
+    r = decode_png_features(broken).collect()[0]
+    assert r.png_width is None and r.png_mean_pixel is None
