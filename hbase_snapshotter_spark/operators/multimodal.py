@@ -534,3 +534,153 @@ def synthesize_png_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFra
         gen_batches,
         StructType([StructField("doc_id", LongType()),
                     StructField("payload", BinaryType())]))
+
+
+# ---------------------------------------------------------------------------
+# Third real codec: WAV (RIFF PCM, 16-bit LE) — the audio lane.  Pure
+# byte slicing like BMP: a RIFF header, an `fmt ` chunk carrying
+# (channels, sample rate, bit depth), and a `data` chunk of interleaved
+# little-endian PCM frames.  With it the multimodal surface exercises
+# genuine bytes→waveform decoding: sample-exact stats (RMS/peak in
+# integer PCM units, duration from the real frame count) that an SQL
+# oracle replays from the synthesis arithmetic.
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples, sample_rate: int) -> bytes:
+    """Encode an ``(n_frames, channels)`` int16 array as 16-bit PCM
+    WAV."""
+    import struct
+
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.int16)
+    if x.ndim != 2:
+        raise ValueError(f"expected (frames, channels) samples, got {x.shape}")
+    n, ch = x.shape
+    data = x.tobytes()  # int16 LE interleaved
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate,
+                      sample_rate * ch * 2, ch * 2, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes):
+    """Decode a 16-bit PCM WAV to ``(sample_rate, channels, samples)``
+    with ``samples`` an ``(n_frames, channels)`` int16 array.  Walks
+    the RIFF chunk list (skipping unknown chunks, honoring the odd-size
+    pad byte); raises ``ValueError`` on non-PCM, non-16-bit, or
+    malformed payloads."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        tag = payload[pos:pos + 4]
+        (length,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8:pos + 8 + length]
+        if len(body) != length:
+            raise ValueError(f"truncated {tag!r} chunk")
+        if tag == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif tag == b"data":
+            data = body
+        pos += 8 + length + (length & 1)  # RIFF pads odd chunks
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    audio_format, ch, sample_rate, _brate, _balign, bits = fmt
+    if audio_format != 1 or bits != 16 or ch < 1:
+        raise ValueError(
+            f"unsupported WAV: format={audio_format} bits={bits} ch={ch}")
+    frames = len(data) // (2 * ch)
+    x = np.frombuffer(data, dtype="<i2", count=frames * ch) \
+        .reshape(frames, ch)
+    return sample_rate, ch, x
+
+
+WAV_DECODED_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("wav_sample_rate", IntegerType()),
+    StructField("wav_channels", IntegerType()),
+    StructField("wav_n_frames", IntegerType()),
+    StructField("wav_duration_ms", LongType()),
+    StructField("wav_peak", IntegerType()),
+    StructField("wav_rms", DoubleType()),
+])
+
+
+def decode_wav_features(df: DataFrame, *, id_col: str = "doc_id",
+                        payload_col: str = "payload") -> DataFrame:
+    """Real-codec audio feature extraction: parse each payload as PCM
+    WAV and emit header facts (rate, channels, frame count, exact
+    integer-ms duration) + waveform stats (peak |sample| and RMS as
+    one exact integer-sum division + sqrt — replayable arithmetic).
+    Undecodable payloads yield NULL features."""
+    import math
+
+    def wav_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {k: [] for k in ("sr", "ch", "nf", "dur", "peak", "rms")}
+            for p in pdf[payload_col]:
+                try:
+                    sr, ch, x = decode_wav(bytes(p) if p is not None else b"")
+                    n = x.shape[0]
+                    cols["sr"].append(sr)
+                    cols["ch"].append(ch)
+                    cols["nf"].append(n)
+                    # floor to ms as exact integer arithmetic
+                    cols["dur"].append(n * 1000 // sr if sr else None)
+                    xi = x.astype("int64")
+                    cols["peak"].append(int(abs(xi).max()) if n else None)
+                    cols["rms"].append(
+                        math.sqrt(int((xi * xi).sum()) / (n * ch))
+                        if n else None)
+                except ValueError:
+                    for k in cols:
+                        cols[k].append(None)
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                "wav_sample_rate": pd.Series(cols["sr"], dtype="Int32"),
+                "wav_channels": pd.Series(cols["ch"], dtype="Int32"),
+                "wav_n_frames": pd.Series(cols["nf"], dtype="Int32"),
+                "wav_duration_ms": pd.Series(cols["dur"], dtype="Int64"),
+                "wav_peak": pd.Series(cols["peak"], dtype="Int32"),
+                "wav_rms": pd.Series(cols["rms"], dtype="float64"),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        wav_batches, WAV_DECODED_SCHEMA)
+
+
+def synthesize_wav_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic WAV fixtures: per id, a mono square wave of
+    amplitude ``100 + id % 900`` with ``80 + id % 50`` frames at
+    ``8000 + 100·(id % 5)`` Hz — constant |sample|, so RMS == peak ==
+    the amplitude exactly and every decoded stat is replayable from
+    the id arithmetic; real :func:`encode_wav` bytes."""
+
+    def gen_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                amp, n = 100 + i % 900, 80 + i % 50
+                sr = 8000 + 100 * (i % 5)
+                wave = np.where(np.arange(n) % 2 == 0, amp, -amp) \
+                    .astype(np.int16).reshape(n, 1)
+                payloads.append(encode_wav(wave, sr))
+            yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"),
+                                "payload": payloads})
+
+    return df.select(id_col).mapInPandas(
+        gen_batches,
+        StructType([StructField("doc_id", LongType()),
+                    StructField("payload", BinaryType())]))

@@ -4671,3 +4671,45 @@ ORDER BY pos.source
 PAIRS.update({
     "epoch_shuffle_stats": (epoch_shuffle_stats, _oracle_epoch_shuffle()),
 })
+
+
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio half of the N16 real-codec surface: one deterministic
+    mono 16-bit PCM WAV per document (square wave — amplitude, frame
+    count, and sample rate derived from doc_id), encoded to real RIFF
+    bytes and decoded back through the dependency-free
+    :func:`~.operators.multimodal.decode_wav` — rate/channels/frames
+    from the actual fmt/data chunks, duration as exact integer ms,
+    peak and RMS from the actual samples (constant |sample| makes both
+    equal the amplitude EXACTLY, so the oracle replays every column
+    from the id arithmetic and any chunk-walk/PCM-layout bug
+    hash-fails)."""
+    from hbase_snapshotter_spark.operators.multimodal import (
+        decode_wav_features,
+        synthesize_wav_payloads,
+    )
+
+    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet")) \
+        .select("doc_id")
+    return decode_wav_features(synthesize_wav_payloads(docs)) \
+        .orderBy("doc_id")
+
+
+ORACLE_MULTIMODAL_AUDIO = """
+SELECT doc_id,
+       CAST(8000 + 100 * (doc_id % 5) AS INTEGER) AS wav_sample_rate,
+       CAST(1 AS INTEGER) AS wav_channels,
+       CAST(80 + doc_id % 50 AS INTEGER) AS wav_n_frames,
+       CAST((80 + doc_id % 50) * 1000 // (8000 + 100 * (doc_id % 5))
+            AS BIGINT) AS wav_duration_ms,
+       CAST(100 + doc_id % 900 AS INTEGER) AS wav_peak,
+       CAST(100 + doc_id % 900 AS DOUBLE) AS wav_rms
+FROM documents
+ORDER BY doc_id
+"""
+
+
+PAIRS.update({
+    "multimodal_audio_stats": (multimodal_audio_stats,
+                               ORACLE_MULTIMODAL_AUDIO),
+})

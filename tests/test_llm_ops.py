@@ -2596,3 +2596,74 @@ def test_png_decode_features_lane(spark):
         "doc_id long, payload binary")
     r = decode_png_features(broken).collect()[0]
     assert r.png_width is None and r.png_mean_pixel is None
+
+
+def test_wav_codec_golden_bytes_and_chunk_walk():
+    """The WAV codec is REAL: a hand-assembled RIFF file with a junk
+    chunk BEFORE fmt/data and an odd-length chunk (exercising the RIFF
+    pad byte) decodes to the exact samples; stereo roundtrips; non-PCM
+    and truncated payloads raise."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from hbase_snapshotter_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    samples = np.array([[100], [-200], [300]], dtype=np.int16)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    junk = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd + pad
+    data = b"data" + struct.pack("<I", 6) + samples.tobytes()
+    body = b"WAVE" + junk + b"fmt " + struct.pack("<I", 16) + fmt + data
+    golden = b"RIFF" + struct.pack("<I", len(body)) + body
+    sr, ch, x = decode_wav(golden)
+    assert (sr, ch) == (8000, 1)
+    assert x.tolist() == [[100], [-200], [300]]
+
+    rng = np.random.RandomState(5)
+    st = rng.randint(-30000, 30000, size=(7, 2)).astype(np.int16)
+    sr, ch, back = decode_wav(encode_wav(st, 44100))
+    assert (sr, ch) == (44100, 2) and np.array_equal(back, st)
+
+    float_fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    bad = b"RIFF" + struct.pack("<I", 28) + b"WAVE" \
+        + b"fmt " + struct.pack("<I", 16) + float_fmt \
+        + b"data" + struct.pack("<I", 0)
+    with _pytest.raises(ValueError):
+        decode_wav(bad)  # IEEE-float WAV: unsupported, loud
+    with _pytest.raises(ValueError):
+        decode_wav(b"OggS....")
+    with _pytest.raises(ValueError):
+        decode_wav(golden[:-2])  # truncated data chunk
+
+
+def test_wav_decode_features_lane(spark):
+    """The Spark wav lane: synthesized real-WAV payloads decode to the
+    id-derived rate/frames/amplitude stats; corrupt payloads yield
+    NULLs."""
+    import pyspark.sql.functions as F
+
+    from hbase_snapshotter_spark.operators.multimodal import (
+        decode_wav_features,
+        synthesize_wav_payloads,
+    )
+
+    docs = spark.range(0, 30).select(F.col("id").alias("doc_id"))
+    out = decode_wav_features(synthesize_wav_payloads(docs))
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == 30
+    for i in range(30):
+        amp, n, sr = 100 + i % 900, 80 + i % 50, 8000 + 100 * (i % 5)
+        r = rows[i]
+        assert (r.wav_sample_rate, r.wav_channels, r.wav_n_frames) == (sr, 1, n)
+        assert r.wav_duration_ms == n * 1000 // sr
+        assert r.wav_peak == amp and r.wav_rms == float(amp)
+
+    broken = spark.createDataFrame(
+        [(3, bytearray(b"RIFFxxxxWAVEincomplete"))],
+        "doc_id long, payload binary")
+    r = decode_wav_features(broken).collect()[0]
+    assert r.wav_sample_rate is None and r.wav_rms is None
