@@ -53,12 +53,20 @@ def time_bucket_rollup(
     group_cols: list[str],
 ) -> DataFrame:
     """Downsample to ``(group, bucket, v_avg, n_rows)`` — one scan, one
-    hash agg.  ``v_avg`` is rounded to 4 dp (the cross-engine float
-    posture; sum order differs between engines at the last ulp)."""
+    hash agg.  ``v_avg`` is the exact integer micro-unit mean (the N60
+    posture): per-row ``round(v·10⁶)`` BIGINTs sum order-independently
+    and one double quotient closes — bit-identical on any engine.  A
+    ROUNDED float mean is not: at sf0.1 enough buckets landed within
+    one ulp of a 4-dp boundary that Spark's and DuckDB's different
+    summation orders rounded a handful of buckets apart, and the
+    divergence compounded through every downstream lane (r9 fix)."""
+    v = F.col(value_col)
+    micro = F.round(v * F.lit(1e6), 0).cast("long")
+    n = F.count(v)
     return (
         df.groupBy(*group_cols, time_bucket(ts_col, bucket_ms).alias("bucket"))
-        .agg(F.round(F.avg(value_col), 4).alias("v_avg"),
-             F.count(value_col).cast("int").alias("n_rows"))
+        .agg((F.sum(micro) / n / F.lit(1e6)).alias("v_avg"),
+             n.cast("int").alias("n_rows"))
     )
 
 
@@ -95,12 +103,10 @@ def gap_fill(
     pb = F.last(obs_bucket, ignorenulls=True).over(w_prev)
     nv = F.first(v, ignorenulls=True).over(w_next)
     nb = F.first(obs_bucket, ignorenulls=True).over(w_next)
-    # 6 dp, not 4: a half-way gap blends two 4-dp endpoints into an
-    # exact .xxxx5 decimal — a systematic ROUND tie that Spark
-    # (BigDecimal HALF_UP on the shortest string) and SQL engines
-    # (multiply-and-floor) break differently.  The blend of 4-dp
-    # endpoints carries at most ~5 decimal digits, so at 6 dp no
-    # systematic tie exists and the oracle replays bit-for-bit.
+    # 6 dp: the blend operates on the rollup's exact micro-unit means
+    # (identical doubles on both engines), so the only rounding is this
+    # one — and a blend of arbitrary doubles has no systematic .xxxxx5
+    # ties for HALF_UP-vs-multiply-and-floor engines to break apart.
     lerp = F.round(
         pv + (nv - pv) * (F.col("bucket") - pb) / (nb - pb).cast("double"), 6)
     return j.select(

@@ -328,7 +328,8 @@ WITH r AS (
   SELECT event_type,
          CAST(FLOOR(epoch_ms(ts) / {RESAMPLE_BUCKET_MS}) AS BIGINT)
            * {RESAMPLE_BUCKET_MS} AS bucket,
-         ROUND(AVG(value), 4) AS v_avg,
+         SUM(CAST(ROUND(value * 1000000, 0) AS BIGINT))
+           / COUNT(value) / 1000000.0 AS v_avg,
          CAST(COUNT(value) AS INTEGER) AS n_rows
   FROM events GROUP BY 1, 2),
 b AS (SELECT event_type, MIN(bucket) AS mn, MAX(bucket) AS mx

@@ -309,10 +309,14 @@ def test_sketch_error_envelope_above_capacity(spark, n):
 
 
 def test_sketch_state_merge_advance_idempotent(spark):
-    """HLL sketch state (N48): register-max union is lossless (merged
-    == single-pass, exact equality), the delta advance reproduces the
-    full sketch, and re-delivering the delta is a no-op — the
-    exactly-once-from-at-least-once argument for aggregate state."""
+    """HLL sketch state (N48): the delta advance clears the same error
+    envelope as the single-pass sketch, and re-delivering the delta is
+    a no-op — the exactly-once-from-at-least-once argument for
+    aggregate state.  Estimate EQUALITY across build paths is not
+    asserted: DataSketches unions promote exact LIST/SET-mode gadgets
+    to approximate HLL mode early, so a direct sketch and a union
+    result can differ in estimate while both honor the error bound
+    (observed at 1.5 k distinct on the sf0.1 fixture)."""
     from pyspark.sql import functions as F
 
     from hbase_snapshotter_spark.operators.sketches import (
@@ -336,17 +340,17 @@ def test_sketch_state_merge_advance_idempotent(spark):
     adv = advance_sketches(prior, delta, "v", group_cols=g)
     got = {r.g: r.estimate for r in
            sketch_estimates(adv, group_cols=g).collect()}
-    assert got == full
+    assert all(abs(got[k] - exact[k]) <= 0.15 * exact[k] for k in exact)
     again = {r.g: r.estimate for r in sketch_estimates(
         advance_sketches(adv, delta, "v", group_cols=g),
         group_cols=g).collect()}
-    assert again == full  # re-delivered delta is a no-op
+    assert again == got  # re-delivered delta is a no-op
     # a group newborn in the delta appears
     newg = spark.range(5).select(F.lit(99).alias("g"), F.col("id").alias("v"))
     withnew = {r.g: r.estimate for r in sketch_estimates(
         advance_sketches(adv, newg, "v", group_cols=g),
         group_cols=g).collect()}
-    assert withnew[99] == 5 and withnew[0] == full[0]
+    assert withnew[99] == 5 and withnew[0] == got[0]
 
 
 @pytest.mark.parametrize("n", [1_000, 10_000, 100_000])
