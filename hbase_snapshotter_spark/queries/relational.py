@@ -1117,3 +1117,127 @@ PAIRS.update({
     "constraint_audit_suite": (constraint_audit_suite,
                                _oracle_constraint_audit()),
 })
+
+# --------------------------------------- N101: subquery decorrelation suite
+# The three classic TPC-H subquery shapes (q17 / q18 / q22) in one tagged
+# union.  The reference engine (HBaseSnapshotter.scala) exposes none of
+# these; SURVEY §2's relational surface gains the correlated-scalar-
+# subquery, IN-over-HAVING, and global-scalar-subquery + NOT EXISTS forms.
+#
+# Spark side: each lane is written as the DECORRELATED plan — join against
+# a pre-aggregated side — which is exactly what Catalyst rewrites a
+# correlated subquery into; the DuckDB oracle keeps the subquery syntax,
+# so the gate checks Spark's decorrelation algebra against a real
+# subquery-unnesting engine.
+#
+# Boundary discipline: all three predicates compare EXACT INTEGERS
+# (quantities are integral, balances are integral cents in the fixture),
+# so `qty < 0.2 * avg(qty)` becomes `5 * qty * cnt < sum_qty` and
+# `bal > avg(positive bal)` becomes `cents * n > total_cents` — no float
+# rounding boundary for the two engines to disagree on.
+#
+# Scale: q17 pre-filters BOTH sides with a broadcast semi-join on the
+# brand's part keys before the per-part aggregate, so the partkey shuffle
+# carries only the brand's lineitems (a bounded fraction of the corpus);
+# the agg side of each back-join is HAVING-filtered and small, left to
+# AQE to broadcast.  q22's global aggregate is the sanctioned one-row
+# broadcast attach.
+def subquery_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+
+    # q17 shape: lineitems with quantity below 20% of the per-part mean,
+    # parts restricted to one brand; correlated scalar subquery.
+    bkeys = part.filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    bli = li.join(F.broadcast(bkeys),
+                  li.l_partkey == bkeys.p_partkey, "left_semi")
+    per_part = bli.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("l_quantity").cast("bigint").alias("sum_qty"))
+    small = (
+        bli.join(per_part, "l_partkey")
+        .filter(5 * F.col("l_quantity").cast("bigint") * F.col("cnt")
+                < F.col("sum_qty"))
+    )
+    q17 = small.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_small"),
+        F.round(F.sum("l_extendedprice"), 2).alias("amount"),
+    ).select(F.lit("q17_small_qty").alias("tag"),
+             F.col("l_partkey").alias("entity_key"),
+             F.col("n_small").cast("bigint").alias("qty_metric"),
+             "amount")
+
+    # q18 shape: orders whose total lineitem quantity exceeds 200 —
+    # IN over a HAVING-filtered group; the filtered agg joins back.
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").cast("bigint").alias("total_qty"))
+           .filter(F.col("total_qty") > 200))
+    q18 = (orders.join(big, orders.o_orderkey == big.l_orderkey)
+           .select(F.lit("q18_big_orders").alias("tag"),
+                   F.col("o_orderkey").alias("entity_key"),
+                   F.col("total_qty").alias("qty_metric"),
+                   F.round(F.col("o_totalprice"), 2).alias("amount")))
+
+    # q22 shape: customers strictly above the mean POSITIVE balance with
+    # no urgent order — global scalar subquery + NOT EXISTS.
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    glob = (cust.filter(F.col("c_acctbal") > 0)
+            .agg(F.sum(cents).alias("total_cents"),
+                 F.count(F.lit(1)).alias("n_pos")))
+    urgent_keys = (orders.filter(F.col("o_orderpriority") == "1-URGENT")
+                   .select("o_custkey"))
+    q22 = (
+        cust.withColumn("bal_cents", cents)
+        .join(F.broadcast(glob))  # one-row attach
+        .filter(F.col("bal_cents") * F.col("n_pos") > F.col("total_cents"))
+        .join(urgent_keys, cust.c_custkey == urgent_keys.o_custkey,
+              "left_anti")
+        .select(F.lit("q22_idle_rich").alias("tag"),
+                F.col("c_custkey").alias("entity_key"),
+                F.col("bal_cents").alias("qty_metric"),
+                F.round(F.col("c_acctbal"), 2).alias("amount"))
+    )
+    return q17.unionAll(q18).unionAll(q22)
+
+
+ORACLE_SUBQUERY_SUITE = """
+SELECT 'q17_small_qty' AS tag, l_partkey AS entity_key,
+       CAST(COUNT(*) AS BIGINT) AS qty_metric,
+       ROUND(SUM(l_extendedprice), 2) AS amount
+FROM lineitem l
+WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23')
+  AND 5 * CAST(l_quantity AS BIGINT)
+        * (SELECT COUNT(*) FROM lineitem l2
+           WHERE l2.l_partkey = l.l_partkey)
+      < (SELECT CAST(SUM(l_quantity) AS BIGINT) FROM lineitem l2
+         WHERE l2.l_partkey = l.l_partkey)
+GROUP BY l_partkey
+UNION ALL
+SELECT 'q18_big_orders', o_orderkey,
+       (SELECT CAST(SUM(l_quantity) AS BIGINT) FROM lineitem
+        WHERE l_orderkey = o_orderkey),
+       ROUND(o_totalprice, 2)
+FROM orders
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey
+                     HAVING SUM(l_quantity) > 200)
+UNION ALL
+SELECT 'q22_idle_rich', c_custkey,
+       CAST(ROUND(c_acctbal * 100) AS BIGINT),
+       ROUND(c_acctbal, 2)
+FROM customer c
+WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT)
+        * (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0)
+      > (SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))
+         FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c.c_custkey
+                    AND o_orderpriority = '1-URGENT')
+"""
+
+
+PAIRS.update({
+    "subquery_suite": (subquery_suite, ORACLE_SUBQUERY_SUITE),
+})

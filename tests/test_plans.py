@@ -380,3 +380,18 @@ def test_top_paths_plans_as_take_ordered(spark, sf_dir):
     only window is the per-key lead pass."""
     plan = explain(spark, "event_top_paths", sf_dir)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_subquery_suite_decorrelated_shape(spark, sf_dir):
+    """N101: the q17 lane's brand restriction must reach both sides as a
+    broadcast LEFT SEMI before the per-part aggregate (the decorrelated
+    form Catalyst would produce), the brand filter must push to the part
+    scan, and the only nested-loop join is the sanctioned one-row q22
+    global-mean attach."""
+    plan = explain(spark, "subquery_suite", sf_dir)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "EqualTo(p_brand,Brand#23)" in pushed_filters(plan)
+    # exactly the one-row scalar attach may nest-loop (each physical
+    # node appears twice in formatted output: tree line + detail header)
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
+    assert "CartesianProduct" not in plan

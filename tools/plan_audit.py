@@ -115,6 +115,8 @@ def main() -> int:
                                         # reference — r7 N68)
         "embedding_truncation_audit",   # broadcast query scoring on
                                         # both ranking sides (r7 N70)
+        "subquery_suite",               # 1-row global-mean attach (the
+                                        # q22 scalar subquery — N101)
     }
 
     flags_total = 0
