@@ -665,3 +665,102 @@ def pattern_matches(
                 (F.col("__ms") - F.col("from_ms")).alias("duration_ms"),
                 (F.col("__pos") - F.col("__run_pos") - 1).cast("long")
                 .alias("steps_between")))
+
+
+def session_attribution(
+    df: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    type_col: str,
+    conversion_type: str,
+    touch_types: list[str],
+    gap_ms: int,
+) -> DataFrame:
+    """Session-scoped conversion attribution (SURVEY §2.3 N102): credit
+    each conversion event's session-prior touch events under the three
+    standard rules — ``first_touch`` (the session's earliest prior
+    touch takes the whole conversion), ``last_touch`` (the latest prior
+    touch takes it), ``linear`` (every prior touch takes an equal
+    share).  A conversion with no prior touch in its session credits
+    the ``direct`` channel under every rule.
+
+    Output: one row per (rule, channel) with the conversion count and
+    the credited share in exact integer MICROS — linear shares are
+    ``round_half_up(1e6 / n_touches)`` per touch, so sums are
+    engine-exact (a float 1/n sum would diverge across engines by
+    summation order).  Per-conversion micro totals may be off 1e6 by
+    sub-micro rounding (3 touches → 999 999); documented, determinate.
+
+    Scale: sessions come from the gaps-and-islands pass (per-key window
+    — the standard bound); the touch⋈conversion join is keyed on
+    (key, session) so it is co-partitioned with per-session row counts,
+    never corpus-sized; the three rule reductions group on channel
+    (≤ |touch_types|+1 rows each).  "Prior" uses the total order
+    (ms, id) so simultaneous events can't split the engines."""
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc())
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ms = F.unix_millis(F.col(ts_col))
+    prev = F.lag("__ms").over(w)
+    ev = (
+        df.select(key_col, ts_col, id_col, type_col)
+        .withColumn("__ms", ms)
+        .withColumn(
+            "__open",
+            F.when(prev.isNull() | ((F.col("__ms") - prev) > gap_ms), 1)
+            .otherwise(0))
+        .withColumn("__sid", F.sum("__open").over(wr)))
+    conv = (ev.filter(F.col(type_col) == conversion_type)
+            .select(F.col(key_col).alias("k"), F.col("__sid").alias("s"),
+                    F.col(id_col).alias("conv_id"),
+                    F.col("__ms").alias("conv_ms")))
+    touch = (ev.filter(F.col(type_col).isin(touch_types))
+             .select(F.col(key_col).alias("tk"), F.col("__sid").alias("ts_"),
+                     F.col(id_col).alias("t_id"),
+                     F.col("__ms").alias("t_ms"),
+                     F.col(type_col).alias("channel")))
+    before = (F.col("t_ms") < F.col("conv_ms")) | (
+        (F.col("t_ms") == F.col("conv_ms"))
+        & (F.col("t_id") < F.col("conv_id")))
+    j = conv.join(
+        touch,
+        (F.col("k") == F.col("tk")) & (F.col("s") == F.col("ts_")) & before,
+        "left")
+    wc = Window.partitionBy("k", "s", "conv_id")
+    jn = j.withColumn("__n", F.count("t_id").over(wc))
+    micros = F.when(
+        F.col("t_id").isNull(), F.lit(1000000).cast("long")
+    ).otherwise(
+        F.floor((F.lit(2000000) + F.col("__n")) / (2 * F.col("__n")))
+        .cast("long"))
+    linear = (
+        jn.withColumn("channel", F.coalesce("channel", F.lit("direct")))
+        .withColumn("credit", micros)
+        .groupBy("channel")
+        .agg(F.count_distinct("conv_id").cast("long")
+             .alias("n_conversions"),
+             F.sum("credit").cast("long").alias("credit_micros"))
+        .select(F.lit("linear").alias("rule"), "channel",
+                "n_conversions", "credit_micros"))
+    tstruct = F.when(
+        F.col("t_id").isNotNull(),
+        F.struct(F.col("t_ms"), F.col("t_id"), F.col("channel")))
+    per_conv = jn.groupBy("k", "s", "conv_id").agg(
+        F.min(tstruct).alias("f"), F.max(tstruct).alias("l"))
+
+    def rule_rows(rule: str, struct_col: str) -> DataFrame:
+        return (
+            per_conv
+            .withColumn("channel", F.coalesce(
+                F.col(f"{struct_col}.channel"), F.lit("direct")))
+            .groupBy("channel")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_conversions"))
+            .select(F.lit(rule).alias("rule"), "channel", "n_conversions",
+                    (F.col("n_conversions") * 1000000).cast("long")
+                    .alias("credit_micros")))
+
+    return (rule_rows("first_touch", "f")
+            .unionAll(rule_rows("last_touch", "l"))
+            .unionAll(linear))

@@ -1315,3 +1315,89 @@ PAIRS.update({
     "event_pattern_funnel": (event_pattern_funnel,
                              _oracle_pattern_funnel()),
 })
+
+
+def event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion attribution (N102): purchases credited to prior
+    view/click touches within the same 30-min-gap session under
+    first-touch, last-touch, and linear rules; touchless conversions
+    credit 'direct'.  Linear shares are exact half-up micros so both
+    engines sum identically.  Oracle replays sessionization, the
+    session-scoped before-join, and all three rules."""
+    from hbase_snapshotter_spark.operators.timeseries import (
+        session_attribution,
+    )
+
+    ev = read_table(spark, sf_dir, "events") \
+        .select("user_id", "event_id", "ts", "event_type")
+    return session_attribution(
+        ev, key_col="user_id", ts_col="ts", id_col="event_id",
+        type_col="event_type", conversion_type="purchase",
+        touch_types=["view", "click"], gap_ms=SESSION_GAP_MS)
+
+
+def _oracle_attribution() -> str:
+    G = SESSION_GAP_MS
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms,
+         LAG(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_ms(ts), event_id) AS prev
+  FROM events),
+sid AS (
+  SELECT user_id, event_id, event_type, ms,
+         SUM(CASE WHEN prev IS NULL OR ms - prev > {G} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ms, event_id
+                 ROWS UNBOUNDED PRECEDING) AS s
+  FROM e),
+conv AS (SELECT user_id, s, event_id AS conv_id, ms AS conv_ms
+         FROM sid WHERE event_type = 'purchase'),
+touch AS (SELECT user_id, s, event_id AS t_id, ms AS t_ms,
+                 event_type AS channel
+          FROM sid WHERE event_type IN ('view', 'click')),
+j AS (
+  SELECT c.user_id, c.s, c.conv_id, t.t_id, t.t_ms, t.channel
+  FROM conv c LEFT JOIN touch t
+    ON c.user_id = t.user_id AND c.s = t.s
+   AND (t.t_ms < c.conv_ms
+        OR (t.t_ms = c.conv_ms AND t.t_id < c.conv_id))),
+jn AS (
+  SELECT *, COUNT(t_id) OVER (PARTITION BY user_id, s, conv_id) AS n
+  FROM j),
+lin AS (
+  SELECT COALESCE(channel, 'direct') AS channel, conv_id,
+         CASE WHEN t_id IS NULL THEN CAST(1000000 AS BIGINT)
+              ELSE (2000000 + n) // (2 * n) END AS credit
+  FROM jn),
+rk AS (
+  SELECT user_id, s, conv_id, channel,
+         ROW_NUMBER() OVER (PARTITION BY user_id, s, conv_id
+                            ORDER BY t_ms, t_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY user_id, s, conv_id
+                            ORDER BY t_ms DESC, t_id DESC) AS rn_d
+  FROM jn WHERE t_id IS NOT NULL),
+fst AS (SELECT c.conv_id, COALESCE(r.channel, 'direct') AS channel
+        FROM conv c LEFT JOIN (SELECT conv_id, channel FROM rk
+                               WHERE rn_a = 1) r USING (conv_id)),
+lst AS (SELECT c.conv_id, COALESCE(r.channel, 'direct') AS channel
+        FROM conv c LEFT JOIN (SELECT conv_id, channel FROM rk
+                               WHERE rn_d = 1) r USING (conv_id))
+SELECT 'first_touch' AS rule, channel,
+       CAST(COUNT(*) AS BIGINT) AS n_conversions,
+       CAST(COUNT(*) * 1000000 AS BIGINT) AS credit_micros
+FROM fst GROUP BY channel
+UNION ALL
+SELECT 'last_touch', channel, CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) * 1000000 AS BIGINT)
+FROM lst GROUP BY channel
+UNION ALL
+SELECT 'linear', channel,
+       CAST(COUNT(DISTINCT conv_id) AS BIGINT),
+       CAST(SUM(credit) AS BIGINT)
+FROM lin GROUP BY channel
+"""
+
+
+PAIRS.update({
+    "event_attribution": (event_attribution, _oracle_attribution()),
+})

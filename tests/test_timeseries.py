@@ -251,3 +251,55 @@ def test_pattern_matches_greedy_semantics(spark):
     durs = {(r.from_state, r.from_ms // 60000): r.duration_ms
             for r in out.collect()}
     assert durs[("A", 0)] == 5 * 60000 and durs[("X", 3)] == 2 * 60000
+
+
+def test_session_attribution_hand_computed(spark):
+    """N102 on a hand-built timeline.  u1 session 1: view, click,
+    purchase -> first=view, last=click, linear 500000 each; the later
+    view in the SAME session after the purchase earns nothing.  u1
+    session 2 (after a >30-min gap): purchase with no prior touch ->
+    direct under every rule.  u2: touch in a DIFFERENT session than
+    the purchase -> direct; three-touch purchase -> 333333 each + the
+    sub-micro remainder stays unassigned."""
+    from pyspark.sql import functions as F
+
+    from hbase_snapshotter_spark.operators.timeseries import (
+        session_attribution,
+    )
+
+    rows = [
+        (1, 1, "2024-01-01 10:00:00", "view"),
+        (2, 1, "2024-01-01 10:05:00", "click"),
+        (3, 1, "2024-01-01 10:10:00", "purchase"),
+        (4, 1, "2024-01-01 10:15:00", "view"),     # post-conversion
+        (5, 1, "2024-01-01 11:00:00", "purchase"),  # new session, direct
+        (6, 2, "2024-01-01 08:00:00", "view"),      # session apart
+        (7, 2, "2024-01-01 09:00:00", "view"),
+        (8, 2, "2024-01-01 09:10:00", "view"),
+        (9, 2, "2024-01-01 09:20:00", "click"),
+        (10, 2, "2024-01-01 09:30:00", "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_s string, event_type string"
+    ).select("event_id", "user_id", "event_type",
+             F.col("ts_s").cast("timestamp").alias("ts"))
+    out = {(r.rule, r.channel): r for r in session_attribution(
+        df, key_col="user_id", ts_col="ts", id_col="event_id",
+        type_col="event_type", conversion_type="purchase",
+        touch_types=["view", "click"], gap_ms=30 * 60 * 1000).collect()}
+    # u2's purchase at 09:30 sees view@09:00, view@09:10, click@09:20
+    # (view@08:00 is a separate session); first=view, last=click.
+    f = {(k[1]): v for k, v in out.items() if k[0] == "first_touch"}
+    assert (f["view"].n_conversions, f["view"].credit_micros) == (2, 2000000)
+    assert f["direct"].n_conversions == 1
+    la = {(k[1]): v for k, v in out.items() if k[0] == "last_touch"}
+    assert (la["click"].n_conversions, la["click"].credit_micros) == (2, 2000000)
+    assert la["direct"].n_conversions == 1
+    lin = {(k[1]): v for k, v in out.items() if k[0] == "linear"}
+    # u1 s1: view 500000 + click 500000; u2: view 333333*2, click 333333
+    assert lin["view"].credit_micros == 500000 + 2 * 333333
+    assert lin["view"].n_conversions == 2
+    assert lin["click"].credit_micros == 500000 + 333333
+    assert lin["direct"].credit_micros == 1000000
+    total = sum(v.credit_micros for v in lin.values())
+    assert total == 3000000 - 1  # the documented sub-micro remainder
