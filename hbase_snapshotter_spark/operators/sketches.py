@@ -246,14 +246,14 @@ CMS_WIDTH = 256
 CMS_BOUND_NUM = 3
 
 
-def cms_bucket(item, depth: int):
+def cms_bucket(item, depth: int, width: int = CMS_WIDTH):
     """Row-``depth`` bucket of ``item``: 8 md5 hex chars → BIGINT mod
     width.  Depth is salted into the digest input, so the D rows are
     independent; md5 exists in DuckDB, so the oracle replays the exact
     sketch."""
     return (F.conv(F.substring(F.md5(F.concat_ws("|", F.lit(str(depth)),
                                                  item)), 1, 8), 16, 10)
-            .cast("long") % CMS_WIDTH)
+            .cast("long") % width)
 
 
 def cms_state(
@@ -261,6 +261,7 @@ def cms_state(
     item_col: str,
     *,
     group_cols: list[str],
+    width: int = CMS_WIDTH,
 ) -> DataFrame:
     """Mergeable count-min sketch state (SURVEY §2.3 N65): per-group
     frequency sketch as ``(*group_cols, depth, bucket, cnt)`` rows —
@@ -271,7 +272,7 @@ def cms_state(
     a single map-side-combined count.  State size is G × D × W rows —
     bounded by geometry, independent of data volume."""
     depths = F.array(*[
-        cms_bucket(F.col(item_col), d) for d in range(CMS_DEPTH)])
+        cms_bucket(F.col(item_col), d, width) for d in range(CMS_DEPTH)])
     return (
         df.select(*group_cols,
                   F.posexplode(depths).alias("depth", "bucket"))
@@ -447,3 +448,49 @@ def winsorize(
         *df.columns,
         F.round(clipped, 4).alias("v_winsorized"),
         ((v < F.col(lo_c)) | (v > F.col(hi_c))).alias("was_clipped"))
+
+
+#: Sketch width for join-size estimation.  The inner-product
+#: estimator's expected overestimate is |A|·|B|/W per depth row — the
+#: point-frequency width (256) would be a ~7× overestimate at 15 k×1.5 k
+#: keys, useless to a planner.  4096 buckets keep the state at
+#: D×W = 12 288 rows (still KBs) while the expected error drops 16×.
+CMS_JOIN_WIDTH = 4096
+
+
+def cms_join_size(
+    a: DataFrame,
+    key_a: str,
+    b: DataFrame,
+    key_b: str,
+    *,
+    width: int = CMS_JOIN_WIDTH,
+) -> DataFrame:
+    """Join-cardinality estimate from two CMS sketches (SURVEY §2.3
+    N103): ``|A ⋈_k B| ≈ min_d Σ_b sketch_A[d][b] · sketch_B[d][b]``
+    — the AMS/CMS inner-product estimator (Cormode & Muthukrishnan
+    2005 §4.2).  This is the cost-based-optimizer primitive: a
+    fact-fact join's output size from two KB-sized summaries, without
+    executing the join.  Collisions only ever ADD mass, so the
+    estimate NEVER underestimates, and it overestimates by more than
+    ``(CMS_BOUND_NUM/W)·|A|·|B|`` with probability ≤
+    ``(1/CMS_BOUND_NUM)^D``.
+
+    NULL keys are excluded on both sides (an equi join never matches
+    them).  Returns one row ``(est_rows)``.  Scale: each side is one
+    map-side-combined pass (the irreducible read); everything after is
+    D × W rows."""
+    sa = cms_state(
+        a.filter(F.col(key_a).isNotNull())
+        .select(F.col(key_a).cast("string").alias("__k")),
+        "__k", group_cols=[], width=width)
+    sb = cms_state(
+        b.filter(F.col(key_b).isNotNull())
+        .select(F.col(key_b).cast("string").alias("__k")),
+        "__k", group_cols=[], width=width)
+    ip = (
+        sa.withColumnRenamed("cnt", "cnt_a")
+        .join(sb.withColumnRenamed("cnt", "cnt_b"), ["depth", "bucket"])
+        .groupBy("depth")
+        .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("ip")))
+    return ip.agg(F.min("ip").cast("long").alias("est_rows"))

@@ -1241,3 +1241,129 @@ WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT)
 PAIRS.update({
     "subquery_suite": (subquery_suite, ORACLE_SUBQUERY_SUITE),
 })
+
+# ------------------------------- N103: sketch-based join-size estimation
+def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from CMS sketches (N103) — the
+    cost-based-optimizer lane: three join pairs (dim⋈fact, a fact-fact
+    self join on partkey across two date halves, and a behavioral
+    touch⋈conversion join on user) estimated from KB-sized sketches
+    via the CMS inner product, audited against the exact join size.
+    ``never_underestimates`` is the theorem; ``within_bound`` is the
+    (3/W)·|A|·|B| Markov bound — both driver-hashed.  At 100 TB only
+    the two sketch passes run (one scan each, D×W rows out); the exact
+    join here is the audit lane, same posture as zorder_layout_audit.
+    Reference scope: the snapshotter plans joins blindly; this is the
+    statistics layer Spark's CBO would consume."""
+    from hbase_snapshotter_spark.operators.sketches import (
+        CMS_BOUND_NUM,
+        CMS_JOIN_WIDTH,
+        cms_join_size,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    ev = _t(spark, sf_dir, "events")
+
+    def lane(tag: str, a: DataFrame, ka: str, b: DataFrame,
+             kb: str) -> DataFrame:
+        an = a.filter(F.col(ka).isNotNull())
+        bn = b.filter(F.col(kb).isNotNull())
+        est = cms_join_size(a, ka, b, kb)
+        ga = an.groupBy(F.col(ka).alias("k")).agg(
+            F.count(F.lit(1)).alias("ca"))
+        gb = bn.groupBy(F.col(kb).alias("k")).agg(
+            F.count(F.lit(1)).alias("cb"))
+        exact = ga.join(gb, "k").agg(
+            F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0))
+            .cast("long").alias("exact_rows"))
+        counts = an.agg(F.count(F.lit(1)).alias("n_left")).crossJoin(
+            bn.agg(F.count(F.lit(1)).alias("n_right")))
+        return (
+            counts.crossJoin(exact).crossJoin(est)
+            .select(
+                F.lit(tag).alias("pair"),
+                F.col("n_left").cast("long").alias("n_left"),
+                F.col("n_right").cast("long").alias("n_right"),
+                "exact_rows", "est_rows",
+                (F.col("est_rows") >= F.col("exact_rows"))
+                .alias("never_underestimates"),
+                ((F.col("est_rows") - F.col("exact_rows")) * CMS_JOIN_WIDTH
+                 <= CMS_BOUND_NUM * F.col("n_left") * F.col("n_right"))
+                .alias("within_bound")))
+
+    mid = F.lit("1997-07-01")
+    return (
+        lane("orders_customer_custkey", orders, "o_custkey",
+             cust, "c_custkey")
+        .unionAll(lane("lineitem_halves_partkey",
+                       li.filter(F.col("l_shipdate") < mid), "l_partkey",
+                       li.filter(F.col("l_shipdate") >= mid), "l_partkey"))
+        .unionAll(lane("events_touch_purchase_user",
+                       ev.filter(F.col("event_type").isin("view", "click")),
+                       "user_id",
+                       ev.filter(F.col("event_type") == "purchase"),
+                       "user_id")))
+
+
+def _oracle_join_size() -> str:
+    from hbase_snapshotter_spark.operators.sketches import (
+        CMS_BOUND_NUM,
+        CMS_DEPTH,
+        CMS_JOIN_WIDTH,
+    )
+
+    depth_vals = ", ".join(f"({d})" for d in range(CMS_DEPTH))
+    bucket = ("CAST('0x' || substr(md5(CAST(dd.d AS VARCHAR) || '|' "
+              "|| CAST({it} AS VARCHAR)), 1, 8) AS BIGINT) % {w}")
+
+    def lane(tag: str, a_src: str, ka: str, b_src: str, kb: str) -> str:
+        return f"""
+SELECT '{tag}' AS pair, n_left, n_right, exact_rows, est_rows,
+       est_rows >= exact_rows AS never_underestimates,
+       (est_rows - exact_rows) * {CMS_JOIN_WIDTH}
+         <= {CMS_BOUND_NUM} * n_left * n_right AS within_bound
+FROM (
+  WITH av AS (SELECT {ka} AS k FROM {a_src} WHERE {ka} IS NOT NULL),
+       bv AS (SELECT {kb} AS k FROM {b_src} WHERE {kb} IS NOT NULL),
+       sa AS (SELECT dd.d AS depth,
+                     {bucket.format(it='k', w=CMS_JOIN_WIDTH)} AS bucket,
+                     COUNT(*) AS cnt
+              FROM av, (VALUES {depth_vals}) dd(d) GROUP BY 1, 2),
+       sb AS (SELECT dd.d AS depth,
+                     {bucket.format(it='k', w=CMS_JOIN_WIDTH)} AS bucket,
+                     COUNT(*) AS cnt
+              FROM bv, (VALUES {depth_vals}) dd(d) GROUP BY 1, 2),
+       ip AS (SELECT sa.depth, SUM(sa.cnt * sb.cnt) AS ip
+              FROM sa JOIN sb USING (depth, bucket) GROUP BY 1),
+       ex AS (SELECT COALESCE(SUM(ga.c * gb.c), 0) AS exact_rows
+              FROM (SELECT k, COUNT(*) c FROM av GROUP BY 1) ga
+              JOIN (SELECT k, COUNT(*) c FROM bv GROUP BY 1) gb
+                USING (k))
+  SELECT (SELECT COUNT(*) FROM av) AS n_left,
+         (SELECT COUNT(*) FROM bv) AS n_right,
+         CAST((SELECT exact_rows FROM ex) AS BIGINT) AS exact_rows,
+         CAST((SELECT MIN(ip) FROM ip) AS BIGINT) AS est_rows
+)"""
+
+    return (
+        lane("orders_customer_custkey", "orders", "o_custkey",
+             "customer", "c_custkey")
+        + "\nUNION ALL\n"
+        + lane("lineitem_halves_partkey",
+               "(SELECT * FROM lineitem WHERE l_shipdate"
+               " < TIMESTAMP '1997-07-01')", "l_partkey",
+               "(SELECT * FROM lineitem WHERE l_shipdate"
+               " >= TIMESTAMP '1997-07-01')", "l_partkey")
+        + "\nUNION ALL\n"
+        + lane("events_touch_purchase_user",
+               "(SELECT * FROM events WHERE event_type IN"
+               " ('view', 'click'))", "user_id",
+               "(SELECT * FROM events WHERE event_type = 'purchase')",
+               "user_id"))
+
+
+PAIRS.update({
+    "join_size_estimate": (join_size_estimate, _oracle_join_size()),
+})

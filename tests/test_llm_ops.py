@@ -2667,3 +2667,47 @@ def test_wav_decode_features_lane(spark):
         "doc_id long, payload binary")
     r = decode_wav_features(broken).collect()[0]
     assert r.wav_sample_rate is None and r.wav_rms is None
+
+
+def test_cms_join_size_python_replayed(spark):
+    """N103 join-size estimator: the estimate equals the python-replayed
+    min-over-depth inner product of the two sketches, never
+    underestimates the exact join size, is exact when the key sets are
+    collision-free at the test width, and NULL keys are excluded on
+    both sides (an equi join never matches them)."""
+    import hashlib
+    from collections import Counter
+
+    from hbase_snapshotter_spark.operators.sketches import (
+        CMS_DEPTH,
+        cms_join_size,
+    )
+
+    rows_a = [(k,) for k in [1, 1, 1, 2, 2, 3, None]]
+    rows_b = [(k,) for k in [1, 2, 2, 4, None]]
+    a = spark.createDataFrame(rows_a, "k bigint")
+    b = spark.createDataFrame(rows_b, "k bigint")
+    exact = 3 * 1 + 2 * 2  # key 1: 3x1, key 2: 2x2, keys 3/4 unmatched
+    W = 64
+
+    def sketch(rows):
+        c = Counter()
+        for (k,) in rows:
+            if k is None:
+                continue
+            for d in range(CMS_DEPTH):
+                h = hashlib.md5(f"{d}|{k}".encode()).hexdigest()
+                c[(d, int(h[:8], 16) % W)] += 1
+        return c
+
+    sa, sb = sketch(rows_a), sketch(rows_b)
+    expect = min(
+        sum(sa[(d, bkt)] * sb.get((d, bkt), 0) for _, bkt in
+            [key for key in sa if key[0] == d])
+        for d in range(CMS_DEPTH))
+    est = cms_join_size(a, "k", b, "k", width=W).head().est_rows
+    assert est == expect
+    assert est >= exact
+    # wide enough that the 4 distinct keys can't collide -> exact
+    est_wide = cms_join_size(a, "k", b, "k", width=2**30).head().est_rows
+    assert est_wide == exact

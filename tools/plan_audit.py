@@ -117,6 +117,8 @@ def main() -> int:
                                         # both ranking sides (r7 N70)
         "subquery_suite",               # 1-row global-mean attach (the
                                         # q22 scalar subquery — N101)
+        "join_size_estimate",           # 1-row × 1-row attaches (counts,
+                                        # exact audit, estimate — N103)
     }
 
     flags_total = 0
