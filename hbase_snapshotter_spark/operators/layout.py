@@ -99,3 +99,85 @@ def fixed_width_bucket_micro(vi: Column, vmin: Column, vmax: Column,
     equi-depth against."""
     return _int_div((vi - vmin) * F.lit(n_buckets).cast("bigint"),
                     (vmax - vmin + F.lit(1)).cast("bigint"))
+
+
+def compaction_plan(
+    inv,
+    *,
+    partition_col: str,
+    file_col: str = "file_id",
+    size_col: str = "size_bytes",
+    files_target: int = 4,
+):
+    """Small-file compaction planner (SURVEY §2.3 N104) — the
+    ``OPTIMIZE``/bin-packing pass every 100 TB table needs: streaming
+    ingestion and partitioned writes leave partitions full of KB-sized
+    files, and scan cost degrades to per-file overhead (task setup,
+    footer reads, open/seek) instead of bytes.
+
+    Input is a file INVENTORY ``(partition, file_id, size_bytes)`` —
+    metadata-sized (one row per file), never the data.  Per partition:
+    the adaptive target is ``ceil(total / files_target)`` (the
+    total-preserving form of "aim for N files per partition"); files
+    already ≥ target are ``keep`` (no rewrite — the planner must never
+    churn healthy files); the rest are ``compact``, binned by the
+    one-pass cumulative-offset rule over the (size DESC, file_id)
+    order: ``group = floor(cum_bytes_before / target)``.  Greedy
+    first-fit-decreasing packs marginally tighter but is inherently
+    sequential; the cumulative form is pure window algebra (exact
+    BIGINT, SQL-replayable) and bounds every non-final group's fill to
+    ``(target - max_file, target + max_file)`` — each group owns a
+    contiguous ``target``-wide span of the cumulative byte line, so it
+    can miss at most one boundary-straddling file and absorb at most
+    one.
+
+    Output: one row per file with its action, group, and the group's
+    economics (file count, bytes, exact half-up fill permille vs
+    target).  Scale: one inventory aggregate + one per-partition window
+    whose partitions are files-per-table-partition sized, then a
+    group-level aggregate — no data movement is planned here, only
+    described."""
+    from pyspark.sql import Window
+
+    pc, fc, sc = partition_col, file_col, size_col
+    totals = inv.groupBy(pc).agg(F.sum(sc).cast("bigint").alias("__total"))
+    target = F.floor(
+        (F.col("__total") + files_target - 1) / files_target
+    ).cast("bigint")
+    base = (inv.join(F.broadcast(totals), pc)
+            .withColumn("__target", target)
+            .withColumn("action",
+                        F.when(F.col(sc) >= F.col("__target"), "keep")
+                        .otherwise("compact")))
+    w = (Window.partitionBy(pc)
+         .orderBy(F.col(sc).desc(), F.col(fc).asc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    compact = (
+        base.filter(F.col("action") == "compact")
+        .withColumn("__cum_before",
+                    F.coalesce(F.sum(sc).over(w), F.lit(0)).cast("bigint"))
+        .withColumn("group_id",
+                    F.floor(F.col("__cum_before") / F.col("__target"))
+                    .cast("bigint")))
+    econ = compact.groupBy(pc, "group_id").agg(
+        F.count(F.lit(1)).cast("long").alias("group_files"),
+        F.sum(sc).cast("bigint").alias("group_bytes"))
+    fill = (2000 * F.col("group_bytes") + F.col("__target"))
+    out_compact = (
+        compact.join(econ, [pc, "group_id"])
+        .withColumn("fill_permille",
+                    F.floor(fill / (2 * F.col("__target"))).cast("bigint")))
+    out_keep = (
+        base.filter(F.col("action") == "keep")
+        .withColumn("group_id", F.lit(None).cast("bigint"))
+        .withColumn("group_files", F.lit(1).cast("long"))
+        .withColumn("group_bytes", F.col(sc).cast("bigint"))
+        .withColumn("fill_permille",
+                    F.floor((2000 * F.col(sc).cast("bigint")
+                             + F.col("__target"))
+                            / (2 * F.col("__target"))).cast("bigint")))
+    cols = [pc, fc, F.col(sc).cast("bigint").alias(sc),
+            F.col("__target").alias("target_bytes"),
+            "action", "group_id", "group_files", "group_bytes",
+            "fill_permille"]
+    return out_compact.select(*cols).unionAll(out_keep.select(*cols))

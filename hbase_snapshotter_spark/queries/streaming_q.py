@@ -1401,3 +1401,67 @@ FROM lin GROUP BY channel
 PAIRS.update({
     "event_attribution": (event_attribution, _oracle_attribution()),
 })
+
+
+def compaction_plan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (N104): the file inventory is the
+    deterministic (source, lang) layout of the documents table — one
+    "file" per cell, sized by its text bytes, partitioned by source —
+    planned to 2 files per partition.  Healthy files keep; small files
+    bin by the cumulative-offset rule.  Every byte count, target,
+    group id, and fill permille is exact integer arithmetic the oracle
+    replays."""
+    from hbase_snapshotter_spark.operators.layout import compaction_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    inv = (docs.groupBy("source", "lang")
+           .agg(F.sum("n_chars").cast("bigint").alias("size_bytes"))
+           .select("source", F.col("lang").alias("file_id"), "size_bytes"))
+    return compaction_plan(inv, partition_col="source",
+                           files_target=2)
+
+
+def _oracle_compaction_plan() -> str:
+    return """
+WITH inv AS (
+  SELECT source, lang AS file_id,
+         CAST(SUM(n_chars) AS BIGINT) AS size_bytes
+  FROM documents GROUP BY 1, 2),
+t AS (
+  SELECT source, (SUM(size_bytes) + 1) // 2 AS target
+  FROM inv GROUP BY 1),
+base AS (
+  SELECT inv.*, t.target,
+         CASE WHEN size_bytes >= target THEN 'keep'
+              ELSE 'compact' END AS action
+  FROM inv JOIN t USING (source)),
+cpt AS (
+  SELECT *, COALESCE(SUM(size_bytes) OVER (
+              PARTITION BY source ORDER BY size_bytes DESC, file_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS cum_before
+  FROM base WHERE action = 'compact'),
+grp AS (SELECT *, cum_before // target AS group_id FROM cpt),
+econ AS (
+  SELECT source, group_id, CAST(COUNT(*) AS BIGINT) AS group_files,
+         CAST(SUM(size_bytes) AS BIGINT) AS group_bytes
+  FROM grp GROUP BY 1, 2)
+SELECT g.source, g.file_id, g.size_bytes,
+       CAST(g.target AS BIGINT) AS target_bytes, g.action,
+       CAST(g.group_id AS BIGINT) AS group_id, e.group_files,
+       e.group_bytes,
+       CAST((2000 * e.group_bytes + g.target) // (2 * g.target)
+            AS BIGINT) AS fill_permille
+FROM grp g JOIN econ e USING (source, group_id)
+UNION ALL
+SELECT source, file_id, size_bytes, CAST(target AS BIGINT), action,
+       CAST(NULL AS BIGINT), CAST(1 AS BIGINT), size_bytes,
+       CAST((2000 * size_bytes + target) // (2 * target) AS BIGINT)
+FROM base WHERE action = 'keep'
+"""
+
+
+PAIRS.update({
+    "compaction_plan_audit": (compaction_plan_audit,
+                              _oracle_compaction_plan()),
+})

@@ -98,3 +98,53 @@ def test_range_layout_equidepth_balances_skew_fixed_width_does_not(
         max(r.depth_ratio for r in lane) > 2.0
         for (etype, method), lane in by_lane.items()
         if method == "fixedwidth")
+
+
+def test_compaction_plan_hand_computed(spark):
+    """N104: adaptive target = ceil(total/2) per partition; files >=
+    target keep untouched; small files bin by cumulative offset over
+    the (size DESC, id) order; non-final groups fill within
+    (target - max_file, target + max_file]; totals are preserved."""
+    from hbase_snapshotter_spark.operators.layout import compaction_plan
+
+    rows = [
+        # partition A: total 100 -> target 50; f1 keeps (60 >= 50);
+        # compact stream: f2(20), f3(12), f4(8) -> cum_before 0,20,32
+        # -> all group 0 (40 bytes, fill 800 permille)
+        ("A", "f1", 60), ("A", "f2", 20), ("A", "f3", 12), ("A", "f4", 8),
+        # partition B: total 90 -> target 45; all compact:
+        # g1(40 cum 0 -> grp 0), g2(30 cum 40 -> grp 0), g3(20 cum 70
+        # -> grp 1) -> group 0 = 70 bytes (fill 1556), group 1 = 20
+        ("B", "g1", 40), ("B", "g2", 30), ("B", "g3", 20),
+    ]
+    inv = spark.createDataFrame(
+        rows, "source string, file_id string, size_bytes long")
+    out = {(r.source, r.file_id): r for r in compaction_plan(
+        inv, partition_col="source", files_target=2).collect()}
+    assert len(out) == 7
+    a1 = out[("A", "f1")]
+    assert (a1.action, a1.group_id, a1.group_bytes) == ("keep", None, 60)
+    assert a1.target_bytes == 50
+    for f in ("f2", "f3", "f4"):
+        r = out[("A", f)]
+        assert (r.action, r.group_id, r.group_files, r.group_bytes) == \
+            ("compact", 0, 3, 40)
+        assert r.fill_permille == 800
+    assert out[("B", "g1")].group_id == 0
+    assert out[("B", "g2")].group_id == 0
+    g3 = out[("B", "g3")]
+    assert (g3.group_id, g3.group_files, g3.group_bytes) == (1, 1, 20)
+    assert out[("B", "g1")].fill_permille == 1556  # 70/45 half-up
+    # invariants: bytes preserved, non-final-group fill bound
+    assert sum(r.size_bytes for r in out.values()) == 190
+    max_file = {"A": 20, "B": 40}
+    groups = {}
+    for r in out.values():
+        if r.action == "compact":
+            groups[(r.source, r.group_id)] = (
+                r.group_bytes, r.target_bytes, max_file[r.source])
+    last = {s: max(g for (s2, g) in groups if s2 == s)
+            for s in {s for s, _ in groups}}
+    for (s, g), (gb, t, mf) in groups.items():
+        if g != last[s]:
+            assert t - mf < gb <= t + mf
