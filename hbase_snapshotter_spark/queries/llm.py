@@ -4713,3 +4713,48 @@ PAIRS.update({
     "multimodal_audio_stats": (multimodal_audio_stats,
                                ORACLE_MULTIMODAL_AUDIO),
 })
+
+
+def multimodal_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video third of the N16 real-codec surface (N105): one
+    deterministic uncompressed AVI per document (constant-pixel BGR
+    frames — counts, dims, and timing derived from doc_id), encoded to
+    a real nested-RIFF container and decoded back through the
+    dependency-free :func:`~.operators.multimodal.decode_avi` — frame
+    count/dims/µs-per-frame from the parsed avih/strf headers, and ≤4
+    evenly-spaced REAL frames sampled per video with each frame's mean
+    pixel in exact milli-units, so the oracle replays every row from
+    the id arithmetic and any container-walk/stride/row-order bug
+    hash-fails."""
+    from hbase_snapshotter_spark.operators.multimodal import (
+        sample_avi_frame_features,
+        synthesize_avi_payloads,
+    )
+
+    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet")) \
+        .select("doc_id")
+    return sample_avi_frame_features(synthesize_avi_payloads(docs)) \
+        .orderBy("doc_id", "frame_idx")
+
+
+ORACLE_MULTIMODAL_VIDEO = """
+SELECT doc_id,
+       CAST(6 + 2 * (doc_id % 4) AS INTEGER) AS avi_width,
+       CAST(3 + doc_id % 3 AS INTEGER) AS avi_height,
+       CAST(5 + doc_id % 8 AS INTEGER) AS avi_n_frames,
+       CAST((5 + doc_id % 8) * (40000 + 1000 * (doc_id % 5)) // 1000
+            AS BIGINT) AS avi_duration_ms,
+       CAST(4 AS INTEGER) AS n_sampled,
+       CAST((j.j * (5 + doc_id % 8)) // 4 AS INTEGER) AS frame_idx,
+       CAST(1000 * ((31 * doc_id
+                     + 7 * ((j.j * (5 + doc_id % 8)) // 4)) % 256)
+            AS BIGINT) AS frame_mean_milli
+FROM documents, (VALUES (0), (1), (2), (3)) j(j)
+ORDER BY doc_id, frame_idx
+"""
+
+
+PAIRS.update({
+    "multimodal_video_stats": (multimodal_video_stats,
+                               ORACLE_MULTIMODAL_VIDEO),
+})

@@ -2711,3 +2711,90 @@ def test_cms_join_size_python_replayed(spark):
     # wide enough that the 4 distinct keys can't collide -> exact
     est_wide = cms_join_size(a, "k", b, "k", width=2**30).head().est_rows
     assert est_wide == exact
+
+
+def test_avi_codec_container_walk_and_roundtrip():
+    """N105: the AVI codec is REAL — random frames roundtrip through
+    the nested RIFF/LIST tree bit-for-bit (both padded and pad-free
+    strides); an unknown chunk inside movi is skipped; a frame-count
+    mismatch, a compressed strf, a non-vids stream, and truncation all
+    raise."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from hbase_snapshotter_spark.operators.multimodal import (
+        decode_avi,
+        encode_avi,
+    )
+
+    rng = np.random.RandomState(7)
+    for w in (5, 8):  # stride 16 (padded) and 24 (pad-free)
+        frames = rng.randint(0, 256, size=(3, 4, w, 3)).astype(np.uint8)
+        usec, dw, dh, back = decode_avi(encode_avi(frames, 33333))
+        assert (usec, dw, dh) == (33333, w, 4)
+        assert np.array_equal(back, frames)
+
+    # insert a junk chunk into movi: decoder must skip it
+    frames = rng.randint(0, 256, size=(2, 2, 2, 3)).astype(np.uint8)
+    b = bytearray(encode_avi(frames, 40000))
+    movi_at = bytes(b).index(b"movi")
+    junk = b"JUNK" + struct.pack("<I", 3) + b"xyz" + b"\x00"
+    b[movi_at + 4:movi_at + 4] = junk
+    # fix the two enclosing sizes (LIST movi, RIFF)
+    (movi_len,) = struct.unpack_from("<I", b, movi_at - 4)
+    struct.pack_into("<I", b, movi_at - 4, movi_len + len(junk))
+    (riff_len,) = struct.unpack_from("<I", b, 4)
+    struct.pack_into("<I", b, 4, riff_len + len(junk))
+    _u, _w, _h, back = decode_avi(bytes(b))
+    assert np.array_equal(back, frames)
+
+    with _pytest.raises(ValueError):
+        decode_avi(b"RIFF\x04\x00\x00\x00WAVE")  # wrong form type
+    with _pytest.raises(ValueError):
+        decode_avi(encode_avi(frames, 40000)[:-5])  # truncated frame
+    # frame-count mismatch: drop one movi frame but keep avih count
+    good = encode_avi(frames, 40000)
+    stride_bytes = 2 * ((2 * 3 + 3) & ~3)
+    cut = good.index(b"00db")
+    short = bytearray(good[:cut] + good[cut + 8 + stride_bytes:])
+    (riff_len,) = struct.unpack_from("<I", short, 4)
+    struct.pack_into("<I", short, 4, riff_len - 8 - stride_bytes)
+    movi_at2 = bytes(short).index(b"movi")
+    (ml,) = struct.unpack_from("<I", short, movi_at2 - 4)
+    struct.pack_into("<I", short, movi_at2 - 4, ml - 8 - stride_bytes)
+    with _pytest.raises(ValueError):
+        decode_avi(bytes(short))
+
+
+def test_avi_frame_sampling_lane(spark):
+    """The Spark video lane: synthesized real-AVI payloads yield 4
+    evenly-spaced real frames per doc with id-replayable means; a
+    corrupt payload yields one NULL-feature row; the fan-out count is
+    exact."""
+    import pyspark.sql.functions as F
+
+    from hbase_snapshotter_spark.operators.multimodal import (
+        sample_avi_frame_features,
+        synthesize_avi_payloads,
+    )
+
+    docs = spark.range(0, 24).select(F.col("id").alias("doc_id"))
+    out = sample_avi_frame_features(synthesize_avi_payloads(docs))
+    rows = out.collect()
+    assert len(rows) == 24 * 4
+    by_key = {(r.doc_id, r.frame_idx): r for r in rows}
+    for i in range(24):
+        n, h, w = 5 + i % 8, 3 + i % 3, 6 + 2 * (i % 4)
+        usec = 40000 + 1000 * (i % 5)
+        for j in range(4):
+            idx = (j * n) // 4
+            r = by_key[(i, idx)]
+            assert (r.avi_width, r.avi_height, r.avi_n_frames) == (w, h, n)
+            assert r.avi_duration_ms == n * usec // 1000
+            assert r.frame_mean_milli == 1000 * ((31 * i + 7 * idx) % 256)
+    corrupt = spark.createDataFrame(
+        [(99, bytearray(b"not an avi"))], "doc_id long, payload binary")
+    null_row = sample_avi_frame_features(corrupt).collect()
+    assert len(null_row) == 1 and null_row[0].avi_width is None
