@@ -180,6 +180,7 @@ def bpe_token_stats(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Per-document BPE token accounting under a trained merge list:
     ``(id, n_words, n_bpe_tokens, roundtrip_ok, tokens_bounded)``.
@@ -203,12 +204,14 @@ def bpe_token_stats(
         "word", F.size("bpe").alias("__nt"),
         (F.concat_ws("", F.col("bpe"))
          == F.concat(F.col("word"), F.lit(EOW))).alias("__rt"))
+    carry = list(carry_cols or [])
     words = df.select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word")
+        F.col(id_col), *carry,
+        F.explode(tokens(F.col(text_col))).alias("word")
     ).filter(F.col("word") != "")
     return (
         words.join(F.broadcast(enc), "word")
-        .groupBy(id_col)
+        .groupBy(id_col, *carry)
         .agg(
             F.count(F.lit(1)).alias("n_words"),
             F.sum("__nt").alias("n_bpe_tokens"),
@@ -217,7 +220,32 @@ def bpe_token_stats(
             (F.sum("__nt")
              <= F.sum(F.length("word")) + F.count(F.lit(1))).alias("__ub"),
         )
-        .select(id_col, "n_words", "n_bpe_tokens",
+        .select(id_col, *carry, "n_words", "n_bpe_tokens",
                 "roundtrip_ok",
                 (F.col("__lb") & F.col("__ub")).alias("tokens_bounded"))
     )
+
+
+def bpe_lang_fertility(stats: DataFrame, *, lang_col: str = "lang") -> DataFrame:
+    """Tokenizer fertility per language (SURVEY §2.3 N106): reduce
+    per-doc BPE accounting (from :func:`bpe_token_stats` with
+    ``carry_cols=[lang_col]``) to per-language economics —
+    ``(lang, n_docs, n_words, n_bpe_tokens, fertility_x10000)`` with
+    fertility = tokens/word as an exact half-up 4-dp integer.
+
+    Fertility is THE multilingual tokenizer-equity metric (a tokenizer
+    trained on English splits other scripts into more subwords, which
+    taxes their effective context length and training compute); a
+    mixture built on word counts alone mis-budgets languages with
+    fertility far from the corpus mean.  One sessions-sized hash agg —
+    input is the per-doc table, never the corpus."""
+    n_words = F.sum("n_words").cast("long")
+    n_toks = F.sum("n_bpe_tokens").cast("long")
+    fert = 20000 * n_toks + n_words
+    return (
+        stats.groupBy(lang_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             n_words.alias("n_words"),
+             n_toks.alias("n_bpe_tokens"),
+             F.floor(fert / (2 * n_words)).cast("long")
+             .alias("fertility_x10000")))

@@ -3321,22 +3321,58 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     this); ``tokens_bounded`` — n_words ≤ n_bpe_tokens ≤ n_chars +
     n_words.  ``n_words`` is exact and oracle-replayed; the
     encode-vs-train equivalence and real token sequences are pinned by
-    pytest against a pure-Python reference."""
-    from hbase_snapshotter_spark.operators.bpe import bpe_token_stats, bpe_train
+    pytest against a pure-Python reference.
+
+    r9b adds the per-LANGUAGE branch (N106 tokenizer fertility): one
+    row per lang with exact oracle-replayed doc/word sums and the same
+    invariant flags; the fertility value itself (tokens/word, exact
+    half-up x10000 — the multilingual tokenizer-equity metric) rides
+    pytest against the pure-Python reference, since no SQL engine can
+    replay the merge loop it depends on."""
+    from hbase_snapshotter_spark.operators.bpe import (
+        bpe_lang_fertility,
+        bpe_token_stats,
+        bpe_train,
+    )
+    from hbase_snapshotter_spark.cache import scoped_persist
 
     docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     merges = bpe_train(docs, n_merges=BPE_ENCODE_MERGES)
-    return bpe_token_stats(docs, merges).select(
-        "doc_id", "n_words", "roundtrip_ok", "tokens_bounded")
+    stats = scoped_persist(
+        bpe_token_stats(docs, merges, carry_cols=["lang"]))
+    doc_rows = stats.select(
+        F.lit("doc").alias("scope"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.lit(1).cast("long").alias("n_docs"),
+        F.col("n_words").cast("long").alias("n_words"),
+        "roundtrip_ok", "tokens_bounded")
+    lang = bpe_lang_fertility(stats)
+    lang_rows = (
+        stats.groupBy("lang")
+        .agg(F.bool_and("roundtrip_ok").alias("roundtrip_ok"),
+             F.bool_and("tokens_bounded").alias("tokens_bounded"))
+        .join(lang, "lang")
+        .select(F.lit("lang").alias("scope"), F.col("lang").alias("key"),
+                "n_docs", "n_words", "roundtrip_ok", "tokens_bounded"))
+    return doc_rows.unionAll(lang_rows)
 
 
 ORACLE_BPE_ENCODE = """
-SELECT doc_id,
-       len(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS n_words,
+WITH d AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split(trim(text), ' '), x -> x <> ''))
+           AS n_words
+  FROM documents
+  WHERE text IS NOT NULL
+    AND len(list_filter(string_split(trim(text), ' '), x -> x <> '')) > 0)
+SELECT 'doc' AS scope, CAST(doc_id AS VARCHAR) AS key,
+       CAST(1 AS BIGINT) AS n_docs, CAST(n_words AS BIGINT) AS n_words,
        TRUE AS roundtrip_ok, TRUE AS tokens_bounded
-FROM documents
-WHERE text IS NOT NULL
-  AND len(list_filter(string_split(trim(text), ' '), x -> x <> '')) > 0
+FROM d
+UNION ALL
+SELECT 'lang', lang, CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(n_words) AS BIGINT), TRUE, TRUE
+FROM d GROUP BY lang
 """
 
 

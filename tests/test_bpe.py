@@ -134,3 +134,48 @@ def test_bpe_counts_feed_sequence_packing(spark):
         for r in shard_rows:
             assert r.pack_offset == run % 32
             run += r.n_bpe_tokens
+
+
+def test_bpe_lang_fertility_exact(spark):
+    """N106 fertility per language against the pure-Python replay:
+    carry_cols threads lang through the per-doc accounting unchanged,
+    per-lang sums are exact, and fertility_x10000 is the half-up
+    rational of the replayed token/word sums."""
+    from hbase_snapshotter_spark.operators.bpe import (
+        bpe_encode_words,
+        bpe_lang_fertility,
+        bpe_token_stats,
+    )
+
+    rows = [
+        (1, "aa", "low low lower"),
+        (2, "aa", "newest"),
+        (3, "bb", "wider wider zz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    merges = bpe_train(df, n_merges=3)
+    stats = bpe_token_stats(df, merges, carry_cols=["lang"])
+    per_doc = {r.doc_id: r for r in stats.collect()}
+    assert {r.lang for r in per_doc.values()} == {"aa", "bb"}
+
+    # pure-Python replay of the whole accounting
+    enc = {r["word"]: list(r["bpe"]) for r in bpe_encode_words(
+        spark.createDataFrame(
+            [("low",), ("lower",), ("newest",), ("wider",), ("zz",)],
+            "word string"), merges).collect()}
+    texts = {1: ["low", "low", "lower"], 2: ["newest"],
+             3: ["wider", "wider", "zz"]}
+    langs = {1: "aa", 2: "aa", 3: "bb"}
+    for d, words in texts.items():
+        assert per_doc[d].n_words == len(words)
+        assert per_doc[d].n_bpe_tokens == sum(len(enc[w]) for w in words)
+
+    out = {r.lang: r for r in bpe_lang_fertility(stats).collect()}
+    for lang in ("aa", "bb"):
+        docs = [d for d, lg in langs.items() if lg == lang]
+        W = sum(len(texts[d]) for d in docs)
+        T = sum(len(enc[w]) for d in docs for w in texts[d])
+        r = out[lang]
+        assert (r.n_docs, r.n_words, r.n_bpe_tokens) == (len(docs), W, T)
+        assert r.fertility_x10000 == (20000 * T + W) // (2 * W)
+        assert r.fertility_x10000 >= 10000  # >= 1 token per word
