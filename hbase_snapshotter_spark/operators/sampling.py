@@ -682,3 +682,62 @@ def epoch_shuffle_audit(
             .select("source", "n_docs", mean_pm.alias("mean_permille_pos"),
                     "max_run_len")
             .orderBy("source"))
+
+
+def pareto_frontier(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    max_col: str,
+    min_col: str,
+    id_col: str,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Pareto-frontier (2-D skyline) selection (SURVEY §2.3 N107):
+    per group, the coordinate pairs not DOMINATED by any other — pair
+    q dominates p iff ``q.max ≥ p.max ∧ q.min ≤ p.min`` with at least
+    one strict.  The preference-query operator behind multi-criteria
+    data selection ("most vocabulary for fewest chars", "highest
+    quality for least toxicity"): a single weighted score imposes an
+    arbitrary trade-off ratio; the frontier IS the set of defensible
+    trade-offs.
+
+    Output: one row per surviving distinct coordinate pair —
+    ``(*group_cols, max/min values, n_rows, rep_id)`` with ``rep_id``
+    the smallest id on the pair (deterministic representative).  Equal
+    pairs merge (neither dominates the other; ``n_rows`` counts them).
+
+    Scale (the skyline-merge algebra): ``skyline(A ∪ B) =
+    skyline(skyline(A) ∪ skyline(B))``, so the pass is (1) a map-side-
+    combined distinct-pair aggregate, (2) a LOCAL sweep per
+    (group, hash shard) — sort by (max DESC, min ASC), keep iff
+    ``min < prefix-min`` — whose window partitions are
+    pairs/shards-sized, (3) the same sweep per group over only the
+    ≤ shards × |frontier| local survivors.  No window ever spans a
+    group's full pair set.  The prefix-min rule is exact ON DISTINCT
+    PAIRS: an equal-max smaller-min predecessor dominates (strict
+    min), an equal-min larger-max predecessor dominates (strict max) —
+    both leave prefix-min ≤ current min and are dropped."""
+    pairs = (
+        df.groupBy(*group_cols, max_col, min_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+             F.min(id_col).alias("rep_id")))
+
+    def sweep(pdf: DataFrame, extra_part: list[str]) -> DataFrame:
+        w = (Window.partitionBy(*group_cols, *extra_part)
+             .orderBy(F.col(max_col).desc(), F.col(min_col).asc())
+             .rowsBetween(Window.unboundedPreceding, -1))
+        pmin = F.min(min_col).over(w)
+        return (pdf.withColumn("__pmin", pmin)
+                .filter(F.col("__pmin").isNull()
+                        | (F.col(min_col) < F.col("__pmin")))
+                .drop("__pmin"))
+
+    local = sweep(
+        pairs.withColumn(
+            "__shard",
+            F.pmod(F.conv(F.substring(F.md5(F.concat_ws(
+                "|", F.col(max_col), F.col(min_col))), 1, 8), 16, 10)
+                .cast("long"), F.lit(n_shards))),
+        ["__shard"]).drop("__shard")
+    return sweep(local, [])

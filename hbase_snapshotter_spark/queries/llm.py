@@ -4794,3 +4794,55 @@ PAIRS.update({
     "multimodal_video_stats": (multimodal_video_stats,
                                ORACLE_MULTIMODAL_VIDEO),
 })
+
+
+def pareto_frontier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-frontier document selection (N107): per language, the
+    (distinct-token count ↑, char count ↓) skyline — the documents
+    offering the most vocabulary for the fewest characters, i.e. the
+    defensible trade-offs no single weighted score can rank.  Exact
+    integer axes; the oracle replays the frontier by the dominance
+    definition itself (NOT EXISTS a dominating pair), checking the
+    sweep-algebra implementation against the semantics it claims."""
+    from hbase_snapshotter_spark.operators.sampling import pareto_frontier
+    from hbase_snapshotter_spark.operators.text import tokens
+
+    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    axes = (
+        docs.filter(F.col("text").isNotNull() & (F.trim("text") != ""))
+        .select("lang", "doc_id",
+                F.size(F.array_distinct(tokens(F.col("text"))))
+                .cast("long").alias("n_distinct_tokens"),
+                F.col("n_chars").cast("long").alias("n_chars")))
+    return pareto_frontier(
+        axes, group_cols=["lang"], max_col="n_distinct_tokens",
+        min_col="n_chars", id_col="doc_id")
+
+
+ORACLE_PARETO_FRONTIER = """
+WITH axes AS (
+  SELECT lang, doc_id,
+         CAST(len(list_distinct(string_split(trim(text), ' ')))
+              AS BIGINT) AS n_distinct_tokens,
+         CAST(n_chars AS BIGINT) AS n_chars
+  FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''),
+pairs AS (
+  SELECT lang, n_distinct_tokens, n_chars,
+         CAST(COUNT(*) AS BIGINT) AS n_rows, MIN(doc_id) AS rep_id
+  FROM axes GROUP BY 1, 2, 3)
+SELECT lang, n_distinct_tokens, n_chars, n_rows, rep_id
+FROM pairs p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pairs q
+  WHERE q.lang = p.lang
+    AND q.n_distinct_tokens >= p.n_distinct_tokens
+    AND q.n_chars <= p.n_chars
+    AND (q.n_distinct_tokens > p.n_distinct_tokens
+         OR q.n_chars < p.n_chars))
+"""
+
+
+PAIRS.update({
+    "pareto_frontier_docs": (pareto_frontier_docs, ORACLE_PARETO_FRONTIER),
+})

@@ -2798,3 +2798,36 @@ def test_avi_frame_sampling_lane(spark):
         [(99, bytearray(b"not an avi"))], "doc_id long, payload binary")
     null_row = sample_avi_frame_features(corrupt).collect()
     assert len(null_row) == 1 and null_row[0].avi_width is None
+
+
+def test_pareto_frontier_hand_computed(spark):
+    """N107 skyline semantics on a hand grid (maximize x, minimize y):
+    interior dominated points drop, equal-x-worse-y and equal-y-worse-x
+    drop (one strict coordinate suffices), duplicate coordinate pairs
+    MERGE onto the frontier (neither dominates), and the sharded sweep
+    equals the dominance definition regardless of shard count."""
+    from hbase_snapshotter_spark.operators.sampling import pareto_frontier
+
+    rows = [
+        ("g", 1, 10, 5), ("g", 2, 10, 5),   # duplicate pair, frontier
+        ("g", 3, 10, 7),                     # equal-x worse-y: dominated
+        ("g", 4, 8, 7),                      # strictly dominated by (10,5)
+        ("g", 5, 12, 9),                     # frontier (more x, more y)
+        ("g", 6, 11, 9),                     # equal-y worse-x: dominated
+        ("g", 7, 4, 2),                      # frontier (least y)
+        ("h", 8, 1, 1),                      # other group: own frontier
+    ]
+    df = spark.createDataFrame(
+        rows, "grp string, doc_id long, x long, y long")
+
+    def run(shards):
+        out = pareto_frontier(df, group_cols=["grp"], max_col="x",
+                              min_col="y", id_col="doc_id",
+                              n_shards=shards)
+        return {(r.grp, r.x, r.y): (r.n_rows, r.rep_id)
+                for r in out.collect()}
+
+    expect = {("g", 10, 5): (2, 1), ("g", 12, 9): (1, 5),
+              ("g", 4, 2): (1, 7), ("h", 1, 1): (1, 8)}
+    for shards in (1, 4, 32):
+        assert run(shards) == expect

@@ -138,6 +138,13 @@ def build_10x(spark, src_dir: str, out_dir: str) -> None:
         union_replicas(c_parts).repartition(32) \
             .write.parquet(f"{out_dir}/customer.parquet")
 
+    if _needs_build(f"{out_dir}/part.parquet"):
+        # part is copied unscaled: lineitem replicas keep l_partkey, so
+        # the dim stays fixed while facts grow — the realistic 100x
+        # shape (each part carries 10x the lineitems)
+        spark.read.parquet(f"{src_dir}/part.parquet").repartition(4) \
+            .write.parquet(f"{out_dir}/part.parquet")
+
     if _needs_build(f"{out_dir}/events.parquet"):
         # read_table normalizes the fixture's ts encoding; the replica is
         # written as plain TimestampType, which read_table passes through
@@ -581,10 +588,11 @@ def operators():
         # round-8 registered queries take (spark, sf_dir) directly
         def run(spark, d):
             import hbase_snapshotter_spark.queries.llm as llm
+            import hbase_snapshotter_spark.queries.relational as rel
             import hbase_snapshotter_spark.queries.snapshot_q as sq
             import hbase_snapshotter_spark.queries.streaming_q as stq
 
-            for mod in (llm, stq):
+            for mod in (llm, stq, rel):
                 if name in mod.PAIRS:
                     return mod.PAIRS[name][0](spark, d)
             return getattr(sq, f"q_{name}")(spark, d)
@@ -649,6 +657,15 @@ def operators():
         return bm25_topk_indexed(p2, h2, ["data", "model"], k=25)
 
     return {
+        # round-9b additions (decorrelated subqueries, attribution,
+        # sketch join-size, compaction planning, AVI frame sampling)
+        "subquery_suite": _q("subquery_suite"),
+        "pareto_frontier": _q("pareto_frontier_docs"),
+        "event_attribution": _q("event_attribution"),
+        "join_size_estimate": _q("join_size_estimate"),
+        "compaction_plan": _q("compaction_plan_audit"),
+        "avi_frame_sample": _q("multimodal_video_stats"),
+        "bpe_lang_fertility": _q("bpe_encode_stats"),
         # round-9 additions (cheap: per-key windows / Arrow batch lanes)
         "pattern_funnel": _q("event_pattern_funnel"),
         "scd2_lookup": run_scd2_lookup,
