@@ -741,3 +741,41 @@ def pareto_frontier(
                 .cast("long"), F.lit(n_shards))),
         ["__shard"]).drop("__shard")
     return sweep(local, [])
+
+
+def advance_pareto_frontier(
+    state: DataFrame,
+    delta: DataFrame,
+    *,
+    group_cols: list[str],
+    max_col: str,
+    min_col: str,
+    id_col: str,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Advance a materialized Pareto frontier with only the delta rows
+    (the N25 incremental-state posture applied to N107): by the
+    skyline-merge algebra, ``skyline(C ∪ D) = skyline(skyline(C) ∪
+    skyline(D))`` — so the corpus is never re-swept; input is the
+    frontier state (per group, frontier-sized) plus the delta.
+    Duplicate coordinate pairs across state and delta merge by count
+    sum + min representative (exactly what a full rebuild produces,
+    since the pair aggregate is associative).  NOT idempotent under
+    re-delivery (counts re-add): exactly-once delta delivery is the
+    contract, same as the CMS/quantile states."""
+    df = pareto_frontier(
+        delta, group_cols=group_cols, max_col=max_col, min_col=min_col,
+        id_col=id_col, n_shards=n_shards)
+    merged = (
+        state.unionByName(df)
+        .groupBy(*group_cols, max_col, min_col)
+        .agg(F.sum("n_rows").cast("long").alias("n_rows"),
+             F.min("rep_id").alias("rep_id")))
+    w = (Window.partitionBy(*group_cols)
+         .orderBy(F.col(max_col).desc(), F.col(min_col).asc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    pmin = F.min(min_col).over(w)
+    return (merged.withColumn("__pmin", pmin)
+            .filter(F.col("__pmin").isNull()
+                    | (F.col(min_col) < F.col("__pmin")))
+            .drop("__pmin"))

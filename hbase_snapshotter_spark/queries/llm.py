@@ -4807,16 +4807,33 @@ def pareto_frontier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbase_snapshotter_spark.operators.sampling import pareto_frontier
     from hbase_snapshotter_spark.operators.text import tokens
 
+    from hbase_snapshotter_spark.cache import scoped_persist
+    from hbase_snapshotter_spark.operators.sampling import (
+        advance_pareto_frontier,
+    )
+
     docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
-    axes = (
+    axes = scoped_persist(
         docs.filter(F.col("text").isNotNull() & (F.trim("text") != ""))
         .select("lang", "doc_id",
                 F.size(F.array_distinct(tokens(F.col("text"))))
                 .cast("long").alias("n_distinct_tokens"),
                 F.col("n_chars").cast("long").alias("n_chars")))
-    return pareto_frontier(
-        axes, group_cols=["lang"], max_col="n_distinct_tokens",
-        min_col="n_chars", id_col="doc_id")
+    kw = dict(group_cols=["lang"], max_col="n_distinct_tokens",
+              min_col="n_chars", id_col="doc_id")
+    full = pareto_frontier(axes, **kw)
+    # incremental-state lane: frontier built on history, advanced with
+    # only the delta docs, must equal the full rebuild EXACTLY (the
+    # skyline-merge algebra) — equality rides the hash as a 1-row flag
+    is_delta = F.col("doc_id") % 5 == 0
+    state = pareto_frontier(axes.filter(~is_delta), **kw)
+    adv = advance_pareto_frontier(state, axes.filter(is_delta), **kw)
+    full_p = scoped_persist(full)
+    n_diff = (adv.exceptAll(full_p).unionAll(full_p.exceptAll(adv))
+              .agg(F.count(F.lit(1)).alias("__n")))
+    return full_p.crossJoin(
+        F.broadcast(n_diff.select(
+            (F.col("__n") == 0).alias("advance_consistent"))))
 
 
 ORACLE_PARETO_FRONTIER = """
@@ -4831,7 +4848,8 @@ pairs AS (
   SELECT lang, n_distinct_tokens, n_chars,
          CAST(COUNT(*) AS BIGINT) AS n_rows, MIN(doc_id) AS rep_id
   FROM axes GROUP BY 1, 2, 3)
-SELECT lang, n_distinct_tokens, n_chars, n_rows, rep_id
+SELECT lang, n_distinct_tokens, n_chars, n_rows, rep_id,
+       TRUE AS advance_consistent
 FROM pairs p
 WHERE NOT EXISTS (
   SELECT 1 FROM pairs q

@@ -2831,3 +2831,35 @@ def test_pareto_frontier_hand_computed(spark):
               ("g", 4, 2): (1, 7), ("h", 1, 1): (1, 8)}
     for shards in (1, 4, 32):
         assert run(shards) == expect
+
+
+def test_pareto_frontier_advance_equals_rebuild(spark):
+    """N107 incremental form: advancing a history frontier with only
+    the delta equals the full rebuild — a delta point can displace
+    state points, a dominated delta point vanishes, and duplicate
+    pairs across state and delta merge counts exactly."""
+    from hbase_snapshotter_spark.operators.sampling import (
+        advance_pareto_frontier,
+        pareto_frontier,
+    )
+
+    hist_rows = [("g", 1, 10, 5), ("g", 2, 8, 3), ("g", 3, 6, 6)]
+    delta_rows = [
+        ("g", 4, 12, 4),   # displaces (10,5): dominates it strictly
+        ("g", 5, 7, 9),    # dominated by everything relevant: vanishes
+        ("g", 6, 8, 3),    # duplicate of a surviving state pair
+    ]
+    schema = "grp string, doc_id long, x long, y long"
+    hist = spark.createDataFrame(hist_rows, schema)
+    delta = spark.createDataFrame(delta_rows, schema)
+    kw = dict(group_cols=["grp"], max_col="x", min_col="y",
+              id_col="doc_id")
+    state = pareto_frontier(hist, **kw)
+    adv = {(r.grp, r.x, r.y): (r.n_rows, r.rep_id)
+           for r in advance_pareto_frontier(state, delta, **kw).collect()}
+    full = {(r.grp, r.x, r.y): (r.n_rows, r.rep_id)
+            for r in pareto_frontier(hist.unionAll(delta), **kw).collect()}
+    assert adv == full
+    assert ("g", 10, 5) not in adv           # displaced by the delta
+    assert adv[("g", 12, 4)] == (1, 4)
+    assert adv[("g", 8, 3)] == (2, 2)        # counts merged, min rep

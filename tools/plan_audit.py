@@ -119,6 +119,8 @@ def main() -> int:
                                         # q22 scalar subquery — N101)
         "join_size_estimate",           # 1-row × 1-row attaches (counts,
                                         # exact audit, estimate — N103)
+        "pareto_frontier_docs",         # 1-row advance_consistent flag
+                                        # attach (N107 advance equality)
     }
 
     flags_total = 0
