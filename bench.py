@@ -107,6 +107,13 @@ HEADLINE_R7 = [
     "constraint_audit_suite",
     "embedding_truncation_audit",
     "dedup_cluster_representatives",
+    "multimodal_audio_stats",  # r9: real WAV codec lane
+    "subquery_suite",          # r9b: TPC-H q17/q18/q22 subquery shapes
+    "event_attribution",       # r9b: first/last/linear attribution
+    "join_size_estimate",      # r9b: CMS join-cardinality estimation
+    "compaction_plan_audit",   # r9b: small-file bin-packing planner
+    "multimodal_video_stats",  # r9b: real AVI codec + frame sampling
+    "pareto_frontier_docs",    # r9b: skyline + advance-equality flag
 ]
 
 

@@ -181,3 +181,70 @@ def compaction_plan(
             "action", "group_id", "group_files", "group_bytes",
             "fill_permille"]
     return out_compact.select(*cols).unionAll(out_keep.select(*cols))
+
+
+def hrw_shard(key: Column, n_shards: int) -> Column:
+    """Rendezvous (highest-random-weight) shard of ``key``: argmax over
+    shards of ``md5(key | shard)`` — ties broken toward the larger
+    shard id (``array_max`` struct order; md5 collisions across salts
+    are no practical concern, but the rule keeps both engines
+    deterministic).  Pure column
+    expressions (n md5 evaluations per row), SQL-replayable."""
+    weights = F.array(*[
+        F.struct(
+            F.md5(F.concat_ws("|", key, F.lit(str(s)))).alias("w"),
+            F.lit(s).cast("int").alias("s"))
+        for s in range(n_shards)])
+    return F.array_max(weights)["s"]
+
+
+def shard_rebalance_audit(
+    df: DataFrame,
+    key_col: str,
+    *,
+    n_before: int,
+    n_after: int,
+) -> DataFrame:
+    """Re-sharding cost audit (SURVEY §2.3 N108): how many rows MOVE
+    when a hash-sharded layout scales from ``n_before`` to ``n_after``
+    shards, under (a) the modulo scheme every ``% n_buckets`` layout in
+    this engine uses and (b) rendezvous hashing (HRW).  Modulo remaps
+    ~``1 − 1/lcm·…`` ≈ almost everything (n/(n+1) for n→n+1); HRW
+    moves only the keys whose new shard's weight beats all incumbents
+    — expected ``1 − n_before/n_after`` — and never moves a key
+    BETWEEN surviving shards.  That asymmetry is the operational cost
+    of growing the pruned snapshot-state / postings / code-table
+    layouts, measured instead of assumed.
+
+    Output: one row per scheme with rows, moved rows, exact half-up
+    moved permille, and the HRW stability invariant (every move lands
+    on a NEW shard id ≥ n_before when growing) as a flag.  One scan,
+    one 2-row aggregate; the per-row cost is 2·(n_before + n_after)
+    md5 evaluations (shard counts are config-sized constants)."""
+    key = F.col(key_col).cast("string")
+    mod_b = (F.conv(F.substring(F.md5(key), 1, 8), 16, 10)
+             .cast("long") % n_before)
+    mod_a = (F.conv(F.substring(F.md5(key), 1, 8), 16, 10)
+             .cast("long") % n_after)
+    hrw_b = hrw_shard(key, n_before)
+    hrw_a = hrw_shard(key, n_after)
+
+    def lane(tag: str, before, after, stable_expr) -> DataFrame:
+        moved = F.sum(F.when(before != after, 1).otherwise(0)) \
+            .cast("long")
+        n = F.count(F.lit(1)).cast("long")
+        pm = 2000 * moved + n
+        return df.agg(
+            n.alias("n_rows"), moved.alias("n_moved"),
+            F.floor(pm / (2 * n)).cast("long").alias("moved_permille"),
+            F.bool_and(stable_expr).alias("moves_only_to_new_shards"),
+        ).select(F.lit(tag).alias("scheme"), "n_rows", "n_moved",
+                 "moved_permille", "moves_only_to_new_shards")
+
+    if n_after > n_before:
+        mod_stable = (mod_b == mod_a) | (mod_a >= n_before)
+        hrw_stable = (hrw_b == hrw_a) | (hrw_a >= n_before)
+    else:  # shrinking: "lands on a surviving shard" is vacuous
+        mod_stable = hrw_stable = F.lit(True)
+    return lane("modulo", mod_b, mod_a, mod_stable).unionAll(
+        lane("rendezvous", hrw_b, hrw_a, hrw_stable))

@@ -3330,7 +3330,6 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest against the pure-Python reference, since no SQL engine can
     replay the merge loop it depends on."""
     from hbase_snapshotter_spark.operators.bpe import (
-        bpe_lang_fertility,
         bpe_token_stats,
         bpe_train,
     )
@@ -3346,12 +3345,14 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast("long").alias("n_docs"),
         F.col("n_words").cast("long").alias("n_words"),
         "roundtrip_ok", "tokens_bounded")
-    lang = bpe_lang_fertility(stats)
+    # one groupBy carries the sums AND the flag folds — a second
+    # aggregate joined back on lang would plan an SMJ for nothing
     lang_rows = (
         stats.groupBy("lang")
-        .agg(F.bool_and("roundtrip_ok").alias("roundtrip_ok"),
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.sum("n_words").cast("long").alias("n_words"),
+             F.bool_and("roundtrip_ok").alias("roundtrip_ok"),
              F.bool_and("tokens_bounded").alias("tokens_bounded"))
-        .join(lang, "lang")
         .select(F.lit("lang").alias("scope"), F.col("lang").alias("key"),
                 "n_docs", "n_words", "roundtrip_ok", "tokens_bounded"))
     return doc_rows.unionAll(lang_rows)

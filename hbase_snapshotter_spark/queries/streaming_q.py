@@ -1465,3 +1465,74 @@ PAIRS.update({
     "compaction_plan_audit": (compaction_plan_audit,
                               _oracle_compaction_plan()),
 })
+
+
+#: Re-sharding audit geometry: the pruned-state layouts in this engine
+#: default to small power-of-two bucket counts; 8 -> 9 is the minimal
+#: grow step and makes the modulo-vs-rendezvous asymmetry starkest.
+REBALANCE_BEFORE, REBALANCE_AFTER = 8, 9
+
+
+def shard_rebalance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-sharding cost audit (N108): scaling a hash-sharded layout
+    8 → 9 shards moves ~8/9 of all rows under the modulo scheme the
+    engine's state layouts use, but only ~1/9 — and only ONTO the new
+    shard — under rendezvous hashing.  Exact counts + half-up permille
+    + the HRW stability invariant, all oracle-replayed (md5 argmax via
+    a ranked explode in SQL)."""
+    from hbase_snapshotter_spark.operators.dedup import spread
+    from hbase_snapshotter_spark.operators.layout import (
+        shard_rebalance_audit,
+    )
+
+    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return shard_rebalance_audit(
+        docs.select("doc_id"), "doc_id",
+        n_before=REBALANCE_BEFORE, n_after=REBALANCE_AFTER)
+
+
+def _oracle_shard_rebalance() -> str:
+    nb, na = REBALANCE_BEFORE, REBALANCE_AFTER
+    vals_b = ", ".join(f"({s})" for s in range(nb))
+    vals_a = ", ".join(f"({s})" for s in range(na))
+    return f"""
+WITH k AS (SELECT CAST(doc_id AS VARCHAR) AS key FROM documents),
+hrw_b AS (
+  SELECT key, s FROM (
+    SELECT key, s, ROW_NUMBER() OVER (
+      PARTITION BY key
+      ORDER BY md5(key || '|' || CAST(s AS VARCHAR)) DESC, s DESC) AS rn
+    FROM k, (VALUES {vals_b}) t(s)) WHERE rn = 1),
+hrw_a AS (
+  SELECT key, s FROM (
+    SELECT key, s, ROW_NUMBER() OVER (
+      PARTITION BY key
+      ORDER BY md5(key || '|' || CAST(s AS VARCHAR)) DESC, s DESC) AS rn
+    FROM k, (VALUES {vals_a}) t(s)) WHERE rn = 1),
+base AS (
+  SELECT k.key,
+         CAST('0x' || substr(md5(k.key), 1, 8) AS BIGINT) % {nb} AS mb,
+         CAST('0x' || substr(md5(k.key), 1, 8) AS BIGINT) % {na} AS ma,
+         b.s AS hb, a.s AS ha
+  FROM k JOIN hrw_b b USING (key) JOIN hrw_a a USING (key))
+SELECT 'modulo' AS scheme, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN mb <> ma THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_moved,
+       CAST((2000 * SUM(CASE WHEN mb <> ma THEN 1 ELSE 0 END)
+             + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS moved_permille,
+       BOOL_AND(mb = ma OR ma >= {nb}) AS moves_only_to_new_shards
+FROM base
+UNION ALL
+SELECT 'rendezvous', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN hb <> ha THEN 1 ELSE 0 END) AS BIGINT),
+       CAST((2000 * SUM(CASE WHEN hb <> ha THEN 1 ELSE 0 END)
+             + COUNT(*)) // (2 * COUNT(*)) AS BIGINT),
+       BOOL_AND(hb = ha OR ha >= {nb})
+FROM base
+"""
+
+
+PAIRS.update({
+    "shard_rebalance_stats": (shard_rebalance_stats,
+                              _oracle_shard_rebalance()),
+})

@@ -148,3 +148,47 @@ def test_compaction_plan_hand_computed(spark):
     for (s, g), (gb, t, mf) in groups.items():
         if g != last[s]:
             assert t - mf < gb <= t + mf
+
+
+def test_shard_rebalance_python_replayed(spark):
+    """N108: moved counts equal a python replay of both schemes; HRW
+    moves land only on the new shard when growing (theorem), modulo
+    scatters across survivors (flag False, live); shrinking makes the
+    stability flag vacuously True."""
+    import hashlib
+
+    import pyspark.sql.functions as F
+
+    from hbase_snapshotter_spark.operators.layout import (
+        shard_rebalance_audit,
+    )
+
+    keys = [str(i) for i in range(400)]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+
+    def mod(key, n):
+        return int(hashlib.md5(key.encode()).hexdigest()[:8], 16) % n
+
+    def hrw(key, n):
+        return max(range(n), key=lambda s: (
+            hashlib.md5(f"{key}|{s}".encode()).hexdigest(), s))
+
+    out = {r.scheme: r for r in shard_rebalance_audit(
+        df, "k", n_before=8, n_after=9).collect()}
+    exp_mod = sum(1 for k in keys if mod(k, 8) != mod(k, 9))
+    exp_hrw = sum(1 for k in keys if hrw(k, 8) != hrw(k, 9))
+    assert out["modulo"].n_moved == exp_mod
+    assert out["rendezvous"].n_moved == exp_hrw
+    assert out["modulo"].n_rows == out["rendezvous"].n_rows == 400
+    # the asymmetry IS the point: ~8/9 vs ~1/9
+    assert out["modulo"].n_moved > 300 and out["rendezvous"].n_moved < 100
+    assert not out["modulo"].moves_only_to_new_shards
+    assert out["rendezvous"].moves_only_to_new_shards
+    # every HRW move targets the new shard id 8 (python replay)
+    assert all(hrw(k, 9) == 8 for k in keys if hrw(k, 8) != hrw(k, 9))
+    # permille is half-up exact
+    assert out["modulo"].moved_permille == (2000 * exp_mod + 400) // 800
+    shrink = {r.scheme: r for r in shard_rebalance_audit(
+        df, "k", n_before=9, n_after=8).collect()}
+    assert shrink["modulo"].moves_only_to_new_shards
+    assert shrink["rendezvous"].moves_only_to_new_shards
