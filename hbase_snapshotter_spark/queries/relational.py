@@ -1242,6 +1242,35 @@ PAIRS.update({
     "subquery_suite": (subquery_suite, ORACLE_SUBQUERY_SUITE),
 })
 
+#: Advisor thresholds (N103 strategy verdict).  Row-count stand-in for
+#: the byte-based autoBroadcastJoinThreshold; permille of a side's rows
+#: its hottest key may own before the salted plan wins.
+ADVISOR_BROADCAST_ROWS = 10000
+ADVISOR_SKEW_PERMILLE = 50
+
+
+def advisor_strategy_col():
+    """The N103 advisor rule over the per-pair statistics columns
+    (n_left/n_right/max_rows_left/max_rows_right): broadcast the
+    smaller side when it fits, salt when either side's hottest key
+    owns more than ADVISOR_SKEW_PERMILLE of its rows, else
+    sort-merge.  Kept as a named expression so the rule is pinned by
+    a pytest independent of the fixture's (skew-free) data."""
+    skew = (
+        (F.col("max_rows_left") * 1000
+         > ADVISOR_SKEW_PERMILLE * F.col("n_left"))
+        | (F.col("max_rows_right") * 1000
+           > ADVISOR_SKEW_PERMILLE * F.col("n_right")))
+    return (
+        F.when(F.least("n_left", "n_right") <= ADVISOR_BROADCAST_ROWS,
+               F.when(F.col("n_right") <= F.col("n_left"),
+                      F.lit("broadcast_right"))
+               .otherwise(F.lit("broadcast_left")))
+        .when(skew, F.lit("salted_shuffle"))
+        .otherwise(F.lit("sort_merge")))
+
+
+
 # ------------------------------- N103: sketch-based join-size estimation
 def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-cardinality estimation from CMS sketches (N103) — the
@@ -1254,7 +1283,15 @@ def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two sketch passes run (one scan each, D×W rows out); the exact
     join here is the audit lane, same posture as zorder_layout_audit.
     Reference scope: the snapshotter plans joins blindly; this is the
-    statistics layer Spark's CBO would consume."""
+    statistics layer Spark's CBO would consume.
+
+    r9b: each pair also carries the per-side max key multiplicity and
+    a deterministic STRATEGY verdict (the advisor rule a planner would
+    apply to these statistics): broadcast the smaller side when it
+    fits, salt when either side's hottest key exceeds
+    ``ADVISOR_SKEW_PERMILLE`` of its rows, else sort-merge.  The rule
+    composes N103's estimate with the N82 salt machinery's trigger —
+    statistics → strategy, oracle-replayed."""
     from hbase_snapshotter_spark.operators.sketches import (
         CMS_BOUND_NUM,
         CMS_JOIN_WIDTH,
@@ -1278,20 +1315,27 @@ def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact = ga.join(gb, "k").agg(
             F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0))
             .cast("long").alias("exact_rows"))
-        counts = an.agg(F.count(F.lit(1)).alias("n_left")).crossJoin(
-            bn.agg(F.count(F.lit(1)).alias("n_right")))
+        counts = (
+            ga.agg(F.sum("ca").alias("n_left"),
+                   F.max("ca").alias("max_rows_left"))
+            .crossJoin(gb.agg(F.sum("cb").alias("n_right"),
+                              F.max("cb").alias("max_rows_right"))))
         return (
             counts.crossJoin(exact).crossJoin(est)
             .select(
                 F.lit(tag).alias("pair"),
                 F.col("n_left").cast("long").alias("n_left"),
                 F.col("n_right").cast("long").alias("n_right"),
+                F.col("max_rows_left").cast("long").alias("max_rows_left"),
+                F.col("max_rows_right").cast("long")
+                .alias("max_rows_right"),
                 "exact_rows", "est_rows",
                 (F.col("est_rows") >= F.col("exact_rows"))
                 .alias("never_underestimates"),
                 ((F.col("est_rows") - F.col("exact_rows")) * CMS_JOIN_WIDTH
                  <= CMS_BOUND_NUM * F.col("n_left") * F.col("n_right"))
-                .alias("within_bound")))
+                .alias("within_bound"),
+                advisor_strategy_col().alias("strategy")))
 
     mid = F.lit("1997-07-01")
     return (
@@ -1320,10 +1364,18 @@ def _oracle_join_size() -> str:
 
     def lane(tag: str, a_src: str, ka: str, b_src: str, kb: str) -> str:
         return f"""
-SELECT '{tag}' AS pair, n_left, n_right, exact_rows, est_rows,
+SELECT '{tag}' AS pair, n_left, n_right, max_rows_left, max_rows_right,
+       exact_rows, est_rows,
        est_rows >= exact_rows AS never_underestimates,
        (est_rows - exact_rows) * {CMS_JOIN_WIDTH}
-         <= {CMS_BOUND_NUM} * n_left * n_right AS within_bound
+         <= {CMS_BOUND_NUM} * n_left * n_right AS within_bound,
+       CASE WHEN LEAST(n_left, n_right) <= {ADVISOR_BROADCAST_ROWS}
+              THEN CASE WHEN n_right <= n_left THEN 'broadcast_right'
+                        ELSE 'broadcast_left' END
+            WHEN max_rows_left * 1000 > {ADVISOR_SKEW_PERMILLE} * n_left
+              OR max_rows_right * 1000 > {ADVISOR_SKEW_PERMILLE} * n_right
+              THEN 'salted_shuffle'
+            ELSE 'sort_merge' END AS strategy
 FROM (
   WITH av AS (SELECT {ka} AS k FROM {a_src} WHERE {ka} IS NOT NULL),
        bv AS (SELECT {kb} AS k FROM {b_src} WHERE {kb} IS NOT NULL),
@@ -1337,12 +1389,14 @@ FROM (
               FROM bv, (VALUES {depth_vals}) dd(d) GROUP BY 1, 2),
        ip AS (SELECT sa.depth, SUM(sa.cnt * sb.cnt) AS ip
               FROM sa JOIN sb USING (depth, bucket) GROUP BY 1),
+       ga AS (SELECT k, COUNT(*) c FROM av GROUP BY 1),
+       gb AS (SELECT k, COUNT(*) c FROM bv GROUP BY 1),
        ex AS (SELECT COALESCE(SUM(ga.c * gb.c), 0) AS exact_rows
-              FROM (SELECT k, COUNT(*) c FROM av GROUP BY 1) ga
-              JOIN (SELECT k, COUNT(*) c FROM bv GROUP BY 1) gb
-                USING (k))
-  SELECT (SELECT COUNT(*) FROM av) AS n_left,
-         (SELECT COUNT(*) FROM bv) AS n_right,
+              FROM ga JOIN gb USING (k))
+  SELECT CAST((SELECT SUM(c) FROM ga) AS BIGINT) AS n_left,
+         CAST((SELECT SUM(c) FROM gb) AS BIGINT) AS n_right,
+         CAST((SELECT MAX(c) FROM ga) AS BIGINT) AS max_rows_left,
+         CAST((SELECT MAX(c) FROM gb) AS BIGINT) AS max_rows_right,
          CAST((SELECT exact_rows FROM ex) AS BIGINT) AS exact_rows,
          CAST((SELECT MIN(ip) FROM ip) AS BIGINT) AS est_rows
 )"""

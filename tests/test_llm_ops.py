@@ -2863,3 +2863,38 @@ def test_pareto_frontier_advance_equals_rebuild(spark):
     assert ("g", 10, 5) not in adv           # displaced by the delta
     assert adv[("g", 12, 4)] == (1, 4)
     assert adv[("g", 8, 3)] == (2, 2)        # counts merged, min rep
+
+
+def test_join_strategy_advisor_rules(spark):
+    """N103 advisor verdict: broadcast wins when the smaller side fits
+    (side chosen correctly), the salted plan triggers on either side's
+    hot key past the permille threshold (including exactly-at-threshold
+    NOT triggering), sort-merge is the balanced fallback."""
+    from hbase_snapshotter_spark.queries.relational import (
+        ADVISOR_BROADCAST_ROWS as B,
+    )
+    from hbase_snapshotter_spark.queries.relational import (
+        advisor_strategy_col,
+    )
+
+    rows = [
+        ("small_right", 500000, B, 10, 10),
+        ("small_left", B - 1, 500000, 10, 10),
+        ("hot_left", 100000, 200000, 5001, 10),     # 5001/100000 > 50/1000
+        ("at_threshold", 100000, 200000, 5000, 10),  # == 50 permille: no
+        ("hot_right", 100000, 200000, 10, 10001),
+        ("balanced", 100000, 200000, 10, 10),
+    ]
+    df = spark.createDataFrame(
+        rows, "pair string, n_left long, n_right long, "
+              "max_rows_left long, max_rows_right long")
+    out = {r.pair: r.strategy for r in
+           df.withColumn("strategy", advisor_strategy_col()).collect()}
+    assert out == {
+        "small_right": "broadcast_right",
+        "small_left": "broadcast_left",
+        "hot_left": "salted_shuffle",
+        "at_threshold": "sort_merge",
+        "hot_right": "salted_shuffle",
+        "balanced": "sort_merge",
+    }
