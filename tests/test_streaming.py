@@ -1226,3 +1226,45 @@ def test_index_feed_maintainer_bm25_and_pq(spark, sf_dir, tmp_path):
     snap = lambda df: {r["vec_id"]: (list(r["__codes"]), r["__rn2"])  # noqa: E731
                        for r in df.collect()}
     assert snap(mp.state(spark)) == snap(pq_encode(net_corpus, C))
+
+
+def test_frontier_maintenance_equals_batch(spark, event_stream_dir,
+                                           tmp_path):
+    """N107 streaming form: advancing the Pareto frontier through a
+    real readStream replay (4 micro-batch files, arbitrary row split)
+    yields exactly the batch-built frontier over everything — the
+    skyline-merge algebra holds per batch boundary — and a full
+    re-delivery over existing state changes nothing (count merge is
+    not idempotent; the done-marker guard is the correctness line)."""
+    import pyspark.sql.functions as F
+
+    from hbase_snapshotter_spark.operators.sampling import pareto_frontier
+    from hbase_snapshotter_spark.streaming.frontier_stream import (
+        maintain_frontier,
+    )
+    from hbase_snapshotter_spark.streaming.windows import replay_stream
+
+    src = spark.read.parquet(event_stream_dir)
+    axes = lambda df: df.select(  # noqa: E731
+        "event_type", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        F.unix_millis("ts").alias("ms"))
+    kw = dict(group_cols=["event_type"], max_col="value_cents",
+              min_col="ms", id_col="event_id")
+    batch_frontier = pareto_frontier(axes(src), **kw)
+    rows = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    state_dir = str(tmp_path / "frontier_state")
+
+    def run(ckpt):
+        stream = replay_stream(spark, event_stream_dir, src.schema,
+                               max_files_per_trigger=1)
+        q, m = maintain_frontier(
+            axes(stream), state_dir, **kw,
+            checkpointLocation=str(tmp_path / ckpt), availableNow=True)
+        q.awaitTermination(120)
+        return m
+
+    m = run("ckpt1")
+    assert rows(m.state(spark)) == rows(batch_frontier)
+    m2 = run("ckpt2")  # full re-delivery: no re-application
+    assert rows(m2.state(spark)) == rows(batch_frontier)
