@@ -114,6 +114,8 @@ HEADLINE_R7 = [
     "compaction_plan_audit",   # r9b: small-file bin-packing planner
     "multimodal_video_stats",  # r9b: real AVI codec + frame sampling
     "pareto_frontier_docs",    # r9b: skyline + advance-equality flag
+    "shard_rebalance_stats",   # r9b: modulo-vs-rendezvous migration cost
+    "embedding_label_centroids",  # r9b: exact centroid pooling
 ]
 
 

@@ -1632,3 +1632,48 @@ def truncation_overlap(
         F.col("__k").cast("int").alias("n_returned"),
         F.col("__hits").cast("int").alias("hits"),
         overlap.alias("overlap_at_k"))
+
+
+def group_mean_vector(
+    df: DataFrame,
+    vec_col: str,
+    *,
+    group_cols: list[str],
+    micro: int = 1_000_000,
+    offset: int = 1_000_000,
+) -> DataFrame:
+    """Per-group mean embedding (SURVEY §2.3 N109) — centroid pooling
+    as pure built-ins: ``(*group_cols, dim, n_vectors, mean_micro)``
+    with the mean in exact half-up micro-units.  This is the
+    embedding-side reduce every serving/training pipeline needs
+    (label/cluster centroids, chunk→document pooling, class prototypes
+    for hard-negative mining) — and float summation order makes a
+    naive mean engine-divergent, so elements are fixed-pointed FIRST
+    (``round(x·1e6)`` — exact BIGINT sums in any order), then divided
+    half-up.
+
+    The ``offset`` (≥ the max |element| in micro-units) keeps every
+    intermediate non-negative: Spark's pmod-division and DuckDB's
+    ``//`` agree on floor semantics only there (DuckDB truncates
+    negatives toward zero), so the mean is computed on shifted values
+    and the shift subtracted exactly afterwards.
+
+    Scale: one posexplode (n·d rows) into a map-side-combined hash agg
+    — the wire carries ≤ groups × d × partitions partial rows, never
+    the vectors."""
+    sums = (
+        df.select(*group_cols,
+                  F.posexplode(vec_col).alias("dim", "__x"))
+        .withColumn(
+            "__m",
+            (F.round(F.col("__x").cast("double") * micro).cast("long")
+             + offset))
+        .groupBy(*group_cols, "dim")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"),
+             F.sum("__m").alias("__s")))
+    a = 2 * F.col("__s") + F.col("n_vectors")
+    mean_off = ((a - F.pmod(a, 2 * F.col("n_vectors")))
+                / (2 * F.col("n_vectors"))).cast("long")
+    return sums.select(
+        *group_cols, "dim", "n_vectors",
+        (mean_off - offset).alias("mean_micro"))

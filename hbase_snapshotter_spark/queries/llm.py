@@ -4865,3 +4865,44 @@ WHERE NOT EXISTS (
 PAIRS.update({
     "pareto_frontier_docs": (pareto_frontier_docs, ORACLE_PARETO_FRONTIER),
 })
+
+
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid pooling (N109): the mean embedding of every
+    label as exact half-up micro-units — fixed-pointed before summing
+    so the result is independent of partitioning and engine (a float
+    mean diverges by summation order).  One posexplode into one
+    map-side-combined agg; the oracle replays element fixed-pointing,
+    the offset-shifted floor division, and the shift removal."""
+    from hbase_snapshotter_spark.operators.similarity import (
+        group_mean_vector,
+    )
+
+    return group_mean_vector(
+        _emb(spark, sf_dir), "embedding", group_cols=["label"]) \
+        .orderBy("label", "dim")
+
+
+ORACLE_LABEL_CENTROIDS = """
+WITH el AS (
+  SELECT label, t.i - 1 AS dim,
+         CAST(ROUND(CAST(embedding[t.i] AS DOUBLE) * 1000000) AS BIGINT)
+           + 1000000 AS m
+  FROM embeddings, range(1, 65) t(i)
+  WHERE len(embedding) = 64),
+s AS (
+  SELECT label, dim, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         SUM(m) AS s
+  FROM el GROUP BY 1, 2)
+SELECT label, CAST(dim AS INTEGER) AS dim, n_vectors,
+       CAST((2 * s + n_vectors) // (2 * n_vectors) - 1000000 AS BIGINT)
+         AS mean_micro
+FROM s
+ORDER BY label, dim
+"""
+
+
+PAIRS.update({
+    "embedding_label_centroids": (embedding_label_centroids,
+                                  ORACLE_LABEL_CENTROIDS),
+})

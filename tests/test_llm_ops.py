@@ -2898,3 +2898,36 @@ def test_join_strategy_advisor_rules(spark):
         "hot_right": "salted_shuffle",
         "balanced": "sort_merge",
     }
+
+
+def test_group_mean_vector_exact_and_partition_invariant(spark):
+    """N109 centroid pooling: fixed-point means match the hand
+    rational (half-up at the exact .5 boundary, NEGATIVE means
+    included — the offset keeps floor semantics consistent), and the
+    result is independent of partitioning because integer sums
+    commute."""
+    from hbase_snapshotter_spark.operators.similarity import (
+        group_mean_vector,
+    )
+
+    rows = [
+        ("a", [0.5, -0.5]),
+        ("a", [0.5, -0.25]),      # dim1 mean: (-500000-250000)/2 half-up
+        ("b", [-0.000001, 0.0]),  # tiny negative mean
+        ("b", [-0.000002, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "g string, embedding array<double>")
+
+    def got(d):
+        return {(r.g, r.dim): (r.n_vectors, r.mean_micro)
+                for r in group_mean_vector(
+                    d, "embedding", group_cols=["g"]).collect()}
+
+    out = got(df)
+    assert out[("a", 0)] == (2, 500000)
+    # (-500000 + -250000) = -750000; /2 = -375000 exactly
+    assert out[("a", 1)] == (2, -375000)
+    # (-1 + -2)/2 = -1.5 micro -> half-up (toward +inf) = -1
+    assert out[("b", 0)] == (2, -1)
+    assert out[("b", 1)] == (2, 0)
+    assert got(df.repartition(7)) == out

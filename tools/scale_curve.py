@@ -661,6 +661,8 @@ def operators():
         # sketch join-size, compaction planning, AVI frame sampling)
         "subquery_suite": _q("subquery_suite"),
         "pareto_frontier": _q("pareto_frontier_docs"),
+        "shard_rebalance": _q("shard_rebalance_stats"),
+        "label_centroids": _q("embedding_label_centroids"),
         "event_attribution": _q("event_attribution"),
         "join_size_estimate": _q("join_size_estimate"),
         "compaction_plan": _q("compaction_plan_audit"),
