@@ -4906,3 +4906,71 @@ PAIRS.update({
     "embedding_label_centroids": (embedding_label_centroids,
                                   ORACLE_LABEL_CENTROIDS),
 })
+
+
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation (N110): the marker-word heuristic's
+    confusion matrix against the labeled lang column — per (actual,
+    predicted) doc counts and the exact-permille share of the actual
+    class.  The eval lane every classifier-backed filter needs next to
+    the classifier itself (the N15 lang_guess feeds an English-only cut
+    in pipeline_quality_filter; this measures what that cut does to
+    each actual language — e.g. zh has no marker profile and lands in
+    'unknown' wholesale).  One tokenize pass, one groupBy on a ≤
+    |langs|² key space, one broadcast totals join; oracle replays the
+    argmax CASE, the grouping, and the half-up permille."""
+    from hbase_snapshotter_spark.operators.text import (
+        lang_guess_expr,
+        tokens,
+    )
+
+    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet")) \
+        .filter(F.col("text").isNotNull())
+    pred = (docs.select(
+        F.col("lang").alias("actual_lang"),
+        lang_guess_expr(tokens(F.col("text"))).alias("predicted_lang")))
+    cm = (pred.groupBy("actual_lang", "predicted_lang")
+          .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
+    totals = cm.groupBy("actual_lang").agg(
+        F.sum("n_docs").alias("__total"))
+    pm = 2000 * F.col("n_docs") + F.col("__total")
+    return (cm.join(F.broadcast(totals), "actual_lang")
+            .select("actual_lang", "predicted_lang", "n_docs",
+                    F.floor(pm / (2 * F.col("__total"))).cast("long")
+                    .alias("share_permille"),
+                    (F.col("actual_lang") == F.col("predicted_lang"))
+                    .alias("correct")))
+
+
+def _oracle_langid_confusion() -> str:
+    hits = {k: f"len(list_filter(t, x -> list_contains({_sql_list(v)}, x)))"
+            for k, v in LANG_MARKERS.items()}
+    lang_case = f"""CASE
+      WHEN {hits['en']} >= {hits['de']} AND {hits['en']} >= {hits['es']}
+           AND {hits['en']} >= {hits['fr']} AND {hits['en']} > 0 THEN 'en'
+      WHEN {hits['de']} >= {hits['es']} AND {hits['de']} >= {hits['fr']}
+           AND {hits['de']} > 0 THEN 'de'
+      WHEN {hits['es']} >= {hits['fr']} AND {hits['es']} > 0 THEN 'es'
+      WHEN {hits['fr']} > 0 THEN 'fr'
+      ELSE 'unknown' END"""
+    return f"""
+WITH pred AS (
+  SELECT lang AS actual_lang, {lang_case} AS predicted_lang
+  FROM (SELECT lang, string_split(trim(text), ' ') AS t
+        FROM documents WHERE text IS NOT NULL)),
+cm AS (
+  SELECT actual_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM pred GROUP BY 1, 2),
+tot AS (
+  SELECT actual_lang, SUM(n_docs) AS total FROM cm GROUP BY 1)
+SELECT actual_lang, predicted_lang, n_docs,
+       CAST((2000 * n_docs + total) // (2 * total) AS BIGINT)
+         AS share_permille,
+       actual_lang = predicted_lang AS correct
+FROM cm JOIN tot USING (actual_lang)
+"""
+
+
+PAIRS.update({
+    "langid_confusion": (langid_confusion, _oracle_langid_confusion()),
+})

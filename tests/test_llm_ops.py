@@ -2931,3 +2931,37 @@ def test_group_mean_vector_exact_and_partition_invariant(spark):
     assert out[("b", 0)] == (2, -1)
     assert out[("b", 1)] == (2, 0)
     assert got(df.repartition(7)) == out
+
+
+def test_langid_confusion_hand_computed(spark, sf_dir, tmp_path):
+    """N110 eval lane: confusion counts and exact-permille shares on a
+    hand corpus — the en>de>es>fr argmax priority on ties, the
+    no-marker 'unknown' bucket (the zh case), and the per-actual share
+    normalization."""
+    import pyspark.sql.functions as F
+
+    from hbase_snapshotter_spark.queries.llm import langid_confusion
+
+    rows = [
+        (1, "en", "the cat and the dog"),        # en markers -> en
+        (2, "en", "der hund ist gross"),         # de markers -> de (miss)
+        (3, "de", "der die das"),                # -> de
+        (4, "zh", "mao he gou"),                 # no markers -> unknown
+        (5, "fr", "le chat est la"),             # fr+es tie? le/est are fr
+        (6, "en", "the und"),                    # en==de==1 -> en priority
+    ]
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    ).withColumn("source", F.lit("s")) \
+     .withColumn("n_chars", F.length("text").cast("double")) \
+     .write.parquet(f"{d}/documents.parquet")
+    out = {(r.actual_lang, r.predicted_lang): r
+           for r in langid_confusion(spark, d).collect()}
+    assert out[("en", "en")].n_docs == 2
+    assert out[("en", "de")].n_docs == 1
+    assert out[("en", "en")].share_permille == 667  # 2/3 half-up
+    assert out[("de", "de")].n_docs == 1 and out[("de", "de")].correct
+    assert out[("zh", "unknown")].n_docs == 1
+    assert not out[("zh", "unknown")].correct
+    assert out[("fr", "fr")].n_docs == 1
