@@ -692,3 +692,66 @@ def char_entropy_bits(text_col: Column | str) -> Column:
     chars = F.when(F.length(col) > 0, F.split(col, "")) \
         .otherwise(F.array().cast("array<string>"))
     return bind_once(chars, from_chars)
+
+
+def collocations_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    k: int = 50,
+    min_count: int = 5,
+) -> DataFrame:
+    """PMI-ranked collocation mining (SURVEY §2.3 N111): the top-k
+    adjacent word pairs by pointwise mutual information
+    ``log(p(ab) / (p(a)·p(b)))`` with a minimum pair count — the
+    classic collocation extractor (Church & Hanks 1990) behind phrase
+    vocabularies, tokenizer seed merges, and index phrase fields.
+
+    Engine-exactness: the log is MONOTONE in the integer rational
+    ``n_ab·N / (n_a·n_b)``, so ranking never computes it — the score
+    ships as that ratio's correctly-rounded double (identical bits in
+    any IEEE engine since both operands are exact < 2^53 integers) and
+    the PMI itself is derivable downstream.  Ties break on the pair
+    text, so the top-k boundary is total-ordered.
+
+    Scale shape: one projection builds the bigram stream (higher-order
+    exprs), one explode; unigram and bigram counts are map-side-
+    combined hash aggs; the bigram→unigram joins hit the
+    ``min_count``-filtered bigram table (vocabulary-sized, never the
+    corpus); the final top-k plans as TakeOrderedAndProject."""
+    toks = tokens(F.col(text_col))
+    bigrams = bind_once(toks, lambda t: F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - 2),
+            lambda i: F.struct(
+                F.element_at(t, i + 1).alias("w1"),
+                F.element_at(t, i + 2).alias("w2")))
+    ).otherwise(F.array()))
+    base = df.filter(F.col(text_col).isNotNull()) \
+        .select(F.explode(bigrams).alias("bg")) \
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    # n_a / n_b are defined over the bigram stream itself (first /
+    # second slot occurrences) — self-consistent, exactly replayable,
+    # and the standard contingency-table marginals for adjacent pairs
+    uni1 = base.groupBy(F.col("w1").alias("w")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_first"))
+    uni2 = base.groupBy(F.col("w2").alias("w")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_second"))
+    bg = (base.groupBy("w1", "w2")
+          .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+          .filter(F.col("n_pair") >= min_count))
+    total = base.agg(F.count(F.lit(1)).alias("n_total"))
+    scored = (
+        bg.join(uni1.withColumnRenamed("w", "w1"), "w1")
+        .join(uni2.withColumnRenamed("w", "w2"), "w2")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "lift",
+            F.round((F.col("n_pair") * F.col("n_total")).cast("double")
+                    / (F.col("n_first") * F.col("n_second")), 6)))
+    return (scored
+            .select("w1", "w2", "n_pair", "n_first", "n_second",
+                    F.col("n_total").cast("long").alias("n_total"), "lift")
+            .orderBy(F.col("lift").desc(), "w1", "w2")
+            .limit(k))

@@ -4974,3 +4974,46 @@ FROM cm JOIN tot USING (actual_lang)
 PAIRS.update({
     "langid_confusion": (langid_confusion, _oracle_langid_confusion()),
 })
+
+
+def collocation_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (N111): top-50 adjacent word pairs by PMI
+    lift over the documents corpus (min pair count 5) — phrase
+    vocabulary extraction beside the BPE merge miner (N35 works on
+    characters within words; this works on words within sentences).
+    The score is the exact-integer rational ``n_ab·N/(n_a·n_b)`` as a
+    correctly-rounded double, so both engines rank identically; ties
+    break on the pair text."""
+    from hbase_snapshotter_spark.operators.text import collocations_topk
+
+    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return collocations_topk(docs, "text", k=50, min_count=5)
+
+
+ORACLE_COLLOCATIONS = """
+WITH toks AS (
+  SELECT string_split(trim(text), ' ') AS t FROM documents
+  WHERE text IS NOT NULL),
+bg AS (
+  SELECT u.s.w1 AS w1, u.s.w2 AS w2
+  FROM (SELECT UNNEST([{'w1': t[i], 'w2': t[i + 1]}
+                       for i in range(1, len(t))]) AS s
+        FROM toks) u),
+pairs AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM bg GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+u1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS n_first FROM bg GROUP BY 1),
+u2 AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n_second FROM bg GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM bg)
+SELECT w1, w2, n_pair, n_first, n_second, n_total,
+       ROUND(CAST(n_pair * n_total AS DOUBLE)
+             / (n_first * n_second), 6) AS lift
+FROM pairs JOIN u1 USING (w1) JOIN u2 USING (w2), tot
+ORDER BY lift DESC, w1, w2
+LIMIT 50
+"""
+
+
+PAIRS.update({
+    "collocation_mining": (collocation_mining, ORACLE_COLLOCATIONS),
+})

@@ -128,3 +128,31 @@ def test_paragraph_dedup_matches_python_model(spark, doc_paras):
     got = {r.doc_id: (r.n_paragraphs, r.n_dup_paragraphs)
            for r in paragraph_dedup_stats(df, F.col("paras")).collect()}
     assert got == expected
+
+
+def test_collocations_hand_computed(spark):
+    """N111 PMI collocation mining on a hand corpus: lift equals the
+    exact contingency rational, the min-count gate bites, slot
+    marginals come from the bigram stream, and the top-k order is
+    (lift DESC, pair)."""
+    from hbase_snapshotter_spark.operators.text import collocations_topk
+
+    rows = [
+        (1, "new york new york new york"),
+        (2, "a new day a new day"),
+        (3, "york a"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = collocations_topk(df, "text", k=10, min_count=2).collect()
+    by_pair = {(r.w1, r.w2): r for r in out}
+    # bigram stream: doc1: (new,york)x3 (york,new)x2; doc2: (a,new)x2
+    # (new,day)x2 (day,a)x1; doc3: (york,a)x1  -> N=11
+    r = by_pair[("new", "york")]
+    assert (r.n_pair, r.n_total) == (3, 11)
+    assert r.n_first == 5   # 'new' first-slot: 3 + 2
+    assert r.n_second == 3  # 'york' second-slot: 3
+    assert r.lift == round(3 * 11 / (5 * 3), 6)
+    assert ("day", "a") not in by_pair     # n_pair 1 < min_count
+    assert ("york", "a") not in by_pair
+    lifts = [r.lift for r in out]
+    assert lifts == sorted(lifts, reverse=True)
