@@ -116,6 +116,8 @@ HEADLINE_R7 = [
     "pareto_frontier_docs",    # r9b: skyline + advance-equality flag
     "shard_rebalance_stats",   # r9b: modulo-vs-rendezvous migration cost
     "embedding_label_centroids",  # r9b: exact centroid pooling
+    "langid_confusion",        # r9b: language-ID eval matrix
+    "collocation_mining",      # r9b: PMI phrase extraction
 ]
 
 

@@ -663,6 +663,8 @@ def operators():
         "pareto_frontier": _q("pareto_frontier_docs"),
         "shard_rebalance": _q("shard_rebalance_stats"),
         "label_centroids": _q("embedding_label_centroids"),
+        "langid_confusion": _q("langid_confusion"),
+        "collocations": _q("collocation_mining"),
         "event_attribution": _q("event_attribution"),
         "join_size_estimate": _q("join_size_estimate"),
         "compaction_plan": _q("compaction_plan_audit"),
