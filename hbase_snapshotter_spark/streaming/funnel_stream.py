@@ -99,6 +99,19 @@ class FunnelStateMaintainer:
         dirs = self._compactor.table_dirs("matches")
         return spark.read.parquet(*dirs) if dirs else None
 
+    def _closed_rows(self, closed: DataFrame) -> DataFrame:
+        """Immutable rows derived from a batch of closed sessions —
+        the one step subclasses specialize (N98 matches funnel
+        patterns; the attribution maintainer credits conversions).
+        Exactness argument is shared: a closed session's event set is
+        complete and re-sessionization reproduces it verbatim, so any
+        session-internal computation over closed sessions equals its
+        batch form."""
+        return pattern_matches(
+            closed, key_col=self.key_col, state_col=self.state_col,
+            ts_col=self.ts_col, id_col=self.id_col,
+            patterns=self.patterns, gap_ms=self.gap_ms)
+
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         out = os.path.join(self.state_dir, f"batch={batch_id}")
@@ -147,11 +160,7 @@ class FunnelStateMaintainer:
         tagged = tagged.withColumn("__end", F.max("__ms").over(ends))
         closed = tagged.filter(F.col("__end") + self.gap_ms < wm)
         still_open = tagged.filter(~(F.col("__end") + self.gap_ms < wm))
-        new_matches = pattern_matches(
-            closed.select(*cols), key_col=self.key_col,
-            state_col=self.state_col, ts_col=self.ts_col,
-            id_col=self.id_col, patterns=self.patterns,
-            gap_ms=self.gap_ms)
+        new_matches = self._closed_rows(closed.select(*cols))
         new_matches.write.mode("overwrite") \
             .parquet(os.path.join(out, "matches"))
         still_open.select(*cols).write.mode("overwrite") \
