@@ -1270,60 +1270,59 @@ def test_frontier_maintenance_equals_batch(spark, event_stream_dir,
     assert rows(m2.state(spark)) == rows(batch_frontier)
 
 
-def test_attribution_maintenance_equals_batch(spark, event_stream_dir,
-                                              tmp_path):
+def test_attribution_maintenance_equals_batch(spark, sf_dir, tmp_path):
     """N102 streaming form: crediting conversions in watermark-closed
-    sessions through a real readStream replay, summed with the
-    leftover open buffer's attribution, equals the batch
-    session_attribution over all events bit-for-bit (attribution is
-    session-internal and sum-decomposable across sessions); full
-    re-delivery is a no-op under the done-marker guard."""
+    sessions across TIME-ORDERED micro-batches (the streaming
+    contract; N98 lateness semantics drop out-of-order stragglers),
+    summed with the leftover open buffer's attribution, equals the
+    batch session_attribution over all events bit-for-bit
+    (attribution is session-internal and sum-decomposable across
+    sessions); re-delivering a processed batch is a no-op."""
     import pyspark.sql.functions as F
 
     from hbase_snapshotter_spark.operators.timeseries import (
         session_attribution,
     )
+    from hbase_snapshotter_spark.sources.changelog import read_table
     from hbase_snapshotter_spark.streaming.attribution_stream import (
-        maintain_attribution,
+        AttributionStateMaintainer,
     )
-    from hbase_snapshotter_spark.streaming.windows import replay_stream
 
     GAP = 30 * 60 * 1000
     kw = dict(key_col="user_id", ts_col="ts", id_col="event_id",
               type_col="event_type", conversion_type="purchase",
               touch_types=["view", "click"], gap_ms=GAP)
-    src = spark.read.parquet(event_stream_dir)
-    batch_rows = session_attribution(src, **kw)
+    src = read_table(spark, sf_dir, "events") \
+        .select("user_id", "event_type", "ts", "event_id")
+    # four time-ordered micro-batches (quartiles of the timeline)
+    qs = src.select(F.unix_millis("ts").alias("ms")).approxQuantile(
+        "ms", [0.25, 0.5, 0.75], 0.0)
+    ms = F.unix_millis("ts")
+    batches = [
+        src.filter(ms < qs[0]),
+        src.filter((ms >= qs[0]) & (ms < qs[1])),
+        src.filter((ms >= qs[1]) & (ms < qs[2])),
+        src.filter(ms >= qs[2]),
+    ]
+    m = AttributionStateMaintainer(
+        str(tmp_path / "attr"), key_col="user_id", type_col="event_type",
+        ts_col="ts", id_col="event_id", conversion_type="purchase",
+        touch_types=["view", "click"], gap_ms=GAP)
+    for i, b in enumerate(batches):
+        m.process_batch(b, i)
 
     def total(df):
         return sorted(tuple(r) for r in df.groupBy("rule", "channel")
-                      .agg(F.sum("n_conversions").cast("long")
-                           .alias("n"),
-                           F.sum("credit_micros").cast("long")
-                           .alias("c")).collect())
+                      .agg(F.sum("n_conversions").cast("long").alias("n"),
+                           F.sum("credit_micros").cast("long").alias("c"))
+                      .collect())
 
-    state_dir = str(tmp_path / "attr_state")
-    mkw = dict(key_col="user_id", type_col="event_type", ts_col="ts",
-               id_col="event_id", conversion_type="purchase",
-               touch_types=["view", "click"], gap_ms=GAP)
-
-    def run(ckpt):
-        stream = replay_stream(spark, event_stream_dir, src.schema,
-                               max_files_per_trigger=1)
-        q, m = maintain_attribution(
-            stream.select("user_id", "event_type", "ts", "event_id"),
-            state_dir, **mkw,
-            checkpointLocation=str(tmp_path / ckpt), availableNow=True)
-        q.awaitTermination(120)
-        return m
-
-    m = run("ckpt1")
     closed_part = m.attribution(spark)
     leftover = session_attribution(m.open_events(spark), **kw)
     streamed = total(closed_part.unionByName(leftover))
-    assert streamed == total(batch_rows)
-    assert closed_part.count() > 0  # watermark actually closed sessions
-    m2 = run("ckpt2")  # full re-delivery: appended rows unchanged
-    streamed2 = total(m2.attribution(spark).unionByName(
-        session_attribution(m2.open_events(spark), **kw)))
+    assert streamed == total(session_attribution(src, **kw))
+    assert closed_part.count() > 0  # the watermark closed sessions
+    m.process_batch(batches[1], 1)  # re-delivery: append must not re-run
+    streamed2 = total(m.attribution(spark).unionByName(
+        session_attribution(m.open_events(spark), **kw)))
     assert streamed2 == streamed
