@@ -764,3 +764,55 @@ def session_attribution(
     return (rule_rows("first_touch", "f")
             .unionAll(rule_rows("last_touch", "l"))
             .unionAll(linear))
+
+
+def robust_center_scale(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_cols: list[str],
+    k: int = 3,
+    scale: int = 100,
+) -> DataFrame:
+    """Robust per-group center/scale + outlier counts (SURVEY §2.3
+    N112): EXACT median and MAD (median absolute deviation) with a
+    ``|x − med| > k·MAD`` outlier rule — the robust-statistics
+    complement of the mean/σ rolling anomaly (N60), immune to the very
+    outliers it is hunting (one corrupt reading shifts a mean; it
+    cannot move a median).
+
+    Engine-exactness: values are fixed-pointed (``round(x·scale)``)
+    and QUADRUPLED before any percentile, so every even-count linear
+    interpolation midpoint ``(a+b)/2`` is an exact integer in both
+    engines — for the median (multiples of 4 average to multiples of
+    2) and again for the MAD over ``|u − med4|`` (multiples of 2
+    average to integers).  The outlier rule compares exact integers.
+    ``med_x4`` / ``mad_x4`` are in ×4 fixed-point units (divide by
+    ``4·scale`` for display); ``outlier_permille`` is exact half-up.
+
+    Scale: Spark's exact ``percentile`` buffers a group's values —
+    right for BOUNDED group counts (event types, sensors, partitions);
+    the unbounded-cardinality path is the mergeable DDSketch state
+    (N58), which this complements, not replaces.  Three hash aggs +
+    two broadcast joins of group-sized tables back onto the rows."""
+    u = (F.round(F.col(value_col).cast("double") * scale).cast("long")
+         * 4)
+    base = df.select(*group_cols, u.alias("__u"))
+    med = (base.groupBy(*group_cols)
+           .agg(F.percentile("__u", 0.5).cast("long").alias("med_x4")))
+    dev = (base.join(F.broadcast(med), group_cols)
+           .withColumn("__d", F.abs(F.col("__u") - F.col("med_x4"))))
+    mad = (dev.groupBy(*group_cols)
+           .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.percentile("__d", 0.5).cast("long").alias("mad_x4")))
+    out = (dev.join(F.broadcast(mad.select(*group_cols, "mad_x4")),
+                    group_cols)
+           .groupBy(*group_cols)
+           .agg(F.sum(F.when(F.col("__d") > k * F.col("mad_x4"), 1)
+                      .otherwise(0)).cast("long").alias("n_outliers")))
+    pm = 2000 * F.col("n_outliers") + F.col("n_rows")
+    return (med.join(mad, group_cols).join(out, group_cols)
+            .select(*group_cols, "n_rows", "med_x4", "mad_x4",
+                    "n_outliers",
+                    F.floor(pm / (2 * F.col("n_rows"))).cast("long")
+                    .alias("outlier_permille")))

@@ -1536,3 +1536,51 @@ PAIRS.update({
     "shard_rebalance_stats": (shard_rebalance_stats,
                               _oracle_shard_rebalance()),
 })
+
+
+def events_robust_center(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust center/scale audit (N112): exact median, MAD, and
+    3-MAD outlier counts per event type over the value column — the
+    estimator one corrupt reading cannot move, beside the mean/sigma
+    rolling lane (N60) it complements.  Quadrupled fixed-point keeps
+    every interpolation midpoint an exact integer in both engines."""
+    from hbase_snapshotter_spark.operators.timeseries import (
+        robust_center_scale,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select("event_type", "value")
+    return robust_center_scale(ev, "value", group_cols=["event_type"])
+
+
+ORACLE_ROBUST_CENTER = """
+WITH base AS (
+  SELECT event_type,
+         CAST(ROUND(CAST(value AS DOUBLE) * 100) AS BIGINT) * 4 AS u
+  FROM events),
+med AS (
+  SELECT event_type, CAST(quantile_cont(u, 0.5) AS BIGINT) AS med_x4
+  FROM base GROUP BY 1),
+dev AS (
+  SELECT b.event_type, ABS(b.u - m.med_x4) AS d, m.med_x4
+  FROM base b JOIN med m USING (event_type)),
+mad AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(quantile_cont(d, 0.5) AS BIGINT) AS mad_x4
+  FROM dev GROUP BY 1),
+outl AS (
+  SELECT d.event_type,
+         CAST(SUM(CASE WHEN d.d > 3 * m.mad_x4 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_outliers
+  FROM dev d JOIN mad m USING (event_type) GROUP BY 1)
+SELECT e.event_type, m.n_rows, md.med_x4, m.mad_x4, o.n_outliers,
+       CAST((2000 * o.n_outliers + m.n_rows) // (2 * m.n_rows)
+            AS BIGINT) AS outlier_permille
+FROM (SELECT DISTINCT event_type FROM events) e
+JOIN med md USING (event_type) JOIN mad m USING (event_type)
+JOIN outl o USING (event_type)
+"""
+
+
+PAIRS.update({
+    "events_robust_center": (events_robust_center, ORACLE_ROBUST_CENTER),
+})

@@ -303,3 +303,36 @@ def test_session_attribution_hand_computed(spark):
     assert lin["direct"].credit_micros == 1000000
     total = sum(v.credit_micros for v in lin.values())
     assert total == 3000000 - 1  # the documented sub-micro remainder
+
+
+def test_robust_center_scale_hand_computed(spark):
+    """N112: exact median and MAD on a hand group (odd and even
+    counts, the interpolated midpoint case), the 3-MAD rule flagging
+    only the planted outlier, MAD=0 degenerate singleton, and the
+    estimator's robustness — moving the outlier arbitrarily far
+    changes neither median nor MAD."""
+    from hbase_snapshotter_spark.operators.timeseries import (
+        robust_center_scale,
+    )
+
+    rows = ([("a", v) for v in (1.0, 2.0, 3.0, 4.0, 100.0)]
+            + [("e", v) for v in (1.0, 2.0, 3.0, 10.0)]  # even count
+            + [("s", 5.0)])
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = {r.g: r for r in robust_center_scale(
+        df, "x", group_cols=["g"]).collect()}
+    a = out["a"]
+    assert (a.med_x4, a.mad_x4) == (3 * 400, 1 * 400)
+    assert (a.n_outliers, a.outlier_permille) == (1, 200)
+    e = out["e"]
+    assert e.med_x4 == 1000          # (2+3)/2 = 2.5 -> exact in x4
+    # devs (x4): 600,200,200,3000 -> sorted midpoint (200+600)/2 = 400
+    assert e.mad_x4 == 400
+    assert (e.n_outliers, e.outlier_permille) == (1, 250)  # 10.0 flags
+    s = out["s"]
+    assert (s.med_x4, s.mad_x4, s.n_outliers) == (2000, 0, 0)
+    far = df.withColumn(
+        "x", F.when(F.col("x") == 100.0, 1e9).otherwise(F.col("x")))
+    a2 = {r.g: r for r in robust_center_scale(
+        far, "x", group_cols=["g"]).collect()}["a"]
+    assert (a2.med_x4, a2.mad_x4, a2.n_outliers) == (a.med_x4, a.mad_x4, 1)
