@@ -118,6 +118,7 @@ HEADLINE_R7 = [
     "embedding_label_centroids",  # r9b: exact centroid pooling
     "langid_confusion",        # r9b: language-ID eval matrix
     "collocation_mining",      # r9b: PMI phrase extraction
+    "events_robust_center",    # r9b: exact median/MAD outlier audit
 ]
 
 

@@ -665,6 +665,7 @@ def operators():
         "label_centroids": _q("embedding_label_centroids"),
         "langid_confusion": _q("langid_confusion"),
         "collocations": _q("collocation_mining"),
+        "robust_center": _q("events_robust_center"),
         "event_attribution": _q("event_attribution"),
         "join_size_estimate": _q("join_size_estimate"),
         "compaction_plan": _q("compaction_plan_audit"),
