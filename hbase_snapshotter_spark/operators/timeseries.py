@@ -816,3 +816,48 @@ def robust_center_scale(
                     "n_outliers",
                     F.floor(pm / (2 * F.col("n_rows"))).cast("long")
                     .alias("outlier_permille")))
+
+
+def group_trend_ols(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    group_cols: list[str],
+) -> DataFrame:
+    """Per-group least-squares trend (SURVEY §2.3 N113) in EXACT
+    integer arithmetic: for integer series ``(x, y)`` emit the OLS
+    slope and fit as rationals —
+
+    - ``slope_num = n·Σxy − Σx·Σy``,  ``slope_den = n·Σx² − (Σx)²``
+      (slope = num/den; den = 0 ⇔ a single distinct x — slope NULL),
+    - ``r2_num = slope_num²``, ``r2_den = slope_den·(n·Σy² − (Σy)²)``
+      (r² = num/den; den = 0 ⇔ constant y — r² NULL),
+    - ``slope`` / ``r_squared`` as correctly-rounded doubles of those
+      exact integers (identical bits in any IEEE engine), 6-dp.
+
+    The trend lane a monitoring dashboard heads with ("signups rising,
+    errors flat?") — moments are one map-side-combined hash agg, so
+    the shuffle carries five sums per group regardless of row count.
+    Caller contract: x and y are INTEGERS with ``n·Σ(x²)`` and
+    ``n·Σ(y²)`` below 2^63 (day indexes and daily counts at any
+    realistic retention qualify; rescale upstream otherwise)."""
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    m = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"), F.sum(y * y).alias("syy"))
+    num = m["n"] * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = m["n"] * F.col("sxx") - F.col("sx") * F.col("sx")
+    ydisp = m["n"] * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        *group_cols, "n",
+        num.alias("slope_num"), den.alias("slope_den"),
+        (num * num).alias("r2_num"), (den * ydisp).alias("r2_den"),
+        F.when(den != 0, F.round(num.cast("double") / den, 6))
+        .alias("slope"),
+        F.when((den != 0) & (ydisp != 0),
+               F.round((num * num).cast("double") / (den * ydisp), 6))
+        .alias("r_squared"))

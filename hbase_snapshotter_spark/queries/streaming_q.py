@@ -1584,3 +1584,58 @@ JOIN outl o USING (event_type)
 PAIRS.update({
     "events_robust_center": (events_robust_center, ORACLE_ROBUST_CENTER),
 })
+
+
+def events_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-count trend per event type (N113): bucket events to days,
+    count, and fit the exact-integer OLS line over (day_index, count)
+    — slope and r² as rationals plus their correctly-rounded doubles.
+    The oracle replays bucketing, moments, and both rationals."""
+    from hbase_snapshotter_spark.operators.timeseries import (
+        group_trend_ols,
+        time_bucket,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    day = (time_bucket("ts", 86_400_000) / 86_400_000).cast("long")
+    daily = (ev.select("event_type", day.alias("day_idx"))
+             .groupBy("event_type", "day_idx")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_events")))
+    return group_trend_ols(daily, "day_idx", "n_events",
+                           group_cols=["event_type"])
+
+
+ORACLE_TREND_OLS = """
+WITH daily AS (
+  SELECT event_type,
+         epoch_ms(ts) // 86400000 AS day_idx,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2),
+m AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(day_idx) AS sx, SUM(n_events) AS sy,
+         SUM(day_idx * n_events) AS sxy,
+         SUM(day_idx * day_idx) AS sxx,
+         SUM(n_events * n_events) AS syy
+  FROM daily GROUP BY 1)
+SELECT event_type, n,
+       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+       CAST((n * sxy - sx * sy) * (n * sxy - sx * sy) AS BIGINT)
+         AS r2_num,
+       CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS BIGINT)
+         AS r2_den,
+       CASE WHEN n * sxx - sx * sx <> 0 THEN
+         ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+               / (n * sxx - sx * sx), 6) END AS slope,
+       CASE WHEN n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0 THEN
+         ROUND(CAST((n * sxy - sx * sy) * (n * sxy - sx * sy) AS DOUBLE)
+               / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+       END AS r_squared
+FROM m
+"""
+
+
+PAIRS.update({
+    "events_trend_ols": (events_trend_ols, ORACLE_TREND_OLS),
+})

@@ -336,3 +336,37 @@ def test_robust_center_scale_hand_computed(spark):
     a2 = {r.g: r for r in robust_center_scale(
         far, "x", group_cols=["g"]).collect()}["a"]
     assert (a2.med_x4, a2.mad_x4, a2.n_outliers) == (a.med_x4, a.mad_x4, 1)
+
+
+def test_group_trend_ols_hand_computed(spark):
+    """N113: slope/r2 rationals equal the closed form on a hand
+    series (perfect line -> r2 exactly 1, noisy line matches numpy's
+    polyfit to 6dp), single-x and constant-y degeneracies yield NULL
+    slope / r2 instead of a division blow-up."""
+    from hbase_snapshotter_spark.operators.timeseries import (
+        group_trend_ols,
+    )
+
+    rows = (
+        [("perfect", x, 3 * x + 7) for x in range(5)]
+        + [("noisy", 0, 1), ("noisy", 1, 3), ("noisy", 2, 2),
+           ("noisy", 3, 5)]
+        + [("one_x", 4, 10), ("one_x", 4, 20)]
+        + [("const_y", 0, 9), ("const_y", 1, 9)]
+    )
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = {r.g: r for r in group_trend_ols(
+        df, "x", "y", group_cols=["g"]).collect()}
+    p = out["perfect"]
+    assert p.slope == 3.0 and p.r_squared == 1.0
+    assert p.slope_num / p.slope_den == 3.0
+    n = out["noisy"]
+    # closed form: n=4 sx=6 sy=11 sxy=22 sxx=14
+    assert (n.slope_num, n.slope_den) == (4 * 22 - 6 * 11, 4 * 14 - 36)
+    assert n.slope == round((4 * 22 - 6 * 11) / (4 * 14 - 36), 6)
+    import numpy as np
+    np_slope = np.polyfit([0, 1, 2, 3], [1, 3, 2, 5], 1)[0]
+    assert abs(n.slope - np_slope) < 1e-6
+    assert out["one_x"].slope is None and out["one_x"].slope_den == 0
+    c = out["const_y"]
+    assert c.r_squared is None and c.r2_den == 0 and c.slope == 0.0

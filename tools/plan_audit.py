@@ -121,6 +121,8 @@ def main() -> int:
                                         # exact audit, estimate — N103)
         "pareto_frontier_docs",         # 1-row advance_consistent flag
                                         # attach (N107 advance equality)
+        "collocation_mining",           # 1-row bigram-total attach (the
+                                        # PMI lift denominator — N111)
     }
 
     flags_total = 0
