@@ -119,6 +119,7 @@ HEADLINE_R7 = [
     "langid_confusion",        # r9b: language-ID eval matrix
     "collocation_mining",      # r9b: PMI phrase extraction
     "events_robust_center",    # r9b: exact median/MAD outlier audit
+    "events_trend_ols",        # r9b: exact-integer OLS trend
 ]
 
 

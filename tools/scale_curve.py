@@ -666,6 +666,7 @@ def operators():
         "langid_confusion": _q("langid_confusion"),
         "collocations": _q("collocation_mining"),
         "robust_center": _q("events_robust_center"),
+        "trend_ols": _q("events_trend_ols"),
         "event_attribution": _q("event_attribution"),
         "join_size_estimate": _q("join_size_estimate"),
         "compaction_plan": _q("compaction_plan_audit"),
