@@ -841,14 +841,64 @@ def group_trend_ols(
     the shuffle carries five sums per group regardless of row count.
     Caller contract: x and y are INTEGERS with ``n·Σ(x²)`` and
     ``n·Σ(y²)`` below 2^63 (day indexes and daily counts at any
-    realistic retention qualify; rescale upstream otherwise)."""
+    realistic retention qualify; rescale upstream otherwise).
+
+    Composition: :func:`trend_moments` (the mergeable state) →
+    :func:`trend_from_moments` (read-time derivation) — the one-shot
+    form of the same pipeline :func:`advance_trend_state` maintains
+    incrementally."""
+    return trend_from_moments(
+        trend_moments(df, x_col, y_col, group_cols=group_cols),
+        group_cols=group_cols)
+
+
+def trend_moments(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    group_cols: list[str],
+) -> DataFrame:
+    """Mergeable OLS moment state for :func:`group_trend_ols`:
+    ``(*group_cols, n, sx, sy, sxy, sxx, syy)``.  Sums are associative
+    and commutative, so the state merges losslessly — the N48/N65
+    sketch-state posture applied to regression."""
     x = F.col(x_col).cast("long")
     y = F.col(y_col).cast("long")
-    m = df.groupBy(*group_cols).agg(
+    return df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(x).alias("sx"), F.sum(y).alias("sy"),
         F.sum(x * y).alias("sxy"),
         F.sum(x * x).alias("sxx"), F.sum(y * y).alias("syy"))
+
+
+def advance_trend_state(
+    prior: DataFrame,
+    delta: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    group_cols: list[str],
+) -> DataFrame:
+    """Advance materialized trend moments with only the delta rows —
+    moment-sum the delta's state into the prior (state input is
+    groups-sized, never the prior corpus).  EXACT: advanced state ≡
+    full-build state, so the derived slope/r² equal the rebuild's
+    bit-for-bit.  NOT idempotent under re-delivery — exactly-once
+    delta delivery is the contract, as for every sum-mergeable
+    state."""
+    d = trend_moments(delta, x_col, y_col, group_cols=group_cols)
+    return (prior.unionByName(d)
+            .groupBy(*group_cols)
+            .agg(*[F.sum(c).cast("long").alias(c)
+                   for c in ("n", "sx", "sy", "sxy", "sxx", "syy")]))
+
+
+def trend_from_moments(state: DataFrame, *, group_cols: list[str]) -> DataFrame:
+    """Derive the N113 output columns from a moment state — shared by
+    the one-shot :func:`group_trend_ols` consumers and the advanced
+    state (read-time derivation, never stored)."""
+    m = state
     num = m["n"] * F.col("sxy") - F.col("sx") * F.col("sy")
     den = m["n"] * F.col("sxx") - F.col("sx") * F.col("sx")
     ydisp = m["n"] * F.col("syy") - F.col("sy") * F.col("sy")

@@ -1596,13 +1596,36 @@ def events_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         time_bucket,
     )
 
+    from hbase_snapshotter_spark.cache import scoped_persist
+    from hbase_snapshotter_spark.operators.timeseries import (
+        advance_trend_state,
+        trend_moments,
+    )
+
     ev = read_table(spark, sf_dir, "events")
     day = (time_bucket("ts", 86_400_000) / 86_400_000).cast("long")
-    daily = (ev.select("event_type", day.alias("day_idx"))
-             .groupBy("event_type", "day_idx")
-             .agg(F.count(F.lit(1)).cast("long").alias("n_events")))
-    return group_trend_ols(daily, "day_idx", "n_events",
-                           group_cols=["event_type"])
+    daily = scoped_persist(
+        ev.select("event_type", day.alias("day_idx"))
+        .groupBy("event_type", "day_idx")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events")))
+    out = group_trend_ols(daily, "day_idx", "n_events",
+                          group_cols=["event_type"])
+    # incremental-state lane: moments built on 3/4 of the DAYS (daily
+    # rows split by day — disjoint, so the moment sums are exact),
+    # advanced with the remaining days' rows, must equal the full
+    # build — the N48/N65 sum-mergeable posture applied to regression
+    is_delta = F.col("day_idx") % 4 == 0
+    state = trend_moments(daily.filter(~is_delta), "day_idx", "n_events",
+                          group_cols=["event_type"])
+    adv = advance_trend_state(state, daily.filter(is_delta),
+                              "day_idx", "n_events",
+                              group_cols=["event_type"])
+    full = trend_moments(daily, "day_idx", "n_events",
+                         group_cols=["event_type"])
+    n_diff = (adv.exceptAll(full).unionAll(full.exceptAll(adv))
+              .agg(F.count(F.lit(1)).alias("__n")))
+    return out.crossJoin(F.broadcast(n_diff.select(
+        (F.col("__n") == 0).alias("advance_consistent"))))
 
 
 ORACLE_TREND_OLS = """
@@ -1631,7 +1654,8 @@ SELECT event_type, n,
        CASE WHEN n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0 THEN
          ROUND(CAST((n * sxy - sx * sy) * (n * sxy - sx * sy) AS DOUBLE)
                / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
-       END AS r_squared
+       END AS r_squared,
+       TRUE AS advance_consistent
 FROM m
 """
 

@@ -370,3 +370,34 @@ def test_group_trend_ols_hand_computed(spark):
     assert out["one_x"].slope is None and out["one_x"].slope_den == 0
     c = out["const_y"]
     assert c.r_squared is None and c.r2_den == 0 and c.slope == 0.0
+
+
+def test_trend_state_advance_equals_rebuild(spark):
+    """N113 incremental form: moment state advanced with delta rows
+    equals the full build (sum-mergeable), the derived trend equals
+    the one-shot operator, and newborn groups appear via the
+    advance."""
+    from hbase_snapshotter_spark.operators.timeseries import (
+        advance_trend_state,
+        group_trend_ols,
+        trend_from_moments,
+        trend_moments,
+    )
+
+    hist = spark.createDataFrame(
+        [("a", 0, 7), ("a", 1, 10), ("b", 0, 1)], "g string, x long, y long")
+    delta = spark.createDataFrame(
+        [("a", 2, 13), ("c", 5, 5)], "g string, x long, y long")
+    kw = dict(group_cols=["g"])
+    adv = advance_trend_state(
+        trend_moments(hist, "x", "y", **kw), delta, "x", "y", **kw)
+    full = trend_moments(hist.unionAll(delta), "x", "y", **kw)
+    rows = lambda d: sorted(tuple(r) for r in d.collect())  # noqa: E731
+    assert rows(adv) == rows(full)
+    derived = {r.g: r for r in trend_from_moments(adv, **kw).collect()}
+    oneshot = {r.g: r for r in group_trend_ols(
+        hist.unionAll(delta), "x", "y", **kw).collect()}
+    assert {g: tuple(r) for g, r in derived.items()} == \
+        {g: tuple(r) for g, r in oneshot.items()}
+    assert derived["a"].slope == 3.0      # 7,10,13 on x=0,1,2
+    assert derived["c"].slope is None     # newborn single-x group

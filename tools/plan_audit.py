@@ -123,6 +123,8 @@ def main() -> int:
                                         # attach (N107 advance equality)
         "collocation_mining",           # 1-row bigram-total attach (the
                                         # PMI lift denominator — N111)
+        "events_trend_ols",             # 1-row advance_consistent flag
+                                        # attach (N113 moment-state IVM)
     }
 
     flags_total = 0
