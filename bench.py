@@ -120,6 +120,7 @@ HEADLINE_R7 = [
     "collocation_mining",      # r9b: PMI phrase extraction
     "events_robust_center",    # r9b: exact median/MAD outlier audit
     "events_trend_ols",        # r9b: exact-integer OLS trend
+    "events_cusum_drift",      # r9b: CUSUM change-point detection
 ]
 
 

@@ -911,3 +911,72 @@ def trend_from_moments(state: DataFrame, *, group_cols: list[str]) -> DataFrame:
         F.when((den != 0) & (ydisp != 0),
                F.round((num * num).cast("double") / (den * ydisp), 6))
         .alias("r_squared"))
+
+
+def cusum_drift(
+    grid: DataFrame,
+    *,
+    group_cols: list[str],
+    value_col: str = "v_lerp",
+    warmup: int = 168,
+    slack_div: int = 20,
+    h_mult: int = 8,
+) -> DataFrame:
+    """Two-sided CUSUM change-point detection over the dense grid
+    (SURVEY §2.3 N114) — the sustained-shift detector that completes
+    the monitoring family: the rolling z (N60) and MAD rule (N112)
+    flag single outliers, EWMA (N72) smooths, the trend fit (N113)
+    summarizes — CUSUM accumulates small persistent drifts until they
+    cross a decision threshold (Page 1954).
+
+    ``μ0`` is the half-up mean of each group's first ``warmup``
+    buckets (the in-control baseline), slack ``K = max(1, μ0 //
+    slack_div)`` and threshold ``H = h_mult·K`` — all derived,
+    deterministic integers.  Per bucket: ``S⁺ = max(0, S⁺ + (v − μ0 −
+    K))`` and the mirrored ``S⁻``, with ``alarm_pos/alarm_neg`` when a
+    side exceeds H (no reset after alarm — the flag marks every bucket
+    in the out-of-control region, documented).
+
+    Engine-exactness AND scale via the reflection identity: ``S_t =
+    P_t − min(0, min_{j≤t} P_j)`` for the running sum P of the slacked
+    deviations — so the sequential recurrence becomes TWO window
+    running-sums + running-mins per group (partition = the grid, span/
+    width rows, the N59 bound), pure integer arithmetic both engines
+    replay, no fold and no O(n²) oracle."""
+    gc = [F.col(c) for c in group_cols]
+    vm = F.round(F.col(value_col) * 1e6, 0).cast("long")
+    w = Window.partitionBy(*gc).orderBy("bucket")
+    rows = (grid.select(*group_cols, "bucket", vm.alias("__vm"))
+            .withColumn("__rn", F.row_number().over(w)))
+    base = rows.groupBy(*gc).agg(
+        F.sum(F.when(F.col("__rn") <= warmup, F.col("__vm"))).alias("__ws"),
+        F.sum(F.when(F.col("__rn") <= warmup, 1)).alias("__wn"))
+    a = 2 * F.col("__ws") + F.col("__wn")
+    mu0 = ((a - F.pmod(a, 2 * F.col("__wn"))) / (2 * F.col("__wn"))) \
+        .cast("long")
+    base = base.select(*group_cols, mu0.alias("__mu0"))
+    k = F.greatest(F.lit(1).cast("long"),
+                   F.floor(F.col("__mu0") / slack_div).cast("long"))
+    joined = (rows.join(F.broadcast(base), group_cols)
+              .withColumn("__k", k)
+              .withColumn("__dp", F.col("__vm") - F.col("__mu0")
+                          - F.col("__k"))
+              .withColumn("__dn", F.col("__mu0") - F.col("__vm")
+                          - F.col("__k")))
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pp = F.sum("__dp").over(wr)
+    pn = F.sum("__dn").over(wr)
+    joined = (joined.withColumn("__pp", pp).withColumn("__pn", pn)
+              .withColumn("__mp", F.min("__pp").over(wr))
+              .withColumn("__mn", F.min("__pn").over(wr)))
+    s_pos = F.col("__pp") - F.least(F.lit(0).cast("long"), F.col("__mp"))
+    s_neg = F.col("__pn") - F.least(F.lit(0).cast("long"), F.col("__mn"))
+    h = h_mult * F.col("__k")
+    return joined.select(
+        *group_cols, "bucket",
+        (F.col("__vm").cast("double") / 1e6).alias("v"),
+        F.col("__mu0").alias("mu0_micro"),
+        s_pos.cast("long").alias("s_pos_micro"),
+        s_neg.cast("long").alias("s_neg_micro"),
+        (s_pos > h).alias("alarm_pos"),
+        (s_neg > h).alias("alarm_neg"))

@@ -1663,3 +1663,69 @@ FROM m
 PAIRS.update({
     "events_trend_ols": (events_trend_ols, ORACLE_TREND_OLS),
 })
+
+
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM change-point detection (N114) over the N59
+    dense grid: per event type, slacked deviations from the
+    first-week baseline accumulate via the reflection identity (two
+    window running-sums + running-mins, pure integer arithmetic) and
+    alarm past 8 slack units.  The oracle replays the grid, the
+    warmup baseline, and both CUSUM sides bit-for-bit."""
+    from hbase_snapshotter_spark.operators.timeseries import (
+        cusum_drift,
+        gap_fill,
+        time_bucket_rollup,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    r = time_bucket_rollup(
+        ev, "ts", "value", RESAMPLE_BUCKET_MS, group_cols=["event_type"])
+    grid = gap_fill(r, RESAMPLE_BUCKET_MS, group_cols=["event_type"])
+    return cusum_drift(grid, group_cols=["event_type"]) \
+        .orderBy("event_type", "bucket")
+
+
+def _oracle_cusum() -> str:
+    return f"""
+WITH gf AS ({_GAPFILL_CORE}),
+vm AS (SELECT event_type, bucket,
+              CAST(ROUND(v_lerp * 1000000, 0) AS BIGINT) AS vmv,
+              ROW_NUMBER() OVER (PARTITION BY event_type
+                                 ORDER BY bucket) AS rn
+       FROM gf),
+mu AS (SELECT event_type,
+              CAST((2 * SUM(CASE WHEN rn <= 168 THEN vmv END)
+                    + COUNT(CASE WHEN rn <= 168 THEN 1 END))
+                   // (2 * COUNT(CASE WHEN rn <= 168 THEN 1 END))
+                   AS BIGINT) AS mu0
+       FROM vm GROUP BY 1),
+d AS (SELECT v.event_type, v.bucket, v.vmv, m.mu0,
+             GREATEST(1, m.mu0 // 20) AS k
+      FROM vm v JOIN mu m USING (event_type)),
+p AS (SELECT *,
+             SUM(vmv - mu0 - k) OVER w AS pp,
+             SUM(mu0 - vmv - k) OVER w AS pn
+      FROM d
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                   ROWS UNBOUNDED PRECEDING)),
+s AS (SELECT *,
+             pp - LEAST(0, MIN(pp) OVER w) AS s_pos,
+             pn - LEAST(0, MIN(pn) OVER w) AS s_neg
+      FROM p
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                   ROWS UNBOUNDED PRECEDING))
+SELECT event_type, bucket, CAST(vmv AS DOUBLE) / 1000000 AS v,
+       mu0 AS mu0_micro,
+       CAST(s_pos AS BIGINT) AS s_pos_micro,
+       CAST(s_neg AS BIGINT) AS s_neg_micro,
+       s_pos > 8 * k AS alarm_pos,
+       s_neg > 8 * k AS alarm_neg
+FROM s
+ORDER BY event_type, bucket
+"""
+
+
+PAIRS.update({
+    "events_cusum_drift": (events_cusum_drift, _oracle_cusum()),
+})

@@ -401,3 +401,61 @@ def test_trend_state_advance_equals_rebuild(spark):
         {g: tuple(r) for g, r in oneshot.items()}
     assert derived["a"].slope == 3.0      # 7,10,13 on x=0,1,2
     assert derived["c"].slope is None     # newborn single-x group
+
+
+def test_cusum_drift_hand_computed(spark):
+    """N114 on a planted shift: a series at the baseline stays at
+    S=0 on both sides; a sustained +20% shift accumulates S+ linearly
+    (the reflection identity equals the max(0, S+d) recurrence,
+    hand-folded) and alarms once past 8 slack units; a transient
+    single spike decays back without alarming; the negative side
+    mirrors."""
+    from hbase_snapshotter_spark.operators.timeseries import cusum_drift
+
+    W = 60_000
+    # baseline value 100.0 for 4 warmup buckets, then a shift
+    series = {
+        "shift_up": [100.0] * 4 + [120.0] * 60,
+        "spike": [100.0] * 4 + [130.0] + [100.0] * 10,
+        "shift_down": [100.0] * 4 + [80.0] * 60,
+    }
+    rows = [(g, i * W, v) for g, vs in series.items()
+            for i, v in enumerate(vs)]
+    grid = spark.createDataFrame(
+        rows, "g string, bucket long, v_lerp double")
+    out = {}
+    for r in cusum_drift(grid, group_cols=["g"], warmup=4,
+                         slack_div=20, h_mult=8).collect():
+        out.setdefault(r.g, []).append(r)
+    for g in out:
+        out[g].sort(key=lambda r: r.bucket)
+
+    def fold(vs, mu0, k):
+        sp = sn = 0
+        res = []
+        for v in vs:
+            vm = round(v * 1e6)
+            sp = max(0, sp + vm - mu0 - k)
+            sn = max(0, sn + mu0 - vm - k)
+            res.append((sp, sn))
+        return res
+
+    mu0, k = 100_000_000, 5_000_000
+    for g, vs in series.items():
+        hand = fold(vs, mu0, k)
+        got = [(r.s_pos_micro, r.s_neg_micro) for r in out[g]]
+        assert got == hand, g
+        assert out[g][0].mu0_micro == mu0
+    up = out["shift_up"]
+    assert not any(r.alarm_pos for r in up[:4])
+    assert any(r.alarm_pos for r in up) and not any(r.alarm_neg for r in up)
+    # +20 over slack 5 -> net +15/bucket; H = 40 -> alarm from the
+    # 3rd shifted bucket onward
+    first_alarm = next(i for i, r in enumerate(up) if r.alarm_pos)
+    assert first_alarm == 4 + 2
+    sp = out["spike"]
+    assert not any(r.alarm_pos or r.alarm_neg for r in sp)
+    assert sp[4].s_pos_micro == 25_000_000  # the spike's excess
+    assert sp[-1].s_pos_micro == 0          # decayed by the slack
+    dn = out["shift_down"]
+    assert any(r.alarm_neg for r in dn) and not any(r.alarm_pos for r in dn)
