@@ -121,6 +121,7 @@ HEADLINE_R7 = [
     "events_robust_center",    # r9b: exact median/MAD outlier audit
     "events_trend_ols",        # r9b: exact-integer OLS trend
     "events_cusum_drift",      # r9b: CUSUM change-point detection
+    "doc_link_rank",           # r9b: exact-integer link centrality
 ]
 
 

@@ -917,3 +917,84 @@ def cluster_representatives(
             "representative_id", "cluster_size",
             (F.col(id_col) == F.col("representative_id"))
             .alias("is_representative")))
+
+
+def shared_shingle_edges(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    n: int = 3,
+    min_shared: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Similarity EDGES: document pairs sharing ≥ ``min_shared``
+    distinct n-gram shingles — the graph-construction primitive under
+    :func:`link_rank` (centrality wants the denser evidence graph;
+    the dedup lanes want the precision of a Jaccard threshold).  Same
+    inverted-index shape as :func:`jaccard_pairs`: O(Σ df²) join rows,
+    ``max_df``-cappable.  Output: (id_a, id_b, n_shared), id_a <
+    id_b."""
+    s = scoped_persist(_shingle_sets(df, id_col, text_col, n, max_df))
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                 F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared))
+
+
+def link_rank(
+    edges: DataFrame,
+    *,
+    iters: int = 5,
+    scale: int = 1_000_000,
+    d_num: int = 17,
+    d_den: int = 20,
+) -> DataFrame:
+    """PageRank-style link centrality over an undirected edge list
+    (SURVEY §2.3 N115) in EXACT integer arithmetic — the iterative
+    fixed-point operator class beside the engine's label propagation
+    (connected components): score mass flows along edges with damping
+    ``d_num/d_den`` from a uniform start, ``iters`` synchronous
+    rounds.
+
+    Per round each vertex emits ``half_up(d·r(u) / deg(u))`` to every
+    neighbor and every vertex restarts from the teleport share
+    ``(1−d)·scale`` — all integer (``scale`` must divide by
+    ``d_den``), so both engines replay every round bit-for-bit; a
+    float PageRank diverges across engines by summation order.
+    Undirected edges mean no dangling vertices (every endpoint has
+    out-degree ≥ 1), so mass is conserved up to per-edge rounding.
+
+    Scale shape: the canonical distributed PageRank — per round, one
+    shuffle of the edge list joined to the rank table on src plus one
+    hash agg on dst; ``iters`` is a constant, vertices/edges never
+    amplify.  Centrality ranks dedup-cluster members by how CENTRAL
+    they are to their duplication neighborhood — an alternative keeper
+    rule to quality argmax (N76)."""
+    both = scoped_persist(
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionAll(edges.select(F.col("id_b").alias("src"),
+                               F.col("id_a").alias("dst"))))
+    deg = both.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("__deg"))
+    bd = scoped_persist(both.join(deg, "src"))
+    teleport = (d_den - d_num) * scale // d_den
+    ranks = deg.select(F.col("src").alias("id"),
+                       F.lit(scale).cast("long").alias("rank_micro"))
+    for _ in range(iters):
+        joined = bd.join(ranks, bd.src == ranks.id)
+        t = 2 * d_num * F.col("rank_micro") + d_den * F.col("__deg")
+        share = ((t - F.pmod(t, 2 * d_den * F.col("__deg")))
+                 / (2 * d_den * F.col("__deg"))).cast("long")
+        ranks = (joined.select(F.col("dst").alias("id"),
+                               share.alias("__s"))
+                 .groupBy("id")
+                 .agg((F.lit(teleport) + F.sum("__s")).cast("long")
+                      .alias("rank_micro")))
+    return (ranks.join(deg.select(F.col("src").alias("id"),
+                                  F.col("__deg").alias("degree")), "id")
+            .select("id", "degree", "rank_micro"))

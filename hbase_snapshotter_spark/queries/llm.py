@@ -5017,3 +5017,65 @@ LIMIT 50
 PAIRS.update({
     "collocation_mining": (collocation_mining, ORACLE_COLLOCATIONS),
 })
+
+
+def doc_link_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link centrality over the shared-shingle similarity graph
+    (N115): pairs sharing ≥3 distinct 3-gram shingles form the edges;
+    five synchronous damped rounds of exact-integer score flow rank
+    each document by how central it is to its duplication
+    neighborhood — the centrality-based keeper rule beside quality
+    argmax (N76).  The oracle replays the graph and every round
+    bit-for-bit (unrolled CTEs, identical half-up integer shares)."""
+    from hbase_snapshotter_spark.operators.dedup import (
+        link_rank,
+        shared_shingle_edges,
+        spread,
+    )
+
+    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    edges = shared_shingle_edges(docs, "doc_id", min_shared=3)
+    return link_rank(edges).orderBy("id")
+
+
+def _oracle_link_rank(iters: int = 5) -> str:
+    prev = "r0"
+    rounds = []
+    for i in range(1, iters + 1):
+        rounds.append(f"""
+r{i} AS (
+  SELECT b.dst AS id,
+         CAST(150000 + SUM((2 * 17 * p.rank_micro + 20 * dg.deg)
+                           // (40 * dg.deg)) AS BIGINT) AS rank_micro
+  FROM bt b JOIN deg dg ON dg.src = b.src
+            JOIN {prev} p ON p.id = b.src
+  GROUP BY 1)""")
+        prev = f"r{i}"
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+              FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              array_to_string(t[i.r:i.r+2], ' ') AS shingle
+       FROM toks, UNNEST(range(1, len(t) - 1)) AS i(r)
+       WHERE len(t) >= 3),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM sh a JOIN sh b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+bt AS (SELECT id_a AS src, id_b AS dst FROM shared
+       UNION ALL SELECT id_b, id_a FROM shared),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM bt GROUP BY 1),
+r0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS rank_micro
+       FROM deg),{",".join(rounds)}
+SELECT r.id, dg.deg AS degree, r.rank_micro
+FROM {prev} r JOIN deg dg ON dg.src = r.id
+ORDER BY r.id
+"""
+
+
+PAIRS.update({
+    "doc_link_rank": (doc_link_rank, _oracle_link_rank()),
+})

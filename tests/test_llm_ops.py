@@ -2965,3 +2965,42 @@ def test_langid_confusion_hand_computed(spark, sf_dir, tmp_path):
     assert out[("zh", "unknown")].n_docs == 1
     assert not out[("zh", "unknown")].correct
     assert out[("fr", "fr")].n_docs == 1
+
+
+def test_link_rank_hand_computed(spark):
+    """N115 exact-integer link centrality on a star + pair: a python
+    replay of the synchronous half-up rounds matches bit-for-bit, the
+    star's hub out-ranks its leaves, the isolated pair lands on the
+    closed-form two-cycle fixed point, and mass is conserved up to
+    per-edge rounding."""
+    from hbase_snapshotter_spark.operators.dedup import link_rank
+
+    edges = [(1, 2), (1, 3), (1, 4),   # star: hub 1
+             (8, 9)]                   # isolated pair
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = {r.id: r for r in link_rank(df, iters=5).collect()}
+
+    # python replay of the exact recurrence
+    from collections import defaultdict
+    nbrs = defaultdict(list)
+    for a, b in edges:
+        nbrs[a].append(b)
+        nbrs[b].append(a)
+    r = {v: 1_000_000 for v in nbrs}
+    for _ in range(5):
+        nxt = {v: 150_000 for v in nbrs}
+        for u in nbrs:
+            deg = len(nbrs[u])
+            share = (2 * 17 * r[u] + 20 * deg) // (40 * deg)
+            for v in nbrs[u]:
+                nxt[v] += share
+        r = nxt
+    assert {v: x.rank_micro for v, x in out.items()} == r
+    assert out[1].rank_micro > out[2].rank_micro  # hub beats leaf
+    assert out[2].rank_micro == out[3].rank_micro == out[4].rank_micro
+    assert out[8].rank_micro == out[9].rank_micro
+    assert out[1].degree == 3 and out[8].degree == 1
+    # two-cycle: r = 150000 + 0.85*r -> fixed point 1e6 (uniform stays)
+    assert abs(out[8].rank_micro - 1_000_000) <= 5
+    total = sum(x.rank_micro for x in out.values())
+    assert abs(total - 6 * 1_000_000) <= 5 * len(edges) * 2  # rounding

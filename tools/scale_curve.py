@@ -668,6 +668,7 @@ def operators():
         "robust_center": _q("events_robust_center"),
         "trend_ols": _q("events_trend_ols"),
         "cusum_drift": _q("events_cusum_drift"),
+        "link_rank": _q("doc_link_rank"),
         "event_attribution": _q("event_attribution"),
         "join_size_estimate": _q("join_size_estimate"),
         "compaction_plan": _q("compaction_plan_audit"),
