@@ -122,6 +122,7 @@ HEADLINE_R7 = [
     "events_trend_ols",        # r9b: exact-integer OLS trend
     "events_cusum_drift",      # r9b: CUSUM change-point detection
     "doc_link_rank",           # r9b: exact-integer link centrality
+    "doc_triangle_stats",      # r9b: triangles + clustering coefficient
 ]
 
 

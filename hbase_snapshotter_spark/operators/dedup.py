@@ -998,3 +998,52 @@ def link_rank(
     return (ranks.join(deg.select(F.col("src").alias("id"),
                                   F.col("__deg").alias("degree")), "id")
             .select("id", "degree", "rank_micro"))
+
+
+def triangle_stats(
+    edges: DataFrame,
+    *,
+    scale_permille: int = 1000,
+) -> DataFrame:
+    """Per-vertex triangle counts + local clustering coefficient
+    (SURVEY §2.3 N116) over an undirected edge list (id_a < id_b):
+    how CLIQUE-LIKE each document's duplication neighborhood is — a
+    near-dup cluster of true copies closes almost every triangle
+    (coefficient → 1000‰), while a hub stitching unrelated texts
+    through boilerplate shingles closes few — structure the pairwise
+    scores and even centrality (N115) cannot see.
+
+    The ordered-wedge join: with every edge stored (lo, hi), wedges
+    ``(a<b) ⋈ (b<c)`` meet closing edges ``(a<c)`` — each triangle
+    found EXACTLY once, no orientation dedup pass.  Scale is the
+    textbook bound: wedge rows = Σ_v deg_hi(v)² over the higher-id
+    orientation, O(m^1.5) for any graph after degree-ordering (the
+    standard production refinement; documented, not needed at fixture
+    skew).  Coefficient = ``half_up(1000 · 2T / (deg·(deg−1)))`` —
+    exact integers end to end."""
+    e = scoped_persist(edges.select(F.col("id_a").alias("a"),
+                                    F.col("id_b").alias("b")))
+    w1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    w2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    closing = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = (w1.join(w2, "y").join(closing, ["x", "z"])
+           .select("x", "y", "z"))
+    per_vertex = (tri.select(F.col("x").alias("id"))
+                  .unionAll(tri.select(F.col("y").alias("id")))
+                  .unionAll(tri.select(F.col("z").alias("id")))
+                  .groupBy("id")
+                  .agg(F.count(F.lit(1)).cast("long").alias("n_triangles")))
+    deg = (e.select(F.col("a").alias("id"))
+           .unionAll(e.select(F.col("b").alias("id")))
+           .groupBy("id")
+           .agg(F.count(F.lit(1)).cast("long").alias("degree")))
+    joined = (deg.join(per_vertex, "id", "left")
+              .withColumn("n_triangles",
+                          F.coalesce("n_triangles", F.lit(0).cast("long"))))
+    pairs = F.col("degree") * (F.col("degree") - 1)
+    cc = 2 * scale_permille * 2 * F.col("n_triangles") + pairs
+    coef = F.when(
+        F.col("degree") >= 2,
+        F.floor(cc / (2 * pairs)).cast("long"))
+    return joined.select("id", "degree", "n_triangles",
+                         coef.alias("clustering_permille"))

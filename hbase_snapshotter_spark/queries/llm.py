@@ -5079,3 +5079,62 @@ ORDER BY r.id
 PAIRS.update({
     "doc_link_rank": (doc_link_rank, _oracle_link_rank()),
 })
+
+
+def doc_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts + local clustering coefficient (N116) over the
+    same shared-shingle similarity graph the centrality lane ranks
+    (N115): a true-copy neighborhood closes almost every triangle
+    (coefficient → 1000‰) while boilerplate hubs close few — the
+    cohesion signal pairwise scores can't see.  The oracle replays the
+    graph, the ordered-wedge triangle join, and the exact-permille
+    coefficient."""
+    from hbase_snapshotter_spark.operators.dedup import (
+        shared_shingle_edges,
+        spread,
+        triangle_stats,
+    )
+
+    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    edges = shared_shingle_edges(docs, "doc_id", min_shared=3)
+    return triangle_stats(edges).orderBy("id")
+
+
+ORACLE_TRIANGLES = """
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+              FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              array_to_string(t[i.r:i.r+2], ' ') AS shingle
+       FROM toks, UNNEST(range(1, len(t) - 1)) AS i(r)
+       WHERE len(t) >= 3),
+e AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sh a JOIN sh b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+tri AS (
+  SELECT w1.a AS x, w1.b AS y, w2.b AS z
+  FROM e w1 JOIN e w2 ON w2.a = w1.b
+            JOIN e c ON c.a = w1.a AND c.b = w2.b),
+pv AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri) GROUP BY 1),
+deg AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM (SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY 1)
+SELECT d.id, d.degree,
+       COALESCE(p.n_triangles, 0) AS n_triangles,
+       CASE WHEN d.degree >= 2 THEN
+         CAST((2 * 1000 * 2 * COALESCE(p.n_triangles, 0)
+               + d.degree * (d.degree - 1))
+              // (2 * d.degree * (d.degree - 1)) AS BIGINT)
+       END AS clustering_permille
+FROM deg d LEFT JOIN pv p USING (id)
+ORDER BY d.id
+"""
+
+
+PAIRS.update({
+    "doc_triangle_stats": (doc_triangle_stats, ORACLE_TRIANGLES),
+})

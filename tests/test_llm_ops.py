@@ -3004,3 +3004,25 @@ def test_link_rank_hand_computed(spark):
     assert abs(out[8].rank_micro - 1_000_000) <= 5
     total = sum(x.rank_micro for x in out.values())
     assert abs(total - 6 * 1_000_000) <= 5 * len(edges) * 2  # rounding
+
+
+def test_triangle_stats_hand_computed(spark):
+    """N116 on K4 + pendant: every K4 vertex closes all 3 of its
+    triangles (coefficient 1000 permille), the vertex carrying the
+    pendant closes 3 of its 6 wedges (500), the pendant closes none
+    (NULL below degree 2), and each triangle is counted exactly once
+    by the ordered-wedge join (global count = 4 for K4)."""
+    from hbase_snapshotter_spark.operators.dedup import triangle_stats
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = {r.id: r for r in triangle_stats(df).collect()}
+    for v in (1, 2, 3):
+        assert (out[v].degree, out[v].n_triangles,
+                out[v].clustering_permille) == (3, 3, 1000)
+    assert (out[4].degree, out[4].n_triangles,
+            out[4].clustering_permille) == (4, 3, 500)
+    assert (out[5].degree, out[5].n_triangles,
+            out[5].clustering_permille) == (1, 0, None)
+    # Σ per-vertex counts = 3 × global triangles (each counted thrice)
+    assert sum(r.n_triangles for r in out.values()) == 3 * 4

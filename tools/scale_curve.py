@@ -669,6 +669,7 @@ def operators():
         "trend_ols": _q("events_trend_ols"),
         "cusum_drift": _q("events_cusum_drift"),
         "link_rank": _q("doc_link_rank"),
+        "triangles": _q("doc_triangle_stats"),
         "event_attribution": _q("event_attribution"),
         "join_size_estimate": _q("join_size_estimate"),
         "compaction_plan": _q("compaction_plan_audit"),
