@@ -1326,3 +1326,44 @@ def test_attribution_maintenance_equals_batch(spark, sf_dir, tmp_path):
     streamed2 = total(m.attribution(spark).unionByName(
         session_attribution(m.open_events(spark), **kw)))
     assert streamed2 == streamed
+
+
+def test_frontier_retention_bounds_dirs(spark, tmp_path):
+    """N78 on the frontier maintainer: expired full-state dirs delete
+    outright (the newest frontier subsumes every older one), the dir
+    count stays bounded, the final frontier equals the unbounded
+    run's, and a re-delivered expired batch id is a no-op."""
+    import os
+
+    from hbase_snapshotter_spark.streaming.frontier_stream import (
+        FrontierStateMaintainer,
+    )
+
+    N, KEEP = 12, 3
+    batches = [
+        spark.createDataFrame(
+            [("g", 100 + i * 10 + j, (7 * i + 3 * j) % 50 + 1,
+              (11 * i + j) % 40 + 1) for j in range(5)],
+            "grp string, doc_id long, x long, y long")
+        for i in range(N)]
+    kw = dict(group_cols=["grp"], max_col="x", min_col="y",
+              id_col="doc_id")
+
+    def run(root, retention):
+        m = FrontierStateMaintainer(str(root), retention=retention, **kw)
+        for i, b in enumerate(batches):
+            m.process_batch(b, i)
+        return m
+
+    rows = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    m_ret = run(tmp_path / "ret", KEEP)
+    m_ref = run(tmp_path / "ref", None)
+    assert rows(m_ret.state(spark)) == rows(m_ref.state(spark))
+    live = [d for d in os.listdir(str(tmp_path / "ret"))
+            if d.startswith("batch=")]
+    assert len(live) <= KEEP + 1
+    before_state = rows(m_ret.state(spark))
+    before_dirs = sorted(os.listdir(str(tmp_path / "ret")))
+    m_ret.process_batch(batches[0], 0)  # re-delivered expired id
+    assert rows(m_ret.state(spark)) == before_state
+    assert sorted(os.listdir(str(tmp_path / "ret"))) == before_dirs
