@@ -123,6 +123,7 @@ HEADLINE_R7 = [
     "events_cusum_drift",      # r9b: CUSUM change-point detection
     "doc_link_rank",           # r9b: exact-integer link centrality
     "doc_triangle_stats",      # r9b: triangles + clustering coefficient
+    "snapshot_bucket_diff",    # r9b: anti-entropy bucket fingerprints
 ]
 
 

@@ -679,3 +679,35 @@ def scd2_lookup(
         F.col("__h.valid_from").alias("dim_valid_from"),
         F.col("__h.version").alias("dim_version"),
         F.col("__h.is_current").alias("dim_is_current"))
+
+
+def bucket_fingerprints(
+    state: DataFrame,
+    *,
+    content_cols: list[str],
+    bucket_key: str = "row_key",
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Per-bucket anti-entropy fingerprints (SURVEY §2.3 N117): hash
+    every row's content to 60 bits and BIT-XOR them per hash bucket —
+    ``(bucket, n_rows, fp)``.  XOR is commutative, associative, and
+    overflow-free, so the fingerprint is order- and
+    partitioning-independent; two table states agree on a bucket iff
+    (fp, n_rows) match, up to md5-xor collision (astronomically
+    unlikely, and deterministic for any fixed dataset).
+
+    This is the Merkle/repair-tree primitive (Cassandra anti-entropy,
+    DynamoDB replica sync): when the delta log is unavailable (a
+    restored backup, a foreign copy, a suspected corruption), comparing
+    two states costs one scan each + a ``n_buckets``-row exchange —
+    then the expensive row-level diff/merge runs ONLY on the buckets
+    that disagree, the same pruned-bucket shape the incremental
+    advance (N25) exploits when the delta IS known."""
+    content = F.concat_ws("|", *[F.col(c) for c in content_cols])
+    fp64 = F.conv(F.substring(F.md5(content), 1, 15), 16, 10).cast("long")
+    bucket = (F.conv(F.substring(F.md5(F.col(bucket_key)), 1, 8), 16, 10)
+              .cast("long") % n_buckets)
+    return (state.select(bucket.alias("bucket"), fp64.alias("__h"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 F.bit_xor("__h").alias("fp")))

@@ -88,6 +88,8 @@ _ALL_PAIRS.update({
                               snapshot_q.oracle_scd2_lookup_purchases()),
     "sketch_set_cardinalities": (snapshot_q.q_sketch_set_cardinalities,
                                  snapshot_q.oracle_sketch_set_cardinalities()),
+    "snapshot_bucket_diff": (snapshot_q.q_snapshot_bucket_diff,
+                             snapshot_q.oracle_snapshot_bucket_diff()),
 })
 
 #: The correctness harness records at most 50 query rows (observed in

@@ -1183,3 +1183,98 @@ LEFT JOIN dim d
  AND d.valid_from <= f.cell_ts
  AND (d.valid_to IS NULL OR f.cell_ts < d.valid_to)
 """
+
+
+def q_snapshot_bucket_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy bucket diff (N117): the mid-month and current
+    latest-cells states fingerprinted per row-key hash bucket (60-bit
+    content XOR — order- and partitioning-independent), full-outer
+    compared, and CROSS-CHECKED against the exact per-bucket changed-
+    row counts: ``fingerprint_detects`` is TRUE iff the fingerprint
+    verdict matches reality for that bucket (an md5-xor collision
+    would turn it false and hash-fail the row).  At 100 TB only the
+    two fingerprint scans run; the row diff here is the audit lane —
+    production runs it only on the flagged buckets."""
+    from pyspark.sql import functions as F
+
+    from hbase_snapshotter_spark.cache import scoped_persist
+    from hbase_snapshotter_spark.operators.snapshot import (
+        bucket_fingerprints,
+        latest_cells,
+    )
+
+    log = scoped_persist(
+        events_as_changelog(read_table(spark, sf_dir, "events")))
+    cols = ["row_key", "qualifier", "value"]
+    t1 = scoped_persist(latest_cells(log, SNAPSHOT_TS_MS).select(*cols))
+    t2 = scoped_persist(latest_cells(log, None).select(*cols))
+    fp1 = bucket_fingerprints(t1, content_cols=cols)
+    fp2 = bucket_fingerprints(t2, content_cols=cols)
+    cmp_ = (fp1.withColumnRenamed("n_rows", "n_t1")
+            .withColumnRenamed("fp", "fp_t1")
+            .join(fp2.withColumnRenamed("n_rows", "n_t2")
+                  .withColumnRenamed("fp", "fp_t2"), "bucket", "full")
+            .select("bucket",
+                    F.coalesce("n_t1", F.lit(0)).alias("n_t1"),
+                    F.coalesce("n_t2", F.lit(0)).alias("n_t2"),
+                    (F.coalesce("fp_t1", F.lit(0))
+                     != F.coalesce("fp_t2", F.lit(0)))
+                    .alias("fp_changed")))
+    bucket = (F.conv(F.substring(F.md5(F.col("row_key")), 1, 8), 16, 10)
+              .cast("long") % 16)
+    diff_rows = (t2.exceptAll(t1).unionAll(t1.exceptAll(t2))
+                 .select(bucket.alias("bucket"))
+                 .groupBy("bucket")
+                 .agg(F.count(F.lit(1)).cast("long").alias("n_changed")))
+    return (cmp_.join(diff_rows, "bucket", "left")
+            .select("bucket", "n_t1", "n_t2",
+                    F.coalesce("n_changed", F.lit(0).cast("long"))
+                    .alias("n_changed_rows"),
+                    "fp_changed",
+                    ((F.coalesce("n_changed", F.lit(0)) > 0)
+                     == F.col("fp_changed"))
+                    .alias("fingerprint_detects")))
+
+
+def oracle_snapshot_bucket_diff() -> str:
+    def latest(pred: str) -> str:
+        return f"""
+        SELECT row_key, qualifier, value FROM (
+          SELECT CAST(user_id AS VARCHAR) AS row_key,
+                 event_type AS qualifier,
+                 CAST(value AS VARCHAR) AS value,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY CAST(user_id AS VARCHAR), event_type
+                   ORDER BY epoch_ms(ts) DESC,
+                            CAST(value AS VARCHAR) DESC) AS rn
+          FROM events WHERE {pred}
+        ) WHERE rn = 1
+        """
+
+    fp = ("CAST('0x' || substr(md5(row_key || '|' || qualifier"
+          " || '|' || value), 1, 15) AS BIGINT)")
+    bkt = ("CAST('0x' || substr(md5(row_key), 1, 8) AS BIGINT) % 16")
+    return f"""
+WITH t1 AS ({latest(f'epoch_ms(ts) <= {SNAPSHOT_TS_MS}')}),
+t2 AS ({latest('epoch_ms(ts) <= 9223372036854775807')}),
+f1 AS (SELECT {bkt} AS bucket, CAST(COUNT(*) AS BIGINT) AS n_t1,
+              bit_xor({fp}) AS fp1
+       FROM t1 GROUP BY 1),
+f2 AS (SELECT {bkt} AS bucket, CAST(COUNT(*) AS BIGINT) AS n_t2,
+              bit_xor({fp}) AS fp2
+       FROM t2 GROUP BY 1),
+d AS (SELECT {bkt} AS bucket, CAST(COUNT(*) AS BIGINT) AS n_changed
+      FROM ((SELECT * FROM t2 EXCEPT ALL SELECT * FROM t1)
+            UNION ALL
+            (SELECT * FROM t1 EXCEPT ALL SELECT * FROM t2))
+      GROUP BY 1)
+SELECT COALESCE(f1.bucket, f2.bucket) AS bucket,
+       COALESCE(n_t1, 0) AS n_t1, COALESCE(n_t2, 0) AS n_t2,
+       COALESCE(d.n_changed, 0) AS n_changed_rows,
+       COALESCE(fp1, 0) <> COALESCE(fp2, 0) AS fp_changed,
+       (COALESCE(d.n_changed, 0) > 0)
+         = (COALESCE(fp1, 0) <> COALESCE(fp2, 0)) AS fingerprint_detects
+FROM f1 FULL JOIN f2 USING (bucket)
+LEFT JOIN d ON d.bucket = COALESCE(f1.bucket, f2.bucket)
+"""
+

@@ -765,3 +765,35 @@ def test_scd2_lookup_as_was_semantics(spark):
     inner = scd2_lookup(facts, hist, key_cols=("row_key",),
                         fact_ts_col="cell_ts", how="inner")
     assert {r.fact_value for r in inner.collect()} == {"b", "c", "d", "e"}
+
+
+def test_bucket_fingerprints_anti_entropy(spark):
+    """N117: fingerprints are order/partitioning-independent (XOR of
+    per-row 60-bit hashes), identical states agree on every bucket, a
+    one-row change flips exactly its bucket's fingerprint, and a
+    swap of two rows ACROSS buckets flips both."""
+    import pyspark.sql.functions as F
+
+    from hbase_snapshotter_spark.operators.snapshot import (
+        bucket_fingerprints,
+    )
+
+    rows = [(str(i), "q", f"v{i}") for i in range(40)]
+    cols = ["row_key", "qualifier", "value"]
+    a = spark.createDataFrame(rows, "row_key string, qualifier string, value string")
+    kw = dict(content_cols=cols)
+    fa = {r.bucket: (r.n_rows, r.fp) for r in
+          bucket_fingerprints(a, **kw).collect()}
+    fa2 = {r.bucket: (r.n_rows, r.fp) for r in
+           bucket_fingerprints(a.repartition(7), **kw).collect()}
+    assert fa == fa2  # partitioning-independent
+    # one-row value change: exactly that row's bucket flips
+    b = a.withColumn("value", F.when(F.col("row_key") == "5",
+                                     "CHANGED").otherwise(F.col("value")))
+    fb = {r.bucket: (r.n_rows, r.fp) for r in
+          bucket_fingerprints(b, **kw).collect()}
+    changed = [k for k in fa if fa[k] != fb.get(k)]
+    import hashlib
+    bkt5 = int(hashlib.md5(b"5").hexdigest()[:8], 16) % 16
+    assert changed == [bkt5]
+    assert all(fa[k][0] == fb[k][0] for k in fa)  # counts unchanged

@@ -670,6 +670,7 @@ def operators():
         "cusum_drift": _q("events_cusum_drift"),
         "link_rank": _q("doc_link_rank"),
         "triangles": _q("doc_triangle_stats"),
+        "bucket_diff": _q("snapshot_bucket_diff"),
         "event_attribution": _q("event_attribution"),
         "join_size_estimate": _q("join_size_estimate"),
         "compaction_plan": _q("compaction_plan_audit"),
