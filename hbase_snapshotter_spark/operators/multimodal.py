@@ -921,3 +921,120 @@ def synthesize_avi_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFra
         gen_batches,
         StructType([StructField("doc_id", LongType()),
                     StructField("payload", BinaryType())]))
+
+
+# ---------------------------------------------------------------------------
+# Real TRANSFORMS on the real codecs (round 9b): the brief's resize and
+# audio-resample steps, previously exercised only through the stub
+# plumbing, now run genuinely on decoded pixel/sample arrays — decode →
+# transform → RE-ENCODE → decode, so both codec directions and the
+# transform are all on the proof path.
+# ---------------------------------------------------------------------------
+
+RBMP_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("rbmp_width", IntegerType()),
+    StructField("rbmp_height", IntegerType()),
+    StructField("rbmp_mean_pixel", DoubleType()),
+    StructField("rbmp_corner_pixel", IntegerType()),
+])
+
+
+def resize_bmp_features(df: DataFrame, *, fy: int = 2, fx: int = 2,
+                        id_col: str = "doc_id",
+                        payload_col: str = "payload") -> DataFrame:
+    """REAL image resize: decode each BMP, nearest-neighbor downscale
+    by integer factors (``px[::fy, ::fx]`` — output dims
+    ``ceil(h/fy) × ceil(w/fx)``, top-left pixel preserved), re-encode
+    through the same codec, decode AGAIN, and emit the resized
+    header dims + pixel stats — both codec directions and the
+    transform sit on the proof path.  Undecodable payloads yield NULL
+    features.  Same Arrow-batched 1-in-1-out shape as the stub resize
+    lane (no shuffle of pixels)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            cols = {k: [] for k in ("w", "h", "mean", "corner")}
+            for p in pdf[payload_col]:
+                try:
+                    _w, _h, px = decode_bmp(bytes(p) if p is not None
+                                            else b"")
+                    small = px[::fy, ::fx]
+                    w2, h2, px2 = decode_bmp(encode_bmp(small))
+                    cols["w"].append(w2)
+                    cols["h"].append(h2)
+                    cols["mean"].append(
+                        int(px2.sum(dtype="int64")) / px2.size)
+                    cols["corner"].append(int(px2[0, 0, 0]))
+                except ValueError:
+                    for k in cols:
+                        cols[k].append(None)
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                "rbmp_width": pd.Series(cols["w"], dtype="Int32"),
+                "rbmp_height": pd.Series(cols["h"], dtype="Int32"),
+                "rbmp_mean_pixel": pd.Series(cols["mean"],
+                                             dtype="float64"),
+                "rbmp_corner_pixel": pd.Series(cols["corner"],
+                                               dtype="Int32"),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, RBMP_SCHEMA)
+
+
+WAV_DECIMATED_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("wav_half_rate", IntegerType()),
+    StructField("wav_half_frames", IntegerType()),
+    StructField("wav_half_duration_ms", LongType()),
+    StructField("wav_half_peak", IntegerType()),
+    StructField("wav_half_rms", DoubleType()),
+])
+
+
+def decimate_wav_features(df: DataFrame, *, factor: int = 2,
+                          id_col: str = "doc_id",
+                          payload_col: str = "payload") -> DataFrame:
+    """REAL audio resample (integer-factor decimation): decode each
+    WAV, keep every ``factor``-th frame (``x[::factor]`` — the
+    anti-aliasing filter is a documented upstream step for real
+    audio; for the synthetic fixtures decimation alone is exact),
+    re-encode at ``rate // factor``, decode again, and emit the new
+    header facts + waveform stats.  Caller contract: the source rate
+    divides by ``factor``.  Undecodable payloads yield NULLs."""
+    import math
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            cols = {k: [] for k in ("sr", "nf", "dur", "peak", "rms")}
+            for p in pdf[payload_col]:
+                try:
+                    sr, _ch, x = decode_wav(bytes(p) if p is not None
+                                            else b"")
+                    sr2, _ch2, x2 = decode_wav(
+                        encode_wav(x[::factor], sr // factor))
+                    n = x2.shape[0]
+                    cols["sr"].append(sr2)
+                    cols["nf"].append(n)
+                    cols["dur"].append(n * 1000 // sr2 if sr2 else None)
+                    xi = x2.astype("int64")
+                    cols["peak"].append(int(abs(xi).max()) if n else None)
+                    cols["rms"].append(
+                        math.sqrt(int((xi * xi).sum()) / xi.size)
+                        if n else None)
+                except ValueError:
+                    for k in cols:
+                        cols[k].append(None)
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                "wav_half_rate": pd.Series(cols["sr"], dtype="Int32"),
+                "wav_half_frames": pd.Series(cols["nf"], dtype="Int32"),
+                "wav_half_duration_ms": pd.Series(cols["dur"],
+                                                  dtype="Int64"),
+                "wav_half_peak": pd.Series(cols["peak"], dtype="Int32"),
+                "wav_half_rms": pd.Series(cols["rms"], dtype="float64"),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, WAV_DECIMATED_SCHEMA)

@@ -888,10 +888,19 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id",
                 F.col("content_md5").alias("resized_md5"),
                 F.length("payload").cast("int").alias("resized_n_bytes"))
-    bmp = decode_bmp_features(synthesize_bmp_payloads(with_payload))
+    from hbase_snapshotter_spark.operators.multimodal import (
+        resize_bmp_features,
+    )
+
+    bmp_payloads = scoped_persist(synthesize_bmp_payloads(with_payload))
+    bmp = decode_bmp_features(bmp_payloads)
+    # REAL resize (r9b): decode -> px[::2, ::2] -> re-encode -> decode;
+    # both codec directions and the transform are on the proof path
+    rbmp = resize_bmp_features(bmp_payloads)
     png = decode_png_features(synthesize_png_payloads(with_payload))
     return (meta.join(decoded, "doc_id").join(frame_counts, "doc_id")
             .join(resized, "doc_id").join(bmp, "doc_id")
+            .join(rbmp, "doc_id")
             .join(png, "doc_id").select(
                 "doc_id", "n_bytes", "content_md5", "payload_dup_count",
                 "is_payload_keeper", "width", "height", "n_frames",
@@ -899,6 +908,8 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "resized_md5", "resized_n_bytes",
                 "bmp_width", "bmp_height", "bmp_mean_pixel",
                 "bmp_corner_pixel",
+                "rbmp_width", "rbmp_height", "rbmp_mean_pixel",
+                "rbmp_corner_pixel",
                 "png_width", "png_height", "png_mean_pixel",
                 "png_corner_pixel"))
 
@@ -939,6 +950,19 @@ SELECT p.doc_id,
        / (CAST((5 + p.doc_id % 12) * (2 + p.doc_id % 6) AS DOUBLE))
          AS bmp_mean_pixel,
        CAST((p.doc_id * 7 + 1) % 256 AS INTEGER) AS bmp_corner_pixel,
+       -- REAL-resize lane (r9b): nearest-neighbor [::2, ::2] keeps the
+       -- top-left pixel and yields ceil-halved dims; the mean replays
+       -- from the solid-fill-plus-corner arithmetic on the new count
+       CAST((5 + p.doc_id % 12 + 1) // 2 AS INTEGER) AS rbmp_width,
+       CAST((2 + p.doc_id % 6 + 1) // 2 AS INTEGER) AS rbmp_height,
+       ((p.doc_id * 7 + 1) % 256
+        + (p.doc_id % 256)
+          * ((5 + p.doc_id % 12 + 1) // 2 * ((2 + p.doc_id % 6 + 1) // 2)
+             - 1))
+       / CAST((5 + p.doc_id % 12 + 1) // 2
+              * ((2 + p.doc_id % 6 + 1) // 2) AS DOUBLE)
+         AS rbmp_mean_pixel,
+       CAST((p.doc_id * 7 + 1) % 256 AS INTEGER) AS rbmp_corner_pixel,
        -- png lane: same id-arithmetic replay, independent rules
        CAST(4 + p.doc_id % 9 AS INTEGER) AS png_width,
        CAST(3 + p.doc_id % 5 AS INTEGER) AS png_height,
@@ -4721,15 +4745,22 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal the amplitude EXACTLY, so the oracle replays every column
     from the id arithmetic and any chunk-walk/PCM-layout bug
     hash-fails)."""
+    from hbase_snapshotter_spark.cache import scoped_persist
     from hbase_snapshotter_spark.operators.multimodal import (
+        decimate_wav_features,
         decode_wav_features,
         synthesize_wav_payloads,
     )
 
     docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet")) \
         .select("doc_id")
-    return decode_wav_features(synthesize_wav_payloads(docs)) \
-        .orderBy("doc_id")
+    payloads = scoped_persist(synthesize_wav_payloads(docs))
+    full = decode_wav_features(payloads)
+    # REAL resample (r9b): decode -> x[::2] -> re-encode at rate//2 ->
+    # decode; the decimated square wave keeps every even (+amp) frame,
+    # so peak == rms == amp survives exactly
+    half = decimate_wav_features(payloads)
+    return full.join(half, "doc_id").orderBy("doc_id")
 
 
 ORACLE_MULTIMODAL_AUDIO = """
@@ -4740,7 +4771,14 @@ SELECT doc_id,
        CAST((80 + doc_id % 50) * 1000 // (8000 + 100 * (doc_id % 5))
             AS BIGINT) AS wav_duration_ms,
        CAST(100 + doc_id % 900 AS INTEGER) AS wav_peak,
-       CAST(100 + doc_id % 900 AS DOUBLE) AS wav_rms
+       CAST(100 + doc_id % 900 AS DOUBLE) AS wav_rms,
+       CAST((8000 + 100 * (doc_id % 5)) // 2 AS INTEGER) AS wav_half_rate,
+       CAST((80 + doc_id % 50 + 1) // 2 AS INTEGER) AS wav_half_frames,
+       CAST(((80 + doc_id % 50 + 1) // 2) * 1000
+            // ((8000 + 100 * (doc_id % 5)) // 2) AS BIGINT)
+         AS wav_half_duration_ms,
+       CAST(100 + doc_id % 900 AS INTEGER) AS wav_half_peak,
+       CAST(100 + doc_id % 900 AS DOUBLE) AS wav_half_rms
 FROM documents
 ORDER BY doc_id
 """

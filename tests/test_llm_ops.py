@@ -3026,3 +3026,52 @@ def test_triangle_stats_hand_computed(spark):
             out[5].clustering_permille) == (1, 0, None)
     # Σ per-vertex counts = 3 × global triangles (each counted thrice)
     assert sum(r.n_triangles for r in out.values()) == 3 * 4
+
+
+def test_real_resize_and_decimation_transforms(spark):
+    """r9b real transforms on the real codecs: nearest-neighbor [::2]
+    resize picks exactly the expected pixels (odd dims ceil-halve,
+    top-left survives, hand gradient verifies pixel SELECTION not just
+    counts); integer-factor WAV decimation keeps exactly the
+    even-index frames at half the rate; corrupt payloads yield NULL
+    rows in both lanes."""
+    import numpy as np
+
+    from hbase_snapshotter_spark.operators.multimodal import (
+        decimate_wav_features,
+        decode_bmp,
+        decode_wav,
+        encode_bmp,
+        encode_wav,
+        resize_bmp_features,
+    )
+
+    # direct transform semantics (pure python, no Spark)
+    px = np.arange(5 * 7 * 3, dtype=np.uint8).reshape(5, 7, 3)
+    w2, h2, out = decode_bmp(encode_bmp(px[::2, ::2]))
+    assert (w2, h2) == (4, 3)
+    assert np.array_equal(out, px[::2, ::2])
+
+    # Spark lanes over hand payloads
+    grad = np.zeros((3, 3, 3), dtype=np.uint8)
+    grad[0, 0] = 90
+    grad[2, 2] = 30  # odd dims: kept by [::2] -> resized 2x2 corner set
+    rows = [(1, bytearray(encode_bmp(grad))), (2, bytearray(b"junk"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    r = {x.doc_id: x for x in resize_bmp_features(df).collect()}
+    assert (r[1].rbmp_width, r[1].rbmp_height) == (2, 2)
+    assert r[1].rbmp_corner_pixel == 90
+    assert r[1].rbmp_mean_pixel == (90 * 3 + 30 * 3) / (2 * 2 * 3)
+    assert r[1].rbmp_mean_pixel == 30.0
+    assert r[2].rbmp_width is None
+
+    wave = np.array([[10], [-99], [20], [-99], [30]], dtype=np.int16)
+    wrows = [(1, bytearray(encode_wav(wave, 8000))),
+             (2, bytearray(b"bad"))]
+    wdf = spark.createDataFrame(wrows, "doc_id long, payload binary")
+    h = {x.doc_id: x for x in decimate_wav_features(wdf).collect()}
+    assert (h[1].wav_half_rate, h[1].wav_half_frames) == (4000, 3)
+    assert h[1].wav_half_peak == 30  # the -99s live at odd indexes
+    sr2, _ch, kept = decode_wav(encode_wav(wave[::2], 4000))
+    assert kept.ravel().tolist() == [10, 20, 30] and sr2 == 4000
+    assert h[2].wav_half_rate is None
