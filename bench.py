@@ -124,6 +124,7 @@ HEADLINE_R7 = [
     "doc_link_rank",           # r9b: exact-integer link centrality
     "doc_triangle_stats",      # r9b: triangles + clustering coefficient
     "snapshot_bucket_diff",    # r9b: anti-entropy bucket fingerprints
+    "quality_threshold_sweep", # r9b: fluency-cut calibration curve
 ]
 
 

@@ -5176,3 +5176,81 @@ ORDER BY d.id
 PAIRS.update({
     "doc_triangle_stats": (doc_triangle_stats, ORACLE_TRIANGLES),
 })
+
+
+#: Calibration grid for the fluency-cut sweep (bits of bigram
+#: cross-entropy): brackets LM_XENT_KEEP_BITS so the operating point's
+#: neighborhood is visible.
+XENT_SWEEP_CUTS = [3.0, 3.5, 4.0, 4.5, 5.0, 5.5, 6.0, 6.5]
+
+
+def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-calibration sweep (N118): survivor counts of the CCNet
+    fluency cut at a grid of cross-entropy cutoffs — the curve a
+    pipeline owner reads before moving the operating point (a
+    threshold tuned on last month's corpus silently changes its keep
+    rate on this month's).  One scoring pass (the N29 machinery), ONE
+    hash aggregation computing every cutoff's conditional sum, then an
+    8-row explode — no per-cutoff scan, no cross join.  Exact counts
+    and half-up permille; the oracle replays scoring and the grid."""
+    from hbase_snapshotter_spark.operators.lm import bigram_lm_xent
+
+    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    scored = bigram_lm_xent(docs, F.col("source").isin(*MIX_RATES))
+    sums = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        *[F.sum(F.when(F.col("lm_xent_bits") <= c, 1).otherwise(0))
+          .cast("long").alias(f"__s{i}")
+          for i, c in enumerate(XENT_SWEEP_CUTS)])
+    rows = F.explode(F.array(*[
+        F.struct(F.lit(c).alias("cutoff_bits"),
+                 F.col(f"__s{i}").alias("n_survivors"))
+        for i, c in enumerate(XENT_SWEEP_CUTS)]))
+    pm = 2000 * F.col("r.n_survivors") + F.col("__n")
+    return (sums.select("__n", rows.alias("r"))
+            .select(F.col("r.cutoff_bits").alias("cutoff_bits"),
+                    F.col("__n").alias("n_docs_scored"),
+                    F.col("r.n_survivors").alias("n_survivors"),
+                    F.floor(pm / (2 * F.col("__n"))).cast("long")
+                    .alias("survivor_permille")))
+
+
+def _oracle_threshold_sweep() -> str:
+    vals = ", ".join(f"({c})" for c in XENT_SWEEP_CUTS)
+    return f"""
+WITH toks AS (SELECT doc_id, source, string_split(trim(text), ' ') AS t
+              FROM documents),
+bg AS (SELECT doc_id, source IN ({_TARGET_SET}) AS ref,
+              t[i.i] AS w1, t[i.i + 1] AS w2
+       FROM toks, UNNEST(range(1, len(t))) AS i(i)
+       WHERE len(t) >= 2),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg WHERE ref GROUP BY 1, 2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg WHERE ref GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT tok) AS v FROM
+        (SELECT unnest(t) AS tok FROM toks
+         WHERE source IN ({_TARGET_SET}))),
+sc AS (SELECT bg.doc_id,
+              ROUND(AVG(log2(COALESCE(c1.c1, 0) + v.v)
+                        - log2(COALESCE(c2.c2, 0) + 1)), 4)
+                AS lm_xent_bits
+       FROM bg LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1)
+       CROSS JOIN v
+       GROUP BY bg.doc_id)
+SELECT CAST(g.c AS DOUBLE) AS cutoff_bits,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM sc) AS n_docs_scored,
+       CAST(SUM(CASE WHEN sc.lm_xent_bits <= g.c THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_survivors,
+       CAST((2000 * SUM(CASE WHEN sc.lm_xent_bits <= g.c
+                        THEN 1 ELSE 0 END)
+             + (SELECT COUNT(*) FROM sc))
+            // (2 * (SELECT COUNT(*) FROM sc)) AS BIGINT)
+         AS survivor_permille
+FROM sc, (VALUES {vals}) g(c)
+GROUP BY g.c
+"""
+
+
+PAIRS.update({
+    "quality_threshold_sweep": (quality_threshold_sweep,
+                                _oracle_threshold_sweep()),
+})

@@ -3075,3 +3075,35 @@ def test_real_resize_and_decimation_transforms(spark):
     sr2, _ch, kept = decode_wav(encode_wav(wave[::2], 4000))
     assert kept.ravel().tolist() == [10, 20, 30] and sr2 == 4000
     assert h[2].wav_half_rate is None
+
+
+def test_quality_threshold_sweep_monotone_and_exact(spark, sf_dir):
+    """N118: the sweep is computed in ONE aggregation (plan has no
+    cross join and a single corpus-side exchange pattern), survivor
+    counts are monotone non-decreasing in the cutoff, every count
+    matches a direct per-cutoff filter, and the permille is exact
+    half-up."""
+    from hbase_snapshotter_spark.queries.llm import (
+        XENT_SWEEP_CUTS,
+        quality_threshold_sweep,
+    )
+    from hbase_snapshotter_spark.queries.llm import MIX_RATES
+    import pyspark.sql.functions as F
+
+    from hbase_snapshotter_spark.operators.lm import bigram_lm_xent
+
+    out = {r.cutoff_bits: r for r in
+           quality_threshold_sweep(spark, sf_dir).collect()}
+    assert sorted(out) == XENT_SWEEP_CUTS
+    counts = [out[c].n_survivors for c in XENT_SWEEP_CUTS]
+    assert counts == sorted(counts)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = bigram_lm_xent(
+        docs, F.col("source").isin(*MIX_RATES)).cache()
+    n = scored.count()
+    for c in (XENT_SWEEP_CUTS[0], XENT_SWEEP_CUTS[-1], 5.0):
+        direct = scored.filter(F.col("lm_xent_bits") <= c).count()
+        assert out[c].n_survivors == direct
+        assert out[c].n_docs_scored == n
+        assert out[c].survivor_permille == (2000 * direct + n) // (2 * n)
+    scored.unpersist()
