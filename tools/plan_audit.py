@@ -125,6 +125,9 @@ def main() -> int:
                                         # PMI lift denominator — N111)
         "events_trend_ols",             # 1-row advance_consistent flag
                                         # attach (N113 moment-state IVM)
+        "quality_threshold_sweep",      # 1-row vocab-size attach inside
+                                        # bigram_lm_xent (same as
+                                        # lm_perplexity_filter — N118)
     }
 
     flags_total = 0
