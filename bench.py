@@ -125,6 +125,7 @@ HEADLINE_R7 = [
     "doc_triangle_stats",      # r9b: triangles + clustering coefficient
     "snapshot_bucket_diff",    # r9b: anti-entropy bucket fingerprints
     "quality_threshold_sweep", # r9b: fluency-cut calibration curve
+    "events_sliding_distinct", # r9b: HLL-union sliding distincts
 ]
 
 

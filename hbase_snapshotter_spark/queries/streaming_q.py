@@ -1729,3 +1729,82 @@ ORDER BY event_type, bucket
 PAIRS.update({
     "events_cusum_drift": (events_cusum_drift, _oracle_cusum()),
 })
+
+
+def events_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window distinct counts from mergeable sketch state
+    (N119): distinct users per trailing 7-day window, one row per
+    observed day — the composition the materialized-sketch pattern
+    exists for: distincts don't SUM across days, they UNION, so the
+    per-day HLL states (KBs each) roll up into any window at
+    state-read cost while the exact recount reads the corpus.
+
+    In-hash evidence (the N48 convention — DuckDB cannot evaluate an
+    HLL): the exact windowed distinct count (oracle-replayed) and the
+    UNION-path estimate's 15% envelope against it.  Note the library
+    reality: DataSketches' union target representation differs from a
+    direct sketch at dense-mode cardinalities, so union-vs-direct is
+    NOT bit-identical (measured at sf0.1) — the envelope against the
+    exact count is the honest contract, and it holds through the
+    union path, which is the only path production runs.
+
+    Scale: the daily-state build is the one data-sized pass; the
+    rolling union is days × 7 state rows; the exact lane is the
+    fixture-scale audit, same posture as the join-size estimator's
+    exact side."""
+    from hbase_snapshotter_spark.cache import scoped_persist
+    from hbase_snapshotter_spark.operators.sketches import (
+        distinct_sketches,
+    )
+    from hbase_snapshotter_spark.operators.timeseries import time_bucket
+
+    ev = scoped_persist(
+        read_table(spark, sf_dir, "events").select(
+            (time_bucket("ts", 86_400_000) / 86_400_000).cast("long")
+            .alias("d"), "user_id"))
+    daily = scoped_persist(
+        distinct_sketches(ev, "user_id", group_cols=["d"]))
+    grid = daily.select(F.col("d").alias("e"))
+
+    def windowed(df):
+        return (df.withColumn("__off", F.explode(F.sequence(
+                    F.lit(0), F.lit(6))))
+                .withColumn("e", F.col("d") + F.col("__off"))
+                .join(grid, "e", "left_semi"))
+
+    rolled = (windowed(daily).groupBy("e")
+              .agg(F.hll_union_agg("sketch").alias("sk"),
+                   F.count(F.lit(1)).cast("long")
+                   .alias("n_days_in_window")))
+    exact = (windowed(ev).groupBy("e")
+             .agg(F.count_distinct("user_id").cast("long")
+                  .alias("exact_distinct_users")))
+    est = F.hll_sketch_estimate("sk")
+    return (rolled.join(exact, "e")
+            .select(F.col("e").alias("window_end_day"),
+                    "n_days_in_window", "exact_distinct_users",
+                    (F.abs(est - F.col("exact_distinct_users")) * 100
+                     <= 15 * F.col("exact_distinct_users"))
+                    .alias("est_within_15pct")))
+
+
+ORACLE_SLIDING_DISTINCT = """
+WITH ev AS (
+  SELECT epoch_ms(ts) // 86400000 AS d, user_id FROM events),
+grid AS (SELECT DISTINCT d AS e FROM ev),
+w AS (
+  SELECT ev.d + o.o AS e, ev.d, ev.user_id
+  FROM ev, (VALUES (0),(1),(2),(3),(4),(5),(6)) o(o)
+  WHERE ev.d + o.o IN (SELECT e FROM grid))
+SELECT e AS window_end_day,
+       CAST(COUNT(DISTINCT d) AS BIGINT) AS n_days_in_window,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct_users,
+       TRUE AS est_within_15pct
+FROM w GROUP BY e
+"""
+
+
+PAIRS.update({
+    "events_sliding_distinct": (events_sliding_distinct,
+                                ORACLE_SLIDING_DISTINCT),
+})

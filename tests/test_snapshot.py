@@ -797,3 +797,39 @@ def test_bucket_fingerprints_anti_entropy(spark):
     bkt5 = int(hashlib.md5(b"5").hexdigest()[:8], 16) % 16
     assert changed == [bkt5]
     assert all(fa[k][0] == fb[k][0] for k in fa)  # counts unchanged
+
+
+def test_sliding_distinct_union_semantics(spark):
+    """N119 on a hand timeline: trailing-7-day windows carry the
+    exact set-union distincts (users active on several days counted
+    once per window), n_days counts only OBSERVED days inside the
+    window, and windows ending on sparse days still see earlier
+    days' users."""
+    import pyspark.sql.functions as F
+
+    from hbase_snapshotter_spark.queries.streaming_q import (
+        events_sliding_distinct,
+    )
+
+    rows = [
+        # day 0: users 1,2 ; day 3: users 2,3 ; day 9: user 1
+        (1, 1, 0), (2, 2, 0), (3, 2, 3), (4, 3, 3), (5, 1, 9),
+    ]
+    import tempfile
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, day long"
+    ).select("event_id", "user_id",
+             F.timestamp_millis(F.col("day") * 86_400_000).alias("ts"),
+             F.lit("view").alias("event_type"), F.lit(1.0).alias("value"),
+             F.lit("{}").alias("props")) \
+     .write.parquet(f"{d}/events.parquet")
+    out = {r.window_end_day: r for r in
+           events_sliding_distinct(spark, d).collect()}
+    assert set(out) == {0, 3, 9}
+    assert (out[0].n_days_in_window, out[0].exact_distinct_users) == (1, 2)
+    # window ending day 3 spans days 0 and 3: users {1,2,3} (2 once)
+    assert (out[3].n_days_in_window, out[3].exact_distinct_users) == (2, 3)
+    # day 9's window spans 3..9: observed days 3 and 9; users {2,3}∪{1}
+    assert (out[9].n_days_in_window, out[9].exact_distinct_users) == (2, 3)
+    assert all(r.est_within_15pct for r in out.values())
