@@ -126,6 +126,7 @@ HEADLINE_R7 = [
     "snapshot_bucket_diff",    # r9b: anti-entropy bucket fingerprints
     "quality_threshold_sweep", # r9b: fluency-cut calibration curve
     "events_sliding_distinct", # r9b: HLL-union sliding distincts
+    "event_cooccurrence_lift", # r9b: behavior-affinity baskets
 ]
 
 

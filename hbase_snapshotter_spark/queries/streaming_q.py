@@ -1808,3 +1808,73 @@ PAIRS.update({
     "events_sliding_distinct": (events_sliding_distinct,
                                 ORACLE_SLIDING_DISTINCT),
 })
+
+
+def event_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type co-occurrence affinity (N120): for each unordered
+    type pair, the users doing BOTH, each alone, the exact-permille
+    Jaccard of the two user sets, and the independence lift
+    ``n_both·N / (n_a·n_b)`` — basket analysis over behaviors, the
+    ORDER-FREE complement of the transition matrix (N91 asks "what
+    follows what"; this asks "which behaviors live in the same
+    users").  Lift is the exact-integer rational as a correctly-
+    rounded double (the collocation convention); Jaccard is half-up
+    permille.
+
+    Scale: one distinct (user, type) projection (map-side combined);
+    the pair fan-out is per-user ``C(types,2)`` with types a small
+    domain — bounded, no corpus self-join; aggregates are ≤ |types|²
+    rows."""
+    ev = read_table(spark, sf_dir, "events")
+    ut = (ev.select("user_id", F.col("event_type").alias("t"))
+          .distinct())
+    from hbase_snapshotter_spark.cache import scoped_persist
+    ut = scoped_persist(ut)
+    a = ut.select("user_id", F.col("t").alias("type_a"))
+    b = ut.select("user_id", F.col("t").alias("type_b"))
+    both = (a.join(b, "user_id")
+            .filter(F.col("type_a") < F.col("type_b"))
+            .groupBy("type_a", "type_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_both")))
+    per_type = ut.groupBy(F.col("t")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"))
+    total = ut.select("user_id").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"))
+    j = (both
+         .join(per_type.select(F.col("t").alias("type_a"),
+                               F.col("n_users").alias("n_a")), "type_a")
+         .join(per_type.select(F.col("t").alias("type_b"),
+                               F.col("n_users").alias("n_b")), "type_b")
+         .crossJoin(F.broadcast(total)))
+    union_ = F.col("n_a") + F.col("n_b") - F.col("n_both")
+    pm = 2000 * F.col("n_both") + union_
+    return j.select(
+        "type_a", "type_b", "n_both", "n_a", "n_b", "n_total",
+        F.floor(pm / (2 * union_)).cast("long").alias("jaccard_permille"),
+        F.round((F.col("n_both") * F.col("n_total")).cast("double")
+                / (F.col("n_a") * F.col("n_b")), 6).alias("lift"))
+
+
+ORACLE_COOCCURRENCE = """
+WITH ut AS (SELECT DISTINCT user_id, event_type AS t FROM events),
+both_ AS (
+  SELECT a.t AS type_a, b.t AS type_b, CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.t < b.t
+  GROUP BY 1, 2),
+pt AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_users FROM ut GROUP BY 1),
+tot AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_total FROM ut)
+SELECT type_a, type_b, n_both,
+       pa.n_users AS n_a, pb.n_users AS n_b, tot.n_total,
+       CAST((2000 * n_both + pa.n_users + pb.n_users - n_both)
+            // (2 * (pa.n_users + pb.n_users - n_both)) AS BIGINT)
+         AS jaccard_permille,
+       ROUND(CAST(n_both * tot.n_total AS DOUBLE)
+             / (pa.n_users * pb.n_users), 6) AS lift
+FROM both_ JOIN pt pa ON pa.t = type_a JOIN pt pb ON pb.t = type_b, tot
+"""
+
+
+PAIRS.update({
+    "event_cooccurrence_lift": (event_cooccurrence_lift,
+                                ORACLE_COOCCURRENCE),
+})

@@ -459,3 +459,36 @@ def test_cusum_drift_hand_computed(spark):
     assert sp[-1].s_pos_micro == 0          # decayed by the slack
     dn = out["shift_down"]
     assert any(r.alarm_neg for r in dn) and not any(r.alarm_pos for r in dn)
+
+
+def test_event_cooccurrence_hand_computed(spark, tmp_path):
+    """N120 on a hand basket: u1 does A+B, u2 does A only, u3 does
+    B+C; co-occurrence counts the user SETS (repeat events collapse),
+    Jaccard and lift replay the closed form, never-co-occurring pairs
+    are absent."""
+    import pyspark.sql.functions as F
+
+    from hbase_snapshotter_spark.queries.streaming_q import (
+        event_cooccurrence_lift,
+    )
+
+    rows = [(1, 1, "A"), (2, 1, "A"), (3, 1, "B"),   # u1: A(x2), B
+            (4, 2, "A"),                              # u2: A
+            (5, 3, "B"), (6, 3, "C")]                 # u3: B, C
+    d = str(tmp_path / "ev")
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string"
+    ).select("event_id", "user_id", "event_type",
+             F.timestamp_millis(F.col("event_id") * 1000).alias("ts"),
+             F.lit(1.0).alias("value"), F.lit("{}").alias("props")) \
+     .write.parquet(f"{d}/events.parquet")
+    out = {(r.type_a, r.type_b): r for r in
+           event_cooccurrence_lift(spark, d).collect()}
+    ab = out[("A", "B")]
+    assert (ab.n_both, ab.n_a, ab.n_b, ab.n_total) == (1, 2, 2, 3)
+    assert ab.jaccard_permille == (2000 * 1 + 3) // 6   # 1/3 half-up
+    assert ab.lift == round(1 * 3 / (2 * 2), 6)
+    bc = out[("B", "C")]
+    assert (bc.n_both, bc.n_a, bc.n_b) == (1, 2, 1)
+    assert bc.lift == round(1 * 3 / (2 * 1), 6)
+    assert ("A", "C") not in out                        # never co-occur
