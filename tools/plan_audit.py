@@ -128,6 +128,8 @@ def main() -> int:
         "quality_threshold_sweep",      # 1-row vocab-size attach inside
                                         # bigram_lm_xent (same as
                                         # lm_perplexity_filter — N118)
+        "event_cooccurrence_lift",      # 1-row user-total attach (the
+                                        # lift denominator — N120)
     }
 
     flags_total = 0
