@@ -100,7 +100,8 @@ _ALL_PAIRS.update({
 #: lanes — losing one from the record loses many capabilities), and
 #: slots 31-50 rotate deterministically over every remaining key so
 #: each standalone query is driver-recorded at least every
-#: ceil(pool/20) rounds (~3 at the current surface) instead of never.
+#: ceil(pool/20) rounds (~4 at the round-9b surface of 110 keys)
+#: instead of never.
 #: The rotation clock is the repo itself: round N starts with exactly
 #: CORRECTNESS_r{1..N-1}.json present, so the artifact count advances
 #: by one per round with no driver cooperation — the same build is
