@@ -127,6 +127,7 @@ HEADLINE_R7 = [
     "quality_threshold_sweep", # r9b: fluency-cut calibration curve
     "events_sliding_distinct", # r9b: HLL-union sliding distincts
     "event_cooccurrence_lift", # r9b: behavior-affinity baskets
+    "dedup_component_stats",   # r9b: giant-component health audit
 ]
 
 

@@ -5254,3 +5254,62 @@ PAIRS.update({
     "quality_threshold_sweep": (quality_threshold_sweep,
                                 _oracle_threshold_sweep()),
 })
+
+
+def dedup_component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component-size distribution of the near-dup graph (N121): one
+    row per component size with the component count and doc mass, plus
+    every row carrying the giant-component share in exact permille —
+    the graph-health audit for a dedup pipeline: a well-behaved corpus
+    has many small components; a GIANT component emerging means
+    boilerplate/templating is stitching unrelated documents together
+    and cluster-level keeps would silently discard real content.  The
+    oracle replays the closure (recursive CTE over the same LSH
+    pairs), the size histogram, and the share."""
+    from hbase_snapshotter_spark.cache import scoped_persist
+
+    comp = scoped_persist(_shared_components(spark, sf_dir))
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("size"))
+    hist = sizes.groupBy("size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_components"))
+    tot = sizes.agg(
+        F.sum("size").cast("long").alias("__n_docs"),
+        F.max("size").cast("long").alias("__max_size"))
+    pm = 2000 * F.col("__max_size") + F.col("__n_docs")
+    return (hist.crossJoin(F.broadcast(tot))
+            .select("size", "n_components",
+                    (F.col("size") * F.col("n_components")).cast("long")
+                    .alias("n_docs"),
+                    F.floor(pm / (2 * F.col("__n_docs"))).cast("long")
+                    .alias("giant_share_permille")))
+
+
+def _oracle_component_stats() -> str:
+    pair_sql = _oracle_minhash().rsplit("ORDER BY", 1)[0]
+    return f"""
+WITH RECURSIVE pairs AS ({pair_sql}),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s),
+comp AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS size
+       FROM comp GROUP BY 1),
+tot AS (SELECT SUM(size) AS n_docs, MAX(size) AS max_size FROM sz)
+SELECT size, CAST(COUNT(*) AS BIGINT) AS n_components,
+       CAST(size * COUNT(*) AS BIGINT) AS n_docs,
+       CAST((2000 * tot.max_size + tot.n_docs) // (2 * tot.n_docs)
+            AS BIGINT) AS giant_share_permille
+FROM sz, tot
+GROUP BY size, tot.max_size, tot.n_docs
+"""
+
+
+PAIRS.update({
+    "dedup_component_stats": (dedup_component_stats,
+                              _oracle_component_stats()),
+})

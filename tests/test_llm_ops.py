@@ -3107,3 +3107,29 @@ def test_quality_threshold_sweep_monotone_and_exact(spark, sf_dir):
         assert out[c].n_docs_scored == n
         assert out[c].survivor_permille == (2000 * direct + n) // (2 * n)
     scored.unpersist()
+
+
+def test_component_stats_hand_computed(spark):
+    """N121 histogram semantics on a hand graph: two pairs + one
+    triangle + isolated docs bucket into sizes {1, 2, 3}, doc mass
+    adds up, and the giant share is the largest component over all
+    docs in exact permille."""
+    import pyspark.sql.functions as F
+
+    from hbase_snapshotter_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6), (6, 7)], "id_a long, id_b long")
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 10)], "doc_id long")  # 8, 9 isolated
+    from collections import Counter
+
+    comp = connected_components(pairs, docs, id_col="doc_id")
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("n"))
+    hist = Counter(r.n for r in sizes.collect())
+    assert hist == {1: 2, 2: 2, 3: 1}
+    assert sum(k * v for k, v in hist.items()) == 9
+    # giant share = 3/9 -> 333 permille half-up
+    assert (2000 * 3 + 9) // 18 == 333

@@ -674,6 +674,7 @@ def operators():
         "threshold_sweep": _q("quality_threshold_sweep"),
         "sliding_distinct": _q("events_sliding_distinct"),
         "cooccurrence": _q("event_cooccurrence_lift"),
+        "component_stats": _q("dedup_component_stats"),
         "event_attribution": _q("event_attribution"),
         "join_size_estimate": _q("join_size_estimate"),
         "compaction_plan": _q("compaction_plan_audit"),
