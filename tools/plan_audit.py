@@ -130,6 +130,8 @@ def main() -> int:
                                         # lm_perplexity_filter — N118)
         "event_cooccurrence_lift",      # 1-row user-total attach (the
                                         # lift denominator — N120)
+        "dedup_component_stats",        # 1-row totals attach (the giant
+                                        # share denominator — N121)
     }
 
     flags_total = 0
