@@ -141,9 +141,11 @@ def compaction_plan(
 
     pc, fc, sc = partition_col, file_col, size_col
     totals = inv.groupBy(pc).agg(F.sum(sc).cast("bigint").alias("__total"))
-    target = F.floor(
-        (F.col("__total") + files_target - 1) / files_target
-    ).cast("bigint")
+    # _int_div, not double-valued `/`: the "exact BIGINT" claim must
+    # hold past 2^53 total bytes at 100 TB partitions (ADVICE r9)
+    target = _int_div(
+        F.col("__total") + F.lit(files_target - 1).cast("bigint"),
+        F.lit(files_target).cast("bigint"))
     base = (inv.join(F.broadcast(totals), pc)
             .withColumn("__target", target)
             .withColumn("action",
@@ -157,8 +159,7 @@ def compaction_plan(
         .withColumn("__cum_before",
                     F.coalesce(F.sum(sc).over(w), F.lit(0)).cast("bigint"))
         .withColumn("group_id",
-                    F.floor(F.col("__cum_before") / F.col("__target"))
-                    .cast("bigint")))
+                    _int_div(F.col("__cum_before"), F.col("__target"))))
     econ = compact.groupBy(pc, "group_id").agg(
         F.count(F.lit(1)).cast("long").alias("group_files"),
         F.sum(sc).cast("bigint").alias("group_bytes"))
@@ -166,16 +167,16 @@ def compaction_plan(
     out_compact = (
         compact.join(econ, [pc, "group_id"])
         .withColumn("fill_permille",
-                    F.floor(fill / (2 * F.col("__target"))).cast("bigint")))
+                    _int_div(fill, 2 * F.col("__target"))))
     out_keep = (
         base.filter(F.col("action") == "keep")
         .withColumn("group_id", F.lit(None).cast("bigint"))
         .withColumn("group_files", F.lit(1).cast("long"))
         .withColumn("group_bytes", F.col(sc).cast("bigint"))
         .withColumn("fill_permille",
-                    F.floor((2000 * F.col(sc).cast("bigint")
-                             + F.col("__target"))
-                            / (2 * F.col("__target"))).cast("bigint")))
+                    _int_div(2000 * F.col(sc).cast("bigint")
+                             + F.col("__target"),
+                             2 * F.col("__target"))))
     cols = [pc, fc, F.col(sc).cast("bigint").alias(sc),
             F.col("__target").alias("target_bytes"),
             "action", "group_id", "group_files", "group_bytes",

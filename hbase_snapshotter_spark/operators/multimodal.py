@@ -786,12 +786,19 @@ def decode_avi(payload: bytes):
         if is_list and kind == b"hdrl":
             for k2, b2, l2 in walk(body):
                 if not l2 and k2 == b"avih":
+                    if len(b2) < 56:  # 14 * 4 bytes — short body would
+                        # raise struct.error, escaping the ValueError
+                        # contract (ADVICE r9)
+                        raise ValueError(f"avih body too short: {len(b2)}")
                     avih = struct.unpack_from("<14I", b2, 0)
                 elif l2 and k2 == b"strl":
                     for k3, b3, _l3 in walk(b2):
                         if k3 == b"strh" and b3[:4] == b"vids":
                             vids_ok = True
                         elif k3 == b"strf":
+                            if len(b3) < 20:  # <IiiHHI
+                                raise ValueError(
+                                    f"strf body too short: {len(b3)}")
                             _sz, _w, _h, _planes, bits, comp = \
                                 struct.unpack_from("<IiiHHI", b3, 0)
         elif is_list and kind == b"movi":
@@ -847,6 +854,8 @@ def sample_avi_frame_features(
     row."""
 
     def avi_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
         for pdf in batches:
             rows = {k: [] for k in AVI_FRAME_SCHEMA.fieldNames()}
             for i, p in zip(pdf[id_col], pdf[payload_col]):
@@ -870,7 +879,7 @@ def sample_avi_frame_features(
                         rows["frame_idx"].append(idx)
                         rows["frame_mean_milli"].append(
                             (2000 * s + c) // (2 * c))
-                except ValueError:
+                except (ValueError, struct.error):
                     rows["doc_id"].append(i)
                     for col in AVI_FRAME_SCHEMA.fieldNames()[1:]:
                         rows[col].append(None)

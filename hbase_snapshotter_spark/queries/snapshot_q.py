@@ -1217,8 +1217,13 @@ def q_snapshot_bucket_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("bucket",
                     F.coalesce("n_t1", F.lit(0)).alias("n_t1"),
                     F.coalesce("n_t2", F.lit(0)).alias("n_t2"),
-                    (F.coalesce("fp_t1", F.lit(0))
-                     != F.coalesce("fp_t2", F.lit(0)))
+                    # verdict = (fp, n_rows) agreement: an XOR-cancel
+                    # of added+removed rows can't hide when the bucket
+                    # counts differ (ADVICE r9)
+                    ((F.coalesce("fp_t1", F.lit(0))
+                      != F.coalesce("fp_t2", F.lit(0)))
+                     | (F.coalesce("n_t1", F.lit(0))
+                        != F.coalesce("n_t2", F.lit(0))))
                     .alias("fp_changed")))
     bucket = (F.conv(F.substring(F.md5(F.col("row_key")), 1, 8), 16, 10)
               .cast("long") % 16)
@@ -1271,9 +1276,12 @@ d AS (SELECT {bkt} AS bucket, CAST(COUNT(*) AS BIGINT) AS n_changed
 SELECT COALESCE(f1.bucket, f2.bucket) AS bucket,
        COALESCE(n_t1, 0) AS n_t1, COALESCE(n_t2, 0) AS n_t2,
        COALESCE(d.n_changed, 0) AS n_changed_rows,
-       COALESCE(fp1, 0) <> COALESCE(fp2, 0) AS fp_changed,
+       (COALESCE(fp1, 0) <> COALESCE(fp2, 0)
+        OR COALESCE(n_t1, 0) <> COALESCE(n_t2, 0)) AS fp_changed,
        (COALESCE(d.n_changed, 0) > 0)
-         = (COALESCE(fp1, 0) <> COALESCE(fp2, 0)) AS fingerprint_detects
+         = (COALESCE(fp1, 0) <> COALESCE(fp2, 0)
+            OR COALESCE(n_t1, 0) <> COALESCE(n_t2, 0))
+         AS fingerprint_detects
 FROM f1 FULL JOIN f2 USING (bucket)
 LEFT JOIN d ON d.bucket = COALESCE(f1.bucket, f2.bucket)
 """

@@ -2766,6 +2766,22 @@ def test_avi_codec_container_walk_and_roundtrip():
     struct.pack_into("<I", short, movi_at2 - 4, ml - 8 - stride_bytes)
     with _pytest.raises(ValueError):
         decode_avi(bytes(short))
+    # short avih / strf bodies must raise ValueError, not escape as
+    # struct.error (ADVICE r9)
+    def _chunk(tag, body):
+        return tag + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b"")
+
+    short_avih = _chunk(b"RIFF", b"AVI " + _chunk(
+        b"LIST", b"hdrl" + _chunk(b"avih", b"\x00" * 8)))
+    with _pytest.raises(ValueError, match="avih body too short"):
+        decode_avi(short_avih)
+    short_strf = _chunk(b"RIFF", b"AVI " + _chunk(
+        b"LIST", b"hdrl" + _chunk(b"avih", b"\x00" * 56) + _chunk(
+            b"LIST", b"strl" + _chunk(b"strh", b"vids")
+            + _chunk(b"strf", b"\x00" * 4))))
+    with _pytest.raises(ValueError, match="strf body too short"):
+        decode_avi(short_strf)
 
 
 def test_avi_frame_sampling_lane(spark):
