@@ -1013,30 +1013,52 @@ def triangle_stats(
     through boilerplate shingles closes few — structure the pairwise
     scores and even centrality (N115) cannot see.
 
-    The ordered-wedge join: with every edge stored (lo, hi), wedges
-    ``(a<b) ⋈ (b<c)`` meet closing edges ``(a<c)`` — each triangle
-    found EXACTLY once, no orientation dedup pass.  Scale is the
-    textbook bound: wedge rows = Σ_v deg_hi(v)² over the higher-id
-    orientation, O(m^1.5) for any graph after degree-ordering (the
-    standard production refinement; documented, not needed at fixture
-    skew).  Coefficient = ``half_up(1000 · 2T / (deg·(deg−1)))`` —
-    exact integers end to end."""
+    DEGREE-ORDERED wedges (the standard O(m^1.5) production bound,
+    VERDICT r9 task 1): every edge is oriented from its lower-degree
+    endpoint to its higher-degree endpoint (ties toward the smaller
+    id), so each triangle ``u ≺ v ≺ w`` under the ``(degree, id)``
+    total order is found EXACTLY once as the wedge ``(u→v, u→w)``
+    closed by ``(v→w)``.  Wedge rows = Σ_v outdeg(v)² where every
+    out-neighbor ranks ABOVE v — outdeg ≤ O(√m) for any graph — so a
+    boilerplate hub of degree d contributes d wedges as a spoke
+    endpoint instead of d² as a center; the id-ordered orientation
+    this replaces has no such bound (a low-id hub keeps all d edges
+    outgoing).  Triangle counts are orientation-invariant, so the
+    oracle's simpler id-ordered replay hash-matches.  Coefficient =
+    ``half_up(1000 · 2T / (deg·(deg−1)))`` — exact integers end to
+    end."""
     e = scoped_persist(edges.select(F.col("id_a").alias("a"),
                                     F.col("id_b").alias("b")))
-    w1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    w2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    closing = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
-    tri = (w1.join(w2, "y").join(closing, ["x", "z"])
+    deg = scoped_persist(
+        e.select(F.col("a").alias("id"))
+        .unionAll(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree")))
+    da = deg.select(F.col("id").alias("a"), F.col("degree").alias("__da"))
+    db = deg.select(F.col("id").alias("b"), F.col("degree").alias("__db"))
+    # a < b by construction, so on equal degrees a is the lower endpoint
+    a_lo = (F.col("__da") < F.col("__db")) | (F.col("__da") == F.col("__db"))
+    oriented = scoped_persist(
+        e.join(da, "a").join(db, "b").select(
+            F.when(a_lo, F.col("a")).otherwise(F.col("b")).alias("lo"),
+            F.when(a_lo, F.col("b")).otherwise(F.col("a")).alias("hi"),
+            F.when(a_lo, F.col("__db")).otherwise(F.col("__da"))
+            .alias("__hi_deg")))
+    w1 = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("y"),
+                         F.col("__hi_deg").alias("__yd"))
+    w2 = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("z"),
+                         F.col("__hi_deg").alias("__zd"))
+    wedge_ord = (F.col("__yd") < F.col("__zd")) | (
+        (F.col("__yd") == F.col("__zd")) & (F.col("y") < F.col("z")))
+    closing = oriented.select(F.col("lo").alias("y"), F.col("hi").alias("z"))
+    tri = (w1.join(w2, "x").filter(wedge_ord)
+           .join(closing, ["y", "z"])
            .select("x", "y", "z"))
     per_vertex = (tri.select(F.col("x").alias("id"))
                   .unionAll(tri.select(F.col("y").alias("id")))
                   .unionAll(tri.select(F.col("z").alias("id")))
                   .groupBy("id")
                   .agg(F.count(F.lit(1)).cast("long").alias("n_triangles")))
-    deg = (e.select(F.col("a").alias("id"))
-           .unionAll(e.select(F.col("b").alias("id")))
-           .groupBy("id")
-           .agg(F.count(F.lit(1)).cast("long").alias("degree")))
     joined = (deg.join(per_vertex, "id", "left")
               .withColumn("n_triangles",
                           F.coalesce("n_triangles", F.lit(0).cast("long"))))

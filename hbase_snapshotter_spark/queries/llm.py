@@ -5064,7 +5064,14 @@ def doc_link_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     each document by how central it is to its duplication
     neighborhood — the centrality-based keeper rule beside quality
     argmax (N76).  The oracle replays the graph and every round
-    bit-for-bit (unrolled CTEs, identical half-up integer shares)."""
+    bit-for-bit (unrolled CTEs, identical half-up integer shares).
+
+    ``max_df=50`` caps the inverted-index self-join: a boilerplate
+    shingle in d docs costs d² candidate rows (the Σ df² blowup the
+    dedup lanes guard against), so shingles above the cap are dropped
+    from edge evidence — at 100× one hot shingle otherwise dominates
+    the whole shuffle.  The oracle applies the identical df predicate
+    (fixture max df is 25, so fixture results are unchanged)."""
     from hbase_snapshotter_spark.operators.dedup import (
         link_rank,
         shared_shingle_edges,
@@ -5072,7 +5079,7 @@ def doc_link_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
-    edges = shared_shingle_edges(docs, "doc_id", min_shared=3)
+    edges = shared_shingle_edges(docs, "doc_id", min_shared=3, max_df=50)
     return link_rank(edges).orderBy("id")
 
 
@@ -5092,10 +5099,13 @@ r{i} AS (
     return f"""
 WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t
               FROM documents),
-sh AS (SELECT DISTINCT doc_id,
+sh0 AS (SELECT DISTINCT doc_id,
               array_to_string(t[i.r:i.r+2], ' ') AS shingle
        FROM toks, UNNEST(range(1, len(t) - 1)) AS i(r)
        WHERE len(t) >= 3),
+sh AS (SELECT * FROM sh0
+       WHERE shingle NOT IN (SELECT shingle FROM sh0
+                             GROUP BY 1 HAVING COUNT(*) > 50)),
 shared AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          CAST(COUNT(*) AS BIGINT) AS n_shared
@@ -5124,9 +5134,13 @@ def doc_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     same shared-shingle similarity graph the centrality lane ranks
     (N115): a true-copy neighborhood closes almost every triangle
     (coefficient → 1000‰) while boilerplate hubs close few — the
-    cohesion signal pairwise scores can't see.  The oracle replays the
-    graph, the ordered-wedge triangle join, and the exact-permille
-    coefficient."""
+    cohesion signal pairwise scores can't see.  ``max_df=50`` caps the
+    edge construction's Σ df² self-join (same predicate as
+    :func:`doc_link_rank`, mirrored in the oracle; fixture results
+    unchanged at max df 25), and the Spark side counts via
+    degree-ordered wedges (O(m^1.5)); triangle counts are
+    orientation-invariant, so the oracle's id-ordered wedge replay
+    hash-matches while staying single-pass SQL."""
     from hbase_snapshotter_spark.operators.dedup import (
         shared_shingle_edges,
         spread,
@@ -5134,17 +5148,20 @@ def doc_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
-    edges = shared_shingle_edges(docs, "doc_id", min_shared=3)
+    edges = shared_shingle_edges(docs, "doc_id", min_shared=3, max_df=50)
     return triangle_stats(edges).orderBy("id")
 
 
 ORACLE_TRIANGLES = """
 WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t
               FROM documents),
-sh AS (SELECT DISTINCT doc_id,
+sh0 AS (SELECT DISTINCT doc_id,
               array_to_string(t[i.r:i.r+2], ' ') AS shingle
        FROM toks, UNNEST(range(1, len(t) - 1)) AS i(r)
        WHERE len(t) >= 3),
+sh AS (SELECT * FROM sh0
+       WHERE shingle NOT IN (SELECT shingle FROM sh0
+                             GROUP BY 1 HAVING COUNT(*) > 50)),
 e AS (
   SELECT a.doc_id AS a, b.doc_id AS b
   FROM sh a JOIN sh b

@@ -3044,6 +3044,83 @@ def test_triangle_stats_hand_computed(spark):
     assert sum(r.n_triangles for r in out.values()) == 3 * 4
 
 
+def test_triangle_stats_degree_ordered_vs_brute(spark):
+    """The degree-ordered wedge join (VERDICT r9 task 1) is a counting
+    strategy, not a semantics change: on a hub-skewed random graph the
+    per-vertex triangle counts equal the O(n³) brute-force definition
+    exactly — including a high-degree hub whose wedges now enumerate
+    at its low-degree spokes."""
+    from itertools import combinations
+
+    from hbase_snapshotter_spark.operators.dedup import triangle_stats
+
+    # hub 0 tied to everyone, plus a deterministic sparse remainder
+    n = 24
+    edges = {(0, v) for v in range(1, n)}
+    edges |= {(a, b) for a in range(1, n) for b in range(a + 1, n)
+              if (a * 7 + b * 13) % 5 == 0}
+    adj = {v: set() for v in range(n)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = {v: sum(1 for x, y in combinations(sorted(adj[v]), 2)
+                   if y in adj[x]) for v in range(n)}
+    df = spark.createDataFrame(sorted(edges), "id_a long, id_b long")
+    out = {r.id: r for r in triangle_stats(df).collect()}
+    assert {v: r.n_triangles for v, r in out.items()} == \
+        {v: c for v, c in want.items() if adj[v]}
+    assert out[0].degree == n - 1  # the hub really is skewed
+
+
+def test_shared_shingle_edges_max_df_bounds_join(spark):
+    """The similarity-graph guard (VERDICT r9 task 1): one boilerplate
+    shingle pasted into 10% of docs makes the uncapped inverted-index
+    self-join quadratic in the hot df; with ``max_df`` the hot shingle
+    is dropped, candidate pairs collapse to the organic overlaps, and
+    the surviving edges are exactly the uncapped edges minus
+    hot-shingle-only evidence."""
+    import pyspark.sql.functions as F
+
+    from hbase_snapshotter_spark.operators.dedup import (
+        _shingle_sets,
+        shared_shingle_edges,
+    )
+
+    boiler = "subscribe to our newsletter today"
+    rows = []
+    for i in range(100):
+        body = f"doc {i} body token{i % 4} alpha beta gamma token{i % 4}"
+        text = f"{boiler} {body}" if i % 10 == 0 else body
+        rows.append((i, text))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def candidate_pairs(max_df):
+        s = _shingle_sets(df, "doc_id", "text", 3, max_df)
+        dfreq = s.groupBy("shingle").agg(F.count(F.lit(1)).alias("d"))
+        return dfreq.select(
+            F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long")
+            .alias("p")).collect()[0].p
+
+    uncapped, capped = candidate_pairs(None), candidate_pairs(5)
+    # the 10-doc boilerplate block alone is C(10,2)=45 pairs *per
+    # boilerplate shingle*; capping removes every one of them
+    assert uncapped - capped >= 45 * 3
+    assert capped <= uncapped - 45 * 3
+
+    e_un = {(r.id_a, r.id_b): r.n_shared
+            for r in shared_shingle_edges(df, "doc_id",
+                                          min_shared=3).collect()}
+    e_cap = {(r.id_a, r.id_b): r.n_shared
+             for r in shared_shingle_edges(df, "doc_id", min_shared=3,
+                                           max_df=5).collect()}
+    # capped edges are a subset with evidence counts <= uncapped
+    for k, v in e_cap.items():
+        assert k in e_un and v <= e_un[k]
+    # and the boilerplate-only pairs are gone: docs 0 and 10 share
+    # ONLY the boilerplate shingles
+    assert (0, 10) in e_un and (0, 10) not in e_cap
+
+
 def test_real_resize_and_decimation_transforms(spark):
     """r9b real transforms on the real codecs: nearest-neighbor [::2]
     resize picks exactly the expected pixels (odd dims ceil-halve,
