@@ -3121,6 +3121,80 @@ def test_shared_shingle_edges_max_df_bounds_join(spark):
     assert (0, 10) in e_un and (0, 10) not in e_cap
 
 
+def test_advance_shingle_edges_equals_rebuild(spark):
+    """N122 incremental similarity-graph maintenance: advancing the
+    materialized (shingle index, edge list) state with only the delta
+    equals a full rebuild over the unioned corpus — including the two
+    hard cases the band-state advance never faces: a shingle whose df
+    CROSSES max_df when the delta lands (its history-only pairs lose
+    that evidence), and a doc-wins replacement that pulls a df back
+    UNDER the cap (history pairs regain it).  Re-delivery is a no-op."""
+    from hbase_snapshotter_spark.operators.dedup import (
+        advance_shingle_edges,
+        doc_shingles,
+        shared_shingle_edges,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    base = "alpha beta gamma delta epsilon zeta"
+    # history: docs 0-5 share a long run; docs 6,7 nearly hot shingle
+    hist_rows = [(i, f"{base} tail{i} end{i}") for i in range(6)]
+    hist_rows += [(6, "common one two three x y z"),
+                  (7, "common one two three p q r")]
+    hist = mk(hist_rows)
+    cap, ms = 4, 2
+
+    def rebuild(docs):
+        return shared_shingle_edges(docs, "doc_id", min_shared=ms,
+                                    max_df=cap)
+
+    def as_set(df):
+        return {(r.id_a, r.id_b, r.n_shared) for r in df.collect()}
+
+    state_sh = doc_shingles(hist, "doc_id", "text", 3)
+    state_e = rebuild(hist)
+
+    # delta: new doc 8 repeats the 0-5 run (pushes those shingles'
+    # df 6→7, already hot if cap<6? no: 'alpha beta gamma' df=6 > 4 is
+    # already hot) and new docs 9,10 push 'common one two' df 2→4→5
+    # ACROSS the cap; doc 6 is REPLACED with unrelated text, pulling
+    # 'one two three' back down
+    delta = mk([(8, f"{base} tail8 end8"),
+                (9, "common one two three j k l"),
+                (10, "common one two three m n o"),
+                (6, "totally different replacement text here")])
+    new_sh, new_e = advance_shingle_edges(
+        state_sh, state_e, delta, min_shared=ms, max_df=cap)
+    full = mk([r for r in hist_rows if r[0] != 6]
+              + [(8, f"{base} tail8 end8"),
+                 (9, "common one two three j k l"),
+                 (10, "common one two three m n o"),
+                 (6, "totally different replacement text here")])
+    assert as_set(new_e) == as_set(rebuild(full))
+    want_sh = {(r.doc_id, r.shingle)
+               for r in doc_shingles(full, "doc_id", "text", 3).collect()}
+    assert {(r.doc_id, r.shingle) for r in new_sh.collect()} == want_sh
+
+    # re-delivery of the same delta is a no-op
+    sh2, e2 = advance_shingle_edges(new_sh, new_e, delta,
+                                    min_shared=ms, max_df=cap)
+    assert as_set(e2) == as_set(new_e)
+    assert sh2.count() == new_sh.count()
+
+    # uncapped path: plain insert advance equals uncapped rebuild
+    sh3, e3 = advance_shingle_edges(
+        state_sh, state_e.filter(F.lit(False)), mk([]), min_shared=ms)
+    assert as_set(e3) == set()  # empty delta, empty edge state in
+    ins = mk([(11, f"{base} tail11 end11")])
+    _, e4 = advance_shingle_edges(
+        state_sh, shared_shingle_edges(hist, "doc_id", min_shared=ms),
+        ins, min_shared=ms)
+    assert as_set(e4) == as_set(shared_shingle_edges(
+        hist.unionByName(ins), "doc_id", min_shared=ms))
+
+
 def test_real_resize_and_decimation_transforms(spark):
     """r9b real transforms on the real codecs: nearest-neighbor [::2]
     resize picks exactly the expected pixels (odd dims ceil-halve,

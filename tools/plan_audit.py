@@ -132,6 +132,10 @@ def main() -> int:
                                         # lift denominator — N120)
         "dedup_component_stats",        # 1-row totals attach (the giant
                                         # share denominator — N121)
+        "doc_link_rank",                # 1-row advance_equals_rebuild
+                                        # flag attach (N122)
+        "doc_triangle_stats",           # 1-row advance_equals_rebuild
+                                        # flag attach (N122)
     }
 
     flags_total = 0
