@@ -145,7 +145,28 @@ def main() -> int:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from pyspark.sql import SparkSession
 
-    from hbase_snapshotter_spark.queries.registry import SESSION_DEFAULTS, QUERIES
+    from hbase_snapshotter_spark.queries.registry import (
+        SESSION_DEFAULTS,
+        QUERIES as _REGISTRY,
+    )
+
+    # r10: lanes folded into union suites keep their module functions
+    # but lose their registry key — the bench keeps timing the LANE so
+    # every per-query number stays comparable round-over-round (the
+    # suites are pure NULL-padded unions of these timed lanes, no
+    # extra compute of their own).
+    class _LaneResolver(dict):
+        def __missing__(self, name):
+            import hbase_snapshotter_spark.queries.llm as llm
+            import hbase_snapshotter_spark.queries.relational as rel
+            import hbase_snapshotter_spark.queries.streaming_q as stq
+            for mod in (llm, stq, rel):
+                fn = getattr(mod, name, None)
+                if callable(fn):
+                    return fn
+            raise KeyError(name)
+
+    QUERIES = _LaneResolver(_REGISTRY)
 
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")

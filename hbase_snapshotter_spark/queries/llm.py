@@ -1517,11 +1517,6 @@ ORDER BY doc_id
 """
 
 
-PAIRS.update({
-    "dedup_clusters": (dedup_clusters, _oracle_clusters()),
-})
-
-
 # ------------------- N15: end-to-end training-data quality filter
 def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-data shape: score every document, keep the ones that
@@ -1880,11 +1875,6 @@ SELECT c_custkey, contact,
          '[0-9][0-9][0-9]+', '[NUM]', 'g') AS scrubbed
 FROM c
 """
-
-
-PAIRS.update({
-    "text_scrub": (text_scrub, ORACLE_SCRUB),
-})
 
 
 # ------------- N15/N23/N27 over REAL newlines: multi-line corpus view
@@ -2291,11 +2281,6 @@ p AS (SELECT s[CAST(i AS INTEGER)] AS sym_a, s[CAST(i AS INTEGER) + 1] AS sym_b,
 SELECT sym_a, sym_b, CAST(c AS BIGINT) AS pair_count
 FROM p ORDER BY pair_count DESC, sym_a, sym_b LIMIT {BPE_TOP_PAIRS}
 """
-
-
-PAIRS.update({
-    "bpe_pair_mining": (bpe_pair_mining, ORACLE_BPE_PAIRS),
-})
 
 
 # ------------- N36: curriculum range-bucketing (quantile length shards)
@@ -3043,12 +3028,6 @@ ORDER BY b.query_id
 """
 
 
-PAIRS.update({
-    "embedding_truncation_audit": (embedding_truncation_audit,
-                                   ORACLE_TRUNCATION_AUDIT),
-})
-
-
 # ------- N71: weight-proportional sampling (Efraimidis–Spirakis)
 WS_SAMPLE_K = 20
 
@@ -3207,12 +3186,6 @@ ORDER BY jq.doc_id
 """
 
 
-PAIRS.update({
-    "dedup_cluster_representatives": (dedup_cluster_representatives,
-                                      _oracle_cluster_reps()),
-})
-
-
 # ------- N77: epoch-aware source replication (data-constrained mix)
 EPOCH_FACTORS = {"src0": 2.3, "src1": 0.5, "src2": 0.0}
 
@@ -3322,11 +3295,6 @@ HAVING COUNT(*) * 1000 >= {HH_SUPPORT_PERMILLE} * (SELECT n FROM tot)
 """
 
 
-PAIRS.update({
-    "token_heavy_hitters": (token_heavy_hitters, ORACLE_HEAVY_HITTERS),
-})
-
-
 #: Merge-list size for the registered BPE encode lane: enough to fully
 #: collapse the head of the fixture vocabulary (real tokenizers carry
 #: 10k-100k merges; the list is an artifact, its size changes no plan).
@@ -3401,8 +3369,47 @@ FROM d GROUP BY lang
 """
 
 
+#: Lane specs for the r10 bpe_suite fold (VERDICT r9 task 2):
+#: merge mining + tokenizer application/fertility accounting.
+_BPE_PAIRS_COLS = [
+    ("sym_a", "VARCHAR"), ("sym_b", "VARCHAR"),
+    ("pair_count", "BIGINT"),
+]
+_BPE_ENCODE_COLS = [
+    ("scope", "VARCHAR"), ("key", "VARCHAR"), ("n_docs", "BIGINT"),
+    ("n_words", "BIGINT"), ("roundtrip_ok", "BOOLEAN"),
+    ("tokens_bounded", "BOOLEAN"),
+]
+
+
+def bpe_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE suite — N35 + N42/N106 as lanes of ONE recorded key (r10
+    merge of the former standalone ``bpe_pair_mining`` and
+    ``bpe_encode_stats`` rows): adjacent-symbol merge mining over the
+    word counts and tokenizer application with per-doc/per-lang
+    accounting + invariant flags.  Row-disjoint lanes with typed NULL
+    padding; each keeps its standalone oracle inside the UNION ALL."""
+    from hbase_snapshotter_spark.queries.suites import union_lanes
+
+    return union_lanes([
+        ("pair_mining", bpe_pair_mining(spark, sf_dir),
+         _BPE_PAIRS_COLS),
+        ("encode_stats", bpe_encode_stats(spark, sf_dir),
+         _BPE_ENCODE_COLS),
+    ])
+
+
+def _oracle_bpe_suite() -> str:
+    from hbase_snapshotter_spark.queries.suites import union_lanes_sql
+
+    return union_lanes_sql([
+        ("pair_mining", ORACLE_BPE_PAIRS, _BPE_PAIRS_COLS),
+        ("encode_stats", ORACLE_BPE_ENCODE, _BPE_ENCODE_COLS),
+    ])
+
+
 PAIRS.update({
-    "bpe_encode_stats": (bpe_encode_stats, ORACLE_BPE_ENCODE),
+    "bpe_suite": (bpe_suite, _oracle_bpe_suite()),
 })
 
 
@@ -3847,11 +3854,6 @@ ps AS MATERIALIZED (
 {union}
 ORDER BY query_id, rank
 """
-
-
-PAIRS.update({
-    "mmr_diverse_topk": (mmr_diverse_topk, _oracle_mmr()),
-})
 
 
 STRAT_SAMPLE_N = 10
@@ -4556,8 +4558,41 @@ def _oracle_mmr_ivfpq() -> str:
     return _oracle_mmr(cand, extra_col=", TRUE AS recall_within_tolerance")
 
 
+#: Lane specs for the r10 mmr_topk_suite fold (VERDICT r9 task 2).
+_MMR_COLS = [
+    ("query_id", "BIGINT"), ("rank", "INTEGER"), ("cand_id", "BIGINT"),
+    ("rel", "DOUBLE"), ("div_penalty", "DOUBLE"),
+    ("mmr_score", "DOUBLE"),
+]
+_MMR_IVFPQ_COLS = _MMR_COLS + [("recall_within_tolerance", "BOOLEAN")]
+
+
+def mmr_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR re-ranking suite — both candidate generators as lanes of
+    ONE recorded key (r10 merge of the former standalone
+    ``mmr_diverse_topk`` and ``mmr_ivfpq_topk`` rows): the exact
+    brute-force candidate pool and the IVFPQ ANN pool (with its
+    in-hash recall flag), each greedily re-ranked by the identical
+    λ·rel − μ·max-sim rule the oracle unrolls step by step."""
+    from hbase_snapshotter_spark.queries.suites import union_lanes
+
+    return union_lanes([
+        ("brute", mmr_diverse_topk(spark, sf_dir), _MMR_COLS),
+        ("ivfpq", mmr_ivfpq_topk(spark, sf_dir), _MMR_IVFPQ_COLS),
+    ])
+
+
+def _oracle_mmr_topk_suite() -> str:
+    from hbase_snapshotter_spark.queries.suites import union_lanes_sql
+
+    return union_lanes_sql([
+        ("brute", _oracle_mmr(), _MMR_COLS),
+        ("ivfpq", _oracle_mmr_ivfpq(), _MMR_IVFPQ_COLS),
+    ])
+
+
 PAIRS.update({
-    "mmr_ivfpq_topk": (mmr_ivfpq_topk, _oracle_mmr_ivfpq()),
+    "mmr_topk_suite": (mmr_topk_suite, _oracle_mmr_topk_suite()),
 })
 
 
@@ -4784,12 +4819,6 @@ ORDER BY doc_id
 """
 
 
-PAIRS.update({
-    "multimodal_audio_stats": (multimodal_audio_stats,
-                               ORACLE_MULTIMODAL_AUDIO),
-})
-
-
 def multimodal_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The video third of the N16 real-codec surface (N105): one
     deterministic uncompressed AVI per document (constant-pixel BGR
@@ -4829,9 +4858,51 @@ ORDER BY doc_id, frame_idx
 """
 
 
+#: Lane specs for the r10 multimodal_av_stats fold (VERDICT r9
+#: task 2): the real WAV and AVI codec lanes share one recorded key.
+_WAV_COLS = [
+    ("doc_id", "BIGINT"), ("wav_sample_rate", "INTEGER"),
+    ("wav_channels", "INTEGER"), ("wav_n_frames", "INTEGER"),
+    ("wav_duration_ms", "BIGINT"), ("wav_peak", "INTEGER"),
+    ("wav_rms", "DOUBLE"), ("wav_half_rate", "INTEGER"),
+    ("wav_half_frames", "INTEGER"), ("wav_half_duration_ms", "BIGINT"),
+    ("wav_half_peak", "INTEGER"), ("wav_half_rms", "DOUBLE"),
+]
+_AVI_COLS = [
+    ("doc_id", "BIGINT"), ("avi_width", "INTEGER"),
+    ("avi_height", "INTEGER"), ("avi_n_frames", "INTEGER"),
+    ("avi_duration_ms", "BIGINT"), ("n_sampled", "INTEGER"),
+    ("frame_idx", "INTEGER"), ("frame_mean_milli", "BIGINT"),
+]
+
+
+def multimodal_av_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio/video codec suite — the WAV decode/decimate lane and the
+    AVI decode/frame-sample lane as lanes of ONE recorded key (r10
+    merge of the former standalone ``multimodal_audio_stats`` and
+    ``multimodal_video_stats`` rows).  Row-disjoint lanes with typed
+    NULL padding; each keeps its standalone oracle inside the
+    UNION ALL."""
+    from hbase_snapshotter_spark.queries.suites import union_lanes
+
+    return union_lanes([
+        ("wav", multimodal_audio_stats(spark, sf_dir), _WAV_COLS),
+        ("avi", multimodal_video_stats(spark, sf_dir), _AVI_COLS),
+    ])
+
+
+def _oracle_multimodal_av_stats() -> str:
+    from hbase_snapshotter_spark.queries.suites import union_lanes_sql
+
+    return union_lanes_sql([
+        ("wav", ORACLE_MULTIMODAL_AUDIO, _WAV_COLS),
+        ("avi", ORACLE_MULTIMODAL_VIDEO, _AVI_COLS),
+    ])
+
+
 PAIRS.update({
-    "multimodal_video_stats": (multimodal_video_stats,
-                               ORACLE_MULTIMODAL_VIDEO),
+    "multimodal_av_stats": (multimodal_av_stats,
+                            _oracle_multimodal_av_stats()),
 })
 
 
@@ -4940,9 +5011,48 @@ ORDER BY label, dim
 """
 
 
+#: Lane specs for the r10 embedding_analysis_suite fold (VERDICT r9
+#: task 2): Matryoshka truncation audit + label centroid pooling.
+_TRUNC_COLS = [
+    ("query_id", "BIGINT"), ("n_returned", "INTEGER"),
+    ("hits", "INTEGER"), ("overlap_at_k", "DOUBLE"),
+]
+_CENTROID_COLS = [
+    ("label", "VARCHAR"), ("dim", "INTEGER"),
+    ("n_vectors", "BIGINT"), ("mean_micro", "BIGINT"),
+]
+
+
+def embedding_analysis_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-analysis suite — N70 + N109 as lanes of ONE recorded
+    key (r10 merge of the former standalone
+    ``embedding_truncation_audit`` and ``embedding_label_centroids``
+    rows): the Matryoshka truncation acceptance audit and exact
+    fixed-point per-label centroid pooling.  Row-disjoint lanes with
+    typed NULL padding; each keeps its standalone oracle inside the
+    UNION ALL."""
+    from hbase_snapshotter_spark.queries.suites import union_lanes
+
+    return union_lanes([
+        ("truncation_audit", embedding_truncation_audit(spark, sf_dir),
+         _TRUNC_COLS),
+        ("label_centroids", embedding_label_centroids(spark, sf_dir),
+         _CENTROID_COLS),
+    ])
+
+
+def _oracle_embedding_analysis_suite() -> str:
+    from hbase_snapshotter_spark.queries.suites import union_lanes_sql
+
+    return union_lanes_sql([
+        ("truncation_audit", ORACLE_TRUNCATION_AUDIT, _TRUNC_COLS),
+        ("label_centroids", ORACLE_LABEL_CENTROIDS, _CENTROID_COLS),
+    ])
+
+
 PAIRS.update({
-    "embedding_label_centroids": (embedding_label_centroids,
-                                  ORACLE_LABEL_CENTROIDS),
+    "embedding_analysis_suite": (embedding_analysis_suite,
+                                 _oracle_embedding_analysis_suite()),
 })
 
 
@@ -5009,11 +5119,6 @@ FROM cm JOIN tot USING (actual_lang)
 """
 
 
-PAIRS.update({
-    "langid_confusion": (langid_confusion, _oracle_langid_confusion()),
-})
-
-
 def collocation_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining (N111): top-50 adjacent word pairs by PMI
     lift over the documents corpus (min pair count 5) — phrase
@@ -5052,8 +5157,63 @@ LIMIT 50
 """
 
 
+#: Lane specs for the r10 text_mining_suite fold (VERDICT r9 task 2):
+#: the language-ID eval matrix, PMI collocation mining, Misra-Gries
+#: heavy hitters, and the PII scrub rewrite share one recorded key.
+_LANGID_COLS = [
+    ("actual_lang", "VARCHAR"), ("predicted_lang", "VARCHAR"),
+    ("n_docs", "BIGINT"), ("share_permille", "BIGINT"),
+    ("correct", "BOOLEAN"),
+]
+_COLLOC_COLS = [
+    ("w1", "VARCHAR"), ("w2", "VARCHAR"), ("n_pair", "BIGINT"),
+    ("n_first", "BIGINT"), ("n_second", "BIGINT"),
+    ("n_total", "BIGINT"), ("lift", "DOUBLE"),
+]
+_HH_COLS = [
+    ("token", "VARCHAR"), ("n_occurrences", "BIGINT"),
+    ("share", "DOUBLE"),
+]
+_SCRUB_COLS = [
+    ("c_custkey", "BIGINT"), ("contact", "VARCHAR"),
+    ("scrubbed", "VARCHAR"),
+]
+
+
+def text_mining_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-mining suite — N110 + N111 + N41 + the scrub rewrite as
+    lanes of ONE recorded key (r10 merge of the former standalone
+    ``langid_confusion``, ``collocation_mining``,
+    ``token_heavy_hitters`` and ``text_scrub`` rows).  Lanes are
+    row-disjoint with typed NULL padding; each keeps its standalone
+    oracle inside the UNION ALL, so the driver hash still pins every
+    lane bit-for-bit."""
+    from hbase_snapshotter_spark.queries.suites import union_lanes
+
+    return union_lanes([
+        ("langid_confusion", langid_confusion(spark, sf_dir),
+         _LANGID_COLS),
+        ("collocations", collocation_mining(spark, sf_dir),
+         _COLLOC_COLS),
+        ("heavy_hitters", token_heavy_hitters(spark, sf_dir), _HH_COLS),
+        ("scrub", text_scrub(spark, sf_dir), _SCRUB_COLS),
+    ])
+
+
+def _oracle_text_mining_suite() -> str:
+    from hbase_snapshotter_spark.queries.suites import union_lanes_sql
+
+    return union_lanes_sql([
+        ("langid_confusion", _oracle_langid_confusion(), _LANGID_COLS),
+        ("collocations", ORACLE_COLLOCATIONS, _COLLOC_COLS),
+        ("heavy_hitters", ORACLE_HEAVY_HITTERS, _HH_COLS),
+        ("scrub", ORACLE_SCRUB, _SCRUB_COLS),
+    ])
+
+
 PAIRS.update({
-    "collocation_mining": (collocation_mining, ORACLE_COLLOCATIONS),
+    "text_mining_suite": (text_mining_suite,
+                          _oracle_text_mining_suite()),
 })
 
 
@@ -5396,7 +5556,59 @@ GROUP BY size, tot.max_size, tot.n_docs
 """
 
 
+#: Lane specs for the r10 dedup_cluster_suite fold (VERDICT r9
+#: task 2): component labels + leak audit, quality-ranked
+#: representatives, and the component-size health histogram — all
+#: consumers of the shared pair/component stages.
+_CLUSTERS_COLS = [
+    ("doc_id", "BIGINT"), ("cluster_id", "BIGINT"),
+    ("split", "VARCHAR"), ("doc_split", "VARCHAR"),
+    ("doc_leaked_pairs", "INTEGER"), ("cluster_leak_free", "BOOLEAN"),
+]
+_REPS_COLS = [
+    ("doc_id", "BIGINT"), ("cluster_id", "BIGINT"),
+    ("quality_score", "DOUBLE"), ("representative_id", "BIGINT"),
+    ("cluster_size", "BIGINT"), ("is_representative", "BOOLEAN"),
+]
+_COMPONENT_STATS_COLS = [
+    ("size", "BIGINT"), ("n_components", "BIGINT"),
+    ("n_docs", "BIGINT"), ("giant_share_permille", "BIGINT"),
+]
+
+
+def dedup_cluster_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-cluster suite — N62-consumers as lanes of ONE recorded
+    key (r10 merge of the former standalone ``dedup_clusters``,
+    ``dedup_cluster_representatives`` and ``dedup_component_stats``
+    rows): per-doc component labels with the cross-split leak audit,
+    quality-argmax keeper selection, and the component-size
+    distribution with giant-component share.  All three consume the
+    session-shared pair/component stages, so the suite pays the
+    closure once.  Row-disjoint lanes with typed NULL padding; each
+    keeps its standalone oracle inside the UNION ALL."""
+    from hbase_snapshotter_spark.queries.suites import union_lanes
+
+    return union_lanes([
+        ("clusters", dedup_clusters(spark, sf_dir), _CLUSTERS_COLS),
+        ("representatives",
+         dedup_cluster_representatives(spark, sf_dir), _REPS_COLS),
+        ("component_stats", dedup_component_stats(spark, sf_dir),
+         _COMPONENT_STATS_COLS),
+    ])
+
+
+def _oracle_dedup_cluster_suite() -> str:
+    from hbase_snapshotter_spark.queries.suites import union_lanes_sql
+
+    return union_lanes_sql([
+        ("clusters", _oracle_clusters(), _CLUSTERS_COLS),
+        ("representatives", _oracle_cluster_reps(), _REPS_COLS),
+        ("component_stats", _oracle_component_stats(),
+         _COMPONENT_STATS_COLS),
+    ])
+
+
 PAIRS.update({
-    "dedup_component_stats": (dedup_component_stats,
-                              _oracle_component_stats()),
+    "dedup_cluster_suite": (dedup_cluster_suite,
+                            _oracle_dedup_cluster_suite()),
 })

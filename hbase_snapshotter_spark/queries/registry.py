@@ -74,8 +74,6 @@ _ALL_PAIRS.update({
                             snapshot_q.oracle_snapshot_compaction()),
     "schema_evolution_diff": (snapshot_q.q_schema_evolution_diff,
                               snapshot_q.oracle_schema_evolution_diff()),
-    "sketch_distinct_maintenance": (snapshot_q.q_sketch_distinct_maintenance,
-                                    snapshot_q.oracle_sketch_distinct_maintenance()),
     "scd2_event_history": (snapshot_q.q_scd2_event_history,
                            snapshot_q.oracle_scd2_event_history()),
     "state_changefeed": (snapshot_q.q_state_changefeed,
@@ -86,8 +84,6 @@ _ALL_PAIRS.update({
                             snapshot_q.oracle_topk_delete_advance()),
     "scd2_lookup_purchases": (snapshot_q.q_scd2_lookup_purchases,
                               snapshot_q.oracle_scd2_lookup_purchases()),
-    "sketch_set_cardinalities": (snapshot_q.q_sketch_set_cardinalities,
-                                 snapshot_q.oracle_sketch_set_cardinalities()),
     "snapshot_bucket_diff": (snapshot_q.q_snapshot_bucket_diff,
                              snapshot_q.oracle_snapshot_bucket_diff()),
 })
@@ -95,21 +91,25 @@ _ALL_PAIRS.update({
 #: The correctness harness records at most 50 query rows (observed in
 #: round 2 — `COVERAGE.md`), and it preserves registration order; the
 #: five snapshot queries above occupy slots 1-5.  Round 9
-#: (VERDICT r8 task 2) makes the window ROTATING: slots 6-30 pin the
-#: structural lane-union suites (each carries several folded operator
-#: lanes — losing one from the record loses many capabilities), and
-#: slots 31-50 rotate deterministically over every remaining key so
-#: each standalone query is driver-recorded at least every
-#: ceil(pool/20) rounds (~4 at the round-9b surface of 110 keys)
-#: instead of never.
+#: (VERDICT r8 task 2) made the window ROTATING; round 10 (VERDICT r9
+#: task 2) consolidates the registry from 111 to 89 keys via twelve
+#: lane-union suites AND shrinks the pinned set to the 17
+#: heaviest-fold structural suites, so the free rotation window grows
+#: to 28 slots and every unpinned key is driver-recorded at least
+#: every ceil(67/28) = 3 rounds (mean cadence 2.4) instead of ~4.
 #: The rotation clock is the repo itself: round N starts with exactly
 #: CORRECTNESS_r{1..N-1}.json present, so the artifact count advances
 #: by one per round with no driver cooperation — the same build is
 #: fully deterministic within a round (pytest, oracle_check and the
 #: driver all see one rotation).
 _PINNED = [
-    # relative order preserved from r8 for round-over-round familiarity
-    "q1_pricing_summary",
+    # relative order preserved from r8/r9 for round-over-round
+    # familiarity; entries dropped here in r10 (q1_pricing_summary,
+    # pipeline_quality_filter, scd2_event_history, state_changefeed,
+    # profile_lineitem, neardup_novelty_delta, dedup_clusters_delta,
+    # events_drift_psi) rotate with the pool — each is a single-lane
+    # key whose loss from one round's record costs one capability, not
+    # many.
     "join_customer_orders_suite",   # equi/semi/anti/outer lanes
     "agg_rollup_cube",              # rollup/cube/grouping-sets/pivot
     "scalar_suite", "window_rank_suite",
@@ -120,35 +120,88 @@ _PINNED = [
     "embedding_near_dup_suite",     # cosine pairs + LSH + SemDeDup
     "multimodal_payload_stats", "udf_udtf_suite",
     "similarity_topk_ivf_suite",    # IVF + PQ + IVFPQ lanes
-    "pipeline_quality_filter",
     "sample_split_assignments",     # weighted/stratified/epoch folds
     "stream_window_suite",          # tumble/slide/session lanes
-    "scd2_event_history", "state_changefeed",
-    "profile_lineitem",
     "events_timeseries_suite",      # resample/gapfill/rolling/EWMA
     "events_sketch_norm_suite",     # quantile-rank + winsorize
     "sketch_maintenance_suite",     # HLL/CMS/DDSketch maintenance
-    "neardup_novelty_delta", "dedup_clusters_delta",
-    "events_drift_psi",
 ]
 _RECORDED_SLOTS = 50
 _FREE = _RECORDED_SLOTS - 5 - len(_PINNED)
 
 
-def _round_index() -> int:
-    """Driver round number observed from the committed artifacts:
-    round N runs with CORRECTNESS_r{1..N-1}.json in the repo root."""
+#: r10 lane-union suites → the standalone keys whose driver-recorded
+#: history they inherit (each lane's values are bit-identical columns
+#: of the suite's rows, so a lane recorded in round N means the
+#: suite's content was hash-verified then).  Shared with
+#: tools/coverage_ledger.py.
+SUITE_LINEAGE = {
+    "events_stats_suite": ["events_robust_center", "events_trend_ols",
+                           "events_cusum_drift"],
+    "text_mining_suite": ["langid_confusion", "collocation_mining",
+                          "token_heavy_hitters", "text_scrub"],
+    "embedding_analysis_suite": ["embedding_truncation_audit",
+                                 "embedding_label_centroids"],
+    "event_sequence_suite": ["event_transition_matrix",
+                             "event_top_paths", "event_session_stats"],
+    "event_funnel_suite": ["event_pattern_funnel", "event_attribution",
+                           "funnel_cohort_retention"],
+    "mmr_topk_suite": ["mmr_diverse_topk", "mmr_ivfpq_topk"],
+    "layout_audit_suite": ["zorder_layout_audit", "range_layout_audit",
+                           "compaction_plan_audit",
+                           "shard_rebalance_stats"],
+    "temporal_join_suite": ["asof_latest_order", "range_join_price_band",
+                            "join_full_outer_eras"],
+    "sketch_cardinality_suite": ["agg_approx_distinct",
+                                 "sketch_distinct_maintenance",
+                                 "sketch_set_cardinalities"],
+    "bpe_suite": ["bpe_pair_mining", "bpe_encode_stats"],
+    "multimodal_av_stats": ["multimodal_audio_stats",
+                            "multimodal_video_stats"],
+    "dedup_cluster_suite": ["dedup_clusters", "dedup_component_stats",
+                            "dedup_cluster_representatives"],
+}
+
+
+def _last_recorded() -> dict[str, int]:
+    """Per-key latest driver-recorded round, read from the committed
+    CORRECTNESS_r*.json artifacts — the rotation clock.  Artifacts
+    only change between rounds (the driver commits each round's file
+    before the next round starts), so pytest, oracle_check and the
+    driver all see ONE deterministic rotation within a round.  Merged
+    suites inherit their lanes' history via SUITE_LINEAGE (min over
+    lanes: the suite is only as fresh as its stalest lane)."""
     import glob
+    import json
     import os
+    import re
     root = os.path.dirname(os.path.dirname(
         os.path.dirname(os.path.abspath(__file__))))
-    return len(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))) + 1
+    last: dict[str, int] = {}
+    for f in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        try:
+            keys = list(json.load(open(f)))
+        except (OSError, ValueError):
+            continue
+        for key in keys:
+            last[key] = max(last.get(key, 0), rnd)
+    for suite, lanes in SUITE_LINEAGE.items():
+        vals = [last.get(x, 0) for x in lanes]
+        last.setdefault(suite, min(vals) if vals else 0)
+    return last
 
 
-_pool = sorted(k for k in _ALL_PAIRS if k not in _PINNED)
-_start = ((_round_index() - 1) * _FREE) % max(len(_pool), 1)
-_rotated = [_pool[(_start + i) % len(_pool)]
-            for i in range(min(_FREE, len(_pool)))]
+# Least-recently-recorded-first rotation (r10, VERDICT r9 tasks 2+7):
+# each round the _FREE slots take the STALEST pool keys (ties by
+# name), so every key's record age is bounded by ceil(pool/_FREE) = 3
+# rounds BY CONSTRUCTION — never-recorded keys (age 0) take slots
+# first, and a key can never starve the way a fixed modular clock
+# allows when the pool membership shifts between rounds.
+_last = _last_recorded()
+_pool = sorted((k for k in _ALL_PAIRS if k not in _PINNED),
+               key=lambda k: (_last.get(k, 0), k))
+_rotated = _pool[:_FREE]
 
 for _name in _PINNED + _rotated:
     _fn, _oracle = _ALL_PAIRS.pop(_name)
@@ -156,7 +209,7 @@ for _name in _PINNED + _rotated:
 
 # Slots 51+: this round's rotated-out keys — each is ALSO folded as
 # columns into a recorded key (see COVERAGE.md) or pytest-pinned, and
-# takes a recorded slot again within ceil(pool/20) rounds.
+# takes a recorded slot again within ceil(pool/_FREE) rounds.
 for _name in sorted(_ALL_PAIRS):
     _fn, _oracle = _ALL_PAIRS[_name]
     register(_name, _fn, _oracle)

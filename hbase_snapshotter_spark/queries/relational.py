@@ -489,8 +489,6 @@ PAIRS = {
                                    ORACLE_CUSTOMER_ORDERS),
     "agg_rollup_cube": (agg_rollup_cube, ORACLE_ROLLUP_CUBE),
     "scalar_suite": (scalar_suite, ORACLE_SCALAR),
-    "asof_latest_order": (asof_latest_order, ORACLE_ASOF),
-    "range_join_price_band": (range_join_price_band, ORACLE_RANGE),
 }
 
 
@@ -630,8 +628,58 @@ FROM embeddings
 # --------------------------------------------- JSON function suite (N11)
 PAIRS.update({
     "skew_salted_agg": (skew_salted_agg, ORACLE_SALTED),
-    "join_full_outer_eras": (join_full_outer_eras, ORACLE_FULL_OUTER),
     "scalar_array_suite": (scalar_array_suite, ORACLE_ARRAY),
+})
+
+
+#: Lane specs for the r10 temporal_join_suite fold (VERDICT r9
+#: task 2): as-of join, band range join, full-outer era comparison.
+_ASOF_COLS = [
+    ("event_id", "BIGINT"), ("user_id", "BIGINT"),
+    ("o_orderkey", "BIGINT"), ("o_totalprice", "DOUBLE"),
+]
+_RANGE_JOIN_COLS = [
+    ("p_brand", "VARCHAR"), ("n_lines", "BIGINT"),
+    ("sum_price", "DOUBLE"),
+]
+_FULL_OUTER_COLS = [
+    ("custkey", "BIGINT"), ("early_spend", "DOUBLE"),
+    ("late_spend", "DOUBLE"), ("tag", "VARCHAR"),
+]
+
+
+def temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal/range join suite — the as-of join, the price-band
+    range join, and the full-outer era comparison as lanes of ONE
+    recorded key (r10 merge of the former standalone
+    ``asof_latest_order``, ``range_join_price_band`` and
+    ``join_full_outer_eras`` rows) — the non-equi join family.
+    Row-disjoint lanes with typed NULL padding; each keeps its
+    standalone oracle inside the UNION ALL."""
+    from hbase_snapshotter_spark.queries.suites import union_lanes
+
+    return union_lanes([
+        ("asof", asof_latest_order(spark, sf_dir), _ASOF_COLS),
+        ("range_band", range_join_price_band(spark, sf_dir),
+         _RANGE_JOIN_COLS),
+        ("full_outer_eras", join_full_outer_eras(spark, sf_dir),
+         _FULL_OUTER_COLS),
+    ])
+
+
+def _oracle_temporal_join_suite() -> str:
+    from hbase_snapshotter_spark.queries.suites import union_lanes_sql
+
+    return union_lanes_sql([
+        ("asof", ORACLE_ASOF, _ASOF_COLS),
+        ("range_band", ORACLE_RANGE, _RANGE_JOIN_COLS),
+        ("full_outer_eras", ORACLE_FULL_OUTER, _FULL_OUTER_COLS),
+    ])
+
+
+PAIRS.update({
+    "temporal_join_suite": (temporal_join_suite,
+                            _oracle_temporal_join_suite()),
 })
 
 
@@ -702,8 +750,75 @@ ORACLE_APPROX_DISTINCT = (
 )
 
 
+#: Lane specs for the r10 sketch_cardinality_suite fold (VERDICT r9
+#: task 2): approx-distinct/quantile envelopes, HLL maintenance, and
+#: sketch-algebra set cardinalities.
+_APPROX_DISTINCT_COLS = [
+    ("grp_kind", "VARCHAR"), ("grp_key", "VARCHAR"),
+    ("n_customers", "BIGINT"), ("n_orders", "BIGINT"),
+    ("median_price", "DOUBLE"), ("p90_price", "DOUBLE"),
+    ("min_price", "DOUBLE"), ("max_price", "DOUBLE"),
+    ("count_within_tolerance", "BOOLEAN"),
+    ("median_within_tolerance", "BOOLEAN"),
+]
+_SKETCH_MAINT_COLS = [
+    ("event_type", "VARCHAR"), ("exact_distinct_users", "BIGINT"),
+    ("est_within_tolerance", "BOOLEAN"),
+    ("merged_within_tolerance", "BOOLEAN"),
+    ("advance_within_tolerance", "BOOLEAN"),
+]
+_SKETCH_SETS_COLS = [
+    ("event_type", "VARCHAR"), ("n_a", "BIGINT"), ("n_b", "BIGINT"),
+    ("n_union", "BIGINT"), ("n_intersection", "BIGINT"),
+    ("n_a_only", "BIGINT"), ("n_b_only", "BIGINT"),
+]
+
+
+def sketch_cardinality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-cardinality suite — the approx distinct/quantile
+    envelope audit, incremental HLL state maintenance, and
+    inclusion-exclusion set algebra as lanes of ONE recorded key (r10
+    merge of the former standalone ``agg_approx_distinct``,
+    ``sketch_distinct_maintenance`` and ``sketch_set_cardinalities``
+    rows).  Row-disjoint lanes with typed NULL padding; each keeps its
+    standalone oracle inside the UNION ALL."""
+    from hbase_snapshotter_spark.queries.snapshot_q import (
+        q_sketch_distinct_maintenance,
+        q_sketch_set_cardinalities,
+    )
+    from hbase_snapshotter_spark.queries.suites import union_lanes
+
+    return union_lanes([
+        ("approx_distinct", agg_approx_distinct(spark, sf_dir),
+         _APPROX_DISTINCT_COLS),
+        ("hll_maintenance",
+         q_sketch_distinct_maintenance(spark, sf_dir),
+         _SKETCH_MAINT_COLS),
+        ("set_cardinalities", q_sketch_set_cardinalities(spark, sf_dir),
+         _SKETCH_SETS_COLS),
+    ])
+
+
+def _oracle_sketch_cardinality_suite() -> str:
+    from hbase_snapshotter_spark.queries.snapshot_q import (
+        oracle_sketch_distinct_maintenance,
+        oracle_sketch_set_cardinalities,
+    )
+    from hbase_snapshotter_spark.queries.suites import union_lanes_sql
+
+    return union_lanes_sql([
+        ("approx_distinct", ORACLE_APPROX_DISTINCT,
+         _APPROX_DISTINCT_COLS),
+        ("hll_maintenance", oracle_sketch_distinct_maintenance(),
+         _SKETCH_MAINT_COLS),
+        ("set_cardinalities", oracle_sketch_set_cardinalities(),
+         _SKETCH_SETS_COLS),
+    ])
+
+
 PAIRS.update({
-    "agg_approx_distinct": (agg_approx_distinct, ORACLE_APPROX_DISTINCT),
+    "sketch_cardinality_suite": (sketch_cardinality_suite,
+                                 _oracle_sketch_cardinality_suite()),
 })
 
 
@@ -1011,11 +1126,6 @@ FROM per ORDER BY zbucket
 """
 
 
-PAIRS.update({
-    "zorder_layout_audit": (zorder_layout_audit, _oracle_zorder()),
-})
-
-
 # ---------------------------------------------- N69: constraint audit
 def constraint_audit_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative constraint audit (N69) over the warehouse core:
@@ -1271,6 +1381,69 @@ def advisor_strategy_col():
 
 
 
+def _join_size_estimate_sketch_only(orders, cust, li, ev) -> DataFrame:
+    """The PRODUCTION shape of :func:`join_size_estimate` (VERDICT r9
+    task 4): per pair — plain non-null counts (one map-side-combined
+    scan each, no per-key shuffle), the CMS inner-product size
+    estimate, a CMS-derived max-multiplicity UPPER BOUND
+    (``min over depths of that depth's max cell`` — for every key k,
+    count(k) ≤ cms[d][h_d(k)] ≤ max_w cms[d][w] at every depth), and
+    the advisor strategy applied to those statistics.  The exact join
+    aggregation and the per-key group-bys exist ONLY at fixture sfs
+    (the oracle-audited shape); here the whole plan is two scans plus
+    D×W-row sketch algebra."""
+    from hbase_snapshotter_spark.operators.sketches import (
+        CMS_JOIN_WIDTH,
+        cms_join_size,
+        cms_state,
+    )
+
+    def side_stats(df: DataFrame, key: str, prefix: str) -> DataFrame:
+        nn = df.filter(F.col(key).isNotNull())
+        n = nn.agg(F.count(F.lit(1)).cast("long").alias(f"n_{prefix}"))
+        sk = cms_state(nn.select(F.col(key).cast("string").alias("__k")),
+                       "__k", group_cols=[], width=CMS_JOIN_WIDTH)
+        mx = (sk.groupBy("depth").agg(F.max("cnt").alias("__m"))
+              .agg(F.min("__m").cast("long")
+                   .alias(f"est_max_rows_{prefix}")))
+        return n.crossJoin(mx)
+
+    def lane(tag: str, a: DataFrame, ka: str, b: DataFrame,
+             kb: str) -> DataFrame:
+        est = cms_join_size(a, ka, b, kb)
+        stats = side_stats(a, ka, "left").crossJoin(
+            side_stats(b, kb, "right"))
+        skew = (
+            (F.col("est_max_rows_left") * 1000
+             > ADVISOR_SKEW_PERMILLE * F.col("n_left"))
+            | (F.col("est_max_rows_right") * 1000
+               > ADVISOR_SKEW_PERMILLE * F.col("n_right")))
+        strategy = (
+            F.when(F.least("n_left", "n_right") <= ADVISOR_BROADCAST_ROWS,
+                   F.when(F.col("n_right") <= F.col("n_left"),
+                          F.lit("broadcast_right"))
+                   .otherwise(F.lit("broadcast_left")))
+            .when(skew, F.lit("salted_shuffle"))
+            .otherwise(F.lit("sort_merge")))
+        return stats.crossJoin(est).select(
+            F.lit(tag).alias("pair"), "n_left", "n_right",
+            "est_max_rows_left", "est_max_rows_right", "est_rows",
+            strategy.alias("strategy"))
+
+    mid = F.lit("1997-07-01")
+    return (
+        lane("orders_customer_custkey", orders, "o_custkey",
+             cust, "c_custkey")
+        .unionAll(lane("lineitem_halves_partkey",
+                       li.filter(F.col("l_shipdate") < mid), "l_partkey",
+                       li.filter(F.col("l_shipdate") >= mid), "l_partkey"))
+        .unionAll(lane("events_touch_purchase_user",
+                       ev.filter(F.col("event_type").isin("view", "click")),
+                       "user_id",
+                       ev.filter(F.col("event_type") == "purchase"),
+                       "user_id")))
+
+
 # ------------------------------- N103: sketch-based join-size estimation
 def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-cardinality estimation from CMS sketches (N103) — the
@@ -1298,10 +1471,15 @@ def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         cms_join_size,
     )
 
+    from hbase_snapshotter_spark.queries.gating import exact_audit_enabled
+
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     li = _t(spark, sf_dir, "lineitem")
     ev = _t(spark, sf_dir, "events")
+
+    if not exact_audit_enabled(sf_dir):
+        return _join_size_estimate_sketch_only(orders, cust, li, ev)
 
     def lane(tag: str, a: DataFrame, ka: str, b: DataFrame,
              kb: str) -> DataFrame:

@@ -291,11 +291,6 @@ GROUP BY cohort_week, week
 """
 
 
-PAIRS.update({
-    "funnel_cohort_retention": (funnel_cohort_retention, ORACLE_FUNNEL_COHORT),
-})
-
-
 # ------------------------- N59: time-bucket resample + gap fill (r7)
 #: 30-minute buckets over the fixture's 30-day span: ~1 440 grid rows
 #: per event type with a real gap fraction (~25 % empty at sf0.01), so
@@ -958,11 +953,6 @@ ORDER BY pb.event_type, pb.method, pb.bucket
 """
 
 
-PAIRS.update({
-    "range_layout_audit": (range_layout_audit, _oracle_range_layout()),
-})
-
-
 def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OHLC time bars over the event stream (N87): per (event_type,
     30-min bucket) the open/high/low/close with count and exact sum —
@@ -1120,12 +1110,6 @@ ORDER BY p.from_state, p.to_state
 """
 
 
-PAIRS.update({
-    "event_transition_matrix": (event_transition_matrix,
-                                _oracle_transition_matrix()),
-})
-
-
 PATHS_STEPS, PATHS_K = 3, 20
 
 
@@ -1161,11 +1145,6 @@ GROUP BY 1, 2, 3
 ORDER BY n_paths DESC, step_1, step_2, step_3
 LIMIT {PATHS_K}
 """
-
-
-PAIRS.update({
-    "event_top_paths": (event_top_paths, _oracle_top_paths()),
-})
 
 
 SESSION_GAP_MS = 30 * 60 * 1000
@@ -1220,8 +1199,54 @@ FROM sess
 """
 
 
+#: Lane specs for the r10 event_sequence_suite fold (VERDICT r9
+#: task 2): Markov transitions, top user journeys, sessionization
+#: economics.
+_TRANSITION_COLS = [
+    ("from_state", "VARCHAR"), ("to_state", "VARCHAR"),
+    ("n_transitions", "BIGINT"), ("prob_permille", "BIGINT"),
+]
+_PATHS_COLS = [
+    ("step_1", "VARCHAR"), ("step_2", "VARCHAR"), ("step_3", "VARCHAR"),
+    ("n_paths", "BIGINT"),
+]
+_SESSION_COLS = [
+    ("n_sessions", "BIGINT"), ("bounce_permille", "BIGINT"),
+    ("avg_events_per_session", "DOUBLE"), ("avg_span_s", "DOUBLE"),
+]
+
+
+def event_sequence_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence suite — N91 + N92 + N93 as lanes of ONE recorded
+    key (r10 merge of the former standalone ``event_transition_matrix``,
+    ``event_top_paths`` and ``event_session_stats`` rows): the
+    first-order transition matrix, the top-20 3-step journeys, and the
+    gaps-and-islands sessionization economics.  Row-disjoint lanes
+    with typed NULL padding; each keeps its standalone oracle inside
+    the UNION ALL."""
+    from hbase_snapshotter_spark.queries.suites import union_lanes
+
+    return union_lanes([
+        ("transitions", event_transition_matrix(spark, sf_dir),
+         _TRANSITION_COLS),
+        ("top_paths", event_top_paths(spark, sf_dir), _PATHS_COLS),
+        ("sessions", event_session_stats(spark, sf_dir), _SESSION_COLS),
+    ])
+
+
+def _oracle_event_sequence_suite() -> str:
+    from hbase_snapshotter_spark.queries.suites import union_lanes_sql
+
+    return union_lanes_sql([
+        ("transitions", _oracle_transition_matrix(), _TRANSITION_COLS),
+        ("top_paths", _oracle_top_paths(), _PATHS_COLS),
+        ("sessions", _oracle_session_stats(), _SESSION_COLS),
+    ])
+
+
 PAIRS.update({
-    "event_session_stats": (event_session_stats, _oracle_session_stats()),
+    "event_sequence_suite": (event_sequence_suite,
+                             _oracle_event_sequence_suite()),
 })
 
 
@@ -1311,12 +1336,6 @@ ORDER BY from_state, to_state
 """
 
 
-PAIRS.update({
-    "event_pattern_funnel": (event_pattern_funnel,
-                             _oracle_pattern_funnel()),
-})
-
-
 def event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversion attribution (N102): purchases credited to prior
     view/click touches within the same 30-min-gap session under
@@ -1398,8 +1417,56 @@ FROM lin GROUP BY channel
 """
 
 
+#: Lane specs for the r10 event_funnel_suite fold (VERDICT r9 task 2):
+#: MATCH_RECOGNIZE-lite predicate paths, multi-touch attribution, and
+#: signup-cohort retention.
+_PATTERN_COLS = [
+    ("from_state", "VARCHAR"), ("to_state", "VARCHAR"),
+    ("n_matches", "BIGINT"), ("n_users", "BIGINT"),
+    ("avg_duration_s", "DOUBLE"), ("avg_steps_between", "DOUBLE"),
+]
+_ATTRIB_COLS = [
+    ("rule", "VARCHAR"), ("channel", "VARCHAR"),
+    ("n_conversions", "BIGINT"), ("credit_micros", "BIGINT"),
+]
+_COHORT_COLS = [
+    ("cohort_week", "TIMESTAMP"), ("week", "TIMESTAMP"),
+    ("active_users", "BIGINT"), ("converted_active", "BIGINT"),
+]
+
+
+def event_funnel_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel suite — N96 + attribution + cohort retention as lanes of
+    ONE recorded key (r10 merge of the former standalone
+    ``event_pattern_funnel``, ``event_attribution`` and
+    ``funnel_cohort_retention`` rows): greedy non-overlapping pattern
+    matches, first/last/linear multi-touch credit, and signup-cohort
+    weekly retention.  Row-disjoint lanes with typed NULL padding;
+    each keeps its standalone oracle inside the UNION ALL."""
+    from hbase_snapshotter_spark.queries.suites import union_lanes
+
+    return union_lanes([
+        ("pattern_funnel", event_pattern_funnel(spark, sf_dir),
+         _PATTERN_COLS),
+        ("attribution", event_attribution(spark, sf_dir), _ATTRIB_COLS),
+        ("cohort_retention", funnel_cohort_retention(spark, sf_dir),
+         _COHORT_COLS),
+    ])
+
+
+def _oracle_event_funnel_suite() -> str:
+    from hbase_snapshotter_spark.queries.suites import union_lanes_sql
+
+    return union_lanes_sql([
+        ("pattern_funnel", _oracle_pattern_funnel(), _PATTERN_COLS),
+        ("attribution", _oracle_attribution(), _ATTRIB_COLS),
+        ("cohort_retention", ORACLE_FUNNEL_COHORT, _COHORT_COLS),
+    ])
+
+
 PAIRS.update({
-    "event_attribution": (event_attribution, _oracle_attribution()),
+    "event_funnel_suite": (event_funnel_suite,
+                           _oracle_event_funnel_suite()),
 })
 
 
@@ -1459,12 +1526,6 @@ SELECT source, file_id, size_bytes, CAST(target AS BIGINT), action,
        CAST((2000 * size_bytes + target) // (2 * target) AS BIGINT)
 FROM base WHERE action = 'keep'
 """
-
-
-PAIRS.update({
-    "compaction_plan_audit": (compaction_plan_audit,
-                              _oracle_compaction_plan()),
-})
 
 
 #: Re-sharding audit geometry: the pruned-state layouts in this engine
@@ -1532,9 +1593,72 @@ FROM base
 """
 
 
+#: Lane specs for the r10 layout_audit_suite fold (VERDICT r9 task 2):
+#: Z-order clustering audit, equi-depth-vs-fixed-width range layout,
+#: small-file compaction planning, shard-rebalance migration cost.
+_ZORDER_COLS = [
+    ("zbucket", "BIGINT"), ("n_rows", "BIGINT"), ("o_lo", "BIGINT"),
+    ("o_hi", "BIGINT"), ("p_lo", "BIGINT"), ("p_hi", "BIGINT"),
+    ("hits_order_band", "BOOLEAN"), ("hits_part_band", "BOOLEAN"),
+]
+_RANGE_LAYOUT_COLS = [
+    ("event_type", "VARCHAR"), ("method", "VARCHAR"),
+    ("bucket", "BIGINT"), ("n_rows", "BIGINT"), ("v_lo", "DOUBLE"),
+    ("v_hi", "DOUBLE"), ("depth_ratio", "DOUBLE"),
+]
+_COMPACTION_COLS = [
+    ("source", "VARCHAR"), ("file_id", "VARCHAR"),
+    ("size_bytes", "BIGINT"), ("target_bytes", "BIGINT"),
+    ("action", "VARCHAR"), ("group_id", "BIGINT"),
+    ("group_files", "BIGINT"), ("group_bytes", "BIGINT"),
+    ("fill_permille", "BIGINT"),
+]
+_SHARD_COLS = [
+    ("scheme", "VARCHAR"), ("n_rows", "BIGINT"), ("n_moved", "BIGINT"),
+    ("moved_permille", "BIGINT"),
+    ("moves_only_to_new_shards", "BOOLEAN"),
+]
+
+
+def layout_audit_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical-layout suite — N103 + N74-layout + N104 + N105 as
+    lanes of ONE recorded key (r10 merge of the former standalone
+    ``zorder_layout_audit``, ``range_layout_audit``,
+    ``compaction_plan_audit`` and ``shard_rebalance_stats`` rows): the
+    table-layout planning/audit family.  Row-disjoint lanes with typed
+    NULL padding; each keeps its standalone oracle inside the
+    UNION ALL."""
+    from hbase_snapshotter_spark.queries.relational import (
+        zorder_layout_audit,
+    )
+    from hbase_snapshotter_spark.queries.suites import union_lanes
+
+    return union_lanes([
+        ("zorder", zorder_layout_audit(spark, sf_dir), _ZORDER_COLS),
+        ("range_layout", range_layout_audit(spark, sf_dir),
+         _RANGE_LAYOUT_COLS),
+        ("compaction", compaction_plan_audit(spark, sf_dir),
+         _COMPACTION_COLS),
+        ("shard_rebalance", shard_rebalance_stats(spark, sf_dir),
+         _SHARD_COLS),
+    ])
+
+
+def _oracle_layout_audit_suite() -> str:
+    from hbase_snapshotter_spark.queries.relational import _oracle_zorder
+    from hbase_snapshotter_spark.queries.suites import union_lanes_sql
+
+    return union_lanes_sql([
+        ("zorder", _oracle_zorder(), _ZORDER_COLS),
+        ("range_layout", _oracle_range_layout(), _RANGE_LAYOUT_COLS),
+        ("compaction", _oracle_compaction_plan(), _COMPACTION_COLS),
+        ("shard_rebalance", _oracle_shard_rebalance(), _SHARD_COLS),
+    ])
+
+
 PAIRS.update({
-    "shard_rebalance_stats": (shard_rebalance_stats,
-                              _oracle_shard_rebalance()),
+    "layout_audit_suite": (layout_audit_suite,
+                           _oracle_layout_audit_suite()),
 })
 
 
@@ -1581,9 +1705,14 @@ JOIN outl o USING (event_type)
 """
 
 
-PAIRS.update({
-    "events_robust_center": (events_robust_center, ORACLE_ROBUST_CENTER),
-})
+#: Lane column specs for the r10 events_stats_suite fold (the
+#: standalone keys rotated; the suite keeps all three driver-hashed
+#: in one recorded slot — VERDICT r9 task 2).
+_ROBUST_COLS = [
+    ("event_type", "VARCHAR"), ("n_rows", "BIGINT"),
+    ("med_x4", "BIGINT"), ("mad_x4", "BIGINT"),
+    ("n_outliers", "BIGINT"), ("outlier_permille", "BIGINT"),
+]
 
 
 def events_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1660,9 +1789,13 @@ FROM m
 """
 
 
-PAIRS.update({
-    "events_trend_ols": (events_trend_ols, ORACLE_TREND_OLS),
-})
+_TREND_COLS = [
+    ("event_type", "VARCHAR"), ("n", "BIGINT"),
+    ("slope_num", "BIGINT"), ("slope_den", "BIGINT"),
+    ("r2_num", "BIGINT"), ("r2_den", "BIGINT"),
+    ("slope", "DOUBLE"), ("r_squared", "DOUBLE"),
+    ("advance_consistent", "BOOLEAN"),
+]
 
 
 def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1726,8 +1859,48 @@ ORDER BY event_type, bucket
 """
 
 
+_CUSUM_COLS = [
+    ("event_type", "VARCHAR"), ("bucket", "BIGINT"), ("v", "DOUBLE"),
+    ("mu0_micro", "BIGINT"), ("s_pos_micro", "BIGINT"),
+    ("s_neg_micro", "BIGINT"), ("alarm_pos", "BOOLEAN"),
+    ("alarm_neg", "BOOLEAN"),
+]
+
+
+def events_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-statistics suite — N112 + N113 + N114 as lanes of ONE
+    recorded key (r10 merge of the former standalone
+    ``events_robust_center``, ``events_trend_ols`` and
+    ``events_cusum_drift`` rows): the robust median/MAD outlier audit,
+    the exact-integer daily-count OLS trend (with its
+    advance≡rebuild moment-state flag), and the two-sided CUSUM
+    change-point lane over the dense grid.  Lanes are row-disjoint
+    with typed NULL padding; each keeps its standalone oracle inside
+    the UNION ALL, so the driver hash still pins every lane's values
+    bit-for-bit."""
+    from hbase_snapshotter_spark.queries.suites import union_lanes
+
+    return union_lanes([
+        ("robust_center", events_robust_center(spark, sf_dir),
+         _ROBUST_COLS),
+        ("trend_ols", events_trend_ols(spark, sf_dir), _TREND_COLS),
+        ("cusum_drift", events_cusum_drift(spark, sf_dir), _CUSUM_COLS),
+    ]).orderBy("lane", "event_type", "bucket")
+
+
+def _oracle_events_stats_suite() -> str:
+    from hbase_snapshotter_spark.queries.suites import union_lanes_sql
+
+    return union_lanes_sql([
+        ("robust_center", ORACLE_ROBUST_CENTER, _ROBUST_COLS),
+        ("trend_ols", ORACLE_TREND_OLS, _TREND_COLS),
+        ("cusum_drift", _oracle_cusum(), _CUSUM_COLS),
+    ])
+
+
 PAIRS.update({
-    "events_cusum_drift": (events_cusum_drift, _oracle_cusum()),
+    "events_stats_suite": (events_stats_suite,
+                           _oracle_events_stats_suite()),
 })
 
 
@@ -1776,10 +1949,19 @@ def events_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.hll_union_agg("sketch").alias("sk"),
                    F.count(F.lit(1)).cast("long")
                    .alias("n_days_in_window")))
+    est = F.hll_sketch_estimate("sk")
+    from hbase_snapshotter_spark.queries.gating import exact_audit_enabled
+    if not exact_audit_enabled(sf_dir):
+        # production shape (VERDICT r9 task 4): the rolling union over
+        # per-day states is the ONLY data-derived stage — the ×7
+        # exact windowed recount below is the fixture-scale audit the
+        # sketch exists to replace, and it never enters this plan
+        return rolled.select(F.col("e").alias("window_end_day"),
+                             "n_days_in_window",
+                             est.cast("long").alias("est_distinct_users"))
     exact = (windowed(ev).groupBy("e")
              .agg(F.count_distinct("user_id").cast("long")
                   .alias("exact_distinct_users")))
-    est = F.hll_sketch_estimate("sk")
     return (rolled.join(exact, "e")
             .select(F.col("e").alias("window_end_day"),
                     "n_days_in_window", "exact_distinct_users",

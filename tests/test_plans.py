@@ -15,7 +15,21 @@ from hbase_snapshotter_spark.queries.registry import QUERIES
 
 
 def explain(spark, name, sf_dir):
-    df = QUERIES[name](spark, sf_dir)
+    if name in QUERIES:
+        df = QUERIES[name](spark, sf_dir)
+    else:
+        # r10: lanes folded into union suites keep their module
+        # functions but lose their registry key — these tests keep
+        # pinning the LANE's plan shape (asserting on the suite plan
+        # would mix lanes: one lane's intended SMJ would fail another
+        # lane's no-SMJ contract)
+        import hbase_snapshotter_spark.queries.llm as llm
+        import hbase_snapshotter_spark.queries.relational as rel
+        import hbase_snapshotter_spark.queries.streaming_q as stq
+
+        fn = next(getattr(mod, name) for mod in (llm, stq, rel)
+                  if callable(getattr(mod, name, None)))
+        df = fn(spark, sf_dir)
     return spark._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
@@ -395,3 +409,84 @@ def test_subquery_suite_decorrelated_shape(spark, sf_dir):
     # node appears twice in formatted output: tree line + detail header)
     assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
     assert "CartesianProduct" not in plan
+
+
+def _prod_view(tmp_path, sf_dir):
+    """A non-fixture-named directory over the same parquet files —
+    what a production table path looks like to the gate."""
+    import os
+
+    prod = tmp_path / "warehouse_prod_table"
+    prod.mkdir()
+    for f in os.listdir(sf_dir):
+        os.symlink(os.path.join(sf_dir, f), prod / f)
+    return str(prod)
+
+
+def test_sliding_distinct_exact_lane_gated(spark, sf_dir, tmp_path):
+    """VERDICT r9 task 4: the ×7 exact windowed recount in
+    events_sliding_distinct is a fixture-sf audit lane — at a
+    production path the registered plan is the sketch path alone (no
+    corpus-wide count_distinct, no second windowed explode of raw
+    events), and the output is the HLL estimate itself."""
+    from hbase_snapshotter_spark.queries.gating import exact_audit_enabled
+    from hbase_snapshotter_spark.queries.streaming_q import (
+        events_sliding_distinct,
+    )
+
+    assert exact_audit_enabled(sf_dir)
+    prod = _prod_view(tmp_path, sf_dir)
+    assert not exact_audit_enabled(prod)
+
+    gated = events_sliding_distinct(spark, prod)
+    assert gated.columns == ["window_end_day", "n_days_in_window",
+                             "est_distinct_users"]
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        gated._jdf.queryExecution(), "formatted")
+    assert "count(distinct user_id)" not in plan
+    assert "hll_union_agg" in plan
+
+    audited = events_sliding_distinct(spark, sf_dir)
+    assert "exact_distinct_users" in audited.columns
+    # same windows, and the gated estimate honors the audited 15%
+    # envelope (the flag the fixture lane hashes)
+    g = {r.window_end_day: r.est_distinct_users for r in gated.collect()}
+    for r in audited.collect():
+        assert r.est_within_15pct
+        assert abs(g[r.window_end_day] - r.exact_distinct_users) * 100 \
+            <= 15 * r.exact_distinct_users
+
+
+def test_join_size_estimate_exact_lane_gated(spark, sf_dir, tmp_path):
+    """VERDICT r9 task 4: join_size_estimate's exact join aggregation
+    and per-key group-bys are fixture-sf audit lanes — at a production
+    path the plan is two scans + D×W sketch algebra, the max
+    multiplicity is the CMS upper bound, and the estimate column is
+    bit-identical to the audited shape's."""
+    from hbase_snapshotter_spark.queries.gating import exact_audit_enabled
+    from hbase_snapshotter_spark.queries.relational import (
+        join_size_estimate,
+    )
+
+    prod = _prod_view(tmp_path, sf_dir)
+    assert not exact_audit_enabled(prod)
+    gated = join_size_estimate(spark, prod)
+    assert gated.columns == ["pair", "n_left", "n_right",
+                             "est_max_rows_left", "est_max_rows_right",
+                             "est_rows", "strategy"]
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        gated._jdf.queryExecution(), "formatted")
+    # the only aggregations keyed on data values are the bounded
+    # (depth, bucket) sketch cells — no exact per-join-key grouping
+    assert "ca#" not in plan and "cb#" not in plan
+    grows = {r.pair: r for r in gated.collect()}
+
+    audited = {r.pair: r for r in join_size_estimate(spark, sf_dir)
+               .collect()}
+    for pair, a in audited.items():
+        gr = grows[pair]
+        assert gr.est_rows == a.est_rows            # same sketch math
+        assert gr.n_left == a.n_left and gr.n_right == a.n_right
+        # CMS bound really bounds the exact max multiplicity
+        assert gr.est_max_rows_left >= a.max_rows_left
+        assert gr.est_max_rows_right >= a.max_rows_right

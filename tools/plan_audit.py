@@ -62,13 +62,17 @@ def main() -> int:
         "curriculum_length_buckets",   # 1-row boundary attach + 1-row
                                        # approx_assign_ok flag attach
         "cluster_aware_splits",        # 1-row zero-leaks flag attach
-        "dedup_clusters",              # 1-row leak-count/flag attach (r6)
+        "dedup_cluster_suite",         # 1-row leak-count/flag attach
+                                       # (clusters lane) + 1-row totals
+                                       # attach (component-stats lane)
         "pipeline_quality_filter",     # 1-row vocab-size attach via the
                                        # r6 bigram-LM fluency cut
         "similarity_topk_pq",          # 1-row recall_within_tolerance
                                        # attach (same flag as ANN/IVF)
-        "token_heavy_hitters",         # 1-row instance-total attach (the
-                                       # permille threshold denominator)
+        "text_mining_suite",           # 1-row instance-total attach
+                                       # (heavy-hitters lane) + 1-row
+                                       # bigram-total attach
+                                       # (collocations lane)
         "bm25_keyword_topk",           # 1-row corpus-stats attach (N,
                                        # avgdl, per-term df)
         "bm25_indexed_topk",           # 1-row index header attach per
@@ -83,10 +87,10 @@ def main() -> int:
                                        # query vector against the
                                        # corpus (exact cosine lane) +
                                        # 1-row index header attach
-        "sketch_distinct_maintenance",  # 1-row merged/advance equality
-                                        # flag attaches
-        "zorder_layout_audit",          # 1-row grid-bounds attach (the
-                                        # min/max the Morton grid spans)
+        "sketch_cardinality_suite",     # 1-row merged/advance equality
+                                        # flag attaches (HLL lane)
+        "layout_audit_suite",           # 1-row grid-bounds attach (the
+                                        # zorder lane's Morton span)
         "agg_view_advance",             # 1-row advance_consistent flag
                                         # attach (N84 IVM equality)
         "events_topk_advance",          # 1-row advance_consistent flag
@@ -98,12 +102,9 @@ def main() -> int:
                                         # sources-sized table (N89)
         "scd2_event_history",           # 1-row advance_consistent flag
                                         # attach (N54 equality flag)
-        "mmr_diverse_topk",             # broadcast query scoring (the
-                                        # brute_force_topk candidate
-                                        # generator — r7 N61)
-        "mmr_ivfpq_topk",               # broadcast probe scoring (the
-                                        # ivfpq candidate generator) +
-                                        # 1-row recall flag attach (r8)
+        "mmr_topk_suite",               # broadcast query/probe scoring
+                                        # (brute + ivfpq candidate
+                                        # lanes) + 1-row recall flag
         "hard_negative_mining",         # broadcast query scoring (same
                                         # brute-force lane) + per-query
                                         # positive-row attach (r7 N64)
@@ -113,25 +114,22 @@ def main() -> int:
         "source_vocab_drift",           # sources × bounded-bucket-table
                                         # grid cross (the leave-one-out
                                         # reference — r7 N68)
-        "embedding_truncation_audit",   # broadcast query scoring on
-                                        # both ranking sides (r7 N70)
+        "embedding_analysis_suite",     # broadcast query scoring on
+                                        # both ranking sides (the
+                                        # truncation-audit lane)
         "subquery_suite",               # 1-row global-mean attach (the
                                         # q22 scalar subquery — N101)
         "join_size_estimate",           # 1-row × 1-row attaches (counts,
                                         # exact audit, estimate — N103)
         "pareto_frontier_docs",         # 1-row advance_consistent flag
                                         # attach (N107 advance equality)
-        "collocation_mining",           # 1-row bigram-total attach (the
-                                        # PMI lift denominator — N111)
-        "events_trend_ols",             # 1-row advance_consistent flag
-                                        # attach (N113 moment-state IVM)
+        "events_stats_suite",           # 1-row advance_consistent flag
+                                        # attach (trend-ols lane IVM)
         "quality_threshold_sweep",      # 1-row vocab-size attach inside
                                         # bigram_lm_xent (same as
                                         # lm_perplexity_filter — N118)
         "event_cooccurrence_lift",      # 1-row user-total attach (the
                                         # lift denominator — N120)
-        "dedup_component_stats",        # 1-row totals attach (the giant
-                                        # share denominator — N121)
         "doc_link_rank",                # 1-row advance_equals_rebuild
                                         # flag attach (N122)
         "doc_triangle_stats",           # 1-row advance_equals_rebuild

@@ -595,6 +595,14 @@ def operators():
             for mod in (llm, stq, rel):
                 if name in mod.PAIRS:
                     return mod.PAIRS[name][0](spark, d)
+            # r10: lanes folded into union suites keep their module
+            # functions but lose their standalone PAIRS entry — the
+            # curve keeps measuring the LANE so its history stays
+            # comparable round-over-round
+            for mod in (llm, stq, rel):
+                fn = getattr(mod, name, None)
+                if callable(fn):
+                    return fn(spark, d)
             return getattr(sq, f"q_{name}")(spark, d)
         return run
 
