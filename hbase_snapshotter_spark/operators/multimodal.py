@@ -1047,3 +1047,492 @@ def decimate_wav_features(df: DataFrame, *, factor: int = 2,
 
     return df.select(id_col, payload_col).mapInPandas(
         batches, WAV_DECIMATED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Fifth real codec: baseline JPEG (ITU-T T.81 sequential DCT, 8-bit
+# grayscale, Annex-K quantization + Huffman tables).  Dependency-free:
+# the whole stack is numpy — canonical Huffman coding, byte-stuffed
+# entropy bitstream, zigzag, half-away quantization, float64
+# FDCT/IDCT.  The decoder walks real markers (skips APPn/COM, reads
+# multi-table DQT/DHT, rejects progressive/arithmetic/subsampled
+# streams with ValueError) and huffman-decodes the scan bit by bit —
+# the format real-web images actually arrive in, completing the image
+# story beside BMP (uncompressed) and PNG (lossless filters+deflate).
+# ---------------------------------------------------------------------------
+
+#: Annex K.1 luminance quantization table, natural (row-major) order.
+JPEG_QUANT_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+#: Zigzag scan: natural index of each zigzag position.
+JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+#: Annex K.3 luminance DC Huffman spec: (BITS counts for lengths
+#: 1..16, HUFFVAL).
+JPEG_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+                list(range(12)))
+
+#: Annex K.5 luminance AC Huffman spec.
+JPEG_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+     0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+     0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+     0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+     0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+     0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+     0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+     0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+     0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+     0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+     0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+     0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+     0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA])
+
+
+def _jpeg_dct_matrix():
+    import numpy as np
+
+    x = np.arange(8)
+    T = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+    T[0, :] /= np.sqrt(2.0)
+    return T
+
+
+def _huffman_codes(bits, vals):
+    """Canonical Huffman (T.81 C.2): {value: (code, length)}."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huffman_decode_table(bits, vals):
+    """{(length, code): value} for the bit-by-bit decoder."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _round_half_away(a):
+    import numpy as np
+
+    return np.where(a >= 0, np.floor(a + 0.5), np.ceil(a - 0.5))
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.nbits -= 8
+            self.out.append(byte)
+            if byte == 0xFF:          # byte stuffing (T.81 F.1.2.3)
+                self.out.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # pad with 1-bits
+        return bytes(self.out)
+
+
+def _jpeg_category(v: int) -> tuple[int, int]:
+    """(ssss, ssss-bit two's-style code) for a DC diff / AC value."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    ssss = a.bit_length()
+    code = v if v > 0 else v + (1 << ssss) - 1
+    return ssss, code
+
+
+def encode_jpeg(pixels) -> bytes:
+    """Encode an ``(height, width)`` uint8 grayscale array as a
+    baseline sequential JPEG (SOF0, one component, Annex-K luminance
+    quantization + Huffman tables).  Edge rows/columns replicate to
+    pad to 8×8 blocks; quantization rounds half away from zero, so a
+    constant block with an even level-shifted value round-trips
+    EXACTLY through decode (Q[0,0] = 16: DC = 8·v0, q = v0/2,
+    reconstruction = 2·q = v0) — the property the registered fixture
+    lane's oracle replays in closed form."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 2:
+        raise ValueError(f"expected (h, w) grayscale pixels, got {px.shape}")
+    h, w = int(px.shape[0]), int(px.shape[1])
+    if not h or not w:
+        raise ValueError("empty image")
+    H, W = (h + 7) & ~7, (w + 7) & ~7
+    padded = np.empty((H, W), dtype=np.uint8)
+    padded[:h, :w] = px
+    padded[h:, :w] = px[-1:, :]
+    padded[:, w:] = padded[:, w - 1: w]
+
+    T = _jpeg_dct_matrix()
+    Q = np.array(JPEG_QUANT_LUMA, dtype=np.float64).reshape(8, 8)
+    dc_codes = _huffman_codes(*JPEG_DC_LUMA)
+    ac_codes = _huffman_codes(*JPEG_AC_LUMA)
+    zz = np.array(JPEG_ZIGZAG)
+
+    bw = _JpegBitWriter()
+    prev_dc = 0
+    for by in range(H // 8):
+        for bx in range(W // 8):
+            b = padded[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] \
+                .astype(np.float64) - 128.0
+            F = T @ b @ T.T
+            q = _round_half_away(F / Q).astype(np.int64)
+            zq = q.reshape(64)[zz]
+            diff = int(zq[0]) - prev_dc
+            prev_dc = int(zq[0])
+            ssss, code = _jpeg_category(diff)
+            hc, hl = dc_codes[ssss]
+            bw.put(hc, hl)
+            if ssss:
+                bw.put(code, ssss)
+            run = 0
+            last_nz = max((i for i in range(1, 64) if zq[i]), default=0)
+            for i in range(1, last_nz + 1):
+                v = int(zq[i])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    hc, hl = ac_codes[0xF0]     # ZRL
+                    bw.put(hc, hl)
+                    run -= 16
+                ssss, code = _jpeg_category(v)
+                hc, hl = ac_codes[(run << 4) | ssss]
+                bw.put(hc, hl)
+                bw.put(code, ssss)
+                run = 0
+            if last_nz < 63:
+                hc, hl = ac_codes[0x00]         # EOB
+                bw.put(hc, hl)
+    scan = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    dqt = seg(0xFFDB, b"\x00" + bytes(JPEG_QUANT_LUMA[i]
+                                      for i in JPEG_ZIGZAG))
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1)
+              + struct.pack(">BBB", 1, 0x11, 0))
+    dht = (seg(0xFFC4, b"\x00" + bytes(JPEG_DC_LUMA[0])
+               + bytes(JPEG_DC_LUMA[1]))
+           + seg(0xFFC4, b"\x10" + bytes(JPEG_AC_LUMA[0])
+                 + bytes(JPEG_AC_LUMA[1])))
+    sos = seg(0xFFDA, struct.pack(">B", 1) + struct.pack(">BB", 1, 0x00)
+              + struct.pack(">BBB", 0, 63, 0))
+    return (b"\xFF\xD8" + dqt + sof + dht + sos + scan + b"\xFF\xD9")
+
+
+class _JpegBitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG entropy stream")
+        byte = self.data[self.pos]
+        self.pos += 1
+        if byte == 0xFF:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy stream")
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1             # stuffed byte
+            else:
+                raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
+        self.acc = (self.acc << 8) | byte
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if not self.nbits:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _jpeg_receive_extend(r: "_JpegBitReader", ssss: int) -> int:
+    if ssss == 0:
+        return 0
+    v = r.bits(ssss)
+    if v < (1 << (ssss - 1)):
+        v -= (1 << ssss) - 1
+    return v
+
+
+def _jpeg_decode_huff(r: "_JpegBitReader", table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.bit()
+        if (length, code) in table:
+            return table[(length, code)]
+    raise ValueError("invalid JPEG huffman code")
+
+
+def decode_jpeg(payload: bytes):
+    """Decode a baseline sequential grayscale JPEG to ``(width,
+    height, pixels)`` with ``pixels`` an ``(h, w)`` uint8 array.
+    Walks real markers (APPn/COM skipped; multi-table DQT/DHT read;
+    restart markers, progressive (SOF2), arithmetic (SOF9+),
+    multi-component and subsampled streams rejected), huffman-decodes
+    the byte-stuffed scan, dequantizes through the transmitted DQT,
+    inverse-zigzags, applies the float64 IDCT, level-shifts, clamps,
+    and crops the 8×8 padding.  Raises ``ValueError`` on malformed or
+    unsupported payloads."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 4 or payload[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    dims = None
+    comp_q = None
+    scan_data = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4:pos + 2 + seg_len]
+        if len(body) != seg_len - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:
+            o = 0
+            while o < len(body):
+                pq, tq = body[o] >> 4, body[o] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit DQT unsupported")
+                if o + 65 > len(body):
+                    raise ValueError("truncated DQT")
+                t = np.zeros(64, dtype=np.int64)
+                for i in range(64):
+                    t[JPEG_ZIGZAG[i]] = body[o + 1 + i]
+                qtables[tq] = t.reshape(8, 8)
+                o += 65
+        elif marker == 0xC0:
+            precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if precision != 8:
+                raise ValueError(f"unsupported precision {precision}")
+            if ncomp != 1:
+                raise ValueError(f"only grayscale supported, got "
+                                 f"{ncomp} components")
+            _cid, sampling, tq = struct.unpack_from(">BBB", body, 6)
+            if sampling != 0x11:
+                raise ValueError("subsampled JPEG unsupported")
+            dims = (w, h)
+            comp_q = tq
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"unsupported SOF marker 0xFF{marker:02X} "
+                             "(baseline sequential only)")
+        elif marker == 0xC4:
+            o = 0
+            while o < len(body):
+                tc, th = body[o] >> 4, body[o] & 0x0F
+                bits = list(body[o + 1:o + 17])
+                n = sum(bits)
+                vals = list(body[o + 17:o + 17 + n])
+                if len(vals) != n:
+                    raise ValueError("truncated DHT")
+                htables[(tc, th)] = _huffman_decode_table(bits, vals)
+                o += 17 + n
+        elif marker == 0xDD:
+            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:
+            ns = body[0]
+            if ns != 1:
+                raise ValueError("multi-component scan unsupported")
+            td, ta = body[2] >> 4, body[2] & 0x0F
+            scan_data = payload[pos + 2 + seg_len:]
+            break
+        # APPn / COM / others: skipped
+        pos += 2 + seg_len
+    if dims is None or scan_data is None:
+        raise ValueError("JPEG missing SOF0 or SOS")
+    if comp_q not in qtables:
+        raise ValueError("missing quantization table")
+    if (0, td) not in htables or (1, ta) not in htables:
+        raise ValueError("missing huffman table")
+
+    w, h = dims
+    H, W = (h + 7) & ~7, (w + 7) & ~7
+    T = _jpeg_dct_matrix()
+    Q = qtables[comp_q].astype(np.float64)
+    dct, act = htables[(0, td)], htables[(1, ta)]
+    # strip the EOI if present so a trailing 0xFFD9 doesn't read as a
+    # stray marker inside the entropy stream
+    end = scan_data.rfind(b"\xFF\xD9")
+    r = _JpegBitReader(scan_data[:end] if end >= 0 else scan_data)
+    out = np.zeros((H, W), dtype=np.uint8)
+    prev_dc = 0
+    for by in range(H // 8):
+        for bx in range(W // 8):
+            zq = np.zeros(64, dtype=np.int64)
+            ssss = _jpeg_decode_huff(r, dct)
+            prev_dc += _jpeg_receive_extend(r, ssss)
+            zq[0] = prev_dc
+            k = 1
+            while k < 64:
+                rs = _jpeg_decode_huff(r, act)
+                run, size = rs >> 4, rs & 0x0F
+                if size == 0:
+                    if run == 15:      # ZRL
+                        k += 16
+                        continue
+                    break              # EOB
+                k += run
+                if k > 63:
+                    raise ValueError("AC coefficient index overflow")
+                zq[k] = _jpeg_receive_extend(r, size)
+                k += 1
+            F = np.zeros(64, dtype=np.float64)
+            F[np.array(JPEG_ZIGZAG)] = zq
+            block = T.T @ (F.reshape(8, 8) * Q) @ T
+            out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = np.clip(
+                _round_half_away(block + 128.0), 0, 255).astype(np.uint8)
+    return w, h, out[:h, :w]
+
+
+JPEG_FEATURES_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("jpeg_width", IntegerType()),
+    StructField("jpeg_height", IntegerType()),
+    StructField("jpeg_mean_milli", LongType()),
+    StructField("jpeg_corner_pixel", IntegerType()),
+])
+
+
+def decode_jpeg_features(df: DataFrame, *, id_col: str = "doc_id",
+                         payload_col: str = "payload") -> DataFrame:
+    """Real-codec JPEG feature extraction: parse each payload through
+    :func:`decode_jpeg` and emit header dims + pixel statistics (mean
+    as exact half-up milli-units — the pixel sum is an exact integer,
+    so both engines compute the identical value — and the top-left
+    pixel).  Same ``mapInPandas`` plumbing as the other codec lanes;
+    undecodable payloads yield NULL features."""
+
+    def jpeg_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows: dict[str, list] = {}
+        for pdf in batches:
+            w_l, h_l, mean_l, corner_l = [], [], [], []
+            for p in pdf[payload_col]:
+                try:
+                    w, h, px = decode_jpeg(bytes(p) if p is not None
+                                           else b"")
+                    s, c = int(px.sum(dtype="int64")), px.size
+                    w_l.append(w)
+                    h_l.append(h)
+                    mean_l.append((2000 * s + c) // (2 * c))
+                    corner_l.append(int(px[0, 0]))
+                except ValueError:
+                    w_l.append(None)
+                    h_l.append(None)
+                    mean_l.append(None)
+                    corner_l.append(None)
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                "jpeg_width": pd.Series(w_l, dtype="Int32"),
+                "jpeg_height": pd.Series(h_l, dtype="Int32"),
+                "jpeg_mean_milli": pd.Series(mean_l, dtype="Int64"),
+                "jpeg_corner_pixel": pd.Series(corner_l, dtype="Int32"),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        jpeg_batches, JPEG_FEATURES_SCHEMA)
+
+
+def synthesize_jpeg_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic JPEG fixture images, one per row: dims are block
+    multiples (width 8·(1 + id%3), height 8·(1 + id%2)) and every 8×8
+    block is a constant whose level-shifted value is EVEN —
+    ``g(bx, by) = 128 + 2·((7·id + bx + 3·by) % 50 − 25)`` — so each
+    block's DC quantizes and reconstructs exactly (see
+    :func:`encode_jpeg`) and the decoded image equals the synthetic
+    one bit-for-bit.  Per-block values vary, so the scan exercises DC
+    prediction and Huffman categories, not one degenerate symbol; an
+    oracle replays dims, corner, and the exact mean from the id
+    arithmetic alone."""
+
+    def gen_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = 8 * (1 + i % 3), 8 * (1 + i % 2)
+                px = np.zeros((h, w), dtype=np.uint8)
+                for by in range(h // 8):
+                    for bx in range(w // 8):
+                        g = 128 + 2 * ((7 * i + bx + 3 * by) % 50 - 25)
+                        px[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = g
+                payloads.append(encode_jpeg(px))
+            yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"),
+                                "payload": payloads})
+
+    return df.select(id_col).mapInPandas(
+        gen_batches,
+        StructType([StructField("doc_id", LongType()),
+                    StructField("payload", BinaryType())]))

@@ -898,10 +898,20 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both codec directions and the transform are on the proof path
     rbmp = resize_bmp_features(bmp_payloads)
     png = decode_png_features(synthesize_png_payloads(with_payload))
+    # r10 (VERDICT r9 task 5): the baseline-JPEG lane — block-constant
+    # fixtures whose even level-shifted values round-trip the full
+    # huffman + DCT pipeline EXACTLY, so the oracle replays dims,
+    # corner, and the exact half-up milli mean from id arithmetic
+    from hbase_snapshotter_spark.operators.multimodal import (
+        decode_jpeg_features,
+        synthesize_jpeg_payloads,
+    )
+
+    jpeg = decode_jpeg_features(synthesize_jpeg_payloads(with_payload))
     return (meta.join(decoded, "doc_id").join(frame_counts, "doc_id")
             .join(resized, "doc_id").join(bmp, "doc_id")
             .join(rbmp, "doc_id")
-            .join(png, "doc_id").select(
+            .join(png, "doc_id").join(jpeg, "doc_id").select(
                 "doc_id", "n_bytes", "content_md5", "payload_dup_count",
                 "is_payload_keeper", "width", "height", "n_frames",
                 "feature_hash", "n_sampled_frames",
@@ -911,7 +921,9 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "rbmp_width", "rbmp_height", "rbmp_mean_pixel",
                 "rbmp_corner_pixel",
                 "png_width", "png_height", "png_mean_pixel",
-                "png_corner_pixel"))
+                "png_corner_pixel",
+                "jpeg_width", "jpeg_height", "jpeg_mean_milli",
+                "jpeg_corner_pixel"))
 
 
 ORACLE_MULTIMODAL = f"""
@@ -970,8 +982,26 @@ SELECT p.doc_id,
         + (p.doc_id * 5 + 2) % 256)
        / (CAST((4 + p.doc_id % 9) * (3 + p.doc_id % 5) AS DOUBLE))
          AS png_mean_pixel,
-       CAST((p.doc_id * 5 + 2) % 256 AS INTEGER) AS png_corner_pixel
+       CAST((p.doc_id * 5 + 2) % 256 AS INTEGER) AS png_corner_pixel,
+       CAST(8 * (1 + p.doc_id % 3) AS INTEGER) AS jpeg_width,
+       CAST(8 * (1 + p.doc_id % 2) AS INTEGER) AS jpeg_height,
+       jp.jpeg_mean_milli,
+       CAST(128 + 2 * ((7 * p.doc_id) % 50 - 25) AS INTEGER)
+         AS jpeg_corner_pixel
 FROM p JOIN d ON d.content_md5 = md5(p.pay)
+JOIN (
+  -- the baseline-JPEG lane's exact decoded mean: every 8x8 block is a
+  -- constant with an EVEN level-shifted value, which round-trips the
+  -- DC-only huffman+DCT path exactly (Q00=16: q = v0/2, recon = 2q),
+  -- so mean = mean of the per-block constants, half-up milli
+  SELECT doc_id,
+         CAST((2000 * SUM(128 + 2 * ((7 * doc_id + bx.b + 3 * by.b) % 50
+                                     - 25)) + COUNT(*))
+              // (2 * COUNT(*)) AS BIGINT) AS jpeg_mean_milli
+  FROM documents, range(0, 3) bx(b), range(0, 2) by(b)
+  WHERE bx.b < 1 + doc_id % 3 AND by.b < 1 + doc_id % 2
+  GROUP BY doc_id
+) jp ON jp.doc_id = p.doc_id
 """
 
 
