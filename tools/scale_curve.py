@@ -982,6 +982,93 @@ def clustered_ann_report(spark) -> dict:
     return report
 
 
+#: The engine's five heaviest lanes (VERDICT r9 task 6): the wall
+#: curve alone can't warn about a skewed partition that fits in time
+#: but not memory — this audit records, at 100×, each query's peak
+#: per-stage shuffle volume and the LARGEST single task's shuffle
+#: read (≈ the biggest partition any executor must hold), asserting
+#: it stays under a bound that fits one executor core's share.
+SPILL_AUDIT_QUERIES = [
+    "dedup_clusters_delta",
+    "repetition_signals_docs",
+    "dedup_pairs_suite",
+    "similarity_topk_ivf_suite",
+    "bm25_indexed_topk",
+]
+MAX_TASK_PARTITION_BYTES = 256 * 1024 * 1024
+
+
+def _rest(spark, path: str):
+    import json as _json
+    import urllib.request
+
+    port = spark.conf.get("spark.ui.port", "4040")
+    app = spark.sparkContext.applicationId
+    url = f"http://localhost:{port}/api/v1/applications/{app}{path}"
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return _json.loads(r.read())
+
+
+def spill_audit_report(spark, sf_dir: str) -> dict:
+    """Run the heavy five at the given fixture and pull per-stage task
+    metrics from the status REST API: total + peak-stage shuffle
+    write/read bytes and the single largest task's shuffle read and
+    peak execution memory.  The bound assertion is the skew early
+    warning: a hot key shows up here as one task reading far more than
+    data_volume / parallelism long before it OOMs a real executor."""
+    from hbase_snapshotter_spark.cache import release_caches
+    from hbase_snapshotter_spark.queries.registry import QUERIES
+
+    out: dict[str, dict] = {}
+    for name in SPILL_AUDIT_QUERIES:
+        before = {s["stageId"] for s in _rest(spark, "/stages")}
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).write.mode("overwrite") \
+            .format("noop").save()
+        wall = time.time() - t0
+        release_caches()
+        stages = [s for s in _rest(spark, "/stages")
+                  if s["stageId"] not in before
+                  and s["status"] == "COMPLETE"]
+        total_w = sum(s.get("shuffleWriteBytes", 0) for s in stages)
+        total_r = sum(s.get("shuffleReadBytes", 0) for s in stages)
+        peak_w = max((s.get("shuffleWriteBytes", 0) for s in stages),
+                     default=0)
+        max_task_read = 0
+        max_task_mem = 0
+        for s in stages:
+            if not s.get("shuffleReadBytes", 0) and \
+                    not s.get("shuffleWriteBytes", 0):
+                continue
+            try:
+                q = _rest(spark, f"/stages/{s['stageId']}/"
+                                 f"{s['attemptId']}/taskSummary"
+                                 "?quantiles=1.0")
+            except Exception:  # noqa: BLE001 - stage GC'd mid-audit
+                continue
+            rd = q.get("shuffleReadMetrics", {}).get("readBytes", [0])
+            max_task_read = max(max_task_read, int(rd[-1]))
+            pm = q.get("peakExecutionMemory", [0])
+            max_task_mem = max(max_task_mem, int(pm[-1]))
+        out[name] = {
+            "wall_s": round(wall, 2),
+            "n_stages": len(stages),
+            "total_shuffle_write_bytes": total_w,
+            "total_shuffle_read_bytes": total_r,
+            "peak_stage_shuffle_write_bytes": peak_w,
+            "max_task_shuffle_read_bytes": max_task_read,
+            "max_task_peak_exec_memory_bytes": max_task_mem,
+            "max_task_partition_bounded":
+                max_task_read <= MAX_TASK_PARTITION_BYTES,
+        }
+        print(f"  spill-audit {name:28s} wall={wall:6.1f}s "
+              f"shW={total_w / 1e6:8.1f}MB "
+              f"maxTaskRead={max_task_read / 1e6:7.1f}MB "
+              f"maxTaskMem={max_task_mem / 1e6:7.1f}MB",
+              file=sys.stderr, flush=True)
+    return out
+
+
 def main() -> int:
     # measure the approximate paths' real cost, not their in-query
     # exact-baseline recall probes (the bench convention; the
@@ -990,6 +1077,7 @@ def main() -> int:
     skip_100x = "--skip-100x" in sys.argv
     lsh_only = "--lsh-geometry" in sys.argv
     clustered_only = "--clustered-ann" in sys.argv
+    spill_only = "--spill-audit" in sys.argv
     only: set[str] | None = None
     if "--only" in sys.argv:
         only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
@@ -1005,7 +1093,11 @@ def main() -> int:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", "24g")
-        .config("spark.ui.enabled", "false")
+        # the spill audit reads per-stage task metrics from the status
+        # REST API; everything else ignores the UI
+        .config("spark.ui.enabled", "true" if spill_only else "false")
+        .config("spark.ui.port", "4047")
+        .config("spark.ui.retainedStages", "3000")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -1025,6 +1117,16 @@ def main() -> int:
     if clustered_only:
         print(json.dumps(clustered_ann_report(spark), indent=2))
         return 0
+
+    if spill_only:
+        audit_dir = sizes[-1][1]
+        report = {"sf_dir": audit_dir, "scale": sizes[-1][0],
+                  "max_task_partition_bytes_bound":
+                      MAX_TASK_PARTITION_BYTES,
+                  "queries": spill_audit_report(spark, audit_dir)}
+        print(json.dumps(report, indent=2))
+        return 0 if all(q["max_task_partition_bounded"]
+                        for q in report["queries"].values()) else 1
 
     ops = operators()
     if only is not None:
