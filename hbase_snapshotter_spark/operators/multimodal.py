@@ -1112,6 +1112,72 @@ JPEG_AC_LUMA = (
      0xF9, 0xFA])
 
 
+#: Annex K.2 chrominance quantization table, natural order.
+JPEG_QUANT_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+#: Annex K.4 chrominance DC Huffman spec.
+JPEG_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+                  list(range(12)))
+
+#: Annex K.6 chrominance AC Huffman spec.
+JPEG_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+     0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+     0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+     0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+     0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+     0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+     0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+     0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+     0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+     0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+     0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+     0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+     0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+     0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+     0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+     0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA])
+
+
+def _rgb_to_ycbcr(px):
+    """JFIF RGB → YCbCr, float64 (h, w, 3)."""
+    import numpy as np
+
+    p = px.astype(np.float64)
+    r, g, b = p[..., 0], p[..., 1], p[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(ycc):
+    """JFIF YCbCr → uint8 RGB with half-away rounding + clamp."""
+    import numpy as np
+
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(_round_half_away(np.stack([r, g, b], axis=-1)),
+                   0, 255).astype(np.uint8)
+
+
 def _jpeg_dct_matrix():
     import numpy as np
 
@@ -1188,72 +1254,100 @@ def _jpeg_category(v: int) -> tuple[int, int]:
     return ssss, code
 
 
+def _jpeg_encode_block(bw, block, T, Q, dc_codes, ac_codes, zz,
+                       prev_dc: int) -> int:
+    """FDCT + quantize + huffman-encode one level-shifted 8×8 block;
+    returns the new DC predictor."""
+    F = T @ block @ T.T
+    q = _round_half_away(F / Q).astype("int64")
+    zq = q.reshape(64)[zz]
+    diff = int(zq[0]) - prev_dc
+    prev_dc = int(zq[0])
+    ssss, code = _jpeg_category(diff)
+    hc, hl = dc_codes[ssss]
+    bw.put(hc, hl)
+    if ssss:
+        bw.put(code, ssss)
+    run = 0
+    last_nz = max((i for i in range(1, 64) if zq[i]), default=0)
+    for i in range(1, last_nz + 1):
+        v = int(zq[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            hc, hl = ac_codes[0xF0]             # ZRL
+            bw.put(hc, hl)
+            run -= 16
+        ssss, code = _jpeg_category(v)
+        hc, hl = ac_codes[(run << 4) | ssss]
+        bw.put(hc, hl)
+        bw.put(code, ssss)
+        run = 0
+    if last_nz < 63:
+        hc, hl = ac_codes[0x00]                 # EOB
+        bw.put(hc, hl)
+    return prev_dc
+
+
 def encode_jpeg(pixels) -> bytes:
-    """Encode an ``(height, width)`` uint8 grayscale array as a
-    baseline sequential JPEG (SOF0, one component, Annex-K luminance
-    quantization + Huffman tables).  Edge rows/columns replicate to
-    pad to 8×8 blocks; quantization rounds half away from zero, so a
-    constant block with an even level-shifted value round-trips
-    EXACTLY through decode (Q[0,0] = 16: DC = 8·v0, q = v0/2,
-    reconstruction = 2·q = v0) — the property the registered fixture
-    lane's oracle replays in closed form."""
+    """Encode an ``(height, width)`` uint8 grayscale array — or an
+    ``(height, width, 3)`` uint8 RGB array as interleaved 4:4:4
+    YCbCr — as a baseline sequential JPEG (SOF0, Annex-K
+    quantization + Huffman tables; chroma uses the chrominance pair).
+    Edge rows/columns replicate to pad to 8×8 blocks; quantization
+    rounds half away from zero, so a constant grayscale block with an
+    even level-shifted value round-trips EXACTLY through decode
+    (Q[0,0] = 16: DC = 8·v0, q = v0/2, reconstruction = 2·q = v0) —
+    the property the registered fixture lane's oracle replays in
+    closed form."""
     import struct
 
     import numpy as np
 
     px = np.asarray(pixels, dtype=np.uint8)
-    if px.ndim != 2:
-        raise ValueError(f"expected (h, w) grayscale pixels, got {px.shape}")
+    color = px.ndim == 3
+    if color and px.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) RGB pixels, got {px.shape}")
+    if px.ndim not in (2, 3):
+        raise ValueError(f"expected (h, w[, 3]) pixels, got {px.shape}")
     h, w = int(px.shape[0]), int(px.shape[1])
     if not h or not w:
         raise ValueError("empty image")
     H, W = (h + 7) & ~7, (w + 7) & ~7
-    padded = np.empty((H, W), dtype=np.uint8)
-    padded[:h, :w] = px
-    padded[h:, :w] = px[-1:, :]
-    padded[:, w:] = padded[:, w - 1: w]
 
     T = _jpeg_dct_matrix()
-    Q = np.array(JPEG_QUANT_LUMA, dtype=np.float64).reshape(8, 8)
-    dc_codes = _huffman_codes(*JPEG_DC_LUMA)
-    ac_codes = _huffman_codes(*JPEG_AC_LUMA)
+    Q_l = np.array(JPEG_QUANT_LUMA, dtype=np.float64).reshape(8, 8)
+    Q_c = np.array(JPEG_QUANT_CHROMA, dtype=np.float64).reshape(8, 8)
+    codes_l = (_huffman_codes(*JPEG_DC_LUMA), _huffman_codes(*JPEG_AC_LUMA))
+    codes_c = (_huffman_codes(*JPEG_DC_CHROMA),
+               _huffman_codes(*JPEG_AC_CHROMA))
     zz = np.array(JPEG_ZIGZAG)
 
+    if color:
+        data = _rgb_to_ycbcr(px)
+        comps = [(data[..., 0], Q_l, codes_l),
+                 (data[..., 1], Q_c, codes_c),
+                 (data[..., 2], Q_c, codes_c)]
+    else:
+        comps = [(px.astype(np.float64), Q_l, codes_l)]
+
+    planes = []
+    for plane, Q, codes in comps:
+        padded = np.empty((H, W), dtype=np.float64)
+        padded[:h, :w] = plane
+        padded[h:, :w] = plane[-1:, :]
+        padded[:, w:] = padded[:, w - 1: w]
+        planes.append((padded - 128.0, Q, codes))
+
     bw = _JpegBitWriter()
-    prev_dc = 0
+    prev = [0] * len(planes)
     for by in range(H // 8):
         for bx in range(W // 8):
-            b = padded[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] \
-                .astype(np.float64) - 128.0
-            F = T @ b @ T.T
-            q = _round_half_away(F / Q).astype(np.int64)
-            zq = q.reshape(64)[zz]
-            diff = int(zq[0]) - prev_dc
-            prev_dc = int(zq[0])
-            ssss, code = _jpeg_category(diff)
-            hc, hl = dc_codes[ssss]
-            bw.put(hc, hl)
-            if ssss:
-                bw.put(code, ssss)
-            run = 0
-            last_nz = max((i for i in range(1, 64) if zq[i]), default=0)
-            for i in range(1, last_nz + 1):
-                v = int(zq[i])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    hc, hl = ac_codes[0xF0]     # ZRL
-                    bw.put(hc, hl)
-                    run -= 16
-                ssss, code = _jpeg_category(v)
-                hc, hl = ac_codes[(run << 4) | ssss]
-                bw.put(hc, hl)
-                bw.put(code, ssss)
-                run = 0
-            if last_nz < 63:
-                hc, hl = ac_codes[0x00]         # EOB
-                bw.put(hc, hl)
+            for ci, (padded, Q, (dc_codes, ac_codes)) in enumerate(planes):
+                prev[ci] = _jpeg_encode_block(
+                    bw, padded[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8],
+                    T, Q, dc_codes, ac_codes, zz, prev[ci])
     scan = bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -1261,13 +1355,29 @@ def encode_jpeg(pixels) -> bytes:
 
     dqt = seg(0xFFDB, b"\x00" + bytes(JPEG_QUANT_LUMA[i]
                                       for i in JPEG_ZIGZAG))
-    sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1)
-              + struct.pack(">BBB", 1, 0x11, 0))
     dht = (seg(0xFFC4, b"\x00" + bytes(JPEG_DC_LUMA[0])
                + bytes(JPEG_DC_LUMA[1]))
            + seg(0xFFC4, b"\x10" + bytes(JPEG_AC_LUMA[0])
                  + bytes(JPEG_AC_LUMA[1])))
-    sos = seg(0xFFDA, struct.pack(">B", 1) + struct.pack(">BB", 1, 0x00)
+    if color:
+        dqt += seg(0xFFDB, b"\x01" + bytes(JPEG_QUANT_CHROMA[i]
+                                           for i in JPEG_ZIGZAG))
+        dht += (seg(0xFFC4, b"\x01" + bytes(JPEG_DC_CHROMA[0])
+                    + bytes(JPEG_DC_CHROMA[1]))
+                + seg(0xFFC4, b"\x11" + bytes(JPEG_AC_CHROMA[0])
+                      + bytes(JPEG_AC_CHROMA[1])))
+        sof_comps = (struct.pack(">BBB", 1, 0x11, 0)
+                     + struct.pack(">BBB", 2, 0x11, 1)
+                     + struct.pack(">BBB", 3, 0x11, 1))
+        sos_comps = (struct.pack(">BB", 1, 0x00)
+                     + struct.pack(">BB", 2, 0x11)
+                     + struct.pack(">BB", 3, 0x11))
+    else:
+        sof_comps = struct.pack(">BBB", 1, 0x11, 0)
+        sos_comps = struct.pack(">BB", 1, 0x00)
+    n = 3 if color else 1
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, n) + sof_comps)
+    sos = seg(0xFFDA, struct.pack(">B", n) + sos_comps
               + struct.pack(">BBB", 0, 63, 0))
     return (b"\xFF\xD8" + dqt + sof + dht + sos + scan + b"\xFF\xD9")
 
@@ -1327,14 +1437,15 @@ def _jpeg_decode_huff(r: "_JpegBitReader", table: dict) -> int:
 
 
 def decode_jpeg(payload: bytes):
-    """Decode a baseline sequential grayscale JPEG to ``(width,
-    height, pixels)`` with ``pixels`` an ``(h, w)`` uint8 array.
-    Walks real markers (APPn/COM skipped; multi-table DQT/DHT read;
-    restart markers, progressive (SOF2), arithmetic (SOF9+),
-    multi-component and subsampled streams rejected), huffman-decodes
-    the byte-stuffed scan, dequantizes through the transmitted DQT,
-    inverse-zigzags, applies the float64 IDCT, level-shifts, clamps,
-    and crops the 8×8 padding.  Raises ``ValueError`` on malformed or
+    """Decode a baseline sequential JPEG to ``(width, height,
+    pixels)`` — ``(h, w)`` uint8 for grayscale streams, ``(h, w, 3)``
+    uint8 RGB for interleaved 4:4:4 YCbCr color streams.  Walks real
+    markers (APPn/COM skipped; multi-table DQT/DHT read; restart
+    markers, progressive (SOF2), arithmetic (SOF9+), and subsampled
+    streams rejected), huffman-decodes the byte-stuffed scan,
+    dequantizes through the transmitted DQT, inverse-zigzags, applies
+    the float64 IDCT, level-shifts, clamps, converts color, and crops
+    the 8×8 padding.  Raises ``ValueError`` on malformed or
     unsupported payloads."""
     import struct
 
@@ -1346,7 +1457,8 @@ def decode_jpeg(payload: bytes):
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict] = {}
     dims = None
-    comp_q = None
+    comp_specs = None       # [(component_id, quant_table_id)]
+    scan_tabs = None        # [(dc_table_id, ac_table_id)] in scan order
     scan_data = None
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -1375,14 +1487,16 @@ def decode_jpeg(payload: bytes):
             precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if precision != 8:
                 raise ValueError(f"unsupported precision {precision}")
-            if ncomp != 1:
-                raise ValueError(f"only grayscale supported, got "
-                                 f"{ncomp} components")
-            _cid, sampling, tq = struct.unpack_from(">BBB", body, 6)
-            if sampling != 0x11:
-                raise ValueError("subsampled JPEG unsupported")
+            if ncomp not in (1, 3):
+                raise ValueError(f"unsupported component count {ncomp}")
+            comp_specs = []
+            for c in range(ncomp):
+                cid, sampling, tq = struct.unpack_from(
+                    ">BBB", body, 6 + 3 * c)
+                if sampling != 0x11:
+                    raise ValueError("subsampled JPEG unsupported")
+                comp_specs.append((cid, tq))
             dims = (w, h)
-            comp_q = tq
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported SOF marker 0xFF{marker:02X} "
@@ -1402,57 +1516,70 @@ def decode_jpeg(payload: bytes):
             raise ValueError("restart intervals unsupported")
         elif marker == 0xDA:
             ns = body[0]
-            if ns != 1:
-                raise ValueError("multi-component scan unsupported")
-            td, ta = body[2] >> 4, body[2] & 0x0F
+            if comp_specs is None or ns != len(comp_specs):
+                raise ValueError("SOS component count mismatch")
+            scan_tabs = []
+            for c in range(ns):
+                _cs = body[1 + 2 * c]
+                tt = body[2 + 2 * c]
+                scan_tabs.append((tt >> 4, tt & 0x0F))
             scan_data = payload[pos + 2 + seg_len:]
             break
         # APPn / COM / others: skipped
         pos += 2 + seg_len
     if dims is None or scan_data is None:
         raise ValueError("JPEG missing SOF0 or SOS")
-    if comp_q not in qtables:
-        raise ValueError("missing quantization table")
-    if (0, td) not in htables or (1, ta) not in htables:
-        raise ValueError("missing huffman table")
+    for _cid, tq in comp_specs:
+        if tq not in qtables:
+            raise ValueError("missing quantization table")
+    for td, ta in scan_tabs:
+        if (0, td) not in htables or (1, ta) not in htables:
+            raise ValueError("missing huffman table")
 
     w, h = dims
     H, W = (h + 7) & ~7, (w + 7) & ~7
     T = _jpeg_dct_matrix()
-    Q = qtables[comp_q].astype(np.float64)
-    dct, act = htables[(0, td)], htables[(1, ta)]
+    comps = [(qtables[tq].astype(np.float64),
+              htables[(0, td)], htables[(1, ta)])
+             for (_cid, tq), (td, ta) in zip(comp_specs, scan_tabs)]
     # strip the EOI if present so a trailing 0xFFD9 doesn't read as a
     # stray marker inside the entropy stream
     end = scan_data.rfind(b"\xFF\xD9")
     r = _JpegBitReader(scan_data[:end] if end >= 0 else scan_data)
-    out = np.zeros((H, W), dtype=np.uint8)
-    prev_dc = 0
+    planes = [np.zeros((H, W), dtype=np.float64) for _ in comps]
+    prev = [0] * len(comps)
+    zzidx = np.array(JPEG_ZIGZAG)
     for by in range(H // 8):
         for bx in range(W // 8):
-            zq = np.zeros(64, dtype=np.int64)
-            ssss = _jpeg_decode_huff(r, dct)
-            prev_dc += _jpeg_receive_extend(r, ssss)
-            zq[0] = prev_dc
-            k = 1
-            while k < 64:
-                rs = _jpeg_decode_huff(r, act)
-                run, size = rs >> 4, rs & 0x0F
-                if size == 0:
-                    if run == 15:      # ZRL
-                        k += 16
-                        continue
-                    break              # EOB
-                k += run
-                if k > 63:
-                    raise ValueError("AC coefficient index overflow")
-                zq[k] = _jpeg_receive_extend(r, size)
-                k += 1
-            F = np.zeros(64, dtype=np.float64)
-            F[np.array(JPEG_ZIGZAG)] = zq
-            block = T.T @ (F.reshape(8, 8) * Q) @ T
-            out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = np.clip(
-                _round_half_away(block + 128.0), 0, 255).astype(np.uint8)
-    return w, h, out[:h, :w]
+            for ci, (Q, dct, act) in enumerate(comps):
+                zq = np.zeros(64, dtype=np.int64)
+                ssss = _jpeg_decode_huff(r, dct)
+                prev[ci] += _jpeg_receive_extend(r, ssss)
+                zq[0] = prev[ci]
+                k = 1
+                while k < 64:
+                    rs = _jpeg_decode_huff(r, act)
+                    run, size = rs >> 4, rs & 0x0F
+                    if size == 0:
+                        if run == 15:      # ZRL
+                            k += 16
+                            continue
+                        break              # EOB
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC coefficient index overflow")
+                    zq[k] = _jpeg_receive_extend(r, size)
+                    k += 1
+                F = np.zeros(64, dtype=np.float64)
+                F[zzidx] = zq
+                planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
+                    T.T @ (F.reshape(8, 8) * Q) @ T + 128.0
+    if len(planes) == 1:
+        out = np.clip(_round_half_away(planes[0]), 0, 255) \
+            .astype(np.uint8)
+        return w, h, out[:h, :w]
+    rgb = _ycbcr_to_rgb(np.stack(planes, axis=-1))
+    return w, h, rgb[:h, :w]
 
 
 JPEG_FEATURES_SCHEMA = StructType([

@@ -3352,6 +3352,22 @@ def test_jpeg_codec_roundtrip_and_golden_bytes():
     _w, _h, bz = decode_jpeg(encode_jpeg(z))
     assert bz.shape == (8, 8)
 
+    # color (interleaved 4:4:4 YCbCr, chroma tables + per-component
+    # DC predictors): constant color lands within ±1 of the original
+    # through RGB→YCbCr→DCT→huffman→IDCT→RGB; smooth gradients bound
+    # by the coarser chroma quantization
+    rgb = np.zeros((16, 16, 3), dtype=np.uint8)
+    rgb[..., 0], rgb[..., 1], rgb[..., 2] = 180, 90, 40
+    wc, hc, bc = decode_jpeg(encode_jpeg(rgb))
+    assert (wc, hc) == (16, 16) and bc.shape == (16, 16, 3)
+    assert int(np.abs(bc.astype(int) - rgb.astype(int)).max()) <= 1
+    grad = np.zeros((24, 32, 3), dtype=np.uint8)
+    grad[..., 0] = np.arange(32) * 4 % 250
+    grad[..., 1] = 100
+    grad[..., 2] = (np.arange(24)[:, None] * 5 % 250)
+    _w, _h, bgr = decode_jpeg(encode_jpeg(grad))
+    assert int(np.abs(bgr.astype(int) - grad.astype(int)).max()) <= 8
+
     with _pytest.raises(ValueError):
         decode_jpeg(b"\xff\xd8junk")          # garbage after SOI
     with _pytest.raises(ValueError):
