@@ -664,7 +664,44 @@ def operators():
             postings, docs.select("doc_id").filter(F.col("doc_id") % 9 == 4))
         return bm25_topk_indexed(p2, h2, ["data", "model"], k=25)
 
+    def run_shingle_edge_advance(spark, d):
+        # N122 (r10): history (shingle index, edge) state build + the
+        # delta-only advance — no rebuild scaffolding, no equality
+        # flag, so the curve isolates the incremental path itself
+        from pyspark.sql import functions as F
+
+        from hbase_snapshotter_spark.operators.dedup import (
+            advance_shingle_edges,
+            doc_shingles,
+            shared_shingle_edges,
+            spread,
+        )
+
+        docs = spread(spark.read.parquet(f"{d}/documents.parquet"))
+        hist = docs.filter(F.col("doc_id") % 5 != 0)
+        delta = docs.filter(F.col("doc_id") % 5 == 0)
+        sh = doc_shingles(hist, "doc_id", "text", 3)
+        e = shared_shingle_edges(hist, "doc_id", min_shared=3, max_df=50)
+        _, adv = advance_shingle_edges(sh, e, delta,
+                                       min_shared=3, max_df=50)
+        return adv
+
+    def run_jpeg_decode(spark, d):
+        # N123 (r10): the full baseline-JPEG encode+decode lane —
+        # embarrassingly parallel Arrow batches, no shuffle
+        from hbase_snapshotter_spark.operators.multimodal import (
+            decode_jpeg_features,
+            synthesize_jpeg_payloads,
+        )
+
+        docs = spread(spark.read.parquet(f"{d}/documents.parquet")) \
+            .select("doc_id")
+        return decode_jpeg_features(synthesize_jpeg_payloads(docs))
+
     return {
+        # round-10 additions (incremental graph state, JPEG codec)
+        "shingle_edge_advance": run_shingle_edge_advance,
+        "jpeg_decode": run_jpeg_decode,
         # round-9b additions (decorrelated subqueries, attribution,
         # sketch join-size, compaction planning, AVI frame sampling)
         "subquery_suite": _q("subquery_suite"),
