@@ -249,3 +249,84 @@ def shard_rebalance_audit(
         mod_stable = hrw_stable = F.lit(True)
     return lane("modulo", mod_b, mod_a, mod_stable).unionAll(
         lane("rendezvous", hrw_b, hrw_a, hrw_stable))
+
+
+def zone_map_pruning_audit(
+    df,
+    file_col: str,
+    predicates: list[tuple[str, str, float, float]],
+):
+    """Zone-map data skipping (SURVEY §2.3 N124) — the min/max
+    file-statistics pruning every 100 TB table format (Parquet row
+    groups, Iceberg/Delta file stats) lives by, audited exactly: per
+    "file" (write partition), the zone map is ``(min, max, n_rows)``
+    of each probed column; a range predicate scans a file iff
+    ``[min, max]`` intersects ``[lo, hi]``.  For each predicate the
+    audit reports files scanned/skipped (exact skip permille) and
+    verifies the SOUNDNESS invariant a zone map must never break:
+    every matching row lives in a scanned file (``no_false_skips`` —
+    computed from the data, not asserted; over-scanning is allowed,
+    under-scanning is corruption).
+
+    ``predicates`` — ``(name, column, lo, hi)`` literals.  This is the
+    lane that MOTIVATES the z-order lane one suite over: a predicate
+    on the column the files are partitioned by skips almost
+    everything, an uncorrelated column skips almost nothing, and
+    multi-dimensional interleaving is the fix.
+
+    Scale shape: the zone map is one map-side-combined aggregate
+    (files-sized output); predicates are a broadcast literal table
+    (files × preds bounded rows); the exact verification is ONE more
+    scan with the same broadcast — the audit lane's cost, linear and
+    shuffle-free beyond the files-sized agg."""
+    probe_cols = sorted({c for _, c, _, _ in predicates})
+    zm = df.groupBy(file_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        *[m for c in probe_cols
+          for m in (F.min(F.col(c).cast("double")).alias(f"__mn_{c}"),
+                    F.max(F.col(c).cast("double")).alias(f"__mx_{c}"))])
+    spark = df.sparkSession
+    pred_df = spark.createDataFrame(
+        predicates, "pred string, col string, lo double, hi double")
+    scanned = F.lit(False)
+    for c in probe_cols:
+        scanned = F.when(
+            F.col("col") == c,
+            (F.col(f"__mx_{c}") >= F.col("lo"))
+            & (F.col(f"__mn_{c}") <= F.col("hi"))).otherwise(scanned)
+    j = zm.join(F.broadcast(pred_df))
+    per_pred = (
+        j.groupBy("pred", "col", "lo", "hi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_files"),
+             F.sum(scanned.cast("long")).cast("long").alias("n_scanned"),
+             F.sum(F.when(scanned, F.col("__n")).otherwise(0))
+             .cast("long").alias("n_rows_in_scanned")))
+    # exact verification pass: matched rows overall vs matched rows
+    # inside scanned files — equal iff no file was falsely skipped
+    rows = df.select(
+        file_col, *[F.col(c).cast("double").alias(f"__v_{c}")
+                    for c in probe_cols])
+    matched_val = F.lit(None).cast("double")
+    for c in probe_cols:
+        matched_val = F.when(F.col("col") == c,
+                             F.col(f"__v_{c}")).otherwise(matched_val)
+    rj = rows.join(F.broadcast(pred_df))
+    is_match = matched_val.between(F.col("lo"), F.col("hi"))
+    file_scan = (rj.groupBy("pred", file_col)
+                 .agg(F.sum(is_match.cast("long")).alias("__m")))
+    zm_verdict = j.select("pred", file_col, scanned.alias("__scanned"))
+    exact = (file_scan.join(zm_verdict, ["pred", file_col])
+             .groupBy("pred")
+             .agg(F.sum("__m").cast("long").alias("n_rows_matched"),
+                  F.sum(F.when(~F.col("__scanned"), F.col("__m"))
+                        .otherwise(0)).cast("long").alias("__missed")))
+    pm = 2000 * (F.col("n_files") - F.col("n_scanned")) + F.col("n_files")
+    return (per_pred.join(exact, "pred")
+            .select("pred", "col", "lo", "hi", "n_files", "n_scanned",
+                    (F.col("n_files") - F.col("n_scanned")).cast("long")
+                    .alias("n_skipped"),
+                    ((pm - F.pmod(pm, 2 * F.col("n_files")))
+                     / (2 * F.col("n_files"))).cast("long")
+                    .alias("skip_permille"),
+                    "n_rows_matched",
+                    (F.col("__missed") == 0).alias("no_false_skips")))

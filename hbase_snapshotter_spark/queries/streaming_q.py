@@ -1593,6 +1593,83 @@ FROM base
 """
 
 
+#: Zone-map pruning predicates (N124): day-file layout over the
+#: fixture's 30-day event span — the file-correlated predicate skips
+#: ~90% of files, the uncorrelated value band skips ~none (the
+#: classic lesson that motivates the z-order lane), and the high tail
+#: exercises all-file skips where the fixture's value range allows.
+ZONE_MAP_PREDICATES = [
+    ("scan_3_days", "file_day", 19733.0, 19735.0),
+    ("value_band", "value", 100.0, 120.0),
+    ("value_high_tail", "value", 500.0, 10000.0),
+]
+
+
+def zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map data skipping audit (N124): per-day "files" over the
+    events table carry (min, max) statistics for the probed columns;
+    each range predicate scans a file iff its span intersects — files
+    scanned/skipped exactly, plus the soundness invariant
+    (``no_false_skips``: every matching row lives in a scanned file)
+    computed from the data.  The oracle replays the zone map, the
+    intersection rule, the half-up skip permille, and the exact
+    verification."""
+    from hbase_snapshotter_spark.operators.layout import (
+        zone_map_pruning_audit,
+    )
+    from hbase_snapshotter_spark.operators.timeseries import time_bucket
+
+    ev = read_table(spark, sf_dir, "events").select(
+        (time_bucket("ts", 86_400_000) / 86_400_000).cast("long")
+        .alias("file_day"), "value")
+    return zone_map_pruning_audit(ev, "file_day", ZONE_MAP_PREDICATES)
+
+
+def _oracle_zone_map() -> str:
+    vals = ", ".join(f"('{p}', '{c}', {lo}, {hi})"
+                     for p, c, lo, hi in ZONE_MAP_PREDICATES)
+    return f"""
+WITH ev AS (
+  SELECT epoch_ms(ts) // 86400000 AS file_day,
+         CAST(value AS DOUBLE) AS value
+  FROM events),
+zm AS (
+  SELECT file_day,
+         CAST(MIN(file_day) AS DOUBLE) AS mn_file_day,
+         CAST(MAX(file_day) AS DOUBLE) AS mx_file_day,
+         MIN(value) AS mn_value, MAX(value) AS mx_value
+  FROM ev GROUP BY 1),
+preds(pred, col, lo, hi) AS (VALUES {vals}),
+verdict AS (
+  SELECT p.pred, p.col, p.lo, p.hi, z.file_day,
+         CASE WHEN p.col = 'file_day'
+              THEN z.mx_file_day >= p.lo AND z.mn_file_day <= p.hi
+              ELSE z.mx_value >= p.lo AND z.mn_value <= p.hi END
+           AS scanned
+  FROM preds p, zm z),
+matched AS (
+  SELECT p.pred, e.file_day, CAST(COUNT(*) AS BIGINT) AS m
+  FROM preds p JOIN ev e
+    ON (CASE WHEN p.col = 'file_day' THEN CAST(e.file_day AS DOUBLE)
+             ELSE e.value END) BETWEEN p.lo AND p.hi
+  GROUP BY 1, 2)
+SELECT v.pred, v.col, v.lo, v.hi,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(CASE WHEN v.scanned THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_scanned,
+       CAST(SUM(CASE WHEN v.scanned THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_skipped,
+       CAST((2000 * SUM(CASE WHEN v.scanned THEN 0 ELSE 1 END)
+             + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS skip_permille,
+       CAST(COALESCE(SUM(m.m), 0) AS BIGINT) AS n_rows_matched,
+       COALESCE(SUM(CASE WHEN NOT v.scanned THEN m.m END), 0) = 0
+         AS no_false_skips
+FROM verdict v
+LEFT JOIN matched m ON m.pred = v.pred AND m.file_day = v.file_day
+GROUP BY 1, 2, 3, 4
+"""
+
+
 #: Lane specs for the r10 layout_audit_suite fold (VERDICT r9 task 2):
 #: Z-order clustering audit, equi-depth-vs-fixed-width range layout,
 #: small-file compaction planning, shard-rebalance migration cost.
@@ -1618,6 +1695,12 @@ _SHARD_COLS = [
     ("moved_permille", "BIGINT"),
     ("moves_only_to_new_shards", "BOOLEAN"),
 ]
+_ZONE_MAP_COLS = [
+    ("pred", "VARCHAR"), ("col", "VARCHAR"), ("lo", "DOUBLE"),
+    ("hi", "DOUBLE"), ("n_files", "BIGINT"), ("n_scanned", "BIGINT"),
+    ("n_skipped", "BIGINT"), ("skip_permille", "BIGINT"),
+    ("n_rows_matched", "BIGINT"), ("no_false_skips", "BOOLEAN"),
+]
 
 
 def layout_audit_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1641,6 +1724,7 @@ def layout_audit_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
          _COMPACTION_COLS),
         ("shard_rebalance", shard_rebalance_stats(spark, sf_dir),
          _SHARD_COLS),
+        ("zone_map", zone_map_pruning(spark, sf_dir), _ZONE_MAP_COLS),
     ])
 
 
@@ -1653,6 +1737,7 @@ def _oracle_layout_audit_suite() -> str:
         ("range_layout", _oracle_range_layout(), _RANGE_LAYOUT_COLS),
         ("compaction", _oracle_compaction_plan(), _COMPACTION_COLS),
         ("shard_rebalance", _oracle_shard_rebalance(), _SHARD_COLS),
+        ("zone_map", _oracle_zone_map(), _ZONE_MAP_COLS),
     ])
 
 

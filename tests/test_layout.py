@@ -192,3 +192,35 @@ def test_shard_rebalance_python_replayed(spark):
         df, "k", n_before=9, n_after=8).collect()}
     assert shrink["modulo"].moves_only_to_new_shards
     assert shrink["rendezvous"].moves_only_to_new_shards
+
+
+def test_zone_map_pruning_audit_hand_computed(spark):
+    """N124 zone-map skipping on a hand layout: three files with known
+    value spans — a predicate inside one file's span scans exactly that
+    file, an out-of-range predicate skips everything, an everywhere
+    predicate scans everything; matched-row counts are exact and the
+    soundness flag holds; skip permille is half-up."""
+    from hbase_snapshotter_spark.operators.layout import (
+        zone_map_pruning_audit,
+    )
+
+    rows = [(0, 1.0), (0, 5.0), (1, 10.0), (1, 14.0), (2, 20.0),
+            (2, 29.0)]
+    df = spark.createDataFrame(rows, "f long, v double")
+    out = {r.pred: r for r in zone_map_pruning_audit(
+        df, "f", [("one_file", "v", 11.0, 13.0),
+                  ("nothing", "v", 100.0, 200.0),
+                  ("everything", "v", 0.0, 30.0),
+                  ("two_files", "v", 4.0, 12.0)]).collect()}
+    r = out["one_file"]
+    assert (r.n_files, r.n_scanned, r.n_skipped) == (3, 1, 2)
+    assert r.skip_permille == 667  # half-up 2000/3
+    assert r.n_rows_matched == 0 and r.no_false_skips
+    r = out["nothing"]
+    assert (r.n_scanned, r.n_rows_matched, r.no_false_skips) == (0, 0,
+                                                                 True)
+    r = out["everything"]
+    assert (r.n_scanned, r.n_rows_matched) == (3, 6)
+    r = out["two_files"]
+    assert (r.n_scanned, r.n_rows_matched) == (2, 2)  # 5.0 and 10.0
+    assert r.no_false_skips

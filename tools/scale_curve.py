@@ -689,6 +689,7 @@ def operators():
     def run_jpeg_decode(spark, d):
         # N123 (r10): the full baseline-JPEG encode+decode lane —
         # embarrassingly parallel Arrow batches, no shuffle
+        from hbase_snapshotter_spark.operators.dedup import spread
         from hbase_snapshotter_spark.operators.multimodal import (
             decode_jpeg_features,
             synthesize_jpeg_payloads,
