@@ -815,8 +815,13 @@ def test_sliding_distinct_union_semantics(spark):
         # day 0: users 1,2 ; day 3: users 2,3 ; day 9: user 1
         (1, 1, 0), (2, 2, 0), (3, 2, 3), (4, 3, 3), (5, 1, 9),
     ]
+    import os
     import tempfile
-    d = tempfile.mkdtemp()
+
+    # basename must look like a fixture sf dir: the exact audit lane
+    # this test exercises is FIXTURE-GATED (queries/gating.py, r10)
+    d = os.path.join(tempfile.mkdtemp(), "sf0.0")
+    os.makedirs(d)
     spark.createDataFrame(
         rows, "event_id long, user_id long, day long"
     ).select("event_id", "user_id",
