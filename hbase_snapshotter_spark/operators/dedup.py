@@ -956,6 +956,7 @@ def advance_shingle_edges(
     n: int = 3,
     min_shared: int = 3,
     max_df: int | None = None,
+    delete_ids: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Advance the materialized similarity-graph state with ONLY the
     delta documents (SURVEY §2.3 N122; VERDICT r9 task 3) — the graph
@@ -972,8 +973,12 @@ def advance_shingle_edges(
     over the unioned corpus, row-for-row.
 
     Delta semantics: insert or doc-wins replace (an edited doc's new
-    text supersedes; re-deliveries are no-ops).  Deletions route
-    through the engine's retraction lanes, not this advance.
+    text supersedes; re-deliveries are no-ops), and DELETION via
+    ``delete_ids`` — a deleted doc's shingle rows leave the index, its
+    pairs leave the edge state, and any shingle whose df drops back
+    UNDER the cap re-adds its evidence to the surviving pairs (the
+    retraction symmetry the engine's index-maintenance lanes keep,
+    N94/N95): all three mutations share the one recompute machinery.
 
     Exactness under the cap needs care the band-state advance (N57)
     doesn't: adding docs can push a shingle's document frequency OVER
@@ -999,6 +1004,13 @@ def advance_shingle_edges(
     delta_sh = scoped_persist(
         doc_shingles(spread(delta_docs), id_col, text_col, n))
     delta_ids = delta_docs.select(id_col).distinct()
+    if delete_ids is not None:
+        # deletions join the "touched ids" set: their rows leave the
+        # index below and their pairs are dropped (never recomputed —
+        # the new index no longer holds them)
+        delta_ids = delta_ids.unionByName(
+            delete_ids.select(F.col(delete_ids.columns[0])
+                              .alias(id_col))).distinct()
     kept_sh = shingle_state.join(F.broadcast(delta_ids), id_col,
                                  "left_anti")
     new_state = scoped_persist(kept_sh.unionByName(delta_sh))

@@ -3183,6 +3183,23 @@ def test_advance_shingle_edges_equals_rebuild(spark):
     assert as_set(e2) == as_set(new_e)
     assert sh2.count() == new_sh.count()
 
+    # DELETION: drop doc 9 (one of the docs that pushed 'common one
+    # two' over the cap) — its pairs leave the edge state AND the
+    # shingle df falls back UNDER the cap, so the surviving history
+    # pairs regain that evidence; advance ≡ rebuild over the corpus
+    # minus the deletion
+    del_ids = spark.createDataFrame([(9,)], "doc_id long")
+    sh_d, e_d = advance_shingle_edges(
+        new_sh, new_e, mk([]), min_shared=ms, max_df=cap,
+        delete_ids=del_ids)
+    full_minus9 = full.filter("doc_id <> 9")
+    assert as_set(e_d) == as_set(rebuild(full_minus9))
+    assert {(r.doc_id, r.shingle) for r in sh_d.collect()} == \
+        {(r.doc_id, r.shingle)
+         for r in doc_shingles(full_minus9, "doc_id", "text",
+                               3).collect()}
+    assert not any(r.id_a == 9 or r.id_b == 9 for r in e_d.collect())
+
     # uncapped path: plain insert advance equals uncapped rebuild
     sh3, e3 = advance_shingle_edges(
         state_sh, state_e.filter(F.lit(False)), mk([]), min_shared=ms)
