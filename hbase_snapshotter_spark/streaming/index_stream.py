@@ -102,6 +102,60 @@ def pq_feed_apply(C, *, id_col: str = "vec_id",
     return apply
 
 
+def graph_feed_apply(*, id_col: str = "doc_id", text_col: str = "text",
+                     n: int = 3, min_shared: int = 3,
+                     max_df: int | None = 50) -> ApplyFn:
+    """Apply closure for the N122 similarity-graph state: feed rows
+    ``(op, id, text)`` — D deletes, I/U doc-wins replace — advanced
+    via :func:`~hbase_snapshotter_spark.operators.dedup
+    .advance_shingle_edges`, so per batch only the batch's docs are
+    shingled and only delta/cap-crossing-touched neighborhoods
+    recompute.  The two state tables (uncapped shingle index + capped
+    edge list) ride ONE discriminated frame — ``kind ∈ {sh, e}`` —
+    so the generic maintainer's one-state-dir contract holds
+    unchanged."""
+    from hbase_snapshotter_spark.operators.dedup import (
+        advance_shingle_edges,
+        doc_shingles,
+        shared_shingle_edges,
+        spread,
+    )
+
+    def pack(sh: DataFrame, e: DataFrame) -> DataFrame:
+        return sh.select(
+            F.lit("sh").alias("kind"), F.col(id_col),
+            F.col("shingle"),
+            F.lit(None).cast("long").alias("id_a"),
+            F.lit(None).cast("long").alias("id_b"),
+            F.lit(None).cast("long").alias("n_shared"),
+        ).unionByName(e.select(
+            F.lit("e").alias("kind"),
+            F.lit(None).cast("long").alias(id_col),
+            F.lit(None).cast("string").alias("shingle"),
+            "id_a", "id_b", "n_shared"))
+
+    def apply(prior: DataFrame | None, feed: DataFrame) -> DataFrame:
+        docs = feed.filter(F.col("op").isin("I", "U")) \
+            .select(id_col, text_col)
+        if prior is None:
+            return pack(
+                doc_shingles(spread(docs), id_col, text_col, n),
+                shared_shingle_edges(docs, id_col, text_col, n=n,
+                                     min_shared=min_shared,
+                                     max_df=max_df))
+        sh = prior.filter(F.col("kind") == "sh") \
+            .select(id_col, "shingle")
+        e = prior.filter(F.col("kind") == "e") \
+            .select("id_a", "id_b", "n_shared")
+        gone = feed.filter(F.col("op") == "D").select(id_col)
+        new_sh, new_e = advance_shingle_edges(
+            sh, e, docs, id_col, text_col, n=n, min_shared=min_shared,
+            max_df=max_df, delete_ids=gone)
+        return pack(new_sh, new_e)
+
+    return apply
+
+
 class IndexFeedMaintainer:
     """foreachBatch sink advancing one serving index from a CDC feed;
     the advanced full state lands in ``state_dir/batch=<id>/state``."""

@@ -1367,3 +1367,67 @@ def test_frontier_retention_bounds_dirs(spark, tmp_path):
     m_ret.process_batch(batches[0], 0)  # re-delivered expired id
     assert rows(m_ret.state(spark)) == before_state
     assert sorted(os.listdir(str(tmp_path / "ret"))) == before_dirs
+
+
+def test_index_feed_maintainer_similarity_graph(spark, tmp_path):
+    """N122 streaming form: the CDC-driven maintainer over the
+    similarity-graph state — after insert/update/delete feed batches
+    the maintained (shingle index, edge list) equals the batch build
+    over the NET corpus bit-for-bit (including a deletion that pulls a
+    shingle's df back under the cap), and re-delivering every batch
+    changes nothing."""
+    from hbase_snapshotter_spark.operators.dedup import (
+        doc_shingles,
+        shared_shingle_edges,
+    )
+    from hbase_snapshotter_spark.streaming.index_stream import (
+        IndexFeedMaintainer,
+        graph_feed_apply,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta"
+    fs = "op string, doc_id long, text string"
+    feeds = [
+        spark.createDataFrame(
+            [("I", i, f"{base} tail{i} end{i}") for i in range(4)]
+            + [("I", 6, "common one two three x y z"),
+               ("I", 7, "common one two three p q r")], fs),
+        # push 'common one two' df over cap=4, replace doc 1
+        spark.createDataFrame(
+            [("I", 9, "common one two three j k l"),
+             ("I", 10, "common one two three m n o"),
+             ("U", 1, "totally different replacement text here")], fs),
+        # delete doc 9: df falls back under the cap
+        spark.createDataFrame([("D", 9, None)], fs),
+    ]
+    cap, ms = 4, 2
+    m = IndexFeedMaintainer(
+        str(tmp_path / "graph"),
+        graph_feed_apply(min_shared=ms, max_df=cap))
+    for i, f in enumerate(feeds):
+        m.process_batch(f, i)
+
+    net = spark.createDataFrame(
+        [(i, f"{base} tail{i} end{i}") for i in (0, 2, 3)]
+        + [(1, "totally different replacement text here"),
+           (6, "common one two three x y z"),
+           (7, "common one two three p q r"),
+           (10, "common one two three m n o")],
+        "doc_id long, text string")
+    state = m.state(spark)
+    got_sh = {(r.doc_id, r.shingle)
+              for r in state.filter("kind = 'sh'").collect()}
+    want_sh = {(r.doc_id, r.shingle)
+               for r in doc_shingles(net, "doc_id", "text", 3).collect()}
+    assert got_sh == want_sh
+    got_e = {(r.id_a, r.id_b, r.n_shared)
+             for r in state.filter("kind = 'e'").collect()}
+    want_e = {(r.id_a, r.id_b, r.n_shared)
+              for r in shared_shingle_edges(
+                  net, "doc_id", min_shared=ms, max_df=cap).collect()}
+    assert got_e == want_e
+    for i, f in enumerate(feeds):    # re-delivery: apply must not re-run
+        m.process_batch(f, i)
+    state2 = m.state(spark)
+    assert {tuple(r) for r in state2.collect()} == \
+        {tuple(r) for r in state.collect()}
