@@ -128,6 +128,10 @@ HEADLINE_R7 = [
     "events_sliding_distinct", # r9b: HLL-union sliding distincts
     "event_cooccurrence_lift", # r9b: behavior-affinity baskets
     "dedup_component_stats",   # r9b: giant-component health audit
+    "zone_map_pruning",        # r10: min/max data-skipping audit
+    "text_scrub",              # r10: the PII scrub lane, now folded
+                               # into text_mining_suite — benched so
+                               # every suite lane keeps a timing row
 ]
 
 
