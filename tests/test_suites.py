@@ -1,0 +1,83 @@
+"""Lane-union suite guards (r10).
+
+The consolidation's contract is that folding lanes into one recorded
+key loses nothing: every lane must actually appear inside its host
+(row-level presence — the oracle already value-hashes each lane's
+columns), and the rotation arithmetic must keep every registry key's
+driver-record age bounded.
+"""
+
+import pytest
+
+from hbase_snapshotter_spark.queries.registry import QUERIES
+
+#: host suite -> the lane discriminator values its rows must carry.
+SUITE_LANES = {
+    "events_stats_suite": {"robust_center", "trend_ols", "cusum_drift"},
+    "text_mining_suite": {"langid_confusion", "collocations",
+                          "heavy_hitters", "scrub"},
+    "embedding_analysis_suite": {"truncation_audit", "label_centroids"},
+    "event_sequence_suite": {"transitions", "top_paths", "sessions"},
+    "event_funnel_suite": {"pattern_funnel", "attribution",
+                           "cohort_retention"},
+    "mmr_topk_suite": {"brute", "ivfpq"},
+    "layout_audit_suite": {"zorder", "range_layout", "compaction",
+                           "shard_rebalance", "zone_map"},
+    "temporal_join_suite": {"asof", "range_band", "full_outer_eras"},
+    "sketch_cardinality_suite": {"approx_distinct", "hll_maintenance",
+                                 "set_cardinalities"},
+    "bpe_suite": {"pair_mining", "encode_stats"},
+    "multimodal_av_stats": {"wav", "avi"},
+    "dedup_cluster_suite": {"clusters", "representatives",
+                            "component_stats"},
+}
+
+
+@pytest.mark.parametrize("suite", sorted(SUITE_LANES))
+def test_every_lane_present_in_host(spark, sf_dir, suite):
+    """Each r10 union suite carries rows from EVERY folded lane — a
+    lane silently dropping out of its host (a refactor losing a union
+    branch) fails here even though the remaining lanes still
+    hash-match their slice of the oracle."""
+    got = {r.lane for r in
+           QUERIES[suite](spark, sf_dir).select("lane").distinct()
+           .collect()}
+    assert got == SUITE_LANES[suite]
+
+
+def test_registry_surface_and_rotation_bound():
+    """Registry invariants: every key has an oracle; the recorded
+    window is exactly 50; the LRU rotation's age bound ceil(pool/free)
+    holds under simulation from the CURRENT committed history (the
+    same inputs the real rotation reads)."""
+    from hbase_snapshotter_spark.queries.registry import (
+        _FREE,
+        _PINNED,
+        _last_recorded,
+        ORACLES,
+    )
+
+    keys = list(QUERIES)
+    assert set(keys) == set(ORACLES)
+    assert len(keys[:5]) + len(_PINNED) + _FREE == 50
+    snapshot5 = keys[:5]
+    pool = [k for k in keys if k not in _PINNED and k not in snapshot5]
+    bound = -(-len(pool) // _FREE)
+    last = dict(_last_recorded())
+    this_round = max(last.values(), default=0) + 1
+    # simulate 3*bound future rounds of the LRU clock; every pool key
+    # must be re-recorded within `bound` rounds of its previous record
+    sim_last = {k: last.get(k, 0) for k in pool}
+    for rnd in range(this_round, this_round + 3 * bound):
+        window = sorted(pool, key=lambda k: (sim_last[k], k))[:_FREE]
+        for k in pool:
+            # the age bound applies once a key has been recorded under
+            # the LRU clock; never-recorded keys (history predates the
+            # r10 rotation change) are guaranteed a slot within the
+            # first `bound` rounds because age 0 sorts first
+            if k not in window and sim_last[k] >= this_round:
+                assert rnd - sim_last[k] <= bound, (k, rnd, sim_last[k])
+        for k in window:
+            sim_last[k] = rnd
+    assert all(v >= this_round for v in sim_last.values())
+    assert max(sim_last.values()) - min(sim_last.values()) < bound
