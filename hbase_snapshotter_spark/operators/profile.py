@@ -389,3 +389,49 @@ def referential_orphans(
         F.lit(key).alias("col_name"),
         "n_rows", "n_violations",
         (F.col("n_violations") == 0).alias("passed"))
+
+
+def classifier_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact ROC AUC of a scalar score against a boolean label
+    (SURVEY §2.3 N125) — the eval metric every model-based quality
+    filter (N26 margin, N49 LM fluency) needs BEFORE its cutoff is
+    trusted: AUC = P(score⁺ > score⁻) + ½·P(tie), the Mann-Whitney
+    rank form, computed EXACTLY as the rational
+    ``auc_num_x2 / (2 · n_pos · n_neg)`` so both engines agree to the
+    last bit (a float rank-sum diverges by summation order; ties are
+    handled by the +½ midrank term, not average-rank floats).
+
+    Scale shape: scores collapse to per-(group, score) ``(n_pos,
+    n_neg)`` counts first (one map-side-combined agg — the only
+    data-sized pass), then the pair counting is a running prefix over
+    the DISTINCT-SCORE table ordered by score.  That window partitions
+    by group over score-table rows — bounded by the score's value
+    quantization (4-dp margins here, the DDSketch-bucket posture), not
+    by the corpus.  Output per group: ``(n_pos, n_neg, auc_num_x2,
+    auc_den, auc)`` with ``auc`` the correctly-rounded 6-dp double."""
+    from pyspark.sql import Window
+
+    gc = group_cols or []
+    per_score = df.groupBy(*gc, F.col(score_col).alias("__s")).agg(
+        F.sum(F.col(label_col).cast("long")).alias("__p"),
+        F.sum((~F.col(label_col)).cast("long")).alias("__n"))
+    w = (Window.partitionBy(*[F.col(c) for c in gc]).orderBy("__s")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    ranked = per_score.withColumn(
+        "__neg_below", F.coalesce(F.sum("__n").over(w), F.lit(0)))
+    out = ranked.groupBy(*gc).agg(
+        F.sum("__p").cast("long").alias("n_pos"),
+        F.sum("__n").cast("long").alias("n_neg"),
+        F.sum(F.col("__p") * (2 * F.col("__neg_below") + F.col("__n")))
+        .cast("long").alias("auc_num_x2"))
+    den = (2 * F.col("n_pos") * F.col("n_neg")).cast("long")
+    return out.select(
+        *gc, "n_pos", "n_neg", "auc_num_x2", den.alias("auc_den"),
+        F.when(den > 0,
+               F.round(F.col("auc_num_x2") / den, 6)).alias("auc"))

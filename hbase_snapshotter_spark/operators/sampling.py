@@ -779,3 +779,72 @@ def advance_pareto_frontier(
             .filter(F.col("__pmin").isNull()
                     | (F.col(min_col) < F.col("__pmin")))
             .drop("__pmin"))
+
+
+def token_budget_waterfill(
+    avail: DataFrame,
+    budget: int,
+    *,
+    source_col: str = "source",
+    avail_col: str = "n_tokens",
+) -> DataFrame:
+    """Water-filling token-budget allocation (SURVEY §2.3 N126) — the
+    data-constrained training-mix planner: given per-source available
+    token counts and a total budget ``B``, allocate each source
+    ``min(available, L)`` at the exact integer water level where the
+    allocations sum to ``B`` — small sources are taken whole
+    (saturated), large sources are capped equally, and nobody exceeds
+    what exists (the allocation rule behind 'epochs over scarce
+    high-quality sources, caps over bulk web' mixes; Muennighoff et
+    al. 2023 motivate the constraint).
+
+    Exact integers end to end: sort sources by (available, name); the
+    saturation predicate ``prefix_i + (n−i)·a_i ≤ B`` is monotone, so
+    the saturated set is a prefix; the residual budget spreads as
+    ``base = R // m`` with the ``R mod m`` remainder going to the
+    first ``m``-remainder unsaturated sources in the same
+    deterministic order — allocations always sum to ``min(B, Σ a)``
+    and both engines replay every row.
+
+    Scale shape: the input is the per-source token table (one
+    map-side agg upstream, sources-sized); everything here is windows
+    and a 1-row broadcast over that config-sized table."""
+    from pyspark.sql import Window
+
+    w_ord = Window.orderBy(F.col("__a"), F.col(source_col))
+    base = avail.select(F.col(source_col),
+                        F.col(avail_col).cast("long").alias("__a"))
+    ranked = base.select(
+        source_col, "__a",
+        F.row_number().over(w_ord).alias("__i"),
+        F.sum("__a").over(w_ord.rowsBetween(
+            Window.unboundedPreceding, 0)).alias("__prefix"))
+    tot = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("__n_src"),
+        F.sum("__a").cast("long").alias("__total"))
+    j = ranked.crossJoin(F.broadcast(tot))
+    B = F.least(F.lit(budget).cast("long"), F.col("__total"))
+    sat = (F.col("__prefix")
+           + (F.col("__n_src") - F.col("__i")) * F.col("__a")) <= B
+    j = j.withColumn("__sat", sat)
+    agg = j.agg(
+        F.sum(F.col("__sat").cast("long")).cast("long").alias("__k"),
+        F.max(F.when(F.col("__sat"), F.col("__prefix")))
+        .alias("__pk")).select(
+            "__k", F.coalesce("__pk", F.lit(0)).cast("long").alias("__pk"))
+    out = j.crossJoin(F.broadcast(agg))
+    m = F.col("__n_src") - F.col("__k")
+    R = B - F.col("__pk")
+    alloc_base = F.when(m > 0, (R - F.pmod(R, m)) / m).otherwise(0) \
+        .cast("long")
+    rem = F.when(m > 0, F.pmod(R, m)).otherwise(0).cast("long")
+    allocated = F.when(F.col("__sat"), F.col("__a")).otherwise(
+        alloc_base + (F.col("__i") - F.col("__k") <= rem).cast("long"))
+    share = 2000 * allocated + F.col("__a")
+    return out.select(
+        source_col,
+        F.col("__a").alias("n_available"),
+        allocated.cast("long").alias("n_allocated"),
+        F.col("__sat").alias("saturated"),
+        ((share - F.pmod(share, 2 * F.col("__a"))) / (2 * F.col("__a")))
+        .cast("long").alias("take_permille"))

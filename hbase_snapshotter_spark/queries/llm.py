@@ -5642,3 +5642,160 @@ PAIRS.update({
     "dedup_cluster_suite": (dedup_cluster_suite,
                             _oracle_dedup_cluster_suite()),
 })
+
+
+# ------- N125 + N126: classifier eval + budget allocation (round 10)
+#: Token budget for the registered water-fill lane: saturates the
+#: small sources at sf0.01 (~25k corpus tokens) while capping the
+#: bulk ones; the allocation stays exact at every sf.
+WATERFILL_BUDGET = 20_000
+
+_AUC_COLS = [
+    ("source", "VARCHAR"), ("n_pos", "BIGINT"), ("n_neg", "BIGINT"),
+    ("auc_num_x2", "BIGINT"), ("auc_den", "BIGINT"), ("auc", "DOUBLE"),
+]
+_WATERFILL_COLS = [
+    ("source", "VARCHAR"), ("n_available", "BIGINT"),
+    ("n_allocated", "BIGINT"), ("saturated", "BOOLEAN"),
+    ("take_permille", "BIGINT"),
+]
+
+
+def _margin_x1e4(toks):
+    """The N26 hashed-bucket linear margin in exact 1e-4 integer
+    units: same md5 bucket lookup as
+    :func:`~hbase_snapshotter_spark.operators.text
+    .hashed_linear_margin`, but weights pre-scaled to BIGINT so the
+    per-doc score is exact — the AUC lane groups BY score value, where
+    a float's last bits would diverge between engines."""
+    from hbase_snapshotter_spark.operators.text import (
+        CLS_BUCKETS,
+        classifier_weights,
+    )
+
+    wx = [int(round(w * 10000)) for w in classifier_weights()]
+    arr = F.array(*[F.lit(w).cast("long") for w in wx])
+    per_tok = F.transform(
+        toks,
+        lambda tok: F.element_at(
+            arr,
+            (F.conv(F.substring(F.md5(tok), 1, 4), 16, 10)
+             .cast("int") % CLS_BUCKETS + 1)))
+    return F.aggregate(per_tok, F.lit(0).cast("long"),
+                       lambda acc, x: acc + x)
+
+
+def quality_eval_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix evaluation suite — N125 + N126 as lanes of ONE
+    recorded key: per-source exact ROC AUC of the N26 quality-margin
+    score against the English label (the eval every model-based filter
+    needs before its cutoff is trusted — Mann-Whitney rank form,
+    exact-rational), and the water-filling token-budget allocation
+    over per-source token counts (the data-constrained mix planner:
+    small sources taken whole, bulk sources capped at the exact
+    integer water level).  Row-disjoint lanes with typed NULL padding;
+    each lane's oracle replays every integer."""
+    from hbase_snapshotter_spark.cache import scoped_persist
+    from hbase_snapshotter_spark.operators.profile import classifier_auc
+    from hbase_snapshotter_spark.operators.sampling import (
+        token_budget_waterfill,
+    )
+    from hbase_snapshotter_spark.operators.text import tokens
+    from hbase_snapshotter_spark.queries.suites import union_lanes
+
+    docs = scoped_persist(
+        spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+        .filter(F.col("text").isNotNull())
+        .select("source", (F.col("lang") == "en").alias("__y"),
+                tokens(F.col("text")).alias("__toks")))
+    scored = docs.select("source", "__y",
+                         _margin_x1e4(F.col("__toks")).alias("__s"))
+    auc = classifier_auc(scored, "__s", "__y", group_cols=["source"])
+    avail = docs.groupBy("source").agg(
+        F.sum(F.size("__toks")).cast("long").alias("n_tokens"))
+    wf = token_budget_waterfill(avail, WATERFILL_BUDGET)
+    return union_lanes([
+        ("classifier_auc", auc, _AUC_COLS),
+        ("waterfill", wf, _WATERFILL_COLS),
+    ])
+
+
+def _oracle_quality_eval_suite() -> str:
+    from hbase_snapshotter_spark.operators.text import (
+        CLS_BUCKETS,
+        classifier_weights,
+    )
+    from hbase_snapshotter_spark.queries.suites import union_lanes_sql
+
+    wx = ", ".join(str(int(round(w * 10000)))
+                   for w in classifier_weights())
+    auc_sql = f"""
+WITH toks AS (SELECT source, lang, string_split(trim(text), ' ') AS t
+              FROM documents WHERE text IS NOT NULL),
+sc AS (
+  SELECT source, lang = 'en' AS y,
+         list_aggregate(list_transform(t, tok ->
+             [{wx}][CAST('0x' || substr(md5(tok), 1, 4) AS INTEGER)
+                    % {CLS_BUCKETS} + 1]), 'sum') AS s
+  FROM toks),
+ps AS (
+  SELECT source, s,
+         CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p,
+         CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS ng
+  FROM sc GROUP BY 1, 2),
+r AS (
+  SELECT *, COALESCE(SUM(ng) OVER (
+      PARTITION BY source ORDER BY s
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+  FROM ps)
+SELECT source,
+       CAST(SUM(p) AS BIGINT) AS n_pos,
+       CAST(SUM(ng) AS BIGINT) AS n_neg,
+       CAST(SUM(p * (2 * nb + ng)) AS BIGINT) AS auc_num_x2,
+       CAST(2 * SUM(p) * SUM(ng) AS BIGINT) AS auc_den,
+       CASE WHEN SUM(p) > 0 AND SUM(ng) > 0 THEN
+         ROUND(CAST(SUM(p * (2 * nb + ng)) AS DOUBLE)
+               / (2 * SUM(p) * SUM(ng)), 6) END AS auc
+FROM r GROUP BY source
+"""
+    B = WATERFILL_BUDGET
+    wf_sql = f"""
+WITH toks AS (SELECT source, string_split(trim(text), ' ') AS t
+              FROM documents WHERE text IS NOT NULL),
+av AS (SELECT source, CAST(SUM(len(t)) AS BIGINT) AS a
+       FROM toks GROUP BY 1),
+rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY a, source) AS i,
+              SUM(a) OVER (ORDER BY a, source
+                           ROWS UNBOUNDED PRECEDING) AS prefix
+       FROM av),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(a) AS BIGINT) AS total FROM rk),
+j AS (SELECT rk.*, t.n, LEAST({B}, t.total) AS bud FROM rk, tot t),
+j2 AS (SELECT *, (prefix + (n - i) * a) <= bud AS sat FROM j),
+kk AS (SELECT CAST(SUM(CASE WHEN sat THEN 1 ELSE 0 END) AS BIGINT) AS k,
+              CAST(COALESCE(MAX(CASE WHEN sat THEN prefix END), 0)
+                   AS BIGINT) AS pk
+       FROM j2),
+al AS (
+  SELECT j2.source, j2.a, j2.sat,
+         CASE WHEN j2.sat THEN j2.a
+              ELSE (j2.bud - kk.pk) // (j2.n - kk.k)
+                   + CASE WHEN j2.i - kk.k
+                               <= (j2.bud - kk.pk) % (j2.n - kk.k)
+                          THEN 1 ELSE 0 END END AS alloc
+  FROM j2, kk)
+SELECT source, a AS n_available, CAST(alloc AS BIGINT) AS n_allocated,
+       sat AS saturated,
+       CAST((2000 * alloc + a) // (2 * a) AS BIGINT) AS take_permille
+FROM al
+"""
+    return union_lanes_sql([
+        ("classifier_auc", auc_sql, _AUC_COLS),
+        ("waterfill", wf_sql, _WATERFILL_COLS),
+    ])
+
+
+PAIRS.update({
+    "quality_eval_suite": (quality_eval_suite,
+                           _oracle_quality_eval_suite()),
+})

@@ -30,6 +30,7 @@ SUITE_LANES = {
     "multimodal_av_stats": {"wav", "avi"},
     "dedup_cluster_suite": {"clusters", "representatives",
                             "component_stats"},
+    "quality_eval_suite": {"classifier_auc", "waterfill"},
 }
 
 
@@ -101,3 +102,52 @@ def test_committed_scale_curve_exponents_bounded():
     }
     assert not offenders, offenders
     assert len(cur) >= 88   # the measured surface only grows
+
+
+def test_classifier_auc_hand_computed(spark):
+    """N125 exact AUC: perfect separation → 1.0; a tie contributes the
+    ½ midrank term; inverted scores → 0.0; grouping isolates groups;
+    the rational (num_x2, den) is exact."""
+    from hbase_snapshotter_spark.operators.profile import classifier_auc
+
+    d = spark.createDataFrame(
+        [("g", 9, True), ("g", 8, True), ("g", 3, False), ("g", 1, False),
+         ("h", 5, True), ("h", 5, False), ("h", 9, True), ("h", 1, False),
+         ("i", 1, True), ("i", 9, False)],
+        "grp string, s long, y boolean")
+    out = {r.grp: r for r in
+           classifier_auc(d, "s", "y", group_cols=["grp"]).collect()}
+    assert (out["g"].auc_num_x2, out["g"].auc_den,
+            out["g"].auc) == (8, 8, 1.0)
+    # h: pairs (5T,5F tie=0.5) (5T,1F win) (9T,5F win) (9T,1F win)
+    assert (out["h"].auc_num_x2, out["h"].auc_den,
+            out["h"].auc) == (7, 8, 0.875)
+    assert out["i"].auc == 0.0
+
+
+def test_token_budget_waterfill_hand_computed(spark):
+    """N126 water-filling: small sources saturate, the level splits
+    the rest, the mod remainder lands on the first unsaturated sources
+    in (avail, name) order, allocations sum to min(B, total), and an
+    over-budget call takes everything."""
+    from hbase_snapshotter_spark.operators.sampling import (
+        token_budget_waterfill,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 10), ("b", 50), ("c", 100)], "source string, n_tokens long")
+
+    def alloc(B):
+        return {r.source: (r.n_allocated, r.saturated)
+                for r in token_budget_waterfill(df, B).collect()}
+
+    assert alloc(100) == {"a": (10, True), "b": (45, False),
+                          "c": (45, False)}
+    assert alloc(101) == {"a": (10, True), "b": (46, False),
+                          "c": (45, False)}
+    assert alloc(5) == {"a": (2, False), "b": (2, False), "c": (1, False)}
+    assert alloc(10**9) == {"a": (10, True), "b": (50, True),
+                            "c": (100, True)}
+    for B in (5, 37, 100, 101, 159, 160, 10**9):
+        got = sum(v[0] for v in alloc(B).values())
+        assert got == min(B, 160)

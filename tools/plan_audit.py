@@ -134,6 +134,9 @@ def main() -> int:
                                         # flag attach (N122)
         "doc_triangle_stats",           # 1-row advance_equals_rebuild
                                         # flag attach (N122)
+        "quality_eval_suite",           # 1-row totals + water-level
+                                        # attaches onto the sources-
+                                        # sized table (N126)
     }
 
     flags_total = 0
