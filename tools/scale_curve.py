@@ -700,9 +700,12 @@ def operators():
         return decode_jpeg_features(synthesize_jpeg_payloads(docs))
 
     return {
-        # round-10 additions (incremental graph state, JPEG codec)
+        # round-10 additions (incremental graph state, JPEG codec,
+        # AUC + water-fill eval suite, zone-map skipping audit)
         "shingle_edge_advance": run_shingle_edge_advance,
         "jpeg_decode": run_jpeg_decode,
+        "quality_eval": _q("quality_eval_suite"),
+        "zone_map_pruning": _q("zone_map_pruning"),
         # round-9b additions (decorrelated subqueries, attribution,
         # sketch join-size, compaction planning, AVI frame sampling)
         "subquery_suite": _q("subquery_suite"),
