@@ -151,3 +151,65 @@ def test_token_budget_waterfill_hand_computed(spark):
     for B in (5, 37, 100, 101, 159, 160, 10**9):
         got = sum(v[0] for v in alloc(B).values())
         assert got == min(B, 160)
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+#: Tiny vocabulary so shingles collide heavily (the hard regime for
+#: the advance: dense hot shingles, frequent cap crossings).
+_word_st = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+_text_st = st.lists(_word_st, min_size=3, max_size=7).map(" ".join)
+_corpus_st = st.dictionaries(st.integers(0, 11), _text_st,
+                             min_size=2, max_size=10)
+
+
+@given(hist=_corpus_st, delta=_corpus_st,
+       deletes=st.sets(st.integers(0, 11), max_size=3),
+       cap=st.sampled_from([2, 3, None]))
+@settings(max_examples=8, deadline=None)
+def test_advance_shingle_edges_property(spark, hist, delta, deletes, cap):
+    """N122 property: for ANY history corpus, delta (insert/replace),
+    delete set, and cap, the advanced (shingle index, edge list)
+    equals the full rebuild over the net corpus — hypothesis explores
+    the cap-crossing/collision regimes hand fixtures can't
+    enumerate."""
+    from hbase_snapshotter_spark.operators.dedup import (
+        advance_shingle_edges,
+        doc_shingles,
+        shared_shingle_edges,
+    )
+
+    def mk(d):
+        rows = sorted(d.items())
+        if not rows:
+            return spark.createDataFrame([], "doc_id long, text string")
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    hist_df, delta_df = mk(hist), mk(delta)
+    state_sh = doc_shingles(hist_df, "doc_id", "text", 2)
+    state_e = shared_shingle_edges(hist_df, "doc_id", n=2,
+                                   min_shared=2, max_df=cap)
+    del_df = spark.createDataFrame(
+        [(i,) for i in sorted(deletes)] or
+        spark.sparkContext.emptyRDD().map(lambda x: x),
+        "doc_id long") if deletes else None
+    new_sh, new_e = advance_shingle_edges(
+        state_sh, state_e, delta_df, n=2, min_shared=2, max_df=cap,
+        delete_ids=del_df)
+
+    net = {k: v for k, v in hist.items() if k not in deletes}
+    for k, v in delta.items():
+        net[k] = v           # doc-wins replace beats a delete of the
+        # same id only if the id is in the delta (net feed semantics)
+    net_df = mk({k: v for k, v in net.items()})
+    want_e = {(r.id_a, r.id_b, r.n_shared)
+              for r in shared_shingle_edges(net_df, "doc_id", n=2,
+                                            min_shared=2,
+                                            max_df=cap).collect()}
+    got_e = {(r.id_a, r.id_b, r.n_shared) for r in new_e.collect()}
+    assert got_e == want_e
+    want_sh = {(r.doc_id, r.shingle)
+               for r in doc_shingles(net_df, "doc_id", "text",
+                                     2).collect()}
+    got_sh = {(r.doc_id, r.shingle) for r in new_sh.collect()}
+    assert got_sh == want_sh
