@@ -315,13 +315,17 @@ def zone_map_pruning_audit(
     file_scan = (rj.groupBy("pred", file_col)
                  .agg(F.sum(is_match.cast("long")).alias("__m")))
     zm_verdict = j.select("pred", file_col, scanned.alias("__scanned"))
-    exact = (file_scan.join(zm_verdict, ["pred", file_col])
+    # both verdict tables are (files × preds)-bounded — broadcast
+    # explicitly: they come out of aggregates, so the static planner
+    # has no size stats and would plan a sort-merge join
+    exact = (file_scan.join(F.broadcast(zm_verdict),
+                            ["pred", file_col])
              .groupBy("pred")
              .agg(F.sum("__m").cast("long").alias("n_rows_matched"),
                   F.sum(F.when(~F.col("__scanned"), F.col("__m"))
                         .otherwise(0)).cast("long").alias("__missed")))
     pm = 2000 * (F.col("n_files") - F.col("n_scanned")) + F.col("n_files")
-    return (per_pred.join(exact, "pred")
+    return (per_pred.join(F.broadcast(exact), "pred")
             .select("pred", "col", "lo", "hi", "n_files", "n_scanned",
                     (F.col("n_files") - F.col("n_scanned")).cast("long")
                     .alias("n_skipped"),

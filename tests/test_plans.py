@@ -490,3 +490,27 @@ def test_join_size_estimate_exact_lane_gated(spark, sf_dir, tmp_path):
         # CMS bound really bounds the exact max multiplicity
         assert gr.est_max_rows_left >= a.max_rows_left
         assert gr.est_max_rows_right >= a.max_rows_right
+
+
+def test_zone_map_audit_plan_shape(spark, sf_dir):
+    """N124: the zone map is a map-side-combined aggregate; the
+    predicate table is a broadcast literal join (no shuffle keyed on
+    predicates); no sort-merge join anywhere — every join side is
+    files- or preds-sized."""
+    plan = explain(spark, "zone_map_pruning", sf_dir)
+    assert "SortMergeJoin" not in plan
+    assert "HashAggregate" in plan
+    assert plan.index("HashAggregate") < plan.index("Exchange")
+
+
+def test_quality_eval_plan_shape(spark, sf_dir):
+    """N125/N126: the AUC lane's only data-sized pass is the
+    per-(source, score) aggregate (map-side partials before its
+    exchange); the prefix windows run over score-table / sources-sized
+    partitions; no Cartesian product (the 1-row water-level attaches
+    are whitelisted broadcasts)."""
+    plan = explain(spark, "quality_eval_suite", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" in plan
+    assert plan.index("HashAggregate") < plan.index("Exchange")
