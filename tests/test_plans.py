@@ -439,22 +439,25 @@ def test_sliding_distinct_exact_lane_gated(spark, sf_dir, tmp_path):
     assert not exact_audit_enabled(prod)
 
     gated = events_sliding_distinct(spark, prod)
-    assert gated.columns == ["window_end_day", "n_days_in_window",
-                             "est_distinct_users"]
+    audited = events_sliding_distinct(spark, sf_dir)
+    # stable schema across shapes (ADVICE r10): same columns, the
+    # value column carries the estimate at prod / the exact count at
+    # fixture, the tolerance flag is NULL at prod
+    assert gated.columns == audited.columns == [
+        "window_end_day", "n_days_in_window", "distinct_users",
+        "est_within_15pct"]
     plan = spark._jvm.PythonSQLUtils.explainString(
         gated._jdf.queryExecution(), "formatted")
     assert "count(distinct user_id)" not in plan
     assert "hll_union_agg" in plan
 
-    audited = events_sliding_distinct(spark, sf_dir)
-    assert "exact_distinct_users" in audited.columns
     # same windows, and the gated estimate honors the audited 15%
     # envelope (the flag the fixture lane hashes)
-    g = {r.window_end_day: r.est_distinct_users for r in gated.collect()}
+    g = {r.window_end_day: r.distinct_users for r in gated.collect()}
     for r in audited.collect():
         assert r.est_within_15pct
-        assert abs(g[r.window_end_day] - r.exact_distinct_users) * 100 \
-            <= 15 * r.exact_distinct_users
+        assert abs(g[r.window_end_day] - r.distinct_users) * 100 \
+            <= 15 * r.distinct_users
 
 
 def test_join_size_estimate_exact_lane_gated(spark, sf_dir, tmp_path):
@@ -471,9 +474,14 @@ def test_join_size_estimate_exact_lane_gated(spark, sf_dir, tmp_path):
     prod = _prod_view(tmp_path, sf_dir)
     assert not exact_audit_enabled(prod)
     gated = join_size_estimate(spark, prod)
+    # stable schema across shapes (ADVICE r10): audit columns NULL at
+    # prod, CMS max-bound columns NULL at fixture
     assert gated.columns == ["pair", "n_left", "n_right",
+                             "max_rows_left", "max_rows_right",
                              "est_max_rows_left", "est_max_rows_right",
-                             "est_rows", "strategy"]
+                             "exact_rows", "est_rows",
+                             "never_underestimates", "within_bound",
+                             "strategy"]
     plan = spark._jvm.PythonSQLUtils.explainString(
         gated._jdf.queryExecution(), "formatted")
     # the only aggregations keyed on data values are the bounded
@@ -514,3 +522,55 @@ def test_quality_eval_plan_shape(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "Window" in plan
     assert plan.index("HashAggregate") < plan.index("Exchange")
+
+
+# ---------------- advance≡rebuild audit gating (VERDICT r10 task 1) --
+
+#: (query key, flag column) for every lane whose in-query
+#: advance≡rebuild (or exact-baseline) audit is fixture-gated: at a
+#: production path the flag is a typed NULL and the rebuild subtree —
+#: whose exceptAll compiles to Generate(replicaterows) — never enters
+#: the physical plan.
+_AUDIT_GATED = [
+    ("snapshot_diff", "incremental_consistent"),
+    ("scd2_event_history", "advance_consistent"),
+    ("agg_view_advance", "advance_consistent"),
+    ("topk_delete_advance", "advance_consistent"),
+    ("events_topk_advance", "advance_consistent"),
+    ("pareto_frontier_docs", "advance_consistent"),
+    ("neardup_novelty_delta", "advance_consistent"),
+    ("doc_link_rank", "advance_equals_rebuild"),
+    ("doc_triangle_stats", "advance_equals_rebuild"),
+]
+
+
+@pytest.mark.parametrize("name,flag", _AUDIT_GATED,
+                         ids=[n for n, _ in _AUDIT_GATED])
+def test_advance_rebuild_audit_gated(spark, sf_dir, tmp_path, name, flag):
+    """Both plan shapes, pinned per query: at fixture sfs the
+    equality flag is computed (and TRUE); at a production path the
+    flag is NULL, the schema is unchanged, the non-flag values are
+    bit-identical, and the rebuild subtree is gone from the physical
+    plan (strictly fewer replicaterows generators — zero for queries
+    whose only exceptAll was the audit)."""
+    prod = _prod_view(tmp_path, sf_dir)
+    fix_df = QUERIES[name](spark, sf_dir)
+    prod_df = QUERIES[name](spark, prod)
+    assert fix_df.columns == prod_df.columns
+
+    fix_plan = fix_df._jdf.queryExecution().executedPlan().toString()
+    prod_plan = prod_df._jdf.queryExecution().executedPlan().toString()
+    n_fix = fix_plan.lower().count("replicaterows")
+    n_prod = prod_plan.lower().count("replicaterows")
+    assert n_prod < n_fix, (n_prod, n_fix)
+    if name != "snapshot_diff":  # its OUTPUT diff is itself exceptAll
+        assert n_prod == 0
+
+    other = [c for c in fix_df.columns if c != flag]
+    fix_rows = fix_df.select(other).collect()
+    prod_rows = prod_df.select(other).collect()
+    assert sorted(map(str, fix_rows)) == sorted(map(str, prod_rows))
+    fix_flags = {r[0] for r in fix_df.select(flag).distinct().collect()}
+    prod_flags = {r[0] for r in prod_df.select(flag).distinct().collect()}
+    assert fix_flags == {True}
+    assert prod_flags == {None}

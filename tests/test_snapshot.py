@@ -832,9 +832,9 @@ def test_sliding_distinct_union_semantics(spark):
     out = {r.window_end_day: r for r in
            events_sliding_distinct(spark, d).collect()}
     assert set(out) == {0, 3, 9}
-    assert (out[0].n_days_in_window, out[0].exact_distinct_users) == (1, 2)
+    assert (out[0].n_days_in_window, out[0].distinct_users) == (1, 2)
     # window ending day 3 spans days 0 and 3: users {1,2,3} (2 once)
-    assert (out[3].n_days_in_window, out[3].exact_distinct_users) == (2, 3)
+    assert (out[3].n_days_in_window, out[3].distinct_users) == (2, 3)
     # day 9's window spans 3..9: observed days 3 and 9; users {2,3}∪{1}
-    assert (out[9].n_days_in_window, out[9].exact_distinct_users) == (2, 3)
+    assert (out[9].n_days_in_window, out[9].distinct_users) == (2, 3)
     assert all(r.est_within_15pct for r in out.values())
