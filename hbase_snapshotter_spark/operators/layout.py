@@ -71,9 +71,12 @@ def zorder_bucket(z: Column, *, n_buckets: int, bits: int = Z_BITS) -> Column:
 
 
 def _int_div(a: Column, b: Column) -> Column:
-    """Exact BIGINT floor-division (both operands non-negative) — the
-    ``(a - a mod b) / b`` idiom, replayed verbatim by DuckDB's ``//``."""
-    return ((a - F.pmod(a, b)) / b).cast("long")
+    """Exact BIGINT floor-division (both operands non-negative) —
+    Spark's integral ``div`` operator, replayed by DuckDB's ``//``.
+    The former ``(a - a mod b) / b`` idiom routed through a DOUBLE
+    and silently lost exactness once the numerator exceeded 2^53
+    (ADVICE r10) — ``div`` stays in 64-bit integers end to end."""
+    return F.call_function("div", a.cast("long"), b.cast("long"))
 
 
 def equidepth_bucket(q_rank: Column, n_buckets: int) -> Column:

@@ -1460,13 +1460,30 @@ def decode_jpeg(payload: bytes):
     comp_specs = None       # [(component_id, quant_table_id)]
     scan_tabs = None        # [(dc_table_id, ac_table_id)] in scan order
     scan_data = None
-    while pos + 4 <= len(payload):
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
+        # 0xFF fill bytes may pad before any marker (T.81 B.1.1.2) —
+        # skip them rather than parsing the next 0xFF as a length
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG (fill bytes at EOF)")
         marker = payload[pos + 1]
         if marker == 0xD9:
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7 or marker == 0x00:
+            # standalone markers (TEM, RSTn) and stuffed 0xFF00 carry
+            # NO length field — parsing one as a segment would skip
+            # into garbage and could yield wrong dims instead of the
+            # documented ValueError (ADVICE r10)
+            raise ValueError(
+                f"standalone marker 0xFF{marker:02X} outside scan")
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG segment header")
         (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
+        if seg_len < 2:
+            raise ValueError(f"invalid JPEG segment length {seg_len}")
         body = payload[pos + 4:pos + 2 + seg_len]
         if len(body) != seg_len - 2:
             raise ValueError("truncated JPEG segment")

@@ -811,9 +811,23 @@ def token_budget_waterfill(
     and a 1-row broadcast over that config-sized table."""
     from pyspark.sql import Window
 
-    w_ord = Window.orderBy(F.col("__a"), F.col(source_col))
+    from hbase_snapshotter_spark.operators.layout import _int_div
+
+    # the water level is a GLOBAL ordering — single-partition by
+    # design: this table has one row per SOURCE (a config-sized
+    # mixture list, not data).  Partitioning the window on an
+    # always-zero key says so explicitly, so WindowExec's "No
+    # Partition Defined" warning stays meaningful where it flags a
+    # real mistake.  pmod(·,1) ≡ 0 but is NOT foldable — a literal 0
+    # would be optimized out of the partitionSpec and re-trigger the
+    # warning.
+    w_ord = Window.partitionBy("__one").orderBy(
+        F.col("__a"), F.col(source_col))
     base = avail.select(F.col(source_col),
-                        F.col(avail_col).cast("long").alias("__a"))
+                        F.col(avail_col).cast("long").alias("__a"),
+                        F.pmod(F.coalesce(F.col(avail_col).cast("long"),
+                                          F.lit(0)), F.lit(1))
+                        .alias("__one"))
     ranked = base.select(
         source_col, "__a",
         F.row_number().over(w_ord).alias("__i"),
@@ -835,7 +849,7 @@ def token_budget_waterfill(
     out = j.crossJoin(F.broadcast(agg))
     m = F.col("__n_src") - F.col("__k")
     R = B - F.col("__pk")
-    alloc_base = F.when(m > 0, (R - F.pmod(R, m)) / m).otherwise(0) \
+    alloc_base = F.when(m > 0, _int_div(R, m)).otherwise(F.lit(0)) \
         .cast("long")
     rem = F.when(m > 0, F.pmod(R, m)).otherwise(0).cast("long")
     allocated = F.when(F.col("__sat"), F.col("__a")).otherwise(
@@ -846,5 +860,5 @@ def token_budget_waterfill(
         F.col("__a").alias("n_available"),
         allocated.cast("long").alias("n_allocated"),
         F.col("__sat").alias("saturated"),
-        ((share - F.pmod(share, 2 * F.col("__a"))) / (2 * F.col("__a")))
-        .cast("long").alias("take_permille"))
+        F.when(F.col("__a") > 0, _int_div(share, 2 * F.col("__a")))
+        .otherwise(F.lit(None).cast("long")).alias("take_permille"))

@@ -3393,6 +3393,22 @@ def test_jpeg_codec_roundtrip_and_golden_bytes():
         decode_jpeg(data[:2] + b"\xff\xc2" + data[4:])  # progressive
     with _pytest.raises(ValueError):
         decode_jpeg(b"not a jpeg")
+    # marker-walk robustness (ADVICE r10): 0xFF fill bytes before a
+    # marker are padding, not a length-bearing segment — the padded
+    # stream must decode IDENTICALLY to the clean one
+    padded = data[:2] + b"\xff\xff\xff" + data[2:]
+    wp, hp, bp = decode_jpeg(padded)
+    assert (wp, hp) == (w, h) and np.array_equal(bp, back)
+    # standalone markers carry no length field: parsing one as a
+    # segment would skip into garbage — must raise, never mis-decode
+    with _pytest.raises(ValueError, match="standalone"):
+        decode_jpeg(data[:2] + b"\xff\x01" + data[2:])   # TEM
+    with _pytest.raises(ValueError, match="standalone"):
+        decode_jpeg(data[:2] + b"\xff\xd3" + data[2:])   # RST3
+    with _pytest.raises(ValueError, match="length"):
+        decode_jpeg(data[:2] + b"\xff\xfe\x00\x01" + data[2:])  # len<2
+    with _pytest.raises(ValueError):
+        decode_jpeg(data[:2] + b"\xff\xff")   # fill bytes at EOF
 
 
 def test_jpeg_feature_lane(spark):
