@@ -5,17 +5,24 @@ Model: a modality column is ``binary`` plus a struct of metadata
 (``modality``, ``media_type``, byte length, content hash).  Heavy decode
 (image resize, audio resample, video frame-sample) runs in
 ``mapInPandas`` — one Python worker per partition, Arrow-batched, never
-row-at-a-time.  Compressed codecs (PNG/JPEG/ffmpeg/…) are NOT in this
-container, so ``decode_payload`` is a clearly-marked deterministic stub;
-the Spark-side plumbing — schema, batch iteration, partitioning — is
-real and tested, and swapping the stub for a real codec changes no plan.
-TWO codecs ARE real and dependency-free: 24-bit uncompressed BMP
+row-at-a-time.
+
+SIX codecs are real and dependency-free: 24-bit uncompressed BMP
 (:func:`encode_bmp` / :func:`decode_bmp` — pure byte slicing + numpy;
-header parse, 4-byte row padding, bottom-up/top-down row order) and
+header parse, 4-byte row padding, bottom-up/top-down row order),
 8-bit RGB/RGBA PNG (:func:`encode_png` / :func:`decode_png` — stdlib
 zlib inflate + the full five-filter scanline reconstruction incl.
-Paeth, CRC-checked chunks), so the real-codec lanes exercise genuine
-bytes→pixels decoding end to end.
+Paeth, CRC-checked chunks), 16-bit PCM WAV, the nested-RIFF AVI
+container with uncompressed 'DIB ' frames, baseline sequential JPEG
+(T.81 huffman + DCT, grayscale and interleaved 4:4:4 YCbCr), and
+motion-JPEG AVI (:func:`encode_mjpeg_avi` — the container × JPEG
+composition: real compressed video), so the real-codec lanes exercise
+genuine bytes→pixels/samples decoding end to end.  The ONE remaining
+stub seam is inter-frame-compressed video (H.264/VP9-class needs
+ffmpeg, absent here): ``decode_payload`` / ``resize_payload`` keep the
+clearly-marked deterministic stand-in for that case; their Spark-side
+plumbing — schema, batch iteration, partitioning — is real and tested,
+and swapping in ffmpeg changes no plan.
 
 Scale notes: binary payloads inflate row size; keep them out of shuffles
 (derive features first, drop the payload before any wide op) and size
@@ -712,12 +719,49 @@ def _avi_pad_rows(frame) -> bytes:
     return out.tobytes()
 
 
+def _riff_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+
+    return tag + struct.pack("<I", len(body)) + body \
+        + (b"\x00" if len(body) & 1 else b"")
+
+
+def _riff_list(kind: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", kind + body)
+
+
+def _avi_container(codec: bytes, compression: int, w: int, h: int,
+                   fps_usec: int, frame_bytes: list, chunk_id: bytes,
+                   bit_count: int) -> bytes:
+    """Assemble a single-video-stream AVI around pre-encoded frame
+    chunks: RIFF('AVI ' hdrl(avih strl(strh strf)) movi(chunks))."""
+    import struct
+
+    n = len(frame_bytes)
+    buf_size = max(len(b) for b in frame_bytes) if n else 0
+    avih = struct.pack("<14I", fps_usec,
+                       buf_size * 1000000 // max(fps_usec, 1),
+                       0, 0x10, n, 0, 1, buf_size, w, h, 0, 0, 0, 0)
+    strh = (b"vids" + codec + struct.pack("<I", 0)
+            + struct.pack("<HHI", 0, 0, 0)
+            + struct.pack("<6I", fps_usec, 1000000, 0, n, buf_size, 0)
+            + struct.pack("<i", -1) + struct.pack("<4H", 0, 0, w, h))
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, bit_count,
+                       compression,
+                       len(frame_bytes[0]) if n else 0, 0, 0, 0, 0)
+    hdrl = _riff_list(
+        b"hdrl", _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh)
+                     + _riff_chunk(b"strf", strf)))
+    movi = _riff_list(b"movi", b"".join(
+        _riff_chunk(chunk_id, fb) for fb in frame_bytes))
+    return _riff_chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
 def encode_avi(frames, fps_usec: int) -> bytes:
     """Encode an ``(n, h, w, 3)`` uint8 BGR array as an uncompressed
     24-bit AVI ('DIB ' codec) at ``fps_usec`` microseconds per
     frame."""
-    import struct
-
     import numpy as np
 
     x = np.asarray(frames, dtype=np.uint8)
@@ -725,36 +769,45 @@ def encode_avi(frames, fps_usec: int) -> bytes:
         raise ValueError(f"expected (n, h, w, 3) BGR frames, got {x.shape}")
     n, h, w, _ = x.shape
     frame_bytes = [_avi_pad_rows(f) for f in x]
-    buf_size = max(len(b) for b in frame_bytes) if n else 0
+    return _avi_container(b"DIB ", 0, w, h, fps_usec, frame_bytes,
+                          b"00db", 24)
 
-    def chunk(tag: bytes, body: bytes) -> bytes:
-        return tag + struct.pack("<I", len(body)) + body \
-            + (b"\x00" if len(body) & 1 else b"")
 
-    def lst(kind: bytes, body: bytes) -> bytes:
-        return chunk(b"LIST", kind + body)
+#: 'MJPG' as the little-endian BITMAPINFOHEADER biCompression fourcc.
+MJPG_FOURCC = 0x47504A4D
 
-    avih = struct.pack("<14I", fps_usec, buf_size * 1000000 // max(fps_usec, 1),
-                       0, 0x10, n, 0, 1, buf_size, w, h, 0, 0, 0, 0)
-    strh = (b"vids" + b"DIB " + struct.pack("<I", 0)
-            + struct.pack("<HHI", 0, 0, 0)
-            + struct.pack("<6I", fps_usec, 1000000, 0, n, buf_size, 0)
-            + struct.pack("<i", -1) + struct.pack("<4H", 0, 0, w, h))
-    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
-                       len(frame_bytes[0]) if n else 0, 0, 0, 0, 0)
-    hdrl = lst(b"hdrl", chunk(b"avih", avih)
-               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
-    movi = lst(b"movi", b"".join(chunk(b"00db", fb) for fb in frame_bytes))
-    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+def encode_mjpeg_avi(frames, fps_usec: int) -> bytes:
+    """Encode an ``(n, h, w)`` uint8 GRAYSCALE array as a motion-JPEG
+    AVI: each frame is a real baseline-sequential JPEG
+    (:func:`encode_jpeg`) carried as an ``00dc`` compressed chunk in
+    the same nested-RIFF container the 'DIB ' path builds (N105
+    container × N123 codec — the compressed-video seam closed from
+    parts already in the repo).  Constant 8×8 blocks with even
+    level-shifted values round-trip bit-exactly (the N123 property),
+    so fixture features replay in closed form."""
+    import numpy as np
+
+    x = np.asarray(frames, dtype=np.uint8)
+    if x.ndim != 3:
+        raise ValueError(
+            f"expected (n, h, w) grayscale frames, got {x.shape}")
+    n, h, w = x.shape
+    if not n:
+        raise ValueError("empty MJPEG stream")
+    frame_bytes = [encode_jpeg(f) for f in x]
+    return _avi_container(b"MJPG", MJPG_FOURCC, w, h, fps_usec,
+                          frame_bytes, b"00dc", 24)
 
 
 def decode_avi(payload: bytes):
-    """Decode an uncompressed 24-bit AVI to ``(usec_per_frame, width,
-    height, frames)`` with ``frames`` an ``(n, h, w, 3)`` uint8 BGR
-    array.  Walks the nested RIFF/LIST tree (skipping unknown chunks,
-    honoring odd-size pad bytes); validates the stream is 'vids' with
-    a 24-bit uncompressed ``strf``; raises ``ValueError`` on malformed
-    or unsupported payloads."""
+    """Decode an uncompressed 24-bit ('DIB ') or motion-JPEG ('MJPG')
+    AVI to ``(usec_per_frame, width, height, frames)`` with ``frames``
+    an ``(n, h, w, 3)`` uint8 array (BGR for DIB; JPEG-decoded pixels,
+    grayscale broadcast, for MJPG).  Walks the nested RIFF/LIST tree
+    (skipping unknown chunks, honoring odd-size pad bytes); validates
+    the stream is 'vids' with a supported ``strf``; raises
+    ``ValueError`` on malformed or unsupported payloads."""
     import struct
 
     import numpy as np
@@ -807,15 +860,26 @@ def decode_avi(payload: bytes):
                     frame_chunks.append(b2)
     if avih is None:
         raise ValueError("AVI missing avih header")
-    if not vids_ok or bits != 24 or comp != 0:
+    if not vids_ok or bits != 24 or comp not in (0, MJPG_FOURCC):
         raise ValueError(
             f"unsupported AVI: vids={vids_ok} bits={bits} comp={comp}")
     usec, n, w, h = avih[0], avih[4], avih[8], avih[9]
     if len(frame_chunks) != n:
         raise ValueError(f"frame count mismatch: avih={n}, "
                          f"movi={len(frame_chunks)}")
-    stride = (w * 3 + 3) & ~3
     frames = np.zeros((n, h, w, 3), dtype=np.uint8)
+    if comp == MJPG_FOURCC:
+        # motion JPEG: every movi chunk is a standalone baseline JPEG
+        # (N123); grayscale planes broadcast to 3 channels so both
+        # codecs share the (n, h, w, 3) frame contract
+        for i, fb in enumerate(frame_chunks):
+            fw, fh, px = decode_jpeg(bytes(fb))
+            if (fw, fh) != (w, h):
+                raise ValueError(
+                    f"frame {i}: JPEG dims {fw}x{fh} != header {w}x{h}")
+            frames[i] = px[..., None] if px.ndim == 2 else px
+        return usec, w, h, frames
+    stride = (w * 3 + 3) & ~3
     for i, fb in enumerate(frame_chunks):
         if len(fb) != stride * h:
             raise ValueError(f"frame {i}: {len(fb)} bytes != {stride * h}")
@@ -923,6 +987,47 @@ def synthesize_avi_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFra
                             dtype=np.uint8)
                     for f in range(n)])
                 payloads.append(encode_avi(frames, usec))
+            yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"),
+                                "payload": payloads})
+
+    return df.select(id_col).mapInPandas(
+        gen_batches,
+        StructType([StructField("doc_id", LongType()),
+                    StructField("payload", BinaryType())]))
+
+
+def synthesize_mjpeg_avi_payloads(df: DataFrame, *,
+                                  id_col: str = "doc_id") -> DataFrame:
+    """Deterministic MJPEG-AVI fixtures: per id, ``2 + id % 4``
+    grayscale frames of ``8·(1 + id % 3) × 8·(1 + id % 2)`` pixels at
+    ``33000 + 1000·(id % 4)`` µs/frame; frame ``f``'s 8×8 block
+    ``(bx, by)`` is the constant ``128 + 2·((7·id + 11·f + bx + 3·by)
+    % 50 − 25)`` — an EVEN level-shifted value, so every block
+    round-trips the DC-only huffman+DCT path exactly (the N123
+    property) and each sampled frame's mean replays from the id
+    arithmetic in closed form; real :func:`encode_mjpeg_avi`
+    container-of-JPEGs bytes."""
+
+    def gen_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                n = 2 + i % 4
+                w, h = 8 * (1 + i % 3), 8 * (1 + i % 2)
+                usec = 33000 + 1000 * (i % 4)
+                frames = np.empty((n, h, w), dtype=np.uint8)
+                for f in range(n):
+                    blocks = np.array(
+                        [[128 + 2 * ((7 * i + 11 * f + bx + 3 * by)
+                                     % 50 - 25)
+                          for bx in range(w // 8)]
+                         for by in range(h // 8)], dtype=np.uint8)
+                    frames[f] = np.kron(blocks,
+                                        np.ones((8, 8), dtype=np.uint8))
+                payloads.append(encode_mjpeg_avi(frames, usec))
             yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"),
                                 "payload": payloads})
 

@@ -4894,6 +4894,85 @@ ORDER BY doc_id, frame_idx
 """
 
 
+def multimodal_mjpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Motion-JPEG video lane (r11 — the compressed-video seam closed
+    from parts already in the repo: the N105 RIFF container walk ×
+    the N123 baseline-JPEG codec).  One deterministic MJPEG-AVI per
+    document — grayscale JPEG frames whose 8×8 blocks are constants
+    with EVEN level-shifted values, so every frame decodes bit-exactly
+    — decoded back through the same :func:`~.operators.multimodal
+    .decode_avi` container walk (MJPG branch → per-chunk
+    :func:`decode_jpeg`), with ≤3 evenly-spaced REAL frames sampled
+    per video and each frame's mean pixel in exact half-up
+    milli-units.  The oracle replays container facts AND decoded
+    pixel means from the id arithmetic in closed form — a bug in the
+    container walk, the JPEG entropy decode, the IDCT path, or the
+    sampling rule hash-fails."""
+    from hbase_snapshotter_spark.operators.multimodal import (
+        sample_avi_frame_features,
+        synthesize_mjpeg_avi_payloads,
+    )
+
+    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet")) \
+        .select("doc_id")
+    out = sample_avi_frame_features(
+        synthesize_mjpeg_avi_payloads(docs), max_frames=3)
+    return out.select(
+        "doc_id",
+        F.col("avi_width").alias("mjpeg_width"),
+        F.col("avi_height").alias("mjpeg_height"),
+        F.col("avi_n_frames").alias("mjpeg_n_frames"),
+        F.col("avi_duration_ms").alias("mjpeg_duration_ms"),
+        F.col("n_sampled").alias("mjpeg_n_sampled"),
+        F.col("frame_idx").alias("mjpeg_frame_idx"),
+        F.col("frame_mean_milli").alias("mjpeg_frame_mean_milli"),
+    ).orderBy("doc_id", "mjpeg_frame_idx")
+
+
+ORACLE_MULTIMODAL_MJPEG = """
+WITH g AS (
+  SELECT doc_id,
+         2 + doc_id % 4 AS n,
+         8 * (1 + doc_id % 3) AS w,
+         8 * (1 + doc_id % 2) AS h,
+         33000 + 1000 * (doc_id % 4) AS usec
+  FROM documents),
+fr AS (
+  SELECT g.doc_id, g.n, g.w, g.h, g.usec, j.j,
+         LEAST(3, g.n) AS k,
+         (j.j * g.n) // LEAST(3, g.n) AS frame_idx
+  FROM g, (VALUES (0), (1), (2)) j(j)
+  WHERE j.j < LEAST(3, g.n)),
+m AS (
+  SELECT fr.doc_id, fr.j,
+         SUM(128 + 2 * ((7 * fr.doc_id + 11 * fr.frame_idx
+                         + bx.b + 3 * by.b) % 50 - 25)) AS sv,
+         COUNT(*) AS nb
+  FROM fr, range(0, 3) bx(b), range(0, 2) by(b)
+  WHERE bx.b < fr.w // 8 AND by.b < fr.h // 8
+  GROUP BY 1, 2)
+SELECT fr.doc_id,
+       CAST(fr.w AS INTEGER) AS mjpeg_width,
+       CAST(fr.h AS INTEGER) AS mjpeg_height,
+       CAST(fr.n AS INTEGER) AS mjpeg_n_frames,
+       CAST(fr.n * fr.usec // 1000 AS BIGINT) AS mjpeg_duration_ms,
+       CAST(fr.k AS INTEGER) AS mjpeg_n_sampled,
+       CAST(fr.frame_idx AS INTEGER) AS mjpeg_frame_idx,
+       CAST((2000 * m.sv + m.nb) // (2 * m.nb) AS BIGINT)
+         AS mjpeg_frame_mean_milli
+FROM fr JOIN m ON m.doc_id = fr.doc_id AND m.j = fr.j
+ORDER BY fr.doc_id, mjpeg_frame_idx
+"""
+
+
+_MJPEG_COLS = [
+    ("doc_id", "BIGINT"), ("mjpeg_width", "INTEGER"),
+    ("mjpeg_height", "INTEGER"), ("mjpeg_n_frames", "INTEGER"),
+    ("mjpeg_duration_ms", "BIGINT"), ("mjpeg_n_sampled", "INTEGER"),
+    ("mjpeg_frame_idx", "INTEGER"), ("mjpeg_frame_mean_milli", "BIGINT"),
+]
+
+
 #: Lane specs for the r10 multimodal_av_stats fold (VERDICT r9
 #: task 2): the real WAV and AVI codec lanes share one recorded key.
 _WAV_COLS = [
@@ -4913,17 +4992,17 @@ _AVI_COLS = [
 
 
 def multimodal_av_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio/video codec suite — the WAV decode/decimate lane and the
-    AVI decode/frame-sample lane as lanes of ONE recorded key (r10
-    merge of the former standalone ``multimodal_audio_stats`` and
-    ``multimodal_video_stats`` rows).  Row-disjoint lanes with typed
-    NULL padding; each keeps its standalone oracle inside the
-    UNION ALL."""
+    """Audio/video codec suite — the WAV decode/decimate lane, the
+    uncompressed-AVI decode/frame-sample lane, and (r11) the
+    motion-JPEG compressed-video lane as lanes of ONE recorded key.
+    Row-disjoint lanes with typed NULL padding; each keeps its
+    standalone oracle inside the UNION ALL."""
     from hbase_snapshotter_spark.queries.suites import union_lanes
 
     return union_lanes([
         ("wav", multimodal_audio_stats(spark, sf_dir), _WAV_COLS),
         ("avi", multimodal_video_stats(spark, sf_dir), _AVI_COLS),
+        ("mjpeg", multimodal_mjpeg_stats(spark, sf_dir), _MJPEG_COLS),
     ])
 
 
@@ -4933,6 +5012,7 @@ def _oracle_multimodal_av_stats() -> str:
     return union_lanes_sql([
         ("wav", ORACLE_MULTIMODAL_AUDIO, _WAV_COLS),
         ("avi", ORACLE_MULTIMODAL_VIDEO, _AVI_COLS),
+        ("mjpeg", ORACLE_MULTIMODAL_MJPEG, _MJPEG_COLS),
     ])
 
 

@@ -1113,7 +1113,12 @@ def spill_audit_report(spark, sf_dir: str) -> dict:
 def main() -> int:
     # measure the approximate paths' real cost, not their in-query
     # exact-baseline recall probes (the bench convention; the
-    # correctness gate always runs with probes ON)
+    # correctness gate always runs with probes ON).  Since r11 every
+    # audit lane gates on audit_enabled(sf_dir) = probe AND fixture
+    # shape, so with the probe off ALL sizes — including the 1x/10x
+    # fixture dirs — run the PRODUCTION plan shape: the committed
+    # exponents measure data scaling of one shape, never a plan-shape
+    # switch between 10x and the synthetic 100x dir (ADVICE r10).
     os.environ.setdefault("SPARK_GRAFT_RECALL_PROBE", "0")
     skip_100x = "--skip-100x" in sys.argv
     lsh_only = "--lsh-geometry" in sys.argv
