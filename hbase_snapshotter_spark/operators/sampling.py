@@ -228,36 +228,46 @@ def dsir_logratio(
     100 TB shape: the two frequency tables are VOCABULARY-sized (the
     hashed-feature trick in the paper exists precisely to bound this),
     so both broadcast; the corpus-size normalizers are one-row
-    aggregates attached by broadcast cross join.  The token explode is
-    narrow, the freq joins are map-side, and the per-doc mean is a
-    hash aggregate with map-side partials — wire cost ≈ documents, not
-    tokens."""
+    aggregates attached by broadcast cross join.  ONE token-sized pass
+    exists — the explode straight into the map-side-combined
+    ``(doc, token) → count`` aggregate; every downstream stage (the
+    frequency tables, the per-DISTINCT-token log-ratio table, the
+    per-doc weighted mean) runs over that compacted table, so the
+    log() is evaluated once per vocabulary entry instead of once per
+    token instance (the r11 fix that took the measured 10×→100×
+    exponent off the 0.90 near-linear wall — wire cost ≈ distinct
+    (doc, token) pairs, not tokens)."""
     from hbase_snapshotter_spark.cache import scoped_persist
     from hbase_snapshotter_spark.operators.text import tokens
 
-    tk = scoped_persist(df.select(
-        F.col(id_col), is_target.alias("__t"),
-        F.explode(tokens(F.col(text_col))).alias("tok")))
-    corpus_freq = tk.groupBy("tok").agg(
-        F.count(F.lit(1)).alias("__c_all"))
-    target_freq = tk.filter("__t").groupBy("tok").agg(
-        F.count(F.lit(1)).alias("__c_t"))
-    totals = tk.agg(
-        F.count(F.lit(1)).alias("__n_all"),
-        F.sum(F.col("__t").cast("long")).alias("__n_t"),
+    doc_tok = scoped_persist(
+        df.select(F.col(id_col), is_target.alias("__t"),
+                  F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy(id_col, "__t", "tok")
+        .agg(F.count(F.lit(1)).alias("__cnt")))
+    corpus_freq = doc_tok.groupBy("tok").agg(
+        F.sum("__cnt").alias("__c_all"))
+    target_freq = doc_tok.filter("__t").groupBy("tok").agg(
+        F.sum("__cnt").alias("__c_t"))
+    totals = doc_tok.agg(
+        F.sum("__cnt").alias("__n_all"),
+        F.sum(F.when(F.col("__t"), F.col("__cnt")).otherwise(0))
+        .alias("__n_t"),
         F.countDistinct("tok").alias("__v"))
-    scored = (
-        tk.join(F.broadcast(corpus_freq), "tok")
-        .join(F.broadcast(target_freq), "tok", "left")
+    lr_table = (  # vocab ⟕ vocab: broadcast the target side (smaller)
+        corpus_freq.join(F.broadcast(target_freq), "tok", "left")
         .crossJoin(F.broadcast(totals))
-        .withColumn(
-            "__lr",
-            F.log((F.coalesce("__c_t", F.lit(0)) + 1)
-                  / (F.col("__n_t") + F.col("__v")))
-            - F.log((F.col("__c_all") + 1)
-                    / (F.col("__n_all") + F.col("__v")))))
-    return scored.groupBy(id_col).agg(
-        F.round(F.avg("__lr"), 4).alias("dsir_logratio"))
+        .select(
+            "tok",
+            (F.log((F.coalesce("__c_t", F.lit(0)) + 1)
+                   / (F.col("__n_t") + F.col("__v")))
+             - F.log((F.col("__c_all") + 1)
+                     / (F.col("__n_all") + F.col("__v"))))
+            .alias("__lr")))
+    return (doc_tok.join(F.broadcast(lr_table), "tok")
+            .groupBy(id_col)
+            .agg(F.round(F.sum(F.col("__cnt") * F.col("__lr"))
+                         / F.sum("__cnt"), 4).alias("dsir_logratio")))
 
 
 def range_bucket(score_col: Column | str, boundaries_col: Column | str) -> Column:

@@ -1708,8 +1708,13 @@ def sample_split_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # must not silently vanish from the aggregate.  (Empty-STRING text
     # is not token-less: tokens('') = split(trim('')) = [''] — the ''
     # token is scored and enters the vocabulary, same on both engines.)
-    labeled = labeled.join(scores, "doc_id", "left").withColumn(
-        "dsir_logratio", F.coalesce("dsir_logratio", F.lit(0.0)))
+    # Both sides are doc-keyed and docs-sized: pin the shuffled HASH
+    # join — sorting two unsorted doc tables buys nothing, and the
+    # r11 dsir restructure changed the stats estimate enough that
+    # Catalyst would otherwise fall back to sort-merge.
+    labeled = labeled.join(scores.hint("shuffle_hash"), "doc_id", "left") \
+        .withColumn("dsir_logratio",
+                    F.coalesce("dsir_logratio", F.lit(0.0)))
     from hbase_snapshotter_spark.cache import scoped_persist
 
     # both fold tables are sample-sized (groups × k rows) — broadcast
@@ -1780,18 +1785,24 @@ WITH tk AS (
   SELECT doc_id, source IN ({_TARGET_SET}) AS tgt,
          unnest(string_split(trim(text), ' ')) AS tok
   FROM documents),
-cf AS (SELECT tok, COUNT(*) AS c_all FROM tk GROUP BY 1),
-tf AS (SELECT tok, COUNT(*) AS c_t FROM tk WHERE tgt GROUP BY 1),
-tot AS (SELECT COUNT(*) AS n_all,
-               SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS n_t,
+dt AS (SELECT doc_id, tgt, tok, COUNT(*) AS cnt FROM tk GROUP BY 1, 2, 3),
+cf AS (SELECT tok, SUM(cnt) AS c_all FROM dt GROUP BY 1),
+tf AS (SELECT tok, SUM(cnt) AS c_t FROM dt WHERE tgt GROUP BY 1),
+tot AS (SELECT SUM(cnt) AS n_all,
+               SUM(CASE WHEN tgt THEN cnt ELSE 0 END) AS n_t,
                COUNT(DISTINCT tok) AS v
-        FROM tk),
+        FROM dt),
+-- the per-DISTINCT-token log-ratio table (mirrors the Spark plan:
+-- ln() once per vocabulary entry, weighted per-doc mean over counts)
+lr AS (
+  SELECT cf.tok,
+         ln((COALESCE(tf.c_t, 0) + 1.0) / (tot.n_t + tot.v))
+         - ln((cf.c_all + 1.0) / (tot.n_all + tot.v)) AS lr
+  FROM cf LEFT JOIN tf USING (tok) CROSS JOIN tot),
 sc AS (
-  SELECT tk.doc_id,
-         ROUND(AVG(ln((COALESCE(tf.c_t, 0) + 1.0) / (tot.n_t + tot.v))
-                   - ln((cf.c_all + 1.0) / (tot.n_all + tot.v))), 4)
-           AS dsir_logratio
-  FROM tk JOIN cf USING (tok) LEFT JOIN tf USING (tok) CROSS JOIN tot
+  SELECT dt.doc_id,
+         ROUND(SUM(dt.cnt * lr.lr) / SUM(dt.cnt), 4) AS dsir_logratio
+  FROM dt JOIN lr USING (tok)
   GROUP BY 1),
 dc AS (SELECT source, COUNT(*) AS domain_docs FROM documents GROUP BY source),
 d AS (
