@@ -337,3 +337,114 @@ def zone_map_pruning_audit(
                     .alias("skip_permille"),
                     "n_rows_matched",
                     (F.col("__missed") == 0).alias("no_false_skips")))
+
+
+# ---------------------------------------------------------------------------
+# N128 (round 11): incremental zone-map maintenance — the N25/N84
+# state-family posture applied to the N124 file statistics.  Appends
+# are LOSSLESSLY mergeable (count sums, min/max narrow monotonically),
+# so the advanced map equals a rebuild exactly; deletes are NOT (a
+# deleted extremum cannot tighten min/max without rereading the file),
+# so the retracted map is STALE-BUT-SOUND — exactly the Iceberg/Delta
+# delete-file posture, where stats over-approximate until a
+# rewrite/compaction re-tightens the touched files.
+# ---------------------------------------------------------------------------
+
+
+def zone_map_state(df, file_col: str, stat_col: str):
+    """Per-file zone-map state for one probed column: ``(file,
+    n_rows, vmin, vmax, tight)`` — one map-side-combined aggregate,
+    files-sized output.  ``tight`` is TRUE for a freshly-built map:
+    the min/max are exactly the file's extrema."""
+    return (df.groupBy(F.col(file_col).alias("file_id"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 F.min(F.col(stat_col).cast("double")).alias("vmin"),
+                 F.max(F.col(stat_col).cast("double")).alias("vmax"))
+            .withColumn("tight", F.lit(True)))
+
+
+def advance_zone_map(state, appends, file_col: str, stat_col: str):
+    """Advance the zone map with APPEND rows only — the lossless
+    direction: counts sum, min/max take least/greatest, and a file
+    stays ``tight`` iff its prior state was (appends alone never
+    loosen tightness).  State-sized ⟗ appends'-files-sized merge; the
+    appends are aggregated map-side before the join so nothing
+    row-sized shuffles."""
+    ap = zone_map_state(appends, file_col, stat_col).select(
+        "file_id", F.col("n_rows").alias("__an"),
+        F.col("vmin").alias("__amn"), F.col("vmax").alias("__amx"))
+    st = state.select("file_id", "n_rows", "vmin", "vmax", "tight")
+    return (st.join(ap, "file_id", "full_outer")
+            .select(
+                "file_id",
+                (F.coalesce("n_rows", F.lit(0))
+                 + F.coalesce("__an", F.lit(0)))
+                .cast("long").alias("n_rows"),
+                F.least(
+                    F.coalesce("vmin", F.col("__amn")),
+                    F.coalesce("__amn", F.col("vmin"))).alias("vmin"),
+                F.greatest(
+                    F.coalesce("vmax", F.col("__amx")),
+                    F.coalesce("__amx", F.col("vmax"))).alias("vmax"),
+                F.coalesce("tight", F.lit(True)).alias("tight")))
+
+
+def retract_zone_map(state, deletes, file_col: str):
+    """Retract DELETE rows from the zone map: counts decrement
+    exactly; min/max CANNOT tighten without rereading the file, so
+    they are kept as a sound over-approximation and the file is
+    marked ``tight = false`` (the signal a compaction planner uses to
+    schedule a stats rewrite).  Files whose rows are all deleted drop
+    out.  Deletes aggregate to per-file counts map-side — state-sized
+    join, nothing row-sized shuffles."""
+    dl = (deletes.groupBy(F.col(file_col).alias("file_id"))
+          .agg(F.count(F.lit(1)).cast("long").alias("__dn")))
+    st = state.select("file_id", "n_rows", "vmin", "vmax", "tight")
+    return (st.join(dl, "file_id", "left")
+            .select(
+                "file_id",
+                (F.col("n_rows") - F.coalesce("__dn", F.lit(0)))
+                .cast("long").alias("n_rows"),
+                "vmin", "vmax",
+                (F.col("tight") & F.coalesce("__dn", F.lit(0)).eqNullSafe(0))
+                .alias("tight"))
+            .filter(F.col("n_rows") > 0))
+
+
+def retighten_zone_map(state, base, file_col: str, stat_col: str):
+    """Re-tighten the stale files ONLY: rebuild stats from ``base``
+    (the post-delete table) for files with ``tight = false``, keep
+    every tight file's row untouched — the N94
+    ``recompute_affected_groups`` pattern.  The rebuild side is
+    pruned to touched files by a broadcast semi-join BEFORE the
+    aggregate, so its cost is the touched files' rows, not the
+    corpus."""
+    stale = state.filter(~F.col("tight")).select("file_id")
+    fresh = zone_map_state(
+        base.join(F.broadcast(stale),
+                  base[file_col] == stale["file_id"], "left_semi"),
+        file_col, stat_col)
+    return state.filter(F.col("tight")).unionByName(fresh)
+
+
+def zone_map_skip_stats(state, lo: float, hi: float):
+    """Files-sized skip summary of a range predicate against a zone
+    map (possibly stale): scanned iff ``[vmin, vmax]`` intersects
+    ``[lo, hi]``.  Returns one row: files, scanned, skipped, half-up
+    skip permille, and how many scanned files were stale — the
+    measurable cost of delete-staleness (stale stats can only
+    OVER-scan, never under-scan, so skip permille degrades while
+    soundness holds)."""
+    scanned = (F.col("vmax") >= lo) & (F.col("vmin") <= hi)
+    pm = (lambda n_f, n_sk: 2000 * n_sk + n_f)
+    n_files = F.count(F.lit(1)).cast("long")
+    n_scanned = F.sum(scanned.cast("long")).cast("long")
+    n_skipped = (n_files - n_scanned).cast("long")
+    return state.agg(
+        n_files.alias("n_files"),
+        n_scanned.alias("n_scanned"),
+        n_skipped.alias("n_skipped"),
+        _int_div(pm(n_files, n_skipped), 2 * n_files)
+        .alias("skip_permille"),
+        F.sum((scanned & ~F.col("tight")).cast("long")).cast("long")
+        .alias("n_scanned_stale"))

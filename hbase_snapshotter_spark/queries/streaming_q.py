@@ -1676,6 +1676,171 @@ GROUP BY 1, 2, 3, 4
 """
 
 
+#: N128 zone-map maintenance constants: rows with value ≥ ZM_DELETE_LO
+#: are purged (an outlier/PII scrub — exactly the delete pattern that
+#: leaves file statistics stale), and the skip predicate probes the
+#: band the purge grazed, where stale stats over-scan and re-tightened
+#: stats prune again.
+ZM_DELETE_LO = 250.0
+ZM_SKIP_LO, ZM_SKIP_HI = 240.0, 1e9
+
+
+def zone_map_advance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental zone-map maintenance (N128): per-day file
+    statistics over the events table, built at the mid-month snapshot,
+    ADVANCED with only the post-snapshot appends (losslessly mergeable
+    — counts sum, min/max narrow), then RETRACTED for a deterministic
+    outlier purge (``value ≥ 250``): counts decrement exactly, min/max
+    cannot tighten without rereading, so touched files go
+    ``tight = false`` — the Iceberg/Delta stale-but-sound delete
+    posture.  ``retighten_zone_map`` then rebuilds ONLY the stale
+    files (broadcast-semi-join-pruned), and the two skip summaries
+    quantify what staleness costs: the stale map over-scans the purged
+    band, the re-tightened map prunes it again (soundness holds in
+    both — stale stats can only over-scan).
+
+    The audit flags (advance ≡ append-only rebuild, retighten ≡
+    post-delete rebuild, data-derived soundness of the stale map) are
+    fixture-gated (``gating.audit_enabled``): the registered
+    production plan is build → advance → retract → pruned-retighten +
+    two file-stats-sized skip summaries, with NULL flags."""
+    from hbase_snapshotter_spark.cache import scoped_persist
+    from hbase_snapshotter_spark.operators.layout import (
+        advance_zone_map,
+        retighten_zone_map,
+        retract_zone_map,
+        zone_map_skip_stats,
+        zone_map_state,
+    )
+    from hbase_snapshotter_spark.operators.timeseries import time_bucket
+    from hbase_snapshotter_spark.queries.gating import (
+        audit_enabled,
+        null_flag,
+    )
+    from hbase_snapshotter_spark.queries.snapshot_q import SNAPSHOT_TS_MS
+
+    ev = scoped_persist(
+        read_table(spark, sf_dir, "events").select(
+            (time_bucket("ts", 86_400_000) / 86_400_000).cast("long")
+            .alias("file_day"), "value",
+            (F.unix_millis("ts") <= SNAPSHOT_TS_MS).alias("__prior")))
+    state = zone_map_state(ev.filter("__prior"), "file_day", "value")
+    adv = advance_zone_map(state, ev.filter("NOT __prior"),
+                           "file_day", "value")
+    is_del = F.col("value") >= ZM_DELETE_LO
+    stale = scoped_persist(retract_zone_map(adv, ev.filter(is_del),
+                                            "file_day"))
+    survivors = ev.filter(~is_del)
+    tightened = scoped_persist(
+        retighten_zone_map(stale, survivors, "file_day", "value"))
+
+    sk_stale = zone_map_skip_stats(stale, ZM_SKIP_LO, ZM_SKIP_HI).select(
+        F.col("n_scanned").alias("n_scanned_stale"),
+        F.col("skip_permille").alias("skip_permille_stale"))
+    sk_tight = zone_map_skip_stats(tightened, ZM_SKIP_LO, ZM_SKIP_HI)         .select(F.col("n_scanned").alias("n_scanned_tight"),
+                F.col("skip_permille").alias("skip_permille_tight"))
+
+    if audit_enabled(sf_dir):
+        cols = ["file_id", "n_rows", "vmin", "vmax", "tight"]
+        reb_append = zone_map_state(ev, "file_day", "value").select(*cols)
+        sym_a = adv.select(*cols).exceptAll(reb_append) \
+            .unionByName(reb_append.exceptAll(adv.select(*cols)))
+        f_adv = sym_a.agg((F.count(F.lit(1)) == 0)
+                          .alias("advance_equals_rebuild"))
+        reb_del = zone_map_state(survivors, "file_day", "value") \
+            .select(*cols)
+        sym_t = tightened.select(*cols).exceptAll(reb_del) \
+            .unionByName(reb_del.exceptAll(tightened.select(*cols)))
+        f_ret = sym_t.agg((F.count(F.lit(1)) == 0)
+                          .alias("retighten_equals_rebuild"))
+        # data-derived soundness: every surviving row in the probed
+        # band lives in a file the STALE map scans
+        scanned = stale.filter((F.col("vmax") >= ZM_SKIP_LO)
+                               & (F.col("vmin") <= ZM_SKIP_HI)) \
+            .select("file_id")
+        missed = (survivors
+                  .filter(F.col("value").between(ZM_SKIP_LO, ZM_SKIP_HI))
+                  .join(F.broadcast(scanned),
+                        survivors["file_day"] == scanned["file_id"],
+                        "left_anti"))
+        f_snd = missed.agg((F.count(F.lit(1)) == 0)
+                           .alias("sound_after_deletes"))
+        flags = (F.broadcast(f_adv).crossJoin(F.broadcast(f_ret))
+                 .crossJoin(F.broadcast(f_snd)))
+    else:  # production/bench: the maintenance chain alone
+        flags = spark.range(1).select(
+            null_flag("advance_equals_rebuild"),
+            null_flag("retighten_equals_rebuild"),
+            null_flag("sound_after_deletes"))
+
+    return (stale.select(
+                F.col("file_id"), "n_rows", "vmin", "vmax", "tight")
+            .crossJoin(F.broadcast(sk_stale))
+            .crossJoin(F.broadcast(sk_tight))
+            .crossJoin(F.broadcast(flags))
+            .orderBy("file_id"))
+
+
+def _oracle_zone_map_advance() -> str:
+    return f"""
+WITH ev AS (
+  SELECT epoch_ms(ts) // 86400000 AS file_day,
+         CAST(value AS DOUBLE) AS value
+  FROM events),
+-- the stale map: min/max over ALL rows (deletes cannot tighten),
+-- counts over survivors, tight iff the purge never touched the file
+stale AS (
+  SELECT file_day AS file_id,
+         CAST(SUM(CASE WHEN value < {ZM_DELETE_LO} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_rows,
+         MIN(value) AS vmin, MAX(value) AS vmax,
+         SUM(CASE WHEN value >= {ZM_DELETE_LO} THEN 1 ELSE 0 END) = 0
+           AS tight
+  FROM ev GROUP BY 1
+  HAVING SUM(CASE WHEN value < {ZM_DELETE_LO} THEN 1 ELSE 0 END) > 0),
+tightened AS (
+  SELECT file_day AS file_id, MIN(value) AS vmin, MAX(value) AS vmax
+  FROM ev WHERE value < {ZM_DELETE_LO} GROUP BY 1),
+sks AS (
+  SELECT CAST(SUM(CASE WHEN vmax >= {ZM_SKIP_LO}
+                        AND vmin <= {ZM_SKIP_HI}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_scanned_stale,
+         CAST((2000 * SUM(CASE WHEN vmax >= {ZM_SKIP_LO}
+                                AND vmin <= {ZM_SKIP_HI}
+                               THEN 0 ELSE 1 END) + COUNT(*))
+              // (2 * COUNT(*)) AS BIGINT) AS skip_permille_stale
+  FROM stale),
+skt AS (
+  SELECT CAST(SUM(CASE WHEN vmax >= {ZM_SKIP_LO}
+                        AND vmin <= {ZM_SKIP_HI}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_scanned_tight,
+         CAST((2000 * SUM(CASE WHEN vmax >= {ZM_SKIP_LO}
+                                AND vmin <= {ZM_SKIP_HI}
+                               THEN 0 ELSE 1 END) + COUNT(*))
+              // (2 * COUNT(*)) AS BIGINT) AS skip_permille_tight
+  FROM tightened)
+SELECT s.file_id, s.n_rows, s.vmin, s.vmax, s.tight,
+       sks.n_scanned_stale, sks.skip_permille_stale,
+       skt.n_scanned_tight, skt.skip_permille_tight,
+       TRUE AS advance_equals_rebuild,
+       TRUE AS retighten_equals_rebuild,
+       TRUE AS sound_after_deletes
+FROM stale s, sks, skt
+ORDER BY s.file_id
+"""
+
+
+_ZM_ADV_COLS = [
+    ("file_id", "BIGINT"), ("n_rows", "BIGINT"), ("vmin", "DOUBLE"),
+    ("vmax", "DOUBLE"), ("tight", "BOOLEAN"),
+    ("n_scanned_stale", "BIGINT"), ("skip_permille_stale", "BIGINT"),
+    ("n_scanned_tight", "BIGINT"), ("skip_permille_tight", "BIGINT"),
+    ("advance_equals_rebuild", "BOOLEAN"),
+    ("retighten_equals_rebuild", "BOOLEAN"),
+    ("sound_after_deletes", "BOOLEAN"),
+]
+
+
 #: Lane specs for the r10 layout_audit_suite fold (VERDICT r9 task 2):
 #: Z-order clustering audit, equi-depth-vs-fixed-width range layout,
 #: small-file compaction planning, shard-rebalance migration cost.
@@ -1731,6 +1896,7 @@ def layout_audit_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("shard_rebalance", shard_rebalance_stats(spark, sf_dir),
          _SHARD_COLS),
         ("zone_map", zone_map_pruning(spark, sf_dir), _ZONE_MAP_COLS),
+        ("zone_advance", zone_map_advance(spark, sf_dir), _ZM_ADV_COLS),
     ])
 
 
@@ -1744,6 +1910,7 @@ def _oracle_layout_audit_suite() -> str:
         ("compaction", _oracle_compaction_plan(), _COMPACTION_COLS),
         ("shard_rebalance", _oracle_shard_rebalance(), _SHARD_COLS),
         ("zone_map", _oracle_zone_map(), _ZONE_MAP_COLS),
+        ("zone_advance", _oracle_zone_map_advance(), _ZM_ADV_COLS),
     ])
 
 

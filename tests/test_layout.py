@@ -224,3 +224,90 @@ def test_zone_map_pruning_audit_hand_computed(spark):
     r = out["two_files"]
     assert (r.n_scanned, r.n_rows_matched) == (2, 2)  # 5.0 and 10.0
     assert r.no_false_skips
+
+
+def test_zone_map_maintenance_hand_computed(spark):
+    """N128: advance is losslessly mergeable (equals a rebuild row for
+    row); retract keeps min/max sound-but-stale and flips tight only
+    on touched files; retighten rebuilds exactly the stale files; the
+    stale map can only OVER-scan the probed band."""
+    from hbase_snapshotter_spark.operators.layout import (
+        advance_zone_map,
+        retighten_zone_map,
+        retract_zone_map,
+        zone_map_skip_stats,
+        zone_map_state,
+    )
+
+    rows = [  # (file, value)
+        (1, 10.0), (1, 20.0), (1, 300.0),   # file 1: purge hits max
+        (2, 50.0), (2, 60.0),               # file 2: untouched
+        (3, 400.0),                         # file 3: fully purged
+    ]
+    prior = spark.createDataFrame(rows[:4], ["f", "v"])
+    appends = spark.createDataFrame(rows[4:], ["f", "v"])
+    full = spark.createDataFrame(rows, ["f", "v"])
+
+    st = zone_map_state(prior, "f", "v")
+    adv = advance_zone_map(st, appends, "f", "v")
+    reb = zone_map_state(full, "f", "v")
+    cols = ["file_id", "n_rows", "vmin", "vmax", "tight"]
+    assert sorted(map(tuple, adv.select(cols).collect())) == \
+        sorted(map(tuple, reb.select(cols).collect()))
+
+    deletes = full.filter("v >= 300")
+    stale = retract_zone_map(adv, deletes, "f")
+    got = {r.file_id: r for r in stale.collect()}
+    assert set(got) == {1, 2}                      # file 3 dropped
+    assert (got[1].n_rows, got[1].vmax, got[1].tight) == (2, 300.0, False)
+    assert (got[2].n_rows, got[2].vmax, got[2].tight) == (2, 60.0, True)
+
+    survivors = full.filter("v < 300")
+    tight = retighten_zone_map(stale, survivors, "f", "v")
+    want = zone_map_state(survivors, "f", "v")
+    assert sorted(map(tuple, tight.select(cols).collect())) == \
+        sorted(map(tuple, want.select(cols).collect()))
+
+    # probed band [100, 1e9]: stale map scans file 1 (vmax still 300);
+    # the re-tightened map skips everything — over-scan only, never
+    # under-scan
+    s_stale = zone_map_skip_stats(stale, 100.0, 1e9).collect()[0]
+    s_tight = zone_map_skip_stats(tight, 100.0, 1e9).collect()[0]
+    assert (s_stale.n_files, s_stale.n_scanned, s_stale.n_scanned_stale) \
+        == (2, 1, 1)
+    assert (s_tight.n_files, s_tight.n_scanned) == (2, 0)
+    assert s_stale.skip_permille == 500 and s_tight.skip_permille == 1000
+
+
+def test_zone_map_advance_audit_gated(spark, sf_dir, tmp_path):
+    """The N128 lane's three audit flags are fixture-gated like every
+    advance≡rebuild carrier: NULL at a production path, TRUE at
+    fixture sfs, same schema, identical non-flag values, rebuild
+    subtree absent (no replicaterows at prod)."""
+    import os
+
+    from hbase_snapshotter_spark.queries.streaming_q import (
+        zone_map_advance,
+    )
+
+    prod = tmp_path / "warehouse_prod_zm"
+    prod.mkdir()
+    for f in os.listdir(sf_dir):
+        os.symlink(os.path.join(sf_dir, f), prod / f)
+
+    fix_df = zone_map_advance(spark, sf_dir)
+    prod_df = zone_map_advance(spark, str(prod))
+    assert fix_df.columns == prod_df.columns
+    flags = ["advance_equals_rebuild", "retighten_equals_rebuild",
+             "sound_after_deletes"]
+    fix_plan = fix_df._jdf.queryExecution().executedPlan().toString()
+    prod_plan = prod_df._jdf.queryExecution().executedPlan().toString()
+    assert "replicaterows" in fix_plan.lower()
+    assert "replicaterows" not in prod_plan.lower()
+    other = [c for c in fix_df.columns if c not in flags]
+    assert sorted(map(str, fix_df.select(other).collect())) == \
+        sorted(map(str, prod_df.select(other).collect()))
+    assert {tuple(r) for r in fix_df.select(flags).distinct().collect()} \
+        == {(True, True, True)}
+    assert {tuple(r) for r in prod_df.select(flags).distinct().collect()} \
+        == {(None, None, None)}

@@ -22,12 +22,13 @@ SUITE_LANES = {
                            "cohort_retention"},
     "mmr_topk_suite": {"brute", "ivfpq"},
     "layout_audit_suite": {"zorder", "range_layout", "compaction",
-                           "shard_rebalance", "zone_map"},
+                           "shard_rebalance", "zone_map",
+                           "zone_advance"},
     "temporal_join_suite": {"asof", "range_band", "full_outer_eras"},
     "sketch_cardinality_suite": {"approx_distinct", "hll_maintenance",
                                  "set_cardinalities"},
     "bpe_suite": {"pair_mining", "encode_stats"},
-    "multimodal_av_stats": {"wav", "avi"},
+    "multimodal_av_stats": {"wav", "avi", "mjpeg"},
     "dedup_cluster_suite": {"clusters", "representatives",
                             "component_stats"},
     "quality_eval_suite": {"classifier_auc", "waterfill"},
