@@ -132,6 +132,8 @@ HEADLINE_R7 = [
     "text_scrub",              # r10: the PII scrub lane, now folded
                                # into text_mining_suite — benched so
                                # every suite lane keeps a timing row
+    "multimodal_mjpeg_stats",  # r11: motion-JPEG compressed video lane
+    "zone_map_advance",        # r11: incremental zone-map maintenance
 ]
 
 
