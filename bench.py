@@ -134,6 +134,7 @@ HEADLINE_R7 = [
                                # every suite lane keeps a timing row
     "multimodal_mjpeg_stats",  # r11: motion-JPEG compressed video lane
     "zone_map_advance",        # r11: incremental zone-map maintenance
+    "bitext_margin_mining",    # r11: margin-based bitext mining
 ]
 
 

@@ -1677,3 +1677,76 @@ def group_mean_vector(
     return sums.select(
         *group_cols, "dim", "n_vectors",
         (mean_off - offset).alias("mean_micro"))
+
+
+def bitext_margin_pairs(
+    emb: DataFrame,
+    side: Column,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    margin_threshold_x1e6: int = 1_050_000,
+) -> DataFrame:
+    """Margin-based bitext mining (SURVEY §2.3 N129; Artetxe & Schwenk
+    2019, "Margin-based Parallel Corpus Mining with Multilingual
+    Sentence Embeddings" — the ratio margin): split the corpus into
+    side A (``side``) and side B (``NOT side``), score cross-side
+    cosines once (cosine is symmetric, so ONE scored table serves both
+    k-NN directions), and for each A vector emit its best B candidate
+    with the margin ``cos(x,y) / ((avgk(x→B) + avgk(y→A)) / 2)`` — the
+    statistic that suppresses hubness: a candidate only wins if it is
+    close to x RELATIVE to both neighborhoods, not merely close.
+
+    Exact arithmetic on 4-dp integer cosines: ``margin_x1e6 =
+    round(1e6 · 2·cos4·kA·kB / (sumA·kB + sumB·kA))`` with integer
+    sums, so both engines replay the ratio bit-for-bit.  Ties break
+    toward the smaller candidate id (:func:`topk_by_group`).
+
+    Scale shape: the fixture lane scores brute cross-side with the
+    smaller side broadcast; at 100 TB the candidate generation swaps
+    to the IVF machinery (N47) per side — the margin algebra above is
+    unchanged, which is why it lives behind this operator boundary."""
+    from hbase_snapshotter_spark.cache import scoped_persist
+
+    a = emb.filter(side).select(F.col(id_col).alias("a_id"),
+                                F.col(vec_col).alias("__av"))
+    b = emb.filter(~side).select(F.col(id_col).alias("b_id"),
+                                 F.col(vec_col).alias("__bv"))
+    scored = scoped_persist(
+        a.crossJoin(F.broadcast(b)).select(
+            "a_id", "b_id",
+            F.round(cosine_expr(F.col("__av"), F.col("__bv")) * 10000)
+            .cast("long").alias("cos4")))
+    knn_ab = scoped_persist(topk_by_group(
+        scored.select(F.col("a_id").alias("query_id"),
+                      F.col("b_id").alias("neighbor_id"),
+                      F.col("cos4").alias("cosine")), k))
+    knn_ba = topk_by_group(
+        scored.select(F.col("b_id").alias("query_id"),
+                      F.col("a_id").alias("neighbor_id"),
+                      F.col("cos4").alias("cosine")), k)
+    den_a = knn_ab.groupBy("query_id").agg(
+        F.sum("cosine").alias("__sum_a"),
+        F.count(F.lit(1)).alias("__k_a"))
+    den_b = (knn_ba.groupBy("query_id")
+             .agg(F.sum("cosine").alias("__sum_b"),
+                  F.count(F.lit(1)).alias("__k_b"))
+             .withColumnRenamed("query_id", "neighbor_id"))
+    best = knn_ab.filter(F.col("rank") == 1)
+    # den tables are sides-sized k-NN aggregates — broadcast: the
+    # static planner has no stats for aggregate outputs
+    margin = F.round(
+        (2.0 * 1_000_000 * F.col("cosine") * F.col("__k_a")
+         * F.col("__k_b"))
+        / (F.col("__sum_a") * F.col("__k_b")
+           + F.col("__sum_b") * F.col("__k_a"))).cast("long")
+    return (best.join(F.broadcast(den_a), "query_id")
+            .join(F.broadcast(den_b), "neighbor_id")
+            .select(
+                F.col("query_id").alias("src_id"),
+                F.col("neighbor_id").alias("dst_id"),
+                (F.col("cosine").cast("double") / 10000).alias("cosine"),
+                margin.alias("margin_x1e6"),
+                (margin >= margin_threshold_x1e6).alias("accepted"))
+            .orderBy("src_id"))

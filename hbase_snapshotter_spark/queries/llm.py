@@ -5154,14 +5154,78 @@ _CENTROID_COLS = [
 ]
 
 
+def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining lane (N129, r11): even labels are
+    side A, odd labels side B (the deterministic stand-in for two
+    languages); each A vector's best B candidate is emitted with the
+    Artetxe–Schwenk ratio margin on exact 4-dp integer cosines and an
+    acceptance verdict at 1.05 — the parallel-corpus mining step a
+    multilingual training pipeline runs before translation-pair
+    training.  The oracle replays the cross-side cosines, both k-NN
+    neighborhoods (ties toward the smaller id), and the exact-integer
+    margin ratio."""
+    from hbase_snapshotter_spark.operators.similarity import (
+        bitext_margin_pairs,
+    )
+
+    return bitext_margin_pairs(_emb(spark, sf_dir),
+                               F.col("label") % 2 == 0, k=4)
+
+
+ORACLE_BITEXT_MARGIN = """
+WITH a AS (SELECT vec_id, embedding FROM embeddings WHERE label % 2 = 0),
+b AS (SELECT vec_id, embedding FROM embeddings WHERE label % 2 = 1),
+sc AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         CAST(ROUND(10000 *
+           list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                            CAST(b.embedding AS DOUBLE[]))
+           / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(a.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])))))
+          AS BIGINT) AS cos4
+  FROM a, b),
+kab AS (
+  SELECT a_id, b_id, cos4,
+         ROW_NUMBER() OVER (PARTITION BY a_id
+                            ORDER BY cos4 DESC, b_id ASC) AS rk
+  FROM sc),
+kba AS (
+  SELECT b_id, a_id, cos4,
+         ROW_NUMBER() OVER (PARTITION BY b_id
+                            ORDER BY cos4 DESC, a_id ASC) AS rk
+  FROM sc),
+da AS (SELECT a_id, SUM(cos4) AS sum_a, COUNT(*) AS k_a
+       FROM kab WHERE rk <= 4 GROUP BY 1),
+db AS (SELECT b_id, SUM(cos4) AS sum_b, COUNT(*) AS k_b
+       FROM kba WHERE rk <= 4 GROUP BY 1),
+best AS (SELECT a_id, b_id, cos4 FROM kab WHERE rk = 1)
+SELECT best.a_id AS src_id, best.b_id AS dst_id,
+       CAST(best.cos4 AS DOUBLE) / 10000 AS cosine,
+       CAST(ROUND((2.0 * 1000000 * best.cos4 * da.k_a * db.k_b)
+                  / (da.sum_a * db.k_b + db.sum_b * da.k_a))
+            AS BIGINT) AS margin_x1e6,
+       ROUND((2.0 * 1000000 * best.cos4 * da.k_a * db.k_b)
+             / (da.sum_a * db.k_b + db.sum_b * da.k_a)) >= 1050000
+         AS accepted
+FROM best JOIN da USING (a_id) JOIN db USING (b_id)
+ORDER BY src_id
+"""
+
+
+_BITEXT_COLS = [
+    ("src_id", "BIGINT"), ("dst_id", "BIGINT"), ("cosine", "DOUBLE"),
+    ("margin_x1e6", "BIGINT"), ("accepted", "BOOLEAN"),
+]
+
+
 def embedding_analysis_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-analysis suite — N70 + N109 as lanes of ONE recorded
-    key (r10 merge of the former standalone
-    ``embedding_truncation_audit`` and ``embedding_label_centroids``
-    rows): the Matryoshka truncation acceptance audit and exact
-    fixed-point per-label centroid pooling.  Row-disjoint lanes with
-    typed NULL padding; each keeps its standalone oracle inside the
-    UNION ALL."""
+    """Embedding-analysis suite — N70 + N109 + (r11) N129 as lanes of
+    ONE recorded key: the Matryoshka truncation acceptance audit,
+    exact fixed-point per-label centroid pooling, and margin-based
+    bitext mining.  Row-disjoint lanes with typed NULL padding; each
+    keeps its standalone oracle inside the UNION ALL."""
     from hbase_snapshotter_spark.queries.suites import union_lanes
 
     return union_lanes([
@@ -5169,6 +5233,8 @@ def embedding_analysis_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
          _TRUNC_COLS),
         ("label_centroids", embedding_label_centroids(spark, sf_dir),
          _CENTROID_COLS),
+        ("bitext_margin", bitext_margin_mining(spark, sf_dir),
+         _BITEXT_COLS),
     ])
 
 
@@ -5178,6 +5244,7 @@ def _oracle_embedding_analysis_suite() -> str:
     return union_lanes_sql([
         ("truncation_audit", ORACLE_TRUNCATION_AUDIT, _TRUNC_COLS),
         ("label_centroids", ORACLE_LABEL_CENTROIDS, _CENTROID_COLS),
+        ("bitext_margin", ORACLE_BITEXT_MARGIN, _BITEXT_COLS),
     ])
 
 

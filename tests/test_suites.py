@@ -16,7 +16,8 @@ SUITE_LANES = {
     "events_stats_suite": {"robust_center", "trend_ols", "cusum_drift"},
     "text_mining_suite": {"langid_confusion", "collocations",
                           "heavy_hitters", "scrub"},
-    "embedding_analysis_suite": {"truncation_audit", "label_centroids"},
+    "embedding_analysis_suite": {"truncation_audit", "label_centroids",
+                                 "bitext_margin"},
     "event_sequence_suite": {"transitions", "top_paths", "sessions"},
     "event_funnel_suite": {"pattern_funnel", "attribution",
                            "cohort_retention"},
