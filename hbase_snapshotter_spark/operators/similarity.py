@@ -1681,7 +1681,8 @@ def group_mean_vector(
 
 def bitext_margin_pairs(
     emb: DataFrame,
-    side: Column,
+    side_a: Column,
+    side_b: Column,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -1690,31 +1691,34 @@ def bitext_margin_pairs(
 ) -> DataFrame:
     """Margin-based bitext mining (SURVEY §2.3 N129; Artetxe & Schwenk
     2019, "Margin-based Parallel Corpus Mining with Multilingual
-    Sentence Embeddings" — the ratio margin): split the corpus into
-    side A (``side``) and side B (``NOT side``), score cross-side
-    cosines once (cosine is symmetric, so ONE scored table serves both
-    k-NN directions), and for each A vector emit its best B candidate
-    with the margin ``cos(x,y) / ((avgk(x→B) + avgk(y→A)) / 2)`` — the
-    statistic that suppresses hubness: a candidate only wins if it is
-    close to x RELATIVE to both neighborhoods, not merely close.
+    Sentence Embeddings" — the ratio margin): for each vector of the
+    QUERY BATCH ``side_a``, its best candidate from the corpus side
+    ``side_b`` with the margin ``cos(x,y) / ((avgk(x→B) + avgk(y→A))
+    / 2)`` — the statistic that suppresses hubness: a candidate only
+    wins if it is close to x RELATIVE to both neighborhoods, not
+    merely close.  ``y→A`` is y's neighborhood within the batch, the
+    two-set form the original mines with.
 
     Exact arithmetic on 4-dp integer cosines: ``margin_x1e6 =
     round(1e6 · 2·cos4·kA·kB / (sumA·kB + sumB·kA))`` with integer
     sums, so both engines replay the ratio bit-for-bit.  Ties break
     toward the smaller candidate id (:func:`topk_by_group`).
 
-    Scale shape: the fixture lane scores brute cross-side with the
-    smaller side broadcast; at 100 TB the candidate generation swaps
-    to the IVF machinery (N47) per side — the margin algebra above is
-    unchanged, which is why it lives behind this operator boundary."""
+    Scale shape: ``side_a`` is a BOUNDED batch (the production run
+    mines batch-at-a-time), broadcast into ONE linear scan of the
+    corpus side — cosine is symmetric, so that one scored table
+    serves both k-NN directions, and everything downstream is
+    batch×k-sized.  Never a corpus×corpus cross join; for corpus-scale
+    batches the candidate generation swaps to the IVF machinery (N47)
+    per side with the margin algebra unchanged."""
     from hbase_snapshotter_spark.cache import scoped_persist
 
-    a = emb.filter(side).select(F.col(id_col).alias("a_id"),
-                                F.col(vec_col).alias("__av"))
-    b = emb.filter(~side).select(F.col(id_col).alias("b_id"),
-                                 F.col(vec_col).alias("__bv"))
+    a = emb.filter(side_a).select(F.col(id_col).alias("a_id"),
+                                  F.col(vec_col).alias("__av"))
+    b = emb.filter(side_b).select(F.col(id_col).alias("b_id"),
+                                  F.col(vec_col).alias("__bv"))
     scored = scoped_persist(
-        a.crossJoin(F.broadcast(b)).select(
+        b.crossJoin(F.broadcast(a)).select(
             "a_id", "b_id",
             F.round(cosine_expr(F.col("__av"), F.col("__bv")) * 10000)
             .cast("long").alias("cos4")))

@@ -5154,12 +5154,20 @@ _CENTROID_COLS = [
 ]
 
 
+#: N129 query-batch bound: the mined batch is the even-label vectors
+#: below this id — fixed-size at every sf (the TOPK_QUERY_PRED
+#: posture), so the lane's cost is ONE linear scan of the odd-label
+#: corpus side however large the table grows.
+BITEXT_QUERY_PRED = 100
+
+
 def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Margin-based bitext mining lane (N129, r11): even labels are
-    side A, odd labels side B (the deterministic stand-in for two
-    languages); each A vector's best B candidate is emitted with the
-    Artetxe–Schwenk ratio margin on exact 4-dp integer cosines and an
-    acceptance verdict at 1.05 — the parallel-corpus mining step a
+    the query batch (side A, bounded by :data:`BITEXT_QUERY_PRED`),
+    odd labels the corpus side B (the deterministic stand-in for two
+    languages); each batch vector's best B candidate is emitted with
+    the Artetxe–Schwenk ratio margin on exact 4-dp integer cosines and
+    an acceptance verdict at 1.05 — the parallel-corpus mining step a
     multilingual training pipeline runs before translation-pair
     training.  The oracle replays the cross-side cosines, both k-NN
     neighborhoods (ties toward the smaller id), and the exact-integer
@@ -5168,12 +5176,15 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         bitext_margin_pairs,
     )
 
-    return bitext_margin_pairs(_emb(spark, sf_dir),
-                               F.col("label") % 2 == 0, k=4)
+    return bitext_margin_pairs(
+        _emb(spark, sf_dir),
+        (F.col("label") % 2 == 0) & (F.col("vec_id") < BITEXT_QUERY_PRED),
+        F.col("label") % 2 == 1, k=4)
 
 
 ORACLE_BITEXT_MARGIN = """
-WITH a AS (SELECT vec_id, embedding FROM embeddings WHERE label % 2 = 0),
+WITH a AS (SELECT vec_id, embedding FROM embeddings
+           WHERE label % 2 = 0 AND vec_id < 100),
 b AS (SELECT vec_id, embedding FROM embeddings WHERE label % 2 = 1),
 sc AS (
   SELECT a.vec_id AS a_id, b.vec_id AS b_id,

@@ -700,6 +700,11 @@ def operators():
         return decode_jpeg_features(synthesize_jpeg_payloads(docs))
 
     return {
+        # round-11 additions (MJPEG video lane, incremental zone-map
+        # maintenance, margin-based bitext mining)
+        "mjpeg_decode": _q("multimodal_mjpeg_stats"),
+        "zone_map_advance": _q("zone_map_advance"),
+        "bitext_margin": _q("bitext_margin_mining"),
         # round-10 additions (incremental graph state, JPEG codec,
         # AUC + water-fill eval suite, zone-map skipping audit)
         "shingle_edge_advance": run_shingle_edge_advance,
