@@ -126,3 +126,115 @@ def read_training_shards(spark, path: str, *, format: str | None = None):
         _read_text_via_hadoop_fs(spark, f"{path}/{SHARDS_MANIFEST}"))
     fmt = format or manifest.get("format", "parquet")
     return manifest, spark.read.format(fmt).load(path)
+
+
+# ---------------------------------------------------------------------------
+# N128 at the SINK (round 11): zone-map statistics collected on write +
+# a file-pruning reader — the poor-man's Iceberg/Delta file-stats layer
+# on plain parquet.  Because parquet part-files are IMMUTABLE, the
+# per-file stats table advances trivially: appends ADD files (stats
+# computed for the new files only), deletes REMOVE files (stats rows
+# dropped) — no per-file merge is ever needed, which is exactly why
+# real table formats keep stats at file granularity.
+# ---------------------------------------------------------------------------
+
+ZONE_STATS_DIR = "_zone_stats"  # underscore-prefixed: invisible to
+#                                 Spark's FileIndex, like _SUCCESS
+
+
+def _file_stats(df: DataFrame, stat_cols: list[str]) -> DataFrame:
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for c in stat_cols:
+        aggs += [F.min(F.col(c).cast("double")).alias(f"min_{c}"),
+                 F.max(F.col(c).cast("double")).alias(f"max_{c}")]
+    return (df.groupBy(F.input_file_name().alias("file_path"))
+            .agg(*aggs))
+
+
+def write_with_zone_stats(
+    df: DataFrame,
+    path: str,
+    *,
+    stat_cols: list[str],
+    format: str = "parquet",
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` and collect per-FILE zone-map statistics
+    (``n_rows`` + min/max of each ``stat_cols`` entry) into the
+    ``_zone_stats`` sidecar next to the data.  One stats pass over the
+    fresh files (map-side-combined, files-sized output) — the write-
+    side half of the N124/N128 pruning story, so
+    :func:`read_with_zone_pruning` can skip files by range predicate
+    without any table-format dependency."""
+    writer = df.write.mode(mode).format(format)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+    spark = df.sparkSession
+    back = spark.read.format(format).option("basePath", path).load(path)
+    _file_stats(back, stat_cols).write.mode("overwrite") \
+        .parquet(f"{path}/{ZONE_STATS_DIR}")
+
+
+def refresh_zone_stats(spark, path: str, *, stat_cols: list[str],
+                       format: str = "parquet") -> dict:
+    """Incrementally advance the sidecar after appends/deletes: stats
+    are computed ONLY for files not yet in the table (parquet files
+    are immutable, so existing rows never change) and rows for
+    vanished files are dropped.  Returns ``{"added": n, "removed": m,
+    "total": k}``.  The only data scan is over the NEW files."""
+    stats_path = f"{path}/{ZONE_STATS_DIR}"
+    old = spark.read.parquet(stats_path)
+    back = spark.read.format(format).option("basePath", path).load(path)
+    live = {r.f for r in
+            back.select(F.input_file_name().alias("f")).distinct()
+            .collect()}  # files-sized metadata collect
+    known = {r.file_path for r in old.select("file_path").collect()}
+    new_files = sorted(live - known)
+    dead = known - live
+    kept = old.filter(~F.col("file_path").isin(*dead)) if dead else old
+    if new_files:
+        fresh = _file_stats(
+            spark.read.format(format).option("basePath", path)
+            .load(new_files), stat_cols)
+        out = kept.unionByName(fresh)
+    else:
+        out = kept
+    # overwrite via a temp materialization (the sidecar is its own input)
+    rows = out.collect()  # files-sized
+    spark.createDataFrame(rows, out.schema).coalesce(1) \
+        .write.mode("overwrite").parquet(stats_path)
+    return {"added": len(new_files), "removed": len(dead),
+            "total": len(live)}
+
+
+def read_with_zone_pruning(
+    spark,
+    path: str,
+    stat_col: str,
+    lo: float,
+    hi: float,
+    *,
+    format: str = "parquet",
+):
+    """Range-predicate reader over a :func:`write_with_zone_stats`
+    table: consult the files-sized sidecar, read ONLY the part-files
+    whose ``[min, max]`` span intersects ``[lo, hi]``, and return
+    ``(DataFrame, {"files_total", "files_scanned"})``.  Sound by the
+    zone-map invariant (every matching row lives in a scanned file —
+    pytest-verified); the caller still applies the row-level filter,
+    which this reader pre-applies.  The stats consult is a
+    metadata-sized collect, never the data."""
+    stats = spark.read.parquet(f"{path}/{ZONE_STATS_DIR}")
+    rows = stats.select(
+        "file_path",
+        ((F.col(f"max_{stat_col}") >= lo)
+         & (F.col(f"min_{stat_col}") <= hi)).alias("scan")).collect()
+    files = sorted(r.file_path for r in rows if r.scan)
+    meta = {"files_total": len(rows), "files_scanned": len(files)}
+    base = spark.read.format(format).option("basePath", path)
+    if not files:  # schema-stable empty frame
+        return (base.load(path).filter(F.lit(False)), meta)
+    return (base.load(files).filter(F.col(stat_col).between(lo, hi)),
+            meta)

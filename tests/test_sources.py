@@ -2,6 +2,7 @@
 any DataSource; round-trip csv/json/orc and partitioned snapshot writes."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from hbase_snapshotter_spark.operators.snapshot import snapshot_as_of
 from hbase_snapshotter_spark.queries.snapshot_q import events_snapshot_schema
@@ -343,3 +344,95 @@ def test_training_shards_read_back_round_trip(spark, tmp_path):
     os.remove(tmp_path / "a" / "_SHARDS.json")
     with pytest.raises(Exception):
         read_training_shards(spark, str(tmp_path / "a"))
+
+
+def test_zone_stats_write_prune_roundtrip(spark, tmp_path):
+    """N128 at the sink: write_with_zone_stats collects per-file
+    (n_rows, min, max) into the _zone_stats sidecar; the pruning
+    reader returns EXACTLY the rows a full-scan filter returns while
+    reading strictly fewer files; an out-of-range band reads zero
+    files with a stable schema."""
+    from hbase_snapshotter_spark.sources.warehouse import (
+        ZONE_STATS_DIR,
+        read_with_zone_pruning,
+        write_with_zone_stats,
+    )
+
+    path = str(tmp_path / "zs_table")
+    # 4 partitions by bucket => at least 4 files with disjoint v spans
+    src = spark.range(0, 400).select(
+        F.col("id"),
+        (F.col("id") % 4).alias("bucket"),
+        (F.col("id") % 4 * 1000 + F.col("id")).cast("double").alias("v"))
+    write_with_zone_stats(src, path, stat_cols=["v"],
+                          partition_by=["bucket"])
+
+    stats = spark.read.parquet(f"{path}/{ZONE_STATS_DIR}")
+    assert stats.count() >= 4
+    assert stats.agg(F.sum("n_rows")).collect()[0][0] == 400
+
+    # bucket-2 band: [2000, 2399] lives in exactly one bucket's files
+    pruned, meta = read_with_zone_pruning(spark, path, "v", 2000.0, 2399.0)
+    full = (spark.read.option("basePath", path).parquet(path)
+            .filter(F.col("v").between(2000.0, 2399.0)))
+    assert sorted(r.id for r in pruned.collect()) == \
+        sorted(r.id for r in full.collect())
+    assert 0 < meta["files_scanned"] < meta["files_total"]
+    # partition column survives the file-list read (basePath)
+    assert {r.bucket for r in pruned.collect()} == {2}
+
+    # out-of-range band: zero files read, schema stable, zero rows
+    empty, meta0 = read_with_zone_pruning(spark, path, "v", 1e7, 2e7)
+    assert meta0["files_scanned"] == 0
+    assert empty.columns == pruned.columns
+    assert empty.count() == 0
+
+
+def test_zone_stats_refresh_appends_and_deletes(spark, tmp_path):
+    """refresh_zone_stats advances the sidecar from file immutability:
+    appended files gain stats rows (only the NEW files are scanned),
+    vanished files lose theirs, surviving rows are byte-identical to
+    the originals, and the refreshed sidecar equals a from-scratch
+    rebuild."""
+    import os
+    import shutil
+
+    from hbase_snapshotter_spark.sources.warehouse import (
+        ZONE_STATS_DIR,
+        _file_stats,
+        refresh_zone_stats,
+        write_with_zone_stats,
+    )
+
+    path = str(tmp_path / "zs_incr")
+    src = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 2).alias("bucket"),
+        F.col("id").cast("double").alias("v"))
+    write_with_zone_stats(src, path, stat_cols=["v"],
+                          partition_by=["bucket"])
+    before = {r.file_path: r for r in
+              spark.read.parquet(f"{path}/{ZONE_STATS_DIR}").collect()}
+
+    # append new files (new bucket) + delete one existing bucket dir
+    spark.range(100, 150).select(
+        F.col("id"), F.lit(7).alias("bucket"),
+        (F.col("id") + 9000).cast("double").alias("v")) \
+        .write.mode("append").partitionBy("bucket").parquet(path)
+    shutil.rmtree(os.path.join(path, "bucket=1"))
+
+    res = refresh_zone_stats(spark, path, stat_cols=["v"])
+    assert res["added"] >= 1 and res["removed"] >= 1
+
+    after = {r.file_path: r for r in
+             spark.read.parquet(f"{path}/{ZONE_STATS_DIR}").collect()}
+    # surviving files keep their original stats rows verbatim
+    for f, row in after.items():
+        if f in before:
+            assert row == before[f]
+    # refreshed sidecar == from-scratch rebuild over the live table
+    live = spark.read.option("basePath", path).parquet(path)
+    want = {r.file_path: r for r in
+            _file_stats(live, ["v"]).collect()}
+    assert set(after) == set(want)
+    for f in after:
+        assert after[f] == want[f]
