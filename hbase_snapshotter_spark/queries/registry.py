@@ -92,11 +92,14 @@ _ALL_PAIRS.update({
 #: round 2 — `COVERAGE.md`), and it preserves registration order; the
 #: five snapshot queries above occupy slots 1-5.  Round 9
 #: (VERDICT r8 task 2) made the window ROTATING; round 10 (VERDICT r9
-#: task 2) consolidates the registry from 111 to 89 keys via twelve
-#: lane-union suites AND shrinks the pinned set to the 17
-#: heaviest-fold structural suites, so the free rotation window grows
-#: to 28 slots and every unpinned key is driver-recorded at least
-#: every ceil(67/28) = 3 rounds (mean cadence 2.4) instead of ~4.
+#: task 2) consolidated the registry to 90 keys via twelve lane-union
+#: suites AND shrank the pinned set to the 17 heaviest-fold structural
+#: suites, so the free rotation window is 28 slots and every unpinned
+#: key is driver-recorded at least every ceil(68/28) = 3 rounds (mean
+#: cadence 2.4).  New r11 capabilities land as LANES of recorded
+#: suites (mjpeg → multimodal_av_stats, zone_advance →
+#: layout_audit_suite, bitext_margin → embedding_analysis_suite), so
+#: the pool size and the bound are unchanged.
 #: The rotation clock is the repo itself: round N starts with exactly
 #: CORRECTNESS_r{1..N-1}.json present, so the artifact count advances
 #: by one per round with no driver cooperation — the same build is

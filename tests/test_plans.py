@@ -574,3 +574,18 @@ def test_advance_rebuild_audit_gated(spark, sf_dir, tmp_path, name, flag):
     prod_flags = {r[0] for r in prod_df.select(flag).distinct().collect()}
     assert fix_flags == {True}
     assert prod_flags == {None}
+
+
+def test_bitext_margin_plan_shape(spark, sf_dir):
+    """N129: the query batch is the BROADCAST side of the one corpus
+    scan (never a corpus×corpus join), the k-NN denominators attach as
+    broadcast joins, and no sort-merge join appears anywhere."""
+    from hbase_snapshotter_spark.queries.llm import bitext_margin_mining
+
+    df = bitext_margin_mining(spark, sf_dir)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the only nested-loop is the sanctioned batch-broadcast cross
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1
