@@ -242,6 +242,32 @@ def encode_bmp(pixels) -> bytes:
     return header + body
 
 
+def _parse_boundary(fn):
+    """Decoder-boundary contract (fuzz-pinned,
+    tests/test_codec_fuzz_property.py): a malformed payload raises the
+    documented ValueError — low-level parse exceptions from struct
+    unpacks, short slices, zlib inflate, or numpy reshapes must never
+    leak out of a byte parser into the Arrow batch lane.  The explicit
+    in-parser guards stay for precise messages; this converts whatever
+    corrupt-input path they miss."""
+    import functools
+    import struct as _struct
+    import zlib as _zlib
+
+    @functools.wraps(fn)
+    def wrapped(payload: bytes):
+        try:
+            return fn(payload)
+        except ValueError:
+            raise
+        except (_struct.error, IndexError, KeyError, OverflowError,
+                _zlib.error) as exc:
+            raise ValueError(
+                f"malformed payload for {fn.__name__}: {exc}") from exc
+    return wrapped
+
+
+@_parse_boundary
 def decode_bmp(payload: bytes):
     """Decode a 24-bit BI_RGB BMP to ``(width, height, pixels)`` with
     ``pixels`` an ``(height, width, 3)`` uint8 RGB array in TOP-DOWN row
@@ -393,6 +419,7 @@ def encode_png(pixels) -> bytes:
             + _png_chunk(b"IEND", b""))
 
 
+@_parse_boundary
 def decode_png(payload: bytes):
     """Decode an 8-bit RGB/RGBA PNG to ``(width, height, pixels)``
     (uint8, shape ``(h, w, channels)``) — full scanline-filter support
@@ -574,6 +601,7 @@ def encode_wav(samples, sample_rate: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+@_parse_boundary
 def decode_wav(payload: bytes):
     """Decode a 16-bit PCM WAV to ``(sample_rate, channels, samples)``
     with ``samples`` an ``(n_frames, channels)`` int16 array.  Walks
@@ -800,6 +828,7 @@ def encode_mjpeg_avi(frames, fps_usec: int) -> bytes:
                           frame_bytes, b"00dc", 24)
 
 
+@_parse_boundary
 def decode_avi(payload: bytes):
     """Decode an uncompressed 24-bit ('DIB ') or motion-JPEG ('MJPG')
     AVI to ``(usec_per_frame, width, height, frames)`` with ``frames``
@@ -1541,6 +1570,7 @@ def _jpeg_decode_huff(r: "_JpegBitReader", table: dict) -> int:
     raise ValueError("invalid JPEG huffman code")
 
 
+@_parse_boundary
 def decode_jpeg(payload: bytes):
     """Decode a baseline sequential JPEG to ``(width, height,
     pixels)`` — ``(h, w)`` uint8 for grayscale streams, ``(h, w, 3)``
@@ -1626,6 +1656,11 @@ def decode_jpeg(payload: bytes):
         elif marker == 0xC4:
             o = 0
             while o < len(body):
+                if o + 17 > len(body):  # a corrupt earlier table can
+                    # land o anywhere — the 16-count header must fit
+                    # (fuzz-pinned: short slice previously IndexError'd
+                    # inside the huffman-table build)
+                    raise ValueError("truncated DHT header")
                 tc, th = body[o] >> 4, body[o] & 0x0F
                 bits = list(body[o + 1:o + 17])
                 n = sum(bits)
@@ -1637,9 +1672,13 @@ def decode_jpeg(payload: bytes):
         elif marker == 0xDD:
             raise ValueError("restart intervals unsupported")
         elif marker == 0xDA:
+            if not body:
+                raise ValueError("empty SOS body")
             ns = body[0]
             if comp_specs is None or ns != len(comp_specs):
                 raise ValueError("SOS component count mismatch")
+            if len(body) < 1 + 2 * ns:
+                raise ValueError("truncated SOS component table")
             scan_tabs = []
             for c in range(ns):
                 _cs = body[1 + 2 * c]
