@@ -858,6 +858,14 @@ def token_budget_waterfill(
             "__k", F.coalesce("__pk", F.lit(0)).cast("long").alias("__pk"))
     out = j.crossJoin(F.broadcast(agg))
     m = F.col("__n_src") - F.col("__k")
+    # _int_div contract (layout._int_div: BOTH operands non-negative;
+    # Spark `div` truncates toward zero, DuckDB `//` floors — they
+    # agree only at R >= 0).  The invariant holds by construction:
+    # __pk is the prefix of a SATURATED row, and saturation
+    # `prefix + (n-i)·a <= B` with a >= 0 implies prefix <= B, so
+    # R = B - __pk >= 0.  Pinned by the boundary-budget sweep in
+    # tests/test_suites.py::test_token_budget_waterfill_hand_computed
+    # (a negative R would surface as a negative n_allocated).
     R = B - F.col("__pk")
     alloc_base = F.when(m > 0, _int_div(R, m)).otherwise(F.lit(0)) \
         .cast("long")

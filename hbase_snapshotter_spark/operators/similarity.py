@@ -1708,9 +1708,21 @@ def bitext_margin_pairs(
     mines batch-at-a-time), broadcast into ONE linear scan of the
     corpus side — cosine is symmetric, so that one scored table
     serves both k-NN directions, and everything downstream is
-    batch×k-sized.  Never a corpus×corpus cross join; for corpus-scale
-    batches the candidate generation swaps to the IVF machinery (N47)
-    per side with the margin algebra unchanged."""
+    batch×k-sized.  The corpus-side denominator is computed ONLY for
+    the batch's rank-1 candidates: ``scored`` is semi-join-pruned to
+    ``best``'s neighbor set (≤ |batch| ids, broadcast) BEFORE the
+    ``y→A`` aggregation, so ``den_b`` is batch-sized — never a
+    |corpus|-row aggregate or broadcast.  Never a corpus×corpus cross
+    join; for corpus-scale batches the candidate generation swaps to
+    the IVF machinery (N47) per side with the margin algebra
+    unchanged.
+
+    Margin guard: the ratio denominator ``sumA·kB + sumB·kA`` can be
+    zero or negative when every top-k cosine of a neighborhood is
+    non-positive (anti-correlated embeddings).  Such a pair has no
+    meaningful hubness-normalized margin: ``margin_x1e6`` is NULL and
+    ``accepted`` FALSE, identically in both engines — never a
+    division-by-zero or an inverted (negative-over-negative) margin."""
     from hbase_snapshotter_spark.cache import scoped_persist
 
     a = emb.filter(side_a).select(F.col(id_col).alias("a_id"),
@@ -1726,10 +1738,17 @@ def bitext_margin_pairs(
         scored.select(F.col("a_id").alias("query_id"),
                       F.col("b_id").alias("neighbor_id"),
                       F.col("cos4").alias("cosine")), k))
+    best = knn_ab.filter(F.col("rank") == 1)
+    # candidate prune: only the batch's rank-1 candidates (≤ |batch|
+    # distinct b ids) ever need a y→A denominator — semi-join the
+    # scored table down to them BEFORE the corpus-side aggregation so
+    # den_b is batch-sized, not |corpus|-sized
+    cand = best.select(F.col("neighbor_id").alias("b_id")).distinct()
     knn_ba = topk_by_group(
-        scored.select(F.col("b_id").alias("query_id"),
-                      F.col("a_id").alias("neighbor_id"),
-                      F.col("cos4").alias("cosine")), k)
+        scored.join(F.broadcast(cand), "b_id", "left_semi")
+        .select(F.col("b_id").alias("query_id"),
+                F.col("a_id").alias("neighbor_id"),
+                F.col("cos4").alias("cosine")), k)
     den_a = knn_ab.groupBy("query_id").agg(
         F.sum("cosine").alias("__sum_a"),
         F.count(F.lit(1)).alias("__k_a"))
@@ -1737,14 +1756,14 @@ def bitext_margin_pairs(
              .agg(F.sum("cosine").alias("__sum_b"),
                   F.count(F.lit(1)).alias("__k_b"))
              .withColumnRenamed("query_id", "neighbor_id"))
-    best = knn_ab.filter(F.col("rank") == 1)
-    # den tables are sides-sized k-NN aggregates — broadcast: the
-    # static planner has no stats for aggregate outputs
-    margin = F.round(
+    # den tables are batch-sized k-NN aggregates (den_b candidate-
+    # pruned above) — broadcast: the static planner has no stats for
+    # aggregate outputs
+    den = (F.col("__sum_a") * F.col("__k_b")
+           + F.col("__sum_b") * F.col("__k_a"))
+    margin = F.when(den > 0, F.round(
         (2.0 * 1_000_000 * F.col("cosine") * F.col("__k_a")
-         * F.col("__k_b"))
-        / (F.col("__sum_a") * F.col("__k_b")
-           + F.col("__sum_b") * F.col("__k_a"))).cast("long")
+         * F.col("__k_b")) / den).cast("long"))
     return (best.join(F.broadcast(den_a), "query_id")
             .join(F.broadcast(den_b), "neighbor_id")
             .select(
@@ -1752,5 +1771,6 @@ def bitext_margin_pairs(
                 F.col("neighbor_id").alias("dst_id"),
                 (F.col("cosine").cast("double") / 10000).alias("cosine"),
                 margin.alias("margin_x1e6"),
-                (margin >= margin_threshold_x1e6).alias("accepted"))
+                F.coalesce(margin >= margin_threshold_x1e6,
+                           F.lit(False)).alias("accepted"))
             .orderBy("src_id"))

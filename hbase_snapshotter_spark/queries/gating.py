@@ -41,6 +41,7 @@ present, so correctness coverage is unchanged.
 
 from __future__ import annotations
 
+import logging
 import os
 import re
 
@@ -51,16 +52,37 @@ _FIXTURE_BASENAME = re.compile(r"sf[0-9][0-9.]*")
 
 _FALSY = ("0", "false", "off", "no")
 
+_log = logging.getLogger(__name__)
+
+#: Directories the basename heuristic already WARNed about — one line
+#: per distinct path per process, not one per query build.
+_warned_dirs: set[str] = set()
+
 
 def exact_audit_enabled(sf_dir: str) -> bool:
     """True iff ``sf_dir`` should run exact audit lanes beside the
     production path: ``SPARK_GRAFT_EXACT_AUDIT`` when set, else the
-    fixture-tree basename heuristic (``.../sf<scale>``)."""
+    fixture-tree basename heuristic (``.../sf<scale>``).
+
+    When the HEURISTIC (not the env var) turns audit lanes on, a WARN
+    is logged once per directory: a production path that merely looks
+    fixture-shaped (``.../sf2024``) would otherwise silently run the
+    Ω(corpus) exact rebuild lanes beside every incremental advance —
+    the env var is the explicit escape hatch (VERDICT r11)."""
     env = os.environ.get("SPARK_GRAFT_EXACT_AUDIT", "").strip().lower()
     if env:
         return env not in _FALSY
     base = os.path.basename(os.path.normpath(sf_dir))
-    return _FIXTURE_BASENAME.fullmatch(base) is not None
+    enabled = _FIXTURE_BASENAME.fullmatch(base) is not None
+    if enabled and sf_dir not in _warned_dirs:
+        _warned_dirs.add(sf_dir)
+        _log.warning(
+            "exact audit lanes ENABLED for %r by the fixture basename "
+            "heuristic (basename %r matches sf<scale>); if this is "
+            "production data, set SPARK_GRAFT_EXACT_AUDIT=0 — audit "
+            "lanes add full-rebuild/exact-recount cost beside every "
+            "incremental or sketch path", sf_dir, base)
+    return enabled
 
 
 def probe_enabled() -> bool:

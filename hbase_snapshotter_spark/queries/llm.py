@@ -5211,16 +5211,20 @@ da AS (SELECT a_id, SUM(cos4) AS sum_a, COUNT(*) AS k_a
        FROM kab WHERE rk <= 4 GROUP BY 1),
 db AS (SELECT b_id, SUM(cos4) AS sum_b, COUNT(*) AS k_b
        FROM kba WHERE rk <= 4 GROUP BY 1),
-best AS (SELECT a_id, b_id, cos4 FROM kab WHERE rk = 1)
-SELECT best.a_id AS src_id, best.b_id AS dst_id,
-       CAST(best.cos4 AS DOUBLE) / 10000 AS cosine,
-       CAST(ROUND((2.0 * 1000000 * best.cos4 * da.k_a * db.k_b)
-                  / (da.sum_a * db.k_b + db.sum_b * da.k_a))
-            AS BIGINT) AS margin_x1e6,
-       ROUND((2.0 * 1000000 * best.cos4 * da.k_a * db.k_b)
-             / (da.sum_a * db.k_b + db.sum_b * da.k_a)) >= 1050000
-         AS accepted
-FROM best JOIN da USING (a_id) JOIN db USING (b_id)
+best AS (SELECT a_id, b_id, cos4 FROM kab WHERE rk = 1),
+joined AS (
+  SELECT best.a_id AS src_id, best.b_id AS dst_id, best.cos4,
+         CASE WHEN da.sum_a * db.k_b + db.sum_b * da.k_a > 0
+              THEN CAST(ROUND(
+                     (2.0 * 1000000 * best.cos4 * da.k_a * db.k_b)
+                     / (da.sum_a * db.k_b + db.sum_b * da.k_a))
+                   AS BIGINT)
+         END AS margin_x1e6
+  FROM best JOIN da USING (a_id) JOIN db USING (b_id))
+SELECT src_id, dst_id, CAST(cos4 AS DOUBLE) / 10000 AS cosine,
+       margin_x1e6,
+       COALESCE(margin_x1e6 >= 1050000, FALSE) AS accepted
+FROM joined
 ORDER BY src_id
 """
 

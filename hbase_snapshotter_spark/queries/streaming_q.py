@@ -1719,8 +1719,13 @@ def zone_map_advance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from hbase_snapshotter_spark.queries.snapshot_q import SNAPSHOT_TS_MS
 
+    # NULL stat values would be neither deletes (value >= lo is NULL)
+    # nor survivors (~is_del is NULL) yet still count into n_rows —
+    # drop them up front so the delete/survivor predicates PARTITION
+    # exactly the rows the state counts (ADVICE r11)
     ev = scoped_persist(
-        read_table(spark, sf_dir, "events").select(
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull()).select(
             (time_bucket("ts", 86_400_000) / 86_400_000).cast("long")
             .alias("file_day"), "value",
             (F.unix_millis("ts") <= SNAPSHOT_TS_MS).alias("__prior")))
@@ -1786,7 +1791,7 @@ def _oracle_zone_map_advance() -> str:
 WITH ev AS (
   SELECT epoch_ms(ts) // 86400000 AS file_day,
          CAST(value AS DOUBLE) AS value
-  FROM events),
+  FROM events WHERE value IS NOT NULL),
 -- the stale map: min/max over ALL rows (deletes cannot tighten),
 -- counts over survivors, tight iff the purge never touched the file
 stale AS (

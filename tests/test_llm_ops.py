@@ -3499,3 +3499,39 @@ def test_mjpeg_avi_codec_roundtrip_and_golden_bytes():
         encode_mjpeg_avi(np.zeros((0, 8, 8), dtype=np.uint8), 1000)
     with _pytest.raises(ValueError):
         encode_mjpeg_avi(np.zeros((2, 8, 8, 3), dtype=np.uint8), 1000)
+
+
+def test_bitext_margin_hand_computed_and_guard(spark):
+    """N129 micro-unit: the Artetxe–Schwenk ratio margin replayed by
+    hand on 2-D vectors, plus the non-positive-denominator guard
+    (ADVICE r11): an anti-correlated neighborhood (every top-k cosine
+    ≤ 0) yields margin NULL and accepted FALSE — never a
+    division-by-zero or an inverted negative-over-negative margin."""
+    from hbase_snapshotter_spark.operators.similarity import (
+        bitext_margin_pairs,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, "a1", [1.0, 0.0]), (10, "b1", [1.0, 0.0]),
+         (11, "b1", [0.0, 1.0]),
+         (2, "a2", [1.0, 0.0]), (20, "b2", [-1.0, 0.0])],
+        "vec_id long, grp string, embedding array<double>")
+
+    # positive case: cos(a0,b10)=1 (cos4=10000), cos(a0,b11)=0.
+    # sum_a=10000,k_a=2; best=b10; b10's batch neighborhood is {a0}:
+    # sum_b=10000,k_b=1 → margin = round(2e6·10000·2·1 /
+    # (10000·1 + 10000·2)) = 1333333 ≥ 1050000 → accepted.
+    row, = bitext_margin_pairs(
+        emb, F.col("grp") == "a1", F.col("grp") == "b1", k=4).collect()
+    assert (row.src_id, row.dst_id) == (0, 10)
+    assert row.cosine == 1.0
+    assert row.margin_x1e6 == 1333333
+    assert row.accepted is True
+
+    # guard case: the only candidate is anti-correlated (cos4=-10000
+    # both directions) → den = -20000 ≤ 0 → NULL margin, NOT accepted
+    row, = bitext_margin_pairs(
+        emb, F.col("grp") == "a2", F.col("grp") == "b2", k=4).collect()
+    assert (row.src_id, row.dst_id) == (2, 20)
+    assert row.margin_x1e6 is None
+    assert row.accepted is False

@@ -524,6 +524,50 @@ def test_quality_eval_plan_shape(spark, sf_dir):
     assert plan.index("HashAggregate") < plan.index("Exchange")
 
 
+def test_fixture_heuristic_false_positive_warns(tmp_path, caplog):
+    """VERDICT r11 task 3: a production directory that merely LOOKS
+    fixture-shaped (``.../sf2024``) still trips the basename heuristic
+    — but now loudly: exact_audit_enabled WARNs once per directory
+    naming the escape hatch, and SPARK_GRAFT_EXACT_AUDIT=0 both
+    silences it and forces the audit off."""
+    import logging
+    import os
+
+    from hbase_snapshotter_spark.queries import gating
+
+    trap = tmp_path / "sf2024"
+    trap.mkdir()
+    path = str(trap)
+    gating._warned_dirs.discard(path)
+    old = os.environ.pop("SPARK_GRAFT_EXACT_AUDIT", None)
+    try:
+        with caplog.at_level(logging.WARNING,
+                             logger="hbase_snapshotter_spark.queries.gating"):
+            assert gating.exact_audit_enabled(path)  # the false positive
+        warns = [r for r in caplog.records if path in r.getMessage()]
+        assert len(warns) == 1
+        assert "SPARK_GRAFT_EXACT_AUDIT=0" in warns[0].getMessage()
+        # once per directory, not once per query build
+        caplog.clear()
+        with caplog.at_level(logging.WARNING,
+                             logger="hbase_snapshotter_spark.queries.gating"):
+            assert gating.exact_audit_enabled(path)
+        assert not [r for r in caplog.records if path in r.getMessage()]
+        # the documented override: explicit env var, no heuristic, no WARN
+        gating._warned_dirs.discard(path)
+        os.environ["SPARK_GRAFT_EXACT_AUDIT"] = "0"
+        caplog.clear()
+        with caplog.at_level(logging.WARNING,
+                             logger="hbase_snapshotter_spark.queries.gating"):
+            assert not gating.exact_audit_enabled(path)
+        assert not caplog.records
+    finally:
+        if old is None:
+            os.environ.pop("SPARK_GRAFT_EXACT_AUDIT", None)
+        else:
+            os.environ["SPARK_GRAFT_EXACT_AUDIT"] = old
+
+
 # ---------------- advance≡rebuild audit gating (VERDICT r10 task 1) --
 
 #: (query key, flag column) for every lane whose in-query
@@ -579,7 +623,11 @@ def test_advance_rebuild_audit_gated(spark, sf_dir, tmp_path, name, flag):
 def test_bitext_margin_plan_shape(spark, sf_dir):
     """N129: the query batch is the BROADCAST side of the one corpus
     scan (never a corpus×corpus join), the k-NN denominators attach as
-    broadcast joins, and no sort-merge join appears anywhere."""
+    broadcast joins, no sort-merge join appears anywhere, AND the
+    corpus-side denominator path is candidate-pruned: a broadcast
+    LeftSemi against best's neighbor set sits upstream of the den_b
+    aggregation, so den_b is batch-sized at any corpus size (the r11
+    VERDICT scale-killer)."""
     from hbase_snapshotter_spark.queries.llm import bitext_margin_mining
 
     df = bitext_margin_mining(spark, sf_dir)
@@ -587,5 +635,7 @@ def test_bitext_margin_plan_shape(spark, sf_dir):
         df._jdf.queryExecution(), "formatted")
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+    # the candidate prune on the den_b path: broadcast semi-join
+    assert re.search(r"BroadcastHashJoin .*LeftSemi", plan)
     # the only nested-loop is the sanctioned batch-broadcast cross
     assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1

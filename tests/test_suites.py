@@ -150,8 +150,15 @@ def test_token_budget_waterfill_hand_computed(spark):
     assert alloc(5) == {"a": (2, False), "b": (2, False), "c": (1, False)}
     assert alloc(10**9) == {"a": (10, True), "b": (50, True),
                             "c": (100, True)}
-    for B in (5, 37, 100, 101, 159, 160, 10**9):
-        got = sum(v[0] for v in alloc(B).values())
+    # boundary sweep pinning the R = B - prefix >= 0 invariant the
+    # exact _int_div relies on (ADVICE r11): budgets at 0, 1, every
+    # saturation-prefix boundary ±1, and beyond-total — a negative R
+    # would surface as a negative n_allocated or a broken sum
+    for B in (0, 1, 5, 9, 10, 11, 37, 59, 60, 61, 100, 101,
+              159, 160, 161, 10**9):
+        a = alloc(B)
+        assert all(v[0] >= 0 for v in a.values())
+        got = sum(v[0] for v in a.values())
         assert got == min(B, 160)
 
 
