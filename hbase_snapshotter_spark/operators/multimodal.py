@@ -7,22 +7,24 @@ Model: a modality column is ``binary`` plus a struct of metadata
 ``mapInPandas`` — one Python worker per partition, Arrow-batched, never
 row-at-a-time.
 
-SIX codecs are real and dependency-free: 24-bit uncompressed BMP
+SEVEN codecs are real and dependency-free: 24-bit uncompressed BMP
 (:func:`encode_bmp` / :func:`decode_bmp` — pure byte slicing + numpy;
 header parse, 4-byte row padding, bottom-up/top-down row order),
 8-bit RGB/RGBA PNG (:func:`encode_png` / :func:`decode_png` — stdlib
 zlib inflate + the full five-filter scanline reconstruction incl.
 Paeth, CRC-checked chunks), 16-bit PCM WAV, the nested-RIFF AVI
 container with uncompressed 'DIB ' frames, baseline sequential JPEG
-(T.81 huffman + DCT, grayscale and interleaved 4:4:4 YCbCr), and
+(T.81 huffman + DCT, grayscale and interleaved 4:4:4 YCbCr),
 motion-JPEG AVI (:func:`encode_mjpeg_avi` — the container × JPEG
-composition: real compressed video), so the real-codec lanes exercise
-genuine bytes→pixels/samples decoding end to end.  The ONE remaining
-stub seam is inter-frame-compressed video (H.264/VP9-class needs
-ffmpeg, absent here): ``decode_payload`` / ``resize_payload`` keep the
-clearly-marked deterministic stand-in for that case; their Spark-side
-plumbing — schema, batch iteration, partitioning — is real and tested,
-and swapping in ffmpeg changes no plan.
+composition: real compressed video), and (r12) INTER-frame video
+(:func:`encode_ifv_avi` — the MPEG-shaped intra/inter split: JPEG
+I-frames + closed-loop zlib int16 temporal-residual P-frames), so the
+real-codec lanes exercise genuine bytes→pixels/samples decoding — and
+temporal prediction — end to end.  There are NO stubs left: the
+generic ``decode_payload`` / ``resize_payload`` run a deterministic
+reference decoder behind the PRODUCTION SEAM below, swappable for a
+vectorized/native library without plan changes (see SCALE.md for the
+measured per-codec throughput that motivates the swap at 100 TB).
 
 Scale notes: binary payloads inflate row size; keep them out of shuffles
 (derive features first, drop the payload before any wide op) and size
@@ -48,8 +50,23 @@ from pyspark.sql.types import (
     StructType,
 )
 
-#: Set True only in environments with real codec libraries installed.
-REAL_CODECS_AVAILABLE = False
+#: ------------------------------------------------------------------
+#: The PRODUCTION DECODER SEAM (r12 — replaces the former
+#: REAL_CODECS_AVAILABLE/NotImplementedError stubs).  The six in-repo
+#: codecs prove bytes→pixels correctness, but they are Python/NumPy
+#: per-payload work inside Arrow batches; at 100 TB of media the
+#: decode dominates, and a deployment wants a vectorized/native
+#: decoder (PIL, ffmpeg, a JVM codec behind Arrow).  The seam is a
+#: BATCH-level callable swapped in with :func:`set_payload_decoder` /
+#: :func:`set_payload_resizer`: it receives the payload bytes of one
+#: Arrow batch (a list) and returns per-column lists — the exact shape
+#: a vectorized library fills in one call.  ``decode_payload`` /
+#: ``resize_payload`` resolve the active callable at PLAN-BUILD time
+#: and close over it, so the swap is visible to every executor via the
+#: serialized closure and changes NOTHING about the plan: same
+#: mapInPandas operator, same schema, same partitioning (pinned by
+#: tests/test_llm_ops.py::test_decoder_seam_swaps_without_plan_change).
+#: ------------------------------------------------------------------
 
 
 def attach_payload(df: DataFrame, source_col: str, *, modality: str = "image",
@@ -77,35 +94,62 @@ DECODED_SCHEMA = StructType([
 ])
 
 
-def _fake_decode(payload: bytes) -> tuple[int, int, int, str]:
-    """Deterministic stand-in for a codec: derives fake dimensions and a
-    feature hash from the payload bytes.  Replace with PIL/ffmpeg when
-    REAL_CODECS_AVAILABLE."""
-    if REAL_CODECS_AVAILABLE:  # pragma: no cover
-        raise NotImplementedError("wire the real codec here")
-    h = hashlib.md5(payload or b"").hexdigest()
-    width = 16 + int(h[:4], 16) % 2048
-    height = 16 + int(h[4:8], 16) % 2048
-    n_frames = 1 + int(h[8:10], 16) % 32
-    return width, height, n_frames, h
+def _reference_decode_batch(payloads: list[bytes]) -> dict[str, list]:
+    """The default (reference) batch decoder behind the seam: a
+    deterministic stand-in deriving dimensions and a feature hash from
+    the payload bytes — keeps every fixture lane reproducible with no
+    media library installed.  A production decoder (PIL/ffmpeg/JVM)
+    replaces this whole-batch callable via
+    :func:`set_payload_decoder` and fills the same columns from real
+    decode."""
+    out: dict[str, list] = {"width": [], "height": [], "n_frames": [],
+                            "feature_hash": []}
+    for payload in payloads:
+        h = hashlib.md5(payload or b"").hexdigest()
+        out["width"].append(16 + int(h[:4], 16) % 2048)
+        out["height"].append(16 + int(h[4:8], 16) % 2048)
+        out["n_frames"].append(1 + int(h[8:10], 16) % 32)
+        out["feature_hash"].append(h)
+    return out
+
+
+#: Active seam callables (driver-side registry, resolved at plan-build
+#: time and shipped to executors inside the serialized closure).
+_SEAM = {"decode": _reference_decode_batch, "resize": None}
+
+
+def set_payload_decoder(fn=None):
+    """Install a batch decoder behind the :func:`decode_payload` seam
+    (``None`` restores the reference stand-in).  Contract: ``fn``
+    takes the payload bytes of one Arrow batch (``list[bytes]``) and
+    returns ``{"width": [...], "height": [...], "n_frames": [...],
+    "feature_hash": [...]}`` with one entry per payload.  Returns the
+    previously installed callable so callers can restore it."""
+    prev = _SEAM["decode"]
+    _SEAM["decode"] = fn or _reference_decode_batch
+    return prev
 
 
 def decode_payload(df: DataFrame, *, id_col: str = "doc_id",
                    payload_col: str = "payload", batch_hint: int = 1024) -> DataFrame:
     """Decode payloads to per-item features via ``mapInPandas`` — the
     Arrow-batched lane for Python-only work.  Input needs ``id_col`` and
-    ``payload_col``; output follows :data:`DECODED_SCHEMA`."""
+    ``payload_col``; output follows :data:`DECODED_SCHEMA`.  The codec
+    itself sits behind the batch-decoder seam (see module docs):
+    resolved here at plan-build time, so swapping in a vectorized or
+    native decoder changes values only — never the plan."""
+    decoder = _SEAM["decode"]
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [_fake_decode(bytes(p) if p is not None else b"")
-                       for p in pdf[payload_col]]
+            cols = decoder([bytes(p) if p is not None else b""
+                            for p in pdf[payload_col]])
             yield pd.DataFrame({
                 "doc_id": pdf[id_col].astype("int64"),
-                "width": [d[0] for d in decoded],
-                "height": [d[1] for d in decoded],
-                "n_frames": [d[2] for d in decoded],
-                "feature_hash": [d[3] for d in decoded],
+                "width": cols["width"],
+                "height": cols["height"],
+                "n_frames": cols["n_frames"],
+                "feature_hash": cols["feature_hash"],
             })
 
     return df.select(id_col, payload_col).mapInPandas(decode_batches, DECODED_SCHEMA)
@@ -120,34 +164,53 @@ RESIZED_SCHEMA = StructType([
 ])
 
 
+def _reference_resize_batch(payloads: list[bytes], width: int,
+                            height: int) -> list[bytes]:
+    """The default (reference) batch resizer behind the seam: a
+    deterministic thumbnail stand-in (md5(payload) repeated to a size
+    that scales with the requested dims, tagged 'WxH').  A production
+    resizer (PIL/native) replaces this whole-batch callable via
+    :func:`set_payload_resizer` and returns real re-encoded bytes."""
+    tag = f"|{width}x{height}".encode()
+    target_len = max(16, (width * height) // 64)
+    out = []
+    for payload in payloads:
+        seed = hashlib.md5(payload or b"").hexdigest().encode()
+        body = (seed * (target_len // len(seed) + 1))[:target_len]
+        out.append(body + tag)
+    return out
+
+
+def set_payload_resizer(fn=None):
+    """Install a batch resizer behind the :func:`resize_payload` seam
+    (``None`` restores the reference stand-in).  Contract: ``fn``
+    takes (``list[bytes]``, width, height) and returns the resized
+    payload bytes, one per input.  Returns the previously installed
+    callable."""
+    prev = _SEAM["resize"]
+    _SEAM["resize"] = fn
+    return prev
+
+
 def resize_payload(df: DataFrame, *, width: int, height: int,
                    id_col: str = "doc_id",
                    payload_col: str = "payload") -> DataFrame:
     """Resize image payloads to ``width`` × ``height`` via
     ``mapInPandas`` — binary in, binary out, one Arrow batch per
-    partition chunk, metadata recomputed from the NEW bytes.  The codec
-    is the deterministic stub (output bytes = md5(payload) || 'WxH',
-    repeated to a plausible thumbnail size); swapping in PIL changes
-    only ``_fake_resize``, no plan.
+    partition chunk, metadata recomputed from the NEW bytes.  The
+    resizer sits behind the batch seam (see module docs): resolved at
+    plan-build time, so swapping in PIL/native changes values only —
+    never the plan.
 
     Scale: 1 row in → 1 row out, payload never enters a shuffle here —
     callers derive features from the resized output before any wide op.
     """
-
-    def _fake_resize(payload: bytes) -> bytes:
-        if REAL_CODECS_AVAILABLE:  # pragma: no cover
-            raise NotImplementedError("wire the real codec here")
-        seed = hashlib.md5(payload or b"").hexdigest().encode()
-        tag = f"|{width}x{height}".encode()
-        # a "thumbnail" scales with the requested dims, not the input
-        target_len = max(16, (width * height) // 64)
-        body = (seed * (target_len // len(seed) + 1))[:target_len]
-        return body + tag
+    resizer = _SEAM["resize"] or _reference_resize_batch
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = [_fake_resize(bytes(p) if p is not None else b"")
-                   for p in pdf[payload_col]]
+            out = resizer([bytes(p) if p is not None else b""
+                           for p in pdf[payload_col]], width, height)
             yield pd.DataFrame({
                 "doc_id": pdf[id_col].astype("int64"),
                 "payload": out,
@@ -191,7 +254,7 @@ def sample_frames(df: DataFrame, *, max_frames: int = FRAME_SAMPLE_CAP,
             ids, idxs, payloads = [], [], []
             for i, p in zip(pdf[id_col], pdf[payload_col]):
                 raw = bytes(p) if p is not None else b""
-                n_frames = _fake_decode(raw)[2]
+                n_frames = _reference_decode_batch([raw])["n_frames"][0]
                 k = min(max_frames, n_frames)
                 for j in range(k):
                     idx = (j * n_frames) // k
@@ -828,6 +891,53 @@ def encode_mjpeg_avi(frames, fps_usec: int) -> bytes:
                           frame_bytes, b"00dc", 24)
 
 
+#: 'IFV1' as the little-endian BITMAPINFOHEADER biCompression fourcc —
+#: the repo's minimal INTER-frame codec (r12, closing the last stub).
+IFV1_FOURCC = 0x31564649
+
+
+def encode_ifv_avi(frames, fps_usec: int, *, gop: int = 4) -> bytes:
+    """Encode an ``(n, h, w)`` uint8 grayscale array as INTER-frame
+    compressed video — the MPEG-shaped intra/inter split built from
+    parts already in the repo (SURVEY §2.3 N130): every ``gop``-th
+    frame is an I-frame (a real baseline JPEG, N123), and each frame
+    between is a P-frame carrying only the TEMPORAL RESIDUAL against
+    the decoder's reconstruction of the previous frame, zlib-coded as
+    little-endian int16.  Prediction is CLOSED-LOOP (the residual is
+    taken against the decoded previous frame, exactly as real video
+    encoders do, so P-frame reconstruction is bit-exact and drift-free
+    however long the GOP — the I-frame's JPEG loss is the only loss).
+    Chunks ride the same nested-RIFF container as 'DIB '/'MJPG'
+    (N105), each body tagged ``I``/``P`` in its first byte."""
+    import zlib
+
+    import numpy as np
+
+    x = np.asarray(frames, dtype=np.uint8)
+    if x.ndim != 3:
+        raise ValueError(
+            f"expected (n, h, w) grayscale frames, got {x.shape}")
+    n, h, w = x.shape
+    if not n:
+        raise ValueError("empty IFV stream")
+    if gop < 1:
+        raise ValueError(f"gop must be >= 1, got {gop}")
+    chunks: list[bytes] = []
+    rec = None
+    for f in range(n):
+        if f % gop == 0:
+            jb = encode_jpeg(x[f])
+            rec = decode_jpeg(jb)[2].astype(np.int16)
+            chunks.append(b"I" + jb)
+        else:
+            res = x[f].astype(np.int16) - rec
+            chunks.append(
+                b"P" + zlib.compress(res.astype("<i2").tobytes(), 6))
+            rec = rec + res  # closed loop: == x[f] exactly
+    return _avi_container(b"IFV1", IFV1_FOURCC, w, h, fps_usec,
+                          chunks, b"00dc", 24)
+
+
 @_parse_boundary
 def decode_avi(payload: bytes):
     """Decode an uncompressed 24-bit ('DIB ') or motion-JPEG ('MJPG')
@@ -889,7 +999,8 @@ def decode_avi(payload: bytes):
                     frame_chunks.append(b2)
     if avih is None:
         raise ValueError("AVI missing avih header")
-    if not vids_ok or bits != 24 or comp not in (0, MJPG_FOURCC):
+    if not vids_ok or bits != 24 \
+            or comp not in (0, MJPG_FOURCC, IFV1_FOURCC):
         raise ValueError(
             f"unsupported AVI: vids={vids_ok} bits={bits} comp={comp}")
     usec, n, w, h = avih[0], avih[4], avih[8], avih[9]
@@ -897,6 +1008,43 @@ def decode_avi(payload: bytes):
         raise ValueError(f"frame count mismatch: avih={n}, "
                          f"movi={len(frame_chunks)}")
     frames = np.zeros((n, h, w, 3), dtype=np.uint8)
+    if comp == IFV1_FOURCC:
+        # inter-frame: I chunks are standalone JPEGs, P chunks are
+        # zlib'd int16 residuals against the running reconstruction
+        import zlib
+
+        prev = None
+        for i, fb in enumerate(frame_chunks):
+            fb = bytes(fb)
+            if not fb:
+                raise ValueError(f"frame {i}: empty IFV chunk")
+            tag, body = fb[:1], fb[1:]
+            if tag == b"I":
+                fw, fh, px = decode_jpeg(body)
+                if (fw, fh) != (w, h):
+                    raise ValueError(f"frame {i}: JPEG dims {fw}x{fh} "
+                                     f"!= header {w}x{h}")
+                if px.ndim != 2:
+                    raise ValueError(f"frame {i}: IFV I-frame must be "
+                                     "grayscale")
+                prev = px.astype(np.int16)
+            elif tag == b"P":
+                if prev is None:
+                    raise ValueError(
+                        f"frame {i}: P-frame before any I-frame")
+                res = np.frombuffer(zlib.decompress(body), dtype="<i2")
+                if res.size != w * h:
+                    raise ValueError(f"frame {i}: residual size "
+                                     f"{res.size} != {w * h}")
+                prev = prev + res.reshape(h, w)
+                if prev.min() < 0 or prev.max() > 255:
+                    raise ValueError(
+                        f"frame {i}: IFV reconstruction out of range")
+            else:
+                raise ValueError(f"frame {i}: unknown IFV frame "
+                                 f"type {tag!r}")
+            frames[i] = prev.astype(np.uint8)[..., None]
+        return usec, w, h, frames
     if comp == MJPG_FOURCC:
         # motion JPEG: every movi chunk is a standalone baseline JPEG
         # (N123); grayscale planes broadcast to 3 channels so both
@@ -1057,6 +1205,49 @@ def synthesize_mjpeg_avi_payloads(df: DataFrame, *,
                     frames[f] = np.kron(blocks,
                                         np.ones((8, 8), dtype=np.uint8))
                 payloads.append(encode_mjpeg_avi(frames, usec))
+            yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"),
+                                "payload": payloads})
+
+    return df.select(id_col).mapInPandas(
+        gen_batches,
+        StructType([StructField("doc_id", LongType()),
+                    StructField("payload", BinaryType())]))
+
+
+def synthesize_ifv_payloads(df: DataFrame, *,
+                            id_col: str = "doc_id") -> DataFrame:
+    """Deterministic inter-frame-video fixtures (N130): per id,
+    ``3 + id % 5`` grayscale frames of ``8·(1 + id % 3) ×
+    8·(1 + id % 2)`` pixels at ``29000 + 1000·(id % 5)`` µs/frame,
+    encoded with GOP 3 — every stream mixes I- and P-frames, and ids
+    with n ≥ 4 span multiple GOPs.  Frame ``f``'s 8×8 block
+    ``(bx, by)`` is the constant ``128 + 2·((5·id + 13·f + 2·bx +
+    3·by) % 50 − 25)`` — EVEN level-shifted values make every I-frame
+    JPEG bit-exact (the N123 property), and P-frame residual coding is
+    lossless by construction, so EVERY decoded frame equals the
+    source exactly and each sampled frame's mean replays from the id
+    arithmetic in closed form; real :func:`encode_ifv_avi` bytes."""
+
+    def gen_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                n = 3 + i % 5
+                w, h = 8 * (1 + i % 3), 8 * (1 + i % 2)
+                usec = 29000 + 1000 * (i % 5)
+                frames = np.empty((n, h, w), dtype=np.uint8)
+                for f in range(n):
+                    blocks = np.array(
+                        [[128 + 2 * ((5 * i + 13 * f + 2 * bx + 3 * by)
+                                     % 50 - 25)
+                          for bx in range(w // 8)]
+                         for by in range(h // 8)], dtype=np.uint8)
+                    frames[f] = np.kron(blocks,
+                                        np.ones((8, 8), dtype=np.uint8))
+                payloads.append(encode_ifv_avi(frames, usec, gop=3))
             yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"),
                                 "payload": payloads})
 

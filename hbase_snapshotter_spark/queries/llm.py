@@ -4984,6 +4984,86 @@ _MJPEG_COLS = [
 ]
 
 
+def multimodal_ifv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-frame video lane (r12 — N130, the LAST codec stub
+    closed): one deterministic IFV-AVI per document — GOP-3 streams
+    mixing real baseline-JPEG I-frames with closed-loop zlib int16
+    temporal-residual P-frames — decoded back through the same
+    :func:`~.operators.multimodal.decode_avi` container walk (IFV1
+    branch: JPEG entropy decode + residual accumulation), with ≤3
+    evenly-spaced REAL frames sampled per video and each frame's mean
+    pixel in exact half-up milli-units.  Because the fixtures'
+    I-frames are bit-exact (even constant 8×8 blocks) and P-frame
+    residual coding is lossless, EVERY decoded frame equals its
+    closed-form source: the oracle replays container facts AND pixel
+    means from the id arithmetic — a bug in the GOP split, the
+    residual accumulation, the JPEG path, or the sampling rule
+    hash-fails."""
+    from hbase_snapshotter_spark.operators.multimodal import (
+        sample_avi_frame_features,
+        synthesize_ifv_payloads,
+    )
+
+    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet")) \
+        .select("doc_id")
+    out = sample_avi_frame_features(
+        synthesize_ifv_payloads(docs), max_frames=3)
+    return out.select(
+        "doc_id",
+        F.col("avi_width").alias("ifv_width"),
+        F.col("avi_height").alias("ifv_height"),
+        F.col("avi_n_frames").alias("ifv_n_frames"),
+        F.col("avi_duration_ms").alias("ifv_duration_ms"),
+        F.col("n_sampled").alias("ifv_n_sampled"),
+        F.col("frame_idx").alias("ifv_frame_idx"),
+        F.col("frame_mean_milli").alias("ifv_frame_mean_milli"),
+    ).orderBy("doc_id", "ifv_frame_idx")
+
+
+ORACLE_MULTIMODAL_IFV = """
+WITH g AS (
+  SELECT doc_id,
+         3 + doc_id % 5 AS n,
+         8 * (1 + doc_id % 3) AS w,
+         8 * (1 + doc_id % 2) AS h,
+         29000 + 1000 * (doc_id % 5) AS usec
+  FROM documents),
+fr AS (
+  SELECT g.doc_id, g.n, g.w, g.h, g.usec, j.j,
+         LEAST(3, g.n) AS k,
+         (j.j * g.n) // LEAST(3, g.n) AS frame_idx
+  FROM g, (VALUES (0), (1), (2)) j(j)
+  WHERE j.j < LEAST(3, g.n)),
+m AS (
+  SELECT fr.doc_id, fr.j,
+         SUM(128 + 2 * ((5 * fr.doc_id + 13 * fr.frame_idx
+                         + 2 * bx.b + 3 * by.b) % 50 - 25)) AS sv,
+         COUNT(*) AS nb
+  FROM fr, range(0, 3) bx(b), range(0, 2) by(b)
+  WHERE bx.b < fr.w // 8 AND by.b < fr.h // 8
+  GROUP BY 1, 2)
+SELECT fr.doc_id,
+       CAST(fr.w AS INTEGER) AS ifv_width,
+       CAST(fr.h AS INTEGER) AS ifv_height,
+       CAST(fr.n AS INTEGER) AS ifv_n_frames,
+       CAST(fr.n * fr.usec // 1000 AS BIGINT) AS ifv_duration_ms,
+       CAST(fr.k AS INTEGER) AS ifv_n_sampled,
+       CAST(fr.frame_idx AS INTEGER) AS ifv_frame_idx,
+       CAST((2000 * m.sv + m.nb) // (2 * m.nb) AS BIGINT)
+         AS ifv_frame_mean_milli
+FROM fr JOIN m ON m.doc_id = fr.doc_id AND m.j = fr.j
+ORDER BY fr.doc_id, ifv_frame_idx
+"""
+
+
+_IFV_COLS = [
+    ("doc_id", "BIGINT"), ("ifv_width", "INTEGER"),
+    ("ifv_height", "INTEGER"), ("ifv_n_frames", "INTEGER"),
+    ("ifv_duration_ms", "BIGINT"), ("ifv_n_sampled", "INTEGER"),
+    ("ifv_frame_idx", "INTEGER"), ("ifv_frame_mean_milli", "BIGINT"),
+]
+
+
 #: Lane specs for the r10 multimodal_av_stats fold (VERDICT r9
 #: task 2): the real WAV and AVI codec lanes share one recorded key.
 _WAV_COLS = [
@@ -5014,6 +5094,7 @@ def multimodal_av_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("wav", multimodal_audio_stats(spark, sf_dir), _WAV_COLS),
         ("avi", multimodal_video_stats(spark, sf_dir), _AVI_COLS),
         ("mjpeg", multimodal_mjpeg_stats(spark, sf_dir), _MJPEG_COLS),
+        ("ifv", multimodal_ifv_stats(spark, sf_dir), _IFV_COLS),
     ])
 
 
@@ -5024,6 +5105,7 @@ def _oracle_multimodal_av_stats() -> str:
         ("wav", ORACLE_MULTIMODAL_AUDIO, _WAV_COLS),
         ("avi", ORACLE_MULTIMODAL_VIDEO, _AVI_COLS),
         ("mjpeg", ORACLE_MULTIMODAL_MJPEG, _MJPEG_COLS),
+        ("ifv", ORACLE_MULTIMODAL_IFV, _IFV_COLS),
     ])
 
 

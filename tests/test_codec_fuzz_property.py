@@ -22,6 +22,7 @@ from hbase_snapshotter_spark.operators.multimodal import (
     decode_wav,
     encode_avi,
     encode_bmp,
+    encode_ifv_avi,
     encode_jpeg,
     encode_mjpeg_avi,
     encode_png,
@@ -45,6 +46,9 @@ def _golden_payloads():
         ("avi", encode_avi(frames, 40000), decode_avi),
         ("jpeg", encode_jpeg(gray), decode_jpeg),
         ("mjpeg", encode_mjpeg_avi(np.stack([gray, gray]), 40000),
+         decode_avi),
+        ("ifv", encode_ifv_avi(np.stack([gray, gray + 2, gray + 6]),
+                               40000, gop=2),
          decode_avi),
     ]
 

@@ -3535,3 +3535,175 @@ def test_bitext_margin_hand_computed_and_guard(spark):
     assert (row.src_id, row.dst_id) == (2, 20)
     assert row.margin_x1e6 is None
     assert row.accepted is False
+
+
+def test_ifv_codec_roundtrip_and_golden_bytes():
+    """The inter-frame video codec is REAL (r12 — N130, the last
+    codec stub closed): GOP streams mix baseline-JPEG I-frames with
+    closed-loop zlib int16 temporal-residual P-frames.  Fixture-shaped
+    frames (even constant 8x8 blocks) round-trip BIT-EXACTLY; natural
+    frames reconstruct exactly the encoder's closed-loop prediction
+    chain (I lossy via JPEG, P lossless, zero drift across GOPs);
+    container bytes pinned by md5; malformed payloads raise."""
+    import hashlib as _hashlib
+    import struct as _struct
+    import zlib as _zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from hbase_snapshotter_spark.operators.multimodal import (
+        IFV1_FOURCC,
+        decode_avi,
+        decode_jpeg,
+        encode_ifv_avi,
+        encode_jpeg,
+    )
+
+    i = 7  # the synthesize rule at doc_id=7: 5 frames of 16x16, GOP 3
+    n, w, h = 3 + i % 5, 8 * (1 + i % 3), 8 * (1 + i % 2)
+    usec = 29000 + 1000 * (i % 5)
+    frames = np.empty((n, h, w), dtype=np.uint8)
+    for f in range(n):
+        blocks = np.array(
+            [[128 + 2 * ((5 * i + 13 * f + 2 * bx + 3 * by) % 50 - 25)
+              for bx in range(w // 8)] for by in range(h // 8)],
+            dtype=np.uint8)
+        frames[f] = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+    payload = encode_ifv_avi(frames, usec, gop=3)
+    assert _hashlib.md5(payload).hexdigest() == \
+        "8a71652c31f3edd18eab48e19d8bb3b4"
+    assert len(payload) == 964
+
+    u, ww, hh, dec = decode_avi(payload)
+    assert (u, ww, hh, dec.shape) == (usec, w, h, (n, h, w, 3))
+    for f in range(n):  # bit-exact, every channel (P lossless, even
+        # constant blocks make the I-frames exact too)
+        assert np.array_equal(
+            dec[f], np.repeat(frames[f][..., None], 3, axis=2))
+
+    # natural frames: decoded == the encoder's closed-loop chain
+    rng = np.random.default_rng(42)
+    nat = rng.integers(0, 256, (6, 16, 24), dtype=np.uint8)
+    u2, _, _, dec2 = decode_avi(encode_ifv_avi(nat, 40000, gop=4))
+    rec = None
+    for f in range(6):
+        if f % 4 == 0:
+            rec = decode_jpeg(encode_jpeg(nat[f]))[2].astype(np.int16)
+        else:
+            rec = rec + (nat[f].astype(np.int16) - rec)  # == nat[f]
+        assert np.array_equal(dec2[f, :, :, 0], rec.astype(np.uint8))
+        # P-frames are LOSSLESS even though the I-frame anchor is not
+        if f % 4:
+            assert np.array_equal(dec2[f, :, :, 0], nat[f])
+
+    # biCompression other than the whitelist still rejected
+    assert _struct.pack("<I", IFV1_FOURCC) == b"IFV1"
+    comp_at = payload.find(b"IFV1", payload.find(b"IFV1") + 1)
+    bad = payload[:comp_at] + b"H264" + payload[comp_at + 4:]
+    with _pytest.raises(ValueError, match="unsupported AVI"):
+        decode_avi(bad)
+    # malformed STREAMS (assembled with the container helper so the
+    # RIFF length fields stay consistent) hit each decode guard
+    from hbase_snapshotter_spark.operators.multimodal import (
+        _avi_container,
+    )
+
+    def ifv(chunks):
+        return _avi_container(b"IFV1", IFV1_FOURCC, w, h, usec,
+                              chunks, b"00dc", 24)
+
+    jb = encode_jpeg(frames[0])
+    good_res = _zlib.compress(
+        (frames[1].astype(np.int16)
+         - frames[0].astype(np.int16)).astype("<i2").tobytes(), 6)
+    with _pytest.raises(ValueError, match="residual size"):
+        decode_avi(ifv([b"I" + jb,
+                        b"P" + _zlib.compress(b"\x00\x02" * 7, 6)]))
+    with _pytest.raises(ValueError, match="unknown IFV frame type"):
+        decode_avi(ifv([b"I" + jb, b"Q" + good_res]))
+    with _pytest.raises(ValueError, match="P-frame before any I-frame"):
+        decode_avi(ifv([b"P" + good_res]))
+    with _pytest.raises(ValueError, match="out of range"):
+        decode_avi(ifv([b"I" + jb, b"P" + _zlib.compress(
+            np.full((h, w), 200, dtype="<i2").tobytes(), 6)]))
+    with _pytest.raises(ValueError, match="empty IFV chunk"):
+        decode_avi(ifv([b""]))
+    with _pytest.raises(ValueError):
+        encode_ifv_avi(np.zeros((0, 8, 8), dtype=np.uint8), 1000)
+    with _pytest.raises(ValueError):
+        encode_ifv_avi(np.zeros((2, 8, 8, 3), dtype=np.uint8), 1000)
+    with _pytest.raises(ValueError):
+        encode_ifv_avi(frames, usec, gop=0)
+
+
+def test_decoder_seam_swaps_without_plan_change(spark):
+    """The production decoder seam (r12, VERDICT task 2): installing a
+    vectorized/native-shaped whole-batch decoder via
+    set_payload_decoder / set_payload_resizer changes VALUES only —
+    the physical plan (same mapInPandas operator, same schema, same
+    partitioning) is bit-identical to the reference decoder's, so a
+    deployment swaps PIL/ffmpeg/JVM in with zero re-planning."""
+    import re as _re
+
+    from hbase_snapshotter_spark.operators.multimodal import (
+        attach_payload,
+        decode_payload,
+        resize_payload,
+        set_payload_decoder,
+        set_payload_resizer,
+    )
+
+    df = attach_payload(
+        spark.range(0, 8).select(
+            F.col("id").alias("doc_id"),
+            F.encode(F.concat(F.lit("payload-"), F.col("id")), "utf-8")
+            .alias("raw")), "raw")
+
+    def norm(d):
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            d._jdf.queryExecution(), "formatted")
+        return _re.sub(r"#\d+", "#x", plan)
+
+    ref = decode_payload(df)
+    ref_plan, ref_rows = norm(ref), {r.doc_id: r for r in ref.collect()}
+
+    def vectorized_stub(payloads):
+        # the whole-batch shape a native library fills in one call
+        return {"width": [len(p) for p in payloads],
+                "height": [1] * len(payloads),
+                "n_frames": [2] * len(payloads),
+                "feature_hash": ["swapped"] * len(payloads)}
+
+    prev = set_payload_decoder(vectorized_stub)
+    try:
+        swapped = decode_payload(df)
+        assert swapped.schema == ref.schema
+        assert norm(swapped) == ref_plan
+        rows = {r.doc_id: r for r in swapped.collect()}
+        assert rows.keys() == ref_rows.keys()
+        for i, r in rows.items():
+            assert r.feature_hash == "swapped" and r.n_frames == 2
+            assert r.width == len(f"payload-{i}")
+            assert r.width != ref_rows[i].width  # really the stub
+    finally:
+        set_payload_decoder(prev)
+    # seam restored: reference values again
+    after = {r.doc_id: r for r in decode_payload(df).collect()}
+    assert {i: r.feature_hash for i, r in after.items()} \
+        == {i: r.feature_hash for i, r in ref_rows.items()}
+
+    # same contract on the resize seam
+    ref_rs = resize_payload(df, width=32, height=16)
+    ref_rs_plan = norm(ref_rs)
+    prev_rs = set_payload_resizer(
+        lambda payloads, w, h: [b"native-%dx%d|" % (w, h) + p[:4]
+                                for p in payloads])
+    try:
+        sw = resize_payload(df, width=32, height=16)
+        assert sw.schema == ref_rs.schema
+        assert norm(sw) == ref_rs_plan
+        assert all(bytes(r.payload).startswith(b"native-32x16|")
+                   for r in sw.collect())
+    finally:
+        set_payload_resizer(prev_rs)

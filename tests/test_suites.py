@@ -29,7 +29,7 @@ SUITE_LANES = {
     "sketch_cardinality_suite": {"approx_distinct", "hll_maintenance",
                                  "set_cardinalities"},
     "bpe_suite": {"pair_mining", "encode_stats"},
-    "multimodal_av_stats": {"wav", "avi", "mjpeg"},
+    "multimodal_av_stats": {"wav", "avi", "mjpeg", "ifv"},
     "dedup_cluster_suite": {"clusters", "representatives",
                             "component_stats"},
     "quality_eval_suite": {"classifier_auc", "waterfill"},
