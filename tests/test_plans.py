@@ -639,3 +639,74 @@ def test_bitext_margin_plan_shape(spark, sf_dir):
     assert re.search(r"BroadcastHashJoin .*LeftSemi", plan)
     # the only nested-loop is the sanctioned batch-broadcast cross
     assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1
+
+
+#: (query key, flag columns) for every remaining audit_enabled call
+#: site NOT already value-pinned by test_advance_rebuild_audit_gated /
+#: the dedicated gated-lane tests: the ANN recall-probe carriers
+#: (VERDICT r11 task 4) plus the sketch/stats/layout suites whose
+#: audit flags ride inside union lanes.  Suites mix EARNED flags
+#: (audit lanes — NULL at prod) with CONSTRUCTED constants (e.g. the
+#: brute lane's lit(True) — present in both shapes), so the pin is:
+#: fixture non-null flags are all True, prod keeps strictly fewer
+#: non-null flag values (every earned one went NULL, never a literal
+#: TRUE the run did not earn), and all non-flag columns bit-identical.
+_PROBE_GATED = [
+    ("similarity_topk_suite", ["recall_within_tolerance"]),
+    ("embedding_near_dup_suite", ["recall_within_tolerance"]),
+    ("similarity_topk_ivf_suite",
+     ["recall_within_tolerance", "kmeans_recall_ok",
+      "kmeans_ge_sampled", "pq_recall_ok"]),
+    ("similarity_topk_pq", ["recall_within_tolerance"]),
+    ("mmr_topk_suite", ["recall_within_tolerance"]),
+    ("sketch_maintenance_suite",
+     ["est_within_tolerance", "merged_equals_full",
+      "advance_equals_full", "overestimate_ok", "within_bound",
+      "true_cnt"]),  # true_cnt: the cms lane's EXACT audit count
+    ("events_stats_suite", ["advance_consistent"]),
+    ("layout_audit_suite",
+     ["advance_equals_rebuild", "retighten_equals_rebuild",
+      "sound_after_deletes"]),
+]
+
+
+@pytest.mark.parametrize("name,flags", _PROBE_GATED,
+                         ids=[n for n, _ in _PROBE_GATED])
+def test_probe_gated_values_identical_across_shapes(spark, sf_dir,
+                                                    tmp_path, name,
+                                                    flags):
+    """VERDICT r11 task 4: the recall-probe / in-suite audit carriers
+    get the same both-shapes VALUE check as the advance≡rebuild
+    carriers — at a production path the schema is unchanged, every
+    non-flag column is bit-identical to the fixture shape (the
+    approximate path itself never changes), earned flags are NULL
+    (strictly fewer non-null flag values than the fixture shape), and
+    every non-null flag value in either shape is True."""
+    prod = _prod_view(tmp_path, sf_dir)
+    fix_df = QUERIES[name](spark, sf_dir)
+    prod_df = QUERIES[name](spark, prod)
+    assert fix_df.columns == prod_df.columns
+    # same names and types; nullability may differ (a computed flag is
+    # non-nullable where its typed-NULL stand-in is nullable)
+    assert [(f.name, f.dataType) for f in fix_df.schema] \
+        == [(f.name, f.dataType) for f in prod_df.schema]
+
+    other = [c for c in fix_df.columns if c not in flags]
+    fix_rows = fix_df.collect()
+    prod_rows = prod_df.collect()
+    assert len(fix_rows) == len(prod_rows)
+
+    def proj(rows, cols):
+        return sorted(str(tuple(r[c] for c in cols)) for r in rows)
+
+    assert proj(fix_rows, other) == proj(prod_rows, other)
+    dtypes = dict(fix_df.dtypes)
+    for c in flags:
+        fix_vals = [r[c] for r in fix_rows if r[c] is not None]
+        prod_vals = [r[c] for r in prod_rows if r[c] is not None]
+        if dtypes[c] == "boolean":  # never a literal TRUE unearned
+            assert set(fix_vals) <= {True}, (c, set(fix_vals))
+            assert set(prod_vals) <= {True}, (c, set(prod_vals))
+        # the earned audit values really went NULL at prod
+        assert len(prod_vals) < len(fix_vals), (c, len(prod_vals),
+                                                len(fix_vals))

@@ -700,6 +700,8 @@ def operators():
         return decode_jpeg_features(synthesize_jpeg_payloads(docs))
 
     return {
+        # round-12 addition (inter-frame video lane)
+        "ifv_decode": _q("multimodal_ifv_stats"),
         # round-11 additions (MJPEG video lane, incremental zone-map
         # maintenance, margin-based bitext mining)
         "mjpeg_decode": _q("multimodal_mjpeg_stats"),
