@@ -1258,6 +1258,174 @@ def synthesize_ifv_payloads(df: DataFrame, *,
 
 
 # ---------------------------------------------------------------------------
+# Perceptual image hashing (round 12, SURVEY §2.3 N131): dHash over
+# REAL decoded pixels — the image-dedup primitive a multimodal training
+# pipeline runs before anything else (exact byte-hash dedup misses
+# re-encoded/recompressed copies; dHash catches them).  The hash is the
+# classic difference hash: grayscale, area-downsample to a 9×8 grid,
+# emit bit (row, col) = left block brighter than its right neighbor —
+# 64 bits, robust to uniform brightness/contrast shifts and re-encoding,
+# flipped only by structural change.  Exact integer arithmetic
+# end-to-end: grayscale is the channel SUM (no /3), blocks of EQUAL
+# area compare by integer block sums (mean comparison ≡ sum
+# comparison), and the hash ships as TWO 32-bit halves in BIGINTs so
+# no engine ever shifts into the sign bit (DuckDB raises on 1<<63).
+# ---------------------------------------------------------------------------
+
+DHASH_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("dhash_hi", LongType()),
+    StructField("dhash_lo", LongType()),
+])
+
+
+def dhash_bits(px) -> tuple[int, int]:
+    """The 64-bit dHash of an ``(h, w, 3)`` uint8 array as
+    ``(hi32, lo32)`` non-negative ints.  Requires ``w % 9 == 0`` and
+    ``h % 8 == 0`` (equal-area blocks keep the comparison exact
+    integer); arbitrary sizes normalize upstream through the resize
+    seam.  Bit ``8·row + col`` (row < 8, col < 8) is 1 iff grid block
+    ``(row, col)``'s pixel sum exceeds block ``(row, col+1)``'s."""
+    import numpy as np
+
+    h, w = int(px.shape[0]), int(px.shape[1])
+    if h % 8 or w % 9:
+        raise ValueError(
+            f"dhash needs h % 8 == 0 and w % 9 == 0, got {h}x{w}")
+    gray = px.astype(np.int64).sum(axis=2)
+    s = gray.reshape(8, h // 8, 9, w // 9).sum(axis=(1, 3))
+    bits = (s[:, :8] > s[:, 1:]).astype(np.int64)
+    hi = lo = 0
+    for row in range(8):
+        for col in range(8):
+            if bits[row, col]:
+                k = 8 * row + col
+                if k < 32:
+                    lo |= 1 << k
+                else:
+                    hi |= 1 << (k - 32)
+    return hi, lo
+
+
+def image_dhash(df: DataFrame, *, id_col: str = "doc_id",
+                payload_col: str = "payload") -> DataFrame:
+    """Per-image dHash from REAL decode (BMP, falling back to PNG) via
+    ``mapInPandas`` — same Arrow-batch lane as every codec feature op;
+    undecodable or wrong-geometry payloads yield NULL halves rather
+    than failing the batch.  Output follows :data:`DHASH_SCHEMA`."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hi_l, lo_l = [], []
+            for p in pdf[payload_col]:
+                raw = bytes(p) if p is not None else b""
+                try:
+                    try:
+                        _w, _h, px = decode_bmp(raw)
+                    except ValueError:
+                        _w, _h, px = decode_png(raw)
+                    if px.shape[2] == 4:  # PNG RGBA: hash the RGB
+                        px = px[:, :, :3]
+                    hi, lo = dhash_bits(px)
+                    hi_l.append(hi)
+                    lo_l.append(lo)
+                except ValueError:
+                    hi_l.append(None)
+                    lo_l.append(None)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "dhash_hi": pd.Series(hi_l, dtype="Int64"),
+                "dhash_lo": pd.Series(lo_l, dtype="Int64"),
+            })
+
+    return df.select(F.col(id_col).alias("doc_id"), payload_col) \
+        .mapInPandas(batches, DHASH_SCHEMA)
+
+
+#: 4 bands × 16 bits over the 64-bit dHash: pigeonhole guarantees
+#: EXACT recall for hamming ≤ 3 (≤ 3 flipped bits leave ≥ 1 band
+#: intact), the same banding argument as SimHash (operators/dedup.py).
+DHASH_BANDS = 4
+DHASH_BAND_BITS = 16
+DHASH_BAND_MASK = (1 << DHASH_BAND_BITS) - 1
+
+
+def dhash_pairs(hashes: DataFrame, *, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate image pairs by dHash hamming distance ≤
+    ``max_hamming`` (≤ 3 for exact recall under the 4×16 banding;
+    callers wanting looser thresholds add bands).  Candidates come
+    from a band-equality self-join — never an all-pairs product; a
+    bucket holds only images sharing 16 exact hash bits.  Output
+    ``(id_a, id_b, hamming)`` with ``id_a < id_b``, deduped across
+    bands before the distinct (the same prune-then-distinct shape as
+    ``simhash_pairs``)."""
+    from hbase_snapshotter_spark.cache import scoped_persist
+
+    h = hashes.filter(F.col("dhash_hi").isNotNull())
+    banded = scoped_persist(h.select(
+        "doc_id", "dhash_hi", "dhash_lo",
+        F.posexplode(F.array(*[
+            F.shiftright(
+                F.col("dhash_lo" if j < 2 else "dhash_hi"),
+                DHASH_BAND_BITS * (j % 2))
+            .bitwiseAND(F.lit(DHASH_BAND_MASK))
+            for j in range(DHASH_BANDS)
+        ])).alias("band", "key")))
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = (F.bit_count(F.col("a.dhash_hi").bitwiseXOR(F.col("b.dhash_hi")))
+           + F.bit_count(F.col("a.dhash_lo").bitwiseXOR(F.col("b.dhash_lo"))))
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("id_a"),
+                    F.col("b.doc_id").alias("id_b"),
+                    ham.cast("int").alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct())
+
+
+def synthesize_dhash_bmp_payloads(df: DataFrame, *,
+                                  id_col: str = "doc_id") -> DataFrame:
+    """Deterministic dHash fixtures with PLANTED near-duplicates: ids
+    ``2k`` and ``2k+1`` share content (grid block ``(bx, by)`` is the
+    constant ``((k²+7k+3)·(bx+3)·(by+5) + 13·(k+1)·bx +
+    5·by·(k%17+2)) % 251`` over an 18×16 canvas — 9×8 blocks of 2×2;
+    the quadratic-in-k mixing decorrelates adjacent content keys, so
+    cross-pair hash near-collisions are rare and the pair count stays
+    LINEAR in the corpus — the scale shape a fixture must keep), and
+    the odd id perturbs ONLY block ``(0, 0)`` (+100 mod 251), which
+    feeds exactly one dHash comparison — every adjacent pair is a
+    planted near-dup at hamming ≤ 1.  Real :func:`encode_bmp` bytes;
+    the oracle replays every hash bit from the id arithmetic."""
+
+    def gen_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                k, mut = i // 2, i % 2
+                blocks = np.array(
+                    [[((k * k + 7 * k + 3) * (bx + 3) * (by + 5)
+                       + 13 * (k + 1) * bx + 5 * by * (k % 17 + 2)
+                       + (100 if mut and bx == 0 and by == 0 else 0))
+                      % 251
+                      for bx in range(9)] for by in range(8)],
+                    dtype=np.uint8)
+                grid = np.kron(blocks, np.ones((2, 2), dtype=np.uint8))
+                payloads.append(
+                    encode_bmp(np.repeat(grid[..., None], 3, axis=2)))
+            yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"),
+                                "payload": payloads})
+
+    return df.select(id_col).mapInPandas(
+        gen_batches,
+        StructType([StructField("doc_id", LongType()),
+                    StructField("payload", BinaryType())]))
+
+
+# ---------------------------------------------------------------------------
 # Real TRANSFORMS on the real codecs (round 9b): the brief's resize and
 # audio-resample steps, previously exercised only through the stub
 # plumbing, now run genuinely on decoded pixel/sample arrays — decode →

@@ -4456,16 +4456,75 @@ FROM ({_oracle_emb_lsh_with_recall()})
 """
 
 
+def dedup_phash_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup pairs (r12 — N131): one
+    deterministic BMP per document with PLANTED near-duplicate pairs
+    (ids 2k/2k+1 share content; the odd id perturbs one grid block),
+    hashed with the classic dHash over REAL decoded pixels
+    (grayscale-sum → 9×8 equal-area block sums → 64 adjacent-block
+    comparisons as two 32-bit halves), then paired by a banded
+    16-bit-key self-join with hamming ≤ 3 — exact recall by
+    pigeonhole, never an all-pairs product.  The image-dedup step a
+    multimodal training pipeline runs to catch re-encoded/brightness-
+    shifted copies that byte-hash dedup misses.  The oracle replays
+    every hash bit from the id arithmetic and brute-forces the ≤ 3
+    join, so a bug in the decode, the block sums, the bit packing, or
+    the banding recall hash-fails."""
+    from hbase_snapshotter_spark.operators.multimodal import (
+        dhash_pairs,
+        image_dhash,
+        synthesize_dhash_bmp_payloads,
+    )
+
+    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet")) \
+        .select("doc_id")
+    return dhash_pairs(
+        image_dhash(synthesize_dhash_bmp_payloads(docs))) \
+        .orderBy("id_a", "id_b")
+
+
+ORACLE_PHASH_PAIRS = """
+WITH d AS (
+  SELECT doc_id, doc_id // 2 AS k, doc_id % 2 AS mut FROM documents),
+bits AS (
+  SELECT d.doc_id, by.b AS gy, bx.b AS gx,
+         CASE WHEN
+           ((d.k*d.k + 7*d.k + 3) * (bx.b + 3) * (by.b + 5)
+            + 13*(d.k + 1)*bx.b + 5*by.b*(d.k % 17 + 2)
+            + CASE WHEN d.mut = 1 AND bx.b = 0 AND by.b = 0
+                   THEN 100 ELSE 0 END) % 251
+           >
+           ((d.k*d.k + 7*d.k + 3) * (bx.b + 4) * (by.b + 5)
+            + 13*(d.k + 1)*(bx.b + 1) + 5*by.b*(d.k % 17 + 2)) % 251
+         THEN 1 ELSE 0 END AS bit
+  FROM d, range(0, 8) by(b), range(0, 8) bx(b)),
+h AS (
+  SELECT doc_id,
+         SUM(CASE WHEN 8*gy + gx >= 32
+                  THEN bit << (8*gy + gx - 32) ELSE 0 END) AS hi,
+         SUM(CASE WHEN 8*gy + gx < 32
+                  THEN bit << (8*gy + gx) ELSE 0 END) AS lo
+  FROM bits GROUP BY 1)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+            AS INTEGER) AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
 def dedup_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All four text near-dup pair detectors as method lanes of one
-    plan: whole-document Jaccard and winnowing containment (the r6
+    """All five near-dup pair detectors as method lanes of one plan:
+    whole-document Jaccard and winnowing containment (the r6
     ``dedup_jaccard_pairs`` union) plus banded MinHash-LSH and SimHash
     (r8 merge of the former standalone ``dedup_minhash_lsh`` and
-    ``dedup_simhash`` recorded slots).  ``score`` is the method's
-    similarity (jaccard / containment / minhash-verified jaccard;
-    NULL for simhash, whose evidence is a distance); ``support`` is
-    the method's integer evidence (shared winnow fingerprints /
-    simhash hamming distance)."""
+    ``dedup_simhash`` recorded slots), plus (r12) perceptual-hash
+    IMAGE near-dup over real decoded pixels.  ``score`` is the
+    method's similarity (jaccard / containment / minhash-verified
+    jaccard; NULL for the distance methods); ``support`` is the
+    method's integer evidence (shared winnow fingerprints / simhash
+    or dhash hamming distance)."""
     mh = dedup_minhash_lsh(spark, sf_dir).select(
         F.lit("minhash").alias("method"), "id_a", "id_b",
         F.col("jaccard").alias("score"),
@@ -4474,8 +4533,13 @@ def dedup_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("simhash").alias("method"), "id_a", "id_b",
         F.lit(None).cast("double").alias("score"),
         F.col("hamming").cast("int").alias("support"))
+    ph = dedup_phash_images(spark, sf_dir).select(
+        F.lit("phash").alias("method"), "id_a", "id_b",
+        F.lit(None).cast("double").alias("score"),
+        F.col("hamming").cast("int").alias("support"))
     return dedup_jaccard_pairs(spark, sf_dir).unionByName(mh) \
-        .unionByName(sh).orderBy("method", "id_a", "id_b")
+        .unionByName(sh).unionByName(ph) \
+        .orderBy("method", "id_a", "id_b")
 
 
 def _oracle_dedup_pairs_suite() -> str:
@@ -4490,6 +4554,10 @@ UNION ALL
 SELECT 'simhash' AS method, id_a, id_b, CAST(NULL AS DOUBLE) AS score,
        CAST(hamming AS INTEGER) AS support
 FROM ({_oracle_simhash()})
+UNION ALL
+SELECT 'phash' AS method, id_a, id_b, CAST(NULL AS DOUBLE) AS score,
+       CAST(hamming AS INTEGER) AS support
+FROM ({ORACLE_PHASH_PAIRS})
 """
 
 

@@ -3707,3 +3707,68 @@ def test_decoder_seam_swaps_without_plan_change(spark):
                    for r in sw.collect())
     finally:
         set_payload_resizer(prev_rs)
+
+
+def test_dhash_hand_computed_and_invariance():
+    """N131 micro-unit: dHash bits replayed by hand on a 18x16 block
+    image; uniform brightness shift leaves the hash INVARIANT (the
+    property that catches re-encoded copies); structural change flips
+    exactly the touched comparison; wrong geometry raises."""
+    import numpy as np
+    import pytest as _pytest
+
+    from hbase_snapshotter_spark.operators.multimodal import dhash_bits
+
+    # 9x8 grid of 2x2 blocks; block (bx, by) constant bx*10 + by
+    blocks = np.array([[bx * 10 + by for bx in range(9)]
+                       for by in range(8)], dtype=np.uint8)
+    grid = np.kron(blocks, np.ones((2, 2), dtype=np.uint8))
+    px = np.repeat(grid[..., None], 3, axis=2)
+    hi, lo = dhash_bits(px)
+    # every left block is DARKER than its right neighbor: all bits 0
+    assert (hi, lo) == (0, 0)
+    # reversed gradient: all 64 bits set
+    hi2, lo2 = dhash_bits(px[:, ::-1, :].copy())
+    assert (hi2, lo2) == (0xFFFFFFFF, 0xFFFFFFFF)
+    # brightness shift: hash unchanged (comparisons are relative)
+    assert dhash_bits(np.clip(px.astype(int) + 37, 0, 255)
+                      .astype(np.uint8)) == (hi, lo)
+    # structural change in block (0,0): flips ONLY bit 0
+    mut = px.copy()
+    mut[0:2, 0:2, :] = 255
+    hi3, lo3 = dhash_bits(mut)
+    assert (hi3, lo3) == (0, 1)
+    with _pytest.raises(ValueError, match="dhash needs"):
+        dhash_bits(np.zeros((16, 16, 3), dtype=np.uint8))
+    with _pytest.raises(ValueError, match="dhash needs"):
+        dhash_bits(np.zeros((15, 18, 3), dtype=np.uint8))
+
+
+def test_dhash_pairs_planted_dups_and_plan(spark):
+    """N131: the banded pair join recovers every planted near-dup
+    (ids 2k/2k+1 at hamming <= 1), never emits a pair above the
+    threshold, and plans as an equi-join on (band, key) — no
+    CartesianProduct, no all-pairs product anywhere."""
+    from hbase_snapshotter_spark.operators.multimodal import (
+        dhash_pairs,
+        image_dhash,
+        synthesize_dhash_bmp_payloads,
+    )
+
+    docs = spark.range(0, 60).select(F.col("id").alias("doc_id"))
+    hashes = image_dhash(synthesize_dhash_bmp_payloads(docs))
+    pairs = dhash_pairs(hashes)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        pairs._jdf.queryExecution(), "formatted")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    rows = pairs.collect()
+    got = {(r.id_a, r.id_b): r.hamming for r in rows}
+    for k in range(30):  # every planted pair present, hamming <= 1
+        assert (2 * k, 2 * k + 1) in got
+        assert got[(2 * k, 2 * k + 1)] <= 1
+    assert all(h <= 3 for h in got.values())
+    # hash halves are 32-bit non-negative (the engine-safe layout)
+    hs = hashes.collect()
+    assert all(0 <= r.dhash_hi < 2**32 and 0 <= r.dhash_lo < 2**32
+               for r in hs)
