@@ -1,0 +1,392 @@
+"""Copy-on-write transactional table — MERGE for the state side.
+
+The incremental-state family (latest-cells, SCD2, aggregate views,
+indexes — SURVEY §2.3 N25/N54/N84/…) maintains warehouse tables from
+deltas; doing that safely on object storage needs a TRANSACTIONAL
+upsert, which vanilla parquet directories lack.  Delta Lake / Iceberg
+provide it in production; neither ships in this environment, so this
+module implements the same protocol shape dependency-free — not a
+toy: versioned atomic commits over immutable parquet parts, snapshot
+isolation + time travel, optimistic concurrency detection, and a real
+MERGE that rewrites ONLY the files containing matched keys.
+
+Protocol (the Delta/Iceberg core, minus checkpointing):
+
+* data lives in immutable parquet part files under ``<path>/data/v<N>/``
+  (one directory per committing version — Spark's own part files, never
+  renamed or mutated);
+* the log is ``<path>/_txlog/<N>.json``, one file per version, each
+  listing relative ``adds`` (with per-file ``n_rows`` + key min/max
+  stats for pruning) and ``removes``;
+* a snapshot at version ``V`` is (all adds ≤ V) − (all removes ≤ V) —
+  readers replay the log (metadata-sized) and read exactly the live
+  files: writers never disturb a reader's already-resolved file list
+  (parts are immutable), which IS snapshot isolation;
+* commits are atomic and conflict-checked via ``os.link`` of a
+  temp file onto the next version slot — POSIX ``link(2)`` fails with
+  ``EEXIST`` if a concurrent writer won the slot
+  (:class:`CommitConflict`), the optimistic-concurrency primitive
+  ``rename(2)`` cannot provide (it silently overwrites).
+
+Scale shape: the log and per-version file lists are metadata
+(files-sized, never data-sized); MERGE's touched-file discovery is one
+scan of the candidate files semi-joined against the (batch-sized,
+broadcast) source keys; the rewrite reads only touched files + source;
+untouched files carry over by reference.  At 100 TB the cost of an
+upsert is Ω(files containing matched keys), not Ω(table) — the same
+bound Delta's MERGE gives, pytest-pinned here by asserting untouched
+part files survive IDENTICALLY (same paths) across a merge.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+LOG_DIR = "_txlog"
+DATA_DIR = "data"
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed this version first — re-read the
+    snapshot and retry the transaction (optimistic concurrency)."""
+
+
+def _log_path(path: str, version: int) -> str:
+    return os.path.join(path, LOG_DIR, f"{version:08d}.json")
+
+
+def _read_log(path: str) -> list[dict]:
+    """All committed log entries, version-ordered.  Metadata-sized."""
+    d = os.path.join(path, LOG_DIR)
+    if not os.path.isdir(d):
+        raise ValueError(f"not a cow table (no {LOG_DIR}): {path}")
+    out = []
+    for f in sorted(os.listdir(d)):
+        if f.endswith(".json"):
+            with open(os.path.join(d, f)) as fh:
+                out.append(json.load(fh))
+    if not out:
+        raise ValueError(f"cow table has no committed versions: {path}")
+    return out
+
+
+def cow_version(path: str) -> int:
+    """Latest committed version."""
+    return _read_log(path)[-1]["version"]
+
+
+def _live_files(path: str, version: int | None = None) -> list[dict]:
+    """The add entries live at ``version`` (default: latest), replayed
+    from the log: adds minus removes, in add order."""
+    entries = _read_log(path)
+    if version is None:
+        version = entries[-1]["version"]
+    live: dict[str, dict] = {}
+    seen = False
+    for e in entries:
+        if e["version"] > version:
+            continue
+        seen = seen or e["version"] == version
+        for r in e["removes"]:
+            live.pop(r, None)
+        for a in e["adds"]:
+            live[a["file"]] = a
+    if not seen:
+        raise ValueError(f"version {version} not in log at {path}")
+    return list(live.values())
+
+
+def _commit(path: str, entry: dict) -> None:
+    """Atomically claim version slot ``entry['version']``: write a temp
+    file, hard-link it onto the slot (fails iff the slot is taken),
+    then drop the temp name.  Readers never observe a partial log."""
+    os.makedirs(os.path.join(path, LOG_DIR), exist_ok=True)
+    final = _log_path(path, entry["version"])
+    tmp = os.path.join(path, LOG_DIR, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        json.dump(entry, fh, indent=1, sort_keys=True)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise CommitConflict(
+            f"version {entry['version']} already committed at {path}; "
+            "re-read the snapshot and retry") from None
+    finally:
+        os.unlink(tmp)
+
+
+def _json_safe(v):
+    return v if isinstance(v, (int, float, str, type(None))) else str(v)
+
+
+def _write_parts(df: DataFrame, path: str, version: int,
+                 key_cols: list[str]) -> list[dict]:
+    """Write ``df`` as this version's immutable parts and return their
+    add entries (relative path + n_rows + native-typed min/max of the
+    FIRST key column — the pruning hint :func:`_prune_candidates`
+    consults; non-JSON types degrade to strings and are then ignored
+    by pruning, which keeps pruning SOUND)."""
+    rel_dir = f"{DATA_DIR}/v{version:08d}"
+    out_dir = os.path.join(path, rel_dir)
+    df.write.mode("error").parquet(out_dir)
+    spark = df.sparkSession
+    back = spark.read.parquet(out_dir)
+    k0 = key_cols[0]
+    stats = (back.groupBy(F.input_file_name().alias("f"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                  F.min(k0).alias("kmin"), F.max(k0).alias("kmax"))
+             .collect())  # files-sized
+    adds = []
+    for r in stats:
+        fname = os.path.basename(r.f)
+        adds.append({"file": f"{rel_dir}/{fname}", "n_rows": r.n_rows,
+                     "kmin": _json_safe(r.kmin),
+                     "kmax": _json_safe(r.kmax)})
+    return sorted(adds, key=lambda a: a["file"])
+
+
+def _prune_candidates(live: list[dict], kmin, kmax) -> list[dict]:
+    """Files whose first-key [kmin, kmax] span could intersect the
+    source's — SOUND: a file is pruned only when both its stats and
+    the source bounds are the same comparable primitive type and the
+    ranges are provably disjoint; anything else stays a candidate."""
+    kmin, kmax = _json_safe(kmin), _json_safe(kmax)
+    out = []
+    for a in live:
+        lo, hi = a.get("kmin"), a.get("kmax")
+        comparable = (
+            lo is not None and hi is not None
+            and kmin is not None and kmax is not None
+            and ((isinstance(lo, (int, float))
+                  and isinstance(hi, (int, float))
+                  and isinstance(kmin, (int, float))
+                  and isinstance(kmax, (int, float))
+                  and not any(isinstance(x, bool)
+                              for x in (lo, hi, kmin, kmax)))
+                 or all(isinstance(x, str)
+                        for x in (lo, hi, kmin, kmax))))
+        if comparable and (hi < kmin or lo > kmax):
+            continue  # provably disjoint — safe to skip
+        out.append(a)
+    return out
+
+
+def cow_create(df: DataFrame, path: str, *, key_cols: list[str]) -> int:
+    """Create a cow table at ``path`` from ``df`` — commit version 0.
+    ``key_cols`` is the table's merge key (recorded in every commit;
+    :func:`cow_merge` enforces it)."""
+    if os.path.isdir(os.path.join(path, LOG_DIR)):
+        raise ValueError(f"cow table already exists at {path}")
+    adds = _write_parts(df, path, 0, key_cols)
+    _commit(path, {"version": 0, "op": "create", "key_cols": key_cols,
+                   "adds": adds, "removes": []})
+    return 0
+
+
+def cow_snapshot(spark, path: str, *, version: int | None = None) -> DataFrame:
+    """The table's content at ``version`` (default latest) — time
+    travel is just replaying less of the log.  Returns a schema-stable
+    empty frame for a fully-deleted table."""
+    live = _live_files(path, version)
+    files = [os.path.join(path, a["file"]) for a in live]
+    if not files:
+        any_file = os.path.join(path, _read_log(path)[0]["adds"][0]["file"])
+        return spark.read.parquet(any_file).filter(F.lit(False))
+    return spark.read.parquet(*files)
+
+
+def cow_history(path: str) -> list[dict]:
+    """Commit audit: one dict per version with op and file/row deltas."""
+    out = []
+    for e in _read_log(path):
+        out.append({"version": e["version"], "op": e["op"],
+                    "n_added_files": len(e["adds"]),
+                    "n_removed_files": len(e["removes"]),
+                    "n_added_rows": sum(a["n_rows"] for a in e["adds"])})
+    return out
+
+
+def cow_merge(
+    spark,
+    path: str,
+    source: DataFrame,
+    *,
+    matched: str = "update",
+    insert_unmatched: bool = True,
+) -> dict:
+    """MERGE ``source`` into the table on its key columns — the Delta
+    ``MERGE INTO`` core: ``matched='update'`` replaces matched target
+    rows with the source row, ``matched='delete'`` drops them;
+    ``insert_unmatched`` appends source rows whose key is absent.
+
+    Only files CONTAINING matched keys are rewritten: discovery is one
+    scan of the live files semi-joined against the broadcast source
+    keys (per-file any-match), untouched files carry over by
+    reference.  Returns ``{"version", "files_rewritten",
+    "files_total"}``.  Raises :class:`CommitConflict` if another
+    writer claims the version first — retry by re-calling (the merge
+    itself is deterministic given the new snapshot)."""
+    if matched not in ("update", "delete"):
+        raise ValueError(f"matched must be update|delete, got {matched!r}")
+    entries = _read_log(path)
+    key_cols = entries[0]["key_cols"]
+    version = entries[-1]["version"]
+    live = _live_files(path, version)
+
+    src = source.persist()
+    try:
+        table_cols = sorted(
+            spark.read.parquet(
+                os.path.join(path, (live or entries[0]["adds"])[0]["file"])
+            ).columns)
+        if sorted(src.columns) != table_cols:
+            raise ValueError(
+                f"source schema {sorted(src.columns)} != table "
+                f"{table_cols}")
+        bounds = src.agg(F.min(key_cols[0]), F.max(key_cols[0])) \
+            .collect()[0]
+        cand = _prune_candidates(live, bounds[0], bounds[1])
+        keys = F.broadcast(src.select(*key_cols).distinct())
+        touched_rel: list[str] = []
+        if cand:
+            # touched-file discovery: one scan of the CANDIDATE files
+            # (stats-pruned), per-file any-match against broadcast keys
+            cdf = spark.read.parquet(
+                *[os.path.join(path, a["file"]) for a in cand])
+            touched_abs = {r[0] for r in
+                           cdf.select(F.input_file_name().alias("__f"),
+                                      *key_cols)
+                           .join(keys, key_cols, "left_semi")
+                           .select("__f").distinct().collect()}
+            touched_rel = sorted(
+                a["file"] for a in cand
+                if any(t.endswith(a["file"]) for t in touched_abs))
+
+        adds: list[dict] = []
+        new_version = version + 1
+        if touched_rel or insert_unmatched:
+            parts = []
+            if touched_rel:
+                tdf = spark.read.parquet(
+                    *[os.path.join(path, f) for f in touched_rel])
+                cols = tdf.columns
+                parts.append(tdf.join(keys, key_cols, "left_anti"))
+                if matched == "update":
+                    parts.append(
+                        tdf.select(*key_cols).distinct()
+                        .join(F.broadcast(src), key_cols, "inner")
+                        .select(*cols))
+            if insert_unmatched:
+                # a source key exists in the table iff it matched a
+                # touched file — existence needs only tdf, never the
+                # whole table
+                if touched_rel:
+                    existing = tdf.select(*key_cols).distinct()
+                    ins = src.join(existing, key_cols, "left_anti")
+                else:
+                    ins = src
+                parts.append(ins)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            adds = _write_parts(out, path, new_version, key_cols)
+        _commit(path, {"version": new_version, "op": f"merge:{matched}",
+                       "key_cols": key_cols, "adds": adds,
+                       "removes": touched_rel})
+        return {"version": new_version,
+                "files_rewritten": len(touched_rel),
+                "files_candidates": len(cand),
+                "files_total": len(live)}
+    finally:
+        src.unpersist()
+
+
+def cow_apply_changes(spark, path: str, changes: DataFrame, *,
+                      op_col: str = "op") -> dict:
+    """Apply a CDC batch (``op_col`` ∈ {'I','U','D'} per row) — the
+    changelog→warehouse step the reference's pipeline feeds (S1→S12):
+    upserts (I/U) and deletes (D) land in ONE merge transaction so a
+    reader sees either none or all of the batch.  Delete rows need
+    only their key columns populated."""
+    ups = changes.filter(F.col(op_col).isin("I", "U")).drop(op_col)
+    dels = changes.filter(F.col(op_col) == "D").drop(op_col)
+    key_cols = _read_log(path)[0]["key_cols"]
+    # ONE transaction: rewrite files touched by EITHER side; within
+    # the batch, target rows under any changed key are dropped and the
+    # upsert rows land — so a key in both D and I/U nets to the new
+    # row, a D-only key nets to gone
+    merged = ups.unionByName(dels).persist()
+    try:
+        version = cow_version(path)
+        live = _live_files(path, version)
+        bounds = merged.agg(F.min(key_cols[0]),
+                            F.max(key_cols[0])).collect()[0]
+        cand = _prune_candidates(live, bounds[0], bounds[1])
+        all_keys = F.broadcast(merged.select(*key_cols).distinct())
+        touched_rel: list[str] = []
+        if cand:
+            cdf = spark.read.parquet(
+                *[os.path.join(path, a["file"]) for a in cand])
+            touched_abs = {r[0] for r in
+                           cdf.select(F.input_file_name().alias("__f"),
+                                      *key_cols)
+                           .join(all_keys, key_cols, "left_semi")
+                           .select("__f").distinct().collect()}
+            touched_rel = sorted(
+                a["file"] for a in cand
+                if any(t.endswith(a["file"]) for t in touched_abs))
+        parts = []
+        if touched_rel:
+            tdf = spark.read.parquet(
+                *[os.path.join(path, f) for f in touched_rel])
+            parts.append(tdf.join(all_keys, key_cols, "left_anti"))
+            parts.append(ups.select(*tdf.columns))
+        else:
+            parts.append(ups)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        new_version = version + 1
+        adds = _write_parts(out, path, new_version, key_cols) \
+            if touched_rel or not ups.isEmpty() else []
+        _commit(path, {"version": new_version, "op": "apply_changes",
+                       "key_cols": key_cols, "adds": adds,
+                       "removes": touched_rel})
+        return {"version": new_version,
+                "files_rewritten": len(touched_rel),
+                "files_candidates": len(cand),
+                "files_total": len(live)}
+    finally:
+        merged.unpersist()
+
+
+def cow_vacuum(path: str, *, keep_last: int = 1) -> dict:
+    """Physically delete part files unreferenced by the last
+    ``keep_last`` versions (older time travel stops working — the
+    retention trade every table format makes).  Log entries stay (the
+    history remains auditable); only data files go."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    entries = _read_log(path)
+    latest = entries[-1]["version"]
+    keep_from = latest - keep_last + 1
+    needed: set[str] = set()
+    for v in range(keep_from, latest + 1):
+        try:
+            needed |= {a["file"] for a in _live_files(path, v)}
+        except ValueError:
+            continue
+    all_files = {a["file"] for e in entries for a in e["adds"]}
+    drop = sorted(all_files - needed)
+    for rel in drop:
+        f = os.path.join(path, rel)
+        if os.path.isfile(f):
+            os.unlink(f)
+    return {"deleted_files": len(drop), "retained_files": len(needed)}
