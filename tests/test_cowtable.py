@@ -208,3 +208,87 @@ def test_latest_cells_state_via_cow_merge(spark, tmp_path):
     assert got == {2: ("B", 200), 3: ("c", 100), 4: ("d", 200)}
     h = cow_history(path)
     assert [e["op"] for e in h] == ["create", "apply_changes"]
+
+
+def test_cow_streaming_maintenance_exactly_once(spark, tmp_path):
+    """r12 streaming tie-in: a real readStream of CDC batches drives
+    the cow table through one atomic commit per micro-batch; the final
+    table equals the batch-recomputed net state; re-running the stream
+    (fresh checkpoint, same files) and re-delivering batches directly
+    both change NOTHING — the log's batch-id ledger makes the
+    transactional sink idempotent (exactly-once content)."""
+    import json as _json
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from hbase_snapshotter_spark.streaming.cow_stream import (
+        apply_stream_batch,
+        applied_batch_ids,
+        start_cow_maintenance,
+    )
+
+    path = str(tmp_path / "ctbl")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, val string")
+    cow_create(base.repartitionByRange(2, "k"), path, key_cols=["k"])
+
+    feed_dir = tmp_path / "feed"
+    feed_dir.mkdir()
+    batches = [
+        [{"op": "U", "k": 2, "val": "B"}, {"op": "I", "k": 4, "val": "d"}],
+        [{"op": "D", "k": 1, "val": None}, {"op": "U", "k": 4, "val": "D2"}],
+    ]
+    import time as _time
+
+    now = _time.time()
+    for i, rows in enumerate(batches):
+        f = feed_dir / f"b{i}.json"
+        with open(f, "w") as fh:
+            for r in rows:
+                fh.write(_json.dumps(r) + "\n")
+        # the file source orders micro-batches by modification time —
+        # pin distinct mtimes so batch order is deterministic
+        os.utime(f, (now + 100 * i, now + 100 * i))
+
+    schema = StructType([StructField("op", StringType()),
+                         StructField("k", LongType()),
+                         StructField("val", StringType())])
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .json(str(feed_dir)))
+    q = start_cow_maintenance(
+        stream, path,
+        checkpointLocation=str(tmp_path / "ckpt"), availableNow=True)
+    q.awaitTermination(120)
+
+    want = {2: "B", 3: "c", 4: "D2"}
+    got = {r.k: r.val for r in cow_snapshot(spark, path).collect()}
+    assert got == want
+    # one atomic version per non-empty batch, each stamped with its id
+    assert applied_batch_ids(path) == {0, 1}
+    assert cow_version(path) == 2
+
+    # stream re-run over the same files with a FRESH checkpoint: every
+    # batch id is already in the ledger — nothing commits
+    q2 = start_cow_maintenance(
+        stream, path,
+        checkpointLocation=str(tmp_path / "ckpt2"), availableNow=True)
+    q2.awaitTermination(120)
+    assert cow_version(path) == 2
+    assert {r.k: r.val for r in cow_snapshot(spark, path).collect()} \
+        == want
+
+    # direct re-delivery of an applied batch id: no-op by ledger
+    b0 = spark.createDataFrame(
+        [("U", 2, "XXX")], "op string, k long, val string")
+    assert apply_stream_batch(path, b0, 0) is None
+    assert {r.k: r.val for r in cow_snapshot(spark, path).collect()} \
+        == want
+    # an EMPTY new batch also commits nothing
+    assert apply_stream_batch(path, b0.filter("k < 0"), 7) is None
+    assert cow_version(path) == 2
