@@ -305,6 +305,16 @@ def encode_bmp(pixels) -> bytes:
     return header + body
 
 
+#: Decoder-side allocation bounds (fuzz-found r12): header-driven
+#: geometry (AVI avih, JPEG SOF) must be sanity-checked BEFORE any
+#: output allocation — a single mutated byte can otherwise request a
+#: 100+ GiB array and leak MemoryError through the ValueError parse
+#: contract.  Payload-bounded decoders (BMP/PNG/WAV use frombuffer /
+#: length equality against the actual bytes) need no such cap.
+MAX_DECODE_BYTES = 1 << 30
+MAX_DECODE_PIXELS = 1 << 24
+
+
 def _parse_boundary(fn):
     """Decoder-boundary contract (fuzz-pinned,
     tests/test_codec_fuzz_property.py): a malformed payload raises the
@@ -1007,6 +1017,12 @@ def decode_avi(payload: bytes):
     if len(frame_chunks) != n:
         raise ValueError(f"frame count mismatch: avih={n}, "
                          f"movi={len(frame_chunks)}")
+    # allocation bomb guard (fuzz-found r12): a corrupted avih can
+    # request absurd geometry — fail as a parse error, never as a
+    # giant allocation attempt
+    if n * h * w * 3 > MAX_DECODE_BYTES:
+        raise ValueError(
+            f"implausible AVI geometry: {n}x{h}x{w} frames")
     frames = np.zeros((n, h, w, 3), dtype=np.uint8)
     if comp == IFV1_FOURCC:
         # inter-frame: I chunks are standalone JPEGs, P chunks are
@@ -2000,6 +2016,11 @@ def decode_jpeg(payload: bytes):
                 raise ValueError(f"unsupported precision {precision}")
             if ncomp not in (1, 3):
                 raise ValueError(f"unsupported component count {ncomp}")
+            # allocation bomb guard (fuzz-found r12): corrupted SOF
+            # dims must fail as a parse error, not as a multi-GB
+            # float64 plane allocation + unbounded entropy-decode loop
+            if h * w > MAX_DECODE_PIXELS:
+                raise ValueError(f"implausible JPEG geometry: {w}x{h}")
             comp_specs = []
             for c in range(ncomp):
                 cid, sampling, tq = struct.unpack_from(

@@ -88,3 +88,31 @@ def test_mutated_golden_payloads_never_leak_foreign_errors(data):
 def test_golden_payloads_decode_clean():
     for name, payload, dec in _golden_payloads():
         assert dec(payload) is not None, name
+
+
+def test_allocation_bomb_headers_raise_valueerror():
+    """r12 fuzz regression, pinned deterministically: a corrupted
+    header requesting absurd output geometry (avih dims, JPEG SOF
+    dims) must raise ValueError BEFORE any allocation — never leak
+    MemoryError through the parse contract."""
+    import struct
+
+    from hbase_snapshotter_spark.operators.multimodal import encode_jpeg
+
+    gray = np.full((8, 8), 130, dtype=np.uint8)
+    frames = np.stack([np.full((3, 6, 3), v, dtype=np.uint8)
+                       for v in (10, 200)])
+    avi = encode_avi(frames, 40000)
+    # blow up the avih width field (offset of 8th uint32 in avih body)
+    at = avi.find(b"avih") + 8 + 8 * 4
+    bombed = avi[:at] + struct.pack("<I", 0x70000000) + avi[at + 4:]
+    with pytest.raises(ValueError, match="implausible AVI geometry"):
+        decode_avi(bombed)
+
+    jp = encode_jpeg(gray)
+    sof = jp.find(b"\xFF\xC0")
+    assert sof > 0  # dims live at SOF body offset 1 (h) and 3 (w)
+    bombed_j = jp[:sof + 5] + struct.pack(">HH", 0xFFF0, 0xFFF0) \
+        + jp[sof + 9:]
+    with pytest.raises(ValueError, match="implausible JPEG geometry"):
+        decode_jpeg(bombed_j)

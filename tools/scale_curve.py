@@ -700,8 +700,10 @@ def operators():
         return decode_jpeg_features(synthesize_jpeg_payloads(docs))
 
     return {
-        # round-12 addition (inter-frame video lane)
+        # round-12 additions (inter-frame video lane, perceptual-hash
+        # image near-dup lane)
         "ifv_decode": _q("multimodal_ifv_stats"),
+        "phash_pairs": _q("dedup_phash_images"),
         # round-11 additions (MJPEG video lane, incremental zone-map
         # maintenance, margin-based bitext mining)
         "mjpeg_decode": _q("multimodal_mjpeg_stats"),
