@@ -1412,7 +1412,14 @@ def synthesize_dhash_bmp_payloads(df: DataFrame, *,
     the odd id perturbs ONLY block ``(0, 0)`` (+100 mod 251), which
     feeds exactly one dHash comparison — every adjacent pair is a
     planted near-dup at hamming ≤ 1.  Real :func:`encode_bmp` bytes;
-    the oracle replays every hash bit from the id arithmetic."""
+    the oracle replays every hash bit from the id arithmetic.
+
+    Content period: every term is mod-251 (and mod-17), so content
+    keys repeat with period lcm(251, 17) = 4267 in ``k`` — the driver
+    fixtures (≤ 5000 docs, k < 2500) never wrap; synthetic corpora
+    beyond ~8.5k contiguous ids gain exact-dup cliques (the 100×
+    curve point reflects that fixture artifact, still exponent 0.23,
+    not an engine property)."""
 
     def gen_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
