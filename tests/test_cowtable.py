@@ -292,3 +292,61 @@ def test_cow_streaming_maintenance_exactly_once(spark, tmp_path):
     # an EMPTY new batch also commits nothing
     assert apply_stream_batch(path, b0.filter("k < 0"), 7) is None
     assert cow_version(path) == 2
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+#: Small key space so random batches collide with existing rows (the
+#: hard regime: updates and deletes hitting multiple files).
+_key_st = st.integers(0, 14)
+_batch_st = st.lists(
+    st.tuples(_key_st, st.integers(0, 99),
+              st.sampled_from(["I", "U", "D"])),
+    min_size=0, max_size=6,
+).map(lambda ops: {k: (v, op) for k, v, op in ops})  # net: one op/key
+
+
+@given(base=st.dictionaries(_key_st, st.integers(0, 99),
+                            min_size=1, max_size=8),
+       batches=st.lists(_batch_st, min_size=1, max_size=3))
+@settings(max_examples=6, deadline=None)
+def test_cow_apply_changes_property(spark, tmp_path_factory, base,
+                                    batches):
+    """Property: for ANY base table and ANY sequence of net CDC
+    batches, the cow table after applying them equals the dict-replayed
+    state, and time travel at every intermediate version equals the
+    replayed prefix — hypothesis walks upsert/delete interleavings,
+    keys absent and present, empty batches, and multi-file layouts."""
+    tmp = tmp_path_factory.mktemp("cowprop")
+    path = str(tmp / "t")
+    df = spark.createDataFrame(
+        [(k, v) for k, v in base.items()], "k long, v long")
+    cow_create(df.repartitionByRange(2, "k"), path, key_cols=["k"])
+
+    model = dict(base)
+    snapshots = [dict(model)]
+    for b in batches:
+        rows = [(k, v, op) for k, (v, op) in b.items()]
+        if not rows:
+            snapshots.append(dict(model))
+            continue
+        cdc = spark.createDataFrame(rows, "k long, v long, op string")
+        cow_apply_changes(spark, path, cdc)
+        for k, (v, op) in b.items():
+            if op == "D":
+                model.pop(k, None)
+            else:
+                model[k] = v
+        snapshots.append(dict(model))
+
+    got = {r.k: r.v for r in cow_snapshot(spark, path).collect()}
+    assert got == model
+    # time travel: every committed version replays its prefix
+    versions = [e["version"] for e in cow_history(path)]
+    applied = [s for b, s in zip([None] + batches, snapshots)
+               if b is None or b]  # empty batches commit nothing
+    assert len(versions) == len(applied)
+    for ver, want in zip(versions, applied):
+        tv = {r.k: r.v
+              for r in cow_snapshot(spark, path, version=ver).collect()}
+        assert tv == want, (ver, want)
