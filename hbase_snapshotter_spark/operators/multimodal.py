@@ -1366,6 +1366,23 @@ DHASH_BAND_BITS = 16
 DHASH_BAND_MASK = (1 << DHASH_BAND_BITS) - 1
 
 
+def dhash_banded(hashes: DataFrame) -> DataFrame:
+    """The banded dHash index rows ``(doc_id, dhash_hi, dhash_lo,
+    band, key)`` — :data:`DHASH_BANDS` rows per decodable image.  This
+    is ALSO the persisted state shape of the incremental family
+    (:func:`build_dhash_state`): content-derived, no RNG, so
+    rebuild-vs-advance equality is exact."""
+    return hashes.filter(F.col("dhash_hi").isNotNull()).select(
+        "doc_id", "dhash_hi", "dhash_lo",
+        F.posexplode(F.array(*[
+            F.shiftright(
+                F.col("dhash_lo" if j < 2 else "dhash_hi"),
+                DHASH_BAND_BITS * (j % 2))
+            .bitwiseAND(F.lit(DHASH_BAND_MASK))
+            for j in range(DHASH_BANDS)
+        ])).alias("band", "key"))
+
+
 def dhash_pairs(hashes: DataFrame, *, max_hamming: int = 3) -> DataFrame:
     """Near-duplicate image pairs by dHash hamming distance ≤
     ``max_hamming`` (≤ 3 for exact recall under the 4×16 banding;
@@ -1377,16 +1394,7 @@ def dhash_pairs(hashes: DataFrame, *, max_hamming: int = 3) -> DataFrame:
     ``simhash_pairs``)."""
     from hbase_snapshotter_spark.cache import scoped_persist
 
-    h = hashes.filter(F.col("dhash_hi").isNotNull())
-    banded = scoped_persist(h.select(
-        "doc_id", "dhash_hi", "dhash_lo",
-        F.posexplode(F.array(*[
-            F.shiftright(
-                F.col("dhash_lo" if j < 2 else "dhash_hi"),
-                DHASH_BAND_BITS * (j % 2))
-            .bitwiseAND(F.lit(DHASH_BAND_MASK))
-            for j in range(DHASH_BANDS)
-        ])).alias("band", "key")))
+    banded = scoped_persist(dhash_banded(hashes))
     a, b = banded.alias("a"), banded.alias("b")
     ham = (F.bit_count(F.col("a.dhash_hi").bitwiseXOR(F.col("b.dhash_hi")))
            + F.bit_count(F.col("a.dhash_lo").bitwiseXOR(F.col("b.dhash_lo"))))
@@ -1398,6 +1406,69 @@ def dhash_pairs(hashes: DataFrame, *, max_hamming: int = 3) -> DataFrame:
                     ham.cast("int").alias("hamming"))
             .filter(F.col("hamming") <= max_hamming)
             .distinct())
+
+
+def build_dhash_state(hashes: DataFrame) -> DataFrame:
+    """Materialized image near-dup state (SURVEY §2.3 N133): the
+    banded dHash index a 100 TB pipeline PERSISTS so tomorrow's image
+    crawl is near-dup-checked against all history without re-decoding
+    the corpus — the N57 text posture applied to the N131 image lane.
+    Shape: :func:`dhash_banded` rows; content-derived, reproducible
+    anywhere."""
+    return dhash_banded(hashes)
+
+
+def advance_dhash_state(
+    state: DataFrame,
+    delta_hashes: DataFrame,
+    *,
+    delete_ids: DataFrame | None = None,
+) -> DataFrame:
+    """Advance the N133 state with ONLY the delta: document-wins (a
+    delta image REPLACES its prior band rows — edits re-hash,
+    re-deliveries are no-ops since the same pixels yield the same
+    rows), then optional deletions drop their rows.  Advanced state ≡
+    full rebuild over the net corpus (pytest-pinned); only the delta
+    is ever decoded.  ``delete_ids``: one ``doc_id`` column."""
+    gone = delta_hashes.select("doc_id")
+    if delete_ids is not None:
+        gone = gone.unionByName(delete_ids.select("doc_id"))
+    kept = state.join(F.broadcast(gone.distinct()), "doc_id",
+                      "left_anti")
+    return kept.unionByName(dhash_banded(delta_hashes))
+
+
+def dhash_novelty(
+    state: DataFrame,
+    delta_hashes: DataFrame,
+    *,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Which delta images are NOVEL against the historical state —
+    the admission filter an image-dedup pipeline runs before ingest:
+    a delta image is a near-dup iff some HISTORY image shares a band
+    bucket at hamming ≤ ``max_hamming`` (exact recall by the banding
+    pigeonhole).  Work is delta-sized: the delta's band rows join the
+    state's buckets; the corpus is never re-decoded.  Output one row
+    per decodable delta image: ``(doc_id, is_novel, min_hamming)``
+    with ``min_hamming`` NULL for novel images."""
+    d = dhash_banded(delta_hashes)
+    ham = (F.bit_count(F.col("d.dhash_hi").bitwiseXOR(F.col("s.dhash_hi")))
+           + F.bit_count(F.col("d.dhash_lo").bitwiseXOR(F.col("s.dhash_lo"))))
+    hits = (d.alias("d").join(
+        state.alias("s"),
+        (F.col("d.band") == F.col("s.band"))
+        & (F.col("d.key") == F.col("s.key"))
+        & (F.col("d.doc_id") != F.col("s.doc_id")))
+        .select(F.col("d.doc_id").alias("doc_id"),
+                ham.cast("int").alias("h"))
+        .filter(F.col("h") <= max_hamming)
+        .groupBy("doc_id").agg(F.min("h").alias("min_hamming")))
+    ids = d.select("doc_id").distinct()
+    return (ids.join(hits, "doc_id", "left")
+            .select("doc_id",
+                    F.col("min_hamming").isNull().alias("is_novel"),
+                    "min_hamming"))
 
 
 def synthesize_dhash_bmp_payloads(df: DataFrame, *,
