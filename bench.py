@@ -135,6 +135,9 @@ HEADLINE_R7 = [
     "multimodal_mjpeg_stats",  # r11: motion-JPEG compressed video lane
     "zone_map_advance",        # r11: incremental zone-map maintenance
     "bitext_margin_mining",    # r11: margin-based bitext mining
+    "multimodal_ifv_stats",    # r12: inter-frame video lane
+    "dedup_phash_images",      # r12: perceptual-hash image near-dup
+    "image_novelty_delta",     # r12: incremental image-novelty state
 ]
 
 

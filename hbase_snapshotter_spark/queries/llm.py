@@ -6142,3 +6142,84 @@ PAIRS.update({
     "quality_eval_suite": (quality_eval_suite,
                            _oracle_quality_eval_suite()),
 })
+
+
+def image_novelty_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental image near-dup admission (r12 — N133 on the driver
+    gate): history = documents with ``doc_id % 8 < 5`` (their banded
+    dHash index is the PERSISTED state a production pipeline holds),
+    delta = the rest; each delta image is flagged novel unless some
+    HISTORY image shares a band bucket at hamming ≤ 3 (exact recall by
+    the banding pigeonhole).  The planted-pair structure
+    (:func:`~.operators.multimodal.synthesize_dhash_bmp_payloads`:
+    content pairs (2k, 2k+1)) puts delta ids ≡ 5 (mod 8) next to an
+    in-history partner (matched, hamming ≤ 1) while ids ≡ 6, 7 pair
+    only with each other (novel vs history) — both verdicts exercised
+    at every sf.  Work is delta-sized: the corpus is decoded once into
+    the state; the delta's band rows join the state's buckets.  The
+    oracle replays every hash bit from the id arithmetic and the
+    band-bucket join in closed form."""
+    from hbase_snapshotter_spark.cache import scoped_persist
+    from hbase_snapshotter_spark.operators.multimodal import (
+        build_dhash_state,
+        dhash_novelty,
+        image_dhash,
+        synthesize_dhash_bmp_payloads,
+    )
+
+    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet")) \
+        .select("doc_id")
+    hashes = scoped_persist(
+        image_dhash(synthesize_dhash_bmp_payloads(docs)))
+    state = build_dhash_state(hashes.filter(F.col("doc_id") % 8 < 5))
+    delta = hashes.filter(F.col("doc_id") % 8 >= 5)
+    return dhash_novelty(state, delta).orderBy("doc_id")
+
+
+ORACLE_IMAGE_NOVELTY = """
+WITH d AS (
+  SELECT doc_id, doc_id // 2 AS k, doc_id % 2 AS mut FROM documents),
+bits AS (
+  SELECT d.doc_id, by.b AS gy, bx.b AS gx,
+         CASE WHEN
+           ((d.k*d.k + 7*d.k + 3) * (bx.b + 3) * (by.b + 5)
+            + 13*(d.k + 1)*bx.b + 5*by.b*(d.k % 17 + 2)
+            + CASE WHEN d.mut = 1 AND bx.b = 0 AND by.b = 0
+                   THEN 100 ELSE 0 END) % 251
+           >
+           ((d.k*d.k + 7*d.k + 3) * (bx.b + 4) * (by.b + 5)
+            + 13*(d.k + 1)*(bx.b + 1) + 5*by.b*(d.k % 17 + 2)) % 251
+         THEN 1 ELSE 0 END AS bit
+  FROM d, range(0, 8) by(b), range(0, 8) bx(b)),
+h AS (
+  SELECT doc_id,
+         SUM(CASE WHEN 8*gy + gx >= 32
+                  THEN bit << (8*gy + gx - 32) ELSE 0 END) AS hi,
+         SUM(CASE WHEN 8*gy + gx < 32
+                  THEN bit << (8*gy + gx) ELSE 0 END) AS lo
+  FROM bits GROUP BY 1),
+hist AS (SELECT * FROM h WHERE doc_id % 8 < 5),
+delta AS (SELECT * FROM h WHERE doc_id % 8 >= 5),
+hits AS (
+  SELECT d.doc_id,
+         CAST(MIN(bit_count(xor(d.hi, s.hi))
+                  + bit_count(xor(d.lo, s.lo))) AS INTEGER)
+           AS min_hamming
+  FROM delta d JOIN hist s
+    ON ((d.lo & 65535) = (s.lo & 65535)
+        OR (d.lo >> 16) = (s.lo >> 16)
+        OR (d.hi & 65535) = (s.hi & 65535)
+        OR (d.hi >> 16) = (s.hi >> 16))
+   AND d.doc_id <> s.doc_id
+  WHERE bit_count(xor(d.hi, s.hi)) + bit_count(xor(d.lo, s.lo)) <= 3
+  GROUP BY 1)
+SELECT delta.doc_id, hits.min_hamming IS NULL AS is_novel,
+       hits.min_hamming
+FROM delta LEFT JOIN hits ON delta.doc_id = hits.doc_id
+ORDER BY delta.doc_id
+"""
+
+
+PAIRS.update({
+    "image_novelty_delta": (image_novelty_delta, ORACLE_IMAGE_NOVELTY),
+})
