@@ -1471,6 +1471,143 @@ def dhash_novelty(
                     "min_hamming"))
 
 
+# ---------------------------------------------------------------------------
+# Audio near-dup fingerprint (round 12, SURVEY §2.3 N134): the energy-
+# envelope difference hash — the dHash idea in the time domain, and the
+# third modality of the near-dup family (text MinHash/SimHash, image
+# dHash, audio envelope FP).  Real decode: PCM samples → per-window
+# integer |amplitude| sums → bit w = window w louder than window w+1 —
+# 32 bits over 33 windows, invariant to uniform gain scaling direction
+# changes only at envelope structure.  Exact integers end-to-end; the
+# 32-bit hash fits ONE BIGINT with no sign-bit hazard.
+# ---------------------------------------------------------------------------
+
+AFP_WINDOWS = 33
+
+AFP_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("afp", LongType()),
+])
+
+
+def audio_fp_bits(samples) -> int:
+    """The 32-bit envelope fingerprint of an ``(n, ch)`` int16 array.
+    Requires ``n % AFP_WINDOWS == 0`` (equal-length windows keep the
+    comparison exact-integer); bit ``w`` is 1 iff window ``w``'s
+    summed |amplitude| (across channels) exceeds window ``w+1``'s."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.int64)
+    n = int(x.shape[0])
+    if n == 0 or n % AFP_WINDOWS:
+        raise ValueError(
+            f"audio fp needs n % {AFP_WINDOWS} == 0, got {n}")
+    e = np.abs(x).sum(axis=1).reshape(AFP_WINDOWS, n // AFP_WINDOWS) \
+        .sum(axis=1)
+    h = 0
+    for w in range(AFP_WINDOWS - 1):
+        if e[w] > e[w + 1]:
+            h |= 1 << w
+    return h
+
+
+def audio_envelope_fp(df: DataFrame, *, id_col: str = "doc_id",
+                      payload_col: str = "payload") -> DataFrame:
+    """Per-clip envelope fingerprint from REAL WAV decode via
+    ``mapInPandas``; undecodable or wrong-length payloads yield a NULL
+    fingerprint.  Output follows :data:`AFP_SCHEMA`."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            fps = []
+            for p in pdf[payload_col]:
+                raw = bytes(p) if p is not None else b""
+                try:
+                    _rate, _ch, samples = decode_wav(raw)
+                    fps.append(audio_fp_bits(samples))
+                except ValueError:
+                    fps.append(None)
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                "afp": pd.Series(fps, dtype="Int64"),
+            })
+
+    return df.select(F.col(id_col).alias("doc_id"), payload_col) \
+        .mapInPandas(batches, AFP_SCHEMA)
+
+
+#: 4 bands × 8 bits over the 32-bit fingerprint: exact recall for
+#: hamming ≤ 3 by pigeonhole (same argument as SimHash/dHash).
+AFP_BANDS = 4
+AFP_BAND_BITS = 8
+AFP_BAND_MASK = (1 << AFP_BAND_BITS) - 1
+
+
+def afp_pairs(fps: DataFrame, *, max_hamming: int = 2) -> DataFrame:
+    """Near-duplicate audio pairs by envelope-fingerprint hamming
+    distance ≤ ``max_hamming`` (≤ 3 for exact recall under the 4×8
+    banding).  Candidates from a band-equality self-join — never
+    all-pairs.  Output ``(id_a, id_b, hamming)``, ``id_a < id_b``."""
+    from hbase_snapshotter_spark.cache import scoped_persist
+
+    banded = scoped_persist(
+        fps.filter(F.col("afp").isNotNull()).select(
+            "doc_id", "afp",
+            F.posexplode(F.array(*[
+                F.shiftright(F.col("afp"), AFP_BAND_BITS * j)
+                .bitwiseAND(F.lit(AFP_BAND_MASK))
+                for j in range(AFP_BANDS)
+            ])).alias("band", "key")))
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.afp").bitwiseXOR(F.col("b.afp")))
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("id_a"),
+                    F.col("b.doc_id").alias("id_b"),
+                    ham.cast("int").alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct())
+
+
+def synthesize_afp_wav_payloads(df: DataFrame, *,
+                                id_col: str = "doc_id") -> DataFrame:
+    """Deterministic envelope-FP fixtures with PLANTED near-dups: ids
+    ``2k``/``2k+1`` share the envelope — window ``w``'s amplitude is
+    ``A = ((k²+7k+3)(w+3)(w+5) + 13(k+1)w² + 5w(k%17+2) + 300·mut·[w=0])
+    % 1000 + 50`` (the quadratic-in-k mixing keeps cross-pair hash
+    near-collisions rare: pair count LINEAR in the corpus) — and the
+    odd id perturbs ONLY window 0, feeding exactly one comparison
+    (planted hamming ≤ 1).  Each window is 4 mono samples at Nyquist
+    alternation ``+A, −A, +A, −A`` (|sum| = 4A exactly); real
+    :func:`encode_wav` bytes; the oracle replays every bit from the
+    id arithmetic."""
+
+    def gen_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                k, mut = i // 2, i % 2
+                amps = [((k * k + 7 * k + 3) * (w + 3) * (w + 5)
+                         + 13 * (k + 1) * w * w + 5 * w * (k % 17 + 2)
+                         + (300 if mut and w == 0 else 0)) % 1000 + 50
+                        for w in range(AFP_WINDOWS)]
+                s = np.empty((AFP_WINDOWS * 4, 1), dtype=np.int16)
+                for w, a in enumerate(amps):
+                    s[4 * w:4 * w + 4, 0] = [a, -a, a, -a]
+                payloads.append(encode_wav(s, 8000))
+            yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"),
+                                "payload": payloads})
+
+    return df.select(id_col).mapInPandas(
+        gen_batches,
+        StructType([StructField("doc_id", LongType()),
+                    StructField("payload", BinaryType())]))
+
+
 def synthesize_dhash_bmp_payloads(df: DataFrame, *,
                                   id_col: str = "doc_id") -> DataFrame:
     """Deterministic dHash fixtures with PLANTED near-duplicates: ids

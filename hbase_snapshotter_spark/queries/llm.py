@@ -4514,8 +4514,58 @@ ORDER BY id_a, id_b
 """
 
 
+def dedup_afp_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual audio near-dup pairs (r12 — N134): one deterministic
+    WAV per document with PLANTED near-dup pairs (ids 2k/2k+1 share
+    the energy envelope; the odd id perturbs one window), fingerprinted
+    with the envelope difference hash over REAL decoded PCM (per-window
+    integer |amplitude| sums → 32 louder-than-next bits), then paired
+    by a banded 8-bit-key self-join at hamming ≤ 2 — exact recall by
+    pigeonhole, never an all-pairs product.  Completes the near-dup
+    family's third modality (text MinHash/SimHash, image dHash, audio
+    envelope FP).  The oracle replays every bit from the id arithmetic
+    and brute-forces the ≤ 2 join."""
+    from hbase_snapshotter_spark.operators.multimodal import (
+        afp_pairs,
+        audio_envelope_fp,
+        synthesize_afp_wav_payloads,
+    )
+
+    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet")) \
+        .select("doc_id")
+    return afp_pairs(
+        audio_envelope_fp(synthesize_afp_wav_payloads(docs))) \
+        .orderBy("id_a", "id_b")
+
+
+ORACLE_AFP_PAIRS = """
+WITH d AS (
+  SELECT doc_id, doc_id // 2 AS k, doc_id % 2 AS mut FROM documents),
+amps AS (
+  SELECT d.doc_id, w.w,
+         ((d.k*d.k + 7*d.k + 3) * (w.w + 3) * (w.w + 5)
+          + 13*(d.k + 1)*w.w*w.w + 5*w.w*(d.k % 17 + 2)
+          + CASE WHEN d.mut = 1 AND w.w = 0 THEN 300 ELSE 0 END)
+           % 1000 + 50 AS a
+  FROM d, range(0, 33) w(w)),
+bits AS (
+  SELECT l.doc_id, l.w,
+         CASE WHEN l.a > r.a THEN 1 ELSE 0 END AS bit
+  FROM amps l JOIN amps r
+    ON l.doc_id = r.doc_id AND r.w = l.w + 1
+  WHERE l.w < 32),
+h AS (
+  SELECT doc_id, SUM(bit << w) AS afp FROM bits GROUP BY 1)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.afp, b.afp)) AS INTEGER) AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.afp, b.afp)) <= 2
+ORDER BY id_a, id_b
+"""
+
+
 def dedup_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All five near-dup pair detectors as method lanes of one plan:
+    """All SIX near-dup pair detectors as method lanes of one plan:
     whole-document Jaccard and winnowing containment (the r6
     ``dedup_jaccard_pairs`` union) plus banded MinHash-LSH and SimHash
     (r8 merge of the former standalone ``dedup_minhash_lsh`` and
@@ -4537,8 +4587,12 @@ def dedup_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("phash").alias("method"), "id_a", "id_b",
         F.lit(None).cast("double").alias("score"),
         F.col("hamming").cast("int").alias("support"))
+    ap = dedup_afp_audio(spark, sf_dir).select(
+        F.lit("afp").alias("method"), "id_a", "id_b",
+        F.lit(None).cast("double").alias("score"),
+        F.col("hamming").cast("int").alias("support"))
     return dedup_jaccard_pairs(spark, sf_dir).unionByName(mh) \
-        .unionByName(sh).unionByName(ph) \
+        .unionByName(sh).unionByName(ph).unionByName(ap) \
         .orderBy("method", "id_a", "id_b")
 
 
@@ -4558,6 +4612,10 @@ UNION ALL
 SELECT 'phash' AS method, id_a, id_b, CAST(NULL AS DOUBLE) AS score,
        CAST(hamming AS INTEGER) AS support
 FROM ({ORACLE_PHASH_PAIRS})
+UNION ALL
+SELECT 'afp' AS method, id_a, id_b, CAST(NULL AS DOUBLE) AS score,
+       CAST(hamming AS INTEGER) AS support
+FROM ({ORACLE_AFP_PAIRS})
 """
 
 

@@ -3818,3 +3818,49 @@ def test_dhash_state_advance_equals_rebuild_and_novelty(spark):
            for r in dhash_novelty(state, hashes([11, 1])).collect()}
     assert nov[11][0] is True and nov[11][1] is None
     assert nov[1][0] is False and nov[1][1] <= 1
+
+
+def test_audio_fp_hand_computed_and_invariance(spark):
+    """N134 micro-unit: envelope-fingerprint bits replayed by hand;
+    uniform gain scaling leaves the hash INVARIANT (the property that
+    catches re-encoded/re-normalized copies); a structural envelope
+    change flips exactly the touched comparison; wrong length raises;
+    the banded pair join recovers every planted near-dup."""
+    import numpy as np
+    import pytest as _pytest
+
+    from hbase_snapshotter_spark.operators.multimodal import (
+        AFP_WINDOWS,
+        afp_pairs,
+        audio_envelope_fp,
+        audio_fp_bits,
+        synthesize_afp_wav_payloads,
+    )
+
+    # rising envelope: every window louder than the previous -> all 0
+    s = np.concatenate([
+        np.tile([a, -a], 2) for a in range(1, AFP_WINDOWS + 1)
+    ]).astype(np.int16).reshape(-1, 1)
+    assert audio_fp_bits(s) == 0
+    # falling envelope: all 32 bits set
+    assert audio_fp_bits(s[::-1].copy()) == 0xFFFFFFFF
+    # uniform gain x3: hash unchanged
+    assert audio_fp_bits((s.astype(np.int64) * 3).astype(np.int16)) == 0
+    # boost window 0 above window 1: flips ONLY bit 0
+    m = s.copy()
+    m[0:4, 0] = [99, -99, 99, -99]
+    assert audio_fp_bits(m) == 1
+    with _pytest.raises(ValueError, match="audio fp needs"):
+        audio_fp_bits(np.zeros((AFP_WINDOWS * 4 + 1, 1), dtype=np.int16))
+
+    docs = spark.range(0, 40).select(F.col("id").alias("doc_id"))
+    pairs = afp_pairs(
+        audio_envelope_fp(synthesize_afp_wav_payloads(docs)))
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        pairs._jdf.queryExecution(), "formatted")
+    assert "CartesianProduct" not in plan
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    for k in range(20):
+        assert (2 * k, 2 * k + 1) in got
+        assert got[(2 * k, 2 * k + 1)] <= 1
+    assert all(h <= 2 for h in got.values())
