@@ -704,6 +704,8 @@ def operators():
         # image near-dup lane)
         "ifv_decode": _q("multimodal_ifv_stats"),
         "phash_pairs": _q("dedup_phash_images"),
+        "afp_pairs": _q("dedup_afp_audio"),
+        "image_novelty": _q("image_novelty_delta"),
         # round-11 additions (MJPEG video lane, incremental zone-map
         # maintenance, margin-based bitext mining)
         "mjpeg_decode": _q("multimodal_mjpeg_stats"),
