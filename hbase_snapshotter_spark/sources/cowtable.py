@@ -232,7 +232,13 @@ def cow_merge(
     reference.  Returns ``{"version", "files_rewritten",
     "files_total"}``.  Raises :class:`CommitConflict` if another
     writer claims the version first — retry by re-calling (the merge
-    itself is deterministic given the new snapshot)."""
+    itself is deterministic given the new snapshot).
+
+    Contract: ``source`` must hold AT MOST ONE row per key (the same
+    unambiguous-match rule Delta's MERGE enforces by raising) — a
+    duplicated source key would land duplicated.  Net the source
+    upstream (latest-wins reduction) exactly as for
+    :func:`cow_apply_changes`."""
     if matched not in ("update", "delete"):
         raise ValueError(f"matched must be update|delete, got {matched!r}")
     entries = _read_log(path)
@@ -314,7 +320,12 @@ def cow_apply_changes(spark, path: str, changes: DataFrame, *,
     changelog→warehouse step the reference's pipeline feeds (S1→S12):
     upserts (I/U) and deletes (D) land in ONE merge transaction so a
     reader sees either none or all of the batch.  Delete rows need
-    only their key columns populated."""
+    only their key columns populated.
+
+    Contract: the batch must be a NET changefeed — at most one op per
+    key (exactly what the N50 state-diff emits); a raw transaction
+    log with several I/U rows for one key must be netted upstream
+    (latest-wins), the same rule as the N100 index maintainers."""
     ups = changes.filter(F.col(op_col).isin("I", "U")).drop(op_col)
     dels = changes.filter(F.col(op_col) == "D").drop(op_col)
     key_cols = _read_log(path)[0]["key_cols"]
