@@ -104,7 +104,13 @@ def _live_files(path: str, version: int | None = None) -> list[dict]:
 def _commit(path: str, entry: dict) -> None:
     """Atomically claim version slot ``entry['version']``: write a temp
     file, hard-link it onto the slot (fails iff the slot is taken),
-    then drop the temp name.  Readers never observe a partial log."""
+    then drop the temp name.  Readers never observe a partial log.
+    Stamps the wall-clock commit time (``ts``) for timestamp time
+    travel — informational like Delta's, never load-bearing for
+    correctness (version replay is)."""
+    import time
+
+    entry.setdefault("ts", time.time())
     os.makedirs(os.path.join(path, LOG_DIR), exist_ok=True)
     final = _log_path(path, entry["version"])
     tmp = os.path.join(path, LOG_DIR, f".tmp-{uuid.uuid4().hex}")
@@ -190,10 +196,31 @@ def cow_create(df: DataFrame, path: str, *, key_cols: list[str]) -> int:
     return 0
 
 
-def cow_snapshot(spark, path: str, *, version: int | None = None) -> DataFrame:
+def version_at_timestamp(path: str, ts: float) -> int:
+    """The newest version committed at or before wall-clock ``ts`` —
+    Delta's ``TIMESTAMP AS OF`` resolution rule.  Raises ValueError
+    when ``ts`` predates the table."""
+    best = None
+    for e in _read_log(path):
+        if e.get("ts") is not None and e["ts"] <= ts:
+            best = e["version"]
+    if best is None:
+        raise ValueError(
+            f"no version committed at or before ts={ts} in {path}")
+    return best
+
+
+def cow_snapshot(spark, path: str, *, version: int | None = None,
+                 as_of_ts: float | None = None) -> DataFrame:
     """The table's content at ``version`` (default latest) — time
-    travel is just replaying less of the log.  Returns a schema-stable
-    empty frame for a fully-deleted table."""
+    travel is just replaying less of the log; ``as_of_ts`` resolves a
+    wall-clock timestamp to its version first (mutually exclusive with
+    ``version``).  Returns a schema-stable empty frame for a
+    fully-deleted table."""
+    if as_of_ts is not None:
+        if version is not None:
+            raise ValueError("pass version OR as_of_ts, not both")
+        version = version_at_timestamp(path, as_of_ts)
     live = _live_files(path, version)
     files = [os.path.join(path, a["file"]) for a in live]
     if not files:
@@ -376,6 +403,38 @@ def cow_apply_changes(spark, path: str, changes: DataFrame, *,
                 "files_total": len(live)}
     finally:
         merged.unpersist()
+
+
+def cow_optimize(spark, path: str, *,
+                 small_file_rows: int = 1024,
+                 target_files: int = 1) -> dict:
+    """OPTIMIZE: compact the live SMALL files (≤ ``small_file_rows``
+    rows by their logged stats) into ``target_files`` consolidated
+    parts as one content-identical transaction — the Delta OPTIMIZE /
+    N104-compaction-planner action on the transactional store.  Large
+    files carry over by reference; a reader at any moment sees the
+    same rows before, during, and after (snapshot isolation — the old
+    parts stay on disk until :func:`cow_vacuum`).  Returns
+    ``{"version", "files_compacted", "files_total"}`` (version
+    unchanged and no commit when fewer than two small files exist —
+    compaction of one file is a no-op rewrite)."""
+    entries = _read_log(path)
+    key_cols = entries[0]["key_cols"]
+    version = entries[-1]["version"]
+    live = _live_files(path, version)
+    small = [a for a in live if a["n_rows"] <= small_file_rows]
+    if len(small) < 2:
+        return {"version": version, "files_compacted": 0,
+                "files_total": len(live)}
+    df = spark.read.parquet(
+        *[os.path.join(path, a["file"]) for a in small]) \
+        .coalesce(max(1, target_files))
+    adds = _write_parts(df, path, version + 1, key_cols)
+    _commit(path, {"version": version + 1, "op": "optimize",
+                   "key_cols": key_cols, "adds": adds,
+                   "removes": sorted(a["file"] for a in small)})
+    return {"version": version + 1, "files_compacted": len(small),
+            "files_total": len(live)}
 
 
 def cow_vacuum(path: str, *, keep_last: int = 1) -> dict:

@@ -350,3 +350,60 @@ def test_cow_apply_changes_property(spark, tmp_path_factory, base,
         tv = {r.k: r.v
               for r in cow_snapshot(spark, path, version=ver).collect()}
         assert tv == want, (ver, want)
+
+
+def test_optimize_and_timestamp_travel(spark, tmp_path):
+    """OPTIMIZE compacts the live small files into one part as a
+    content-identical transaction (large files carried by reference,
+    snapshot byte-for-byte unchanged, old versions still readable);
+    timestamp time travel resolves wall-clock instants to versions
+    with Delta's at-or-before rule."""
+    import json as _json
+    import time as _time
+
+    from hbase_snapshotter_spark.sources.cowtable import (
+        cow_optimize,
+        version_at_timestamp,
+    )
+
+    path, df = _mk(spark, tmp_path, n=60, parts=6)
+    t_after_create = _time.time()
+    src = spark.range(0, 4).select(F.col("id").alias("k"),
+                                   F.lit(5).cast("long").alias("v"))
+    cow_merge(spark, path, src)
+    before = _rows(cow_snapshot(spark, path))
+    n_files_before = len(
+        __import__("hbase_snapshotter_spark.sources.cowtable",
+                   fromlist=["_live_files"])._live_files(path))
+
+    res = cow_optimize(spark, path, small_file_rows=1024,
+                       target_files=1)
+    assert res["files_compacted"] == n_files_before
+    assert cow_version(path) == 2
+    after_live = __import__(
+        "hbase_snapshotter_spark.sources.cowtable",
+        fromlist=["_live_files"])._live_files(path)
+    assert len(after_live) == 1  # all small -> one consolidated part
+    # content-identical
+    assert _rows(cow_snapshot(spark, path)) == before
+    # prior versions still read exactly (old parts untouched on disk)
+    assert len(_rows(cow_snapshot(spark, path, version=0))) == 60
+    # idempotent-ish: a second optimize is a no-op (one live file)
+    res2 = cow_optimize(spark, path)
+    assert res2["files_compacted"] == 0 and cow_version(path) == 2
+
+    # timestamp travel: an instant between create and merge resolves
+    # to version 0; "now" resolves to the latest; prehistory raises
+    assert version_at_timestamp(path, t_after_create) == 0
+    assert version_at_timestamp(path, _time.time()) == 2
+    assert _rows(cow_snapshot(spark, path,
+                              as_of_ts=t_after_create)) \
+        == _rows(df)
+    with pytest.raises(ValueError, match="no version committed"):
+        version_at_timestamp(path, 0.0)
+    with pytest.raises(ValueError, match="not both"):
+        cow_snapshot(spark, path, version=1, as_of_ts=t_after_create)
+    # ts is stamped in every log entry
+    e0 = _json.load(open(os.path.join(path, "_txlog",
+                                      "00000000.json")))
+    assert isinstance(e0["ts"], float)
