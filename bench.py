@@ -15,6 +15,48 @@ import sys
 import time
 
 
+def _proc_cpu_s() -> float:
+    """Total utime+stime (seconds) of this process and every live
+    descendant (the in-process-launched JVM and its threads live under
+    our PID tree; python-side CPU is included too).
+
+    r13 (VERDICT r12 wrong #1): ALSO sum each PID's cutime/cstime
+    (/proc stat fields 16/17) — those accumulate the ticks of REAPED
+    children, so a Python worker that exits between two reads no longer
+    takes its CPU with it (the r12 artifact showed per-query CPU of
+    -2045 s from exactly that).  No double count: a live child is read
+    directly and is NOT yet in its parent's cutime; once reaped it
+    leaves the direct walk and lands in cutime.  Deltas are
+    additionally clamped at >= 0 where taken (a reparented orphan can
+    still vanish from the tree)."""
+    import glob
+
+    tick = os.sysconf("SC_CLK_TCK")
+    total = 0.0
+    me = str(os.getpid())
+    seen, frontier = set(), {me}
+    while frontier:
+        pid = frontier.pop()
+        seen.add(pid)
+        try:
+            with open(f"/proc/{pid}/stat") as fh:
+                parts = fh.read().rsplit(")", 1)[1].split()
+            total += (int(parts[11]) + int(parts[12])
+                      + int(parts[13]) + int(parts[14])) / tick
+        except OSError:
+            continue
+        for child_file in glob.glob(f"/proc/{pid}/task/*/children"):
+            try:
+                with open(child_file) as fh:
+                    for c in fh.read().split():
+                        if c not in seen:
+                            frontier.add(c)
+            except OSError:
+                pass
+    return total
+
+
+
 # r8 NOTE on round-over-round comparability: the VERDICT r7 task-1
 # consolidation merged several legacy keys into lane-union suites, so
 # five legacy rows changed identity this round (deliberate capability
@@ -243,35 +285,6 @@ def main() -> int:
     # a real plan regression moves both.
     per_pass_cpu: dict[str, list[float]] = {name: [] for name in all_names}
 
-    import glob
-
-    def _proc_cpu_s() -> float:
-        """Total utime+stime (seconds) of this process and every child
-        (the in-process-launched JVM and its threads live under our
-        PID tree; python-side CPU is included too)."""
-        tick = os.sysconf("SC_CLK_TCK")
-        total = 0.0
-        me = str(os.getpid())
-        seen, frontier = set(), {me}
-        while frontier:
-            pid = frontier.pop()
-            seen.add(pid)
-            try:
-                with open(f"/proc/{pid}/stat") as fh:
-                    parts = fh.read().rsplit(")", 1)[1].split()
-                total += (int(parts[11]) + int(parts[12])) / tick
-            except OSError:
-                continue
-            for child_file in glob.glob(f"/proc/{pid}/task/*/children"):
-                try:
-                    with open(child_file) as fh:
-                        for c in fh.read().split():
-                            if c not in seen:
-                                frontier.add(c)
-                except OSError:
-                    pass
-        return total
-
     for section, PASSES, REPS in ((HEADLINE, 3, 3), (HEADLINE_R6, 2, 2),
                                   (HEADLINE_R7, 2, 2)):
         # Warm-up at the smallest SF: compiles the generated code for
@@ -293,7 +306,7 @@ def main() -> int:
                     fn(spark, sf_dir).write.mode("overwrite") \
                         .format("noop").save()
                     wall = time.time() - t0
-                    cpu = _proc_cpu_s() - c0
+                    cpu = max(_proc_cpu_s() - c0, 0.0)
                     if wall < best:
                         best, best_cpu = wall, cpu
                 per_pass[name].append(round(best, 3))
