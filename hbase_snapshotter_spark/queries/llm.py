@@ -289,7 +289,7 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("winnow").alias("method"), "id_a", "id_b",
         F.col("containment").alias("score"),
         F.col("shared_fp").alias("support"))
-    return jac.unionByName(win).orderBy("method", "id_a", "id_b")
+    return jac.unionByName(win)
 
 
 # (the jaccard∪winnow oracle references the WINNOW_* constants defined
@@ -338,7 +338,7 @@ def _shared_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _shared_pairs(spark, sf_dir).orderBy("id_a", "id_b")
+    return _shared_pairs(spark, sf_dir)
 
 
 def _minhash_sql(i: int) -> str:
@@ -385,8 +385,7 @@ SIMHASH_MAX_HAMMING = 2
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return simhash_pairs(docs, "doc_id", max_hamming=SIMHASH_MAX_HAMMING) \
-        .withColumn("hamming", F.col("hamming").cast("int")) \
-        .orderBy("id_a", "id_b")
+        .withColumn("hamming", F.col("hamming").cast("int"))
 
 
 def _oracle_simhash() -> str:
@@ -783,8 +782,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbase_snapshotter_spark.operators.similarity import semdedup_verdicts
 
     return semdedup_verdicts(_emb(spark, sf_dir),
-                             threshold=EMB_PAIR_THRESHOLD) \
-        .orderBy("id_a", "id_b")
+                             threshold=EMB_PAIR_THRESHOLD)
 
 
 def _oracle_emb_pairs() -> str:
@@ -1099,8 +1097,7 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     if not audit_enabled(sf_dir):  # production/bench: LSH path alone
         return cosine_pairs_bucketed(emb, threshold=EMB_PAIR_THRESHOLD) \
-            .withColumn("recall_within_tolerance", F.lit(None).cast("boolean")) \
-            .orderBy("id_a", "id_b")
+            .withColumn("recall_within_tolerance", F.lit(None).cast("boolean"))
     lsh = scoped_persist(  # consumed twice: output rows + the recall count
         cosine_pairs_bucketed(emb, threshold=EMB_PAIR_THRESHOLD))
     n_exact = cosine_pairs_blocked(emb, threshold=EMB_PAIR_THRESHOLD) \
@@ -1114,7 +1111,7 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_within_tolerance"))
     # scalar attach: deliberate broadcast cross of a ONE-row flag —
     # linear in the output, the intended-cross shape
-    return lsh.crossJoin(F.broadcast(flag)).orderBy("id_a", "id_b")
+    return lsh.crossJoin(F.broadcast(flag))
 
 
 def _oracle_emb_lsh() -> str:
@@ -1501,7 +1498,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         sp.crossJoin(F.broadcast(flags))
         .select("doc_id", "cluster_id", "split", "doc_split",
                 "doc_leaked_pairs", "cluster_leak_free")
-        .orderBy("doc_id"))
+        )
 
 
 def _oracle_clusters() -> str:
@@ -2196,7 +2193,7 @@ def winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_overlap_pairs(
         docs, "doc_id", k=WINNOW_K, window=WINNOW_WINDOW,
         threshold=WINNOW_OVERLAP_THRESHOLD,
-    ).orderBy("id_a", "id_b")
+    )
 
 
 def _oracle_winnow_overlap() -> str:
@@ -2533,7 +2530,7 @@ def dedup_clusters_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     adv = advance_components(state, delta_edges, delta_nodes,
                              id_col="doc_id")
     return adv.select("doc_id", "component",
-                      is_delta.alias("is_delta")).orderBy("doc_id")
+                      is_delta.alias("is_delta"))
 
 
 def _oracle_clusters_delta() -> str:
@@ -2574,7 +2571,7 @@ def repetition_signals_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbase_snapshotter_spark.operators.text import repetition_signals
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return repetition_signals(docs, "doc_id").orderBy("doc_id")
+    return repetition_signals(docs, "doc_id")
 
 
 def _oracle_repetition_signals() -> str:
@@ -2750,7 +2747,7 @@ def cms_freq_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.lit(None).cast("long").alias("true_cnt"),
                         "n_tokens", nb.alias("overestimate_ok"),
                         nb.alias("within_bound"))
-                .orderBy("lang", "item"))
+                )
     true_cnt = (
         toks.filter(F.col("tok").isin(CMS_PROBE_TOKENS))
         .groupBy("lang", F.col("tok").alias("item"))
@@ -2764,7 +2761,7 @@ def cms_freq_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("est_cnt") >= F.col("true_cnt")).alias("overestimate_ok"),
         ((F.col("est_cnt") - F.col("true_cnt")) * CMS_WIDTH
          <= CMS_BOUND_NUM * F.col("n_tokens")).alias("within_bound"),
-    ).orderBy("lang", "item")
+    )
 
 
 def _oracle_cms_freq() -> str:
@@ -2848,7 +2845,7 @@ def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         out[0].unionByName(out[1])
         .select("method", "query_id", "hits", "n_relevant", "recall_at_k",
                 "precision_at_k", "mrr", "ndcg_at_k")
-        .orderBy("method", "query_id"))
+        )
 
 
 def _oracle_retrieval_eval() -> str:
@@ -2961,8 +2958,7 @@ def source_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     toks = docs.select(
         "source", F.explode(tokens(F.col("text"))).alias("tok"))
-    return loo_categorical_drift(toks, "tok", source_col="source") \
-        .orderBy("source")
+    return loo_categorical_drift(toks, "tok", source_col="source")
 
 
 def _oracle_vocab_drift() -> str:
@@ -3031,7 +3027,7 @@ def embedding_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     return truncation_overlap(
         emb, emb.filter(F.col("vec_id") < TOPK_QUERY_PRED),
-        trunc_dims=TRUNC_DIMS, k=TOPK_K).orderBy("query_id")
+        trunc_dims=TRUNC_DIMS, k=TOPK_K)
 
 
 SQL_COSINE_TRUNC = f"""
@@ -3091,7 +3087,7 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return weighted_sample(
         docs, "doc_id", "n_chars", WS_SAMPLE_K, group_col="lang"
-    ).orderBy("lang", "sample_rank")
+    )
 
 
 ORACLE_WEIGHTED_SAMPLE = f"""
@@ -3132,7 +3128,7 @@ def char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits.alias("entropy_bits"),
         ((bits < ENTROPY_MIN_BITS) | (bits > ENTROPY_MAX_BITS))
         .alias("gibberish_flagged"),
-    ).orderBy("doc_id")
+    )
 
 
 def _oracle_char_entropy() -> str:
@@ -3188,7 +3184,7 @@ def dedup_cluster_representatives(spark: SparkSession,
     comp = _shared_components(spark, sf_dir)
     quality = text_features(docs, "text", id_cols=["doc_id"]) \
         .select("doc_id", "quality_score")
-    return cluster_representatives(comp, quality).orderBy("doc_id")
+    return cluster_representatives(comp, quality)
 
 
 def _oracle_cluster_reps() -> str:
@@ -3248,8 +3244,7 @@ def epoch_replicated_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .select("doc_id", "source")
-    return epoch_replicate(docs, "doc_id", EPOCH_FACTORS) \
-        .orderBy("doc_id", "copy_idx")
+    return epoch_replicate(docs, "doc_id", EPOCH_FACTORS)
 
 
 def _oracle_epoch_mix() -> str:
@@ -3826,7 +3821,7 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("b.cand_id").alias("id_b"),
                 F.round(cosine_expr(F.col("a.embedding"),
                                     F.col("b.embedding")), 4).alias("sim")))
-    return mmr_rerank(cand, pairs, MMR_K).orderBy("query_id", "rank")
+    return mmr_rerank(cand, pairs, MMR_K)
 
 
 def _oracle_mmr(cand_ctes: str | None = None, extra_col: str = "") -> str:
@@ -3986,15 +3981,14 @@ def neardup_novelty_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=MINHASH_BANDS, threshold=MINHASH_THRESHOLD,
         delta_shingles=delta_sh, verify_shingles=sh)
     if not audit_enabled(sf_dir):  # production/bench: advance alone
-        return out.withColumn("advance_consistent", F.lit(None).cast("boolean")) \
-            .orderBy("doc_id")
+        return out.withColumn("advance_consistent", F.lit(None).cast("boolean"))
     adv = advance_neardup_state(
         state, delta, "doc_id", num_hashes=MINHASH_K, bands=MINHASH_BANDS)
     full = build_neardup_state(
         docs, "doc_id", num_hashes=MINHASH_K, bands=MINHASH_BANDS)
     flag = (adv.exceptAll(full).unionAll(full.exceptAll(adv))
             .agg((F.count(F.lit(1)) == 0).alias("advance_consistent")))
-    return out.crossJoin(F.broadcast(flag)).orderBy("doc_id")
+    return out.crossJoin(F.broadcast(flag))
 
 
 def _oracle_neardup_novelty() -> str:
@@ -4169,7 +4163,7 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbase_snapshotter_spark.operators.dedup import dup_span_stats
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return dup_span_stats(docs, "doc_id", span_len=SPAN_LEN).orderBy("doc_id")
+    return dup_span_stats(docs, "doc_id", span_len=SPAN_LEN)
 
 
 ORACLE_EXACT_SUBSTR = f"""
@@ -4479,8 +4473,7 @@ def dedup_phash_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet")) \
         .select("doc_id")
     return dhash_pairs(
-        image_dhash(synthesize_dhash_bmp_payloads(docs))) \
-        .orderBy("id_a", "id_b")
+        image_dhash(synthesize_dhash_bmp_payloads(docs)))
 
 
 ORACLE_PHASH_PAIRS = """
@@ -4534,8 +4527,7 @@ def dedup_afp_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet")) \
         .select("doc_id")
     return afp_pairs(
-        audio_envelope_fp(synthesize_afp_wav_payloads(docs))) \
-        .orderBy("id_a", "id_b")
+        audio_envelope_fp(synthesize_afp_wav_payloads(docs)))
 
 
 ORACLE_AFP_PAIRS = """
@@ -4592,8 +4584,7 @@ def dedup_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("score"),
         F.col("hamming").cast("int").alias("support"))
     return dedup_jaccard_pairs(spark, sf_dir).unionByName(mh) \
-        .unionByName(sh).unionByName(ph).unionByName(ap) \
-        .orderBy("method", "id_a", "id_b")
+        .unionByName(sh).unionByName(ph).unionByName(ap)
 
 
 def _oracle_dedup_pairs_suite() -> str:
@@ -4713,12 +4704,11 @@ def mmr_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     F.col("b.embedding")), 4).alias("sim")))
     out = mmr_rerank(cand, pairs, MMR_K)
     if not audit_enabled(sf_dir):
-        return out.withColumn("recall_within_tolerance", F.lit(None).cast("boolean")) \
-            .orderBy("query_id", "rank")
+        return out.withColumn("recall_within_tolerance", F.lit(None).cast("boolean"))
     flag = _recall_flag(cand0, brute_force_topk(emb, queries, k=MMR_CAND_M),
                         MMR_IVFPQ_RECALL_BOUND)
     # scalar attach: deliberate broadcast cross of a ONE-row flag
-    return out.crossJoin(F.broadcast(flag)).orderBy("query_id", "rank")
+    return out.crossJoin(F.broadcast(flag))
 
 
 def _oracle_mmr_ivfpq() -> str:
@@ -4968,7 +4958,7 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # decode; the decimated square wave keeps every even (+amp) frame,
     # so peak == rms == amp survives exactly
     half = decimate_wav_features(payloads)
-    return full.join(half, "doc_id").orderBy("doc_id")
+    return full.join(half, "doc_id")
 
 
 ORACLE_MULTIMODAL_AUDIO = """
@@ -5010,8 +5000,7 @@ def multimodal_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet")) \
         .select("doc_id")
-    return sample_avi_frame_features(synthesize_avi_payloads(docs)) \
-        .orderBy("doc_id", "frame_idx")
+    return sample_avi_frame_features(synthesize_avi_payloads(docs))
 
 
 ORACLE_MULTIMODAL_VIDEO = """
@@ -5063,7 +5052,7 @@ def multimodal_mjpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_sampled").alias("mjpeg_n_sampled"),
         F.col("frame_idx").alias("mjpeg_frame_idx"),
         F.col("frame_mean_milli").alias("mjpeg_frame_mean_milli"),
-    ).orderBy("doc_id", "mjpeg_frame_idx")
+    )
 
 
 ORACLE_MULTIMODAL_MJPEG = """
@@ -5143,7 +5132,7 @@ def multimodal_ifv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_sampled").alias("ifv_n_sampled"),
         F.col("frame_idx").alias("ifv_frame_idx"),
         F.col("frame_mean_milli").alias("ifv_frame_mean_milli"),
-    ).orderBy("doc_id", "ifv_frame_idx")
+    )
 
 
 ORACLE_MULTIMODAL_IFV = """
@@ -5327,8 +5316,7 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return group_mean_vector(
-        _emb(spark, sf_dir), "embedding", group_cols=["label"]) \
-        .orderBy("label", "dim")
+        _emb(spark, sf_dir), "embedding", group_cols=["label"])
 
 
 ORACLE_LABEL_CENTROIDS = """
@@ -5737,7 +5725,7 @@ def doc_link_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _shared_graph_edges(spark, sf_dir)
     flag = _shared_graph_flag(spark, sf_dir)
     return (link_rank(edges.select("id_a", "id_b"))
-            .crossJoin(F.broadcast(flag)).orderBy("id"))
+            .crossJoin(F.broadcast(flag)))
 
 
 def _oracle_link_rank(iters: int = 5) -> str:
@@ -5809,7 +5797,7 @@ def doc_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _shared_graph_edges(spark, sf_dir)
     flag = _shared_graph_flag(spark, sf_dir)
     return (triangle_stats(edges.select("id_a", "id_b"))
-            .crossJoin(F.broadcast(flag)).orderBy("id"))
+            .crossJoin(F.broadcast(flag)))
 
 
 ORACLE_TRIANGLES = """
@@ -6231,7 +6219,7 @@ def image_novelty_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         image_dhash(synthesize_dhash_bmp_payloads(docs)))
     state = build_dhash_state(hashes.filter(F.col("doc_id") % 8 < 5))
     delta = hashes.filter(F.col("doc_id") % 8 >= 5)
-    return dhash_novelty(state, delta).orderBy("doc_id")
+    return dhash_novelty(state, delta)
 
 
 ORACLE_IMAGE_NOVELTY = """

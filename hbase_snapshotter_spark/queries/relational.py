@@ -994,7 +994,7 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         numeric_cols=["l_quantity", "l_extendedprice", "l_discount"],
         string_cols=["l_returnflag", "l_linestatus", "l_shipdate_s"],
         exact_distinct=audit_enabled(sf_dir),
-    ).orderBy("col_name")
+    )
 
 
 def _oracle_profile() -> str:
@@ -1086,7 +1086,7 @@ def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("hits_order_band"),
         ((F.col("p_lo") <= p_band_hi) & (F.col("p_hi") >= p_band_lo))
         .alias("hits_part_band"))
-        .orderBy("zbucket"))
+        )
 
 
 def _oracle_zorder() -> str:
@@ -1163,7 +1163,7 @@ def constraint_audit_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out.orderBy("table_name", "check_type", "col_name")
+    return out
 
 
 def _oracle_constraint_audit() -> str:

@@ -735,7 +735,7 @@ def q_quantile_sketch_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
             *g, "n_values", "q50_est", "q95_est", "q99_est",
             F.lit(None).cast("boolean").alias("est_within_tolerance"),
             F.lit(None).cast("boolean").alias("merged_equals_full"),
-            F.lit(None).cast("boolean").alias("advance_equals_full")).orderBy(*g)
+            F.lit(None).cast("boolean").alias("advance_equals_full"))
 
     # exact rank values (check-time structure: one per-group sort of
     # the fixture; production audits a sampled subset on a schedule)
@@ -778,7 +778,7 @@ def q_quantile_sketch_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
                              "q99_est", "est_within_tolerance")
             .crossJoin(F.broadcast(merged_flag))
             .crossJoin(F.broadcast(adv_flag))
-            .orderBy(*g))
+            )
 
 
 def oracle_quantile_sketch_maintenance() -> str:
@@ -1022,7 +1022,7 @@ def q_agg_view_advance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("sum_value"),
         "advance_consistent")
     return (out.crossJoin(F.broadcast(flag)).unionByName(sentinel)
-            .orderBy("qualifier"))
+            )
 
 
 def oracle_agg_view_advance() -> str:
@@ -1124,7 +1124,7 @@ def q_topk_delete_advance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("integer").alias("rk"),
         "advance_consistent")
     return (out.crossJoin(F.broadcast(flag)).unionByName(sentinel)
-            .orderBy("qualifier", "rk"))
+            )
 
 
 def oracle_topk_delete_advance() -> str:

@@ -314,8 +314,7 @@ def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     r = time_bucket_rollup(
         ev, "ts", "value", RESAMPLE_BUCKET_MS, group_cols=["event_type"])
-    return gap_fill(r, RESAMPLE_BUCKET_MS, group_cols=["event_type"]) \
-        .orderBy("event_type", "bucket")
+    return gap_fill(r, RESAMPLE_BUCKET_MS, group_cols=["event_type"])
 
 
 ORACLE_RESAMPLE_GAPFILL = f"""
@@ -394,8 +393,7 @@ def events_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         window_buckets=ROLLING_WINDOW_BUCKETS,
         z_threshold=ROLLING_Z_THRESHOLD,
     ).select("event_type", "bucket", "v_lerp", "filled", "roll_avg",
-             "roll_std", "zscore", "is_anomaly", "n_window") \
-        .orderBy("event_type", "bucket")
+             "roll_std", "zscore", "is_anomaly", "n_window")
 
 
 _GAPFILL_CORE = ORACLE_RESAMPLE_GAPFILL.rsplit("ORDER BY", 1)[0]
@@ -448,7 +446,7 @@ def events_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.unix_millis("ts") <= SNAPSHOT_TS_MS).alias("__early")))
     return psi_drift(
         ev.filter("__early"), ev.filter("NOT __early"), "value",
-        group_cols=["event_type"]).orderBy("event_type")
+        group_cols=["event_type"])
 
 
 def _oracle_drift_psi() -> str:
@@ -517,8 +515,7 @@ def events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = time_bucket_rollup(
         ev, "ts", "value", RESAMPLE_BUCKET_MS, group_cols=["event_type"])
     grid = gap_fill(r, RESAMPLE_BUCKET_MS, group_cols=["event_type"])
-    return ewma_smooth(grid, group_cols=["event_type"]) \
-        .orderBy("event_type", "bucket")
+    return ewma_smooth(grid, group_cols=["event_type"])
 
 
 def _oracle_ewma() -> str:
@@ -574,7 +571,7 @@ def events_quantile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "value"))
     state = quantile_state(ev, "value", group_cols=["event_type"])
     return quantile_rank_normalize(
-        ev, state, "value", group_cols=["event_type"]).orderBy("event_id")
+        ev, state, "value", group_cols=["event_type"])
 
 
 def _oracle_quantile_rank() -> str:
@@ -628,7 +625,7 @@ def events_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("value").isNotNull() & (F.col("value") > 0)))
     state = quantile_state(ev, "value", group_cols=["event_type"])
     return winsorize(ev, state, "value", group_cols=["event_type"],
-                     q_lo=WINSOR_QLO, q_hi=WINSOR_QHI).orderBy("event_id")
+                     q_lo=WINSOR_QLO, q_hi=WINSOR_QHI)
 
 
 def _oracle_winsorized() -> str:
@@ -702,8 +699,7 @@ def events_timeseries_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         window_buckets=ROLLING_WINDOW_BUCKETS,
         z_threshold=ROLLING_Z_THRESHOLD)
     ew = ewma_smooth(grid, group_cols=["event_type"]).drop("v")
-    return rs.join(ew, ["event_type", "bucket"]) \
-        .orderBy("event_type", "bucket")
+    return rs.join(ew, ["event_type", "bucket"])
 
 
 def _oracle_timeseries_suite() -> str:
@@ -780,7 +776,7 @@ def events_sketch_norm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     qr = quantile_rank_normalize(
         ev, state, "value", group_cols=["event_type"])
     return winsorize(qr, state, "value", group_cols=["event_type"],
-                     q_lo=WINSOR_QLO, q_hi=WINSOR_QHI).orderBy("event_id")
+                     q_lo=WINSOR_QLO, q_hi=WINSOR_QHI)
 
 
 def _oracle_sketch_norm_suite() -> str:
@@ -904,7 +900,7 @@ def range_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_bucket.join(F.broadcast(totals), ["event_type", "method"])
         .select("event_type", "method", "bucket", "n_rows", "v_lo", "v_hi",
                 ratio.alias("depth_ratio"))
-        .orderBy("event_type", "method", "bucket"))
+        )
 
 
 def _oracle_range_layout() -> str:
@@ -965,8 +961,7 @@ def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "ts", "value")
     return ohlc_bars(
         ev, ts_col="ts", value_col="value", group_cols=["event_type"],
-        bucket_ms=RESAMPLE_BUCKET_MS, id_col="event_id") \
-        .orderBy("event_type", "bucket")
+        bucket_ms=RESAMPLE_BUCKET_MS, id_col="event_id")
 
 
 def _oracle_ohlc_bars() -> str:
@@ -1052,7 +1047,7 @@ def events_topk_advance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "advance_consistent")
     return (advanced.select(*out_cols)
             .crossJoin(F.broadcast(flag)).unionByName(sentinel)
-            .orderBy("event_type", "rank"))
+            )
 
 
 def _oracle_topk_advance() -> str:
@@ -1297,7 +1292,7 @@ def event_pattern_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("avg_duration_s"),
         round4(F.sum("steps_between").cast("long"), n)
         .alias("avg_steps_between"))
-        .orderBy("from_state", "to_state"))
+        )
 
 
 def _oracle_pattern_funnel() -> str:
@@ -1783,7 +1778,7 @@ def zone_map_advance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .crossJoin(F.broadcast(sk_stale))
             .crossJoin(F.broadcast(sk_tight))
             .crossJoin(F.broadcast(flags))
-            .orderBy("file_id"))
+            )
 
 
 def _oracle_zone_map_advance() -> str:
@@ -2082,8 +2077,7 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = time_bucket_rollup(
         ev, "ts", "value", RESAMPLE_BUCKET_MS, group_cols=["event_type"])
     grid = gap_fill(r, RESAMPLE_BUCKET_MS, group_cols=["event_type"])
-    return cusum_drift(grid, group_cols=["event_type"]) \
-        .orderBy("event_type", "bucket")
+    return cusum_drift(grid, group_cols=["event_type"])
 
 
 def _oracle_cusum() -> str:
@@ -2152,7 +2146,7 @@ def events_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
          _ROBUST_COLS),
         ("trend_ols", events_trend_ols(spark, sf_dir), _TREND_COLS),
         ("cusum_drift", events_cusum_drift(spark, sf_dir), _CUSUM_COLS),
-    ]).orderBy("lane", "event_type", "bucket")
+    ])
 
 
 def _oracle_events_stats_suite() -> str:
