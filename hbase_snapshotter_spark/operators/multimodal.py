@@ -232,6 +232,18 @@ FRAME_SCHEMA = StructType([
 #: Default cap for evenly-spaced frame sampling.
 FRAME_SAMPLE_CAP = 8
 
+#: Fan-out cap for the codec/synth mapInPandas pipelines (r13): every
+#: Arrow-batched Python task carries ~0.25 CPU-s of fixed runner/
+#: serialization cost regardless of row count, and the r13 vectorized
+#: codecs need only ~50-100 us/row — so a few-thousand-row fixture
+#: input wants a handful of fat tasks, not one per core.  Production
+#: inputs arrive in many file splits, where spread() is a no-op and the
+#: split size (maxPartitionBytes) governs instead.  Env-overridable so
+#: a cluster profile can retune without a code change.
+import os as _os
+
+CODEC_SPREAD_CAP = int(_os.environ.get("SPARK_GRAFT_CODEC_TASKS", "8"))
+
 
 def sample_frames(df: DataFrame, *, max_frames: int = FRAME_SAMPLE_CAP,
                   id_col: str = "doc_id",
@@ -1925,18 +1937,101 @@ def _huffman_codes(bits, vals):
     return out
 
 
-def _huffman_decode_table(bits, vals):
-    """{(length, code): value} for the bit-by-bit decoder."""
-    table = {}
+#: r13 (guide §4.2 — do the heavy lifting in bulk, not per bit): the
+#: JPEG entropy decoder peeks 16 bits at a time into flat 65536-entry
+#: lookup lists (symbol, code length), replacing the per-bit
+#: method-call reader; tables are cached by their transmitted bytes
+#: (the Annex-K constants in every fixture payload, so the build cost
+#: amortizes to zero across a task's batches).
+_DECODE_LUT_CACHE: dict = {}
+_QTABLE_CACHE: dict = {}
+_CONST_CACHE: dict = {}
+
+
+def _huffman_decode_lut(bits, vals):
+    """(sym, nbits) 16-bit-peek lookup lists for one canonical table:
+    ``lut_sym[peek16]`` = decoded RS byte, ``lut_len[peek16]`` = code
+    length (0 = no code matches within 16 bits).  Prefix-freeness makes
+    the first match unique, so the LUT decodes exactly what the former
+    length-by-length walk decoded."""
+    import numpy as np
+
+    key = (bytes(bits), bytes(vals))
+    hit = _DECODE_LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    lut_sym = np.zeros(1 << 16, dtype=np.int16)
+    lut_len = np.zeros(1 << 16, dtype=np.uint8)
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            table[(length, code)] = vals[k]
+            lo = code << (16 - length)
+            hi = (code + 1) << (16 - length)
+            lut_sym[lo:hi] = vals[k]
+            lut_len[lo:hi] = length
             code += 1
             k += 1
         code <<= 1
-    return table
+    out = (lut_sym.tolist(), lut_len.tolist())
+    _DECODE_LUT_CACHE[key] = out
+    return out
+
+
+def _parse_qtable(body65: bytes):
+    """De-zigzagged 8×8 quantization table for one 65-byte DQT entry,
+    cached by the transmitted bytes."""
+    import numpy as np
+
+    hit = _QTABLE_CACHE.get(body65)
+    if hit is None:
+        t = np.zeros(64, dtype=np.int64)
+        for i in range(64):
+            t[JPEG_ZIGZAG[i]] = body65[1 + i]
+        hit = t.reshape(8, 8)
+        _QTABLE_CACHE[body65] = hit
+    return hit
+
+
+def _jpeg_consts():
+    """(T, zigzag-index array) — tiny per-call constants the encode and
+    decode paths previously rebuilt per payload."""
+    import numpy as np
+
+    hit = _CONST_CACHE.get("consts")
+    if hit is None:
+        hit = (_jpeg_dct_matrix(), np.array(JPEG_ZIGZAG))
+        _CONST_CACHE["consts"] = hit
+    return hit
+
+
+def _destuff_scan(scan: bytes):
+    """Split the entropy stream into ``(delivered, pending_error)``:
+    the bytes the former bit-by-bit reader would have delivered, and
+    the exact ValueError it would raise if asked to read past them
+    (0xFF00 un-stuffs; a bare 0xFF marker or a trailing 0xFF stops
+    delivery) — so the bulk reader reproduces the lazy error semantics
+    byte for byte."""
+    out = bytearray()
+    pos = 0
+    n = len(scan)
+    err = "truncated JPEG entropy stream"
+    while True:
+        ff = scan.find(b"\xFF", pos)
+        if ff < 0:
+            out += scan[pos:]
+            break
+        out += scan[pos:ff]
+        if ff + 1 >= n:
+            break
+        nxt = scan[ff + 1]
+        if nxt == 0x00:
+            out.append(0xFF)
+            pos = ff + 2
+        else:
+            err = f"unexpected marker 0xFF{nxt:02X} in scan"
+            break
+    return bytes(out), err
 
 
 def _round_half_away(a):
@@ -1978,40 +2073,47 @@ def _jpeg_category(v: int) -> tuple[int, int]:
     return ssss, code
 
 
-def _jpeg_encode_block(bw, block, T, Q, dc_codes, ac_codes, zz,
-                       prev_dc: int) -> int:
-    """FDCT + quantize + huffman-encode one level-shifted 8×8 block;
-    returns the new DC predictor."""
-    F = T @ block @ T.T
-    q = _round_half_away(F / Q).astype("int64")
-    zq = q.reshape(64)[zz]
-    diff = int(zq[0]) - prev_dc
-    prev_dc = int(zq[0])
-    ssss, code = _jpeg_category(diff)
-    hc, hl = dc_codes[ssss]
-    bw.put(hc, hl)
-    if ssss:
-        bw.put(code, ssss)
-    run = 0
-    last_nz = max((i for i in range(1, 64) if zq[i]), default=0)
-    for i in range(1, last_nz + 1):
-        v = int(zq[i])
-        if v == 0:
-            run += 1
-            continue
-        while run > 15:
-            hc, hl = ac_codes[0xF0]             # ZRL
-            bw.put(hc, hl)
-            run -= 16
-        ssss, code = _jpeg_category(v)
-        hc, hl = ac_codes[(run << 4) | ssss]
-        bw.put(hc, hl)
-        bw.put(code, ssss)
-        run = 0
-    if last_nz < 63:
-        hc, hl = ac_codes[0x00]                 # EOB
-        bw.put(hc, hl)
-    return prev_dc
+def _encode_consts() -> dict:
+    """Per-process constants of the encode path — Huffman code dicts,
+    float quant arrays, and the constant DQT/DHT header segments —
+    built once instead of per payload (r13; they dominated the encode
+    profile for the small fixture frames)."""
+    import struct
+
+    import numpy as np
+
+    hit = _CONST_CACHE.get("encode")
+    if hit is not None:
+        return hit
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    dqt_g = seg(0xFFDB, b"\x00" + bytes(JPEG_QUANT_LUMA[i]
+                                        for i in JPEG_ZIGZAG))
+    dht_g = (seg(0xFFC4, b"\x00" + bytes(JPEG_DC_LUMA[0])
+                 + bytes(JPEG_DC_LUMA[1]))
+             + seg(0xFFC4, b"\x10" + bytes(JPEG_AC_LUMA[0])
+                   + bytes(JPEG_AC_LUMA[1])))
+    dqt_c = dqt_g + seg(0xFFDB, b"\x01" + bytes(JPEG_QUANT_CHROMA[i]
+                                                for i in JPEG_ZIGZAG))
+    dht_c = (dht_g
+             + seg(0xFFC4, b"\x01" + bytes(JPEG_DC_CHROMA[0])
+                   + bytes(JPEG_DC_CHROMA[1]))
+             + seg(0xFFC4, b"\x11" + bytes(JPEG_AC_CHROMA[0])
+                   + bytes(JPEG_AC_CHROMA[1])))
+    hit = {
+        "codes_l": (_huffman_codes(*JPEG_DC_LUMA),
+                    _huffman_codes(*JPEG_AC_LUMA)),
+        "codes_c": (_huffman_codes(*JPEG_DC_CHROMA),
+                    _huffman_codes(*JPEG_AC_CHROMA)),
+        "q_l": np.array(JPEG_QUANT_LUMA, dtype=np.float64).reshape(8, 8),
+        "q_c": np.array(JPEG_QUANT_CHROMA, dtype=np.float64).reshape(8, 8),
+        "hdr_gray": (dqt_g, dht_g),
+        "hdr_color": (dqt_c, dht_c),
+    }
+    _CONST_CACHE["encode"] = hit
+    return hit
 
 
 def encode_jpeg(pixels) -> bytes:
@@ -2040,13 +2142,17 @@ def encode_jpeg(pixels) -> bytes:
         raise ValueError("empty image")
     H, W = (h + 7) & ~7, (w + 7) & ~7
 
-    T = _jpeg_dct_matrix()
-    Q_l = np.array(JPEG_QUANT_LUMA, dtype=np.float64).reshape(8, 8)
-    Q_c = np.array(JPEG_QUANT_CHROMA, dtype=np.float64).reshape(8, 8)
-    codes_l = (_huffman_codes(*JPEG_DC_LUMA), _huffman_codes(*JPEG_AC_LUMA))
-    codes_c = (_huffman_codes(*JPEG_DC_CHROMA),
-               _huffman_codes(*JPEG_AC_CHROMA))
-    zz = np.array(JPEG_ZIGZAG)
+    # r13 (guide §4.2): FDCT + quantization run batched over ALL blocks
+    # of a plane in three numpy calls instead of two 8×8 matmuls + a
+    # rounding pass per block; the per-payload constant tables (DCT
+    # matrix, quant arrays, Huffman code dicts, DQT/DHT header bytes)
+    # are cached at module level.  The emitted symbols — and so every
+    # byte — are identical to the former per-block path.
+    T, zz = _jpeg_consts()
+    codes_l = _encode_consts()["codes_l"]
+    codes_c = _encode_consts()["codes_c"]
+    Q_l = _encode_consts()["q_l"]
+    Q_c = _encode_consts()["q_c"]
 
     if color:
         data = _rgb_to_ycbcr(px)
@@ -2056,40 +2162,62 @@ def encode_jpeg(pixels) -> bytes:
     else:
         comps = [(px.astype(np.float64), Q_l, codes_l)]
 
-    planes = []
-    for plane, Q, codes in comps:
+    nby, nbx = H // 8, W // 8
+    zq_lists = []
+    for plane, Q, _codes in comps:
         padded = np.empty((H, W), dtype=np.float64)
         padded[:h, :w] = plane
         padded[h:, :w] = plane[-1:, :]
         padded[:, w:] = padded[:, w - 1: w]
-        planes.append((padded - 128.0, Q, codes))
+        blocks = (padded - 128.0).reshape(nby, 8, nbx, 8) \
+            .transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        Fq = np.matmul(np.matmul(T, blocks), T.T)
+        q = _round_half_away(Fq / Q).astype("int64")
+        zq_lists.append(q.reshape(-1, 64)[:, zz].tolist())
 
     bw = _JpegBitWriter()
-    prev = [0] * len(planes)
-    for by in range(H // 8):
-        for bx in range(W // 8):
-            for ci, (padded, Q, (dc_codes, ac_codes)) in enumerate(planes):
-                prev[ci] = _jpeg_encode_block(
-                    bw, padded[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8],
-                    T, Q, dc_codes, ac_codes, zz, prev[ci])
+    put = bw.put
+    prev = [0] * len(comps)
+    for blk in range(nby * nbx):
+        for ci, (_plane, _Q, (dc_codes, ac_codes)) in enumerate(comps):
+            zq = zq_lists[ci][blk]
+            diff = zq[0] - prev[ci]
+            prev[ci] = zq[0]
+            ssss, code = _jpeg_category(diff)
+            hc, hl = dc_codes[ssss]
+            put(hc, hl)
+            if ssss:
+                put(code, ssss)
+            run = 0
+            last_nz = 0
+            for i in range(63, 0, -1):
+                if zq[i]:
+                    last_nz = i
+                    break
+            for i in range(1, last_nz + 1):
+                v = zq[i]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    hc, hl = ac_codes[0xF0]             # ZRL
+                    put(hc, hl)
+                    run -= 16
+                ssss, code = _jpeg_category(v)
+                hc, hl = ac_codes[(run << 4) | ssss]
+                put(hc, hl)
+                put(code, ssss)
+                run = 0
+            if last_nz < 63:
+                hc, hl = ac_codes[0x00]                 # EOB
+                put(hc, hl)
     scan = bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
 
-    dqt = seg(0xFFDB, b"\x00" + bytes(JPEG_QUANT_LUMA[i]
-                                      for i in JPEG_ZIGZAG))
-    dht = (seg(0xFFC4, b"\x00" + bytes(JPEG_DC_LUMA[0])
-               + bytes(JPEG_DC_LUMA[1]))
-           + seg(0xFFC4, b"\x10" + bytes(JPEG_AC_LUMA[0])
-                 + bytes(JPEG_AC_LUMA[1])))
+    dqt, dht = _encode_consts()["hdr_color" if color else "hdr_gray"]
     if color:
-        dqt += seg(0xFFDB, b"\x01" + bytes(JPEG_QUANT_CHROMA[i]
-                                           for i in JPEG_ZIGZAG))
-        dht += (seg(0xFFC4, b"\x01" + bytes(JPEG_DC_CHROMA[0])
-                    + bytes(JPEG_DC_CHROMA[1]))
-                + seg(0xFFC4, b"\x11" + bytes(JPEG_AC_CHROMA[0])
-                      + bytes(JPEG_AC_CHROMA[1])))
         sof_comps = (struct.pack(">BBB", 1, 0x11, 0)
                      + struct.pack(">BBB", 2, 0x11, 1)
                      + struct.pack(">BBB", 3, 0x11, 1))
@@ -2104,60 +2232,6 @@ def encode_jpeg(pixels) -> bytes:
     sos = seg(0xFFDA, struct.pack(">B", n) + sos_comps
               + struct.pack(">BBB", 0, 63, 0))
     return (b"\xFF\xD8" + dqt + sof + dht + sos + scan + b"\xFF\xD9")
-
-
-class _JpegBitReader:
-    def __init__(self, data: bytes):
-        self.data = data
-        self.pos = 0
-        self.acc = 0
-        self.nbits = 0
-
-    def _fill(self) -> None:
-        if self.pos >= len(self.data):
-            raise ValueError("truncated JPEG entropy stream")
-        byte = self.data[self.pos]
-        self.pos += 1
-        if byte == 0xFF:
-            if self.pos >= len(self.data):
-                raise ValueError("truncated JPEG entropy stream")
-            nxt = self.data[self.pos]
-            if nxt == 0x00:
-                self.pos += 1             # stuffed byte
-            else:
-                raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
-        self.acc = (self.acc << 8) | byte
-        self.nbits += 8
-
-    def bit(self) -> int:
-        if not self.nbits:
-            self._fill()
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
-
-    def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
-
-
-def _jpeg_receive_extend(r: "_JpegBitReader", ssss: int) -> int:
-    if ssss == 0:
-        return 0
-    v = r.bits(ssss)
-    if v < (1 << (ssss - 1)):
-        v -= (1 << ssss) - 1
-    return v
-
-
-def _jpeg_decode_huff(r: "_JpegBitReader", table: dict) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | r.bit()
-        if (length, code) in table:
-            return table[(length, code)]
-    raise ValueError("invalid JPEG huffman code")
 
 
 @_parse_boundary
@@ -2220,10 +2294,7 @@ def decode_jpeg(payload: bytes):
                     raise ValueError("16-bit DQT unsupported")
                 if o + 65 > len(body):
                     raise ValueError("truncated DQT")
-                t = np.zeros(64, dtype=np.int64)
-                for i in range(64):
-                    t[JPEG_ZIGZAG[i]] = body[o + 1 + i]
-                qtables[tq] = t.reshape(8, 8)
+                qtables[tq] = _parse_qtable(body[o:o + 65])
                 o += 65
         elif marker == 0xC0:
             precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
@@ -2262,7 +2333,7 @@ def decode_jpeg(payload: bytes):
                 vals = list(body[o + 17:o + 17 + n])
                 if len(vals) != n:
                     raise ValueError("truncated DHT")
-                htables[(tc, th)] = _huffman_decode_table(bits, vals)
+                htables[(tc, th)] = _huffman_decode_lut(bits, vals)
                 o += 17 + n
         elif marker == 0xDD:
             raise ValueError("restart intervals unsupported")
@@ -2294,42 +2365,99 @@ def decode_jpeg(payload: bytes):
 
     w, h = dims
     H, W = (h + 7) & ~7, (w + 7) & ~7
-    T = _jpeg_dct_matrix()
     comps = [(qtables[tq].astype(np.float64),
               htables[(0, td)], htables[(1, ta)])
              for (_cid, tq), (td, ta) in zip(comp_specs, scan_tabs)]
     # strip the EOI if present so a trailing 0xFFD9 doesn't read as a
     # stray marker inside the entropy stream
     end = scan_data.rfind(b"\xFF\xD9")
-    r = _JpegBitReader(scan_data[:end] if end >= 0 else scan_data)
-    planes = [np.zeros((H, W), dtype=np.float64) for _ in comps]
-    prev = [0] * len(comps)
-    zzidx = np.array(JPEG_ZIGZAG)
-    for by in range(H // 8):
-        for bx in range(W // 8):
-            for ci, (Q, dct, act) in enumerate(comps):
-                zq = np.zeros(64, dtype=np.int64)
-                ssss = _jpeg_decode_huff(r, dct)
-                prev[ci] += _jpeg_receive_extend(r, ssss)
-                zq[0] = prev[ci]
-                k = 1
-                while k < 64:
-                    rs = _jpeg_decode_huff(r, act)
-                    run, size = rs >> 4, rs & 0x0F
-                    if size == 0:
-                        if run == 15:      # ZRL
-                            k += 16
-                            continue
-                        break              # EOB
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC coefficient index overflow")
-                    zq[k] = _jpeg_receive_extend(r, size)
-                    k += 1
-                F = np.zeros(64, dtype=np.float64)
-                F[zzidx] = zq
-                planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
-                    T.T @ (F.reshape(8, 8) * Q) @ T + 128.0
+    # r13 (guide §4.2): bulk entropy decode — the stream is un-stuffed
+    # once up front (_destuff_scan carries the exact lazy error the old
+    # byte-at-a-time reader would raise), 16-bit peeks come from a
+    # 24-bit sliding word list (two int ops per Huffman symbol through
+    # the LUT instead of up to 16 method calls per code), and the IDCT
+    # runs batched over all blocks of a plane after the scan.
+    delivered, pending = _destuff_scan(
+        scan_data[:end] if end >= 0 else scan_data)
+    b = np.frombuffer(delivered + b"\x00\x00", dtype=np.uint8) \
+        .astype(np.uint32)
+    word24 = ((b[:-2] << 16) | (b[1:-1] << 8) | b[2:]).tolist()
+    nbits = 8 * len(delivered)
+    p = 0
+    ncomp = len(comps)
+    prev = [0] * ncomp
+    nby, nbx = H // 8, W // 8
+    coefs: list[list[list[int]]] = [[] for _ in comps]
+    for _blk in range(nby * nbx):
+        for ci in range(ncomp):
+            _Q, (dc_sym, dc_len), (ac_sym, ac_len) = comps[ci]
+            zq = [0] * 64
+            if p >= nbits:
+                raise ValueError(pending)
+            v = (word24[p >> 3] >> (8 - (p & 7))) & 0xFFFF
+            ln = dc_len[v]
+            if ln == 0:
+                if nbits - p >= 16:
+                    raise ValueError("invalid JPEG huffman code")
+                raise ValueError(pending)
+            if p + ln > nbits:
+                raise ValueError(pending)
+            ssss = dc_sym[v]
+            p += ln
+            if ssss:
+                if p + ssss > nbits:
+                    raise ValueError(pending)
+                d = (word24[p >> 3] >> (8 - (p & 7)) >> (16 - ssss)) \
+                    & ((1 << ssss) - 1)
+                p += ssss
+                if d < (1 << (ssss - 1)):
+                    d -= (1 << ssss) - 1
+                prev[ci] += d
+            zq[0] = prev[ci]
+            k = 1
+            while k < 64:
+                if p >= nbits:
+                    raise ValueError(pending)
+                v = (word24[p >> 3] >> (8 - (p & 7))) & 0xFFFF
+                ln = ac_len[v]
+                if ln == 0:
+                    if nbits - p >= 16:
+                        raise ValueError("invalid JPEG huffman code")
+                    raise ValueError(pending)
+                if p + ln > nbits:
+                    raise ValueError(pending)
+                rs = ac_sym[v]
+                p += ln
+                run, size = rs >> 4, rs & 0x0F
+                if size == 0:
+                    if run == 15:      # ZRL
+                        k += 16
+                        continue
+                    break              # EOB
+                k += run
+                if k > 63:
+                    raise ValueError("AC coefficient index overflow")
+                if p + size > nbits:
+                    raise ValueError(pending)
+                d = (word24[p >> 3] >> (8 - (p & 7)) >> (16 - size)) \
+                    & ((1 << size) - 1)
+                p += size
+                if d < (1 << (size - 1)):
+                    d -= (1 << size) - 1
+                zq[k] = d
+                k += 1
+            coefs[ci].append(zq)
+
+    T, zzidx = _jpeg_consts()
+    planes = []
+    for ci, (Q, _dct, _act) in enumerate(comps):
+        zq_all = np.array(coefs[ci], dtype=np.float64)
+        Fall = np.zeros((zq_all.shape[0], 64), dtype=np.float64)
+        Fall[:, zzidx] = zq_all
+        blocks = np.matmul(np.matmul(T.T, Fall.reshape(-1, 8, 8) * Q), T) \
+            + 128.0
+        planes.append(blocks.reshape(nby, nbx, 8, 8)
+                      .transpose(0, 2, 1, 3).reshape(H, W))
     if len(planes) == 1:
         out = np.clip(_round_half_away(planes[0]), 0, 255) \
             .astype(np.uint8)

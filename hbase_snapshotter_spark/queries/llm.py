@@ -20,6 +20,7 @@ from hbase_snapshotter_spark.operators.dedup import (
     spread,
 )
 from hbase_snapshotter_spark.operators.multimodal import (
+    CODEC_SPREAD_CAP,
     FRAME_SAMPLE_CAP,
     attach_payload,
     decode_payload,
@@ -853,7 +854,8 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_png_payloads,
     )
 
-    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"),
+                  max_out=CODEC_SPREAD_CAP)
     docs = docs.withColumn(
         "thumb", F.substring(F.col("text"), 1, PAYLOAD_PREFIX_BYTES))
     # with_payload feeds FOUR consumers (decode, frame sampling, the
@@ -4470,7 +4472,8 @@ def dedup_phash_images(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_dhash_bmp_payloads,
     )
 
-    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet")) \
+    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"),
+                  max_out=CODEC_SPREAD_CAP) \
         .select("doc_id")
     return dhash_pairs(
         image_dhash(synthesize_dhash_bmp_payloads(docs)))
@@ -4524,7 +4527,8 @@ def dedup_afp_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_afp_wav_payloads,
     )
 
-    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet")) \
+    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"),
+                  max_out=CODEC_SPREAD_CAP) \
         .select("doc_id")
     return afp_pairs(
         audio_envelope_fp(synthesize_afp_wav_payloads(docs)))
@@ -4950,7 +4954,8 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_wav_payloads,
     )
 
-    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet")) \
+    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"),
+                  max_out=CODEC_SPREAD_CAP) \
         .select("doc_id")
     payloads = scoped_persist(synthesize_wav_payloads(docs))
     full = decode_wav_features(payloads)
@@ -4998,7 +5003,8 @@ def multimodal_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_avi_payloads,
     )
 
-    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet")) \
+    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"),
+                  max_out=CODEC_SPREAD_CAP) \
         .select("doc_id")
     return sample_avi_frame_features(synthesize_avi_payloads(docs))
 
@@ -5039,7 +5045,8 @@ def multimodal_mjpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_mjpeg_avi_payloads,
     )
 
-    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet")) \
+    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"),
+                  max_out=CODEC_SPREAD_CAP) \
         .select("doc_id")
     out = sample_avi_frame_features(
         synthesize_mjpeg_avi_payloads(docs), max_frames=3)
@@ -5119,7 +5126,8 @@ def multimodal_ifv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_ifv_payloads,
     )
 
-    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet")) \
+    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"),
+                  max_out=CODEC_SPREAD_CAP) \
         .select("doc_id")
     out = sample_avi_frame_features(
         synthesize_ifv_payloads(docs), max_frames=3)
@@ -6213,7 +6221,8 @@ def image_novelty_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_dhash_bmp_payloads,
     )
 
-    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet")) \
+    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"),
+                  max_out=CODEC_SPREAD_CAP) \
         .select("doc_id")
     hashes = scoped_persist(
         image_dhash(synthesize_dhash_bmp_payloads(docs)))
