@@ -2572,7 +2572,10 @@ def repetition_signals_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit."""
     from hbase_snapshotter_spark.operators.text import repetition_signals
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # r13: the gram build (concat_ws + md5 per position x 5 n-gram
+    # widths) is narrow CPU-bound map work — on the single-split
+    # fixture parquet it ran on ONE core (guide §2.5 input skew)
+    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return repetition_signals(docs, "doc_id")
 
 
