@@ -633,8 +633,12 @@ TOPK_K = 5
 def _emb(spark, sf_dir):
     # spread: the scoring / SRP-bucketing stages are narrow CPU-bound
     # work; a single-split parquet file would pin them to one core (a
-    # no-op on any well-split input — see operators.dedup.spread)
-    return spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    # no-op on any well-split input — see operators.dedup.spread).
+    # r13: capped like the codec lanes — the vector stages are
+    # Arrow-batched numpy (microseconds/row), so the fixed ~0.25 CPU-s
+    # per Python task dominates a per-core fan-out of the small fixture
+    return spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+                  max_out=CODEC_SPREAD_CAP)
 
 
 def similarity_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3709,7 +3713,8 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
-    emb = spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    emb = spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+                 max_out=CODEC_SPREAD_CAP)
     postings, header = build_bm25_index(docs)
     bm = bm25_topk_indexed(scoped_persist(postings), scoped_persist(header),
                            BM25_TERMS, k=HYBRID_LIST_K)
@@ -3808,7 +3813,8 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine_expr,
     )
 
-    emb = spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    emb = spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+                 max_out=CODEC_SPREAD_CAP)
     queries = emb.filter(F.col("vec_id") < MMR_QUERY_PRED)
     cand = scoped_persist(
         brute_force_topk(emb, queries, k=MMR_CAND_M)
@@ -4692,7 +4698,8 @@ def mmr_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivfpq_topk,
     )
 
-    emb = spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    emb = spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+                 max_out=CODEC_SPREAD_CAP)
     queries = emb.filter(F.col("vec_id") < MMR_QUERY_PRED)
     cand0 = scoped_persist(ivfpq_topk(emb, queries, k=MMR_CAND_M))
     cand = cand0.select("query_id", F.col("neighbor_id").alias("cand_id"),
