@@ -987,7 +987,12 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbase_snapshotter_spark.operators.profile import profile_columns
     from hbase_snapshotter_spark.queries.gating import audit_enabled
 
-    li = _t(spark, sf_dir, "lineitem").withColumn(
+    from hbase_snapshotter_spark.operators.dedup import spread
+
+    # r13: the one-scan agg's map side (6 HLL sketch builders per row)
+    # is narrow CPU work — on the single-split fixture parquet it ran
+    # on one core; spread() is a no-op on any well-split input
+    li = spread(_t(spark, sf_dir, "lineitem")).withColumn(
         "l_shipdate_s", F.col("l_shipdate").cast("string"))
     return profile_columns(
         li,
@@ -1398,6 +1403,12 @@ def _join_size_estimate_sketch_only(orders, cust, li, ev) -> DataFrame:
         cms_state,
     )
 
+    # r13 note (tried, measured, reverted): fusing the three per-side
+    # passes (inner-product sketch, max-multiplicity sketch, count)
+    # into one persisted cms_state — n_side = Σ buckets of depth 0 —
+    # cut scans 3→1 but benched 1.7x SLOWER at sf0.1: the persist costs
+    # more than the saved scans and serializes subtrees the unfused
+    # plan runs concurrently.  Kept the independent-pass shape.
     def side_stats(df: DataFrame, key: str, prefix: str) -> DataFrame:
         nn = df.filter(F.col(key).isNotNull())
         n = nn.agg(F.count(F.lit(1)).cast("long").alias(f"n_{prefix}"))
