@@ -33,12 +33,16 @@ from hbase_snapshotter_spark.operators.text import tokens
 
 
 def doc_bigrams(df: DataFrame, *, id_col: str = "doc_id",
-                text_col: str = "text") -> DataFrame:
-    """(id, w1, w2) — POSITIONAL token bigrams (duplicates kept: LM
-    scoring weights each occurrence).  Documents with < 2 tokens emit
-    no rows — callers left-join scores back.  The token array is bound
-    once; the bigram build is a pure column expression feeding one
-    explode (no shuffle)."""
+                text_col: str = "text",
+                carry: tuple[Column, ...] = ()) -> DataFrame:
+    """(id, [carry...,] w1, w2) — POSITIONAL token bigrams (duplicates
+    kept: LM scoring weights each occurrence).  Documents with < 2
+    tokens emit no rows — callers left-join scores back.  The token
+    array is bound once; the bigram build is a pure column expression
+    feeding one explode (no shuffle).  ``carry`` columns are evaluated
+    on the document row and replicated onto its bigram rows — carrying
+    a per-doc flag through the explode instead of joining it back onto
+    the token-scale table (r13, guide §2.4)."""
     from hbase_snapshotter_spark.operators.text import bind_once
 
     def grams(t: Column) -> Column:
@@ -52,10 +56,12 @@ def doc_bigrams(df: DataFrame, *, id_col: str = "doc_id",
         return F.when(n >= 1, pairs).otherwise(
             F.array().cast("array<struct<w1:string,w2:string>>"))
 
-    return df.select(
-        F.col(id_col), F.explode(bind_once(tokens(F.col(text_col)), grams))
-        .alias("__g")
-    ).select(id_col, F.col("__g.w1").alias("w1"), F.col("__g.w2").alias("w2"))
+    exploded = df.select(
+        F.col(id_col), *carry,
+        F.explode(bind_once(tokens(F.col(text_col)), grams)).alias("__g"))
+    keep = [c for c in exploded.columns if c != "__g"]
+    return exploded.select(
+        *keep, F.col("__g.w1").alias("w1"), F.col("__g.w2").alias("w2"))
 
 
 def bigram_lm_xent(
@@ -77,17 +83,23 @@ def bigram_lm_xent(
     keeps the low-perplexity head/middle); documents with < 2 tokens
     have no row.
 
-    The bigram explode feeds the two count aggregations AND the scoring
+    The bigram explode feeds the count aggregation AND the scoring
     join, so it is scope-persisted; both count tables and the one-row
     vocab aggregate broadcast (vocabulary-sized — the KenLM-artifact
-    bound, see module docstring)."""
+    bound, see module docstring).
+
+    r13 (guide §2.3/§2.4): the ``is_ref`` flag rides the explode as a
+    ``carry`` column instead of being joined back onto the token-scale
+    bigram table, and the prefix table derives from the bigram table —
+    ``c(w1 ·) = Σ_w2 c(w1 w2)`` exactly — so only ONE token-scale
+    aggregation remains (``c2``, persisted: it feeds both the broadcast
+    scoring join and the ``c1`` rollup, which is vocabulary-sized)."""
     bg = scoped_persist(
-        doc_bigrams(df, id_col=id_col, text_col=text_col)
-        .join(df.select(F.col(id_col), is_ref.alias("__ref")), id_col))
-    c2 = bg.filter("__ref").groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).alias("__c2"))
-    c1 = bg.filter("__ref").groupBy("w1").agg(
-        F.count(F.lit(1)).alias("__c1"))
+        doc_bigrams(df, id_col=id_col, text_col=text_col,
+                    carry=(is_ref.alias("__ref"),)))
+    c2 = scoped_persist(bg.filter("__ref").groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("__c2")))
+    c1 = c2.groupBy("w1").agg(F.sum("__c2").alias("__c1"))
     vocab = (
         df.filter(is_ref)
         .select(F.explode(tokens(F.col(text_col))).alias("tok"))

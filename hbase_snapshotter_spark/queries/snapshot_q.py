@@ -1257,7 +1257,16 @@ def q_snapshot_bucket_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("fp_changed")))
     bucket = (F.conv(F.substring(F.md5(F.col("row_key")), 1, 8), 16, 10)
               .cast("long") % 16)
-    diff_rows = (t2.exceptAll(t1).unionAll(t1.exceptAll(t2))
+    # The symmetric multiset diff |t2 ∖ t1| + |t1 ∖ t2| as ONE signed-
+    # count aggregation instead of two exceptAll shuffles over both
+    # sides (r13, guide §2.4): each state holds at most one row per
+    # (row_key, qualifier) — latest_cells output — so per distinct
+    # full row the side counts are 0/1 and a row is "changed" iff the
+    # +1/−1 sum is non-zero.  Same rows, half the exchanges.
+    diff_rows = (t2.withColumn("__s", F.lit(1))
+                 .unionAll(t1.withColumn("__s", F.lit(-1)))
+                 .groupBy(*cols).agg(F.sum("__s").alias("__d"))
+                 .filter(F.col("__d") != 0)
                  .select(bucket.alias("bucket"))
                  .groupBy("bucket")
                  .agg(F.count(F.lit(1)).cast("long").alias("n_changed")))
