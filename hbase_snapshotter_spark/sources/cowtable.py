@@ -132,14 +132,28 @@ def _json_safe(v):
     return v if isinstance(v, (int, float, str, type(None))) else str(v)
 
 
-def _write_parts(df: DataFrame, path: str, version: int,
+def _write_parts(df: DataFrame, path: str,
                  key_cols: list[str]) -> list[dict]:
-    """Write ``df`` as this version's immutable parts and return their
-    add entries (relative path + n_rows + native-typed min/max of the
-    FIRST key column — the pruning hint :func:`_prune_candidates`
-    consults; non-JSON types degrade to strings and are then ignored
-    by pruning, which keeps pruning SOUND)."""
-    rel_dir = f"{DATA_DIR}/v{version:08d}"
+    """Write ``df`` as immutable parts in a UNIQUELY-NAMED directory
+    and return their add entries (relative path + n_rows +
+    native-typed min/max of the FIRST key column — the pruning hint
+    :func:`_prune_candidates` consults; non-JSON types degrade to
+    strings and are then ignored by pruning, which keeps pruning
+    SOUND).
+
+    ADVICE r12: the directory is ``data/<uuid>/``, decoupled from the
+    version number (the Delta layout) — the LOG ENTRY, not the
+    directory name, binds files to a version.  Consequences: two
+    racing writers never collide on a directory (the loser gets the
+    documented :class:`CommitConflict` from the log-slot claim, not an
+    AnalysisException from ``mode('error')``); a writer that crashes
+    after writing parts but before committing leaves an orphaned
+    uncommitted directory that wedges NOTHING (no future writer reuses
+    the name; it is simply never referenced by any log entry); and the
+    add-entry read-back below lists only files THIS writer produced —
+    no check-then-write window can attribute a competitor's parts to
+    this commit."""
+    rel_dir = f"{DATA_DIR}/{uuid.uuid4().hex}"
     out_dir = os.path.join(path, rel_dir)
     df.write.mode("error").parquet(out_dir)
     spark = df.sparkSession
@@ -190,8 +204,13 @@ def cow_create(df: DataFrame, path: str, *, key_cols: list[str]) -> int:
     :func:`cow_merge` enforces it)."""
     if os.path.isdir(os.path.join(path, LOG_DIR)):
         raise ValueError(f"cow table already exists at {path}")
-    adds = _write_parts(df, path, 0, key_cols)
+    adds = _write_parts(df, path, key_cols)
+    # the schema is persisted IN the log entry (ADVICE r12): empty
+    # snapshots and merge's schema check must not depend on a data
+    # file that cow_vacuum may have physically deleted (or that never
+    # existed — a table created from an empty frame has adds=[])
     _commit(path, {"version": 0, "op": "create", "key_cols": key_cols,
+                   "schema": df.schema.json(),
                    "adds": adds, "removes": []})
     return 0
 
@@ -224,9 +243,28 @@ def cow_snapshot(spark, path: str, *, version: int | None = None,
     live = _live_files(path, version)
     files = [os.path.join(path, a["file"]) for a in live]
     if not files:
-        any_file = os.path.join(path, _read_log(path)[0]["adds"][0]["file"])
-        return spark.read.parquet(any_file).filter(F.lit(False))
+        return spark.createDataFrame([], _table_schema(spark, path))
     return spark.read.parquet(*files)
+
+
+def _table_schema(spark, path: str):
+    """The table's StructType, from the schema persisted in the log
+    (ADVICE r12 — survives vacuum and empty creates); legacy tables
+    without the field fall back to probing a still-present data file."""
+    from pyspark.sql.types import StructType
+
+    entries = _read_log(path)
+    for e in entries:
+        if "schema" in e:
+            return StructType.fromJson(json.loads(e["schema"]))
+    for e in entries:  # legacy table: probe any add file still on disk
+        for a in e["adds"]:
+            f = os.path.join(path, a["file"])
+            if os.path.isfile(f):
+                return spark.read.parquet(f).schema
+    raise ValueError(
+        f"cow table at {path} has no persisted schema and no surviving "
+        "data file to probe one from")
 
 
 def cow_history(path: str) -> list[dict]:
@@ -275,10 +313,7 @@ def cow_merge(
 
     src = source.persist()
     try:
-        table_cols = sorted(
-            spark.read.parquet(
-                os.path.join(path, (live or entries[0]["adds"])[0]["file"])
-            ).columns)
+        table_cols = sorted(_table_schema(spark, path).fieldNames())
         if sorted(src.columns) != table_cols:
             raise ValueError(
                 f"source schema {sorted(src.columns)} != table "
@@ -329,7 +364,7 @@ def cow_merge(
             out = parts[0]
             for p in parts[1:]:
                 out = out.unionByName(p)
-            adds = _write_parts(out, path, new_version, key_cols)
+            adds = _write_parts(out, path, key_cols)
         _commit(path, {"version": new_version, "op": f"merge:{matched}",
                        "key_cols": key_cols, "adds": adds,
                        "removes": touched_rel})
@@ -342,12 +377,19 @@ def cow_merge(
 
 
 def cow_apply_changes(spark, path: str, changes: DataFrame, *,
-                      op_col: str = "op") -> dict:
+                      op_col: str = "op",
+                      txn: dict | None = None) -> dict:
     """Apply a CDC batch (``op_col`` ∈ {'I','U','D'} per row) — the
     changelog→warehouse step the reference's pipeline feeds (S1→S12):
     upserts (I/U) and deletes (D) land in ONE merge transaction so a
     reader sees either none or all of the batch.  Delete rows need
     only their key columns populated.
+
+    ``txn`` (ADVICE r12) is an optional idempotence stamp — e.g.
+    ``{"app_id": ..., "batch_id": ...}``, mirroring Delta's
+    txnAppId/txnVersion — written INSIDE the commit entry, atomically
+    with the version claim: a crash can never leave a committed-but-
+    unstamped version for the streaming ledger to re-apply.
 
     Contract: the batch must be a NET changefeed — at most one op per
     key (exactly what the N50 state-diff emits); a raw transaction
@@ -392,11 +434,14 @@ def cow_apply_changes(spark, path: str, changes: DataFrame, *,
         for p in parts[1:]:
             out = out.unionByName(p)
         new_version = version + 1
-        adds = _write_parts(out, path, new_version, key_cols) \
+        adds = _write_parts(out, path, key_cols) \
             if touched_rel or not ups.isEmpty() else []
-        _commit(path, {"version": new_version, "op": "apply_changes",
-                       "key_cols": key_cols, "adds": adds,
-                       "removes": touched_rel})
+        entry = {"version": new_version, "op": "apply_changes",
+                 "key_cols": key_cols, "adds": adds,
+                 "removes": touched_rel}
+        if txn is not None:
+            entry["txn"] = dict(txn)
+        _commit(path, entry)
         return {"version": new_version,
                 "files_rewritten": len(touched_rel),
                 "files_candidates": len(cand),
@@ -429,7 +474,7 @@ def cow_optimize(spark, path: str, *,
     df = spark.read.parquet(
         *[os.path.join(path, a["file"]) for a in small]) \
         .coalesce(max(1, target_files))
-    adds = _write_parts(df, path, version + 1, key_cols)
+    adds = _write_parts(df, path, key_cols)
     _commit(path, {"version": version + 1, "op": "optimize",
                    "key_cols": key_cols, "adds": adds,
                    "removes": sorted(a["file"] for a in small)})

@@ -10,13 +10,19 @@ moment sees a committed version, never a torn batch (the
 ``foreachBatch`` + transactional-sink pattern Delta documents, on the
 in-repo table format).
 
-Exactly-once posture: Structured Streaming replays a failed batch, so
-the sink must dedupe re-delivery.  The cow log is the natural ledger —
-each commit records the batch id it applied (``app_batch_id``); a
-re-delivered batch whose id is already committed returns without
-writing (the transactional idempotent-sink recipe).  A CRASH between
-commit and checkpoint therefore nets to at-most-once per batch id +
-replay = exactly-once table content, pinned by the re-delivery pytest.
+Exactly-once posture (ADVICE r12 — Delta's txnAppId/txnVersion
+contract): Structured Streaming replays a failed batch, so the sink
+must dedupe re-delivery.  The cow log is the ledger — each commit
+records the ``(app_id, batch_id)`` PAIR it applied, written INSIDE the
+commit entry atomically with the version claim (``txn=`` on
+``cow_apply_changes``), so a crash can never leave a committed-but-
+unstamped version.  Keying on the pair rather than the bare batch id
+means a SECOND stream feeding the same table (its own app id, its own
+batch ids 0,1,…) is never silently dropped; a caller that restarts
+with a FRESH checkpoint but pins the same ``app_id`` declares the
+feeds identical and gets exactly-once across the reset.  The default
+``app_id`` derives from the checkpoint location, which Structured
+Streaming itself scopes batch ids to.
 
 Scale shape: per batch the work is the cow MERGE's — stats-pruned
 candidate scan + touched-file rewrite, batch keys broadcast; the
@@ -25,7 +31,6 @@ stream adds only the metadata-sized ledger check.
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame
@@ -37,58 +42,64 @@ from hbase_snapshotter_spark.sources.cowtable import (
 from hbase_snapshotter_spark.streaming.windows import start_foreach_batch
 
 
-def applied_batch_ids(path: str) -> set[int]:
-    """Batch ids already committed to the table — read from the log
-    entries' ``app_batch_id`` field (metadata-sized)."""
+def applied_txns(path: str) -> set[tuple[str, int]]:
+    """(app_id, batch_id) pairs already committed to the table — read
+    from the log entries' ``txn`` stamp (metadata-sized).  Legacy
+    entries stamped with the pre-r13 bare ``app_batch_id`` field map
+    to app id ``""`` so old ledgers stay readable."""
     out = set()
     for e in _read_log(path):
-        if "app_batch_id" in e:
-            out.add(e["app_batch_id"])
+        t = e.get("txn")
+        if t is not None and "batch_id" in t:
+            out.add((str(t.get("app_id", "")), int(t["batch_id"])))
+        elif "app_batch_id" in e:  # pre-r13 stamp format
+            out.add(("", int(e["app_batch_id"])))
     return out
 
 
-def _stamp_batch_id(path: str, version: int, batch_id: int) -> None:
-    """Record the applied batch id inside the version's log entry.
-    Called immediately after the commit that applied the batch; the
-    rewrite of an already-committed entry is safe (same writer owns
-    the slot once ``link(2)`` succeeded)."""
-    from hbase_snapshotter_spark.sources.cowtable import _log_path
-
-    p = _log_path(path, version)
-    with open(p) as fh:
-        entry = json.load(fh)
-    entry["app_batch_id"] = batch_id
-    tmp = p + ".stamp"
-    with open(tmp, "w") as fh:
-        json.dump(entry, fh, indent=1, sort_keys=True)
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp, p)
+def applied_batch_ids(path: str, app_id: str | None = None) -> set[int]:
+    """Batch ids already committed for ``app_id`` (``None`` = all apps
+    — the pre-r13 view, kept for audits)."""
+    return {b for a, b in applied_txns(path)
+            if app_id is None or a == app_id}
 
 
 def apply_stream_batch(path: str, batch: DataFrame, batch_id: int, *,
-                       op_col: str = "op") -> dict | None:
+                       app_id: str, op_col: str = "op") -> dict | None:
     """Apply one micro-batch to the cow table at ``path`` — idempotent
-    against re-delivery (a batch id already in the ledger returns
-    ``None`` without writing)."""
-    if batch_id in applied_batch_ids(path):
+    against re-delivery (an ``(app_id, batch_id)`` pair already in the
+    ledger returns ``None`` without writing).  The stamp is written
+    inside the commit entry, atomically with the version claim."""
+    if (str(app_id), int(batch_id)) in applied_txns(path):
         return None
     if batch.isEmpty():
         return None
-    res = cow_apply_changes(batch.sparkSession, path, batch,
-                            op_col=op_col)
-    _stamp_batch_id(path, res["version"], batch_id)
-    return res
+    return cow_apply_changes(
+        batch.sparkSession, path, batch, op_col=op_col,
+        txn={"app_id": str(app_id), "batch_id": int(batch_id)})
 
 
 def start_cow_maintenance(stream_df: DataFrame, path: str, *,
+                          app_id: str | None = None,
                           op_col: str = "op", **start_kwargs):
     """Start the continuous maintainer: each micro-batch of
     ``(op, key..., value...)`` rows lands as one atomic cow commit.
     The table must already exist (:func:`cow_create` with the key
-    columns).  Returns the StreamingQuery."""
+    columns).  ``app_id`` defaults to the normalized
+    ``checkpointLocation`` — the scope Structured Streaming itself
+    assigns batch ids in; pass it explicitly to share one ledger
+    identity across checkpoint resets.  Returns the StreamingQuery."""
+    if app_id is None:
+        ckpt = start_kwargs.get("checkpointLocation")
+        if ckpt is None:
+            raise ValueError(
+                "start_cow_maintenance needs app_id= or "
+                "checkpointLocation= (the default app_id derives from "
+                "the checkpoint location, which scopes batch ids)")
+        app_id = os.path.normpath(str(ckpt))
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        apply_stream_batch(path, batch, batch_id, op_col=op_col)
+        apply_stream_batch(path, batch, batch_id,
+                           app_id=app_id, op_col=op_col)
 
     return start_foreach_batch(stream_df, process, **start_kwargs)

@@ -110,9 +110,11 @@ def test_commit_conflict_detection(spark, tmp_path, monkeypatch):
 
     orig = cow._write_parts
 
-    def race(df, p, version, key_cols):
-        adds = orig(df, p, version, key_cols)
-        _commit(path, {"version": version, "op": "competitor",
+    def race(df, p, key_cols):
+        adds = orig(df, p, key_cols)
+        # claim the slot the in-flight merge is about to commit
+        _commit(path, {"version": cow_version(path) + 1,
+                       "op": "competitor",
                        "key_cols": ["k"], "adds": [], "removes": []})
         return adds
 
@@ -266,32 +268,106 @@ def test_cow_streaming_maintenance_exactly_once(spark, tmp_path):
         checkpointLocation=str(tmp_path / "ckpt"), availableNow=True)
     q.awaitTermination(120)
 
+    app = os.path.normpath(str(tmp_path / "ckpt"))  # the derived app_id
     want = {2: "B", 3: "c", 4: "D2"}
     got = {r.k: r.val for r in cow_snapshot(spark, path).collect()}
     assert got == want
-    # one atomic version per non-empty batch, each stamped with its id
-    assert applied_batch_ids(path) == {0, 1}
+    # one atomic version per non-empty batch, each stamped with its
+    # (app_id, batch_id) pair INSIDE the commit entry (ADVICE r12)
+    assert applied_batch_ids(path, app) == {0, 1}
     assert cow_version(path) == 2
 
-    # stream re-run over the same files with a FRESH checkpoint: every
-    # batch id is already in the ledger — nothing commits
+    # stream re-run over the same files after CHECKPOINT LOSS, caller
+    # pins the same app_id (declaring the feeds identical): every
+    # (app_id, batch_id) pair is already in the ledger — nothing
+    # commits (exactly-once across the reset)
     q2 = start_cow_maintenance(
-        stream, path,
+        stream, path, app_id=app,
         checkpointLocation=str(tmp_path / "ckpt2"), availableNow=True)
     q2.awaitTermination(120)
     assert cow_version(path) == 2
     assert {r.k: r.val for r in cow_snapshot(spark, path).collect()} \
         == want
 
-    # direct re-delivery of an applied batch id: no-op by ledger
+    # direct re-delivery of an applied (app_id, batch_id): no-op
     b0 = spark.createDataFrame(
         [("U", 2, "XXX")], "op string, k long, val string")
-    assert apply_stream_batch(path, b0, 0) is None
+    assert apply_stream_batch(path, b0, 0, app_id=app) is None
     assert {r.k: r.val for r in cow_snapshot(spark, path).collect()} \
         == want
     # an EMPTY new batch also commits nothing
-    assert apply_stream_batch(path, b0.filter("k < 0"), 7) is None
+    assert apply_stream_batch(path, b0.filter("k < 0"), 7,
+                              app_id=app) is None
     assert cow_version(path) == 2
+
+    # a SECOND stream (different app_id) reusing batch id 0 is NOT
+    # silently dropped — the pre-r13 bare-batch-id ledger bug
+    res = apply_stream_batch(path, b0, 0, app_id="other-feed")
+    assert res is not None and res["version"] == 3
+    assert {r.k: r.val for r in cow_snapshot(spark, path).collect()} \
+        == {2: "XXX", 3: "c", 4: "D2"}
+    assert applied_batch_ids(path, "other-feed") == {0}
+    assert applied_batch_ids(path) == {0, 1}  # all-apps audit view
+
+
+def test_orphaned_parts_never_wedge_a_version_slot(spark, tmp_path):
+    """ADVICE r12: parts live in uniquely-named dirs decoupled from
+    the version number — a writer that crashes AFTER writing parts but
+    BEFORE committing leaves an orphan no later writer collides with,
+    and the orphan's files are never attributed to any commit."""
+    import hbase_snapshotter_spark.sources.cowtable as cow
+
+    path, df = _mk(spark, tmp_path, n=20, parts=2)
+    before = _rows(cow_snapshot(spark, path))
+    # simulate the crash: parts written, commit never happens
+    orphan = cow._write_parts(
+        spark.range(0, 3).select(F.col("id").alias("k"),
+                                 F.lit(1).cast("long").alias("v")),
+        path, ["k"])
+    assert orphan  # files exist on disk...
+    assert _rows(cow_snapshot(spark, path)) == before  # ...unreferenced
+    # the next writer claims the same version number unimpeded
+    src = spark.range(0, 2).select(F.col("id").alias("k"),
+                                   F.lit(7).cast("long").alias("v"))
+    res = cow_merge(spark, path, src)
+    assert res["version"] == 1
+    got = {r.k: r.v for r in cow_snapshot(spark, path).collect()}
+    assert got[0] == 7 and got[1] == 7 and len(got) == 20
+    # the orphan's rows never appear in any committed version
+    committed = {a["file"] for e in cow._read_log(path) for a in e["adds"]}
+    assert not ({a["file"] for a in orphan} & committed)
+
+
+def test_schema_survives_empty_create_and_vacuum(spark, tmp_path):
+    """ADVICE r12: the schema is persisted in the log entry — empty
+    creates snapshot fine (adds=[] used to IndexError), and a
+    fully-deleted table snapshots fine after vacuum physically removed
+    every part file (the old probe read the version-0 first add
+    file)."""
+    # empty create
+    path = str(tmp_path / "empty")
+    empty = spark.createDataFrame([], "k long, v string")
+    cow_create(empty, path, key_cols=["k"])
+    snap = cow_snapshot(spark, path)
+    assert snap.columns == ["k", "v"] and snap.count() == 0
+    # merge into the empty table still schema-checks against the log
+    src = spark.createDataFrame([(1, "a")], "k long, v string")
+    cow_merge(spark, path, src)
+    assert {r.k: r.v for r in cow_snapshot(spark, path).collect()} \
+        == {1: "a"}
+
+    # full delete + vacuum: no data file survives, snapshot still works
+    path2 = str(tmp_path / "deleted")
+    cow_create(spark.createDataFrame([(1, "a"), (2, "b")],
+                                     "k long, v string"),
+               path2, key_cols=["k"])
+    cow_merge(spark, path2,
+              spark.createDataFrame([(1, "x"), (2, "x")],
+                                    "k long, v string"),
+              matched="delete", insert_unmatched=False)
+    cow_vacuum(path2, keep_last=1)
+    snap2 = cow_snapshot(spark, path2)
+    assert snap2.columns == ["k", "v"] and snap2.count() == 0
 
 
 from hypothesis import given, settings, strategies as st  # noqa: E402
