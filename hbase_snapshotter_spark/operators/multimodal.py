@@ -2547,3 +2547,178 @@ def synthesize_jpeg_payloads(df: DataFrame, *, id_col: str = "doc_id") -> DataFr
         gen_batches,
         StructType([StructField("doc_id", LongType()),
                     StructField("payload", BinaryType())]))
+
+
+# ---------------------------------------------------------------------------
+# Fused payload-feature lane (r13, guide §4.1/§2.3): one mapInPandas
+# pass computing every per-doc payload feature the composed lanes
+# produce — the stub decode, the stub resize, and the bmp/rbmp/png/
+# jpeg synth+real-decode chains.  The composed operators stay for
+# callers that want one lane; this fusion exists because a consumer
+# joining ALL of them (multimodal_payload_stats) paid 7 doc_id joins
+# and ~10 Arrow crossings of the same persisted table, each Python
+# task carrying the measured ~0.25 CPU-s fixed runner cost.  Per-row
+# arithmetic, codec calls, error handling (ValueError → NULL features
+# per codec lane) and output dtypes are IDENTICAL to the composed
+# lanes — pinned by tests/test_llm_ops.py::test_fused_payload_features
+# _matches_composed_lanes.
+# ---------------------------------------------------------------------------
+
+FUSED_PAYLOAD_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("n_frames", IntegerType()),
+    StructField("feature_hash", StringType()),
+    StructField("resized_md5", StringType()),
+    StructField("resized_n_bytes", IntegerType()),
+    StructField("bmp_width", IntegerType()),
+    StructField("bmp_height", IntegerType()),
+    StructField("bmp_mean_pixel", DoubleType()),
+    StructField("bmp_corner_pixel", IntegerType()),
+    StructField("rbmp_width", IntegerType()),
+    StructField("rbmp_height", IntegerType()),
+    StructField("rbmp_mean_pixel", DoubleType()),
+    StructField("rbmp_corner_pixel", IntegerType()),
+    StructField("png_width", IntegerType()),
+    StructField("png_height", IntegerType()),
+    StructField("png_mean_pixel", DoubleType()),
+    StructField("png_corner_pixel", IntegerType()),
+    StructField("jpeg_width", IntegerType()),
+    StructField("jpeg_height", IntegerType()),
+    StructField("jpeg_mean_milli", LongType()),
+    StructField("jpeg_corner_pixel", IntegerType()),
+])
+
+
+def fused_payload_features(df: DataFrame, *, width: int, height: int,
+                           id_col: str = "doc_id",
+                           payload_col: str = "payload") -> DataFrame:
+    """One-pass equivalent of ``decode_payload`` + ``resize_payload``
+    (md5/length columns only) + the bmp/rbmp/png/jpeg synth+decode
+    feature lanes, keyed by ``id_col``.  Both seams resolve at
+    plan-build time exactly like the composed operators, so a
+    production decoder/resizer swap reaches this lane too.
+
+    Scale: payload bytes cross the JVM↔Python boundary ONCE and never
+    enter a shuffle; the consumer joins one feature table instead of
+    seven.  The rbmp chain reuses the bmp decode of the identical
+    synthesized bytes (deterministic codec → identical array; the
+    composed lanes decode twice only because they are separate
+    operators)."""
+    decoder = _SEAM["decode"]
+    resizer = _SEAM["resize"] or _reference_resize_batch
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            payload_bytes = [bytes(p) if p is not None else b""
+                             for p in pdf[payload_col]]
+            stub = decoder(payload_bytes)
+            resized = resizer(payload_bytes, width, height)
+            cols: dict[str, list] = {k: [] for k in (
+                "bmp_w", "bmp_h", "bmp_mean", "bmp_corner",
+                "rbmp_w", "rbmp_h", "rbmp_mean", "rbmp_corner",
+                "png_w", "png_h", "png_mean", "png_corner",
+                "jpg_w", "jpg_h", "jpg_mean", "jpg_corner")}
+
+            def _null(prefix: str) -> None:
+                for k in ("_w", "_h", "_mean", "_corner"):
+                    cols[prefix + k].append(None)
+
+            for i in pdf[id_col]:
+                i = int(i)
+                # --- bmp + rbmp (synthesize_bmp_payloads arithmetic) --
+                w, h = 5 + i % 12, 2 + i % 6
+                px0 = np.full((h, w, 3), i % 256, dtype=np.uint8)
+                px0[0, 0, :] = (i * 7 + 1) % 256
+                bp = encode_bmp(px0)
+                try:
+                    w1, h1, px = decode_bmp(bp)
+                except ValueError:
+                    _null("bmp")
+                    _null("rbmp")
+                else:
+                    cols["bmp_w"].append(w1)
+                    cols["bmp_h"].append(h1)
+                    cols["bmp_mean"].append(
+                        int(px.sum(dtype="int64")) / px.size)
+                    cols["bmp_corner"].append(int(px[0, 0, 0]))
+                    try:
+                        small = px[::2, ::2]
+                        w2, h2, px2 = decode_bmp(encode_bmp(small))
+                        cols["rbmp_w"].append(w2)
+                        cols["rbmp_h"].append(h2)
+                        cols["rbmp_mean"].append(
+                            int(px2.sum(dtype="int64")) / px2.size)
+                        cols["rbmp_corner"].append(int(px2[0, 0, 0]))
+                    except ValueError:
+                        _null("rbmp")
+                # --- png (synthesize_png_payloads arithmetic) ---------
+                w, h = 4 + i % 9, 3 + i % 5
+                px0 = np.full((h, w, 3), (3 * i) % 256, dtype=np.uint8)
+                px0[0, 0, :] = (5 * i + 2) % 256
+                try:
+                    w1, h1, px = decode_png(encode_png(px0))
+                    cols["png_w"].append(w1)
+                    cols["png_h"].append(h1)
+                    cols["png_mean"].append(
+                        int(px.sum(dtype="int64")) / px.size)
+                    cols["png_corner"].append(int(px[0, 0, 0]))
+                except ValueError:
+                    _null("png")
+                # --- jpeg (synthesize_jpeg_payloads arithmetic) -------
+                w, h = 8 * (1 + i % 3), 8 * (1 + i % 2)
+                pxj = np.zeros((h, w), dtype=np.uint8)
+                for by in range(h // 8):
+                    for bx in range(w // 8):
+                        g = 128 + 2 * ((7 * i + bx + 3 * by) % 50 - 25)
+                        pxj[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = g
+                try:
+                    w1, h1, px = decode_jpeg(encode_jpeg(pxj))
+                    s, c = int(px.sum(dtype="int64")), px.size
+                    cols["jpg_w"].append(w1)
+                    cols["jpg_h"].append(h1)
+                    cols["jpg_mean"].append((2000 * s + c) // (2 * c))
+                    cols["jpg_corner"].append(int(px[0, 0]))
+                except ValueError:
+                    _null("jpg")
+
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                "width": stub["width"],
+                "height": stub["height"],
+                "n_frames": stub["n_frames"],
+                "feature_hash": stub["feature_hash"],
+                "resized_md5": [hashlib.md5(b).hexdigest()
+                                for b in resized],
+                "resized_n_bytes": [len(b) for b in resized],
+                "bmp_width": pd.Series(cols["bmp_w"], dtype="Int32"),
+                "bmp_height": pd.Series(cols["bmp_h"], dtype="Int32"),
+                "bmp_mean_pixel": pd.Series(cols["bmp_mean"],
+                                            dtype="float64"),
+                "bmp_corner_pixel": pd.Series(cols["bmp_corner"],
+                                              dtype="Int32"),
+                "rbmp_width": pd.Series(cols["rbmp_w"], dtype="Int32"),
+                "rbmp_height": pd.Series(cols["rbmp_h"], dtype="Int32"),
+                "rbmp_mean_pixel": pd.Series(cols["rbmp_mean"],
+                                             dtype="float64"),
+                "rbmp_corner_pixel": pd.Series(cols["rbmp_corner"],
+                                               dtype="Int32"),
+                "png_width": pd.Series(cols["png_w"], dtype="Int32"),
+                "png_height": pd.Series(cols["png_h"], dtype="Int32"),
+                "png_mean_pixel": pd.Series(cols["png_mean"],
+                                            dtype="float64"),
+                "png_corner_pixel": pd.Series(cols["png_corner"],
+                                              dtype="Int32"),
+                "jpeg_width": pd.Series(cols["jpg_w"], dtype="Int32"),
+                "jpeg_height": pd.Series(cols["jpg_h"], dtype="Int32"),
+                "jpeg_mean_milli": pd.Series(cols["jpg_mean"],
+                                             dtype="Int64"),
+                "jpeg_corner_pixel": pd.Series(cols["jpg_corner"],
+                                               dtype="Int32"),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, FUSED_PAYLOAD_SCHEMA)

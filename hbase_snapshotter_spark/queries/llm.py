@@ -852,23 +852,20 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     own id-arithmetic dimension rules."""
     from hbase_snapshotter_spark.cache import scoped_persist
     from hbase_snapshotter_spark.operators.multimodal import (
-        decode_bmp_features,
-        decode_png_features,
-        synthesize_bmp_payloads,
-        synthesize_png_payloads,
+        fused_payload_features,
     )
 
     docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"),
                   max_out=CODEC_SPREAD_CAP)
     docs = docs.withColumn(
         "thumb", F.substring(F.col("text"), 1, PAYLOAD_PREFIX_BYTES))
-    # with_payload feeds FOUR consumers (decode, frame sampling, the
-    # dup aggregate, the output join): persist the payload+meta stage
-    # once so the scan, substring, and payload md5 never recompute
+    # with_payload feeds FOUR consumers (the fused feature pass, frame
+    # sampling, the dup aggregate, the output join): persist the
+    # payload+meta stage once so the scan, substring, and payload md5
+    # never recompute
     with_payload = scoped_persist(
         attach_payload(docs, "thumb").select("doc_id", "payload",
                                              "payload_meta"))
-    decoded = decode_payload(with_payload)
     meta = with_payload.select(
         "doc_id",
         F.col("payload_meta.n_bytes").alias("n_bytes"),
@@ -886,34 +883,19 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = sample_frames(with_payload)
     frame_counts = frames.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("int").alias("n_sampled_frames"))
-    resized = resize_payload(with_payload, width=RESIZE_W, height=RESIZE_H) \
-        .select("doc_id",
-                F.col("content_md5").alias("resized_md5"),
-                F.length("payload").cast("int").alias("resized_n_bytes"))
-    from hbase_snapshotter_spark.operators.multimodal import (
-        resize_bmp_features,
-    )
-
-    bmp_payloads = scoped_persist(synthesize_bmp_payloads(with_payload))
-    bmp = decode_bmp_features(bmp_payloads)
-    # REAL resize (r9b): decode -> px[::2, ::2] -> re-encode -> decode;
-    # both codec directions and the transform are on the proof path
-    rbmp = resize_bmp_features(bmp_payloads)
-    png = decode_png_features(synthesize_png_payloads(with_payload))
-    # r10 (VERDICT r9 task 5): the baseline-JPEG lane — block-constant
-    # fixtures whose even level-shifted values round-trip the full
-    # huffman + DCT pipeline EXACTLY, so the oracle replays dims,
-    # corner, and the exact half-up milli mean from id arithmetic
-    from hbase_snapshotter_spark.operators.multimodal import (
-        decode_jpeg_features,
-        synthesize_jpeg_payloads,
-    )
-
-    jpeg = decode_jpeg_features(synthesize_jpeg_payloads(with_payload))
-    return (meta.join(decoded, "doc_id").join(frame_counts, "doc_id")
-            .join(resized, "doc_id").join(bmp, "doc_id")
-            .join(rbmp, "doc_id")
-            .join(png, "doc_id").join(jpeg, "doc_id").select(
+    # r13 (guide §4.1/§2.3): the stub decode, stub resize, and the
+    # bmp/rbmp/png/jpeg synth+real-decode chains run as ONE fused
+    # mapInPandas pass — the payload crosses the Python boundary once
+    # and the output joins one feature table instead of six (the frame
+    # lane keeps its REAL 1-to-N explode).  Per-row arithmetic, codec
+    # calls, and dtypes are identical to the composed lanes (pinned by
+    # test_fused_payload_features_matches_composed_lanes); the r9b/r10
+    # proof paths — both codec directions of every real codec — are
+    # unchanged inside the fused pass.
+    fused = fused_payload_features(with_payload,
+                                   width=RESIZE_W, height=RESIZE_H)
+    return (meta.join(fused, "doc_id").join(frame_counts, "doc_id")
+            .select(
                 "doc_id", "n_bytes", "content_md5", "payload_dup_count",
                 "is_payload_keeper", "width", "height", "n_frames",
                 "feature_hash", "n_sampled_frames",

@@ -3864,3 +3864,71 @@ def test_audio_fp_hand_computed_and_invariance(spark):
         assert (2 * k, 2 * k + 1) in got
         assert got[(2 * k, 2 * k + 1)] <= 1
     assert all(h <= 2 for h in got.values())
+
+
+def test_fused_payload_features_matches_composed_lanes(spark):
+    """r13 fusion: ``fused_payload_features`` must return EXACTLY what
+    the composed lanes it replaces return — same rows, same values
+    (floats bit-identical: both paths run the identical int-sum /
+    size divide), same NULL behavior, same schema — so swapping it
+    into multimodal_payload_stats cannot move the query's oracle
+    hash.  Also pins that the fusion honors the decoder/resizer
+    seams at plan-build time like the composed operators."""
+    from hbase_snapshotter_spark.operators.multimodal import (
+        FUSED_PAYLOAD_SCHEMA,
+        attach_payload,
+        decode_bmp_features,
+        decode_jpeg_features,
+        decode_payload,
+        decode_png_features,
+        fused_payload_features,
+        resize_bmp_features,
+        resize_payload,
+        set_payload_decoder,
+        synthesize_bmp_payloads,
+        synthesize_jpeg_payloads,
+        synthesize_png_payloads,
+    )
+
+    # ids cover every bmp/png/jpeg dimension residue class
+    df = attach_payload(
+        spark.range(0, 72).select(
+            F.col("id").alias("doc_id"),
+            F.encode(F.concat(F.lit("pay-"), F.col("id")), "utf-8")
+            .alias("raw")), "raw").select("doc_id", "payload")
+
+    fused = fused_payload_features(df, width=64, height=64)
+    assert fused.schema == FUSED_PAYLOAD_SCHEMA
+
+    composed = (
+        decode_payload(df)
+        .join(resize_payload(df, width=64, height=64)
+              .select("doc_id",
+                      F.col("content_md5").alias("resized_md5"),
+                      F.length("payload").cast("int")
+                      .alias("resized_n_bytes")), "doc_id")
+        .join(decode_bmp_features(synthesize_bmp_payloads(df)), "doc_id")
+        .join(resize_bmp_features(synthesize_bmp_payloads(df)), "doc_id")
+        .join(decode_png_features(synthesize_png_payloads(df)), "doc_id")
+        .join(decode_jpeg_features(synthesize_jpeg_payloads(df)),
+              "doc_id"))
+
+    cols = [f.name for f in FUSED_PAYLOAD_SCHEMA.fields]
+    got = {r["doc_id"]: r for r in fused.collect()}
+    want = {r["doc_id"]: r for r in composed.select(*cols).collect()}
+    assert set(got) == set(want) == set(range(72))
+    for i in range(72):
+        for c in cols:
+            assert got[i][c] == want[i][c], (i, c, got[i][c], want[i][c])
+
+    # seam honored: a swapped whole-batch decoder reaches the fused lane
+    prev = set_payload_decoder(lambda ps: {
+        "width": [len(p) for p in ps], "height": [7] * len(ps),
+        "n_frames": [3] * len(ps), "feature_hash": ["swap"] * len(ps)})
+    try:
+        r0 = fused_payload_features(df, width=64, height=64) \
+            .where(F.col("doc_id") == 0).collect()[0]
+        assert (r0["height"], r0["n_frames"], r0["feature_hash"]) \
+            == (7, 3, "swap")
+    finally:
+        set_payload_decoder(prev)
