@@ -27,6 +27,8 @@ docs (they contribute ~0 to Jaccard specificity but O(df²) join rows).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -578,6 +580,65 @@ def connected_components(
     sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).unionByName(
         edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
     ).distinct().persist()
+
+    # r13 (guide §1.2: fix the distributed algorithm first): when the
+    # symmetrized edge set is BROADCAST-sized — the same bound
+    # :func:`advance_components` already assumes when it broadcasts the
+    # remap table — the O(log d)-round loop below pays ~0.5-1 s of fixed
+    # job latency PER ROUND (three joins, a lazy localCheckpoint and a
+    # convergence count) for work a driver union-find finishes in
+    # microseconds.  Gate: one count of the persisted ``sym`` (round 1
+    # would materialize that cache anyway, so the fallback path only
+    # re-orders work it already does); at or under the cap, collect the
+    # (s, d) pairs — no more bytes than ONE round of the loop ships to
+    # every executor — and label on the driver.  Above the cap the loop
+    # runs unchanged, so corpus-scale graphs never collect; 0 disables
+    # the short-circuit outright (the A/B and test toggle).  Labels are
+    # identical by construction: union-find roots relabeled to the min
+    # member id == min reachable id, the loop's fixpoint.
+    cap = int(os.environ.get("SPARK_GRAFT_CC_DRIVER_EDGES", "131072"))
+    if cap > 0 and sym.count() <= cap:
+        parent: dict = {}
+
+        def _find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for s_val, d_val in sym.collect():
+            if s_val not in parent:
+                parent[s_val] = s_val
+            if d_val not in parent:
+                parent[d_val] = d_val
+            rs, rd = _find(s_val), _find(d_val)
+            if rs != rd:
+                parent[rs] = rd
+        comp_min: dict = {}
+        for n in parent:
+            r = _find(n)
+            if r not in comp_min or n < comp_min[r]:
+                comp_min[r] = n
+        id_type = sym.schema["s"].dataType
+        from pyspark.sql import types as _T
+
+        labels = edges.sparkSession.createDataFrame(
+            [(n, comp_min[_find(n)]) for n in parent],
+            _T.StructType([
+                _T.StructField("node", id_type, True),
+                _T.StructField("component", id_type, True),
+            ]),
+        )
+        edges.unpersist()
+        sym.unpersist()
+        singletons = (
+            nodes.select(F.col(id_col).alias("node"))
+            .join(F.broadcast(labels.select("node")), "node", "left_anti")
+            .select("node", F.col("node").alias("component")))
+        return labels.unionByName(singletons) \
+            .select(F.col("node").alias(id_col), "component")
 
     # The loop runs ONLY over edge-incident nodes: a node no edge
     # touches is a fixpoint (component = own id) from round 0, so

@@ -808,6 +808,37 @@ def test_connected_components_matches_union_find(spark):
     assert got == {i: 0 for i in range(n)}
 
 
+def test_connected_components_driver_path_equals_loop(spark, monkeypatch):
+    """r13: the broadcast-sized driver union-find short-circuit
+    (SPARK_GRAFT_CC_DRIVER_EDGES) returns the same rows, schema and
+    types as the distributed label-propagation loop — on long ids,
+    string ids, and the empty edge set — and cap=0 disables it."""
+    from hbase_snapshotter_spark.operators.dedup import connected_components
+
+    cases = [
+        ("id long", "id_a long, id_b long",
+         [(i,) for i in range(9)],
+         [(0, 1), (1, 2), (5, 6), (8, 7), (2, 0)]),
+        ("id string", "id_a string, id_b string",
+         [(f"d{i}",) for i in range(6)],
+         [("d3", "d1"), ("d1", "d5")]),
+        ("id long", "id_a long, id_b long", [(1,), (2,)], []),
+    ]
+    for node_schema, edge_schema, node_rows, edge_list in cases:
+        nodes = spark.createDataFrame(node_rows, node_schema)
+        edges = spark.createDataFrame(edge_list, edge_schema) if edge_list \
+            else spark.createDataFrame([], edge_schema)
+        monkeypatch.setenv("SPARK_GRAFT_CC_DRIVER_EDGES", "0")
+        loop = connected_components(edges, nodes, id_col="id")
+        loop_rows = sorted((r.id, r.component) for r in loop.collect())
+        monkeypatch.setenv("SPARK_GRAFT_CC_DRIVER_EDGES", "131072")
+        fast = connected_components(edges, nodes, id_col="id")
+        fast_rows = sorted((r.id, r.component) for r in fast.collect())
+        assert fast_rows == loop_rows
+        assert [(f.name, f.dataType) for f in fast.schema.fields] == \
+            [(f.name, f.dataType) for f in loop.schema.fields]
+
+
 def test_repetition_and_digit_signals(spark):
     """Gopher/C4-style quality signals: positional 2-gram repetition and
     digit-character noise, against hand-computed values."""
