@@ -112,9 +112,9 @@ def shared_stage(key: str, builder: Callable[[], DataFrame]) -> DataFrame:
     fixtures — VERDICT r7 task 2) are identical across their consumers;
     per-query scopes cannot share them because entering a scope releases
     nothing outside it but exiting evicts old scopes.  ``shared_stage``
-    persists the builder's result ONCE under the ``__shared__`` scope —
-    exempt from the ``MAX_LIVE_SCOPES`` eviction — and returns the same
-    handle to every later caller with the same key, until
+    materializes the builder's result ONCE under the ``__shared__``
+    scope — exempt from the ``MAX_LIVE_SCOPES`` eviction — and returns
+    the same handle to every later caller with the same key, until
     :func:`release_caches` (without ``keep_shared``) or
     :func:`release_scope` drops it.
 
@@ -122,7 +122,24 @@ def shared_stage(key: str, builder: Callable[[], DataFrame]) -> DataFrame:
     consumers compute identical results whether they hit or rebuild —
     releasing is always safe (at worst a consumer recomputes lineage).
     Keys must include every input that changes the result (callers use
-    ``f"{stage}|{sf_dir}"``)."""
+    ``f"{stage}|{sf_dir}"``).
+
+    r13 (guide §3.3 "planning time itself can become the bottleneck"):
+    the stage is **eagerly localCheckpoint-ed and then persisted**.  A
+    bare persist caches the DATA but every consumer's logical plan
+    still embeds the stage's full producing DAG (for the MinHash pair
+    table: 48 minhash aggregations over exploded shingles, the band
+    self-join, the Jaccard verify), so each downstream ACTION re-pays
+    Catalyst analysis/canonicalization of that tree — measured at
+    2-3 s per rep across the cluster-family queries.  The checkpoint
+    rewrites the plan to a scan of the materialized partitions, so
+    consumers compose against a leaf (same documented trade-off as the
+    connected_components loop, dedup.py: blocks don't survive executor
+    loss — a retry then rebuilds this deterministic scaffold; the
+    checkpoint blocks themselves are ContextCleaner-managed and free
+    on GC after release drops the handle).  Same-window A/B on
+    dedup_clusters_delta: build+save 5.7 s -> 2.4 s per rep;
+    dedup_cluster_suite 4.5 -> 2.1 s."""
     df = _SHARED_STAGES.get(key)
     if (df is not None
             and getattr(df.sparkSession._sc, "_jsc", None) is not None
@@ -133,7 +150,13 @@ def shared_stage(key: str, builder: Callable[[], DataFrame]) -> DataFrame:
     prev = _current
     _current = _SHARED
     try:
-        out = builder().persist()
+        # checkpoint truncates the plan; the persist ON TOP keeps
+        # multi-scan consumers (the centrality loop reads the edge
+        # table once per round) on columnar cache reads instead of
+        # row-deserializing the checkpoint blocks each scan — ckpt-only
+        # benched doc_link_rank 1.7 -> 2.9 s, ckpt+persist restores it.
+        # Costs one extra copy of a scaffold-sized table.
+        out = builder().localCheckpoint().persist()
         _SCOPES.setdefault(_SHARED, []).append(out)
     finally:
         _current = prev

@@ -5657,12 +5657,12 @@ def _shared_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        max_df=50)
         _, adv = advance_shingle_edges(state_sh, state_e, delta,
                                        min_shared=3, max_df=50)
-        # lazy localCheckpoint (the connected_components pattern,
-        # dedup.py:614): the advance lineage appears once per
-        # centrality round and per wedge-join side — without truncation
-        # the composed plan tree OOMs the driver while STRINGIFYING,
-        # long before execution
-        return adv.localCheckpoint(eager=False)
+        # plan truncation (the advance lineage appears once per
+        # centrality round and per wedge-join side — without it the
+        # composed plan tree OOMs the driver while STRINGIFYING) now
+        # happens in shared_stage itself (r13: eager localCheckpoint),
+        # so no inner checkpoint here
+        return adv
 
     return shared_stage(f"graph_edges_adv|{sf_dir}", build)
 
