@@ -488,6 +488,15 @@ def cms_join_size(
         b.filter(F.col(key_b).isNotNull())
         .select(F.col(key_b).cast("string").alias("__k")),
         "__k", group_cols=[], width=width)
+    return cms_inner_product(sa, sb)
+
+
+def cms_inner_product(sa: DataFrame, sb: DataFrame) -> DataFrame:
+    """The inner-product estimate from two PREBUILT ``cms_state``
+    frames (r13 split from :func:`cms_join_size` so a caller that also
+    needs per-side statistics can derive everything from ONE sketch per
+    side — the same subtree then appears multiple times in one plan and
+    AQE's exchange reuse materializes it once)."""
     ip = (
         sa.withColumnRenamed("cnt", "cnt_a")
         .join(sb.withColumnRenamed("cnt", "cnt_b"), ["depth", "bucket"])

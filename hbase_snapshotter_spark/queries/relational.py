@@ -1399,31 +1399,44 @@ def _join_size_estimate_sketch_only(orders, cust, li, ev) -> DataFrame:
     D×W-row sketch algebra."""
     from hbase_snapshotter_spark.operators.sketches import (
         CMS_JOIN_WIDTH,
-        cms_join_size,
+        cms_inner_product,
         cms_state,
     )
 
-    # r13 note (tried, measured, reverted): fusing the three per-side
-    # passes (inner-product sketch, max-multiplicity sketch, count)
-    # into one persisted cms_state — n_side = Σ buckets of depth 0 —
-    # cut scans 3→1 but benched 1.7x SLOWER at sf0.1: the persist costs
-    # more than the saved scans and serializes subtrees the unfused
-    # plan runs concurrently.  Kept the independent-pass shape.
-    def side_stats(df: DataFrame, key: str, prefix: str) -> DataFrame:
+    # r13, second attempt (the first — ONE PERSISTED cms_state per side
+    # — benched 1.7x slower: the persist serialized subtrees the
+    # unfused plan ran concurrently).  This shape shares one UNPERSISTED
+    # sketch subtree per side across all three consumers (inner
+    # product, max-multiplicity bound, n = per-depth bucket sum, which
+    # equals the non-null row count EXACTLY since every row lands in
+    # exactly one bucket per depth): the identical subtree appears
+    # three times in ONE plan, so AQE exchange reuse materializes the
+    # sketch aggregation once per side at runtime with no persist
+    # barrier — raw-table scans per lane drop 6 -> 2.  Same-window A/B
+    # (2 rounds, min-of-reps): wall 4.17->3.96 and 4.08->3.25 s, CPU
+    # 28.4->24.7 and 24.1->16.2 s; n/est values pinned equal to the
+    # audited lane by test_join_size_estimate_exact_lane_gated.
+    def side_sketch(df: DataFrame, key: str) -> DataFrame:
         nn = df.filter(F.col(key).isNotNull())
-        n = nn.agg(F.count(F.lit(1)).cast("long").alias(f"n_{prefix}"))
-        sk = cms_state(nn.select(F.col(key).cast("string").alias("__k")),
-                       "__k", group_cols=[], width=CMS_JOIN_WIDTH)
-        mx = (sk.groupBy("depth").agg(F.max("cnt").alias("__m"))
-              .agg(F.min("__m").cast("long")
-                   .alias(f"est_max_rows_{prefix}")))
-        return n.crossJoin(mx)
+        return cms_state(nn.select(F.col(key).cast("string").alias("__k")),
+                         "__k", group_cols=[], width=CMS_JOIN_WIDTH)
+
+    def side_stats(sk: DataFrame, prefix: str) -> DataFrame:
+        per_depth = sk.groupBy("depth").agg(
+            F.max("cnt").alias("__m"), F.sum("cnt").alias("__s"))
+        return per_depth.agg(
+            # coalesce: an EMPTY side must report n=0 (the old count()
+            # semantics), not NULL; est_max stays NULL on empty (as the
+            # old min-over-empty did)
+            F.coalesce(F.min("__s"), F.lit(0)).cast("long")
+            .alias(f"n_{prefix}"),
+            F.min("__m").cast("long").alias(f"est_max_rows_{prefix}"))
 
     def lane(tag: str, a: DataFrame, ka: str, b: DataFrame,
              kb: str) -> DataFrame:
-        est = cms_join_size(a, ka, b, kb)
-        stats = side_stats(a, ka, "left").crossJoin(
-            side_stats(b, kb, "right"))
+        sa, sb = side_sketch(a, ka), side_sketch(b, kb)
+        est = cms_inner_product(sa, sb)
+        stats = side_stats(sa, "left").crossJoin(side_stats(sb, "right"))
         skew = (
             (F.col("est_max_rows_left") * 1000
              > ADVISOR_SKEW_PERMILLE * F.col("n_left"))
