@@ -587,6 +587,14 @@ _AUDIT_GATED = [
     ("doc_triangle_stats", "advance_equals_rebuild"),
 ]
 
+#: Queries whose audit flag is a SHARED STAGE (r13: shared_stage
+#: eagerly localCheckpoints, so the fixture-side exceptAll runs in the
+#: stage-materialization job and the final plan sees a leaf scan — the
+#: replicaterows marker can no longer appear in the FIXTURE plan; the
+#: flag VALUE being TRUE proves the audit ran).  The production
+#: contract stays plan-level: zero replicaterows generators.
+_SHARED_FLAG = {"doc_link_rank", "doc_triangle_stats"}
+
 
 @pytest.mark.parametrize("name,flag", _AUDIT_GATED,
                          ids=[n for n, _ in _AUDIT_GATED])
@@ -606,9 +614,10 @@ def test_advance_rebuild_audit_gated(spark, sf_dir, tmp_path, name, flag):
     prod_plan = prod_df._jdf.queryExecution().executedPlan().toString()
     n_fix = fix_plan.lower().count("replicaterows")
     n_prod = prod_plan.lower().count("replicaterows")
-    assert n_prod < n_fix, (n_prod, n_fix)
+    if name not in _SHARED_FLAG:
+        assert n_prod < n_fix, (n_prod, n_fix)
     if name != "snapshot_diff":  # its OUTPUT diff is itself exceptAll
-        assert n_prod == 0
+        assert n_prod == 0, (name, n_prod)
 
     other = [c for c in fix_df.columns if c != flag]
     fix_rows = fix_df.select(other).collect()
