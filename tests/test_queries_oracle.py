@@ -101,3 +101,37 @@ def test_cache_global_scope_swept_and_excluded_from_bound(spark, sf_dir):
     assert sorted(tuple(r) for r in a.collect())
     release_caches()
     assert _leftover_persists(spark) == []
+
+
+def test_shared_stage_truncates_plan_and_shares_handle(spark):
+    """The r13 shared_stage contract (cache.py): the builder runs ONCE
+    per key, every caller gets the SAME handle, the handle's logical
+    plan is a materialized leaf (eager localCheckpoint — consumers'
+    Catalyst analysis no longer walks the producing DAG), rows equal
+    the builder's, and release drops the entry so the next call
+    rebuilds."""
+    from hbase_snapshotter_spark import cache
+
+    calls = []
+
+    def build():
+        calls.append(1)
+        return (spark.range(100)
+                .selectExpr("id", "id % 7 AS k")
+                .groupBy("k").count())
+
+    a = cache.shared_stage("test_trunc|x", build)
+    b = cache.shared_stage("test_trunc|x", build)
+    assert a is b and calls == [1]
+    # plan truncated: a leaf scan of checkpointed partitions, no
+    # aggregate left in the consumer-visible optimized plan
+    optimized = a._jdf.queryExecution().optimizedPlan().toString()
+    assert "Aggregate" not in optimized and "Range" not in optimized
+    assert a.storageLevel.useMemory  # persist-on-top for multi-scan reads
+    assert sorted(tuple(r) for r in a.collect()) == sorted(
+        (k, (100 + 6 - k) // 7) for k in range(7))
+    release_caches()
+    assert _leftover_persists(spark) == []
+    cache.shared_stage("test_trunc|x", build)
+    assert calls == [1, 1]
+    release_caches()
