@@ -17,3 +17,13 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+# Plan-build fast path (r13): memoize py4j's static reflection lookups
+# so every F.*/lit/col/toSeq call costs one gateway round-trip instead
+# of three.  Patches py4j CLASSES (not instances), so it applies to
+# sessions created before or after this import; results/plans are
+# byte-identical (see py4j_fastpath docstring).  SPARK_GRAFT_PY4J_CACHE=0
+# disables it for A/B measurement.
+from hbase_snapshotter_spark import py4j_fastpath as _py4j_fastpath
+
+_py4j_fastpath.install()

@@ -1,0 +1,86 @@
+"""The r13 py4j reflection-memoization contract (py4j_fastpath).
+
+Pins the three load-bearing properties of the patch:
+
+1. static handles ARE cached (repeat ``F.*`` calls stop paying the two
+   reflection round-trips — the whole point);
+2. static FIELD reads are NOT cached (a mutable static must stay live);
+3. the patched path is invisible to results — the same expression
+   built twice produces identical plans and values.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from hbase_snapshotter_spark import py4j_fastpath
+
+
+def _send_count(spark) -> list:
+    """Count gateway commands by wrapping the client's send_command."""
+    client = spark.sparkContext._jvm._gateway_client
+    counter = [0]
+    orig = client.send_command
+
+    def counting(*args, **kwargs):
+        counter[0] += 1
+        return orig(*args, **kwargs)
+
+    return client, orig, counting, counter
+
+
+def test_install_idempotent_and_active():
+    # conftest imports the package, so the patch installed at session
+    # start (SPARK_GRAFT_PY4J_CACHE unset → active); install() again is
+    # a no-op returning True.
+    assert py4j_fastpath.install() is True
+
+
+def test_static_handles_cached_and_roundtrips_drop(spark):
+    from py4j.java_gateway import JavaClass, JavaMember
+
+    jvm = spark.sparkContext._jvm
+    F.md5(F.lit("warm"))  # resolve + cache handles
+
+    fqn = "org.apache.spark.sql.functions"
+    cls = jvm.__dict__.get(fqn)
+    assert isinstance(cls, JavaClass), "JVMView resolution not memoized"
+    assert isinstance(cls.__dict__.get("md5"), JavaMember), \
+        "static member not memoized on the JavaClass"
+
+    client, orig, counting, counter = _send_count(spark)
+    client.send_command = counting
+    try:
+        F.md5(F.lit("x"))
+        warm = counter[0]
+    finally:
+        client.send_command = orig
+    # one CALL for lit, one for md5 — and NO reflection commands; give
+    # headroom for the enum_to_value/no-op chatter but far under the
+    # unpatched 6+ (2 reflection + 1 call, twice).
+    assert warm <= 4, f"expected <=4 gateway commands after warmup, got {warm}"
+
+
+def test_static_field_reads_not_cached(spark):
+    jvm = spark.sparkContext._jvm
+    cls = getattr(jvm, "java.lang.Integer")
+    assert cls.MAX_VALUE == 2147483647
+    # the field VALUE must not be frozen into the class instance dict
+    assert "MAX_VALUE" not in cls.__dict__
+
+
+def test_results_identical_across_repeat_builds(spark):
+    df = spark.range(64)
+    def build():
+        return df.select(
+            (F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8),
+                    16, 10).cast("long") % 97).alias("b"))
+    import re
+
+    a = build()
+    b = build()
+    assert a.schema == b.schema
+    strip_ids = lambda s: re.sub(r"#\d+", "#", s)
+    assert strip_ids(a._jdf.queryExecution().analyzed().toString()) \
+        == strip_ids(b._jdf.queryExecution().analyzed().toString())
+    assert sorted(r.b for r in a.collect()) == sorted(r.b for r in b.collect())
