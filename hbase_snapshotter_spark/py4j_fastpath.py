@@ -28,6 +28,13 @@ methods, same arguments, same results, same plans.
 
 What is (deliberately) NOT cached:
 
+- ``JavaPackage`` results — py4j answers SUCCESS_PACKAGE for any name
+  it cannot resolve (there is no error path), so a package result is a
+  *guess*, not a resolution: a name accessed before a later
+  ``java_import``/``ADD JAR`` would stay frozen as a stale package
+  instead of re-resolving to the new ``JavaClass``.  Only definite
+  ``JavaClass`` results are memoized; package-chain hops re-resolve
+  every time (they are not on the hot ``F.*``/lit/col path).
 - ``JavaClass`` FIELD reads (answer type field/value) — a static field
   can be mutable; only method members and nested classes are cached.
 - ``JavaObject`` attribute access — py4j already caches per-instance
@@ -62,7 +69,14 @@ def install() -> bool:
     if os.environ.get("SPARK_GRAFT_PY4J_CACHE", "1") == "0":
         return False
 
-    from py4j.java_gateway import JavaClass, JavaMember, JavaPackage, JVMView
+    try:
+        from py4j.java_gateway import (
+            JavaClass, JavaMember, JavaPackage, JVMView,
+        )
+    except ImportError:
+        # py4j-less client (e.g. Spark Connect-only pyspark): nothing
+        # to patch and nothing to win — plans build without a gateway.
+        return False
 
     jvmview_orig = JVMView.__getattr__
     javaclass_orig = JavaClass.__getattr__
@@ -70,10 +84,12 @@ def install() -> bool:
 
     def jvmview_getattr(self, name):
         value = jvmview_orig(self, name)
-        # JavaClass / JavaPackage are stateless fqn wrappers; the
-        # view's resolution of a (successfully imported) name is
-        # stable for the life of the gateway.
-        if isinstance(value, (JavaClass, JavaPackage)):
+        # A JavaClass answer is a definite reflection SUCCESS and
+        # stable for the life of the gateway.  A JavaPackage answer is
+        # py4j's fallback for ANY unresolved name (SUCCESS_PACKAGE, no
+        # error path) and must stay uncached so a later java_import /
+        # ADD JAR re-resolves it to the real class.
+        if isinstance(value, JavaClass):
             self.__dict__[name] = value
         return value
 
@@ -88,7 +104,9 @@ def install() -> bool:
 
     def javapackage_getattr(self, name):
         value = javapackage_orig(self, name)
-        if isinstance(value, (JavaClass, JavaPackage)):
+        # Same rule: only definite class resolutions are memoized;
+        # sub-package hops (which are unverified guesses) re-resolve.
+        if isinstance(value, JavaClass):
             self.__dict__[name] = value
         return value
 

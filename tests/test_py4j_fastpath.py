@@ -61,6 +61,32 @@ def test_static_handles_cached_and_roundtrips_drop(spark):
     assert warm <= 4, f"expected <=4 gateway commands after warmup, got {warm}"
 
 
+def test_java_packages_not_cached(spark):
+    # py4j answers SUCCESS_PACKAGE for ANY unresolvable name, so a
+    # package result is a guess, not a resolution; caching it would
+    # freeze 'unknown name -> package' forever and a later
+    # java_import/ADD JAR could never upgrade it to a JavaClass
+    # (ADVICE r13).  Definite JavaClass results ARE cached.
+    from py4j.java_gateway import JavaClass, JavaPackage
+
+    jvm = spark.sparkContext._jvm
+    pkg = jvm.org  # top-level package hop
+    assert isinstance(pkg, JavaPackage)
+    assert "org" not in jvm.__dict__, "JavaPackage wrongly memoized on view"
+
+    bogus = getattr(jvm, "no.such.pkg_r14")
+    assert isinstance(bogus, JavaPackage)
+    assert "no" not in jvm.__dict__ and "no.such.pkg_r14" not in jvm.__dict__
+
+    sub = pkg.apache  # package -> package hop
+    assert isinstance(sub, JavaPackage)
+    assert "apache" not in pkg.__dict__, "sub-package wrongly memoized"
+
+    cls = getattr(jvm, "java.lang.Integer")
+    assert isinstance(cls, JavaClass)
+    assert isinstance(jvm.__dict__.get("java.lang.Integer"), JavaClass)
+
+
 def test_static_field_reads_not_cached(spark):
     jvm = spark.sparkContext._jvm
     cls = getattr(jvm, "java.lang.Integer")

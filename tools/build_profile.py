@@ -21,16 +21,16 @@ import time
 
 
 def main() -> int:
-    args = sys.argv[1:]
-    reps = 3
-    do_prof = False
-    if args and args[0] == "-r":
-        reps = int(args[1])
-        args = args[2:]
-    if args and args[0] == "--cprofile":
-        do_prof = True
-        args = args[1:]
-    names = args
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("-r", "--reps", type=int, default=3)
+    ap.add_argument("--cprofile", action="store_true")
+    ap.add_argument("names", nargs="+", metavar="q")
+    ns = ap.parse_args()
+    reps = ns.reps
+    do_prof = ns.cprofile
+    names = ns.names
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     os.environ.setdefault("SPARK_GRAFT_RECALL_PROBE", "0")
